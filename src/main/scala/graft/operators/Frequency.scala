@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Thresholded top-K value-frequency tables (whiteRRabbit.R:329-352).
+  *
+  * Semantics (exactly the reference's):
+  *   - computed over non-missing values: NULL excluded always, and ""
+  *     excluded for string columns (whiteRRabbit.R:320-325, table() on
+  *     x_nonmissing at :333);
+  *   - values with count < min_cell_count are dropped (:335) — the
+  *     privacy threshold;
+  *   - then truncated to the maxDistinctValues most frequent (:336-338);
+  *   - Percentage = count / sum(retained counts) — the denominator is
+  *     the POST-filter POST-truncation sum, not the column total (:344
+  *     computes sum(tab) after :335-338 mutated tab);
+  *   - date/timestamp columns get no frequency table (:331);
+  *   - R's sort(table(...)) tie order is unspecified — we impose the
+  *     deterministic tiebreak (count DESC, value ASC) per SURVEY §7.4.9.
+  *
+  * Plan shape / scale: instead of one groupBy job per column (the
+  *  reference loops column-by-column), all requested columns are melted
+  *  into (col_name, value) pairs with a generator (`explode`) and
+  *  aggregated in a SINGLE shuffle keyed by (col_name, value), with
+  *  map-side partial aggregation. The top-K rank is a second, much
+  *  smaller shuffle over the already-thresholded counts. The
+  *  min_cell_count filter runs before the rank window, so the window
+  *  partition for a column holds only values with ≥ minCellCount
+  *  occurrences — at 100 TB the long tail (the dangerous part of a
+  *  per-column partition) is already gone.
+  */
+object Frequency {
+
+  /** Frequency table for the given columns of `df`.
+    * Output: (col_name string, value string, cnt long, pct double),
+    * ordered (col_name, cnt DESC, value).
+    */
+  def frequencies(
+      df: DataFrame,
+      cols: Seq[String],
+      minCellCount: Long = 5L,
+      maxDistinctValues: Int = 1000): DataFrame = {
+    require(cols.nonEmpty, "frequencies: no columns requested")
+    val dateCols = df.schema.fields
+      .filter(f => f.dataType == TimestampType || f.dataType == DateType ||
+        f.dataType == TimestampNTZType)
+      .map(_.name).toSet
+    val use = cols.filterNot(dateCols.contains) // ref :331 — no date freq
+    require(use.nonEmpty, "frequencies: only date columns requested")
+
+    val kvs: Seq[Column] = use.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast(StringType).as("value"))
+    }
+    val pairs = df
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
+      .where(col("value").isNotNull && col("value") =!= lit(""))
+
+    val counts = pairs
+      .groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= lit(minCellCount))
+
+    val rankW = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    val top = counts
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") <= lit(maxDistinctValues))
+      .drop("rn")
+
+    val sumW = Window.partitionBy(col("col_name"))
+    top
+      .withColumn("pct", col("cnt") / sum(col("cnt")).over(sumW))
+      .orderBy(col("col_name"), col("cnt").desc, col("value"))
+  }
+
+  /** Reference-facing column names (whiteRRabbit.R:339-346). */
+  def referenceFrequencies(
+      df: DataFrame,
+      cols: Seq[String],
+      minCellCount: Long = 5L,
+      maxDistinctValues: Int = 1000): DataFrame =
+    frequencies(df, cols, minCellCount, maxDistinctValues).select(
+      col("col_name").as("Column"),
+      col("value").as("Value"),
+      col("cnt").as("Count"),
+      col("pct").as("Percentage"))
+}

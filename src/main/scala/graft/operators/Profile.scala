@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column profile statistics — the reference's core product.
+  *
+  * The reference iterates over columns in driver memory and computes each
+  * column's counters/stats separately (whiteRRabbit.R:309-423). Here the
+  * whole profile is ONE Spark aggregation: every column's counters and
+  * moments are expressions inside a single `agg()`, so the input is
+  * scanned once (columnar, whole-stage-codegen), partially aggregated
+  * map-side, and reduced to a single row — no wide shuffle. The one-row
+  * result is reshaped driver-side into one output row per column.
+  *
+  * Scale notes (100 TB):
+  *   - `countDistinct` on N columns rewrites to an `expand` + hash
+  *     aggregate; it is exact, matching the reference
+  *     (whiteRRabbit.R:327). For columns where exactness is not needed,
+  *     see [[summarizeApprox]] which uses HLL sketches and exact-median
+  *     replaced by `percentile_approx` — single-pass, spill-free.
+  *   - Exact `percentile` buffers per-group values; on one global group
+  *     this means a per-partition buffer merge on the driver-side
+  *     reducer. At 100 TB prefer the approx variant.
+  */
+object Profile {
+
+  /** Typed summary schema. Numerics stay numeric and timestamps surface
+    * as epoch microseconds, so results can be compared exactly against a
+    * SQL oracle; [[referenceSummary]] maps this to the reference's
+    * 18 string fields (whiteRRabbit.R:402-423).
+    */
+  val summarySchema: StructType = StructType(Seq(
+    StructField("column_name", StringType, nullable = false),
+    StructField("data_type", StringType, nullable = false),
+    StructField("total_count", LongType, nullable = false),
+    StructField("non_missing", LongType, nullable = false),
+    StructField("missing_count", LongType, nullable = false),
+    StructField("empty_count", LongType, nullable = false),
+    StructField("distinct_count", LongType, nullable = false),
+    StructField("min_val", DoubleType, nullable = true),
+    StructField("max_val", DoubleType, nullable = true),
+    StructField("mean_val", DoubleType, nullable = true),
+    StructField("median_val", DoubleType, nullable = true),
+    StructField("sd_val", DoubleType, nullable = true),
+    StructField("q1_val", DoubleType, nullable = true),
+    StructField("q3_val", DoubleType, nullable = true),
+    StructField("iqr_val", DoubleType, nullable = true),
+    StructField("earliest_us", LongType, nullable = true),
+    StructField("latest_us", LongType, nullable = true),
+    StructField("median_us", LongType, nullable = true)
+  ))
+
+  private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+  // Parquet written without isAdjustedToUTC surfaces as TIMESTAMP_NTZ in
+  // Spark 4; with the session tz pinned to UTC it denotes the same
+  // instant, so both flavors get the date-stat treatment.
+  private def isTs(dt: DataType): Boolean =
+    dt == TimestampType || dt == DateType || dt == TimestampNTZType
+
+  /** R class name for the summary's DataType field, matching what the
+    * reference records after type promotion (whiteRRabbit.R:311, :403).
+    */
+  private def rClassName(dt: DataType): String = dt match {
+    case StringType                         => "character"
+    case t if isNum(t)                      => "numeric"
+    case TimestampType | TimestampNTZType   => "POSIXct, POSIXt"
+    case DateType                           => "Date"
+    case other                              => other.simpleString
+  }
+
+  /** Profile every column of `df` in one aggregation pass.
+    * Semantics per column (whiteRRabbit.R:313-327):
+    *   missing  = count of NULLs;
+    *   empty    = count of "" (string columns only, 0 otherwise);
+    *   nonMissing excludes NULL for all columns and also "" for strings;
+    *   distinct is exact and excludes NULL (and "" for strings);
+    *   numeric stats over non-NULL values: min/max/mean/sd(sample)/
+    *     quartiles (type-7 linear interpolation = Spark exact percentile);
+    *   date stats: earliest/latest/median epoch-microseconds (median may
+    *     interpolate between two instants, whiteRRabbit.R:389-398).
+    */
+  def summarize(
+      df: DataFrame,
+      exactQuantiles: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column DataFrame")
+
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).as("total")
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val c = col(f.name)
+      aggs += count(when(c.isNull, lit(1))).as(s"m_$i")
+      f.dataType match {
+        case StringType =>
+          aggs += count(when(c === lit(""), lit(1))).as(s"e_$i")
+          aggs += countDistinct(when(c =!= lit(""), c)).as(s"d_$i")
+        case t if isNum(t) =>
+          val cd = c.cast(DoubleType)
+          aggs += countDistinct(c).as(s"d_$i")
+          aggs += min(cd).as(s"mn_$i")
+          aggs += max(cd).as(s"mx_$i")
+          aggs += avg(cd).as(s"av_$i")
+          aggs += stddev_samp(cd).as(s"sd_$i")
+          val qs = array(lit(0.25), lit(0.5), lit(0.75))
+          aggs += (if (exactQuantiles) percentile(cd, qs)
+                   else percentile_approx(cd, qs, lit(accuracy))).as(s"q_$i")
+        case t if isTs(t) =>
+          val us = unix_micros(
+            if (f.dataType == TimestampType) c else c.cast(TimestampType))
+          aggs += countDistinct(c).as(s"d_$i")
+          aggs += min(us).as(s"tn_$i")
+          aggs += max(us).as(s"tx_$i")
+          aggs += (if (exactQuantiles) percentile(us, lit(0.5))
+                   else percentile_approx(us, lit(0.5), lit(accuracy)))
+            .as(s"tm_$i")
+        case _ =>
+          aggs += countDistinct(c).as(s"d_$i")
+      }
+    }
+
+    reshapeLike(df, aggs.toSeq)
+  }
+
+  /** Sketch-based profile for the 100 TB path: `approx_count_distinct`
+    * (HLL++, mergeable, constant memory) instead of exact distinct, and
+    * `percentile_approx` (KLL-style sketch) instead of exact sort-based
+    * percentiles. One pass, no value buffering. Semantics diverge from
+    * the reference (documented per SURVEY.md §2 op 10).
+    */
+  def summarizeApprox(df: DataFrame, rsd: Double = 0.01,
+      accuracy: Int = 10000): DataFrame = {
+    val fields = df.schema.fields
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggs += count(lit(1)).as("total")
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val c = col(f.name)
+      aggs += count(when(c.isNull, lit(1))).as(s"m_$i")
+      f.dataType match {
+        case StringType =>
+          aggs += count(when(c === lit(""), lit(1))).as(s"e_$i")
+          aggs += approx_count_distinct(when(c =!= lit(""), c), rsd)
+            .as(s"d_$i")
+        case t if isNum(t) =>
+          val cd = c.cast(DoubleType)
+          aggs += approx_count_distinct(c, rsd).as(s"d_$i")
+          aggs += min(cd).as(s"mn_$i")
+          aggs += max(cd).as(s"mx_$i")
+          aggs += avg(cd).as(s"av_$i")
+          aggs += stddev_samp(cd).as(s"sd_$i")
+          aggs += percentile_approx(cd, array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(accuracy)).as(s"q_$i")
+        case t if isTs(t) =>
+          val us = unix_micros(
+            if (f.dataType == TimestampType) c else c.cast(TimestampType))
+          aggs += approx_count_distinct(c, rsd).as(s"d_$i")
+          aggs += min(us).as(s"tn_$i")
+          aggs += max(us).as(s"tx_$i")
+          aggs += percentile_approx(us, lit(0.5), lit(accuracy)).as(s"tm_$i")
+        case _ =>
+          aggs += approx_count_distinct(c, rsd).as(s"d_$i")
+      }
+    }
+    // Reuse the exact reshape: the collected row has the same field names.
+    reshapeLike(df, aggs.toSeq)
+  }
+
+  /** Shared driver-side reshape used by summarize/summarizeApprox. */
+  private def reshapeLike(df: DataFrame, aggs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def nn(n: String): Boolean =
+      r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n))
+    def gl(n: String): Long = r.getAs[Long](n)
+    def gd(n: String): java.lang.Double =
+      if (nn(n)) Double.box(r.getAs[Double](n)) else null
+    def glo(n: String): java.lang.Long =
+      if (nn(n)) Long.box(r.getAs[Long](n)) else null
+    val total = gl("total")
+    val rows: Seq[Row] = fields.zipWithIndex.toSeq.map { case (f, i) =>
+      val missing = gl(s"m_$i")
+      val empty = if (f.dataType == StringType) gl(s"e_$i") else 0L
+      val nonMissing = total - missing - empty
+      var (mn, mx, av, med, sd, q1, q3, iqr) =
+        (null: java.lang.Double, null: java.lang.Double,
+         null: java.lang.Double, null: java.lang.Double,
+         null: java.lang.Double, null: java.lang.Double,
+         null: java.lang.Double, null: java.lang.Double)
+      if (isNum(f.dataType)) {
+        mn = gd(s"mn_$i"); mx = gd(s"mx_$i")
+        av = gd(s"av_$i"); sd = gd(s"sd_$i")
+        if (nn(s"q_$i")) {
+          val q = r.getAs[scala.collection.Seq[Double]](s"q_$i")
+          q1 = Double.box(q(0)); med = Double.box(q(1)); q3 = Double.box(q(2))
+          iqr = Double.box(q(2) - q(0))
+        }
+      }
+      var (tn, tx, tm) =
+        (null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
+      if (isTs(f.dataType)) {
+        tn = glo(s"tn_$i"); tx = glo(s"tx_$i")
+        if (nn(s"tm_$i")) {
+          tm = r.schema(r.fieldIndex(s"tm_$i")).dataType match {
+            case DoubleType => Long.box(
+              math.floor(r.getAs[Double](s"tm_$i")).toLong)
+            case _ => Long.box(r.getAs[Long](s"tm_$i"))
+          }
+        }
+      }
+      Row(f.name, rClassName(f.dataType), total, nonMissing, missing, empty,
+        gl(s"d_$i"), mn, mx, av, med, sd, q1, q3, iqr, tn, tx, tm)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), summarySchema)
+  }
+
+  /** Map the typed summary to the reference's 18-field all-as-written
+    * summary sheet schema (whiteRRabbit.R:402-423): Column, DataType,
+    * TotalCount, NonMissingCount, MissingCount, EmptyCount,
+    * DistinctCount, MinVal..IQRVal, EarliestVal/LatestVal/MedianDateVal
+    * rendered as ISO strings.
+    */
+  def referenceSummary(typed: DataFrame): DataFrame = {
+    def tsStr(c: Column): Column =
+      date_format(timestamp_micros(c), "yyyy-MM-dd HH:mm:ss")
+    typed.select(
+      col("column_name").as("Column"),
+      col("data_type").as("DataType"),
+      col("total_count").as("TotalCount"),
+      col("non_missing").as("NonMissingCount"),
+      col("missing_count").as("MissingCount"),
+      col("empty_count").as("EmptyCount"),
+      col("distinct_count").as("DistinctCount"),
+      col("min_val").as("MinVal"),
+      col("max_val").as("MaxVal"),
+      col("median_val").as("MedianVal"),
+      col("mean_val").as("MeanVal"),
+      col("sd_val").as("SDVal"),
+      col("q1_val").as("Q1Val"),
+      col("q3_val").as("Q3Val"),
+      col("iqr_val").as("IQRVal"),
+      tsStr(col("earliest_us")).as("EarliestVal"),
+      tsStr(col("latest_us")).as("LatestVal"),
+      tsStr(col("median_us")).as("MedianDateVal"))
+  }
+}

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Run a graft main class directly against the compiled classes + Spark
+# jars (same JVM options build.sbt uses for forked runs). Compile first
+# with `sbt compile`. Usage: tools/run.sh graft.Verify <args...>
+set -euo pipefail
+CLASS="$1"; shift
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+    java.base/java.lang.reflect java.base/java.io java.base/java.net \
+    java.base/java.nio java.base/java.util \
+    java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+    java.base/sun.nio.ch java.base/sun.nio.cs \
+    java.base/sun.security.action java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens=$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$CLASS" "$@"
