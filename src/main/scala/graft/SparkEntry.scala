@@ -1,9 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.operators.{Frequency, Profile}
+import graft.operators.{DateShift, Frequency, Profile, Sampling, TypeInference}
+import graft.sources.DelimitedSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +21,14 @@ import graft.operators.{Frequency, Profile}
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no type
+      // for: read the nanos as long, truncate to microseconds (exactly
+      // what DuckDB's epoch_us yields for a nanos timestamp).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
 
   // -------------------------------------------------------------------
   // Table column metadata used to generate oracle SQL (mirrors the
@@ -40,7 +50,19 @@ object SparkEntry {
       "o_totalprice" -> Num, "o_orderdate" -> Ts, "o_orderpriority" -> Str),
     "customer" -> Seq(
       "c_custkey" -> Num, "c_name" -> Str, "c_nationkey" -> Num,
-      "c_acctbal" -> Num, "c_mktsegment" -> Str)
+      "c_acctbal" -> Num, "c_mktsegment" -> Str),
+    "supplier" -> Seq(
+      "s_suppkey" -> Num, "s_name" -> Str, "s_nationkey" -> Num,
+      "s_acctbal" -> Num),
+    "part" -> Seq(
+      "p_partkey" -> Num, "p_name" -> Str, "p_brand" -> Str,
+      "p_type" -> Str, "p_size" -> Num, "p_retailprice" -> Num),
+    "region" -> Seq("r_regionkey" -> Num, "r_name" -> Str),
+    "nation" -> Seq(
+      "n_nationkey" -> Num, "n_name" -> Str, "n_regionkey" -> Num),
+    "events" -> Seq(
+      "event_id" -> Num, "ts" -> Ts, "user_id" -> Num,
+      "event_type" -> Str, "value" -> Num, "props" -> Str)
   )
 
   private val dblCols = Set("min_val", "max_val", "mean_val", "median_val",
@@ -135,6 +157,233 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------------
+  // Type inference (SURVEY §2 ops 5-6)
+  // -------------------------------------------------------------------
+
+  /** Stringify a typed table — the all-string shape a CSV read yields
+    * (whiteRRabbit.R:236) — so inference has real work to do.
+    */
+  private def stringified(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+
+  private val inferSchema = StructType(Seq(
+    StructField("column_name", StringType, nullable = false),
+    StructField("inferred_type", StringType, nullable = false)))
+
+  private def typeinferQuery(s: SparkSession, df: DataFrame): DataFrame = {
+    val inf = TypeInference.infer(stringified(df))
+    val rows = inf.toSeq.sortBy(_._1).map { case (c, t) => Row(c, t.label) }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), inferSchema)
+  }
+
+  /** Oracle mirroring the inference decision on clean data: numeric if
+    * every non-empty value parses (the reference's all-or-nothing rule
+    * subsumes the 0.8 vote when the column is uniform), else datetime
+    * at the 0.8 threshold, else character (whiteRRabbit.R:139-204).
+    */
+  private def typeinferOracle(table: String): String = {
+    val parts = tables(table).map { case (c, _) =>
+      val v = s"CAST($c AS VARCHAR)"
+      val ne = s"$v IS NOT NULL AND $v <> ''"
+      val numFail = s"count(*) FILTER (WHERE $ne AND " +
+        s"try_cast(trim($v) AS DOUBLE) IS NULL)"
+      val numRate = s"avg(CASE WHEN $ne THEN (CASE WHEN " +
+        s"try_cast(trim($v) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 " +
+        s"END) END)"
+      val dateRate = s"avg(CASE WHEN $ne THEN (CASE WHEN " +
+        s"try_cast(trim($v) AS TIMESTAMP) IS NOT NULL THEN 1.0 ELSE 0.0 " +
+        s"END) END)"
+      s"SELECT '$c' AS column_name, CASE WHEN $numFail = 0 AND " +
+        s"$numRate >= 0.8 THEN 'numeric' WHEN $dateRate >= 0.8 THEN " +
+        s"'datetime' ELSE 'character' END AS inferred_type FROM $table"
+    }
+    parts.mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
+
+  // -------------------------------------------------------------------
+  // Sampling / date shift / CSV roundtrip / overview (ops 1-4, 7, 16)
+  // -------------------------------------------------------------------
+
+  private def sampleQuery(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactK(tbl(s, dir, "lineitem"), 1000, seed = 42L)
+      .agg(count(lit(1)).as("n"))
+
+  private def dateshiftQuery(s: SparkSession, dir: String): DataFrame = {
+    val orig = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").as("orig_date"))
+    val shifted = DateShift.shiftDates(
+      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+      seed = 42L)
+      .withColumnRenamed("o_orderdate", "shifted_date")
+    val diff = datediff(to_date(col("shifted_date")),
+      to_date(col("orig_date")))
+    orig.join(shifted, "o_orderkey").agg(
+      count(lit(1)).as("n"),
+      min(diff).as("min_shift"),
+      max(diff).as("max_shift"),
+      countDistinct(diff).as("n_shifts"))
+  }
+
+  /** CSV source roundtrip (ops 1-3 + inference): stringify lineitem →
+    * write TSV → fast line count → all-string read → promote → profile
+    * facts that must equal the original parquet table's.
+    */
+  private def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    val scratch = "/root/repo/target/tmp/csv_rt_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    stringified(tbl(s, dir, "lineitem"))
+      .coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(scratch)
+    val nLines = DelimitedSource.fastRowCount(s, scratch)
+    val raw = DelimitedSource.read(s, scratch, "\t")
+    val (typed, _) = TypeInference.inferAndPromote(raw)
+    typed.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("sum_qty"),
+      countDistinct(col("l_returnflag")).as("n_flags"),
+      unix_micros(min(col("l_shipdate"))).as("earliest_us"))
+      .withColumn("n_lines", lit(nLines))
+      .withColumn("n_fields", lit(raw.columns.length))
+  }
+
+  private val csvRoundtripOracle: String =
+    "SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty, " +
+      "count(DISTINCT l_returnflag) AS n_flags, " +
+      "epoch_us(min(l_shipdate)) AS earliest_us, " +
+      "count(*) + 1 AS n_lines, CAST(11 AS INT) AS n_fields FROM lineitem"
+
+  private val overviewTables = Seq("customer", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier")
+
+  private val overviewSchema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_fields", IntegerType, nullable = false),
+    StructField("n_fields_empty", LongType, nullable = false)))
+
+  /** Overview assembly (op 16, whiteRRabbit.R:466-480) over the parquet
+    * folder: one lightweight aggregation per table (counts only — no
+    * stat suites), tables scanned independently.
+    */
+  private def overviewQuery(s: SparkSession, dir: String): DataFrame = {
+    val rows = overviewTables.map { name =>
+      val df = tbl(s, dir, name)
+      val fields = df.schema.fields
+      val aggs = count(lit(1)).as("n") +: fields.zipWithIndex.map {
+        case (f, i) =>
+          val c = col(f.name)
+          val nonMissing = f.dataType match {
+            case StringType => count(when(c.isNotNull && c =!= "", 1))
+            case _          => count(c)
+          }
+          nonMissing.as(s"nm_$i")
+      }.toSeq
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val nEmpty = fields.indices
+        .count(i => r.getAs[Long](s"nm_$i") == 0L).toLong
+      Row(name, r.getAs[Long]("n"), fields.length, nEmpty)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), overviewSchema)
+      .orderBy("table_name")
+  }
+
+  private def overviewOracle: String = {
+    val parts = overviewTables.map { t =>
+      val cols = tables(t)
+      val emptyTerms = cols.map { case (c, k) =>
+        val cnt = if (k == Str) s"count(nullif($c,''))" else s"count($c)"
+        s"(CASE WHEN $cnt = 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT '$t' AS table_name, count(*) AS n_rows, " +
+        s"CAST(${cols.length} AS INT) AS n_fields, " +
+        s"CAST($emptyTerms AS BIGINT) AS n_fields_empty FROM $t"
+    }
+    parts.mkString("", " UNION ALL ", " ORDER BY table_name")
+  }
+
+  // -------------------------------------------------------------------
+  // Relational benchmarks: aggregation / broadcast join / window.
+  // Money sums go through DECIMAL so both engines sum exactly (double
+  // summation order is engine-dependent; decimal is not).
+  // -------------------------------------------------------------------
+
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def tpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      decSum(col("l_quantity"), 2).as("sum_qty"),
+      decSum(col("l_extendedprice"), 2).as("sum_base"),
+      decSum(revenue, 4).as("sum_disc"),
+      decSum(revenue * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+      round(avg(col("l_quantity")), 4).as("avg_qty"),
+      round(avg(col("l_discount")), 6).as("avg_disc"),
+      count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val tpchQ1Oracle: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+      "round(avg(l_quantity),4) AS avg_qty, " +
+      "round(avg(l_discount),6) AS avg_disc, count(*) AS n " +
+      "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"
+
+  private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
+    val cust = tbl(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ords = tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    // customer is the small dimension — broadcast it so the orders and
+    // lineitem sides never shuffle for the join.
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val tpchQ3Oracle: String =
+    "SELECT l_orderkey, o_orderdate, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "AND l_shipdate > TIMESTAMP '1997-01-01' " +
+      "GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10"
+
+  private def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val ords = tbl(s, dir, "orders")
+    val cust = tbl(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ords.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  private val windowTopOrdersOracle: String =
+    "WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY c_mktsegment " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+      "SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, " +
+      "o_totalprice FROM j WHERE rn <= 3 ORDER BY c_mktsegment, rn"
+
+  // -------------------------------------------------------------------
   // Public contract
   // -------------------------------------------------------------------
 
@@ -158,7 +407,32 @@ object SparkEntry {
     // op 11 truncation path: top-10 cap exercises the post-truncation
     // percentage denominator (whiteRRabbit.R:336-344)
     "freq_orders_custkey_top10" -> ((s, dir) => freqQuery(
-      tbl(s, dir, "orders"), Seq("o_custkey"), 5L, 10))
+      tbl(s, dir, "orders"), Seq("o_custkey"), 5L, 10)),
+    "summary_part"     -> ((s, dir) => roundedSummary(tbl(s, dir, "part"))),
+    "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
+    // date aggregate suite (op 13) on microsecond-precision timestamps
+    "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),
+    "freq_part" -> ((s, dir) => freqQuery(tbl(s, dir, "part"),
+      Seq("p_brand", "p_type"), 5L, 1000)),
+    // ops 5-6 — statistical type promotion (whiteRRabbit.R:139-204)
+    "typeinfer_orders" -> ((s, dir) => typeinferQuery(s, tbl(s, dir, "orders"))),
+    "typeinfer_events" -> ((s, dir) => typeinferQuery(s, tbl(s, dir, "events"))),
+    // ops 5-6 roundtrip: stringify → infer → promote → profile must
+    // reproduce the typed table's profile exactly
+    "typeinfer_roundtrip" -> ((s, dir) => roundedSummary(
+      TypeInference.inferAndPromote(stringified(tbl(s, dir, "orders")))._1)),
+    // op 4 — exact-k random sample (whiteRRabbit.R:225-272)
+    "sample_exactk" -> ((s, dir) => sampleQuery(s, dir)),
+    // op 7 — ±5-day date shift (whiteRRabbit.R:283-291)
+    "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
+    // ops 1-3 — delimited source, all-string read, fast row count
+    "csv_roundtrip" -> ((s, dir) => csvRoundtripQuery(s, dir)),
+    // ops 15-16 — overview assembly (whiteRRabbit.R:466-480)
+    "overview" -> ((s, dir) => overviewQuery(s, dir)),
+    // relational/bench headliners: agg, broadcast join, window
+    "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
+    "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
+    "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +450,25 @@ object SparkEntry {
     "freq_customer" -> freqOracle("customer",
       Seq("c_mktsegment" -> true), 5L, 1000),
     "freq_orders_custkey_top10" -> freqOracle("orders",
-      Seq("o_custkey" -> false), 5L, 10)
+      Seq("o_custkey" -> false), 5L, 10),
+    "summary_part"     -> summaryOracle("part"),
+    "summary_supplier" -> summaryOracle("supplier"),
+    "summary_events"   -> summaryOracle("events"),
+    "freq_part" -> freqOracle("part",
+      Seq("p_brand" -> true, "p_type" -> true), 5L, 1000),
+    "typeinfer_orders" -> typeinferOracle("orders"),
+    "typeinfer_events" -> typeinferOracle("events"),
+    "typeinfer_roundtrip" -> summaryOracle("orders"),
+    "sample_exactk" ->
+      "SELECT LEAST(1000, count(*)) AS n FROM lineitem",
+    "dateshift_bounds" ->
+      ("SELECT count(*) AS n, CAST(-5 AS INT) AS min_shift, " +
+        "CAST(5 AS INT) AS max_shift, CAST(11 AS BIGINT) AS n_shifts " +
+        "FROM orders"),
+    "csv_roundtrip" -> csvRoundtripOracle,
+    "overview" -> overviewOracle,
+    "tpch_q1" -> tpchQ1Oracle,
+    "tpch_q3" -> tpchQ3Oracle,
+    "window_top_orders" -> windowTopOrdersOracle
   )
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row sampling (whiteRRabbit.R:225-272).
+  *
+  * The reference draws exactly maxRows distinct line numbers and
+  * pre-filters them with awk so unsampled lines are never parsed; it is
+  * unseeded. Here exact-k uniform sampling is `orderBy(rand(seed))
+  * .limit(k)`, which Spark plans as TakeOrderedAndProject: each
+  * partition keeps its local top-k by the random key, then the driver
+  * merges k-sized heaps — no full shuffle and no global sort
+  * materialization, so it holds at 100 TB (cost: one scan + k·P heap
+  * entries). A seed makes runs reproducible (engine improvement over
+  * the reference, SURVEY §7.4.8).
+  */
+object Sampling {
+
+  /** Exactly min(k, n) uniformly-sampled rows, reproducible per seed. */
+  def exactK(df: DataFrame, k: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("__rand", rand(seed))
+      .orderBy(col("__rand"))
+      .limit(k)
+      .drop("__rand")
+
+  /** Head-k, the reference's non-random path (whiteRRabbit.R:242,:257). */
+  def headK(df: DataFrame, k: Int): DataFrame = df.limit(k)
+
+  /** The reference's row-cap policy: sample only when the table exceeds
+    * maxRows (whiteRRabbit.R:225-272); maxRows < 0 means "all rows".
+    */
+  def cap(df: DataFrame, maxRows: Long, randomSample: Boolean,
+      seed: Long = 42L): DataFrame =
+    if (maxRows < 0) df
+    else if (randomSample) exactK(df, maxRows.toInt, seed)
+    else headK(df, maxRows.toInt)
+}

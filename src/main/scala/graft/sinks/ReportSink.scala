@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{Scan, TableScanResult}
+import graft.operators.Profile
+
+/** Report sinks (SURVEY §2 ops 17-18).
+  *
+  * - TSV sink mirrors the reference layout (whiteRRabbit.R:515-531):
+  *   <prefix>_Overview, <prefix>_File<i>_Summary, <prefix>_File<i>_Freq
+  *   (freq sheet only when non-empty), tab-separated with header. Spark
+  *   writes each sheet as a directory of part files; coalesce(1) gives
+  *   the reference's one-file-per-sheet shape (fine for report-sized
+  *   outputs — summaries are per-column, frequencies are top-K-bounded).
+  * - The xlsx workbook (whiteRRabbit.R:485-514) is emulated as a
+  *   directory of Parquet "sheets" with the same sheet names: no xlsx
+  *   library exists offline (build.sbt:5-11), and at 100 TB a
+  *   columnar sheet a downstream tool can read beats a spreadsheet.
+  */
+object ReportSink {
+
+  private def sheets(overview: DataFrame,
+      results: Seq[TableScanResult]): Seq[(String, DataFrame)] = {
+    val per = results.zipWithIndex.flatMap { case (r, i) =>
+      val s = Seq(s"File${i + 1}_Summary" -> Profile.referenceSummary(r.summary))
+      if (r.freq.isEmpty) s
+      else s :+ (s"File${i + 1}_Freq" -> r.freq)
+    }
+    ("Overview" -> overview) +: per
+  }
+
+  /** Reference-layout TSV report (whiteRRabbit.R:515-531). */
+  def writeTsv(outputDir: String, prefix: String, overview: DataFrame,
+      results: Seq[TableScanResult]): Unit =
+    sheets(overview, results).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true")
+        .csv(s"$outputDir/${prefix}_$name")
+    }
+
+  /** Workbook sink: one directory, one Parquet dataset per sheet. */
+  def writeWorkbook(outputDir: String, prefix: String, overview: DataFrame,
+      results: Seq[TableScanResult]): Unit =
+    sheets(overview, results).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outputDir/${prefix}_workbook/$name")
+    }
+
+  /** Dispatch on the configured output format (whiteRRabbit.R:483-534). */
+  def write(outputDir: String, prefix: String, format: String,
+      overview: DataFrame, results: Seq[TableScanResult]): Unit =
+    format match {
+      case "tsv"  => writeTsv(outputDir, prefix, overview, results)
+      case "xlsx" => writeWorkbook(outputDir, prefix, overview, results)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Invalid output_format: $other (use xlsx or tsv)") // ref :532-534
+    }
+}
