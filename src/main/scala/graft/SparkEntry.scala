@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{DateShift, Frequency, Profile, Sampling, TypeInference}
+import graft.functions.TextFunctions
+import graft.operators.{DateShift, Dedup, Frequency, Multimodal, Profile,
+  Sampling, Similarity, TypeInference}
 import graft.sources.DelimitedSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -384,6 +386,142 @@ object SparkEntry {
       "o_totalprice FROM j WHERE rn <= 3 ORDER BY c_mktsegment, rn"
 
   // -------------------------------------------------------------------
+  // LLM-data-pipeline surface: text analysis, dedup, similarity,
+  // multimodal. Oracles spell out the identical double arithmetic
+  // (DuckDB's list_cosine_similarity computes in float — unusable).
+  // -------------------------------------------------------------------
+
+  private def textStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    d.select(col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(toks).as("n_tokens"),
+      TextFunctions.regexTokenCount(col("text")).as("n_regex_tokens"),
+      round(TextFunctions.meanTokenLength(toks), 6).as("mean_token_len"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val textStatsOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc, " +
+      s"CAST(len($toks) AS INT) AS n_tokens, " +
+      "CAST(len(regexp_extract_all(text, " +
+      "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_regex_tokens, " +
+      s"round(CAST(list_sum(list_transform($toks, t -> length(t))) " +
+      s"AS DOUBLE) / len($toks), 6) AS mean_token_len, " +
+      "sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+      "AS fingerprint FROM documents ORDER BY doc_id"
+  }
+
+  private def textQualityQuery(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  private val textQualityOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val stopSet = TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) " +
+      "AS DOUBLE) / greatest(length(text), 1)"
+    val stop = s"CAST(len(list_filter($toks, t -> t IN ($stopSet))) " +
+      s"AS DOUBLE) / greatest(len($toks), 1)"
+    val lenCredit = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+    s"SELECT doc_id, round($punct, 6) AS punct_ratio, " +
+      s"round($stop, 6) AS stop_ratio, " +
+      s"round($lenCredit * 0.5 + $stop * 0.3 + (1.0 - $punct) * 0.2, 6) " +
+      "AS quality FROM documents ORDER BY doc_id"
+  }
+
+  private def langDetectQuery(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(TextFunctions.langId(col("text")).as("detected_lang"))
+      .groupBy("detected_lang").agg(count(lit(1)).as("n"))
+      .orderBy("detected_lang")
+
+  /** Shared DuckDB CTE: doc_id + distinct 3-word shingle set. */
+  private val shingleCte: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"d AS (SELECT doc_id, $toks AS toks FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(toks) - 2, 0)), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
+      "FROM d WHERE len(toks) >= 3)"
+  }
+
+  private val dedupExactOracle: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
+      "GROUP BY sha256(text) ORDER BY doc_id"
+
+  private val dedupMinhashOracle: String =
+    s"WITH $shingleCte, " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, jac FROM p WHERE jac >= 0.7 " +
+      "ORDER BY id_a, id_b"
+
+  private val dedupJaccardBlockOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH s AS (SELECT doc_id, source, list_distinct($toks) AS sh " +
+      s"FROM documents WHERE len($toks) >= 1), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
+      "FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, jac FROM p WHERE jac >= 0.9 " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** Shared DuckDB CTE: vec_id + double vector + L2 norm, spelling out
+    * the same double arithmetic the Spark operators use.
+    */
+  private val vecCte: String =
+    "v AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+      "n AS (SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, " +
+      "x -> x * x))) AS nrm FROM v)"
+
+  private val embedNearDupOracle: String =
+    s"WITH $vecCte, " +
+      "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_sum(list_transform(generate_series(1, len(a.vec)), " +
+      "i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS cos " +
+      "FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+      "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 " +
+      "ORDER BY id_a, id_b"
+
+  private val knnBruteForceOracle: String =
+    s"WITH $vecCte, " +
+      "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+      "FROM n WHERE vec_id < 10), " +
+      "p AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+      "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+      "i -> q.qvec[i] * n.vec[i])) / (q.qnrm * n.nrm) AS sim " +
+      "FROM q, n WHERE n.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+      "FROM p) " +
+      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
+      "WHERE rn <= 5 ORDER BY query_id, rn"
+
+  private def multimodalMetaQuery(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "n_bytes", "content_hash", "n_chunks")
+      .orderBy("doc_id")
+
+  private val multimodalMetaOracle: String =
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+      "sha256(text) AS content_hash, " +
+      "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) " +
+      "AS INT) AS n_chunks FROM documents ORDER BY doc_id"
+
+  // -------------------------------------------------------------------
   // Public contract
   // -------------------------------------------------------------------
 
@@ -432,7 +570,37 @@ object SparkEntry {
     // relational/bench headliners: agg, broadcast join, window
     "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
-    "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir))
+    "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
+    // LLM pipeline — text analysis
+    "text_stats"   -> ((s, dir) => textStatsQuery(s, dir)),
+    "text_quality" -> ((s, dir) => textQualityQuery(s, dir)),
+    "lang_detect"  -> ((s, dir) => langDetectQuery(s, dir)),
+    // LLM pipeline — dedup family
+    "dedup_exact" -> ((s, dir) => Dedup.exactByContent(
+      tbl(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(
+      tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.7)),
+    "dedup_jaccard_block" -> ((s, dir) => Dedup.blockedJaccardPairs(
+      tbl(s, dir, "documents"), "doc_id", "text", "source",
+      threshold = 0.9, shingleSize = 1)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
+      tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    // LLM pipeline — embedding similarity
+    "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    "knn_bruteforce" -> ((s, dir) => Similarity.knnBruteForce(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numQueries = 10, k = 5)),
+    "knn_ivf" -> ((s, dir) => Similarity.knnIvf(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)),
+    // LLM pipeline — multimodal plumbing (decode stubbed, see Multimodal)
+    "multimodal_meta" -> ((s, dir) => multimodalMetaQuery(s, dir)),
+    "multimodal_features" -> ((s, dir) => Multimodal.decodeFeatures(
+      Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -469,6 +637,18 @@ object SparkEntry {
     "overview" -> overviewOracle,
     "tpch_q1" -> tpchQ1Oracle,
     "tpch_q3" -> tpchQ3Oracle,
-    "window_top_orders" -> windowTopOrdersOracle
+    "window_top_orders" -> windowTopOrdersOracle,
+    "text_stats" -> textStatsOracle,
+    "text_quality" -> textQualityOracle,
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_minhash" -> dedupMinhashOracle,
+    "dedup_jaccard_block" -> dedupJaccardBlockOracle,
+    "embed_neardup" -> embedNearDupOracle,
+    "knn_bruteforce" -> knnBruteForceOracle,
+    "multimodal_meta" -> multimodalMetaOracle
+    // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf,
+    // multimodal_features: heuristic / hash-seeded / approximate
+    // operators with no SQL-expressible oracle — covered by the
+    // driver's rows-only check plus ScalaTest specs.
   )
 }

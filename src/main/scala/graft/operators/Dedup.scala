@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact
+  * (content-hash groupBy), MinHash+LSH near-dup, SimHash near-dup, and
+  * exact n-gram Jaccard with key blocking.
+  *
+  * Scale design: nothing here ever materializes an all-pairs cross
+  * join. Candidates come from equality joins on hash buckets (LSH
+  * bands / SimHash chunks / a user blocking key), which shuffle-join on
+  * bucket keys and verify only within-bucket pairs — the classic
+  * shingle→minhash→band→bucket-join pipeline. Skewed buckets are
+  * handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash (the groupBy carries a 32-byte key
+    * instead of the document body). Output: one row per distinct
+    * content, keeping the smallest id, with its multiplicity.
+    */
+  def exactByContent(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** id + distinct shingle set, rows with an empty set dropped. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
+          shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** MinHash signature: for each of k hash functions, the minimum of
+    * xxhash64(i, shingle) over the shingle set — computed per-row with
+    * higher-order array functions, no explode and no shuffle.
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * banding: b bands of r rows (b*r = numHashes); two docs collide if
+    * any band hashes equal. With b=16, r=4 the s-curve catches
+    * Jaccard≥0.7 with probability ≥ 1-(1-0.7^4)^16 ≈ 0.99 (and ≈1.0 at
+    * 0.9). Collisions are then verified with the exact Jaccard on the
+    * shingle sets, so false positives never ship — the LSH only bounds
+    * the candidate count.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val withSig = sets
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bandStructs = transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"),
+        xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))
+          .as("bh")))
+    val buckets = withSig
+      .select(col("id"), explode(bandStructs).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Join candidate pairs back to their shingle sets and keep those
+    * with exact Jaccard ≥ threshold (rounded at 6 decimals so the
+    * comparison is oracle-stable).
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .where(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard pairs restricted to a blocking key (e.g.
+    * source/domain/length-bucket): the quadratic blow-up is contained
+    * within blocks — the 100 TB-safe way to run exact small-n Jaccard.
+    */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double,
+      shingleSize: Int = 1): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
+          shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sets.select(col("blk"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = sets.select(col("blk"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .where(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is
+    * the majority vote of bit i of xxhash64(token) across the token
+    * multiset. Computed per-row from builtins (no UDF, no shuffle).
+    */
+  def simhash64(toksCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+       |  acc + IF(size(filter(`$toksCol`,
+       |             t -> (shiftright(xxhash64(t), i) & 1) = 1)) * 2
+       |           > size(`$toksCol`),
+       |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
+       |""".stripMargin.replace('\n', ' '))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation blocks on 4 disjoint 16-bit chunks of the
+    * signature: any pair within Hamming distance 3 is identical in at
+    * least one chunk (pigeonhole), so for maxHamming ≤ 3 the blocking
+    * is COMPLETE — same-chunk equality join, then exact bit_count
+    * verification. No all-pairs comparison anywhere.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk blocking is only complete for maxHamming <= 3")
+    val base = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("sim", simhash64("toks"))
+      .select("id", "sim")
+    val chunks = base.select(col("id"), col("sim"),
+      explode(expr("transform(sequence(0, 3), j -> " +
+        "struct(j AS chunk, (shiftright(sim, j * 16) & 65535) AS ch))"))
+        .as("c"))
+      .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
+        col("c.ch").as("ch"))
+    val a = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"),
+      col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"),
+      col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold
+    * via a broadcast nested-loop join (right side broadcast once, no
+    * shuffle of the big side). Exact and oracle-checkable; for corpora
+    * where even one broadcast side is too large, use
+    * [[Similarity.lshNearDupPairs]] (random-hyperplane buckets).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("norm").as("norm_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("norm").as("norm_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        aggregate(zip_with(col("vec_a"), col("vec_b"), (x, y) => x * y),
+          lit(0.0), (acc, p) => acc + p) /
+          (col("norm_a") * col("norm_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+}
