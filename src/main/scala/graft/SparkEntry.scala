@@ -522,6 +522,53 @@ object SparkEntry {
       "AS INT) AS n_chunks FROM documents ORDER BY doc_id"
 
   // -------------------------------------------------------------------
+  // Streaming (Structured Streaming over the bounded events stream)
+  // -------------------------------------------------------------------
+
+  private def streamingProfileQuery(s: SparkSession,
+      dir: String): DataFrame =
+    graft.streaming.StreamingProfile.runWindowedProfile(s, dir)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"), col("min_value"),
+        col("max_value"))
+      .orderBy("window_start_us", "event_type")
+
+  private val streamingProfileOracle: String =
+    "SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, " +
+      "event_type, count(*) AS n, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+      "min(value) AS min_value, max(value) AS max_value " +
+      "FROM events GROUP BY 1,2 ORDER BY 1,2"
+
+  private val sessionGapUs = 1800000000L // 30 min
+
+  private def sessionizeBatchQuery(s: SparkSession,
+      dir: String): DataFrame =
+    graft.streaming.StreamingProfile.sessionizeBatch(
+      tbl(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      sessionGapUs)
+
+  private def sessionizeStreamQuery(s: SparkSession,
+      dir: String): DataFrame =
+    graft.streaming.StreamingProfile.runSessionize(s, dir, sessionGapUs)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "session_id")
+
+  private val sessionizeOracle: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+      "x AS (SELECT user_id, ts_us, CASE WHEN " +
+      "lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL " +
+      "OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) " +
+      s"> $sessionGapUs THEN 1 ELSE 0 END AS new_s FROM e), " +
+      "y AS (SELECT user_id, ts_us, CAST(sum(new_s) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) " +
+      "- 1 AS BIGINT) AS session_id FROM x) " +
+      "SELECT user_id, session_id, count(*) AS n_events, " +
+      "min(ts_us) AS start_us, max(ts_us) AS end_us FROM y " +
+      "GROUP BY 1,2 ORDER BY 1,2"
+
+  // -------------------------------------------------------------------
   // Public contract
   // -------------------------------------------------------------------
 
@@ -600,7 +647,12 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => multimodalMetaQuery(s, dir)),
     "multimodal_features" -> ((s, dir) => Multimodal.decodeFeatures(
       Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text"))
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+    // streaming: incremental windowed profile + stateful sessionization
+    // (flatMapGroupsWithState), plus the window-function batch twin
+    "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
+    "sessionize_batch"  -> ((s, dir) => sessionizeBatchQuery(s, dir)),
+    "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -645,7 +697,10 @@ object SparkEntry {
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
-    "multimodal_meta" -> multimodalMetaOracle
+    "multimodal_meta" -> multimodalMetaOracle,
+    "streaming_profile" -> streamingProfileOracle,
+    "sessionize_batch"  -> sessionizeOracle,
+    "sessionize_stream" -> sessionizeOracle
     // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf,
     // multimodal_features: heuristic / hash-seeded / approximate
     // operators with no SQL-expressible oracle — covered by the

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming extension surface (SURVEY §2.1 "Streaming"): incremental
+  * profile over an event stream and stateful sessionization, both as
+  * real Structured Streaming plans. A bounded parquet source + memory
+  * sink + processAllAvailable makes them synchronously verifiable
+  * against batch SQL oracles while keeping the streaming execution
+  * path (state store, watermark, incremental aggregation) genuine.
+  */
+object StreamingProfile {
+
+  /** events as the stream source reads it: ts arrives as raw nanos
+    * because parquet TIMESTAMP(NANOS) has no Spark type (the nanos are
+    * converted to a microsecond timestamp in the first projection).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a directory; stage the single
+    // events file into one (a production stream would already be a
+    // directory of arriving files)
+    val staged = java.nio.file.Paths.get(
+      "/root/repo/target/tmp/stream_events_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+    java.nio.file.Files.createDirectories(staged)
+    val dst = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+    }
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window per-event-type profile: counts, approximate
+    * distinct users (exact distinct over a stream is unbounded state —
+    * HLL keeps it constant), decimal-exact value sum, min/max. The
+    * watermark bounds state for late data; window state older than the
+    * watermark is dropped, so state size is O(active windows), not
+    * O(stream length).
+    */
+  def windowedProfile(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Run the windowed profile over the bounded events stream and
+    * return the final (complete-mode) result table.
+    */
+  def runWindowedProfile(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_profile_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = windowedProfile(eventsStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // -- stateful sessionization ----------------------------------------
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+      nEvents: Long)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Per-user session assignment with an inactivity gap, as custom
+    * streaming state (flatMapGroupsWithState): sessions continue
+    * across micro-batches via SessionState. Events inside one batch
+    * are sorted per key; completed sessions are emitted as soon as the
+    * gap closes them, and — because this runner drives a BOUNDED
+    * stream — the final open session is emitted at end too (a true
+    * unbounded deployment would emit it on a state timeout instead).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long)
+      : Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          val sorted = it.toIndexedSeq.sortBy(_.ts_us)
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+          sorted.foreach { e =>
+            if (cur == null) {
+              cur = SessionState(0L, e.ts_us, e.ts_us, 1L)
+            } else if (e.ts_us - cur.lastUs > gapUs) {
+              out += SessionRow(uid, cur.sessionId, cur.nEvents,
+                cur.startUs, cur.lastUs)
+              cur = SessionState(cur.sessionId + 1, e.ts_us, e.ts_us, 1L)
+            } else {
+              cur = cur.copy(lastUs = e.ts_us, nEvents = cur.nEvents + 1)
+            }
+          }
+          // bounded-stream simplification: flush the open session (an
+          // unbounded deployment would hold it in state and emit on
+          // timeout; here the stream ends with this batch)
+          if (cur != null) {
+            out += SessionRow(uid, cur.sessionId, cur.nEvents,
+              cur.startUs, cur.lastUs)
+            state.update(cur)
+          }
+          out.iterator
+      }
+  }
+
+  /** Run stateful sessionization over the bounded events stream. */
+  def runSessionize(spark: SparkSession, dir: String,
+      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_sessions_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    val q = sessionize(ev, gapUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Batch sessionization with window functions — identical semantics
+    * to [[sessionize]] on bounded data (used as the oracle-checked
+    * batch twin and by tests as the streaming version's ground truth).
+    */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val newSession = when(
+      lag(col("ts_us"), 1).over(byUser).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+      .otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+}

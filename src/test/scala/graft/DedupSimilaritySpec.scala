@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill nearby today"
+  private lazy val docs = (
+    Seq(
+      (0L, base, "a"),
+      (1L, base + " extra", "a"),              // near-dup of 0
+      (2L, base.replace("quick", "slow"), "a"), // near-dup of 0
+      (3L, "completely different text about spark query engines and " +
+        "distributed columnar execution plans at scale", "b"),
+      (4L, base, "b")                           // exact dup of 0
+    )).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val rows = Dedup.exactByContent(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 2L) // docs 0 and 4 collapse onto id 0
+    assert(rows(1L) == 1L)
+    assert(!rows.contains(4L))
+  }
+
+  test("minhash LSH finds true near-dups and nothing else") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // identical → jaccard 1.0
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash verification rejects below-threshold candidates") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 4L))) // only the exact duplicate survives
+  }
+
+  test("simhash: identical docs at hamming 0; blocking finds them") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Int]("hamming"))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 4L)
+    assert(exact.isDefined && exact.get._3 == 0)
+  }
+
+  test("blocked jaccard respects the blocking key") {
+    val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+      "source", threshold = 0.5, shingleSize = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0 and 4 are identical but in different blocks → not compared
+    assert(!pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L))) // same block, near-dup
+  }
+
+  private lazy val vecs = {
+    // 8-dim: three tight cluster members + two far points
+    val rows = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(1.0f, 0.12f, 0.01f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.09f, 0f, 0.01f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f, 1.0f, 0.2f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 0f, 0f, 0f, 1.0f, 0.3f)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup finds the tight cluster pairs only") {
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("knn brute force ranks by cosine with deterministic ties") {
+    val out = Similarity.knnBruteForce(vecs, "vec_id", "embedding",
+      numQueries = 1, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("neighbor_id")))
+    // query 0: nearest are 1 and 2 (order by cosine)
+    assert(out.map(_._3).toSet == Set(1L, 2L))
+    assert(out.map(_._2).toSeq == Seq(1, 2))
+  }
+
+  test("IVF with nprobe = numCentroids degenerates to exact search") {
+    val exact = Similarity.knnBruteForce(vecs, "vec_id", "embedding",
+      numQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val ivf = Similarity.knnIvf(vecs, "vec_id", "embedding",
+      numCentroids = 3, nprobe = 3, numQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf == exact)
+  }
+
+  test("hyperplane LSH always buckets identical vectors together") {
+    val dup = vecs.union(Seq((5L, Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f,
+      0f))).toDF("vec_id", "embedding"))
+    val pairs = Similarity.lshNearDupPairs(dup, "vec_id", "embedding",
+      threshold = 0.9999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L))) // identical vector, cos = 1
+  }
+}

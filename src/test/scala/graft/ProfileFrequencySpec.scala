@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Frequency, Profile}
+
+/** Profile counters/stat suites (whiteRRabbit.R:313-423) and frequency
+  * semantics (whiteRRabbit.R:329-352) on hand-checked fixtures.
+  */
+class ProfileFrequencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val mixed = Seq(
+    (Some(1.0), "a", Some("2023-01-01 00:00:00")),
+    (Some(2.0), "b", Some("2023-01-02 00:00:00")),
+    (Some(3.0), "",  Some("2023-01-03 00:00:00")),
+    (Some(4.0), "a", None),
+    (None,      null, Some("2023-01-05 00:00:00")))
+    .toDF("num", "str", "ts_s")
+    .selectExpr("num", "str", "CAST(ts_s AS TIMESTAMP) AS ts")
+
+  private lazy val summary = Profile.summarize(mixed).collect()
+    .map(r => r.getString(0) -> r).toMap
+
+  test("missing/empty/non-missing counters (whiteRRabbit.R:313-325)") {
+    val s = summary("str")
+    assert(s.getAs[Long]("total_count") == 5)
+    assert(s.getAs[Long]("missing_count") == 1)
+    assert(s.getAs[Long]("empty_count") == 1)
+    assert(s.getAs[Long]("non_missing") == 3)
+    val n = summary("num")
+    assert(n.getAs[Long]("missing_count") == 1)
+    assert(n.getAs[Long]("empty_count") == 0)
+    assert(n.getAs[Long]("non_missing") == 4)
+  }
+
+  test("distinct excludes NULL and empty string (whiteRRabbit.R:327)") {
+    assert(summary("str").getAs[Long]("distinct_count") == 2) // a, b
+    assert(summary("num").getAs[Long]("distinct_count") == 4)
+  }
+
+  test("numeric suite: type-7 quartiles, sample sd " +
+      "(whiteRRabbit.R:354-376)") {
+    val n = summary("num")
+    assert(n.getAs[Double]("min_val") == 1.0)
+    assert(n.getAs[Double]("max_val") == 4.0)
+    assert(n.getAs[Double]("mean_val") == 2.5)
+    assert(n.getAs[Double]("median_val") == 2.5)
+    // R quantile type 7 on (1,2,3,4): q1 = 1.75, q3 = 3.25
+    assert(math.abs(n.getAs[Double]("q1_val") - 1.75) < 1e-12)
+    assert(math.abs(n.getAs[Double]("q3_val") - 3.25) < 1e-12)
+    assert(math.abs(n.getAs[Double]("iqr_val") - 1.5) < 1e-12)
+    // sample sd of (1,2,3,4) = sqrt(5/3)
+    assert(math.abs(n.getAs[Double]("sd_val") - math.sqrt(5.0 / 3)) < 1e-12)
+  }
+
+  test("date suite: median may interpolate between instants " +
+      "(whiteRRabbit.R:389-398)") {
+    val t = summary("ts")
+    val day = 86400000000L
+    val base = 1672531200000000L // 2023-01-01T00:00:00Z in micros
+    assert(t.getAs[Long]("earliest_us") == base)
+    assert(t.getAs[Long]("latest_us") == base + 4 * day)
+    // values: Jan 1,2,3,5 → median = (2nd+3rd)/2 = Jan 2 12:00
+    assert(t.getAs[Long]("median_us") == base + day + day / 2)
+  }
+
+  test("reference summary shape: 18 fields, R class names " +
+      "(whiteRRabbit.R:402-423)") {
+    val ref = Profile.referenceSummary(Profile.summarize(mixed))
+    assert(ref.columns.length == 18)
+    assert(ref.columns.head == "Column")
+    val types = ref.collect().map(r =>
+      r.getAs[String]("Column") -> r.getAs[String]("DataType")).toMap
+    assert(types("num") == "numeric")
+    assert(types("str") == "character")
+    assert(types("ts") == "POSIXct, POSIXt")
+  }
+
+  private lazy val freqInput = (
+    Seq.fill(10)("x") ++ Seq.fill(7)("y") ++ Seq.fill(7)("b") ++
+      Seq.fill(3)("rare") ++ Seq("", "", null))
+    .map(Tuple1(_)).toDF("v")
+
+  test("frequency: threshold, truncation, retained-sum percentage " +
+      "(whiteRRabbit.R:335-344)") {
+    val rows = Frequency.frequencies(freqInput, Seq("v"),
+      minCellCount = 5, maxDistinctValues = 2).collect()
+    // 'rare' (3 < 5) dropped by threshold; top-2 keeps x(10) and b(7)
+    // — tie between y and b broken by value asc → b wins
+    assert(rows.map(_.getAs[String]("value")).toSeq == Seq("x", "b"))
+    // percentage denominator = 10 + 7 (retained only), not 27
+    val pct = rows.map(r =>
+      r.getAs[String]("value") -> r.getAs[Double]("pct")).toMap
+    assert(math.abs(pct("x") - 10.0 / 17) < 1e-12)
+    assert(math.abs(pct("b") - 7.0 / 17) < 1e-12)
+  }
+
+  test("frequency excludes NULL and empty and date columns " +
+      "(whiteRRabbit.R:320-331)") {
+    val all = Frequency.frequencies(freqInput, Seq("v"), 1, 100).collect()
+    assert(!all.exists(r => r.getAs[String]("value") == "" ||
+      r.getAs[String]("value") == null))
+    assertThrows[IllegalArgumentException] {
+      Frequency.frequencies(mixed.select("ts"), Seq("ts"), 1, 100)
+    }
+  }
+}

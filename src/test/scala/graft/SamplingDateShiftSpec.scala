@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DateShift, Sampling}
+
+class SamplingDateShiftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val nums = (1 to 10000).toDF("n")
+
+  test("exactK returns exactly k rows, a subset of the input " +
+      "(whiteRRabbit.R:225-272)") {
+    val s = Sampling.exactK(nums, 100, seed = 1L).collect().map(_.getInt(0))
+    assert(s.length == 100)
+    assert(s.distinct.length == 100)
+    assert(s.forall(n => n >= 1 && n <= 10000))
+  }
+
+  test("exactK is reproducible per seed and varies across seeds") {
+    val a = Sampling.exactK(nums, 50, seed = 7L).collect().map(_.getInt(0))
+    val b = Sampling.exactK(nums, 50, seed = 7L).collect().map(_.getInt(0))
+    val c = Sampling.exactK(nums, 50, seed = 8L).collect().map(_.getInt(0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+  }
+
+  test("cap: maxRows<0 keeps everything; k>n keeps n") {
+    assert(Sampling.cap(nums, -1, randomSample = true).count() == 10000)
+    assert(Sampling.exactK(nums, 20000, 1L).count() == 10000)
+  }
+
+  test("date shift stays within ±5 days and only touches date columns " +
+      "(whiteRRabbit.R:283-291)") {
+    val df = (1 to 2000)
+      .map(i => (i, f"2023-${i % 12 + 1}%02d-15 10:00:00"))
+      .toDF("id", "ts_s")
+      .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val shifted = DateShift.shiftDates(df, seed = 5L)
+      .withColumnRenamed("ts", "ts2").withColumnRenamed("id", "id2")
+    val joined = df.join(shifted, col("id") === col("id2"))
+      .select(datediff(to_date(col("ts2")), to_date(col("ts"))).as("d"),
+        (col("id") - col("id2")).as("idDiff"))
+    val (dmin, dmax, idBad) = {
+      val r = joined.agg(min("d"), max("d"),
+        sum(abs(col("idDiff")))).head()
+      (r.getInt(0), r.getInt(1), r.getLong(2))
+    }
+    assert(dmin >= -5 && dmax <= 5)
+    assert(dmin == -5 && dmax == 5) // 2000 draws over 11 values
+    assert(idBad == 0L)             // non-date column untouched
+    assert(shifted.count() == 2000)
+  }
+
+  test("date shift is seeded-reproducible (engine addition, " +
+      "SURVEY §7.4.8)") {
+    val df = (1 to 100).map(i => Tuple1(s"2023-01-15 00:00:0${i % 10}"))
+      .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
+    val a = DateShift.shiftDates(df, 9L).collect().map(_.get(0).toString)
+    val b = DateShift.shiftDates(df, 9L).collect().map(_.get(0).toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+import graft.streaming.StreamingProfile
+import graft.streaming.StreamingProfile.SessionEvent
+
+class TextStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language ID recognizes real multilingual snippets") {
+    val samples = Seq(
+      "the cat and the dog sat by the fire with a book for you",
+      "der hund ist nicht mit der katze und ich bin zu hause",
+      "el perro y los gatos juegan por la casa pero muy lejos",
+      "le chien est dans la maison avec les chats pour toujours",
+      "这是一个很好的例子我们都有自己的想法他是我的朋友",
+      "zzz qqq xxx")
+    val got = samples.toDF("text")
+      .select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es", "fr", "zh", "und"))
+  }
+
+  test("shingles build distinct n-grams; short docs yield none") {
+    val sh = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("fingerprint is whitespace-insensitive; rolling hash is " +
+      "order-sensitive") {
+    val df = Seq(("Hello  World", "hello world", "world hello"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      TextFunctions.fingerprint(col("a")),
+      TextFunctions.fingerprint(col("b")),
+      TextFunctions.rollingHash(TextFunctions.tokens(col("b"))),
+      TextFunctions.rollingHash(TextFunctions.tokens(col("c")))).head()
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getLong(2) != r.getLong(3))
+  }
+
+  test("regex token count splits words, numbers, punctuation") {
+    val n = Seq("ab 12 c!d").toDF("t")
+      .select(TextFunctions.regexTokenCount(col("t"))).head().getInt(0)
+    assert(n == 5) // ab | 12 | c | ! | d
+  }
+
+  test("multimodal metadata and stubbed decode are deterministic") {
+    val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF(
+      "doc_id", "text")
+    val bin = Multimodal.binarize(docs, "doc_id", "text")
+    val meta = bin.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_bytes"), r.getAs[String]("content_hash"))).toMap
+    assert(meta(1L)._1 == 5)
+    assert(meta(1L) == meta(2L)) // same payload → same metadata
+    val feats = Multimodal.decodeFeatures(bin, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == feats(2L))
+    assert(feats(1L) != feats(3L))
+    assert(feats(1L).length == 4)
+  }
+
+  test("stateful streaming sessionization matches the window-function " +
+      "batch twin") {
+    val gap = 100L
+    // two users; user 1: gaps at 350 and >100 → 3 sessions
+    val events = Seq(
+      (1L, 0L), (1L, 50L), (1L, 400L), (1L, 450L), (1L, 999L),
+      (2L, 10L), (2L, 500L))
+      .map { case (u, t) => SessionEvent(u, t) }
+    val stream = StreamingProfile.sessionize(events.toDS(), gap)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events,
+        s.start_us, s.end_us)).sorted.toSeq
+    val batch = StreamingProfile.sessionizeBatch(
+      events.toDF().withColumnRenamed("ts_us", "ts_us"), gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(stream == batch)
+    assert(stream.count(_._1 == 1L) == 3)
+    assert(stream.count(_._1 == 2L) == 2)
+  }
+}

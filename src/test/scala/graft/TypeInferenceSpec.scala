@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TypeInference
+import graft.operators.TypeInference.{CharacterT, DatetimeT, NumericT}
+
+/** Mirrors the reference's only unit-tested surface
+  * (tests/testthat/test_robust_parse.R:5-38) plus the semantic traps
+  * from SURVEY §7.4 (all-or-nothing numeric, 20% date tolerance,
+  * mdY-before-dmy preference).
+  */
+class TypeInferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def inferOne(values: Seq[String]): TypeInference.InferredType =
+    TypeInference.infer(values.toDF("c"), randomSample = false)("c")
+
+  test("numeric strings with NA and empty promote to numeric " +
+      "(test_robust_parse.R:5-12)") {
+    val vals = Seq("1", "2.5", null, "", "4e2", " 7 ")
+    assert(inferOne(vals) == NumericT)
+    val promoted = TypeInference.promote(vals.toDF("c"),
+      Map("c" -> NumericT)).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(promoted.toSeq == Seq(1.0, 2.5, null, null, 400.0, 7.0))
+  }
+
+  test("mostly non-numeric stays character (test_robust_parse.R:16-20)") {
+    assert(inferOne(Seq("a", "b", "3", "x", "y")) == CharacterT)
+  }
+
+  test("ISO dates promote to datetime (test_robust_parse.R:24-30)") {
+    assert(inferOne(Seq("2023-01-15", "2023-02-20", "2023-03-25"))
+      == DatetimeT)
+    assert(inferOne(Seq("2023-01-15 10:30:00", "2023-02-20 00:00:00"))
+      == DatetimeT)
+  }
+
+  test("mixed non-date stays character (test_robust_parse.R:34-38)") {
+    assert(inferOne(Seq("2023-01-15", "apple", "banana", "cherry",
+      "dog")) == CharacterT)
+  }
+
+  test("numeric promotion is all-or-nothing on the full column " +
+      "(whiteRRabbit.R:156-159)") {
+    // 90% numeric passes the sample vote but one bad value reverts all
+    val vals = (1 to 900).map(_.toString) ++ (1 to 100).map(i => s"x$i")
+    assert(inferOne(vals) == CharacterT)
+  }
+
+  test("date promotion tolerates up to 20% unparseable " +
+      "(whiteRRabbit.R:199-201)") {
+    val good = (1 to 85).map(i => f"2023-01-${i % 28 + 1}%02d")
+    val bad = (1 to 15).map(i => s"junk$i")
+    assert(inferOne(good ++ bad) == DatetimeT)
+    val tooMany = (1 to 70).map(i => f"2023-01-${i % 28 + 1}%02d") ++
+      (1 to 30).map(i => s"junk$i")
+    assert(inferOne(tooMany) == CharacterT)
+  }
+
+  test("ambiguous slash dates resolve mdY before dmy " +
+      "(whiteRRabbit.R:174-178)") {
+    val df = Seq("01/02/2023", "03/04/2023").toDF("c")
+    val promoted = TypeInference.promote(df, Map("c" -> DatetimeT))
+      .collect().map(_.get(0).toString).sorted
+    // mdY: Jan 2 and Mar 4 — not Feb 1 / Apr 3
+    assert(promoted.head.startsWith("2023-01-02"))
+    assert(promoted(1).startsWith("2023-03-04"))
+  }
+
+  test("unambiguous dmy dates still parse via the dmy fallback") {
+    val df = Seq("25/12/2023").toDF("c")
+    val promoted = TypeInference.promote(df, Map("c" -> DatetimeT))
+      .collect().map(_.get(0).toString)
+    assert(promoted.head.startsWith("2023-12-25"))
+  }
+
+  test("numeric is preferred over datetime when both could apply") {
+    // all-digit strings parse as numbers, not yyyyMMdd dates
+    assert(inferOne(Seq("20230115", "20230216", "20230317")) == NumericT)
+  }
+}
