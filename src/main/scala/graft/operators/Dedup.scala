@@ -36,13 +36,26 @@ object Dedup {
           shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
 
-  /** MinHash signature: for each of k hash functions, the minimum of
-    * xxhash64(i, shingle) over the shingle set — computed per-row with
+  /** MinHash signature: for each of k hash lanes, the minimum of a
+    * lane-mixed hash over the shingle set — computed per-row with
     * higher-order array functions, no explode and no shuffle.
+    *
+    * Each shingle STRING is hashed exactly once (strings are the
+    * expensive part — hashing them k times measured ~10x slower at
+    * sf0.1); the k lanes re-mix the 64-bit value. The whole signature
+    * is ONE `aggregate` fold over the hashed array (outer loop over
+    * shingles, `zip_with` across lanes) — nesting it the other way
+    * around would re-evaluate the string hashing inside the per-lane
+    * lambda, since Catalyst inlines single-use projections into lambda
+    * bodies.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    aggregate(
+      transform(sh, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, h)),
+        (a, b) => least(a, b)))
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -86,12 +99,19 @@ object Dedup {
     val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jac", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Exact Jaccard of two distinct-element arrays. |A∪B| is derived as
+    * |A|+|B|-|A∩B| instead of materializing array_union — half the
+    * set-hashing work, identical value (same integer division).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
   /** Exact n-gram Jaccard pairs restricted to a blocking key (e.g.
@@ -110,25 +130,32 @@ object Dedup {
     val b = sets.select(col("blk"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("jac", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
-    * the majority vote of bit i of xxhash64(token) across the token
-    * multiset. Computed per-row from builtins (no UDF, no shuffle).
+    * the majority vote (sum of ±1 > 0) of bit i of xxhash64(token)
+    * across the token multiset. One `aggregate` fold: tokens hashed
+    * once, bit votes accumulated with `zip_with`, and the finish
+    * lambda folds the 64 votes into the signature long — so nothing
+    * gets re-evaluated per bit lane.
     */
   def simhash64(toksCol: String): Column = expr(
-    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
-       |  acc + IF(size(filter(`$toksCol`,
-       |             t -> (shiftright(xxhash64(t), i) & 1) = 1)) * 2
-       |           > size(`$toksCol`),
-       |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
-       |""".stripMargin.replace('\n', ' '))
+    s"""aggregate(
+       |  transform(`$toksCol`, t -> xxhash64(t)),
+       |  array_repeat(0, 64),
+       |  (acc, h) -> zip_with(acc,
+       |                transform(sequence(0, 63),
+       |                  i -> CAST((shiftright(h, i) & 1) * 2 - 1 AS INT)),
+       |                (a, b) -> a + b),
+       |  acc -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+       |           (a, i) -> a + IF(element_at(acc, i + 1) > 0,
+       |                            shiftleft(CAST(1 AS BIGINT), i),
+       |                            CAST(0 AS BIGINT))))""".stripMargin
+      .replace('\n', ' '))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
     *
@@ -175,17 +202,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      .withColumn("norm",
+        graft.functions.VectorExpressions.vectorNorm(col("vec")))
     val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
       col("norm").as("norm_a"))
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
       col("norm").as("norm_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(
-        aggregate(zip_with(col("vec_a"), col("vec_b"), (x, y) => x * y),
-          lit(0.0), (acc, p) => acc + p) /
-          (col("norm_a") * col("norm_b")), 6))
+        graft.functions.VectorExpressions.vectorDot(col("vec_a"),
+          col("vec_b")) / (col("norm_a") * col("norm_b")), 6))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

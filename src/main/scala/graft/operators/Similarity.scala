@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`), LLM-pipeline extension surface.
   *
@@ -26,13 +28,14 @@ object Similarity {
       vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      .withColumn("norm", VectorExpressions.vectorNorm(col("vec")))
 
-  /** Cosine similarity of two pre-normed rows. */
+  /** Cosine similarity of two pre-normed rows (codegen'd dot product —
+    * see [[graft.functions.VectorDot]]; accumulation order matches the
+    * builtin fold bit-for-bit, so oracle results are unchanged).
+    */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-      (acc, p) => acc + p) / (normA * normB)
+    VectorExpressions.vectorDot(a, b) / (normA * normB)
 
   /** Exact cosine top-k for the query set {id < numQueries}. The query
     * side is broadcast; each corpus partition computes its local
@@ -133,9 +136,8 @@ object Similarity {
         .cast("double") / lit(500000.0) - lit(1.0)
     def bucket(t: Int, vec: Column): Column =
       (0 until numBits).map { b =>
-        val dot = aggregate(zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1), i => comp(t, b, i)),
-          (x, h) => x * h), lit(0.0), (acc, p) => acc + p)
+        val dot = VectorExpressions.vectorDot(vec,
+          transform(sequence(lit(0), size(vec) - 1), i => comp(t, b, i)))
         when(dot >= 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's private[sql] Column <-> Expression converters —
+  * the supported Spark-4 way to lift a custom Catalyst Expression into
+  * the public Column API (Column.expr / new Column(e) were removed
+  * from the public surface in Spark 4's Column unification).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
