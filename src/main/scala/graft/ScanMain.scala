@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.ScanConfig
+import graft.sinks.ReportSink
+
+/** CLI entry point mirroring the reference's option surface
+  * (whiteRRabbit.R:29-83) — a user of the reference can run the same
+  * scan with the same flags and get the same report sheets:
+  *
+  *   tools/run.sh graft.ScanMain \
+  *     --working_folder /data/in --delimiter tab --output_dir /data/out \
+  *     --output_format tsv --maxRows 100000 --maxDistinctValues 1000 \
+  *     --prefix ScanReport --cpus 8 --exclude_cols id,ssn \
+  *     --shift_dates false --scan_field_values true --min_cell_count 5 \
+  *     --random_sample true [--seed 42]
+  *
+  * --seed is an engine addition (the reference's sampling/shift are
+  * unseeded, whiteRRabbit.R:252,:288).
+  */
+object ScanMain {
+
+  def parse(args: Array[String]): ScanConfig = {
+    val m = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def b(s: String): Boolean = s.equalsIgnoreCase("true")
+    var c = ScanConfig()
+    m.foreach {
+      case ("working_folder", v)    => c = c.copy(workingFolder = v)
+      case ("delimiter", v)         => c = c.copy(delimiter = v)
+      case ("output_dir", v)        => c = c.copy(outputDir = v)
+      case ("output_format", v)     => c = c.copy(outputFormat = v)
+      case ("maxRows", v)           => c = c.copy(maxRows = v.toLong)
+      case ("maxDistinctValues", v) => c = c.copy(maxDistinctValues = v.toInt)
+      case ("prefix", v)            => c = c.copy(prefix = v)
+      case ("cpus", v)              => c = c.copy(cpus = v.toInt)
+      case ("exclude_cols", v) =>
+        c = c.copy(excludeCols = v.split(',').map(_.trim).filter(_.nonEmpty))
+      case ("shift_dates", v)       => c = c.copy(shiftDates = b(v))
+      case ("scan_field_values", v) => c = c.copy(scanFieldValues = b(v))
+      case ("min_cell_count", v)    => c = c.copy(minCellCount = v.toLong)
+      case ("random_sample", v)     => c = c.copy(randomSample = b(v))
+      case ("seed", v)              => c = c.copy(seed = v.toLong)
+      case (k, _) =>
+        throw new IllegalArgumentException(s"unknown option --$k")
+    }
+    require(m.contains("working_folder"), "--working_folder is required")
+    c
+  }
+
+  def main(args: Array[String]): Unit = {
+    val config = parse(args)
+    val spark = SparkSession.builder()
+      .master(s"local[${config.cpus}]")
+      .appName("graft-scan")
+      .config("spark.sql.shuffle.partitions", config.cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = Scan.scanFolder(spark, config)
+    require(results.nonEmpty,
+      s"no ${config.filePattern} files in ${config.workingFolder}")
+    val overview = Scan.overview(spark, results)
+    ReportSink.write(config.outputDir, config.prefix, config.outputFormat,
+      overview, results)
+    println(s"[graft] scanned ${results.length} file(s) -> " +
+      s"${config.outputDir}/${config.prefix}_*")
+    spark.stop()
+  }
+}

@@ -594,6 +594,11 @@ object SparkEntry {
     "freq_orders_custkey_top10" -> ((s, dir) => freqQuery(
       tbl(s, dir, "orders"), Seq("o_custkey"), 5L, 10)),
     "summary_part"     -> ((s, dir) => roundedSummary(tbl(s, dir, "part"))),
+    // 100 TB mode: HLL distinct + sketch quantiles, one pass, no value
+    // buffering (documented divergence from exact semantics — no oracle)
+    "summary_lineitem_approx" -> ((s, dir) =>
+      Profile.summarizeApprox(tbl(s, dir, "lineitem"))
+        .orderBy("column_name")),
     "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
     // date aggregate suite (op 13) on microsecond-precision timestamps
     "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),

@@ -72,8 +72,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, shingleSize)
-    val withSig = sets
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // signatures come from the codegen'd native expression over raw
+    // tokens (no shingle strings materialized — see MinHashSignature);
+    // the string shingle sets are only joined back for exact-Jaccard
+    // verification of the few candidates
+    val withSig = df
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashExpression.minhashSignature(
+          TextFunctions.tokens(col(textCol)), numHashes, shingleSize)
+          .as("sig"))
+      .where(col("sig").isNotNull)
     val bandStructs = transform(sequence(lit(0), lit(bands - 1)),
       j => struct(j.as("band"),
         xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))
