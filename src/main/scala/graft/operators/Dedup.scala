@@ -28,12 +28,15 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** id + distinct shingle set, rows with an empty set dropped. */
+  /** id + SORTED distinct shingle set (sorted so Jaccard verification
+    * can run as a zero-allocation merge — see SortedIntersectCount),
+    * rows with an empty set dropped.
+    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
-          shingleSize).as("sh"))
+        array_sort(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
       .where(size(col("sh")) > 0)
 
   /** MinHash signature: for each of k hash lanes, the minimum of a
@@ -113,12 +116,14 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact Jaccard of two distinct-element arrays. |A∪B| is derived as
-    * |A|+|B|-|A∩B| instead of materializing array_union — half the
-    * set-hashing work, identical value (same integer division).
+  /** Exact Jaccard of two SORTED distinct-element arrays: the
+    * intersection is a codegen'd linear merge and |A∪B| is derived as
+    * |A|+|B|-|A∩B| — no set materialization at all. Value identical
+    * to the array_intersect/array_union formulation (same integers,
+    * same division).
     */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = graft.functions.SetExpressions.sortedIntersectCount(a, b)
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
@@ -130,8 +135,8 @@ object Dedup {
       blockCol: String, threshold: Double,
       shingleSize: Int = 1): DataFrame = {
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
-          shingleSize).as("sh"))
+        array_sort(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
       .where(size(col("sh")) > 0)
     val a = sets.select(col("blk"), col("id").as("id_a"),
       col("sh").as("sh_a"))
@@ -145,25 +150,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
-    * the majority vote (sum of ±1 > 0) of bit i of xxhash64(token)
-    * across the token multiset. One `aggregate` fold: tokens hashed
-    * once, bit votes accumulated with `zip_with`, and the finish
-    * lambda folds the 64 votes into the signature long — so nothing
-    * gets re-evaluated per bit lane.
+    * the majority vote of bit i of the token hash across the token
+    * multiset. Delegates to the native codegen expression
+    * [[graft.functions.SimHash64]] (primitive vote array, tokens
+    * hashed once).
     */
-  def simhash64(toksCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(`$toksCol`, t -> xxhash64(t)),
-       |  array_repeat(0, 64),
-       |  (acc, h) -> zip_with(acc,
-       |                transform(sequence(0, 63),
-       |                  i -> CAST((shiftright(h, i) & 1) * 2 - 1 AS INT)),
-       |                (a, b) -> a + b),
-       |  acc -> aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-       |           (a, i) -> a + IF(element_at(acc, i + 1) > 0,
-       |                            shiftleft(CAST(1 AS BIGINT), i),
-       |                            CAST(0 AS BIGINT))))""".stripMargin
-      .replace('\n', ' '))
+  def simhash64(toks: Column): Column =
+    graft.functions.SetExpressions.simhash64(toks)
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
     *
@@ -180,7 +173,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn("sim", simhash64("toks"))
+      .withColumn("sim", simhash64(col("toks")))
       .select("id", "sim")
     val chunks = base.select(col("id"), col("sim"),
       explode(expr("transform(sequence(0, 3), j -> " +
