@@ -70,17 +70,20 @@ object SparkEntry {
   private val dblCols = Set("min_val", "max_val", "mean_val", "median_val",
     "sd_val", "q1_val", "q3_val", "iqr_val")
 
-  /** Profile.summarize with doubles rounded to 4 decimals (both sides of
-    * the oracle compare round identically) and deterministic row order.
+  /** Round an already-computed summary's doubles to 4 decimals (both
+    * sides of the oracle compare round identically) + deterministic
+    * row order.
     */
-  private def roundedSummary(df: DataFrame): DataFrame = {
-    val base = Profile.summarize(df)
+  private def roundSummary(base: DataFrame): DataFrame = {
     val cols = base.columns.map {
       case c if dblCols.contains(c) => round(col(c), 4).as(c)
       case c                        => col(c)
     }
     base.select(cols.toSeq: _*).orderBy("column_name")
   }
+
+  private def roundedSummary(df: DataFrame): DataFrame =
+    roundSummary(Profile.summarize(df))
 
   private val nullStats: String = Seq("min_val", "max_val", "mean_val",
     "median_val", "sd_val", "q1_val", "q3_val", "iqr_val")
@@ -92,8 +95,10 @@ object SparkEntry {
     * one aggregate SELECT per column, mirroring Profile.summarize
     * semantics field-for-field (see whiteRRabbit.R:313-423).
     */
-  private def summaryOracle(table: String): String = {
-    val parts = tables(table).map { case (c, k) =>
+  private def summaryOracle(table: String,
+      exclude: Set[String] = Set.empty): String = {
+    val parts = tables(table).filterNot(c => exclude(c._1))
+      .map { case (c, k) =>
       k match {
         case Num =>
           val d = s"CAST($c AS DOUBLE)"
@@ -335,6 +340,43 @@ object SparkEntry {
       "round(avg(l_quantity),4) AS avg_qty, " +
       "round(avg(l_discount),6) AS avg_disc, count(*) AS n " +
       "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"
+
+  /** Q5-style multi-join: two broadcast dimension chains feeding the
+    * fact-side join, region-filtered, revenue per nation.
+    */
+  private def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
+    val hi = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
+    val dims = tbl(s, dir, "supplier")
+      .join(tbl(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val ords = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    tbl(s, dir, "lineitem")
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dims),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val tpchQ5Oracle: String =
+    "SELECT n_name, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer, orders, lineitem, supplier, nation, region " +
+      "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+      "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+      "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY 1 ORDER BY revenue DESC, n_name"
 
   private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
@@ -622,7 +664,14 @@ object SparkEntry {
     // relational/bench headliners: agg, broadcast join, window
     "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
+    "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
+    // op 8 — column exclusion through the full Scan path (nFields
+    // counted before exclusion, summaries after; whiteRRabbit.R:293-304)
+    "summary_customer_excluded" -> ((s, dir) => roundSummary(
+      Scan.scanTable(s, tbl(s, dir, "customer"), "customer", 0L,
+        graft.config.ScanConfig(maxRows = -1L,
+          excludeCols = Seq("c_name"))).summary)),
     // LLM pipeline — text analysis
     "text_stats"   -> ((s, dir) => textStatsQuery(s, dir)),
     "text_quality" -> ((s, dir) => textQualityQuery(s, dir)),
@@ -694,7 +743,10 @@ object SparkEntry {
     "overview" -> overviewOracle,
     "tpch_q1" -> tpchQ1Oracle,
     "tpch_q3" -> tpchQ3Oracle,
+    "tpch_q5" -> tpchQ5Oracle,
     "window_top_orders" -> windowTopOrdersOracle,
+    "summary_customer_excluded" ->
+      summaryOracle("customer", exclude = Set("c_name")),
     "text_stats" -> textStatsOracle,
     "text_quality" -> textQualityOracle,
     "dedup_exact" -> dedupExactOracle,

@@ -44,7 +44,11 @@ final case class ScanConfig(
     randomSample: Boolean = true,
     seed: Long = 42L,
     exactQuantiles: Boolean = true,
-    quantileAccuracy: Int = 10000
+    // percentile_approx accuracy: 1000 ≈ ±0.1% rank error. The sketch
+    // gets MORE expensive to update than exact percentile at high
+    // accuracy (measured 45s vs 11s at sf0.1 with accuracy=10000);
+    // 1000 keeps the approx path strictly cheaper.
+    quantileAccuracy: Int = 1000
 ) {
   /** Field separator implied by the delimiter choice (whiteRRabbit.R:110-116). */
   def sep: String = if (delimiter == "tab") "\t" else ","

@@ -165,7 +165,7 @@ object Profile {
     * the reference (documented per SURVEY.md §2 op 10).
     */
   def summarizeApprox(df: DataFrame, rsd: Double = 0.01,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 1000): DataFrame = {
     val fields = df.schema.fields
     val aggs = scala.collection.mutable.ArrayBuffer[Column]()
     aggs += count(lit(1)).as("total")
