@@ -702,6 +702,13 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.decodeFeatures(
       Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text"))
       .orderBy("doc_id")),
+    // semi-structured: JSON field extraction from the events props
+    "events_json" -> ((s, dir) => tbl(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_event"))
+      .orderBy("k")),
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
@@ -755,6 +762,10 @@ object SparkEntry {
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "multimodal_meta" -> multimodalMetaOracle,
+    "events_json" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
+        "count(*) AS n, min(event_id) AS min_event FROM events " +
+        "GROUP BY 1 ORDER BY k"),
     "streaming_profile" -> streamingProfileOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL registration for graft's native Catalyst expressions, so
+  * `spark.sql` users get the same operators as the Column API:
+  *
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT vector_dot(a.embedding, b.embedding) ...")
+  *
+  * Functions: vector_dot(arr, arr), sorted_intersect_count(arr, arr),
+  * simhash64(tokens), minhash_signature(tokens, numHashes, ngram).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "vector_dot",
+      es => VectorDot(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "simhash64",
+      es => SimHash64(es.head))
+    ColumnBridge.registerFunction(spark, "minhash_signature", es => {
+      require(es.length == 3,
+        "minhash_signature(tokens, numHashes, ngram)")
+      MinHashSignature(es.head,
+        es(1).eval().toString.toInt, es(2).eval().toString.toInt)
+    })
+  }
+}

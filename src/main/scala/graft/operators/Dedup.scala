@@ -92,14 +92,27 @@ object Dedup {
     val buckets = withSig
       .select(col("id"), explode(bandStructs).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // candidates via groupBy + in-bucket pair expansion rather than a
+    // bucket self-join: a self-join re-executes the whole signature
+    // lineage for each side, doubling the expensive part. Buckets are
+    // LSH-sized (near-dups only), so the collect_list stays small; a
+    // pathological hot bucket would surface here and should be salted.
+    val cand = buckets
+      .groupBy("band", "bh")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     verifyJaccard(cand, sets, threshold)
   }
+
+  /** All ordered pairs (a < b) of a sorted id array, as structs. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(element_at(ids, i + lit(1)).as("id_a"),
+          y.as("id_b")))))
 
   /** Join candidate pairs back to their shingle sets and keep those
     * with exact Jaccard ≥ threshold (rounded at 6 decimals so the

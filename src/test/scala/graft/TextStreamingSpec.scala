@@ -67,6 +67,20 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(feats(1L).length == 4)
   }
 
+  test("native expressions are SQL-registrable and correct") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "sorted_intersect_count(array('a','b','c'), array('b','c','d')) " +
+        "AS c, simhash64(array('x')) = simhash64(array('x')) AS same, " +
+        "size(minhash_signature(array('a','b','c','d'), 16, 3)) AS k")
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getBoolean(2))
+    assert(r.getInt(3) == 16)
+  }
+
   test("stateful streaming sessionization matches the window-function " +
       "batch twin") {
     val gap = 100L
