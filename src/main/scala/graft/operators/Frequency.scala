@@ -64,9 +64,24 @@ object Frequency {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= lit(minCellCount))
 
+    // Two-level top-K so no single window partition ever holds a whole
+    // column's retained values: level 1 ranks within (column, hash
+    // bucket of value) — 64-way spread — and keeps each bucket's local
+    // top-K; the global top-K is provably a subset of the union of
+    // bucket top-Ks, so level 2 ranks at most 64*K rows per column.
+    // Tiebreak (cnt DESC, value ASC) is identical at both levels,
+    // keeping results deterministic (SURVEY §7.4.9).
+    val bucketW = Window
+      .partitionBy(col("col_name"), pmod(xxhash64(col("value")), lit(64)))
+      .orderBy(col("cnt").desc, col("value").asc)
+    val pre = counts
+      .withColumn("rn1", row_number().over(bucketW))
+      .where(col("rn1") <= lit(maxDistinctValues))
+      .drop("rn1")
+
     val rankW = Window.partitionBy(col("col_name"))
       .orderBy(col("cnt").desc, col("value").asc)
-    val top = counts
+    val top = pre
       .withColumn("rn", row_number().over(rankW))
       .where(col("rn") <= lit(maxDistinctValues))
       .drop("rn")
