@@ -405,6 +405,41 @@ object SparkEntry {
       "AND l_shipdate > TIMESTAMP '1997-01-01' " +
       "GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10"
 
+  /** ROLLUP aggregation: subtotal rows per (flag, status), per flag,
+    * and grand total. NULLS FIRST ordering matches Spark's ASC default
+    * (DuckDB defaults NULLS LAST — the oracle pins it explicitly).
+    */
+  private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("l_extendedprice"), 2).as("sum_base"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val rollupRevenueOracle: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_base FROM lineitem " +
+      "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+
+  /** Pivot: order counts per priority, one column per order status. */
+  private def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  private val pivotStatusOracle: String =
+    "SELECT o_orderpriority, " +
+      "count(*) FILTER (WHERE o_orderstatus = 'F') AS F, " +
+      "count(*) FILTER (WHERE o_orderstatus = 'O') AS O, " +
+      "count(*) FILTER (WHERE o_orderstatus = 'P') AS P " +
+      "FROM orders GROUP BY 1 ORDER BY o_orderpriority"
+
   private def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
     val ords = tbl(s, dir, "orders")
     val cust = tbl(s, dir, "customer")
@@ -665,6 +700,8 @@ object SparkEntry {
     "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
+    "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
+    "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
     // op 8 — column exclusion through the full Scan path (nFields
     // counted before exclusion, summaries after; whiteRRabbit.R:293-304)
@@ -751,6 +788,8 @@ object SparkEntry {
     "tpch_q1" -> tpchQ1Oracle,
     "tpch_q3" -> tpchQ3Oracle,
     "tpch_q5" -> tpchQ5Oracle,
+    "rollup_revenue" -> rollupRevenueOracle,
+    "pivot_status"   -> pivotStatusOracle,
     "window_top_orders" -> windowTopOrdersOracle,
     "summary_customer_excluded" ->
       summaryOracle("customer", exclude = Set("c_name")),
