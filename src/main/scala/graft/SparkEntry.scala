@@ -598,6 +598,49 @@ object SparkEntry {
       "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) " +
       "AS INT) AS n_chunks FROM documents ORDER BY doc_id"
 
+  /** DuckDB replay of `Multimodal.fakeFeature`: fold h = (h*31)^byte
+    * over the UTF-8 bytes (recursive CTE over the hex encoding, HUGEINT
+    * arithmetic mod 2^64), then per-dim hd = h XOR (d*golden mod 2^64)
+    * with the 8 per-dim constants precomputed, Java-signed `% 1000`, and
+    * FLOAT division — bit-identical to the Scala stub.
+    */
+  private val multimodalFeaturesOracle: String = {
+    val mask = BigInt(1) << 64
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val dimConsts = (0 until 8)
+      .map(d => s"($d, CAST(${(golden * d).mod(mask)} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH RECURSIVE hx AS (
+       |  SELECT doc_id, hex(encode(text)) AS hs,
+       |         octet_length(encode(text)) AS n FROM documents
+       |), fold AS (
+       |  SELECT doc_id, 0 AS pos,
+       |         CAST(1125899906842597 AS HUGEINT) AS acc, hs, n FROM hx
+       |  UNION ALL
+       |  SELECT doc_id, pos+1,
+       |    (SELECT m - (m % 256) + CAST(xor(CAST(m % 256 AS BIGINT),
+       |        16*(strpos('0123456789ABCDEF', substr(hs, 2*pos+1, 1))-1)
+       |         + (strpos('0123456789ABCDEF', substr(hs, 2*pos+2, 1))-1))
+       |       AS HUGEINT)
+       |     FROM (SELECT (acc*31) % 18446744073709551616 AS m)), hs, n
+       |  FROM fold WHERE pos < n
+       |), hfin AS (SELECT doc_id, acc FROM fold WHERE pos = n),
+       |dims AS (SELECT * FROM (VALUES $dimConsts) AS t(d, c)),
+       |feat AS (
+       |  SELECT doc_id, d,
+       |    CAST(xor(CAST(acc // 4294967296 AS BIGINT),
+       |             CAST(c // 4294967296 AS BIGINT)) AS HUGEINT)
+       |      * 4294967296
+       |      + CAST(xor(CAST(acc % 4294967296 AS BIGINT),
+       |               CAST(c % 4294967296 AS BIGINT)) AS HUGEINT) AS hd
+       |  FROM hfin CROSS JOIN dims)
+       |SELECT doc_id, CAST(d AS INT) AS d,
+       |  round(CAST(CAST(CAST((CASE WHEN hd >= 9223372036854775808
+       |      THEN hd - 18446744073709551616 ELSE hd END) % 1000 AS INT)
+       |    AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE), 6) AS f
+       |FROM feat ORDER BY doc_id, d""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Streaming (Structured Streaming over the bounded events stream)
   // -------------------------------------------------------------------
@@ -736,9 +779,15 @@ object SparkEntry {
       numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)),
     // LLM pipeline — multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_meta" -> ((s, dir) => multimodalMetaQuery(s, dir)),
+    // Long-form (doc_id, d, f) projection: scalar rows the driver can
+    // sort/hash (an Array[Float] column is not canonicalizable), and the
+    // deterministic fake decoder is replayed in the DuckDB oracle.
     "multimodal_features" -> ((s, dir) => Multimodal.decodeFeatures(
       Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text"))
-      .orderBy("doc_id")),
+      .selectExpr("doc_id", "posexplode(features) AS (d, f)")
+      .selectExpr("doc_id", "CAST(d AS INT) AS d",
+        "round(CAST(f AS DOUBLE), 6) AS f")
+      .orderBy("doc_id", "d")),
     // semi-structured: JSON field extraction from the events props
     "events_json" -> ((s, dir) => tbl(s, dir, "events")
       .select(col("event_id"),
@@ -801,6 +850,7 @@ object SparkEntry {
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_features" -> multimodalFeaturesOracle,
     "events_json" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
         "count(*) AS n, min(event_id) AS min_event FROM events " +
@@ -808,9 +858,10 @@ object SparkEntry {
     "streaming_profile" -> streamingProfileOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle
-    // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf,
-    // multimodal_features: heuristic / hash-seeded / approximate
-    // operators with no SQL-expressible oracle — covered by the
-    // driver's rows-only check plus ScalaTest specs.
+    // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf:
+    // heuristic / hash-seeded / approximate operators with no
+    // SQL-expressible oracle — covered by the driver's rows-only
+    // check plus ScalaTest specs (incl. precision/recall bounds vs
+    // the exact twins in SimilaritySpec).
   )
 }
