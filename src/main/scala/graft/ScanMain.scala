@@ -21,10 +21,27 @@ import graft.sinks.ReportSink
   */
 object ScanMain {
 
+  /** Options that are store_true flags in the reference
+    * (whiteRRabbit.R:67-82): a bare `--shift_dates` means true, and an
+    * explicit `--shift_dates false` is also accepted.
+    */
+  private val boolFlags = Set("shift_dates", "scan_field_values",
+    "random_sample")
+
   def parse(args: Array[String]): ScanConfig = {
-    val m = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--"))
+        throw new IllegalArgumentException(
+          s"unexpected token '$a' (options are --key [value])")
+      val k = a.drop(2)
+      val hasValue = i + 1 < args.length && !args(i + 1).startsWith("--")
+      if (hasValue) { m += k -> args(i + 1); i += 2 }
+      else if (boolFlags(k)) { m += k -> "true"; i += 1 } // bare flag
+      else throw new IllegalArgumentException(s"--$k requires a value")
+    }
     def b(s: String): Boolean = s.equalsIgnoreCase("true")
     var c = ScanConfig()
     m.foreach {

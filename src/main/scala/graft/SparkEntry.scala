@@ -236,7 +236,7 @@ object SparkEntry {
     * facts that must equal the original parquet table's.
     */
   private def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
-    val scratch = "/root/repo/target/tmp/csv_rt_" +
+    val scratch = graft.config.Scratch.dir + "/csv_rt_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     stringified(tbl(s, dir, "lineitem"))
       .coalesce(1).write.mode("overwrite")

@@ -51,8 +51,10 @@ object Frequency {
     val use = cols.filterNot(dateCols.contains) // ref :331 — no date freq
     require(use.nonEmpty, "frequencies: only date columns requested")
 
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val kvs: Seq[Column] = use.map { c =>
-      struct(lit(c).as("col_name"), col(c).cast(StringType).as("value"))
+      struct(lit(c).as("col_name"),
+        renderValue(col(c), byName(c)).as("value"))
     }
     val pairs = df
       .select(explode(array(kvs: _*)).as("kv"))
@@ -90,6 +92,22 @@ object Frequency {
     top
       .withColumn("pct", col("cnt") / sum(col("cnt")).over(sumW))
       .orderBy(col("col_name"), col("cnt").desc, col("value"))
+  }
+
+  /** Render a value for the frequency table. Integral doubles print
+    * without the trailing ".0" — the reference's table()/as.character
+    * renders promoted numerics as "1", not "1.0" (whiteRRabbit.R:333-343),
+    * and post-promotion columns reaching this operator are doubles. The
+    * magnitude guard keeps the long cast exact (and NaN/Inf, which
+    * compare false against it under Spark's NaN ordering, fall through
+    * to the plain double rendering).
+    */
+  private def renderValue(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      when(c === floor(c) && abs(c) < lit(1e15),
+        c.cast(LongType).cast(StringType))
+        .otherwise(c.cast(StringType))
+    case _ => c.cast(StringType)
   }
 
   /** Reference-facing column names (whiteRRabbit.R:339-346). */

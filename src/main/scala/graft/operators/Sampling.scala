@@ -28,11 +28,17 @@ object Sampling {
   def headK(df: DataFrame, k: Int): DataFrame = df.limit(k)
 
   /** The reference's row-cap policy: sample only when the table exceeds
-    * maxRows (whiteRRabbit.R:225-272); maxRows < 0 means "all rows".
+    * maxRows (whiteRRabbit.R:225-272). The reference caps only for
+    * maxRows > 0 (whiteRRabbit.R:225,:259,:268), so 0 and negative both
+    * mean "all rows" — limit(0) would silently empty the table.
     */
   def cap(df: DataFrame, maxRows: Long, randomSample: Boolean,
       seed: Long = 42L): DataFrame =
-    if (maxRows < 0) df
-    else if (randomSample) exactK(df, maxRows.toInt, seed)
-    else headK(df, maxRows.toInt)
+    if (maxRows <= 0) df
+    else {
+      require(maxRows <= Int.MaxValue,
+        s"maxRows $maxRows exceeds Int.MaxValue; use maxRows <= 0 for all rows")
+      if (randomSample) exactK(df, maxRows.toInt, seed)
+      else headK(df, maxRows.toInt)
+    }
 }
