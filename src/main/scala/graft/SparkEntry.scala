@@ -737,6 +737,11 @@ object SparkEntry {
     "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
     // ops 1-3 — delimited source, all-string read, fast row count
     "csv_roundtrip" -> ((s, dir) => csvRoundtripQuery(s, dir)),
+    // ops 1+17+18 end-to-end — the CLI lifecycle: listFiles →
+    // scanFolder → writeTsv + writeWorkbook, sheets read back from disk
+    // (whiteRRabbit.R:450-534)
+    "scan_report_e2e" -> ((s, dir) =>
+      ScanReportE2E.query(s, dir, name => tbl(s, dir, name))),
     // ops 15-16 — overview assembly (whiteRRabbit.R:466-480)
     "overview" -> ((s, dir) => overviewQuery(s, dir)),
     // relational/bench headliners: agg, broadcast join, window
@@ -833,6 +838,7 @@ object SparkEntry {
         "CAST(5 AS INT) AS max_shift, CAST(11 AS BIGINT) AS n_shifts " +
         "FROM orders"),
     "csv_roundtrip" -> csvRoundtripOracle,
+    "scan_report_e2e" -> ScanReportE2E.oracle,
     "overview" -> overviewOracle,
     "tpch_q1" -> tpchQ1Oracle,
     "tpch_q3" -> tpchQ3Oracle,

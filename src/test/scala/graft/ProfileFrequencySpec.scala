@@ -98,6 +98,15 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(math.abs(pct("b") - 7.0 / 17) < 1e-12)
   }
 
+  test("frequency renders integral doubles without trailing .0 " +
+      "(whiteRRabbit.R:333-343 table()/as.character)") {
+    import spark.implicits._
+    val df = Seq.fill(5)(1.0) ++ Seq.fill(5)(2.5) ++ Seq.fill(5)(-3.0)
+    val rows = Frequency.frequencies(df.toDF("d"), Seq("d"), 5, 100)
+      .collect().map(_.getAs[String]("value")).toSet
+    assert(rows == Set("1", "2.5", "-3"))
+  }
+
   test("frequency excludes NULL and empty and date columns " +
       "(whiteRRabbit.R:320-331)") {
     val all = Frequency.frequencies(freqInput, Seq("v"), 1, 100).collect()

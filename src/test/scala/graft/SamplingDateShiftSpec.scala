@@ -28,9 +28,39 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(a.toSeq != c.toSeq)
   }
 
-  test("cap: maxRows<0 keeps everything; k>n keeps n") {
+  test("cap: maxRows<=0 keeps everything; k>n keeps n") {
     assert(Sampling.cap(nums, -1, randomSample = true).count() == 10000)
+    // the reference caps only for maxRows > 0 (whiteRRabbit.R:225):
+    // 0 must NOT truncate to an empty table
+    assert(Sampling.cap(nums, 0, randomSample = true).count() == 10000)
     assert(Sampling.exactK(nums, 20000, 1L).count() == 10000)
+  }
+
+  test("cap rejects maxRows above Int.MaxValue instead of overflowing") {
+    intercept[IllegalArgumentException] {
+      Sampling.cap(nums, Int.MaxValue.toLong + 1, randomSample = true)
+    }
+  }
+
+  test("ScanMain.parse accepts bare store_true flags and rejects " +
+      "malformed options (whiteRRabbit.R:67-82)") {
+    val c = ScanMain.parse(Array("--working_folder", "/in",
+      "--shift_dates", "--random_sample", "--maxRows", "500"))
+    assert(c.workingFolder == "/in")
+    assert(c.shiftDates && c.randomSample)
+    assert(c.maxRows == 500L)
+    // explicit boolean value still accepted
+    val c2 = ScanMain.parse(Array("--working_folder", "/in",
+      "--shift_dates", "false"))
+    assert(!c2.shiftDates)
+    // a value-taking option with no value fails loudly (the old
+    // sliding-pair parser silently misaligned everything after it)
+    intercept[IllegalArgumentException] {
+      ScanMain.parse(Array("--working_folder", "/in", "--maxRows"))
+    }
+    intercept[IllegalArgumentException] {
+      ScanMain.parse(Array("stray", "--working_folder", "/in"))
+    }
   }
 
   test("date shift stays within ±5 days and only touches date columns " +
