@@ -28,15 +28,21 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** id + SORTED distinct shingle set (sorted so Jaccard verification
-    * can run as a zero-allocation merge — see SortedIntersectCount),
-    * rows with an empty set dropped.
+  /** id + SORTED hashed shingle set: each distinct shingle string maps
+    * to its xxhash64, sorted so Jaccard verification runs as a
+    * zero-allocation merge over longs (see SortedIntersectCount — 8-byte
+    * compares instead of UTF8String compares). |set| and the
+    * intersection count are unchanged by the hashing (a 64-bit
+    * collision inside one document — p ≈ |set|²/2⁶⁵ — is the only way
+    * a Jaccard value could move, negligible and far below the 6-decimal
+    * rounding both engines apply). Rows with an empty set dropped.
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_sort(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
+        array_sort(transform(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleSize),
+          s => xxhash64(s))).as("sh"))
       .where(size(col("sh")) > 0)
 
   /** MinHash signature: for each of k hash lanes, the minimum of a
@@ -116,17 +122,29 @@ object Dedup {
 
   /** Join candidate pairs back to their shingle sets and keep those
     * with exact Jaccard ≥ threshold (rounded at 6 decimals so the
-    * comparison is oracle-stable).
+    * comparison is oracle-stable). A size-ratio prefilter runs before
+    * the merge: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    * set sizes differ by more than the threshold ratio cannot qualify —
+    * the check is exact (never drops a qualifying pair; at threshold
+    * 0.9 it skips the linear merge for every candidate pair whose sizes
+    * differ >10%).
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccardUnsorted(cand, sets, threshold).orderBy("id_a", "id_b")
+
+  private def verifyJaccardUnsorted(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
+      .where(size(col("sh_a")).cast("double") >=
+          lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")).cast("double") >=
+          lit(threshold) * size(col("sh_a")))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-      .orderBy("id_a", "id_b")
   }
 
   /** Exact Jaccard of two SORTED distinct-element arrays: the
@@ -140,26 +158,98 @@ object Dedup {
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
-  /** Exact n-gram Jaccard pairs restricted to a blocking key (e.g.
-    * source/domain/length-bucket): the quadratic blow-up is contained
-    * within blocks — the 100 TB-safe way to run exact small-n Jaccard.
+  /** n-gram Jaccard pairs restricted to a blocking key (e.g. source/
+    * domain/length-bucket), with the per-block quadratic blow-up
+    * BOUNDED: blocks up to `maxBlockSize` rows run the exact all-pairs
+    * block join (cheapest at small block sizes — the common case), and
+    * oversized blocks spill to MinHash-band sub-bucketing, where
+    * candidates are pairs agreeing on (block, band, band-hash). Exact
+    * Jaccard verifies every candidate either way, so precision is
+    * always exact; on the banded path a qualifying pair at Jaccard
+    * ≥ 0.9 is missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8 under the
+    * default 16 bands × 4 rows (≈1.2e-2 at 0.7 — raise `bands` for
+    * looser thresholds). A million-doc block costs ~16M band rows
+    * instead of ~5e11 comparisons; per-block exact cost is capped at
+    * maxBlockSize²/2 cheap sorted-merge pairs.
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double,
-      shingleSize: Int = 1): DataFrame = {
+      blockCol: String, threshold: Double, shingleSize: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBlockSize: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val counts = df.groupBy(col(blockCol).as("__blk"))
+      .agg(count(lit(1)).as("__blk_n"))
+    val withN = df.join(counts, col(blockCol) === col("__blk"))
+    val exact = exactPairsInBlocks(
+      withN.where(col("__blk_n") <= maxBlockSize),
+      idCol, textCol, blockCol, threshold, shingleSize)
+    val banded = bandedPairsInBlocks(
+      withN.where(col("__blk_n") > maxBlockSize),
+      idCol, textCol, blockCol, threshold, shingleSize, numHashes, bands)
+    exact.unionByName(banded).orderBy("id_a", "id_b")
+  }
+
+  /** Exact all-pairs n-gram Jaccard within blocks — O(block²), complete
+    * by construction. Only for callers that can BOUND the block size
+    * (e.g. ≤ a few thousand rows); [[blockedJaccardPairs]] applies the
+    * bound automatically and spills oversized blocks to banding.
+    */
+  def exactBlockedJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, threshold: Double,
+      shingleSize: Int = 1): DataFrame =
+    exactPairsInBlocks(df, idCol, textCol, blockCol, threshold,
+      shingleSize).orderBy("id_a", "id_b")
+
+  private def exactPairsInBlocks(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, threshold: Double,
+      shingleSize: Int): DataFrame = {
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_sort(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), shingleSize)).as("sh"))
+        array_sort(transform(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleSize),
+          s => xxhash64(s))).as("sh"))
       .where(size(col("sh")) > 0)
     val a = sets.select(col("blk"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val b = sets.select(col("blk"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .where(size(col("sh_a")).cast("double") >=
+          lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")).cast("double") >=
+          lit(threshold) * size(col("sh_a")))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-      .orderBy("id_a", "id_b")
+  }
+
+  /** Banded candidate generation within blocks (the oversized-block
+    * spill path of [[blockedJaccardPairs]]): same shape as
+    * [[minhashPairs]] but bucketed by (block, band, band-hash).
+    */
+  private def bandedPairsInBlocks(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, threshold: Double,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val withSig = df
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        graft.functions.MinHashExpression.minhashSignature(
+          TextFunctions.tokens(col(textCol)), numHashes, shingleSize)
+          .as("sig"))
+      .where(col("sig").isNotNull)
+    val bandStructs = transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"),
+        xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))
+          .as("bh")))
+    val cand = withSig
+      .select(col("id"), col("blk"), explode(bandStructs).as("b"))
+      .groupBy(col("blk"), col("b.band"), col("b.bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    verifyJaccardUnsorted(cand, sets, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
