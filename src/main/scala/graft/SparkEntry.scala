@@ -774,11 +774,17 @@ object SparkEntry {
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // approximate twin of embed_neardup: precision 1.0 by construction
+    // (exact-cosine verification); recall measured 0.57 at t=0.45 on the
+    // sf0.001 table (s-curve mean ≈0.46 at the threshold) — see the
+    // quantified ScalaTest in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
     "knn_bruteforce" -> ((s, dir) => Similarity.knnBruteForce(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numQueries = 10, k = 5)),
+    // recall vs knn_bruteforce measured 0.94 at nprobe=4/16 on the
+    // sf0.001 table — see DedupSimilaritySpec
     "knn_ivf" -> ((s, dir) => Similarity.knnIvf(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)),

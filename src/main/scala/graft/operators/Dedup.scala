@@ -297,27 +297,46 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold
-    * via a broadcast nested-loop join (right side broadcast once, no
-    * shuffle of the big side). Exact and oracle-checkable; for corpora
-    * where even one broadcast side is too large, use
-    * [[Similarity.lshNearDupPairs]] (random-hyperplane buckets).
+    * via a BLOCK-GRID self-join — each vector lands in one of
+    * `numBlocks` hash buckets, the B(B+1)/2 bucket pairs are enumerated
+    * as a tiny grid table, and each grid cell joins its two buckets.
+    * No side is ever broadcast whole and no task holds more than two
+    * buckets, so the plan distributes across any cluster size (set
+    * numBlocks ≈ the target parallelism); compute remains O(n²/2)
+    * dot products, which exact all-pairs semantics requires. At corpus
+    * scale use [[Similarity.lshNearDupPairs]] with a high threshold
+    * instead — at thresholds as loose as this operator accepts, LSH
+    * candidate generation provably cannot beat all-pairs (bucket
+    * collision rates approach 1), which is why the exact grid is the
+    * honest default.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, numBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .withColumn("norm",
         graft.functions.VectorExpressions.vectorNorm(col("vec")))
+      .withColumn("bkt", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    val grid = spark.range(numBlocks.toLong)
+      .select(col("id").cast("int").as("bu"))
+      .crossJoin(spark.range(numBlocks.toLong)
+        .select(col("id").cast("int").as("bv")))
+      .where(col("bu") <= col("bv"))
     val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("norm").as("norm_a"))
+      col("norm").as("norm_a"), col("bkt").as("bu"))
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("norm").as("norm_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      col("norm").as("norm_b"), col("bkt").as("bv"))
+    a.join(broadcast(grid), Seq("bu")).join(b, Seq("bv"))
+      // each unordered pair appears exactly once: off-diagonal cells
+      // see it in one orientation, the diagonal keeps id_a < id_b
+      .where(col("bu") < col("bv") || col("id_a") < col("id_b"))
       .withColumn("cos", round(
         graft.functions.VectorExpressions.vectorDot(col("vec_a"),
           col("vec_b")) / (col("norm_a") * col("norm_b")), 6))
       .where(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -62,10 +62,17 @@ object Similarity {
 
   /** IVF approximate top-k: vectors with id < numCentroids serve as the
     * coarse quantizer (stand-in for k-means training, deterministic);
-    * every corpus vector is assigned to its nearest centroid (one
-    * broadcast pass), queries probe the nprobe nearest inverted lists.
-    * Recall rises with nprobe; nprobe = numCentroids degenerates to
-    * exact search.
+    * every corpus vector is assigned to its nearest centroid, queries
+    * probe the nprobe nearest inverted lists. Recall rises with nprobe;
+    * nprobe = numCentroids degenerates to exact search.
+    *
+    * The centroids stay a DataFrame joined with a broadcast hint —
+    * never driver-collected into plan literals (a literal-array plan
+    * explodes in size at real centroid counts, e.g. 65k × 64 dims of
+    * doubles baked into generated code). Corpus assignment is a
+    * broadcast join + map-side `max(struct)` partial aggregation, so
+    * only one (id, cid) row per vector reaches the shuffle — the
+    * centroid fan-out never leaves the mapper.
     */
   def knnIvf(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, nprobe: Int, numQueries: Int, k: Int)
@@ -74,31 +81,33 @@ object Similarity {
     val cents = v.where(col("id") < numCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"),
         col("norm").as("cnorm"))
-      .collect()
 
-    // centroid scores as a literal array of structs: (sim, cid)
-    def centScores(vec: Column, norm: Column): Column = array(
-      cents.map { r =>
-        val cvec = array(r.getAs[scala.collection.Seq[Double]]("cvec")
-          .toSeq.map(x => lit(x)): _*)
-        struct(
-          cosine(cvec, vec, lit(r.getAs[Double]("cnorm")), norm)
-            .as("sim"),
-          lit(r.getAs[Long]("cid")).as("cid"))
-      }.toSeq: _*)
+    // (row, centroid) scores via broadcast join; ties break toward the
+    // larger cid (struct comparison on (sim, cid)), matching array_max
+    // over (sim, cid) structs
+    def scored(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
 
-    // corpus side: each vector lands in exactly one inverted list
-    val assigned = v.withColumn("cid",
-      array_max(centScores(col("vec"), col("norm"))).getField("cid"))
-    // query side: explode the nprobe closest lists
-    val q = v.where(col("id") < numQueries)
-      .withColumn("probes",
-        slice(array_sort(centScores(col("vec"), col("norm"))),
-          -nprobe, nprobe))
+    // corpus side: each vector lands in exactly one inverted list;
+    // max(struct) aggregates partially map-side, then the single
+    // assignment row rejoins the vector payload
+    val assigned = scored(v)
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"))
+      .join(v, Seq("id"))
+    // query side: the nprobe closest lists per query (the query set is
+    // k-NN-sized; the rank window is bounded by numCentroids rows per
+    // query)
+    val probeW = Window.partitionBy("id")
+      .orderBy(col("csim").desc, col("cid").desc)
+    val q = scored(v.where(col("id") < numQueries))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"),
-        explode(transform(col("probes"), p => p.getField("cid")))
-          .as("cid"))
+        col("norm").as("qnorm"), col("cid"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("id"))

@@ -99,6 +99,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  private lazy val realVecs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("hyperplane LSH: precision 1.0 vs exact pairs, recall above the " +
+      "s-curve floor (measured on the sf0.001 embeddings)") {
+    val t = 0.45
+    val exact = Dedup.embeddingNearDup(realVecs, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(realVecs, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact-cosine verification of candidates ⇒ no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // per-pair collision prob at cos=0.45 is 1-(1-0.6477^6)^8 ≈ 0.46
+    // (6 bits × 8 tables); most qualifying pairs sit near the
+    // threshold, so assert a floor below the theoretical mean
+    val recall = lsh.size.toDouble / exact.size
+    info(f"lsh recall at t=$t: ${lsh.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.25,
+      f"recall $recall%.3f below the 0.25 floor (${lsh.size}/${exact.size})")
+  }
+
+  test("IVF recall vs brute force at nprobe=4/16 (sf0.001 embeddings)") {
+    val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.knnIvf(realVecs, "vec_id", "embedding",
+        numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"ivf recall at nprobe=4/16: $recall%.3f")
+    assert(recall >= 0.5,
+      f"ivf recall $recall%.3f below the 0.5 floor")
+  }
+
   test("hyperplane LSH always buckets identical vectors together") {
     val dup = vecs.union(Seq((5L, Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f,
       0f))).toDF("vec_id", "embedding"))
