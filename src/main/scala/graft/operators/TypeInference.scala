@@ -21,16 +21,19 @@ import org.apache.spark.sql.types._
   *     dmy: "01/02/2023" is January 2nd — whiteRRabbit.R:174-178).
   *
   * Plan shape: inference costs at most two extra jobs per table —
-  * one small aggregation over a row sample (vote) and one full-column
-  * aggregation (validation) covering ALL candidate columns at once —
-  * then a single cast projection. All parsing runs in codegen'd
-  * builtins (`try_cast`, `try_to_timestamp`); no UDFs.
+  * one small aggregation over a row sample (date-candidate pre-filter)
+  * and one full-column aggregation (validation) covering ALL string
+  * columns at once — then a single cast projection. All parsing runs
+  * in codegen'd builtins (`try_cast`, `try_to_timestamp`); no UDFs.
   *
-  * Divergence (documented): the reference samples 1000 non-empty values
-  * per column independently; we vote on one shared sample of rows
-  * (seeded, reproducible — the reference's sample is unseeded). For any
-  * column whose parse-success rate is not right at the 0.8 boundary the
-  * outcome is identical.
+  * Divergence (documented): the reference votes on ≤1000 sampled
+  * non-empty values per column (unseeded); here every non-empty value
+  * of the column votes (the infinite-sample limit), so mostly-empty
+  * columns get a full-strength per-column decision instead of a noisy
+  * handful of votes. Decisions differ from a given reference run only
+  * for columns whose true rate sits within sampling noise of the 0.8
+  * boundary — where the unseeded reference is itself nondeterministic.
+  * See [[infer]] for why the numeric sample vote is redundant.
   */
 object TypeInference {
 
@@ -42,19 +45,29 @@ object TypeInference {
   /** Concrete datetime patterns expanding the reference's ordered
     * lubridate families "Ymd HMS","Ymd HM","Ymd","YmdT","mdY HMS",
     * "mdY HM","mdY","dmy HMS","dmy HM","dmy" (whiteRRabbit.R:174-178),
-    * preference order preserved.
+    * preference order preserved. lubridate's parsers are
+    * separator-flexible — each family expands to `-`, `/`, and `.`
+    * separated variants plus the compact (separator-free) date and
+    * datetime shapes ("20230102 120000", "20230102120000").
     */
   val dateFormats: Seq[String] = Seq(
-    "yyyy-M-d H:m:s", "yyyy/M/d H:m:s",
-    "yyyy-M-d H:m", "yyyy/M/d H:m",
-    "yyyy-M-d", "yyyy/M/d", "yyyyMMdd",
+    // Ymd HMS family
+    "yyyy-M-d H:m:s", "yyyy/M/d H:m:s", "yyyy.M.d H:m:s",
+    "yyyyMMdd HHmmss", "yyyyMMddHHmmss",
+    // Ymd HM
+    "yyyy-M-d H:m", "yyyy/M/d H:m", "yyyy.M.d H:m", "yyyyMMdd HHmm",
+    // Ymd
+    "yyyy-M-d", "yyyy/M/d", "yyyy.M.d", "yyyyMMdd",
+    // YmdT
     "yyyy-M-d'T'H:m:s",
-    "M/d/yyyy H:m:s", "M-d-yyyy H:m:s",
-    "M/d/yyyy H:m", "M-d-yyyy H:m",
-    "M/d/yyyy", "M-d-yyyy",
-    "d/M/yyyy H:m:s", "d-M-yyyy H:m:s",
-    "d/M/yyyy H:m", "d-M-yyyy H:m",
-    "d/M/yyyy", "d-M-yyyy")
+    // mdY HMS / HM / date
+    "M/d/yyyy H:m:s", "M-d-yyyy H:m:s", "M.d.yyyy H:m:s",
+    "M/d/yyyy H:m", "M-d-yyyy H:m", "M.d.yyyy H:m",
+    "M/d/yyyy", "M-d-yyyy", "M.d.yyyy",
+    // dmy HMS / HM / date
+    "d/M/yyyy H:m:s", "d-M-yyyy H:m:s", "d.M.yyyy H:m:s",
+    "d/M/yyyy H:m", "d-M-yyyy H:m", "d.M.yyyy H:m",
+    "d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
 
   /** Parse a string column as double, NULL on failure (R as.numeric). */
   def numericParse(name: String): Column =
@@ -80,7 +93,34 @@ object TypeInference {
   private def rate(name: String, parsed: Column): Column =
     avg(when(nonEmpty(name), when(parsed.isNotNull, 1.0).otherwise(0.0)))
 
-  /** Infer a promotion decision for every string column of `df`. */
+  /** Infer a promotion decision for every string column of `df`.
+    *
+    * Decision semantics (whiteRRabbit.R:139-204, per-column loop at
+    * :275-280):
+    *   - numeric: promoted iff the column has ≥1 non-empty value and
+    *     EVERY non-empty value parses. The reference's sample vote is
+    *     provably redundant here — all-or-nothing full validation
+    *     (rate 1.0) forces every sample's rate to 1.0 ≥ 0.8 — so the
+    *     full-column check alone reproduces it, with no sample-size
+    *     sensitivity.
+    *   - datetime: tried whenever numeric did not promote — including
+    *     after a full-column numeric veto, matching the reference's
+    *     revert-then-robust_parse_date flow (whiteRRabbit.R:275-279).
+    *     The decision is the FULL-COLUMN parse rate ≥ threshold: every
+    *     non-empty value votes, the infinite-sample limit of the
+    *     reference's per-column ≤1000-value sample (identical decision
+    *     except for sample luck within ~±0.03 of the boundary, where
+    *     the unseeded reference is itself nondeterministic).
+    *
+    * The row sample only PRE-FILTERS date candidates so the expensive
+    * multi-format full parse runs on plausible columns: a column
+    * advances if its sampled date rate clears half the threshold OR it
+    * had under 30 sampled votes (mostly-empty columns get their full
+    * per-column decision rather than trusting a noisy handful of
+    * votes). A column with a true rate ≥ 0.8 sampling below 0.4 over
+    * ≥30 votes is a ≥5σ event — the pre-filter cannot realistically
+    * flip a promotion.
+    */
   def infer(
       df: DataFrame,
       sampleSize: Int = 1000,
@@ -91,52 +131,55 @@ object TypeInference {
       .filter(_.dataType == StringType).map(_.name).toSeq
     if (strCols.isEmpty) return Map.empty
 
-    // Stage 1: vote on a bounded sample. orderBy(rand).limit(k) plans
-    // as TakeOrderedAndProject (per-partition top-k, no full shuffle).
+    // Stage 1: date-candidate pre-filter on a bounded row sample.
+    // orderBy(rand).limit(k) plans as TakeOrderedAndProject
+    // (per-partition top-k, no full shuffle).
     val projected = df.select(strCols.map(c => col(s"`$c`")): _*)
     val sample =
       if (randomSample)
         projected.orderBy(rand(seed)).limit(sampleSize)
       else projected.limit(sampleSize)
     val voteAggs = strCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(rate(c, numericParse(c)).as(s"n_$i"),
-        rate(c, dateParse(c)).as(s"d_$i"))
+      Seq(rate(c, dateParse(c)).as(s"d_$i"),
+        count(when(nonEmpty(c), lit(1))).as(s"dn_$i"))
     }
     val vote = sample.agg(voteAggs.head, voteAggs.tail: _*).head()
-    def r(n: String): Double =
-      if (vote.isNullAt(vote.fieldIndex(n))) -1.0 else vote.getAs[Double](n)
+    def sampleRate(i: Int): Double =
+      if (vote.isNullAt(vote.fieldIndex(s"d_$i"))) -1.0
+      else vote.getAs[Double](s"d_$i")
+    def sampleVotes(i: Int): Long = vote.getAs[Long](s"dn_$i")
 
-    val numCand = strCols.zipWithIndex.filter { case (_, i) =>
-      r(s"n_$i") >= threshold
-    }
-    val dateCand = strCols.zipWithIndex.filter { case (c, i) =>
-      r(s"n_$i") < threshold && r(s"d_$i") >= threshold
+    val dateCand = strCols.zipWithIndex.filter { case (_, i) =>
+      sampleRate(i) >= threshold / 2 || sampleVotes(i) < 30
     }
 
-    // Stage 2: one full-column validation aggregation for all candidates.
+    // Stage 2: ONE full-column aggregation: per-column non-empty count
+    // and numeric bad count for every string column, date rate for the
+    // pre-filtered candidates.
     val checkAggs =
-      numCand.map { case (c, i) =>
+      strCols.zipWithIndex.flatMap { case (c, i) =>
         // all-or-nothing: any non-empty value failing to parse vetoes
-        count(when(nonEmpty(c) && numericParse(c).isNull, lit(1)))
-          .as(s"bad_$i")
+        Seq(count(when(nonEmpty(c) && numericParse(c).isNull, lit(1)))
+            .as(s"bad_$i"),
+          count(when(nonEmpty(c), lit(1))).as(s"n_$i"))
       } ++ dateCand.map { case (c, i) =>
         rate(c, dateParse(c)).as(s"full_$i")
       }
-    val decisions: Map[String, InferredType] =
-      if (checkAggs.isEmpty) Map.empty
-      else {
-        val full = df.agg(checkAggs.head, checkAggs.tail: _*).head()
-        val numOk = numCand.collect { case (c, i)
-          if full.getAs[Long](s"bad_$i") == 0L => c -> (NumericT: InferredType)
-        }
-        val dateOk = dateCand.collect { case (c, i)
-          if !full.isNullAt(full.fieldIndex(s"full_$i")) &&
-            full.getAs[Double](s"full_$i") >= threshold =>
-            c -> (DatetimeT: InferredType)
-        }
-        (numOk ++ dateOk).toMap
-      }
-    strCols.map(c => c -> decisions.getOrElse(c, CharacterT)).toMap
+    val full = df.agg(checkAggs.head, checkAggs.tail: _*).head()
+    val dateCandIdx = dateCand.map(_._2).toSet
+    val decisions = strCols.zipWithIndex.map { case (c, i) =>
+      val numericOk = full.getAs[Long](s"n_$i") > 0L &&
+        full.getAs[Long](s"bad_$i") == 0L
+      val dateOk = dateCandIdx(i) &&
+        !full.isNullAt(full.fieldIndex(s"full_$i")) &&
+        full.getAs[Double](s"full_$i") >= threshold
+      val t: InferredType =
+        if (numericOk) NumericT
+        else if (dateOk) DatetimeT
+        else CharacterT
+      c -> t
+    }
+    decisions.toMap
   }
 
   /** Apply an inference result as a single cast projection. */

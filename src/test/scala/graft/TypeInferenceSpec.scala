@@ -81,4 +81,44 @@ class TypeInferenceSpec extends AnyFunSuite {
     // all-digit strings parse as numbers, not yyyyMMdd dates
     assert(inferOne(Seq("20230115", "20230216", "20230317")) == NumericT)
   }
+
+  test("a 95%-empty column promotes from its own non-empty values " +
+      "(whiteRRabbit.R:147-148 per-column sampling)") {
+    // the reference votes on ≤1000 non-empty values PER COLUMN, so
+    // emptiness cannot starve the vote; a shared row sample could
+    val sparseNum = Seq.fill(950)("") ++ (1 to 50).map(_.toString)
+    assert(inferOne(sparseNum) == NumericT)
+    val sparseDate = Seq.fill(990)("") ++
+      (1 to 10).map(i => f"2023-01-${i % 28 + 1}%02d")
+    assert(inferOne(sparseDate) == DatetimeT)
+  }
+
+  test("numeric full-column veto falls through to the date decision " +
+      "(whiteRRabbit.R:275-279 revert then robust_parse_date)") {
+    // 80% compact dates parse as numbers, but the ISO 20% veto the
+    // all-or-nothing numeric promotion; the reference then re-tests as
+    // date — both shapes parse, so the column must become datetime
+    val vals = (1 to 80).map(i => f"2023010${i % 9 + 1}") ++
+      (1 to 20).map(i => f"2023-01-0${i % 9 + 1}")
+    assert(inferOne(vals) == DatetimeT)
+  }
+
+  test("dotted and compact datetime formats promote " +
+      "(lubridate separator tolerance, whiteRRabbit.R:174-178)") {
+    assert(inferOne(Seq("2023.01.15", "2023.02.20", "2023.03.25"))
+      == DatetimeT)
+    assert(inferOne(Seq("15.01.2023", "20.02.2023", "25.12.2023"))
+      == DatetimeT)
+    // space-separated compact datetime (not numeric-parseable)
+    assert(inferOne(Seq("20230115 103000", "20230216 000000"))
+      == DatetimeT)
+    // separator-free compact datetime in a mixed column: the dashes
+    // veto numeric, then both shapes parse as datetime
+    val df = Seq("20230115103000", "2023-02-16 00:00:00").toDF("c")
+    assert(TypeInference.infer(df, randomSample = false)("c") == DatetimeT)
+    val promoted = TypeInference.promote(df,
+      Map("c" -> TypeInference.DatetimeT)).collect()
+      .map(_.get(0).toString).sorted
+    assert(promoted.head.startsWith("2023-01-15 10:30:00"))
+  }
 }
