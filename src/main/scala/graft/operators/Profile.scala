@@ -81,15 +81,17 @@ object Profile {
     *   date stats: earliest/latest/median epoch-microseconds (median may
     *     interpolate between two instants, whiteRRabbit.R:389-398).
     *
-    * Plan shape: TWO jobs. Job A computes counters + moments +
-    * percentiles for all columns in one codegen'd `agg()`. Exact
-    * distinct counts deliberately do NOT ride in that agg: N
-    * `countDistinct`s in one aggregate plan as an `Expand` that
-    * multiplies every input row N-fold through the percentile object
-    * buffers (measured 10x slowdown at sf0.1, and lethal at 100 TB).
-    * Job B instead melts the columns to (colIdx, valueString) pairs and
-    * counts distinct via two ordinary hash aggregations — fully
-    * distributed, no row explosion through heavy buffers.
+    * Plan shape: TWO jobs. Job A computes counters + moments for all
+    * columns in one codegen'd `agg()` — and nothing with a heavy object
+    * buffer rides in it (a mixed declarative/object aggregate forces
+    * the whole plan onto ObjectHashAggregate, measured 2x slower than
+    * the jobs run apart; N `countDistinct`s in one agg would plan an
+    * `Expand` that multiplies every row N-fold, measured 10x). Job B
+    * melts the columns to (colIdx, value) pairs and computes BOTH the
+    * exact distinct counts AND the exact type-7 quantiles from the
+    * per-column value histogram (see [[histogramStats]]) — fully
+    * distributed hash aggregation, no per-group value buffering
+    * anywhere in the exact path.
     */
   def summarize(
       df: DataFrame,
@@ -112,22 +114,134 @@ object Profile {
           aggs += max(cd).as(s"mx_$i")
           aggs += avg(cd).as(s"av_$i")
           aggs += stddev_samp(cd).as(s"sd_$i")
-          val qs = array(lit(0.25), lit(0.5), lit(0.75))
-          aggs += (if (exactQuantiles) percentile(cd, qs)
-                   else percentile_approx(cd, qs, lit(accuracy))).as(s"q_$i")
+          if (!exactQuantiles)
+            aggs += percentile_approx(cd,
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
+              .as(s"q_$i")
         case t if isTs(t) =>
           val us = unix_micros(
             if (f.dataType == TimestampType) c else c.cast(TimestampType))
           aggs += min(us).as(s"tn_$i")
           aggs += max(us).as(s"tx_$i")
-          aggs += (if (exactQuantiles) percentile(us, lit(0.5))
-                   else percentile_approx(us, lit(0.5), lit(accuracy)))
-            .as(s"tm_$i")
+          if (!exactQuantiles)
+            aggs += percentile_approx(us, lit(0.5), lit(accuracy))
+              .as(s"tm_$i")
         case _ => ()
       }
     }
 
-    reshapeLike(df, aggs.toSeq, Some(exactDistinctCounts(df)))
+    if (exactQuantiles) {
+      val hist = histogramStats(df)
+      reshapeLike(df, aggs.toSeq,
+        Some(hist.view.mapValues(_.distinct).toMap), Some(hist))
+    } else
+      reshapeLike(df, aggs.toSeq, Some(exactDistinctCounts(df)))
+  }
+
+  /** Per-column stats derived from the value histogram in one job. */
+  private final case class HistStats(
+      distinct: Long,
+      quartiles: Option[(Double, Double, Double)],
+      tsMedianUs: Option[Double])
+
+  /** Exact distinct counts AND exact type-7 quantiles from ONE melt +
+    * histogram job: columns melt to (colIdx, value) pairs, a
+    * distributed hash aggregation builds each column's value histogram
+    * (value → multiplicity), a per-column window accumulates rank
+    * ranges, and the quantile values are picked by rank and
+    * interpolated driver-side with the same lower+(higher-lower)·frac
+    * formula Spark's exact `percentile` uses — identical results with
+    * NO per-group value buffering: the heaviest structure anywhere is
+    * one histogram row per distinct value, map-side combined.
+    *
+    * Scale note: the rank window sorts one column's histogram within
+    * one partition — bounded by the column's DISTINCT count, not its
+    * row count. A continuous column at extreme scale still bounds it at
+    * n; exact single-group quantiles inherently need an ordered pass,
+    * which is why [[summarizeApprox]] (sketches) is the 100 TB default.
+    */
+  private def histogramStats(df: DataFrame): Map[Int, HistStats] = {
+    import org.apache.spark.sql.expressions.Window
+    val fields = df.schema.fields
+    val nullS = lit(null).cast(StringType)
+    val nullD = lit(null).cast(DoubleType)
+    val kvs = fields.zipWithIndex.map { case (f, i) =>
+      val c = col(f.name)
+      f.dataType match {
+        case StringType =>
+          struct(lit(i).as("i"), when(c =!= lit(""), c).as("vs"),
+            nullD.as("vn"))
+        case FloatType | DoubleType =>
+          // +0.0 collapses -0.0/0.0 like numeric DISTINCT does
+          struct(lit(i).as("i"), nullS.as("vs"),
+            (c.cast(DoubleType) + lit(0.0)).as("vn"))
+        case t if isNum(t) =>
+          // integral/decimal: the string identity keeps DISTINCT exact
+          // past 2^53 while ranks use the same double cast the old
+          // percentile(cast double) applied; duplicate vn under
+          // distinct vs only reorders equal rank values
+          struct(lit(i).as("i"), c.cast(StringType).as("vs"),
+            c.cast(DoubleType).as("vn"))
+        case t if isTs(t) =>
+          val us = unix_micros(
+            if (f.dataType == TimestampType) c else c.cast(TimestampType))
+          struct(lit(i).as("i"), nullS.as("vs"), us.cast(DoubleType).as("vn"))
+        case _ =>
+          struct(lit(i).as("i"), c.cast(StringType).as("vs"), nullD.as("vn"))
+      }
+    }
+    val hist = df
+      .select(explode(array(kvs.toSeq: _*)).as("kv"))
+      .select(col("kv.i").as("i"), col("kv.vs").as("vs"),
+        col("kv.vn").as("vn"))
+      .where(col("vs").isNotNull || col("vn").isNotNull)
+      .groupBy("i", "vs", "vn")
+      .agg(count(lit(1)).as("cnt"))
+    // rank range [lo, hi) of each histogram row within its column
+    // (a column's rows are either all string or all numeric, so the
+    // null-first vn ordering never interleaves)
+    val wOrd = Window.partitionBy("i").orderBy("vn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("i")
+    val ranked = hist
+      .withColumn("hi", sum("cnt").over(wOrd))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .withColumn("n", sum("cnt").over(wAll))
+    val aggs = Seq(count(lit(1)).as("dist"), first(col("n")).as("n")) ++
+      Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75").flatMap { case (p, s) =>
+        val h = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+        val r0 = floor(h).cast(LongType)
+        val r1 = ceil(h).cast(LongType)
+        Seq(
+          max(when(col("lo") <= r0 && r0 < col("hi"), col("vn")))
+            .as(s"x0_$s"),
+          max(when(col("lo") <= r1 && r1 < col("hi"), col("vn")))
+            .as(s"x1_$s"))
+      }
+    val isNumIdx = fields.zipWithIndex.collect {
+      case (f, i) if isNum(f.dataType) => i
+    }.toSet
+    val isTsIdx = fields.zipWithIndex.collect {
+      case (f, i) if isTs(f.dataType) => i
+    }.toSet
+    ranked.groupBy("i").agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val i = r.getAs[Int]("i")
+      def interp(s: String, p: Double): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(s"x0_$s"))) None
+        else {
+          val h = (r.getAs[Long]("n") - 1L) * p
+          val x0 = r.getAs[Double](s"x0_$s")
+          val x1 = r.getAs[Double](s"x1_$s")
+          Some(x0 + (x1 - x0) * (h - math.floor(h)))
+        }
+      val quartiles =
+        if (isNumIdx(i))
+          for (a <- interp("25", 0.25); b <- interp("50", 0.5);
+               c <- interp("75", 0.75)) yield (a, b, c)
+        else None
+      val tsMed = if (isTsIdx(i)) interp("50", 0.5) else None
+      i -> HistStats(r.getAs[Long]("dist"), quartiles, tsMed)
+    }.toMap
   }
 
   /** Exact per-column distinct counts in one melt + two hash aggs.
@@ -203,10 +317,13 @@ object Profile {
 
   /** Shared driver-side reshape used by summarize/summarizeApprox.
     * Distinct counts come either from `distinctCounts` (exact melt job)
-    * or from `d_<i>` fields of the aggregation row (approx path).
+    * or from `d_<i>` fields of the aggregation row (approx path);
+    * quantiles come from `hist` (exact histogram job) when present,
+    * else from `q_<i>`/`tm_<i>` fields of the aggregation row.
     */
   private def reshapeLike(df: DataFrame, aggs: Seq[Column],
-      distinctCounts: Option[Map[Int, Long]]): DataFrame = {
+      distinctCounts: Option[Map[Int, Long]],
+      hist: Option[Map[Int, HistStats]] = None): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -230,22 +347,30 @@ object Profile {
       if (isNum(f.dataType)) {
         mn = gd(s"mn_$i"); mx = gd(s"mx_$i")
         av = gd(s"av_$i"); sd = gd(s"sd_$i")
-        if (nn(s"q_$i")) {
-          val q = r.getAs[scala.collection.Seq[Double]](s"q_$i")
-          q1 = Double.box(q(0)); med = Double.box(q(1)); q3 = Double.box(q(2))
-          iqr = Double.box(q(2) - q(0))
+        hist.flatMap(_.get(i)).flatMap(_.quartiles) match {
+          case Some((a, b, c)) =>
+            q1 = Double.box(a); med = Double.box(b); q3 = Double.box(c)
+            iqr = Double.box(c - a)
+          case None if nn(s"q_$i") =>
+            val q = r.getAs[scala.collection.Seq[Double]](s"q_$i")
+            q1 = Double.box(q(0)); med = Double.box(q(1))
+            q3 = Double.box(q(2)); iqr = Double.box(q(2) - q(0))
+          case None => ()
         }
       }
       var (tn, tx, tm) =
         (null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
       if (isTs(f.dataType)) {
         tn = glo(s"tn_$i"); tx = glo(s"tx_$i")
-        if (nn(s"tm_$i")) {
-          tm = r.schema(r.fieldIndex(s"tm_$i")).dataType match {
-            case DoubleType => Long.box(
-              math.floor(r.getAs[Double](s"tm_$i")).toLong)
-            case _ => Long.box(r.getAs[Long](s"tm_$i"))
-          }
+        hist.flatMap(_.get(i)).flatMap(_.tsMedianUs) match {
+          case Some(us) => tm = Long.box(math.floor(us).toLong)
+          case None if nn(s"tm_$i") =>
+            tm = r.schema(r.fieldIndex(s"tm_$i")).dataType match {
+              case DoubleType => Long.box(
+                math.floor(r.getAs[Double](s"tm_$i")).toLong)
+              case _ => Long.box(r.getAs[Long](s"tm_$i"))
+            }
+          case None => ()
         }
       }
       val distinct = distinctCounts match {
