@@ -150,11 +150,123 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** The SORTED DISTINCT n-gram window hashes of a token array, as one
+  * native codegen expression: tokens hashed once (xxh64 seed 42), each
+  * window combining its n token hashes by chained hashLong (the same
+  * scheme [[MinHashSignature]] mixes into lanes), then sort + dedupe in
+  * a primitive long[]. Replaces the builtin shingle-string pipeline
+  * (concat_ws per window + array_distinct + array_sort + per-element
+  * xxhash — measured ~7 s of a 10 s dedup query at sf0.1) with zero
+  * string allocation. |set| and intersection sizes equal the
+  * string-shingle formulation up to 64-bit collisions (p ≈ w²/2⁶⁵ per
+  * document — far below the 6-decimal rounding applied to Jaccard).
+  * Fewer than n tokens yield an empty array.
+  */
+case class ShingleHashSet(child: Expression, ngram: Int)
+    extends UnaryExpression {
+  require(ngram > 0)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val windows = n - ngram + 1
+    if (windows <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val toks = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var h = toks(w)
+      var g = 1
+      while (g < ngram) { h = XXH64.hashLong(toks(w + g), h); g += 1 }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var k = 1
+    var j = 1
+    while (j < windows) {
+      if (hs(j) != hs(k - 1)) { hs(k) = hs(j); k += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val utf8 = classOf[UTF8String].getName
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val windows = ctx.freshName("windows")
+      val toks = ctx.freshName("toks"); val hs = ctx.freshName("hs")
+      val boxed = ctx.freshName("boxed")
+      val i = ctx.freshName("i"); val w = ctx.freshName("w")
+      val g = ctx.freshName("g"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |int $windows = $n - $ngram + 1;
+         |if ($windows <= 0) {
+         |  ${ev.value} = new $gad(new java.lang.Long[0]);
+         |} else {
+         |  long[] $toks = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $utf8 $s = $a.getUTF8String($i);
+         |    $toks[$i] = $xxh.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |  long[] $hs = new long[$windows];
+         |  for (int $w = 0; $w < $windows; $w++) {
+         |    long $h = $toks[$w];
+         |    for (int $g = 1; $g < $ngram; $g++) {
+         |      $h = $xxh.hashLong($toks[$w + $g], $h);
+         |    }
+         |    $hs[$w] = $h;
+         |  }
+         |  java.util.Arrays.sort($hs);
+         |  int $k = 1;
+         |  for (int $j = 1; $j < $windows; $j++) {
+         |    if ($hs[$j] != $hs[$k - 1]) { $hs[$k] = $hs[$j]; $k++; }
+         |  }
+         |  java.lang.Long[] $boxed = new java.lang.Long[$k];
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $boxed[$j] = java.lang.Long.valueOf($hs[$j]);
+         |  }
+         |  ${ev.value} = new $gad($boxed);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object SetExpressions {
   /** Intersection size of two sorted distinct string arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sorted distinct n-gram window hashes of a token array. */
+  def sortedShingleHashes(tokens: Column, ngram: Int): Column =
+    ColumnBridge.column(ShingleHashSet(
+      ColumnBridge.expression(tokens), ngram))
 
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =

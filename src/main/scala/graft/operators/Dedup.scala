@@ -28,21 +28,21 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** id + SORTED hashed shingle set: each distinct shingle string maps
-    * to its xxhash64, sorted so Jaccard verification runs as a
-    * zero-allocation merge over longs (see SortedIntersectCount — 8-byte
-    * compares instead of UTF8String compares). |set| and the
-    * intersection count are unchanged by the hashing (a 64-bit
-    * collision inside one document — p ≈ |set|²/2⁶⁵ — is the only way
-    * a Jaccard value could move, negligible and far below the 6-decimal
-    * rounding both engines apply). Rows with an empty set dropped.
+  /** id + SORTED hashed shingle set via the native [[ShingleHashSet]]
+    * expression (no shingle strings ever materialize), so Jaccard
+    * verification runs as a zero-allocation merge over longs (see
+    * SortedIntersectCount — 8-byte compares instead of UTF8String
+    * compares). |set| and the intersection count are unchanged by the
+    * hashing (a 64-bit collision inside one document — p ≈ |set|²/2⁶⁵
+    * — is the only way a Jaccard value could move, negligible and far
+    * below the 6-decimal rounding both engines apply). Rows with an
+    * empty set dropped.
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_sort(transform(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), shingleSize),
-          s => xxhash64(s))).as("sh"))
+        graft.functions.SetExpressions.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
 
   /** MinHash signature: for each of k hash lanes, the minimum of a
@@ -204,9 +204,8 @@ object Dedup {
       textCol: String, blockCol: String, threshold: Double,
       shingleSize: Int): DataFrame = {
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_sort(transform(TextFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), shingleSize),
-          s => xxhash64(s))).as("sh"))
+        graft.functions.SetExpressions.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
     val a = sets.select(col("blk"), col("id").as("id_a"),
       col("sh").as("sh_a"))
