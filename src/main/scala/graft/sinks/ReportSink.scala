@@ -30,10 +30,25 @@ object ReportSink {
     ("Overview" -> overview) +: per
   }
 
+  /** Sheets are independent report-sized jobs — submit them from
+    * driver threads so they share the cluster instead of queueing
+    * (same pattern as Scan.scanFolder's per-file parallelism).
+    */
+  private def writeAll(overview: DataFrame, results: Seq[TableScanResult])(
+      write: (String, DataFrame) => Unit): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(sheets(overview, results).map { case (name, df) =>
+        Future(write(name, df))
+      }), Duration.Inf)
+  }
+
   /** Reference-layout TSV report (whiteRRabbit.R:515-531). */
   def writeTsv(outputDir: String, prefix: String, overview: DataFrame,
       results: Seq[TableScanResult]): Unit =
-    sheets(overview, results).foreach { case (name, df) =>
+    writeAll(overview, results) { (name, df) =>
       df.coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true")
         .csv(s"$outputDir/${prefix}_$name")
@@ -42,7 +57,7 @@ object ReportSink {
   /** Workbook sink: one directory, one Parquet dataset per sheet. */
   def writeWorkbook(outputDir: String, prefix: String, overview: DataFrame,
       results: Seq[TableScanResult]): Unit =
-    sheets(overview, results).foreach { case (name, df) =>
+    writeAll(overview, results) { (name, df) =>
       df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outputDir/${prefix}_workbook/$name")
     }
