@@ -813,7 +813,13 @@ object SparkEntry {
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
     "sessionize_batch"  -> ((s, dir) => sessionizeBatchQuery(s, dir)),
-    "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir))
+    "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir)),
+    // streaming exact dedup: watermark-bounded dropDuplicates state;
+    // the bounded single-file replay is one micro-batch, so the
+    // emitted key set is the exact distinct set (oracle-stable)
+    "streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingProfile.runStreamingDedup(s, dir)
+        .orderBy("user_id", "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -872,7 +878,10 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY k"),
     "streaming_profile" -> streamingProfileOracle,
     "sessionize_batch"  -> sessionizeOracle,
-    "sessionize_stream" -> sessionizeOracle
+    "sessionize_stream" -> sessionizeOracle,
+    "streaming_dedup" ->
+      ("SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type")
     // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf:
     // heuristic / hash-seeded / approximate operators with no
     // SQL-expressible oracle — covered by the driver's rows-only

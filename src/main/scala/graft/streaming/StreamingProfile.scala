@@ -81,6 +81,35 @@ object StreamingProfile {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: one output row per distinct key, state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` drops a
+    * key's state once the watermark passes it — the shape an unbounded
+    * training-data ingest needs; a key re-appearing after the horizon
+    * re-emits, the standard at-least-once tradeoff for bounded state).
+    * Only the KEY columns are emitted, so the result is the distinct
+    * key set regardless of which arrival survived — batch-oracle-able.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select((col("ts") +: keys.map(col)): _*)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
+  /** Run the streaming dedup over the bounded events stream. */
+  def runStreamingDedup(spark: SparkSession, dir: String,
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val name = "graft_stream_dedup_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = streamingDedup(eventsStream(spark, dir), keys)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // -- stateful sessionization ----------------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

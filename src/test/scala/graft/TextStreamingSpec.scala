@@ -100,4 +100,17 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(stream.count(_._1 == 1L) == 3)
     assert(stream.count(_._1 == 2L) == 2)
   }
+
+  test("streaming dedup emits exactly the distinct key set " +
+      "(sf0.001 events, single-batch bounded replay)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingProfile.runStreamingDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
