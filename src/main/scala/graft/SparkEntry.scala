@@ -558,6 +558,31 @@ object SparkEntry {
       "ORDER BY id_a, id_b"
   }
 
+  /** Connected components over the exact blocked-Jaccard pair set
+    * (same pairs as [[dedupJaccardBlockOracle]]): a recursive CTE
+    * computes the transitive closure of the bidirected pair graph and
+    * each node's representative is the minimum reachable id — exactly
+    * the fixpoint Dedup.duplicateClusters converges to.
+    */
+  private val dedupClustersOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH RECURSIVE s AS (SELECT doc_id, source, " +
+      s"list_distinct($toks) AS sh FROM documents " +
+      s"WHERE len($toks) >= 1), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+      "FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM p " +
+      "UNION SELECT id_b, id_a FROM p), " +
+      "closure AS (SELECT src AS node, src AS reach FROM e " +
+      "UNION SELECT src, dst FROM e " +
+      "UNION SELECT c.node, e.dst FROM closure c " +
+      "JOIN e ON c.reach = e.src) " +
+      "SELECT node AS doc_id, min(reach) AS cluster_rep " +
+      "FROM closure GROUP BY 1 ORDER BY doc_id"
+  }
+
   /** Shared DuckDB CTE: vec_id + double vector + L2 norm, spelling out
     * the same double arithmetic the Spark operators use.
     */
@@ -774,6 +799,11 @@ object SparkEntry {
       threshold = 0.9, shingleSize = 1)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
       tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    // pairs → per-document canonical representative (hash-to-min
+    // connected components; doc_id == cluster_rep marks the survivor)
+    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
+      Dedup.blockedJaccardPairs(tbl(s, dir, "documents"), "doc_id",
+        "text", "source", threshold = 0.9, shingleSize = 1))),
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
@@ -868,6 +898,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
+    "dedup_clusters" -> dedupClustersOracle,
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "multimodal_meta" -> multimodalMetaOracle,

@@ -251,6 +251,49 @@ object Dedup {
     verifyJaccardUnsorted(cand, sets, threshold)
   }
 
+  /** Connected components over a near-duplicate pair set — the step
+    * that turns pairwise matches into a per-document keep/drop
+    * decision (every document maps to its component's minimum id as
+    * the canonical representative). Hash-to-min label propagation:
+    * each iteration every node takes the min label among itself and
+    * its neighbors, converging in graph-diameter iterations (near-dup
+    * components are shallow — 2-4 rounds in practice). Each round is
+    * one shuffle join + one aggregation, both key-partitioned — the
+    * standard cluster-scale connected-components shape. Lineage is cut
+    * with a localCheckpoint per round so plans stay constant-size.
+    *
+    * Output: (doc_id, cluster_rep) for every document appearing in at
+    * least one pair; `doc_id == cluster_rep` marks the canonical
+    * survivor.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("next_label"))
+      val merged = labels.join(next, Seq("id"))
+        .select(col("id"), col("label"), col("next_label"))
+        .localCheckpoint(true)
+      changed = merged.where(col("next_label") < col("label")).count()
+      labels = merged.select(col("id"),
+        col("next_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
     * the majority vote of bit i of the token hash across the token
     * multiset. Delegates to the native codegen expression

@@ -62,6 +62,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L))) // same block, near-dup
   }
 
+  test("duplicate clustering resolves transitive components to the " +
+      "min-id representative") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; singleton
+    // pairs only — no isolated nodes appear in the output
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 9L -> 5L))
+  }
+
   private lazy val vecs = {
     // 8-dim: three tight cluster members + two far points
     val rows = Seq(
