@@ -761,6 +761,29 @@ object SparkEntry {
       TypeInference.inferAndPromote(stringified(tbl(s, dir, "orders")))._1)),
     // op 4 — exact-k random sample (whiteRRabbit.R:225-272)
     "sample_exactk" -> ((s, dir) => sampleQuery(s, dir)),
+    // LLM pipeline — per-group exact-k sampling (source balancing);
+    // the sampled rows are seed-dependent, so the contract checks the
+    // per-group sample SIZE and sampled-key distinctness
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedExactK(
+      tbl(s, dir, "orders"), "o_orderpriority", 100)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("o_orderkey")).as("n_distinct"))
+      .orderBy("o_orderpriority")),
+    // LLM pipeline — corpus mix report: per-source doc/token/char
+    // volume and token share (what a data-mixing step consumes)
+    "corpus_mix" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val agg = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text")))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      agg.withColumn("token_share",
+          round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+        .orderBy("source")
+    }),
     // op 7 — ±5-day date shift (whiteRRabbit.R:283-291)
     "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
     // ops 1-3 — delimited source, all-string read, fast row count
@@ -878,6 +901,18 @@ object SparkEntry {
     "typeinfer_roundtrip" -> summaryOracle("orders"),
     "sample_exactk" ->
       "SELECT LEAST(1000, count(*)) AS n FROM lineitem",
+    "sample_stratified" ->
+      ("SELECT o_orderpriority, LEAST(100, count(*)) AS n_sampled, " +
+        "LEAST(100, count(*)) AS n_distinct FROM orders " +
+        "GROUP BY 1 ORDER BY 1"),
+    "corpus_mix" ->
+      ("WITH m AS (SELECT source, count(*) AS n_docs, " +
+        "sum(len(string_split(lower(text), ' '))) AS n_tokens, " +
+        "sum(length(text)) AS n_chars FROM documents GROUP BY 1) " +
+        "SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_chars AS BIGINT) AS n_chars, " +
+        "round(n_tokens / (SELECT sum(n_tokens) FROM m), 6) " +
+        "AS token_share FROM m ORDER BY source"),
     "dateshift_bounds" ->
       ("SELECT count(*) AS n, CAST(-5 AS INT) AS min_shift, " +
         "CAST(5 AS INT) AS max_shift, CAST(11 AS BIGINT) AS n_shifts " +

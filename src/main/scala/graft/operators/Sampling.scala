@@ -27,6 +27,25 @@ object Sampling {
   /** Head-k, the reference's non-random path (whiteRRabbit.R:242,:257). */
   def headK(df: DataFrame, k: Int): DataFrame = df.limit(k)
 
+  /** Exactly min(k, group size) uniformly-sampled rows PER GROUP —
+    * the data-mixing primitive of a training pipeline (balance sources
+    * / languages / quality buckets before sampling). A per-group rank
+    * over a seeded random key; the min_cell-style rank window holds one
+    * group per partition, so for very hot groups pre-thin with a
+    * Bernoulli `sample(fraction)` sized from approximate group counts
+    * before the exact rank (same two-level shape as Frequency's
+    * bounded top-K).
+    */
+  def stratifiedExactK(df: DataFrame, groupCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__rand"))
+    df.withColumn("__rand", rand(seed))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rand", "__rn")
+  }
+
   /** The reference's row-cap policy: sample only when the table exceeds
     * maxRows (whiteRRabbit.R:225-272). The reference caps only for
     * maxRows > 0 (whiteRRabbit.R:225,:259,:268), so 0 and negative both

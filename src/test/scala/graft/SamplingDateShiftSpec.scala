@@ -36,6 +36,23 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(Sampling.exactK(nums, 20000, 1L).count() == 10000)
   }
 
+  test("stratified sampling caps each group at k, reproducibly") {
+    val df = (1 to 1000).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val a = Sampling.stratifiedExactK(df, "g", 50, seed = 3L).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(a.length == 150)
+    assert(a.groupBy(_._2).forall(_._2.length == 50))
+    assert(a.map(_._1).distinct.length == 150)
+    // a group smaller than k is kept whole
+    val tiny = Sampling.stratifiedExactK(
+      (1 to 10).map(i => (i, if (i < 4) "s" else "b")).toDF("id", "g"),
+      "g", 5).collect().map(r => r.getString(1))
+    assert(tiny.count(_ == "s") == 3 && tiny.count(_ == "b") == 5)
+    val b = Sampling.stratifiedExactK(df, "g", 50, seed = 3L).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
   test("cap rejects maxRows above Int.MaxValue instead of overflowing") {
     intercept[IllegalArgumentException] {
       Sampling.cap(nums, Int.MaxValue.toLong + 1, randomSample = true)
