@@ -855,6 +855,26 @@ object SparkEntry {
       .selectExpr("doc_id", "CAST(d AS INT) AS d",
         "round(CAST(f AS DOUBLE), 6) AS f")
       .orderBy("doc_id", "d")),
+    // as-of join (no native Spark operator): each event matched to its
+    // user's latest order at-or-before the event time; DuckDB's native
+    // ASOF JOIN is the oracle
+    "asof_last_order" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val ord = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_order"))
+        // parquet without isAdjustedToUTC reads as TIMESTAMP_NTZ; the
+        // session tz is UTC so the cast denotes the same instant
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("t_us"),
+          col("last_order"))
+      graft.operators.AsofJoin.asofJoin(
+        ev, "user_id", "t_us", ord, "o_custkey", "t_us", "last_order")
+        .select("event_id", "last_order")
+        .orderBy("event_id")
+    }),
     // semi-structured: JSON field extraction from the events props
     "events_json" -> ((s, dir) => tbl(s, dir, "events")
       .select(col("event_id"),
@@ -942,6 +962,14 @@ object SparkEntry {
       ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
         "count(*) AS n, min(event_id) AS min_event FROM events " +
         "GROUP BY 1 ORDER BY k"),
+    "asof_last_order" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu " +
+        "FROM events), " +
+        "r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, " +
+        "max(o_orderkey) AS last_order FROM orders GROUP BY 1, 2) " +
+        "SELECT e.event_id, r.last_order FROM e " +
+        "ASOF LEFT JOIN r ON e.user_id = r.k AND e.tu >= r.tu " +
+        "ORDER BY event_id"),
     "streaming_profile" -> streamingProfileOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle,

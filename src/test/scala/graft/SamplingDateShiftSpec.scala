@@ -59,6 +59,23 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join matches the latest right row at-or-before each left " +
+      "row, null when none precedes") {
+    import graft.operators.AsofJoin
+    val l = Seq((1L, 5L, 100L), (2L, 10L, 100L), (3L, 20L, 100L),
+      (4L, 10L, 200L), (5L, 3L, 999L)).toDF("lid", "t", "k")
+    val r = Seq((10L, 100L, "a"), (4L, 100L, "b"), (15L, 100L, "c"),
+      (10L, 200L, "d")).toDF("t", "k", "v")
+    val got = AsofJoin.asofJoin(l, "k", "t", r, "k", "t", "v")
+      .collect().map(x => x.getAs[Long]("lid") -> x.getAs[String]("v"))
+      .toMap
+    // lid 1 (t=5,k=100): only r t=4 precedes → b
+    // lid 2 (t=10): inclusive tie → a; lid 3 (t=20): latest is c (t=15)
+    // lid 4 (k=200, t=10): d; lid 5 (t=3): nothing precedes → null
+    assert(got == Map(1L -> "b", 2L -> "a", 3L -> "c", 4L -> "d",
+      5L -> null))
+  }
+
   test("ScanMain.parse accepts bare store_true flags and rejects " +
       "malformed options (whiteRRabbit.R:67-82)") {
     val c = ScanMain.parse(Array("--working_folder", "/in",
