@@ -875,6 +875,23 @@ object SparkEntry {
         .select("event_id", "last_order")
         .orderBy("event_id")
     }),
+    // range join (no native Spark operator): events bucketed into
+    // their containing sessions via granularity equi-join + exact
+    // containment filter; counts must reproduce each session's
+    // n_events, and the oracle recomputes the BETWEEN join in SQL
+    "range_join_sessions" -> ((s, dir) => {
+      val sess = sessionizeBatchQuery(s, dir)
+        .select(col("user_id").as("s_user"), col("session_id"),
+          col("start_us"), col("end_us"))
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.operators.RangeJoin.pointInInterval(
+        ev, "user_id", "ts_us", sess, "s_user", "start_us", "end_us",
+        granularityUs = 3600000000L)
+        .groupBy(col("s_user").as("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_in_range"))
+        .orderBy("user_id", "session_id")
+    }),
     // semi-structured: JSON field extraction from the events props
     "events_json" -> ((s, dir) => tbl(s, dir, "events")
       .select(col("event_id"),
@@ -973,6 +990,23 @@ object SparkEntry {
     "streaming_profile" -> streamingProfileOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle,
+    "range_join_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "x AS (SELECT user_id, ts_us, CASE WHEN " +
+        "lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL " +
+        "OR ts_us - lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us) " +
+        s"> $sessionGapUs THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "y AS (SELECT user_id, ts_us, CAST(sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) " +
+        "- 1 AS BIGINT) AS session_id FROM x), " +
+        "sess AS (SELECT user_id, session_id, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us FROM y " +
+        "GROUP BY 1,2) " +
+        "SELECT s.user_id, s.session_id, count(*) AS n_in_range " +
+        "FROM e JOIN sess s ON e.user_id = s.user_id " +
+        "AND e.ts_us BETWEEN s.start_us AND s.end_us " +
+        "GROUP BY 1,2 ORDER BY 1,2"),
     "streaming_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")

@@ -76,6 +76,22 @@ class SamplingDateShiftSpec extends AnyFunSuite {
       5L -> null))
   }
 
+  test("range join matches points to containing intervals across " +
+      "bucket boundaries") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 50L, 7L), (2L, 150L, 7L), (3L, 250L, 7L),
+      (4L, 150L, 8L)).toDF("pid", "t", "k")
+    // interval [40, 160] spans buckets 0 and 1 at granularity 100;
+    // [200, 260] covers only point 3; key 8 has no interval
+    val ivs = Seq((40L, 160L, 7L, "a"), (200L, 260L, 7L, "b"))
+      .toDF("s", "e", "ik", "iv")
+    val got = RangeJoin.pointInInterval(pts, "k", "t", ivs, "ik",
+        "s", "e", granularityUs = 100L)
+      .collect().map(r => r.getAs[Long]("pid") -> r.getAs[String]("iv"))
+      .sorted.toSeq
+    assert(got == Seq(1L -> "a", 2L -> "a", 3L -> "b"))
+  }
+
   test("ScanMain.parse accepts bare store_true flags and rejects " +
       "malformed options (whiteRRabbit.R:67-82)") {
     val c = ScanMain.parse(Array("--working_folder", "/in",
