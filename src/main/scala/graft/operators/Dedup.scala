@@ -268,10 +268,13 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
+    // materialize the edge list once — the pair computation upstream
+    // (LSH + verification) must not re-run on every propagation round
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
