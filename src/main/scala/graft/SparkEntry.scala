@@ -558,6 +558,31 @@ object SparkEntry {
       "ORDER BY id_a, id_b"
   }
 
+  /** Composition oracle: the quality score formula (same as
+    * [[textQualityOracle]]) gates documents, sha256 groups exact
+    * duplicates keeping the min doc_id, and survivors roll up per
+    * source.
+    */
+  private val pipelineCleanOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val stopSet = TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) " +
+      "AS DOUBLE) / greatest(length(text), 1)"
+    val stop = s"CAST(len(list_filter($toks, t -> t IN ($stopSet))) " +
+      s"AS DOUBLE) / greatest(len($toks), 1)"
+    val lenCredit = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+    s"WITH k AS (SELECT doc_id, source, text FROM documents " +
+      s"WHERE round($lenCredit * 0.5 + $stop * 0.3 + " +
+      s"(1.0 - $punct) * 0.2, 6) >= 0.5), " +
+      "d AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies " +
+      "FROM k GROUP BY sha256(text)) " +
+      "SELECT k.source, count(*) AS n_kept, " +
+      "CAST(sum(d.n_copies) - count(*) AS BIGINT) AS n_redundant " +
+      "FROM d JOIN k ON d.doc_id = k.doc_id " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   /** Connected components over the exact blocked-Jaccard pair set
     * (same pairs as [[dedupJaccardBlockOracle]]): a recursive CTE
     * computes the transitive closure of the bidirected pair graph and
@@ -827,6 +852,21 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.blockedJaccardPairs(tbl(s, dir, "documents"), "doc_id",
         "text", "source", threshold = 0.9, shingleSize = 1))),
+    // LLM pipeline — composition: quality filter → exact dedup →
+    // per-source survivor counts, the canonical corpus-cleaning chain
+    // (rounding the score before the threshold keeps the filter
+    // decision engine-portable)
+    "pipeline_clean" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val kept = d.where(
+        round(TextFunctions.qualityScore(col("text")), 6) >= 0.5)
+      Dedup.exactByContent(kept, "doc_id", "text")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          (sum(col("n_copies")) - count(lit(1))).as("n_redundant"))
+        .orderBy("source")
+    }),
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
@@ -971,6 +1011,7 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "pipeline_clean" -> pipelineCleanOracle,
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "multimodal_meta" -> multimodalMetaOracle,
