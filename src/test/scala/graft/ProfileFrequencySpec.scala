@@ -98,6 +98,27 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(math.abs(pct("b") - 7.0 / 17) < 1e-12)
   }
 
+  test("profile handles empty tables and all-null columns") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("n", DoubleType),
+      StructField("s", StringType)))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val es = Profile.summarize(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(es("n").getAs[Long]("total_count") == 0)
+    assert(es("n").getAs[Long]("distinct_count") == 0)
+    assert(es("n").isNullAt(es("n").fieldIndex("median_val")))
+    // all-null numeric column: counters exact, stats null
+    val nulls = Seq.fill(5)((None: Option[Double], "x")).toDF("n", "s")
+    val ns = Profile.summarize(nulls).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ns("n").getAs[Long]("missing_count") == 5)
+    assert(ns("n").getAs[Long]("distinct_count") == 0)
+    assert(ns("n").isNullAt(ns("n").fieldIndex("q1_val")))
+    assert(ns("s").getAs[Long]("distinct_count") == 1)
+  }
+
   test("frequency renders integral doubles without trailing .0 " +
       "(whiteRRabbit.R:333-343 table()/as.character)") {
     import spark.implicits._
