@@ -10,7 +10,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   spark.sql("SELECT vector_dot(a.embedding, b.embedding) ...")
   *
   * Functions: vector_dot(arr, arr), sorted_intersect_count(arr, arr),
-  * simhash64(tokens), minhash_signature(tokens, numHashes, ngram).
+  * simhash64(tokens), minhash_signature(tokens, numHashes, ngram),
+  * shingle_hash_set(tokens, ngram).
   */
 object GraftFunctions {
 
@@ -26,6 +27,10 @@ object GraftFunctions {
         "minhash_signature(tokens, numHashes, ngram)")
       MinHashSignature(es.head,
         es(1).eval().toString.toInt, es(2).eval().toString.toInt)
+    })
+    ColumnBridge.registerFunction(spark, "shingle_hash_set", es => {
+      require(es.length == 2, "shingle_hash_set(tokens, ngram)")
+      ShingleHashSet(es.head, es(1).eval().toString.toInt)
     })
   }
 }

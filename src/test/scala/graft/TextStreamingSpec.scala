@@ -73,12 +73,16 @@ class TextStreamingSpec extends AnyFunSuite {
       "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
         "sorted_intersect_count(array('a','b','c'), array('b','c','d')) " +
         "AS c, simhash64(array('x')) = simhash64(array('x')) AS same, " +
-        "size(minhash_signature(array('a','b','c','d'), 16, 3)) AS k")
+        "size(minhash_signature(array('a','b','c','d'), 16, 3)) AS k, " +
+        "size(shingle_hash_set(array('a','b','c','d','a','b','c'), 3)) " +
+        "AS ns")
       .head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
     assert(r.getBoolean(2))
     assert(r.getInt(3) == 16)
+    // windows: abc,bcd,cda,dab,abc → distinct {abc,bcd,cda,dab} = 4
+    assert(r.getInt(4) == 4)
   }
 
   test("stateful streaming sessionization matches the window-function " +
