@@ -932,6 +932,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_range"))
         .orderBy("user_id", "session_id")
     }),
+    // multimodal frame sampling (pure byte plumbing — real, not
+    // stubbed): every 4th 64-byte frame, hash-identified. The ASCII
+    // filter (bytes == chars) mirrors the oracle, which replays byte
+    // slicing as substring over 1-byte characters.
+    "multimodal_frames" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .where(length(col("text")) === octet_length(col("text")))
+      Multimodal.sampleFrames(
+        Multimodal.binarize(d, "doc_id", "text"),
+        frameBytes = 64, stride = 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // semi-structured: JSON field extraction from the events props
     "events_json" -> ((s, dir) => tbl(s, dir, "events")
       .select(col("event_id"),
@@ -1016,6 +1029,16 @@ object SparkEntry {
     "knn_bruteforce" -> knnBruteForceOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
+    "multimodal_frames" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE octet_length(encode(text)) = length(text) " +
+        "AND length(text) > 0), " +
+        "f AS (SELECT doc_id, text, unnest(generate_series(0, " +
+        "CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS i FROM d) " +
+        "SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
+        "sha256(substring(text, CAST(i * 64 + 1 AS INT), 64)) " +
+        "AS frame_hash FROM f WHERE i % 4 = 0 " +
+        "ORDER BY doc_id, frame_idx"),
     "events_json" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
         "count(*) AS n, min(event_id) AS min_event FROM events " +

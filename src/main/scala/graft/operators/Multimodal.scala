@@ -50,6 +50,30 @@ object Multimodal {
     out
   }
 
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th one — the video/audio pre-processing shape
+    * (sample frames before the expensive decode). Pure byte plumbing,
+    * no codec needed, so unlike the decode stub this is fully real AND
+    * oracle-checkable: output is (doc_id, frame_idx, frame_bytes,
+    * frame_hash) for frames 0, stride, 2·stride, … A generator
+    * expression (posexplode over substrings) keeps it codegen'd and
+    * row-bounded — no driver involvement, no UDF.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int,
+      stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    df.select(col("doc_id"), col("payload"), col("n_bytes"))
+      .where(col("n_bytes") > 0) // sequence(0,-1) would count DOWN
+      .selectExpr("doc_id",
+        s"posexplode(transform(" +
+          s"sequence(0, CAST(ceil(n_bytes / CAST($frameBytes AS DOUBLE)) " +
+          s"AS INT) - 1), " +
+          s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))) " +
+          "AS (frame_idx, frame_bytes)")
+      .where(pmod(col("frame_idx"), lit(stride)) === 0)
+      .withColumn("frame_hash", sha2(col("frame_bytes"), 256))
+  }
+
   /** Batched partition-local "decode": repartition by content hash for
     * batch locality (so identical payloads co-locate and a real decoder
     * could cache), then process fixed-size batches inside each
