@@ -202,16 +202,23 @@ object Dedup {
 
   private def exactPairsInBlocks(df: DataFrame, idCol: String,
       textCol: String, blockCol: String, threshold: Double,
-      shingleSize: Int): DataFrame = {
+      shingleSize: Int, salts: Int = 8): DataFrame = {
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         graft.functions.SetExpressions.sortedShingleHashes(
           TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    val a = sets.select(col("blk"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = sets.select(col("blk"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+    // salt the join key: a block key alone gives at most #blocks-way
+    // parallelism (20 sources → 20 tasks); side A takes one salt per
+    // row, side B replicates across all salts, so the same pairs
+    // surface (each once, thanks to the id_a < id_b filter) across
+    // #blocks × salts partitions
+    val a = sets.select(col("blk"),
+      pmod(xxhash64(col("id")), lit(salts)).as("salt"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("blk"),
+      explode(sequence(lit(0L), lit(salts - 1L))).as("salt"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "salt")).where(col("id_a") < col("id_b"))
       .where(size(col("sh_a")).cast("double") >=
           lit(threshold) * size(col("sh_b")) &&
         size(col("sh_b")).cast("double") >=
