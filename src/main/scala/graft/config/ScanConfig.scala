@@ -24,9 +24,12 @@ package graft.config
   *     (whiteRRabbit.R:252, :288); a fixed seed makes runs reproducible
   *     and oracle-checkable.
   *   - exactQuantiles: the reference computes exact quantiles in memory
-  *     (whiteRRabbit.R:365-372). Exact `percentile` is the default for
-  *     parity; at 100 TB switch to `percentile_approx` (sketch-based,
-  *     single-pass, no global sort) via exactQuantiles=false.
+  *     (whiteRRabbit.R:365-372). The exact default computes type-7
+  *     quantiles from the per-column value histogram (no value
+  *     buffering — Profile.histogramStats); exactQuantiles=false
+  *     switches to `percentile_approx` sketches, whose state stays
+  *     constant-size even for columns whose histogram would approach
+  *     the row count.
   */
 final case class ScanConfig(
     workingFolder: String = ".",
