@@ -827,6 +827,24 @@ object SparkEntry {
     "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
+    // semi/anti joins: per-nation counts of customers with and without
+    // orders — both plan as broadcast hash joins with the dimension
+    // side reused, no row duplication from the fact side
+    "join_semi_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      val withO = c.join(o, Seq("c_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = c.join(o, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+      withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L))
+            .as("n_without_orders"))
+        .orderBy("c_nationkey")
+    }),
     // op 8 — column exclusion through the full Scan path (nFields
     // counted before exclusion, summaries after; whiteRRabbit.R:293-304)
     "summary_customer_excluded" -> ((s, dir) => roundSummary(
@@ -1016,6 +1034,13 @@ object SparkEntry {
     "rollup_revenue" -> rollupRevenueOracle,
     "pivot_status"   -> pivotStatusOracle,
     "window_top_orders" -> windowTopOrdersOracle,
+    "join_semi_anti" ->
+      ("SELECT c_nationkey, " +
+        "CAST(count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey)) AS BIGINT) AS n_with_orders, " +
+        "CAST(count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey)) AS BIGINT) " +
+        "AS n_without_orders FROM customer c GROUP BY 1 ORDER BY 1"),
     "summary_customer_excluded" ->
       summaryOracle("customer", exclude = Set("c_name")),
     "text_stats" -> textStatsOracle,
