@@ -558,6 +558,27 @@ object SparkEntry {
       "ORDER BY id_a, id_b"
   }
 
+  /** Keep-best dedup oracle: rank within each sha256 content group by
+    * (quality DESC, doc_id ASC) and keep rank 1 — same policy as
+    * Dedup.exactByContentKeepBest.
+    */
+  private val dedupKeepBestOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val stopSet = TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) " +
+      "AS DOUBLE) / greatest(length(text), 1)"
+    val stop = s"CAST(len(list_filter($toks, t -> t IN ($stopSet))) " +
+      s"AS DOUBLE) / greatest(len($toks), 1)"
+    val lenCredit = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+    s"WITH q AS (SELECT doc_id, text, round($lenCredit * 0.5 + " +
+      s"$stop * 0.3 + (1.0 - $punct) * 0.2, 6) AS q FROM documents), " +
+      "r AS (SELECT doc_id, q, row_number() OVER " +
+      "(PARTITION BY sha256(text) ORDER BY q DESC, doc_id) AS rn " +
+      "FROM q) " +
+      "SELECT doc_id, q FROM r WHERE rn = 1 ORDER BY doc_id"
+  }
+
   /** Composition oracle: the quality score formula (same as
     * [[textQualityOracle]]) gates documents, sha256 groups exact
     * duplicates keeping the min doc_id, and survivors roll up per
@@ -870,6 +891,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.blockedJaccardPairs(tbl(s, dir, "documents"), "doc_id",
         "text", "source", threshold = 0.9, shingleSize = 1))),
+    // exact dedup, keep-best policy: the highest-quality copy of each
+    // content group survives (ties to the smallest id)
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").withColumn("q",
+        round(TextFunctions.qualityScore(col("text")), 6))
+      Dedup.exactByContentKeepBest(d, "doc_id", "text", "q")
+        .select(col("doc_id"), col("q"))
+        .orderBy("doc_id")
+    }),
     // LLM pipeline — composition: quality filter → exact dedup →
     // per-source survivor counts, the canonical corpus-cleaning chain
     // (rounding the score before the threshold keeps the filter
@@ -1049,6 +1079,7 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_keep_best" -> dedupKeepBestOracle,
     "pipeline_clean" -> pipelineCleanOracle,
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,

@@ -28,6 +28,23 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Exact dedup with a quality-aware keep policy: within each group
+    * of identical content, the row with the highest score survives
+    * (ties break to the smallest id) — the production selection rule
+    * when duplicates differ in metadata quality. The rank window
+    * partitions by content hash, so partitions are duplicate-group
+    * sized regardless of corpus size.
+    */
+  def exactByContentKeepBest(df: DataFrame, idCol: String,
+      textCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** id + SORTED hashed shingle set via the native [[ShingleHashSet]]
     * expression (no shingle strings ever materialize), so Jaccard
     * verification runs as a zero-allocation merge over longs (see

@@ -62,6 +62,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L))) // same block, near-dup
   }
 
+  test("keep-best dedup keeps the highest-scored copy, ties to min id") {
+    val d = Seq((1L, "same text", 0.2), (2L, "same text", 0.9),
+      (3L, "same text", 0.9), (4L, "other", 0.1))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.exactByContentKeepBest(d, "doc_id", "text", "score")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // group {1,2,3}: max score 0.9 shared by 2 and 3 → min id 2 wins
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("duplicate clustering resolves transitive components to the " +
       "min-id representative") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; singleton
