@@ -523,6 +523,34 @@ object SparkEntry {
       .groupBy("detected_lang").agg(count(lit(1)).as("n"))
       .orderBy("detected_lang")
 
+  /** DuckDB replay of TextFunctions.langId: per-language stopword hit
+    * counts (zh by marker substring occurrences), argmax with Spark's
+    * struct tie-break (equal scores resolve to the lexicographically
+    * largest language code), "und" when nothing scores.
+    */
+  private val langDetectOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    def latin(words: Seq[String]): String =
+      s"CAST(len(list_filter($toks, x -> x IN " +
+        s"(${words.map(w => s"'$w'").mkString(", ")}))) AS INT)"
+    val profiles = TextFunctions.stopwordProfiles.toMap
+    val zh = TextFunctions.zhMarkers
+      .map(m => s"(length(text) - length(replace(text, '$m', '')))")
+      .mkString(" + ")
+    val g = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
+    s"WITH s AS (SELECT ${latin(profiles("en"))} AS s_en, " +
+      s"${latin(profiles("de"))} AS s_de, " +
+      s"${latin(profiles("es"))} AS s_es, " +
+      s"${latin(profiles("fr"))} AS s_fr, " +
+      s"CAST($zh AS INT) AS s_zh FROM documents), " +
+      s"d AS (SELECT CASE WHEN $g <= 0 THEN 'und' " +
+      s"WHEN s_zh = $g THEN 'zh' WHEN s_fr = $g THEN 'fr' " +
+      s"WHEN s_es = $g THEN 'es' WHEN s_en = $g THEN 'en' " +
+      "ELSE 'de' END AS detected_lang FROM s) " +
+      "SELECT detected_lang, count(*) AS n FROM d " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   /** Shared DuckDB CTE: doc_id + distinct 3-word shingle set. */
   private val shingleCte: String = {
     val toks = "string_split(lower(text), ' ')"
@@ -1075,6 +1103,7 @@ object SparkEntry {
       summaryOracle("customer", exclude = Set("c_name")),
     "text_stats" -> textStatsOracle,
     "text_quality" -> textQualityOracle,
+    "lang_detect" -> langDetectOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
