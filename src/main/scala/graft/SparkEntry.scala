@@ -689,6 +689,39 @@ object SparkEntry {
       "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
       "WHERE rn <= 5 ORDER BY query_id, rn"
 
+  /** Full replay of Similarity.knnIvf (deterministic end to end):
+    * centroid scores for every vector, assignment argmax with the
+    * struct tie-break (sim DESC, cid DESC), top-nprobe probes per
+    * query with the same tie-break, candidates from probed inverted
+    * lists, final rank by true cosine (sim DESC, neighbor ASC).
+    */
+  private val knnIvfOracle: String =
+    s"WITH $vecCte, " +
+      "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
+      "WHERE vec_id < 16), " +
+      "sc AS (SELECT n.vec_id AS id, c.cid, " +
+      "list_sum(list_transform(generate_series(1, len(n.vec)), " +
+      "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
+      "FROM n, c), " +
+      "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
+      "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
+      "FROM sc) WHERE rn = 1), " +
+      "probes AS (SELECT id AS query_id, cid FROM (SELECT id, cid, " +
+      "row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) " +
+      "AS rn FROM sc WHERE id < 10) WHERE rn <= 4), " +
+      "cand AS (SELECT p.query_id, a.id AS neighbor_id FROM probes p " +
+      "JOIN assign a ON a.cid = p.cid WHERE a.id <> p.query_id), " +
+      "s2 AS (SELECT cd.query_id, cd.neighbor_id, " +
+      "list_sum(list_transform(generate_series(1, len(q.vec)), " +
+      "i -> q.vec[i] * m.vec[i])) / (q.nrm * m.nrm) AS sim " +
+      "FROM cand cd JOIN n q ON q.vec_id = cd.query_id " +
+      "JOIN n m ON m.vec_id = cd.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+      "FROM s2) " +
+      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
+      "WHERE rn <= 5 ORDER BY query_id, rn"
+
   private def multimodalMetaQuery(s: SparkSession, dir: String): DataFrame =
     Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "n_bytes", "content_hash", "n_chunks")
@@ -1112,6 +1145,7 @@ object SparkEntry {
     "pipeline_clean" -> pipelineCleanOracle,
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
+    "knn_ivf" -> knnIvfOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" ->
