@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Similarity}
@@ -60,6 +61,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // 0 and 4 are identical but in different blocks → not compared
     assert(!pairs.contains((0L, 4L)))
     assert(pairs.contains((0L, 1L))) // same block, near-dup
+  }
+
+  test("minhash banding reproduces the exact pair set at t=0.7 on the " +
+      "sf0.001 documents (deterministic hashes, fixed data)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.exactBlockedJaccardPairs(
+        docs.withColumn("all", lit(1)), "doc_id", "text", "all",
+        threshold = 0.7, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact)) // verification: precision 1.0 always
+    assert(mh == exact,
+      s"banding missed ${exact.diff(mh).size} of ${exact.size} pairs")
   }
 
   test("keep-best dedup keeps the highest-scored copy, ties to min id") {
