@@ -98,6 +98,45 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(math.abs(pct("b") - 7.0 / 17) < 1e-12)
   }
 
+  test("approx profile tracks the exact profile within sketch " +
+      "tolerances (sf0.001 lineitem)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = Profile.summarize(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.summarizeApprox(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // counters are exact in both paths
+      assert(a.getAs[Long]("total_count") == e.getAs[Long]("total_count"))
+      assert(a.getAs[Long]("missing_count") ==
+        e.getAs[Long]("missing_count"))
+      // HLL at rsd=0.05: allow 3 sigma ≈ 15% relative error
+      val (de, da) =
+        (e.getAs[Long]("distinct_count"), a.getAs[Long]("distinct_count"))
+      assert(math.abs(da - de) <= math.max(5L, (0.15 * de).toLong),
+        s"$c distinct: exact=$de approx=$da")
+      // sketch quantiles: judge by RANK error, not value distance —
+      // on a discrete column the adjacent value is a correct answer
+      // whenever the target rank falls near the boundary. The fraction
+      // of values at-or-below the approx quantile must reach p - tol,
+      // and the fraction strictly below must not exceed p + tol.
+      import org.apache.spark.sql.functions.{avg, col, when}
+      for ((f, p) <- Seq("q1_val" -> 0.25, "median_val" -> 0.5,
+             "q3_val" -> 0.75)
+           if !e.isNullAt(e.fieldIndex(f))) {
+        val av = a.getAs[Double](f)
+        val r = li.agg(
+          avg(when(col(c).cast("double") <= av, 1.0).otherwise(0.0)),
+          avg(when(col(c).cast("double") < av, 1.0).otherwise(0.0)))
+          .head()
+        val (le, lt) = (r.getDouble(0), r.getDouble(1))
+        assert(le >= p - 0.02 && lt <= p + 0.02,
+          s"$c $f: approx=$av covers ranks [$lt, $le], target $p")
+      }
+    }
+  }
+
   test("profile handles empty tables and all-null columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("n", DoubleType),
