@@ -78,6 +78,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"banding missed ${exact.diff(mh).size} of ${exact.size} pairs")
   }
 
+  test("simhash chunk blocking reproduces brute-force hamming pairs " +
+      "on the sf0.001 documents (pigeonhole completeness, empirically)") {
+    import org.apache.spark.sql.functions.{bit_count, col, size => asize}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.SetExpressions.simhash64(
+          graft.functions.TextFunctions.tokens(col("text"))).as("sim"))
+      .where(asize(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+    val a = sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocking missed ${brute.diff(blocked).size} of ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("keep-best dedup keeps the highest-scored copy, ties to min id") {
     val d = Seq((1L, "same text", 0.2), (2L, "same text", 0.9),
       (3L, "same text", 0.9), (4L, "other", 0.1))
