@@ -22,7 +22,7 @@ import graft.sources.DelimitedSource
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark has no type
       // for: read the nanos as long, truncate to microseconds (exactly
@@ -216,15 +216,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
 
   private def dateshiftQuery(s: SparkSession, dir: String): DataFrame = {
-    val orig = tbl(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderdate").as("orig_date"))
-    val shifted = DateShift.shiftDates(
-      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
-      seed = 42L)
-      .withColumnRenamed("o_orderdate", "shifted_date")
+    // One scan, zero joins: carry the original value as a string (not
+    // date-like, so shiftDates leaves it alone) next to the date column
+    // it shifts — orig and shifted ride the same narrow projection.
+    val base = tbl(s, dir, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("orig_date"),
+      col("o_orderdate").as("shifted_date"))
+    val shifted = DateShift.shiftDates(base, seed = 42L)
     val diff = datediff(to_date(col("shifted_date")),
       to_date(col("orig_date")))
-    orig.join(shifted, "o_orderkey").agg(
+    shifted.agg(
       count(lit(1)).as("n"),
       min(diff).as("min_shift"),
       max(diff).as("max_shift"),
@@ -1193,10 +1194,10 @@ object SparkEntry {
     "streaming_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")
-    // lang_detect, dedup_simhash, embed_neardup_lsh, knn_ivf:
-    // heuristic / hash-seeded / approximate operators with no
+    // dedup_simhash, embed_neardup_lsh, summary_lineitem_approx:
+    // hash-seeded / sketch-approximate operators with no
     // SQL-expressible oracle — covered by the driver's rows-only
-    // check plus ScalaTest specs (incl. precision/recall bounds vs
-    // the exact twins in SimilaritySpec).
+    // check plus empirical ScalaTest pins (blocking completeness,
+    // precision/recall floors, rank-error tolerance vs exact twins).
   )
 }

@@ -30,6 +30,12 @@ object AsofJoin {
   def asofJoin(left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
       valueCol: String): DataFrame = {
+    val reserved = Set("__k", "__t", "__side", "__v", "__row", valueCol)
+    val clashes = left.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoin: left columns ${clashes.mkString(", ")} collide with " +
+        s"internal names (__k/__t/__side/__v/__row) or valueCol " +
+        s"'$valueCol' — rename them before joining")
     val vType = right.schema(valueCol).dataType
     val leftRow = struct(left.columns.map(col).toSeq: _*)
     val l = left.select(col(leftKey).as("__k"),

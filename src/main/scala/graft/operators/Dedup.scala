@@ -182,18 +182,28 @@ object Dedup {
     * oversized blocks spill to MinHash-band sub-bucketing, where
     * candidates are pairs agreeing on (block, band, band-hash). Exact
     * Jaccard verifies every candidate either way, so precision is
-    * always exact; on the banded path a qualifying pair at Jaccard
-    * ≥ 0.9 is missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8 under the
-    * default 16 bands × 4 rows (≈1.2e-2 at 0.7 — raise `bands` for
-    * looser thresholds). A million-doc block costs ~16M band rows
-    * instead of ~5e11 comparisons; per-block exact cost is capped at
+    * always exact; on the banded path the band count is scaled to the
+    * THRESHOLD automatically — caller-provided `bands` is a floor, and
+    * whenever (1-threshold^rows)^bands exceeds `missTarget` the band
+    * count is raised until a qualifying pair at exactly `threshold` is
+    * missed with probability ≤ missTarget (at 0.9 the default 16×4
+    * already gives ≈4e-8; at 0.7 the same shape would silently miss
+    * ≈1.2e-2 of pairs, so it auto-raises to 34 bands ≈ 1e-4). The
+    * spill is also logged, so callers on the probabilistic path know
+    * it. A million-doc block costs ~bands·1M band rows instead of
+    * ~5e11 comparisons; per-block exact cost is capped at
     * maxBlockSize²/2 cheap sorted-merge pairs.
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, shingleSize: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      maxBlockSize: Int = 4096): DataFrame = {
+      maxBlockSize: Int = 4096, missTarget: Double = 1e-4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val (r, b) = bandingFor(threshold, numHashes / bands, bands, missTarget)
+    if (b != bands)
+      log.warn(s"blockedJaccardPairs: raising bands $bands -> $b " +
+        s"(rows=$r) so the banded spill path misses a Jaccard=" +
+        s"$threshold pair with p <= $missTarget")
     val counts = df.groupBy(col(blockCol).as("__blk"))
       .agg(count(lit(1)).as("__blk_n"))
     val withN = df.join(counts, col(blockCol) === col("__blk"))
@@ -202,9 +212,27 @@ object Dedup {
       idCol, textCol, blockCol, threshold, shingleSize)
     val banded = bandedPairsInBlocks(
       withN.where(col("__blk_n") > maxBlockSize),
-      idCol, textCol, blockCol, threshold, shingleSize, numHashes, bands)
+      idCol, textCol, blockCol, threshold, shingleSize, r * b, b)
     exact.unionByName(banded).orderBy("id_a", "id_b")
   }
+
+  /** (rows, bands) for the banded spill path: keeps the caller's
+    * rows-per-band and raises the band count until a pair at exactly
+    * `threshold` is missed with probability (1-t^r)^b ≤ missTarget.
+    * Never weakens a caller's explicit choice — bands only go up.
+    */
+  private[operators] def bandingFor(threshold: Double, rows: Int,
+      bands: Int, missTarget: Double): (Int, Int) = {
+    val missPerBand = 1.0 - math.pow(threshold, rows)
+    if (math.pow(missPerBand, bands) <= missTarget) (rows, bands)
+    else {
+      val need = math.ceil(math.log(missTarget) / math.log(missPerBand))
+      (rows, math.max(bands, need.toInt))
+    }
+  }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 
   /** Exact all-pairs n-gram Jaccard within blocks — O(block²), complete
     * by construction. Only for callers that can BOUND the block size
@@ -278,45 +306,96 @@ object Dedup {
   /** Connected components over a near-duplicate pair set — the step
     * that turns pairwise matches into a per-document keep/drop
     * decision (every document maps to its component's minimum id as
-    * the canonical representative). Hash-to-min label propagation:
-    * each iteration every node takes the min label among itself and
-    * its neighbors, converging in graph-diameter iterations (near-dup
-    * components are shallow — 2-4 rounds in practice). Each round is
-    * one shuffle join + one aggregation, both key-partitioned — the
-    * standard cluster-scale connected-components shape. Lineage is cut
-    * with a localCheckpoint per round so plans stay constant-size.
+    * the canonical representative).
+    *
+    * Hash-to-min label propagation with pointer-doubling: each round
+    * every node first takes the min label among itself and its
+    * neighbors (one-hop propagation), then shortcuts through its
+    * label's own label (label[id] := min(label[id], label[label[id]])),
+    * so label distance to the component minimum roughly halves per
+    * round — near-dup components converge in 1-2 rounds instead of
+    * diameter rounds. Each round is key-partitioned shuffle joins +
+    * one aggregation — the standard cluster-scale connected-components
+    * shape, no driver-side graph state.
+    *
+    * Fault tolerance: by default each round cuts lineage with an eager
+    * `localCheckpoint` (fast, but executor-local — a lost executor
+    * kills the job because lineage is gone). For real clusters pass
+    * `checkpointDir` (a DFS path): labels are then persisted to
+    * parquet each round (two alternating files, bounded storage) and
+    * survive any executor loss. Convergence is checked every
+    * `checkEvery` rounds via EDGE-CONSISTENCY — stop when every edge
+    * has the same label at both ends. That state implies labels equal
+    * the component minimum (the min keeps its own label forever: no
+    * smaller id exists in its component to displace it, so a
+    * label-constant component is pinned at the min), and unlike a
+    * "no-change round" test it can stop after round one — the common
+    * case, since near-dup clusters are clique-like and one-hop + the
+    * shortcut reach the min immediately. The check is two joins over
+    * the already-materialized edges and labels, far cheaper than the
+    * extra full round the no-change test would run.
     *
     * Output: (doc_id, cluster_rep) for every document appearing in at
     * least one pair; `doc_id == cluster_rep` marks the canonical
     * survivor.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b"): DataFrame = {
-    // materialize the edge list once — the pair computation upstream
-    // (LSH + verification) must not re-run on every propagation round
-    val edges = pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+      idB: String = "id_b", checkpointDir: Option[String] = None,
+      checkEvery: Int = 1, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => df.localCheckpoint(true)
+      }
+    // materialize the PAIRS once — the pair computation upstream (LSH
+    // + verification) must not re-run per propagation round, and the
+    // two-direction union below references it twice (materializing
+    // after the union would execute the pair pipeline twice — measured
+    // ~2x the pair cost at sf0.1). The union itself is a trivial
+    // narrow op over the materialized rows, fine to recompute each
+    // round. No distinct: pair generators emit each undirected pair
+    // once (id_a < id_b), so the union is duplicate-free by
+    // construction, and min-aggregation is insensitive to duplicate
+    // edges anyway — a distinct here would be a pure extra shuffle.
+    val p = materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")), "cc_pairs")
+    val edges = p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), "cc_labels_init")
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // one-hop: min label among self and neighbors
       val viaNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .unionByName(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("next_label"))
-      val merged = labels.join(next, Seq("id"))
-        .select(col("id"), col("label"), col("next_label"))
-        .localCheckpoint(true)
-      changed = merged.where(col("next_label") < col("label")).count()
-      labels = merged.select(col("id"),
-        col("next_label").as("label"))
+      val oneHop = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      // pointer-doubling: shortcut through the label's own label.
+      // Labels are always node ids, so the self-join hits.
+      val doubled = oneHop
+        .join(oneHop.select(col("id").as("label"),
+          col("label").as("label2")), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("label2"), col("label")))
+            .as("label"))
+      labels = materialize(doubled, s"cc_labels_${round % 2}")
+      if (round % checkEvery == 0 || round == maxRounds)
+        converged = edges
+          .join(labels.select(col("id").as("src"),
+            col("label").as("__ls")), Seq("src"))
+          .join(labels.select(col("id").as("dst"),
+            col("label").as("__ld")), Seq("dst"))
+          .where(col("__ls") =!= col("__ld"))
+          .isEmpty
     }
+    log.info(s"duplicateClusters converged after $round rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }

@@ -60,14 +60,21 @@ object TypeInference {
     "yyyy-M-d", "yyyy/M/d", "yyyy.M.d", "yyyyMMdd",
     // YmdT
     "yyyy-M-d'T'H:m:s",
-    // mdY HMS / HM / date
+    // mdY HMS / HM / date — lubridate's m matches month NAMES too
+    // (%b/%B as well as %m, whiteRRabbit.R:174-181), so each family
+    // carries MMM/MMMM variants: "Aug 15, 2024", "August 15 2024".
     "M/d/yyyy H:m:s", "M-d-yyyy H:m:s", "M.d.yyyy H:m:s",
     "M/d/yyyy H:m", "M-d-yyyy H:m", "M.d.yyyy H:m",
     "M/d/yyyy", "M-d-yyyy", "M.d.yyyy",
-    // dmy HMS / HM / date
+    "MMM d, yyyy", "MMM d yyyy", "MMM-d-yyyy", "MMM/d/yyyy",
+    "MMMM d, yyyy", "MMMM d yyyy",
+    // dmy HMS / HM / date (+ month-name variants: "15-Aug-2024")
     "d/M/yyyy H:m:s", "d-M-yyyy H:m:s", "d.M.yyyy H:m:s",
     "d/M/yyyy H:m", "d-M-yyyy H:m", "d.M.yyyy H:m",
-    "d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
+    "d/M/yyyy", "d-M-yyyy", "d.M.yyyy",
+    "d-MMM-yyyy H:m:s", "d-MMM-yyyy",
+    "d MMM yyyy", "d/MMM/yyyy", "d.MMM.yyyy",
+    "d MMMM yyyy", "d-MMMM-yyyy")
 
   /** Parse a string column as double, NULL on failure (R as.numeric). */
   def numericParse(name: String): Column =
@@ -84,15 +91,24 @@ object TypeInference {
     *
     * A single charset regex gates the parser cascade: every format
     * (and the ISO parser) can only accept strings of digits and
-    * date/time punctuation, so values with any other character return
-    * NULL after one regex check instead of ~30 failed parser attempts
-    * — same result, an order of magnitude cheaper on non-date string
-    * columns (measured 7.5 s → 4 s on the stringified-orders
-    * inference query at sf0.1).
+    * date/time punctuation — or, for the month-name families, strings
+    * containing a month-name token — so values matching neither branch
+    * return NULL after one regex check instead of ~40 failed parser
+    * attempts. Same result, an order of magnitude cheaper on non-date
+    * string columns (measured 7.5 s → 4 s on the stringified-orders
+    * inference query at sf0.1). A non-date string that happens to
+    * contain a month token ("may-fly") just pays the parser cascade
+    * and still yields NULL — the gate only affects speed, never the
+    * decision.
     */
+  private val dateCharsetGate =
+    "^[0-9][0-9Tt:zZ+ ./-]*$|" +
+      "(?i)^(?=.*(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec))" +
+      "[0-9a-z:, ./-]+$"
+
   def dateParse(name: String): Column = {
     val t = trim(col(s"`$name`"))
-    when(t.rlike("^[0-9][0-9Tt:zZ+ ./-]*$"),
+    when(t.rlike(dateCharsetGate),
       coalesce((try_to_timestamp(t) +:
         dateFormats.map(f => try_to_timestamp(t, lit(f)))): _*))
   }
@@ -144,25 +160,30 @@ object TypeInference {
 
     // Stage 1: date-candidate pre-filter on a bounded row sample.
     // orderBy(rand).limit(k) plans as TakeOrderedAndProject
-    // (per-partition top-k, no full shuffle).
-    val projected = df.select(strCols.map(c => col(s"`$c`")): _*)
-    val sample =
-      if (randomSample)
-        projected.orderBy(rand(seed)).limit(sampleSize)
-      else projected.limit(sampleSize)
-    val voteAggs = strCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(rate(c, dateParse(c)).as(s"d_$i"),
-        count(when(nonEmpty(c), lit(1))).as(s"dn_$i"))
-    }
-    val vote = sample.agg(voteAggs.head, voteAggs.tail: _*).head()
-    def sampleRate(i: Int): Double =
-      if (vote.isNullAt(vote.fieldIndex(s"d_$i"))) -1.0
-      else vote.getAs[Double](s"d_$i")
-    def sampleVotes(i: Int): Long = vote.getAs[Long](s"dn_$i")
-
-    val dateCand = strCols.zipWithIndex.filter { case (_, i) =>
-      sampleRate(i) >= threshold / 2 || sampleVotes(i) < 30
-    }
+    // (per-partition top-k, no full shuffle). The 5-sigma safety
+    // argument below assumes a UNIFORM sample — with
+    // randomSample=false a head sample could correlate with row order
+    // (e.g. leading rows from a differently-formatted source), so in
+    // that mode the pre-filter is skipped entirely and every string
+    // column goes to the full date validation.
+    val dateCand: Seq[(String, Int)] =
+      if (!randomSample) strCols.zipWithIndex
+      else {
+        val projected = df.select(strCols.map(c => col(s"`$c`")): _*)
+        val sample = projected.orderBy(rand(seed)).limit(sampleSize)
+        val voteAggs = strCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(rate(c, dateParse(c)).as(s"d_$i"),
+            count(when(nonEmpty(c), lit(1))).as(s"dn_$i"))
+        }
+        val vote = sample.agg(voteAggs.head, voteAggs.tail: _*).head()
+        def sampleRate(i: Int): Double =
+          if (vote.isNullAt(vote.fieldIndex(s"d_$i"))) -1.0
+          else vote.getAs[Double](s"d_$i")
+        def sampleVotes(i: Int): Long = vote.getAs[Long](s"dn_$i")
+        strCols.zipWithIndex.filter { case (_, i) =>
+          sampleRate(i) >= threshold / 2 || sampleVotes(i) < 30
+        }
+      }
 
     // Stage 2: ONE full-column aggregation: per-column non-empty count
     // and numeric bad count for every string column, date rate for the

@@ -38,11 +38,16 @@ object ReportSink {
       write: (String, DataFrame) => Unit): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
+    // Lift each write into Try and await them ALL before rethrowing:
+    // a fail-fast Await would return while sibling sheet jobs are
+    // still in flight (partially-written report, racy cleanup).
+    val outcomes = Await.result(
       Future.sequence(sheets(overview, results).map { case (name, df) =>
-        Future(write(name, df))
+        Future(Try(write(name, df)))
       }), Duration.Inf)
+    outcomes.foreach(_.get) // rethrow the first failure, if any
   }
 
   /** Reference-layout TSV report (whiteRRabbit.R:515-531). */

@@ -122,6 +122,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       5L -> 5L, 9L -> 5L))
   }
 
+  test("duplicate clustering converges on a long path graph and under " +
+      "the reliable-checkpoint option") {
+    // a 16-node path with the min id in the middle — worst case for
+    // one-hop propagation, exercises pointer-doubling across rounds
+    val ids = Seq(9L, 4L, 12L, 1L, 7L, 15L, 3L, 0L, 11L, 6L, 13L, 2L,
+      10L, 5L, 14L, 8L)
+    val pairs = ids.zip(ids.tail)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val expected = ids.map(_ -> 0L).toMap
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // reliable checkpoint: same result, labels persisted to parquet
+    val dir = graft.config.Scratch.dir + "/cc_reliable_test"
+    val got2 = Dedup.duplicateClusters(pairs,
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == expected)
+    assert(new java.io.File(s"$dir/cc_pairs").exists())
+  }
+
   private lazy val vecs = {
     // 8-dim: three tight cluster members + two far points
     val rows = Seq(

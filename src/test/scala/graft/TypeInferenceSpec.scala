@@ -121,4 +121,29 @@ class TypeInferenceSpec extends AnyFunSuite {
       .map(_.get(0).toString).sorted
     assert(promoted.head.startsWith("2023-01-15 10:30:00"))
   }
+
+  test("month-name dates promote to datetime " +
+      "(lubridate %b/%B orders, whiteRRabbit.R:174-181)") {
+    // dmy with short month name
+    assert(inferOne(Seq("15-Aug-2024", "01-Jan-2023", "09-Dec-2022"))
+      == DatetimeT)
+    // mdY with short month name + comma
+    assert(inferOne(Seq("Aug 15, 2024", "Jan 2, 2023")) == DatetimeT)
+    // full month names
+    assert(inferOne(Seq("15 August 2024", "2 January 2023")) == DatetimeT)
+    // values parse to the right instants
+    val df = Seq("15-Aug-2024", "Jan 2, 2023").toDF("c")
+    val promoted = TypeInference.promote(df, Map("c" -> DatetimeT))
+      .collect().map(_.get(0).toString).sorted
+    assert(promoted.head.startsWith("2023-01-02"))
+    assert(promoted(1).startsWith("2024-08-15"))
+  }
+
+  test("letter strings that are not month-name dates stay character") {
+    assert(inferOne(Seq("foo-bar-2024", "baz-qux-2023")) == CharacterT)
+    // contains a month token but is not a date — gate admits it, the
+    // parser cascade rejects it
+    assert(inferOne(Seq("may-fly", "january-sale", "march-of-time"))
+      == CharacterT)
+  }
 }
