@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.config.ScanConfig
-import graft.sinks.ReportSink
+import graft.sinks.{ReportSink, XlsxSink}
 
 /** End-to-end verification of the reference's primary lifecycle
   * (whiteRRabbit.R:450-534): discover files → per-file scan loop →
@@ -17,11 +18,13 @@ import graft.sinks.ReportSink
   *
   * The fixture is two delimited files derived from the `customer` and
   * `nation` parquet tables (stringified — the scan must re-discover the
-  * numeric columns via type inference). Both sink formats are written
-  * and both are read back: TSV sheets re-enter as all-string CSV, the
-  * parquet workbook re-enters typed; the digest normalizes both to the
-  * same rows, so every sheet is verified twice (prefix `wb_` for the
-  * workbook copy).
+  * numeric columns via type inference). All three sink artifacts are
+  * written and read back: TSV sheets re-enter as all-string CSV, the
+  * parquet workbook re-enters typed, and the real `.xlsx` file is
+  * unzipped and its SpreadsheetML cells parsed back ([[XlsxSink
+  * .readSheet]]); the digest normalizes all three to the same rows, so
+  * every sheet is verified three times (prefixes `wb_` for the
+  * workbook copy, `xl_` for the xlsx copy).
   */
 object ScanReportE2E {
 
@@ -135,24 +138,38 @@ object ScanReportE2E {
     val overview = Scan.overview(s, results)
     ReportSink.writeTsv(outDir, prefix, overview, results)
     ReportSink.writeWorkbook(outDir, prefix, overview, results)
+    ReportSink.writeXlsx(outDir, prefix, overview, results)
 
     def tsvSheet(name: String): DataFrame =
       s.read.option("sep", "\t").option("header", "true")
         .csv(s"$outDir/${prefix}_$name")
     def wbSheet(name: String): DataFrame =
       s.read.parquet(s"$outDir/${prefix}_workbook/$name")
+    // the real xlsx: unzip, DOM-parse the sheet XML, re-enter as an
+    // all-string local DataFrame (the melts cast, like the TSV path)
+    def xlSheet(name: String): DataFrame = {
+      val (header, rows) =
+        XlsxSink.readSheet(s"$outDir/$prefix.xlsx", name)
+      val schema = StructType(
+        header.map(h => StructField(h, StringType, nullable = true)))
+      s.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromSeq): _*), schema)
+    }
 
     val perFile = fixtureTables.zipWithIndex.flatMap { case (_, i) =>
       val f = i + 1
       Seq(
         meltSummary(tsvSheet(s"File${f}_Summary"), s"File${f}_Summary"),
         meltSummary(wbSheet(s"File${f}_Summary"), s"wb_File${f}_Summary"),
+        meltSummary(xlSheet(s"File$f"), s"xl_File${f}_Summary"),
         meltFreq(tsvSheet(s"File${f}_Freq"), s"File${f}_Freq"),
-        meltFreq(wbSheet(s"File${f}_Freq"), s"wb_File${f}_Freq"))
+        meltFreq(wbSheet(s"File${f}_Freq"), s"wb_File${f}_Freq"),
+        meltFreq(xlSheet(s"File${f}freq"), s"xl_File${f}_Freq"))
     }
     val all = (Seq(
       meltOverview(tsvSheet("Overview"), "Overview"),
-      meltOverview(wbSheet("Overview"), "wb_Overview")) ++ perFile)
+      meltOverview(wbSheet("Overview"), "wb_Overview"),
+      meltOverview(xlSheet("Overview"), "xl_Overview")) ++ perFile)
       .reduce(_ unionByName _)
     all.orderBy("sheet", "row_id", "metric")
   }
@@ -207,7 +224,7 @@ object ScanReportE2E {
       s"SELECT '${q(sheet)}' AS sheet, $rowId AS row_id, " +
         s"'$metric' AS metric, $sval AS sval, $nval AS nval$from"
 
-    val sheetPrefixes = Seq("", "wb_")
+    val sheetPrefixes = Seq("", "wb_", "xl_")
     val selects = sheetPrefixes.flatMap { p =>
       val overview = fixtureTables.zipWithIndex.flatMap { case ((t, cols), i) =>
         val sheet = s"${p}Overview"

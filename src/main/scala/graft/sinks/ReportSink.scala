@@ -13,10 +13,14 @@ import graft.operators.Profile
   *   writes each sheet as a directory of part files; coalesce(1) gives
   *   the reference's one-file-per-sheet shape (fine for report-sized
   *   outputs — summaries are per-column, frequencies are top-K-bounded).
-  * - The xlsx workbook (whiteRRabbit.R:485-514) is emulated as a
-  *   directory of Parquet "sheets" with the same sheet names: no xlsx
-  *   library exists offline (build.sbt:5-11), and at 100 TB a
-  *   columnar sheet a downstream tool can read beats a spreadsheet.
+  * - The xlsx workbook (whiteRRabbit.R:485-514) is a REAL `.xlsx`
+  *   file written by [[XlsxSink]] (hand-rolled SpreadsheetML over
+  *   `java.util.zip` — no library needed) with the reference's sheet
+  *   names (`Overview`, `File<i>`, `File<i>freq`), bold headers, auto
+  *   widths, and a frozen first row. The xlsx format additionally
+  *   emits the Parquet "workbook" directory — a columnar copy of the
+  *   same sheets that downstream tools can read without a spreadsheet
+  *   parser (useful at 100 TB where the report feeds other jobs).
   */
 object ReportSink {
 
@@ -67,12 +71,29 @@ object ReportSink {
         .parquet(s"$outputDir/${prefix}_workbook/$name")
     }
 
+  /** Real `.xlsx` workbook at `<outputDir>/<prefix>.xlsx` with the
+    * reference's sheet naming (whiteRRabbit.R:485-514: `Overview`,
+    * `File<i>` for summaries, `File<i>freq` for non-empty frequency
+    * sheets).
+    */
+  def writeXlsx(outputDir: String, prefix: String, overview: DataFrame,
+      results: Seq[TableScanResult]): Unit = {
+    val perFile = results.zipWithIndex.flatMap { case (r, i) =>
+      val s = Seq(s"File${i + 1}" -> Profile.referenceSummary(r.summary))
+      if (r.freq.isEmpty) s else s :+ (s"File${i + 1}freq" -> r.freq)
+    }
+    XlsxSink.write(s"$outputDir/$prefix.xlsx",
+      ("Overview" -> overview) +: perFile)
+  }
+
   /** Dispatch on the configured output format (whiteRRabbit.R:483-534). */
   def write(outputDir: String, prefix: String, format: String,
       overview: DataFrame, results: Seq[TableScanResult]): Unit =
     format match {
       case "tsv"  => writeTsv(outputDir, prefix, overview, results)
-      case "xlsx" => writeWorkbook(outputDir, prefix, overview, results)
+      case "xlsx" =>
+        writeXlsx(outputDir, prefix, overview, results)
+        writeWorkbook(outputDir, prefix, overview, results)
       case other =>
         throw new IllegalArgumentException(
           s"Invalid output_format: $other (use xlsx or tsv)") // ref :532-534
