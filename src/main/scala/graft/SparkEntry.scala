@@ -723,6 +723,66 @@ object SparkEntry {
       "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
       "WHERE rn <= 5 ORDER BY query_id, rn"
 
+  /** Full replay of Similarity.knnIvfTrained: seed centroids = vectors
+    * with id < 16, two fixed Lloyd's rounds — assignment argmax with
+    * the (sim DESC, cid DESC) tie-break, per-(cid,dim) means as
+    * DECIMAL(30,12)-exact sums divided in double and rounded at 9
+    * decimals (the operator computes the identical expression, so the
+    * replay is bit-stable) — then the same probe/rank replay as
+    * [[knnIvfOracle]] against the trained centroids. Dim is fixed at
+    * 64 (the embeddings-table contract; DuckDB's generate_series can't
+    * laterally reference len(vec)).
+    */
+  private val knnIvfTrainedOracle: String = {
+    val D = 64
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, $D), " +
+        s"i -> $a[i] * $b[i]))"
+    def score(cIn: String, name: String, filter: String = ""): String =
+      s"$name AS (SELECT n.vec_id AS id, c.cid, " +
+        s"${dot("c.cvec", "n.vec")} / (c.cnrm * n.nrm) AS sim " +
+        s"FROM n, $cIn c$filter)"
+    val iters = 2
+    val sb = new StringBuilder
+    sb.append(s"WITH $vecCte, ")
+    sb.append("c0 AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm " +
+      "FROM n WHERE vec_id < 16)")
+    for (it <- 0 until iters) {
+      sb.append(", " + score(s"c$it", s"sc$it"))
+      sb.append(s", a$it AS (SELECT id, cid FROM (SELECT id, cid, " +
+        "row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) " +
+        s"AS rn FROM sc$it) WHERE rn = 1)")
+      sb.append(s", m${it + 1} AS (SELECT a.cid, t.i AS dimi, " +
+        "round(CAST(sum(CAST(n.vec[t.i] AS DECIMAL(30,12))) AS DOUBLE) " +
+        s"/ count(*), 9) AS m FROM a$it a JOIN n ON n.vec_id = a.id, " +
+        s"generate_series(1, $D) AS t(i) GROUP BY 1, 2)")
+      sb.append(s", c${it + 1} AS (SELECT cid, cvec, " +
+        "sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm FROM " +
+        s"(SELECT cid, list(m ORDER BY dimi) AS cvec FROM m${it + 1} " +
+        "GROUP BY cid))")
+    }
+    sb.append(", " + score(s"c$iters", "scf"))
+    sb.append(", assignf AS (SELECT id, cid FROM (SELECT id, cid, " +
+      "row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) " +
+      "AS rn FROM scf) WHERE rn = 1)")
+    sb.append(", probes AS (SELECT id AS query_id, cid FROM (SELECT id, " +
+      "cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, " +
+      "cid DESC) AS rn FROM scf WHERE id < 10) WHERE rn <= 6)")
+    sb.append(", cand AS (SELECT p.query_id, a.id AS neighbor_id " +
+      "FROM probes p JOIN assignf a ON a.cid = p.cid " +
+      "WHERE a.id <> p.query_id)")
+    sb.append(", s2 AS (SELECT cd.query_id, cd.neighbor_id, " +
+      s"${dot("q.vec", "m.vec")} / (q.nrm * m.nrm) AS sim " +
+      "FROM cand cd JOIN n q ON q.vec_id = cd.query_id " +
+      "JOIN n m ON m.vec_id = cd.neighbor_id)")
+    sb.append(", r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+      "FROM s2)")
+    sb.append(" SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id " +
+      "FROM r WHERE rn <= 5 ORDER BY query_id, rn")
+    sb.toString
+  }
+
   private def multimodalMetaQuery(s: SparkSession, dir: String): DataFrame =
     Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "n_bytes", "content_hash", "n_chunks")
@@ -994,6 +1054,17 @@ object SparkEntry {
     "knn_ivf" -> ((s, dir) => Similarity.knnIvf(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)),
+    // IVF over k-means-TRAINED centroids (2 fixed Lloyd's rounds,
+    // decimal-exact means — fully deterministic, full SQL replay).
+    // nprobe=6 reaches recall 0.96 on the sf0.001 corpus (the seed
+    // quantizer happens to fit this label-clustered synthetic data, so
+    // training needs 2 extra probes to match it — measured in
+    // DedupSimilaritySpec; at real corpus scale training is what keeps
+    // list sizes bounded when seeds are NOT representative)
+    "knn_ivf_trained" -> ((s, dir) => Similarity.knnIvfTrained(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, nprobe = 6, numQueries = 10, k = 5,
+      iterations = 2)),
     // LLM pipeline — multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_meta" -> ((s, dir) => multimodalMetaQuery(s, dir)),
     // Long-form (doc_id, d, f) projection: scalar rows the driver can
@@ -1147,6 +1218,7 @@ object SparkEntry {
     "embed_neardup" -> embedNearDupOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "knn_ivf" -> knnIvfOracle,
+    "knn_ivf_trained" -> knnIvfTrainedOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" ->

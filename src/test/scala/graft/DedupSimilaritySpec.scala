@@ -218,6 +218,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"ivf recall $recall%.3f below the 0.5 floor")
   }
 
+  test("k-means-trained IVF meets the 0.94 recall bar at its " +
+      "registered config (sf0.001 embeddings)") {
+    val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(ivf: Set[(Long, Long)]): Double =
+      ivf.intersect(exact).size.toDouble / exact.size
+    // honest characterization: at EQUAL nprobe=4 the trained quantizer
+    // measured 0.88 vs 0.94 untrained here — the label-clustered
+    // synthetic corpus happens to match the seed vectors, so training
+    // buys nothing locally (its value is bounded list sizes when seeds
+    // are unrepresentative, which no 500-vector fixture shows). The
+    // registered config (nprobe=6, iterations=2) must clear the same
+    // 0.94 bar the untrained operator set.
+    val trained = recallOf(Similarity.knnIvfTrained(realVecs, "vec_id",
+        "embedding", numCentroids = 16, nprobe = 6, numQueries = 10,
+        k = 5, iterations = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet)
+    info(f"trained ivf recall at nprobe=6/16: $trained%.3f")
+    assert(trained >= 0.94,
+      f"trained recall $trained%.3f below the 0.94 bar")
+  }
+
   test("hyperplane LSH always buckets identical vectors together") {
     val dup = vecs.union(Seq((5L, Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f,
       0f))).toDF("vec_id", "embedding"))
