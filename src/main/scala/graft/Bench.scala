@@ -45,7 +45,43 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // Scale smoke: when the GenScale-produced 10x directory exists,
+    // re-time the heaviest scaling queries there and report the
+    // per-query 10x-data ratio (superlinear cliffs would show as
+    // ratios approaching 10; see SCALE_SMOKE.md for the methodology).
+    val sf1Dir = "target/sf1"
+    val sf1Queries = Seq("asof_last_order", "dedup_clusters",
+      "dedup_exact", "dedup_jaccard_block", "dedup_keep_best",
+      "dedup_minhash", "freq_lineitem", "pipeline_clean",
+      "range_join_sessions", "sessionize_batch", "summary_lineitem",
+      "summary_lineitem_approx", "typeinfer_roundtrip")
+    val sf1Section =
+      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) ""
+      else {
+        val base = results.collect {
+          case (k, v, true) if sf1Queries.contains(k) => k -> v
+        }.toMap
+        val scaled = sf1Queries.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sf1Dir).count()
+              Some(name -> (System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $name FAILED: $e"); None
+            }
+          }
+        }
+        val entries = scaled.map { case (k, v) =>
+          val ratio = base.get(k).map(b => v / b)
+          "\"" + k + "\":{\"sec\":" + v +
+            ratio.map(r => ",\"x10_ratio\":" + math.round(r * 100) / 100.0)
+              .getOrElse("") + "}"
+        }.mkString("{", ",", "}")
+        s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"queries":$entries}"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
     spark.stop()
   }
 }

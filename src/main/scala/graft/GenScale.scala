@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for bench smoke tests: replicates the sf0.1
+  * tables `copies`× into an sf1-equivalent directory, shifting every
+  * join/group key per copy so per-key group sizes and join fan-outs
+  * stay CONSTANT while row counts scale — the shape a 10× bigger
+  * corpus actually has, and the one that makes "no superlinear
+  * regression" a meaningful assertion.
+  *
+  * documents get their tokens injectively renamed per copy
+  * (`tok` → `tok_c<i>`) instead of key-shifted text: Jaccard and
+  * containment are invariant under injective vocabulary renaming, so
+  * every copy reproduces the sf0.1 near-dup pair structure exactly
+  * while cross-copy similarity drops to zero — 10 independent
+  * instances of the dedup problem, no quadratic candidate blow-up
+  * from cloned text. Copy 0 stays verbatim.
+  *
+  * Dimension tables (nation/region/supplier/part/embeddings) copy
+  * verbatim — they are dims or fixed-size surfaces whose scale story
+  * is separate (and documented on their operators).
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("target/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val K = 10000000L // key shift per copy, beyond any base key range
+
+    val spark = SparkSession.builder()
+      .appName("genscale").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def out(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"wrote $name")
+    }
+    def rep(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      out(name, (0 until copies).map(i => shift(base, i))
+        .reduce(_ unionByName _))
+    }
+    def shifted(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * K)))
+
+    rep("lineitem")((d, i) =>
+      shifted(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
+    rep("orders")((d, i) => shifted(d, i, "o_orderkey", "o_custkey"))
+    rep("customer")((d, i) => shifted(d, i, "c_custkey"))
+    // events.ts is TIMESTAMP(NANOS) read as raw long (nanosAsLong);
+    // written back as BIGINT, which SparkEntry.tbl handles identically
+    rep("events")((d, i) => shifted(d, i, "event_id", "user_id"))
+    rep("documents") { (d, i) =>
+      val base = shifted(d, i, "doc_id")
+        .withColumn("source", concat(col("source"), lit(s"_c$i")))
+      if (i == 0) base
+      else base.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_c$i"))), " "))
+    }
+    Seq("nation", "region", "supplier", "part", "embeddings")
+      .foreach(t => out(t,
+        spark.read.parquet(s"$src/$t.parquet")))
+    spark.stop()
+  }
+}

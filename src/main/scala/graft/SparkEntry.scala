@@ -915,6 +915,13 @@ object SparkEntry {
     "summary_lineitem_approx" -> ((s, dir) =>
       Profile.summarizeApprox(tbl(s, dir, "lineitem"))
         .orderBy("column_name")),
+    // 100 TB mode, single-scan variant: ONE custom
+    // TypedImperativeAggregate folds counters + moments + HLL + sketch
+    // quantiles per column in one pass (no oracle — same documented
+    // divergence as the approx path; pinned by ProfileFrequencySpec)
+    "summary_lineitem_onepass" -> ((s, dir) =>
+      Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
+        .orderBy("column_name")),
     "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
     // date aggregate suite (op 13) on microsecond-precision timestamps
     "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),
@@ -1266,10 +1273,11 @@ object SparkEntry {
     "streaming_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")
-    // dedup_simhash, embed_neardup_lsh, summary_lineitem_approx:
-    // hash-seeded / sketch-approximate operators with no
-    // SQL-expressible oracle — covered by the driver's rows-only
-    // check plus empirical ScalaTest pins (blocking completeness,
-    // precision/recall floors, rank-error tolerance vs exact twins).
+    // dedup_simhash, embed_neardup_lsh, summary_lineitem_approx,
+    // summary_lineitem_onepass: hash-seeded / sketch-approximate
+    // operators with no SQL-expressible oracle — covered by the
+    // driver's rows-only check plus empirical ScalaTest pins (blocking
+    // completeness, precision/recall floors, rank-error tolerance vs
+    // exact twins).
   )
 }

@@ -352,6 +352,69 @@ object Profile {
     reshapeRows(df, allRows, None, None)
   }
 
+  /** ONE-pass, ONE-scan approx profile: every column's counters,
+    * moments, min/max, HLL distinct, and sketch quantiles fold inside
+    * a single custom [[graft.functions.ProfileSketchAgg]] aggregate —
+    * the input is read exactly once. [[summarizeApprox]]'s three
+    * concurrent jobs scan it three times, which only wins while the
+    * input sits in the page cache; at 100 TB the scan IS the cost and
+    * this path does a third of it. Same sketch implementations
+    * underneath (HyperLogLogPlusPlusHelper, QuantileSummaries), so
+    * accuracy contracts are identical to the stock
+    * approx_count_distinct / percentile_approx.
+    */
+  def summarizeOnePass(df: DataFrame, rsd: Double = 0.05,
+      relativeError: Double = 0.01): DataFrame = {
+    import graft.functions.ProfileSketchAgg
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column DataFrame")
+    val nullNum = lit(null).cast(DoubleType)
+    val aggs = fields.zipWithIndex.map { case (f, i) =>
+      val c = col(f.name)
+      val (value, num) = f.dataType match {
+        case StringType => (c, nullNum)
+        case t if isNum(t) => (c, c.cast(DoubleType))
+        case t if isTs(t) =>
+          val ts = if (f.dataType == TimestampType) c
+            else c.cast(TimestampType)
+          (c, unix_micros(ts).cast(DoubleType))
+        case _ => (c, nullNum)
+      }
+      ProfileSketchAgg.sketch(value, num,
+        isString = f.dataType == StringType, rsd, relativeError).as(s"s_$i")
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows: Seq[Row] = fields.zipWithIndex.toSeq.map { case (f, i) =>
+      val s = r.getStruct(r.fieldIndex(s"s_$i"))
+      val total = s.getAs[Long]("n")
+      val missing = s.getAs[Long]("nulls")
+      val empty = s.getAs[Long]("empties")
+      def d(name: String): java.lang.Double =
+        if (s.isNullAt(s.fieldIndex(name))) null
+        else Double.box(s.getAs[Double](name))
+      def us(name: String): java.lang.Long =
+        if (s.isNullAt(s.fieldIndex(name))) null
+        else Long.box(math.floor(s.getAs[Double](name)).toLong)
+      val numeric = isNum(f.dataType)
+      val ts = isTs(f.dataType)
+      val (q1, med, q3) =
+        if (numeric) (d("q1"), d("med"), d("q3"))
+        else (null: java.lang.Double, null: java.lang.Double,
+          null: java.lang.Double)
+      val iqr: java.lang.Double =
+        if (q1 != null && q3 != null) Double.box(q3 - q1) else null
+      Row(f.name, rClassName(f.dataType), total, total - missing - empty,
+        missing, empty, s.getAs[Long]("dist"),
+        if (numeric) d("mn") else null, if (numeric) d("mx") else null,
+        if (numeric) d("av") else null, med,
+        if (numeric) d("sd") else null, q1, q3, iqr,
+        if (ts) us("mn") else null, if (ts) us("mx") else null,
+        if (ts) us("med") else null)
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), summarySchema)
+  }
+
   /** Runs the single counters/moments agg job then reshapes (exact
     * path); the approx path computes its rows concurrently and calls
     * [[reshapeRows]] directly.

@@ -98,12 +98,12 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(math.abs(pct("b") - 7.0 / 17) < 1e-12)
   }
 
-  test("approx profile tracks the exact profile within sketch " +
-      "tolerances (sf0.001 lineitem)") {
+  private def checkApproxAgainstExact(
+      approxDf: org.apache.spark.sql.DataFrame): Unit = {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = Profile.summarize(li).collect()
       .map(r => r.getString(0) -> r).toMap
-    val approx = Profile.summarizeApprox(li).collect()
+    val approx = approxDf.collect()
       .map(r => r.getString(0) -> r).toMap
     exact.foreach { case (c, e) =>
       val a = approx(c)
@@ -134,7 +134,29 @@ class ProfileFrequencySpec extends AnyFunSuite {
         assert(le >= p - 0.02 && lt <= p + 0.02,
           s"$c $f: approx=$av covers ranks [$lt, $le], target $p")
       }
+      // min/max are exact in every approx path; mean/sd accumulate in
+      // a different order than the exact agg, so allow float slack
+      for ((f, tol) <- Seq("min_val" -> 0.0, "max_val" -> 0.0,
+             "mean_val" -> 1e-9, "sd_val" -> 1e-6)
+           if !e.isNullAt(e.fieldIndex(f)) &&
+             !a.isNullAt(a.fieldIndex(f))) {
+        val (ev, avv) = (e.getAs[Double](f), a.getAs[Double](f))
+        assert(math.abs(avv - ev) <= tol * math.max(1.0, math.abs(ev)),
+          s"$c $f: exact=$ev approx=$avv")
+      }
     }
+  }
+
+  test("approx profile tracks the exact profile within sketch " +
+      "tolerances (sf0.001 lineitem)") {
+    checkApproxAgainstExact(Profile.summarizeApprox(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")))
+  }
+
+  test("one-pass sketch profile tracks the exact profile within the " +
+      "same sketch tolerances (sf0.001 lineitem)") {
+    checkApproxAgainstExact(Profile.summarizeOnePass(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")))
   }
 
   test("profile handles empty tables and all-null columns") {
