@@ -1053,6 +1053,21 @@ object SparkEntry {
     // quantified ScalaTest in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // LLM pipeline — benchmark decontamination: corpus docs sharing
+    // any 3-gram with the benchmark set (stand-in: every 50th doc),
+    // counted per doc. N-gram equality join, benchmark side broadcast.
+    "decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      operators.TextMetrics.decontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", 3)
+        .orderBy("doc_id")
+    }),
+    // LLM pipeline — within-doc repetition profile (Gopher-style
+    // duplicate-text signals)
+    "text_repetition" -> ((s, dir) => operators.TextMetrics
+      .repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")),
     "knn_bruteforce" -> ((s, dir) => Similarity.knnBruteForce(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numQueries = 10, k = 5)),
@@ -1226,6 +1241,39 @@ object SparkEntry {
     "knn_bruteforce" -> knnBruteForceOracle,
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
+    "decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
+        "FROM documents), " +
+        "cg AS (SELECT DISTINCT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "bg AS (SELECT DISTINCT " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3) " +
+        "SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (ng) " +
+        "GROUP BY 1 ORDER BY doc_id"),
+    "text_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tc AS (SELECT doc_id, tk, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(t) AS tk FROM tok) GROUP BY 1, 2), " +
+        "ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup " +
+        "FROM tc GROUP BY 1), " +
+        "bgx AS (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> array_to_string(t[i:i+1], ' '))) AS bg " +
+        "FROM tok WHERE len(t) >= 2), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2), " +
+        "ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top, " +
+        "CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1) " +
+        "SELECT t.doc_id, t.n_tokens, " +
+        "round(CAST(t.dup AS DOUBLE) / t.n_tokens, 6) AS dup_token_frac, " +
+        "round(CAST(b.top AS DOUBLE) / b.n_bg, 6) AS top_bigram_frac " +
+        "FROM ta t LEFT JOIN ba b ON t.doc_id = b.doc_id " +
+        "ORDER BY t.doc_id"),
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" ->
