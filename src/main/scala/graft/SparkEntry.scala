@@ -939,6 +939,21 @@ object SparkEntry {
     // LLM pipeline — per-group exact-k sampling (source balancing);
     // the sampled rows are seed-dependent, so the contract checks the
     // per-group sample SIZE and sampled-key distinctness
+    // LLM pipeline — weighted exact-k sampling (Efraimidis-Spirakis
+    // A-Res): contract checks sample size, key distinctness, and the
+    // weight bias (sampled mean totalprice must exceed the population
+    // mean — hardcoded-true in the oracle, flips red if the weighting
+    // breaks; the sampled rows themselves are seed-dependent)
+    "sample_weighted" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val sampled = Sampling.weightedExactK(orders, "o_totalprice", 1000)
+      sampled.agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_distinct"),
+          avg(col("o_totalprice")).as("__avg_s"))
+        .crossJoin(orders.agg(avg(col("o_totalprice")).as("__avg_p")))
+        .select(col("n"), col("n_distinct"),
+          (col("__avg_s") > col("__avg_p")).cast("int").as("uplift"))
+    }),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedExactK(
       tbl(s, dir, "orders"), "o_orderpriority", 100)
       .groupBy(col("o_orderpriority"))
@@ -1241,6 +1256,9 @@ object SparkEntry {
     "knn_bruteforce" -> knnBruteForceOracle,
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
+    "sample_weighted" ->
+      ("SELECT CAST(1000 AS BIGINT) AS n, " +
+        "CAST(1000 AS BIGINT) AS n_distinct, CAST(1 AS INT) AS uplift"),
     "decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents), " +

@@ -46,6 +46,26 @@ object Sampling {
       .drop("__rand", "__rn")
   }
 
+  /** Exactly min(k, n) rows sampled WITHOUT replacement with
+    * probability proportional to a positive weight column — the
+    * "sample by quality score" primitive of a training-data mix.
+    * Efraimidis-Spirakis A-Res: each row draws key u^(1/w) for
+    * u ~ U(0,1) and the k largest keys win; the result is exactly a
+    * weighted sample without replacement. Plans as
+    * TakeOrderedAndProject like [[exactK]] — per-partition top-k
+    * heaps, no full shuffle, holds at any scale. Rows with
+    * non-positive or NULL weight are excluded (they would never be
+    * drawn).
+    */
+  def weightedExactK(df: DataFrame, weightCol: String, k: Int,
+      seed: Long = 42L): DataFrame =
+    df.where(col(weightCol) > 0)
+      .withColumn("__key",
+        pow(rand(seed), lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__key").desc)
+      .limit(k)
+      .drop("__key")
+
   /** The reference's row-cap policy: sample only when the table exceeds
     * maxRows (whiteRRabbit.R:225-272). The reference caps only for
     * maxRows > 0 (whiteRRabbit.R:225,:259,:268), so 0 and negative both

@@ -36,6 +36,28 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(Sampling.exactK(nums, 20000, 1L).count() == 10000)
   }
 
+  test("weighted sampling oversamples heavy rows, exact k, seeded") {
+    // 500 rows at weight 10, 500 at weight 1: P(heavy in sample) per
+    // A-Res is ~10x a light row's; at k=200 the heavy share
+    // concentrates far above 1/2 (binomial tail ~0 below 0.7)
+    val df = ((1 to 500).map(i => (i.toLong, 10.0)) ++
+      (501 to 1000).map(i => (i.toLong, 1.0))).toDF("id", "w")
+    val a = Sampling.weightedExactK(df, "w", 200, seed = 7L).collect()
+    assert(a.length == 200)
+    assert(a.map(_.getLong(0)).distinct.length == 200)
+    val heavy = a.count(_.getDouble(1) == 10.0)
+    assert(heavy > 140, s"heavy share ${heavy / 200.0} not oversampled")
+    // reproducible per seed
+    val b = Sampling.weightedExactK(df, "w", 200, seed = 7L).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    // zero/negative weights never sampled
+    val withBad = df.unionByName(
+      Seq((2000L, 0.0), (2001L, -1.0)).toDF("id", "w"))
+    val c = Sampling.weightedExactK(withBad, "w", 1002, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!c.contains(2000L) && !c.contains(2001L))
+  }
+
   test("stratified sampling caps each group at k, reproducibly") {
     val df = (1 to 1000).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val a = Sampling.stratifiedExactK(df, "g", 50, seed = 3L).collect()

@@ -46,4 +46,65 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     s2.sql("DROP TABLE IF EXISTS bucketed_a")
     s2.sql("DROP TABLE IF EXISTS bucketed_b")
   }
+
+  // ---------------------------------------------------------------
+  // Plan-shape gates: the properties that make operators scale are
+  // asserted on the physical plan, so a refactor that silently
+  // de-broadcasts a dimension side or introduces an Expand fails here
+  // rather than in a 100 TB run.
+  // ---------------------------------------------------------------
+
+  test("decontaminate broadcasts the benchmark n-gram side") {
+    val corpus = (1 to 100)
+      .map(i => (i.toLong, s"tok$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma")).toDF("text")
+    val plan = graft.operators.TextMetrics
+      .decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("one-pass profile sketch plans one ObjectHashAggregate, no Expand") {
+    val df = (1 to 100).map(i => (i.toLong, s"s$i")).toDF("a", "b")
+    val agg = df.agg(
+      graft.functions.ProfileSketchAgg.sketch(col("a"),
+        col("a").cast("double"), isString = false).as("sa"),
+      graft.functions.ProfileSketchAgg.sketch(col("b"),
+        lit(null).cast("double"), isString = true).as("sb"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Expand"),
+      s"one-pass sketch must not multiply rows:\n$plan")
+  }
+
+  test("as-of join plans exactly one key shuffle") {
+    val left = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "t")
+    val right = (1 to 20).map(i => (i.toLong % 5, i.toLong, i * 1.0))
+      .toDF("k", "t", "v")
+    val plan = graft.operators.AsofJoin
+      .asofJoin(left, "k", "t", right, "k", "t", "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 key shuffle, found $exchanges:\n$plan")
+  }
+
+  test("IVF centroid assignment broadcasts centroids, never a " +
+      "cartesian product") {
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.operators.Similarity
+      .knnIvf(vecs, "vec_id", "embedding", numCentroids = 4, nprobe = 2,
+        numQueries = 2, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in IVF plan:\n$plan")
+  }
 }
