@@ -1068,6 +1068,18 @@ object SparkEntry {
     // quantified ScalaTest in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // LLM pipeline — incremental ingestion dedup: new batch (upper
+    // half of doc ids) minus content already in the seen corpus
+    // (lower half); Bloom prefilter + exact anti-join verification
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mid = 250L
+      Dedup.incrementalNew(
+        docs.where(col("doc_id") >= mid),
+        docs.where(col("doc_id") < mid), "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // LLM pipeline — benchmark decontamination: corpus docs sharing
     // any 3-gram with the benchmark set (stand-in: every 50th doc),
     // counted per doc. N-gram equality join, benchmark side broadcast.
@@ -1259,6 +1271,10 @@ object SparkEntry {
     "sample_weighted" ->
       ("SELECT CAST(1000 AS BIGINT) AS n, " +
         "CAST(1000 AS BIGINT) AS n_distinct, CAST(1 AS INT) AS uplift"),
+    "dedup_incremental" ->
+      ("SELECT n.doc_id FROM documents n WHERE n.doc_id >= 250 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents s " +
+        "WHERE s.doc_id < 250 AND s.text = n.text) ORDER BY n.doc_id"),
     "decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents), " +

@@ -400,6 +400,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact dedup for continuous ingestion: the rows of
+    * `newDf` whose content does NOT already appear in `seenDf` — the
+    * every-batch operation of a pipeline that keeps admitting data
+    * into a deduplicated corpus.
+    *
+    * Two-stage plan, exact result: a Bloom filter of the seen side's
+    * content hashes (Spark's own BloomFilterAggregate — mergeable,
+    * map-side combined) prunes the new side first; rows the filter
+    * definitely hasn't seen pass through with NO join at all, and only
+    * the might-contain rows (true duplicates + the filter's ~3% false
+    * positives) pay the exact anti-join on the content hash. With
+    * mostly-new batches — the common ingestion case — almost nothing
+    * shuffles. The Bloom binary rides into the new side as a literal
+    * (Spark's own runtime-filter mechanism inlines the same binary as
+    * a subquery result); size it via `expectedSeen` — 1e6 items ≈
+    * 1.2 MB at the default 3% fpp, and at extreme corpus sizes cap
+    * the bits and let the fpp rise: false positives only add
+    * anti-join traffic, never errors.
+    */
+  def incrementalNew(newDf: DataFrame, seenDf: DataFrame,
+      textCol: String, expectedSeen: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val bloomCol = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(textCol))), expectedSeen)
+        .toAggregateExpression())
+    val bloomBytes = seenDf.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val newCols = newDf.columns.map(c => col(s"`$c`")).toSeq
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(xxhash64(col(textCol)))))
+    val definitelyNew = newDf.where(!might)
+    val seenHashes = seenDf
+      .select(sha2(col(textCol), 256).as("__sha")).distinct()
+    val verifiedNew = newDf.where(might)
+      .withColumn("__sha", sha2(col(textCol), 256))
+      .join(seenHashes, Seq("__sha"), "left_anti")
+      .select(newCols: _*)
+    definitelyNew.unionByName(verifiedNew)
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
     * the majority vote of bit i of the token hash across the token
     * multiset. Delegates to the native codegen expression

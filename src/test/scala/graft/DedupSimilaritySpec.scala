@@ -100,6 +100,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("incremental dedup admits only unseen content, exact under " +
+      "bloom false positives") {
+    val seen = Seq((1L, "doc one"), (2L, "doc two"), (3L, "doc three"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "doc two"),        // exact duplicate of seen -> dropped
+      (11L, "doc four"),       // new -> kept
+      (12L, "doc five"),       // new -> kept
+      (13L, "doc three"))      // duplicate -> dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, seen, "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L))
+    // tiny expectedSeen forces a saturated, high-fpp bloom: every row
+    // goes down the verify path and the result must not change
+    val gotSaturated = Dedup.incrementalNew(batch, seen, "text",
+        expectedSeen = 1L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotSaturated == Seq(11L, 12L))
+  }
+
   test("keep-best dedup keeps the highest-scored copy, ties to min id") {
     val d = Seq((1L, "same text", 0.2), (2L, "same text", 0.9),
       (3L, "same text", 0.9), (4L, "other", 0.1))
