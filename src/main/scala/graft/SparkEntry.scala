@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
 import graft.operators.{DateShift, Dedup, Frequency, Multimodal, Profile,
-  Sampling, Similarity, TypeInference}
+  Sampling, Similarity, Skew, TypeInference}
 import graft.sources.DelimitedSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1068,6 +1068,19 @@ object SparkEntry {
     // quantified ScalaTest in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // Scale technique under the correctness gate: salted join of the
+    // (skew-prone) events fact against a per-user dim; result must
+    // equal the plain join, which the oracle replays directly
+    "skew_salted_join" -> ((s, dir) => {
+      val events = tbl(s, dir, "events")
+      val userDim = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      Skew.saltedJoin(events, userDim, "user_id", saltFactor = 8)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_orders")).as("sum_orders"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // LLM pipeline — incremental ingestion dedup: new batch (upper
     // half of doc ids) minus content already in the seen corpus
     // (lower half); Bloom prefilter + exact anti-join verification
@@ -1275,6 +1288,13 @@ object SparkEntry {
       ("SELECT n.doc_id FROM documents n WHERE n.doc_id >= 250 " +
         "AND NOT EXISTS (SELECT 1 FROM documents s " +
         "WHERE s.doc_id < 250 AND s.text = n.text) ORDER BY n.doc_id"),
+    "skew_salted_join" ->
+      ("WITH u AS (SELECT o_custkey AS user_id, " +
+        "count(DISTINCT o_orderkey) AS n_orders FROM orders GROUP BY 1) " +
+        "SELECT count(*) AS n, " +
+        "CAST(sum(n_orders) AS BIGINT) AS sum_orders, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM events e JOIN u ON e.user_id = u.user_id"),
     "decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents), " +
