@@ -52,10 +52,11 @@ object Bench {
     // ratios approaching 10; see SCALE_SMOKE.md for the methodology).
     val sf1Dir = "target/sf1"
     val sf1Queries = Seq("asof_last_order", "decontaminate",
-      "dedup_clusters", "dedup_exact", "dedup_jaccard_block",
-      "dedup_keep_best", "dedup_minhash", "freq_lineitem",
-      "pipeline_clean", "range_join_sessions", "sample_weighted",
-      "sessionize_batch", "summary_lineitem", "summary_lineitem_approx",
+      "dedup_clusters", "dedup_exact", "dedup_incremental",
+      "dedup_jaccard_block", "dedup_keep_best", "dedup_minhash",
+      "freq_lineitem", "pipeline_clean", "range_join_sessions",
+      "sample_weighted", "sessionize_batch", "skew_salted_join",
+      "summary_lineitem", "summary_lineitem_approx",
       "summary_lineitem_onepass", "text_repetition",
       "typeinfer_roundtrip")
     val sf1Section =
