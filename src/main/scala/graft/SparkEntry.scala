@@ -263,6 +263,75 @@ object SparkEntry {
       "epoch_us(min(l_shipdate)) AS earliest_us, " +
       "count(*) + 1 AS n_lines, CAST(11 AS INT) AS n_fields FROM lineitem"
 
+  /** JSONL source roundtrip — the LLM-corpus interchange format: write
+    * the documents table as JSON Lines, read it back through Spark's
+    * JSON source (schema re-inferred from the data), and aggregate
+    * facts that must equal the parquet original's. Exercises the JSON
+    * reader/writer path end-to-end including string escaping.
+    */
+  private def jsonlRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.config.Scratch.dir + "/jsonl_rt_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    tbl(s, dir, "documents")
+      .write.mode("overwrite").json(scratch)
+    val back = s.read.json(scratch)
+    back.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      max(col("doc_id")).as("max_id"),
+      sum(length(col("text"))).as("sum_text_len"))
+  }
+
+  private val jsonlRoundtripOracle: String =
+    "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+      "count(DISTINCT lang) AS n_langs, " +
+      "count(DISTINCT source) AS n_sources, max(doc_id) AS max_id, " +
+      "CAST(sum(length(text)) AS BIGINT) AS sum_text_len FROM documents"
+
+  /** ORC source roundtrip — same facts contract as the JSONL
+    * roundtrip over Spark's other built-in columnar format (typed
+    * schema preserved, no inference needed).
+    */
+  private def orcRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.config.Scratch.dir + "/orc_rt_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    tbl(s, dir, "documents")
+      .write.mode("overwrite").orc(scratch)
+    s.read.orc(scratch).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      max(col("doc_id")).as("max_id"),
+      sum(length(col("text"))).as("sum_text_len"))
+  }
+
+  /** Partition-pruned read — the layout technique that turns a
+    * predicate into skipped IO at 100 TB: write documents
+    * hive-partitioned by lang, then read back with a lang filter. The
+    * scan must plan PartitionFilters (verified in
+    * ScaleTechniquesSpec); the facts must match filtering the
+    * original.
+    */
+  private def partitionPruneQuery(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.config.Scratch.dir + "/part_prune_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    tbl(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(scratch)
+    s.read.parquet(scratch)
+      .where(col("lang") === "en")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val partitionPruneOracle: String =
+    "SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
+      "WHERE lang = 'en'"
+
   private val overviewTables = Seq("customer", "events", "lineitem",
     "nation", "orders", "part", "region", "supplier")
 
@@ -978,6 +1047,12 @@ object SparkEntry {
     "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
     // ops 1-3 — delimited source, all-string read, fast row count
     "csv_roundtrip" -> ((s, dir) => csvRoundtripQuery(s, dir)),
+    // JSONL source roundtrip (LLM-corpus interchange format)
+    "jsonl_roundtrip" -> ((s, dir) => jsonlRoundtripQuery(s, dir)),
+    // ORC source roundtrip (Spark's other built-in columnar format)
+    "orc_roundtrip" -> ((s, dir) => orcRoundtripQuery(s, dir)),
+    // hive-partitioned layout + partition-pruned scan
+    "partition_prune" -> ((s, dir) => partitionPruneQuery(s, dir)),
     // ops 1+17+18 end-to-end — the CLI lifecycle: listFiles →
     // scanFolder → writeTsv + writeWorkbook, sheets read back from disk
     // (whiteRRabbit.R:450-534)
@@ -1251,6 +1326,9 @@ object SparkEntry {
         "CAST(5 AS INT) AS max_shift, CAST(11 AS BIGINT) AS n_shifts " +
         "FROM orders"),
     "csv_roundtrip" -> csvRoundtripOracle,
+    "jsonl_roundtrip" -> jsonlRoundtripOracle,
+    "orc_roundtrip" -> jsonlRoundtripOracle, // same facts contract
+    "partition_prune" -> partitionPruneOracle,
     "scan_report_e2e" -> ScanReportE2E.oracle,
     "overview" -> overviewOracle,
     "tpch_q1" -> tpchQ1Oracle,

@@ -92,6 +92,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"expected exactly 1 key shuffle, found $exchanges:\n$plan")
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val dir = graft.config.Scratch.dir + "/prune_spec"
+    val df = (1 to 300)
+      .map(i => (i.toLong, Seq("en", "de", "fr")(i % 3), s"text $i"))
+      .toDF("id", "lang", "text")
+    df.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("lang"), s"no partition filter in plan:\n$plan")
+    assert(pruned.count() == 100)
+    // the pruned scan must touch only the matching partition's files
+    val files = pruned
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"read beyond lang=en: ${files.mkString(", ")}")
+  }
+
   test("IVF centroid assignment broadcasts centroids, never a " +
       "cartesian product") {
     val vecs = (0 until 40)
