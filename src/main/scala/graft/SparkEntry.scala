@@ -925,6 +925,20 @@ object SparkEntry {
       "min(value) AS min_value, max(value) AS max_value " +
       "FROM events GROUP BY 1,2 ORDER BY 1,2"
 
+  private def streamingEnrichedQuery(s: SparkSession,
+      dir: String): DataFrame =
+    graft.streaming.StreamingProfile.runEnrichedProfile(s, dir)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("segment"), col("n"), col("sum_value"))
+      .orderBy("window_start_us", "segment")
+
+  private val streamingEnrichedOracle: String =
+    "SELECT epoch_us(date_trunc('hour', e.ts)) AS window_start_us, " +
+      "c.c_mktsegment AS segment, count(*) AS n, " +
+      "CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+      "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+      "GROUP BY 1,2 ORDER BY 1,2"
+
   private val sessionGapUs = 1800000000L // 30 min
 
   private def sessionizeBatchQuery(s: SparkSession,
@@ -1273,6 +1287,8 @@ object SparkEntry {
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
+    // stream-static broadcast enrichment + windowed agg
+    "streaming_enriched" -> ((s, dir) => streamingEnrichedQuery(s, dir)),
     "sessionize_batch"  -> ((s, dir) => sessionizeBatchQuery(s, dir)),
     "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir)),
     // streaming exact dedup: watermark-bounded dropDuplicates state;
@@ -1431,6 +1447,7 @@ object SparkEntry {
         "ASOF LEFT JOIN r ON e.user_id = r.k AND e.tu >= r.tu " +
         "ORDER BY event_id"),
     "streaming_profile" -> streamingProfileOracle,
+    "streaming_enriched" -> streamingEnrichedOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle,
     "range_join_sessions" ->

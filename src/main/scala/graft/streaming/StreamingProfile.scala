@@ -81,6 +81,41 @@ object StreamingProfile {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the event stream inner-joined per
+    * micro-batch against a static dimension (broadcast — the standard
+    * enrich-then-aggregate ingest shape), then windowed per segment.
+    * The stream-static hash join itself is stateless; only the window
+    * aggregation keeps watermark-bounded state.
+    */
+  def enrichedWindowedProfile(events: DataFrame, dim: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), windowLength), col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+
+  /** Run the enriched profile over the bounded events stream with the
+    * customer market segment as the per-user dimension.
+    */
+  def runEnrichedProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val name = "graft_stream_enriched_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = enrichedWindowedProfile(eventsStream(spark, dir), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: one output row per distinct key, state
     * bounded by the watermark (`dropDuplicatesWithinWatermark` drops a
     * key's state once the watermark passes it — the shape an unbounded
