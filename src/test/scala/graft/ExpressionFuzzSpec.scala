@@ -120,4 +120,46 @@ class ExpressionFuzzSpec extends AnyFunSuite {
       assert(r.getDouble(1) == math.sqrt(sq))
     }
   }
+
+  test("one-pass profile sketch matches exact counters/min/max/mean " +
+      "on randomized mixed-null data") {
+    import graft.operators.Profile
+    // random longs with nulls, random strings with empties and nulls —
+    // the shapes that break buffer/merge logic (empty partitions,
+    // all-null slices, single values)
+    val rows = (0 until 2000).map { i =>
+      val n: java.lang.Long =
+        if (rnd.nextInt(5) == 0) null else Long.box(rnd.nextInt(50).toLong)
+      val s: String = rnd.nextInt(4) match {
+        case 0 => null
+        case 1 => ""
+        case _ => word()
+      }
+      (n, s)
+    }
+    val df = rows.toDF("n", "s").repartition(7) // force multi-buffer merges
+    val one = Profile.summarizeOnePass(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profile.summarize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("n", "s")) {
+      val (o, e) = (one(c), exact(c))
+      for (f <- Seq("total_count", "missing_count", "empty_count"))
+        assert(o.getAs[Long](f) == e.getAs[Long](f), s"$c.$f")
+      // HLL at rsd 0.05: 3 sigma ≈ 15% relative (small floor for the
+      // 50-distinct numeric column where the estimate is near-exact)
+      val (de, da) = (e.getAs[Long]("distinct_count"),
+        o.getAs[Long]("distinct_count"))
+      assert(math.abs(da - de) <= math.max(5L, (0.15 * de).toLong),
+        s"$c.distinct exact=$de approx=$da")
+    }
+    assert(one("n").getAs[Double]("min_val") ==
+      exact("n").getAs[Double]("min_val"))
+    assert(one("n").getAs[Double]("max_val") ==
+      exact("n").getAs[Double]("max_val"))
+    assert(math.abs(one("n").getAs[Double]("mean_val") -
+      exact("n").getAs[Double]("mean_val")) < 1e-9)
+    assert(math.abs(one("n").getAs[Double]("sd_val") -
+      exact("n").getAs[Double]("sd_val")) < 1e-6)
+  }
 }
