@@ -1,10 +1,11 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, ByteArrayInputStream, File,
-  FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, ByteArrayInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
@@ -145,14 +146,20 @@ object XlsxSink {
 
   /** Write one workbook at `path` with the given (name, df) sheets in
     * order. Parent directories are created; an existing file is
-    * overwritten (reference: saveWorkbook overwrite = TRUE).
+    * overwritten (reference: saveWorkbook overwrite = TRUE). The path
+    * resolves through the Hadoop FileSystem API (taken from the first
+    * sheet's session), so the workbook lands wherever the other report
+    * sinks do — local, HDFS, or an object store — not only on the
+    * driver's local disk.
     */
   def write(path: String, sheets: Seq[(String, DataFrame)]): Unit = {
     require(sheets.nonEmpty, "xlsx workbook needs at least one sheet")
-    val f = new File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
+    val conf = sheets.head._2.sparkSession
+      .sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
     val zip = new ZipOutputStream(
-      new BufferedOutputStream(new FileOutputStream(f)), UTF_8)
+      new BufferedOutputStream(fs.create(p, true)), UTF_8)
     def part(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(content.getBytes(UTF_8))
@@ -232,7 +239,9 @@ object XlsxSink {
   }
 
   private def readPart(path: String, name: String): Array[Byte] = {
-    val zin = new ZipInputStream(new FileInputStream(path), UTF_8)
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val zin = new ZipInputStream(fs.open(p), UTF_8)
     try {
       var e = zin.getNextEntry
       while (e != null) {
