@@ -430,6 +430,10 @@ object Dedup {
         ColumnBridge.expression(xxhash64(col(textCol))), expectedSeen)
         .toAggregateExpression())
     val bloomBytes = seenDf.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    // empty seen corpus: the aggregate evals to NULL and might_contain
+    // would go NULL too, silently dropping every row — everything is
+    // new, return the batch as-is
+    if (bloomBytes == null) return newDf
     val newCols = newDf.columns.map(c => col(s"`$c`")).toSeq
     val might = ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(lit(bloomBytes)),

@@ -119,6 +119,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
         expectedSeen = 1L)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(gotSaturated == Seq(11L, 12L))
+    // empty seen corpus: everything is new (the bloom aggregate evals
+    // to NULL there — must not null out the filter)
+    val gotEmptySeen = Dedup.incrementalNew(batch,
+        seen.where(lit(false)), "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotEmptySeen == Seq(10L, 11L, 12L, 13L))
   }
 
   test("keep-best dedup keeps the highest-scored copy, ties to min id") {

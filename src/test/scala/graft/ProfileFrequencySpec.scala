@@ -170,6 +170,12 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(es("n").getAs[Long]("total_count") == 0)
     assert(es("n").getAs[Long]("distinct_count") == 0)
     assert(es("n").isNullAt(es("n").fieldIndex("median_val")))
+    // the one-pass sketch path handles the same degenerate shapes
+    val os = Profile.summarizeOnePass(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(os("n").getAs[Long]("total_count") == 0)
+    assert(os("n").getAs[Long]("distinct_count") == 0)
+    assert(os("n").isNullAt(os("n").fieldIndex("median_val")))
     // all-null numeric column: counters exact, stats null
     val nulls = Seq.fill(5)((None: Option[Double], "x")).toDF("n", "s")
     val ns = Profile.summarize(nulls).collect()
