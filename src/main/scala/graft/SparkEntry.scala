@@ -1191,6 +1191,26 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), "text", 3)
         .orderBy("doc_id")
     }),
+    // LLM pipeline — PII scan + scrub: deterministic PII is injected
+    // into every 50th doc (both engines replicate it), counts are
+    // taken before and after redaction, and the after-count must be
+    // zero — the scrub is verified, not assumed
+    "pii_scan" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{piiCount, piiPatterns, redactPii}
+      val t = when(col("doc_id") % 50 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +12025550123 at 10.0.0.1")))
+        .otherwise(col("text"))
+      val injected = tbl(s, dir, "documents").withColumn("t", t)
+      val red = redactPii(col("t"))
+      val Seq(email, phone, ipv4) = piiPatterns.map(_._2)
+      injected.agg(
+        sum(piiCount(col("t"), email)).as("n_emails"),
+        sum(piiCount(col("t"), phone)).as("n_phones"),
+        sum(piiCount(col("t"), ipv4)).as("n_ips"),
+        sum(piiCount(red, email) + piiCount(red, phone) +
+          piiCount(red, ipv4)).as("n_after_redact"))
+    }),
     // LLM pipeline — within-doc repetition profile (Gopher-style
     // duplicate-text signals)
     "text_repetition" -> ((s, dir) => operators.TextMetrics
@@ -1402,6 +1422,24 @@ object SparkEntry {
         "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3) " +
         "SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (ng) " +
         "GROUP BY 1 ORDER BY doc_id"),
+    "pii_scan" -> {
+      val Seq(email, phone, ipv4) =
+        graft.functions.TextFunctions.piiPatterns.map(_._2)
+      def cnt(src: String, p: String) =
+        s"len(regexp_extract_all($src, '$p'))"
+      s"WITH d AS (SELECT CASE WHEN doc_id % 50 = 0 THEN text || " +
+        "' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or +12025550123 at 10.0.0.1' ELSE text END AS t " +
+        "FROM documents), " +
+        "r AS (SELECT t, regexp_replace(regexp_replace(regexp_replace(" +
+        s"t, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'), " +
+        s"'$ipv4', '[IPV4]', 'g') AS rt FROM d) " +
+        s"SELECT CAST(sum(${cnt("t", email)}) AS BIGINT) AS n_emails, " +
+        s"CAST(sum(${cnt("t", phone)}) AS BIGINT) AS n_phones, " +
+        s"CAST(sum(${cnt("t", ipv4)}) AS BIGINT) AS n_ips, " +
+        s"CAST(sum(${cnt("rt", email)} + ${cnt("rt", phone)} + " +
+        s"${cnt("rt", ipv4)}) AS BIGINT) AS n_after_redact FROM r"
+    },
     "text_repetition" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

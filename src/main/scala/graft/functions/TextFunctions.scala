@@ -115,4 +115,32 @@ object TextFunctions {
     aggregate(toks, lit(0L).cast("long"),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
   }
+
+  // -- PII detection / redaction --------------------------------------
+
+  /** PII patterns, deliberately RE2-compatible (no backreferences or
+    * lookaround) so a SQL oracle can replay them verbatim: emails,
+    * international +digits phone numbers, US xxx-xxx-xxxx phones, and
+    * IPv4 addresses. Detection patterns, not validators — a scrubber
+    * prefers false positives over leaks.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ipv4" -> ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" +
+      "\\.[0-9]{1,3}\\b"))
+
+  /** Count of matches of one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Text with every PII match replaced by its category token
+    * (`[EMAIL]`, `[PHONE]`, `[IPV4]`) — the scrub step of a
+    * training-data pipeline. Order matters: emails first so their
+    * host/digit substrings cannot be half-eaten by later patterns.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (name, pattern)) =>
+      regexp_replace(acc, pattern, s"[${name.toUpperCase}]")
+    }
 }

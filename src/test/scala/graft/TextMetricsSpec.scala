@@ -30,6 +30,33 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 2L))
   }
 
+  test("PII redaction replaces emails, phones, and IPs with category " +
+      "tokens and leaves clean text alone") {
+    import graft.functions.TextFunctions.{piiCount, piiPatterns, redactPii}
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("write to jane.doe+x@sub.example.org today",
+        "write to [EMAIL] today"),
+      ("call +4915123456789 or 202-555-0123 now",
+        "call [PHONE] or [PHONE] now"),
+      ("server at 192.168.0.1 responded", "server at [IPV4] responded"),
+      ("no pii here at all", "no pii here at all"),
+      ("mixed a@b.co 10.0.0.255 +1234567890",
+        "mixed [EMAIL] [IPV4] [PHONE]"))
+    val df = rows.toDF("text", "expected")
+    val got = df.select(redactPii(col("text")).as("red"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // nothing detectable survives redaction
+    val Seq(email, phone, ipv4) = piiPatterns.map(_._2)
+    val leftovers = df.select(
+      (piiCount(redactPii(col("text")), email) +
+        piiCount(redactPii(col("text")), phone) +
+        piiCount(redactPii(col("text")), ipv4)).as("n"))
+      .collect().map(_.getInt(0)).sum
+    assert(leftovers == 0)
+  }
+
   test("repetition stats: duplicate-token fraction and top-bigram share") {
     val docs = Seq(
       (1L, "a a a b"),     // dup types: 'a'x3 of 4 tokens; bigrams:
