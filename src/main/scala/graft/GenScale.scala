@@ -67,6 +67,22 @@ object GenScale {
     Seq("nation", "region", "supplier", "part", "embeddings")
       .foreach(t => out(t,
         spark.read.parquet(s"$src/$t.parquet")))
+
+    // Skewed twin of the scaled events table: every user_id ≡ 0 mod 10
+    // is remapped to ONE hot user (~10% of all events), picked from
+    // orders so the hot key survives the fact-dim join. Written as a
+    // separate table so only the skew-aware operators see skew — the
+    // uniform smoke queries (sessionize, as-of, range join) keep their
+    // constant-group-size scaling story.
+    val hotUser = spark.read.parquet(s"$dst/orders.parquet")
+      .where(col("o_custkey") % 10 === 0)
+      .agg(min("o_custkey")).head().getLong(0)
+    out("events_skew",
+      spark.read.parquet(s"$dst/events.parquet")
+        .withColumn("user_id",
+          when(col("user_id") % 10 === 0, lit(hotUser))
+            .otherwise(col("user_id"))))
+    println(s"hot user: $hotUser")
     spark.stop()
   }
 }

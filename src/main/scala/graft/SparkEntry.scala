@@ -1159,9 +1159,16 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
     // Scale technique under the correctness gate: salted join of the
     // (skew-prone) events fact against a per-user dim; result must
-    // equal the plain join, which the oracle replays directly
+    // equal the plain join, which the oracle replays directly.
+    // GenScale's sf1 directory carries an `events_skew` twin (one user
+    // holding ~10% of events) — used when present so the bench smoke
+    // exercises the salted path under REAL skew; the oracle dirs have
+    // only the uniform table.
     "skew_salted_join" -> ((s, dir) => {
-      val events = tbl(s, dir, "events")
+      val events =
+        if (new java.io.File(s"$dir/events_skew.parquet").isDirectory)
+          s.read.parquet(s"$dir/events_skew.parquet")
+        else tbl(s, dir, "events")
       val userDim = tbl(s, dir, "orders")
         .groupBy(col("o_custkey").as("user_id"))
         .agg(countDistinct(col("o_orderkey")).as("n_orders"))

@@ -20,9 +20,39 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .toDF("k", "v")
     val right = (0L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
     val plain = left.join(right, "k").agg(count(lit(1)), sum("v")).head()
-    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
-      .agg(count(lit(1)), sum("v")).head()
-    assert(plain == salted)
+    // exact counts (sampleFraction = 1.0) keep the tiny fixture
+    // deterministic; the hot key must be detected and salted
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8,
+      sampleFraction = 1.0)
+    assert(plain == salted.agg(count(lit(1)), sum("v")).head())
+    // two-path shape: exactly one explode (the hot branch) — the cold
+    // branch must NOT replicate its build side
+    val generates = "Generate explode".r
+      .findAllMatchIn(salted.queryExecution.executedPlan.toString).length
+    assert(generates == 1, s"expected 1 hot-path explode, got $generates")
+  }
+
+  test("salted join with no hot keys is a plain un-salted join") {
+    val left = (1 to 2000).map(i => (i.toLong % 100, i)).toDF("k", "v")
+    val right = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val joined = Skew.saltedJoin(left, right, "k", saltFactor = 8,
+      sampleFraction = 1.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    // uniform keys (20 rows each, threshold = 2 partitions' worth):
+    // nothing is hot, so nothing is replicated and no salt column exists
+    assert(!plan.contains("Generate explode"), s"unexpected explode:\n$plan")
+    assert(!plan.contains("__salt"), s"unexpected salt column:\n$plan")
+    assert(joined.count() == 2000)
+  }
+
+  test("salted join honors an explicit hot-key threshold") {
+    val left = ((1 to 900).map(_ => (7L, 1)) ++
+      (1 to 100).map(i => (i.toLong % 5, 2))).toDF("k", "v")
+    val right = (0L to 7L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, "k").agg(count(lit(1)), sum("v")).head()
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4,
+      hotKeyThreshold = Some(500L), sampleFraction = 1.0)
+    assert(plain == salted.agg(count(lit(1)), sum("v")).head())
   }
 
   test("bucketed tables join without a shuffle exchange") {
