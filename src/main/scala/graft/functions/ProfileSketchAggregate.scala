@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   * parallel mean/M2), min/max, HLL++ registers, and a Greenwald-Khanna
   * quantile summary — everything [[graft.operators.Profile]]'s approx
   * mode needs, accumulated in ONE pass.
+  *
+  * Quantile values buffer in an UNBOXED double array and flush into
+  * the GK summary in sorted batches: `QuantileSummaries.insert` boxes
+  * every value into a Scala `ArrayBuffer[Double]` and re-sorts a 50k
+  * head buffer, which was the dominant per-row cost in the r4 profile
+  * of this aggregate (VERDICT r4 #4). A sorted batch with g=1,
+  * delta=0 is an exact summary of itself (the GK invariant
+  * g+delta <= 2*eps*n holds trivially), so compress-then-merge
+  * preserves the same error contract as the incremental path.
   */
 final class ProfileSketch(
     val hll: HyperLogLogPlusPlusHelper,
@@ -39,6 +48,41 @@ final class ProfileSketch(
   }
   var quant: QuantileSummaries = new QuantileSummaries(
     QuantileSummaries.defaultCompressThreshold, relativeError)
+
+  private val buf = new Array[Double](ProfileSketch.BufSize)
+  private var bufN = 0
+
+  def add(d: Double): Unit = {
+    buf(bufN) = d
+    bufN += 1
+    if (bufN == ProfileSketch.BufSize) flush()
+  }
+
+  /** Folds the buffered values into `quant` as one sorted exact batch;
+    * must run before any merge/eval/serialize touches `quant`.
+    */
+  def flush(): Unit = if (bufN > 0) {
+    java.util.Arrays.sort(buf, 0, bufN)
+    val stats = new Array[QuantileSummaries.Stats](bufN)
+    var i = 0
+    while (i < bufN) {
+      stats(i) = new QuantileSummaries.Stats(buf(i), 1, 0)
+      i += 1
+    }
+    val batch = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError, stats,
+      bufN.toLong, false).compress()
+    quant =
+      if (quant.count == 0) batch else quant.compress().merge(batch)
+    bufN = 0
+  }
+}
+
+object ProfileSketch {
+  /** Rows buffered between GK flushes; 64k doubles = 512 KB per open
+    * buffer, bounded per aggregate instance per task.
+    */
+  val BufSize = 65536
 }
 
 /** One-pass profile aggregate (SURVEY §4's deferred optional — VERDICT
@@ -89,6 +133,11 @@ case class ProfileSketchAgg(
   @transient private lazy val hllHelper =
     new HyperLogLogPlusPlusHelper(rsd)
 
+  // a foldable null `num` (the string-column case) never yields a
+  // numeric observation — skip its per-row eval entirely
+  @transient private lazy val numIsAlwaysNull =
+    num.foldable && num.eval(null) == null
+
   override def createAggregationBuffer(): ProfileSketch =
     new ProfileSketch(hllHelper, relativeError)
 
@@ -101,16 +150,18 @@ case class ProfileSketchAgg(
           .numBytes() == 0) b.empties += 1
     else {
       b.hll.update(b.hllRow, 0, v, value.dataType)
-      val nv = num.eval(input)
-      if (nv != null) {
-        val d = nv.asInstanceOf[Double]
-        b.cnt += 1
-        if (d < b.mn) b.mn = d
-        if (d > b.mx) b.mx = d
-        val delta = d - b.mean
-        b.mean += delta / b.cnt
-        b.m2 += delta * (d - b.mean)
-        b.quant = b.quant.insert(d)
+      if (!numIsAlwaysNull) {
+        val nv = num.eval(input)
+        if (nv != null) {
+          val d = nv.asInstanceOf[Double]
+          b.cnt += 1
+          if (d < b.mn) b.mn = d
+          if (d > b.mx) b.mx = d
+          val delta = d - b.mean
+          b.mean += delta / b.cnt
+          b.m2 += delta * (d - b.mean)
+          b.add(d)
+        }
       }
     }
     b
@@ -128,12 +179,14 @@ case class ProfileSketchAgg(
       b.m2 += o.m2 + delta * delta * b.cnt * o.cnt / nAll
       b.mean += delta * o.cnt / nAll
       b.cnt = nAll
+      b.flush(); o.flush()
       b.quant = b.quant.compress().merge(o.quant.compress())
     }
     b
   }
 
   override def eval(b: ProfileSketch): Any = {
+    b.flush()
     val dist = b.hll.query(b.hllRow, 0)
     def q(p: Double): Any =
       if (b.cnt == 0) null
@@ -148,6 +201,7 @@ case class ProfileSketchAgg(
   }
 
   override def serialize(b: ProfileSketch): Array[Byte] = {
+    b.flush()
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(b.n); out.writeLong(b.nulls); out.writeLong(b.empties)
