@@ -745,6 +745,96 @@ object SparkEntry {
       "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 " +
       "ORDER BY id_a, id_b"
 
+  /** DuckDB replay of `Dedup.simhashPairs(replayableHash = true)`: the
+    * LCG token-hash fold ((h+c)*A mod 2^64) as a HUGEINT list_reduce
+    * over each token's code points, ±1 bit votes, majority signature,
+    * then all-pairs hamming ≤ 3 (the oracle can afford all-pairs at
+    * sf0.01; the engine's chunk blocking is complete for ≤ 3, so the
+    * sets coincide).
+    */
+  private val dedupSimhashOracle: String = {
+    val bitConsts = (0 until 64)
+      .map(i => s"($i, CAST(${BigInt(1) << i} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(range(1, length(tok)+1),
+       |        i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+       |    (acc, x) -> ((acc + x) * 6364136223846793005)
+       |      % 18446744073709551616) AS h
+       |  FROM toks
+       |), bitc AS (SELECT * FROM (VALUES $bitConsts) t(bit, p)),
+       |votes AS (
+       |  SELECT doc_id, bit, ANY_VALUE(p) AS p,
+       |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN bitc GROUP BY doc_id, bit
+       |), sigu AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS su
+       |  FROM votes GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN su >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN su - CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE su END AS BIGINT) AS sim
+       |  FROM sigu
+       |), p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.lshNearDupPairsReplayable`: the 48
+    * integer hyperplanes are inlined as VALUES (computed by the same
+    * BigInt LCG as the engine), bucket bits decided by exact BIGINT
+    * dot products over the floor(x*2^20)-quantized vectors, then
+    * bucket-equality candidates verified by exact cosine.
+    */
+  private val embedNearDupLshOracle: String = {
+    val dim = 64
+    val planes = (for { t <- 0 until 8; b <- 0 until 6 } yield {
+      val cs = (0 until dim)
+        .map(i => graft.operators.Similarity.replayComp(t, b, i))
+        .mkString(",")
+      s"($t, $b, [$cs])"
+    }).mkString(", ")
+    s"""WITH $vecCte,
+       |q AS (SELECT vec_id, list_transform(vec,
+       |  x -> CAST(floor(x * 1048576) AS BIGINT)) AS vq FROM v),
+       |hp AS (SELECT * FROM (VALUES $planes) t(tbl, bit, cs)),
+       |dots AS (
+       |  SELECT q.vec_id, hp.tbl, hp.bit,
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> q.vq[i] * hp.cs[i])) AS dot
+       |  FROM q CROSS JOIN hp
+       |), buckets AS (
+       |  SELECT vec_id, tbl,
+       |    SUM(CASE WHEN dot >= 0 THEN CAST(power(2, bit) AS BIGINT)
+       |      ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |), p AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> na.vec[i] * nb.vec[i])) / (na.nrm * nb.nrm), 6) AS cos
+       |  FROM cand c JOIN n na ON na.vec_id = c.id_a
+       |    JOIN n nb ON nb.vec_id = c.id_b
+       |)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val knnBruteForceOracle: String =
     s"WITH $vecCte, " +
       "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
@@ -1117,8 +1207,12 @@ object SparkEntry {
     "dedup_jaccard_block" -> ((s, dir) => Dedup.blockedJaccardPairs(
       tbl(s, dir, "documents"), "doc_id", "text", "source",
       threshold = 0.9, shingleSize = 1)),
+    // replayableHash: LCG token hash so the DuckDB oracle replays the
+    // signature bit-for-bit; the production xxh64 variant is pinned by
+    // the pigeonhole-completeness spec in DedupSimilaritySpec
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
-      tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+      replayableHash = true)),
     // pairs → per-document canonical representative (hash-to-min
     // connected components; doc_id == cluster_rep marks the survivor)
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
@@ -1152,10 +1246,11 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
     // approximate twin of embed_neardup: precision 1.0 by construction
-    // (exact-cosine verification); recall measured 0.57 at t=0.45 on the
-    // sf0.001 table (s-curve mean ≈0.46 at the threshold) — see the
-    // quantified ScalaTest in DedupSimilaritySpec
-    "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
+    // (exact-cosine verification). The registered variant uses integer
+    // LCG hyperplanes so the DuckDB oracle replays bucket assignment
+    // exactly; the production xxh64 variant keeps its precision/recall
+    // spec in DedupSimilaritySpec
+    "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairsReplayable(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
     // Scale technique under the correctness gate: salted join of the
     // (skew-prone) events fact against a per-user dim; result must
@@ -1399,6 +1494,8 @@ object SparkEntry {
     "dedup_keep_best" -> dedupKeepBestOracle,
     "pipeline_clean" -> pipelineCleanOracle,
     "embed_neardup" -> embedNearDupOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
+    "embed_neardup_lsh" -> embedNearDupLshOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
@@ -1515,11 +1612,11 @@ object SparkEntry {
     "streaming_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")
-    // dedup_simhash, embed_neardup_lsh, summary_lineitem_approx,
-    // summary_lineitem_onepass: hash-seeded / sketch-approximate
-    // operators with no SQL-expressible oracle — covered by the
-    // driver's rows-only check plus empirical ScalaTest pins (blocking
-    // completeness, precision/recall floors, rank-error tolerance vs
+    // summary_lineitem_approx, summary_lineitem_onepass:
+    // sketch-approximate operators with no SQL-expressible oracle —
+    // covered by the driver's rows-only check plus empirical ScalaTest
+    // pins (blocking completeness, precision/recall floors,
+    // rank-error tolerance vs
     // exact twins).
   )
 }

@@ -464,15 +464,24 @@ object Dedup {
     * least one chunk (pigeonhole), so for maxHamming ≤ 3 the blocking
     * is COMPLETE — same-chunk equality join, then exact bit_count
     * verification. No all-pairs comparison anywhere.
+    *
+    * `replayableHash = true` swaps the xxh64 token hash for the
+    * SQL-expressible LCG fold ([[graft.functions.PolySimHash64]]) so a
+    * DuckDB oracle can replay the whole pipeline bit-for-bit; blocking
+    * completeness is hash-independent, so both variants share the
+    * plan shape. Production default stays xxh64.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, replayableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk blocking is only complete for maxHamming <= 3")
+    val sigOf: Column => Column =
+      if (replayableHash) graft.functions.SetExpressions.polySimhash64
+      else simhash64
     val base = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn("sim", simhash64(col("toks")))
+      .withColumn("sim", sigOf(col("toks")))
       .select("id", "sim")
     val chunks = base.select(col("id"), col("sim"),
       explode(expr("transform(sequence(0, 3), j -> " +

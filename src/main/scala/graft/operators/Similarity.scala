@@ -222,6 +222,63 @@ object Similarity {
       v.select(lit(t).as("tbl"), bucket(t, col("vec")).as("bucket"),
         col("id"), col("vec"), col("norm"))
     }.reduce(_ union _)
+    pairsFromTables(tables, threshold)
+  }
+
+  /** SQL-replayable twin of [[lshNearDupPairs]] (VERDICT r4 #4): same
+    * bucket-join pipeline, but hyperplane components are INTEGERS
+    * precomputed driver-side from an LCG fold (see [[replayComp]]) and
+    * the bucket-bit decision is a pure integer dot product over the
+    * vector quantized as floor(x·2^20) — order-independent and exact
+    * in both Spark and DuckDB BIGINT arithmetic, so a SQL oracle
+    * replays the buckets bit-for-bit (a double dot's sign could flip
+    * with summation order). Candidate quality is equivalent: signs of
+    * LCG hyperplanes are as balanced as xxh64's at these bit widths.
+    * Production default stays [[lshNearDupPairs]] (xxh64).
+    *
+    * The 2^20 quantization is exact for |x| < 2^31 floats and changes
+    * only hyperplane geometry (a rounded direction), not correctness:
+    * verification is still exact cosine ≥ threshold.
+    */
+  def lshNearDupPairsReplayable(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBits: Int = 6,
+      numTables: Int = 8, dim: Int = 64): DataFrame = {
+    val v = normed(df, idCol, vecCol).withColumn("vq",
+      transform(col("vec"), x => floor(x * lit(1048576.0))))
+    def bucket(t: Int): Column =
+      (0 until numBits).map { b =>
+        val cs = typedLit((0 until dim).map(i => replayComp(t, b, i)))
+        val dot = aggregate(
+          zip_with(col("vq"), cs, (x, y) => x * y), lit(0L), _ + _)
+        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val tables = (0 until numTables).map { t =>
+      v.select(lit(t).as("tbl"), bucket(t).as("bucket"),
+        col("id"), col("vec"), col("norm"))
+    }.reduce(_ union _)
+    pairsFromTables(tables, threshold)
+  }
+
+  /** Integer hyperplane component for (table t, bit b, dim i): three
+    * LCG rounds over seed t·7919+b mod 2^64, high bits mapped to
+    * [-2^19, 2^19). BigInt keeps driver-side and oracle-side (HUGEINT)
+    * arithmetic identical.
+    */
+  private[graft] def replayComp(t: Int, b: Int, i: Int): Long = {
+    val A = BigInt("6364136223846793005")
+    val C = BigInt("1442695040888963407")
+    val M = BigInt(1) << 64
+    var h = (BigInt(t * 7919 + b) * A + i).mod(M)
+    h = (h * A + C).mod(M)
+    h = (h * A + C).mod(M)
+    (((h >> 33).mod(BigInt(1) << 20)) - (BigInt(1) << 19)).toLong
+  }
+
+  /** Bucket equality join → exact-cosine verification, shared by both
+    * LSH variants.
+    */
+  private def pairsFromTables(tables: DataFrame,
+      threshold: Double): DataFrame = {
     val a = tables.select(col("tbl"), col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("norm").as("norm_a"))
     val b = tables.select(col("tbl"), col("bucket"), col("id").as("id_b"),
