@@ -35,7 +35,7 @@ final case class ScanConfig(
     workingFolder: String = ".",
     delimiter: String = "tab",
     outputDir: String = ".",
-    outputFormat: String = "tsv",
+    outputFormat: String = "xlsx", // reference default, whiteRRabbit.R:43-44
     maxRows: Long = 100000L,
     maxDistinctValues: Int = 1000,
     prefix: String = "ScanReport",
