@@ -202,8 +202,8 @@ object Dedup {
     val (r, b) = bandingFor(threshold, numHashes / bands, bands, missTarget)
     if (b != bands)
       log.warn(s"blockedJaccardPairs: raising bands $bands -> $b " +
-        s"(rows=$r) so the banded spill path misses a Jaccard=" +
-        s"$threshold pair with p <= $missTarget")
+        s"(rows=$r, ${r * b} hashes/doc) so the banded spill path " +
+        s"misses a Jaccard=$threshold pair with p <= $missTarget")
     val counts = df.groupBy(col(blockCol).as("__blk"))
       .agg(count(lit(1)).as("__blk_n"))
     val withN = df.join(counts, col(blockCol) === col("__blk"))
@@ -216,10 +216,20 @@ object Dedup {
     exact.unionByName(banded).orderBy("id_a", "id_b")
   }
 
+  /** Hard ceiling on the auto-raised band count: 64 bands × rows-per-
+    * band hashes per document is the most signature the spill path may
+    * silently cost a caller (ADVICE r4 — threshold 0.5 would otherwise
+    * auto-raise to 143 bands, 0.3 to ~1,100, a memory/shuffle cliff
+    * nobody asked for). Callers who truly want looser thresholds must
+    * pass `bands` explicitly, making the cost visible at the call site.
+    */
+  private[operators] val MaxAutoBands = 64
+
   /** (rows, bands) for the banded spill path: keeps the caller's
     * rows-per-band and raises the band count until a pair at exactly
-    * `threshold` is missed with probability (1-t^r)^b ≤ missTarget.
-    * Never weakens a caller's explicit choice — bands only go up.
+    * `threshold` is missed with probability (1-t^r)^b ≤ missTarget,
+    * capped at [[MaxAutoBands]]. Never weakens a caller's explicit
+    * choice — bands only go up.
     */
   private[operators] def bandingFor(threshold: Double, rows: Int,
       bands: Int, missTarget: Double): (Int, Int) = {
@@ -227,7 +237,15 @@ object Dedup {
     if (math.pow(missPerBand, bands) <= missTarget) (rows, bands)
     else {
       val need = math.ceil(math.log(missTarget) / math.log(missPerBand))
-      (rows, math.max(bands, need.toInt))
+      val capped = math.min(MaxAutoBands.toDouble, need).toInt
+      if (need > MaxAutoBands)
+        log.warn(s"bandingFor: capping band count at $MaxAutoBands " +
+          s"(miss target $missTarget at Jaccard=$threshold wanted " +
+          s"${need.toInt} bands = ${need.toInt * rows} hashes/doc; " +
+          s"capped run uses ${MaxAutoBands * rows} hashes/doc and " +
+          f"misses a threshold pair with p <= ${math.pow(missPerBand,
+            MaxAutoBands)}%.2g). Pass bands explicitly to go looser.")
+      (rows, math.max(bands, capped))
     }
   }
 
@@ -395,6 +413,11 @@ object Dedup {
           .where(col("__ls") =!= col("__ld"))
           .isEmpty
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxRounds rounds " +
+          "(labels would be wrong — raise maxRounds; pointer-doubling " +
+          "needs ~log2(longest path) rounds)")
     log.info(s"duplicateClusters converged after $round rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")

@@ -100,7 +100,11 @@ object XlsxSink {
       sb.append(s"<row r=\"$rowNum\">")
       r.zipWithIndex.foreach { case (v, c) =>
         if (v != null) {
-          if (numeric(c))
+          // non-finite doubles are not valid SpreadsheetML numbers —
+          // <v>NaN</v> corrupts the workbook; write them as inline
+          // strings instead (ADVICE r4)
+          if (numeric(c) && v != "NaN" && v != "Infinity" &&
+              v != "-Infinity")
             sb.append(s"<c r=\"${colRef(c)}$rowNum\"><v>${esc(v)}</v></c>")
           else
             sb.append(s"<c r=\"${colRef(c)}$rowNum\" t=\"inlineStr\">" +

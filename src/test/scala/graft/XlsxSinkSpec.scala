@@ -33,6 +33,30 @@ class XlsxSinkSpec extends AnyFunSuite {
       Seq("ends with space ", "2.0", "0")))
   }
 
+  test("non-finite doubles render as inline strings, not <v> numbers") {
+    val df = Seq(
+      ("nan", Double.NaN), ("inf", Double.PositiveInfinity),
+      ("ninf", Double.NegativeInfinity), ("ok", 1.25))
+      .toDF("s", "d")
+    val path = tmp("nonfinite.xlsx")
+    XlsxSink.write(path, Seq("Sheet1" -> df))
+    // the reader sees the values either way; the zip must contain no
+    // numeric <v> cell holding a non-number (Excel reports the
+    // workbook as corrupt otherwise)
+    val (_, rows) = XlsxSink.readSheet(path, "Sheet1")
+    assert(rows.map(_(1)) == Seq("NaN", "Infinity", "-Infinity", "1.25"))
+    import java.util.zip.ZipFile
+    val z = new ZipFile(path)
+    try {
+      val sheet1 = scala.io.Source.fromInputStream(
+        z.getInputStream(z.getEntry("xl/worksheets/sheet1.xml"))).mkString
+      assert(!sheet1.contains("<v>NaN</v>") &&
+        !sheet1.contains("<v>Infinity</v>") &&
+        !sheet1.contains("<v>-Infinity</v>"))
+      assert(sheet1.contains("<v>1.25</v>"))
+    } finally z.close()
+  }
+
   test("workbook carries multiple sheets with the mandatory parts, " +
       "bold header and frozen pane") {
     val df1 = Seq(("x", 1)).toDF("c1", "c2")
