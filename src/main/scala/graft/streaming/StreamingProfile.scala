@@ -158,8 +158,10 @@ object StreamingProfile {
     * across micro-batches via SessionState. Events inside one batch
     * are sorted per key; completed sessions are emitted as soon as the
     * gap closes them, and — because this runner drives a BOUNDED
-    * stream — the final open session is emitted at end too (a true
-    * unbounded deployment would emit it on a state timeout instead).
+    * stream — the final open session is emitted at end too. The
+    * unbounded-deployment shape, which instead emits open sessions on
+    * a state TIMEOUT once the event-time watermark passes the gap, is
+    * [[sessionizeTimeout]].
     */
   def sessionize(events: Dataset[SessionEvent], gapUs: Long)
       : Dataset[SessionRow] = {
@@ -210,6 +212,71 @@ object StreamingProfile {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** [[sessionizeTimeout]]'s input row: event time as a real timestamp
+    * column so the event-time watermark (and thus the state timeout)
+    * applies.
+    */
+  case class SessionEventT(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Production-grade sessionization for UNBOUNDED streams (VERDICT r4
+    * #7): same per-user gap fold as [[sessionize]], but an open
+    * session is held in state with an event-time TIMEOUT at
+    * lastEvent + gap — when the watermark passes that point, Spark
+    * invokes the group with `state.hasTimedOut` and the session is
+    * emitted and its state removed. No end-of-stream flush: an open
+    * session at the watermark frontier stays in state, exactly what an
+    * always-on deployment needs (state is bounded by #active users,
+    * emission lag is the watermark delay).
+    *
+    * `events` must carry `user_id` and an event-time `ts` column; the
+    * watermark must be applied by the caller (it also bounds how late
+    * an event may extend a session).
+    */
+  def sessionizeTimeout(events: Dataset[SessionEventT], gapUs: Long)
+      : Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapUs / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEventT],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator.single(SessionRow(uid, cur.sessionId, cur.nEvents,
+              cur.startUs, cur.lastUs))
+          } else {
+            val sorted = it.map(e => e.ts.getTime * 1000L)
+              .toIndexedSeq.sorted
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+            sorted.foreach { tsUs =>
+              if (cur == null) {
+                cur = SessionState(0L, tsUs, tsUs, 1L)
+              } else if (tsUs - cur.lastUs > gapUs) {
+                out += SessionRow(uid, cur.sessionId, cur.nEvents,
+                  cur.startUs, cur.lastUs)
+                cur = SessionState(cur.sessionId + 1, tsUs, tsUs, 1L)
+              } else {
+                cur = cur.copy(lastUs = tsUs, nEvents = cur.nEvents + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              // the timeout must sit strictly beyond the current
+              // watermark or Spark rejects it; a session whose close
+              // point the watermark already passed times out on the
+              // next micro-batch
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                cur.lastUs / 1000L + gapMs))
+            }
+            out.iterator
+          }
+      }
   }
 
   /** Batch sessionization with window functions — identical semantics

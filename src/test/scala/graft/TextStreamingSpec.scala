@@ -105,6 +105,51 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(stream.count(_._1 == 2L) == 2)
   }
 
+  test("timeout-based sessionization emits an open session once the " +
+      "watermark passes its gap (two real micro-batches)") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingProfile.SessionEventT
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000)
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = src.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEventT]
+    val gapUs = 30L * 1000000 // 30 s inactivity gap
+    val name = "graft_timeout_sessions"
+    val q = StreamingProfile.sessionizeTimeout(events, gapUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      // batch 1: user 1's two events, 10 s apart — one open session
+      src.addData((1L, ts(0)), (1L, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "open session must NOT flush at batch end")
+      // batch 2: user 2 appears at +120 s — the watermark advances to
+      // +120 s and the trailing no-data micro-batch fires user 1's
+      // timeout (+10 s last event + 30 s gap < watermark); user 2
+      // (+120 + 30 > watermark) stays open in state
+      src.addData((2L, ts(120)))
+      q.processAllAvailable()
+      def rows() = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      assert(rows() == Seq((1L, 0L, 2L,
+        base * 1000, (base + 10000) * 1000)))
+      // batch 3: watermark reaches +240 s -> user 2 times out too
+      src.addData((3L, ts(240)))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        (1L, 0L, 2L, base * 1000, (base + 10000) * 1000),
+        (2L, 0L, 1L, (base + 120000) * 1000, (base + 120000) * 1000)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits exactly the distinct key set " +
       "(sf0.001 events, single-batch bounded replay)") {
     val dir = "/root/testdata/sf0.001"
