@@ -28,12 +28,14 @@ import org.apache.spark.sql.types._
   *
   * Divergence (documented): the reference votes on ≤1000 sampled
   * non-empty values per column (unseeded); here every non-empty value
-  * of the column votes (the infinite-sample limit), so mostly-empty
-  * columns get a full-strength per-column decision instead of a noisy
-  * handful of votes. Decisions differ from a given reference run only
-  * for columns whose true rate sits within sampling noise of the 0.8
-  * boundary — where the unseeded reference is itself nondeterministic.
-  * See [[infer]] for why the numeric sample vote is redundant.
+  * of the column votes by default (the infinite-sample limit), so
+  * mostly-empty columns get a full-strength per-column decision
+  * instead of a noisy handful of votes. Decisions differ from a given
+  * reference run only for columns whose true rate sits within sampling
+  * noise of the 0.8 boundary — where the unseeded reference is itself
+  * nondeterministic. See [[infer]] for why the numeric sample vote is
+  * redundant — and for `sampleVote = true`, the compatibility mode
+  * that reproduces the reference's exact sampled decision procedure.
   */
 object TypeInference {
 
@@ -147,16 +149,32 @@ object TypeInference {
     * votes). A column with a true rate ≥ 0.8 sampling below 0.4 over
     * ≥30 votes is a ≥5σ event — the pre-filter cannot realistically
     * flip a promotion.
+    *
+    * `sampleVote = true` (off by default) switches to the REFERENCE'S
+    * exact decision procedure (whiteRRabbit.R:147-151, 172-187): per
+    * column, up to `sampleSize` randomly sampled NON-EMPTY values vote
+    * first — numeric proceeds to full validation only when the sampled
+    * numeric rate ≥ threshold, and datetime requires BOTH the sampled
+    * rate AND the full-column rate ≥ threshold (our seeded sample
+    * stands in for the reference's unseeded one). The two modes agree
+    * except for columns whose true rate sits within sampling noise of
+    * the threshold — where the unseeded reference is itself
+    * nondeterministic run to run (pinned by TypeInferenceSpec's
+    * agreement test).
     */
   def infer(
       df: DataFrame,
       sampleSize: Int = 1000,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      randomSample: Boolean = true): Map[String, InferredType] = {
+      randomSample: Boolean = true,
+      sampleVote: Boolean = false): Map[String, InferredType] = {
     val strCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name).toSeq
     if (strCols.isEmpty) return Map.empty
+
+    if (sampleVote)
+      return inferSampleVote(df, strCols, sampleSize, threshold, seed)
 
     // Stage 1: date-candidate pre-filter on a bounded row sample.
     // orderBy(rand).limit(k) plans as TakeOrderedAndProject
@@ -214,6 +232,56 @@ object TypeInference {
     decisions.toMap
   }
 
+  /** Reference-exact sample-vote decision path (whiteRRabbit.R:147-151
+    * numeric, :172-187 date): per column, ≤ sampleSize non-empty values
+    * vote; the full column validates only when the vote passes. One
+    * TakeOrderedAndProject job per column for the vote (per-partition
+    * top-k of rand — no full shuffle), then the same single full-column
+    * validation aggregation as the default path.
+    */
+  private def inferSampleVote(df: DataFrame, strCols: Seq[String],
+      sampleSize: Int, threshold: Double,
+      seed: Long): Map[String, InferredType] = {
+    // per-column sampled (numericRate, dateRate); (-1,-1) = no votes
+    val votes: Seq[(Double, Double)] = strCols.zipWithIndex.map {
+      case (c, i) =>
+        val sampled = df.select(col(s"`$c`"))
+          .where(nonEmpty(c))
+          .orderBy(rand(seed + i)).limit(sampleSize)
+        val r = sampled.agg(
+          avg(when(numericParse(c).isNotNull, 1.0).otherwise(0.0))
+            .as("num"),
+          avg(when(dateParse(c).isNotNull, 1.0).otherwise(0.0))
+            .as("dat")).head()
+        if (r.isNullAt(0)) (-1.0, -1.0)
+        else (r.getDouble(0), r.getDouble(1))
+    }
+    val dateCand = strCols.zipWithIndex
+      .filter { case (_, i) => votes(i)._2 >= threshold }
+    val checkAggs =
+      strCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(when(nonEmpty(c) && numericParse(c).isNull, lit(1)))
+            .as(s"bad_$i"),
+          count(when(nonEmpty(c), lit(1))).as(s"n_$i"))
+      } ++ dateCand.map { case (c, i) =>
+        rate(c, dateParse(c)).as(s"full_$i")
+      }
+    val full = df.agg(checkAggs.head, checkAggs.tail: _*).head()
+    val dateCandIdx = dateCand.map(_._2).toSet
+    strCols.zipWithIndex.map { case (c, i) =>
+      val numericOk = votes(i)._1 >= threshold &&
+        full.getAs[Long](s"n_$i") > 0L && full.getAs[Long](s"bad_$i") == 0L
+      val dateOk = dateCandIdx(i) &&
+        !full.isNullAt(full.fieldIndex(s"full_$i")) &&
+        full.getAs[Double](s"full_$i") >= threshold
+      val t: InferredType =
+        if (numericOk) NumericT
+        else if (dateOk) DatetimeT
+        else CharacterT
+      c -> t
+    }.toMap
+  }
+
   /** Apply an inference result as a single cast projection. */
   def promote(df: DataFrame,
       inference: Map[String, InferredType]): DataFrame = {
@@ -232,8 +300,10 @@ object TypeInference {
   /** infer + promote in one call (whiteRRabbit.R:275-280 per-column loop). */
   def inferAndPromote(df: DataFrame, sampleSize: Int = 1000,
       threshold: Double = 0.8, seed: Long = 42L,
-      randomSample: Boolean = true): (DataFrame, Map[String, InferredType]) = {
-    val inf = infer(df, sampleSize, threshold, seed, randomSample)
+      randomSample: Boolean = true, sampleVote: Boolean = false)
+      : (DataFrame, Map[String, InferredType]) = {
+    val inf = infer(df, sampleSize, threshold, seed, randomSample,
+      sampleVote)
     (promote(df, inf), inf)
   }
 }

@@ -146,4 +146,28 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(inferOne(Seq("may-fly", "january-sale", "march-of-time"))
       == CharacterT)
   }
+
+  test("sampleVote compatibility mode agrees with the full-column " +
+      "default away from the 0.8 boundary (VERDICT r4 #8)") {
+    // per-column true parse rates far from threshold: with 1000-value
+    // samples the noise is sigma <= 0.016, so 0.95 / 0.5 / 0.0 / 1.0
+    // columns cannot flip across the 0.8 gate in either mode
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      (i.toString, // pure numeric
+        f"2023-01-${i % 28 + 1}%02d", // pure date
+        if (i % 20 == 0) s"junk$i" else f"2024-03-${i % 28 + 1}%02d", // 95% date
+        if (i % 2 == 0) "not a date" else "2022-05-01", // 50% date
+        s"text value $i", // pure text
+        if (i < 5) i.toString else "") // mostly empty, numeric core
+    }
+    val df = rows.toDF("num", "date", "date95", "date50", "txt",
+      "sparse")
+    val full = TypeInference.infer(df)
+    val voted = TypeInference.infer(df, sampleVote = true)
+    assert(full == voted, s"modes disagree: full=$full voted=$voted")
+    assert(voted("num") == NumericT && voted("date") == DatetimeT &&
+      voted("date95") == DatetimeT && voted("date50") == CharacterT &&
+      voted("txt") == CharacterT && voted("sparse") == NumericT)
+  }
 }
