@@ -67,6 +67,20 @@ object ScanMain {
     c
   }
 
+  /** The scan lifecycle against a provided session (testable — the
+    * CLI `main` owns session lifetime, this does not).
+    */
+  def run(spark: SparkSession, config: ScanConfig): Unit = {
+    val results = Scan.scanFolder(spark, config)
+    require(results.nonEmpty,
+      s"no ${config.filePattern} files in ${config.workingFolder}")
+    val overview = Scan.overview(spark, results)
+    ReportSink.write(config.outputDir, config.prefix, config.outputFormat,
+      overview, results)
+    println(s"[graft] scanned ${results.length} file(s) -> " +
+      s"${config.outputDir}/${config.prefix}_*")
+  }
+
   def main(args: Array[String]): Unit = {
     val config = parse(args)
     val spark = SparkSession.builder()
@@ -77,14 +91,7 @@ object ScanMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = Scan.scanFolder(spark, config)
-    require(results.nonEmpty,
-      s"no ${config.filePattern} files in ${config.workingFolder}")
-    val overview = Scan.overview(spark, results)
-    ReportSink.write(config.outputDir, config.prefix, config.outputFormat,
-      overview, results)
-    println(s"[graft] scanned ${results.length} file(s) -> " +
-      s"${config.outputDir}/${config.prefix}_*")
+    run(spark, config)
     spark.stop()
   }
 }

@@ -30,10 +30,10 @@ class ScanMainSpec extends AnyFunSuite {
     Files.write(Paths.get(s"$in/people.tsv"),
       "name\tage\nada\t36\ngrace\t45\nada\t36\n"
         .getBytes("UTF-8"))
-    // spark session already exists (TestSpark) — ScanMain's
-    // getOrCreate reuses it, so only the CLI path is under test
-    ScanMain.main(Array("--working_folder", in, "--output_dir", out,
-      "--cpus", "2"))
+    // run() against the shared test session — main() owns (and stops)
+    // its own session, which a test must not do
+    ScanMain.run(spark, ScanMain.parse(Array(
+      "--working_folder", in, "--output_dir", out, "--cpus", "2")))
     assert(Files.exists(Paths.get(s"$out/ScanReport.xlsx")),
       "default run must produce the reference's xlsx workbook")
     val (oHeader, oRows) =
