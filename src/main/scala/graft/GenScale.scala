@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * corpus actually has, and the one that makes "no superlinear
   * regression" a meaningful assertion.
   *
-  * documents get their tokens injectively renamed per copy
-  * (`tok` → `tok_c<i>`) instead of key-shifted text: Jaccard and
-  * containment are invariant under injective vocabulary renaming, so
-  * every copy reproduces the sf0.1 near-dup pair structure exactly
-  * while cross-copy similarity drops to zero — 10 independent
-  * instances of the dedup problem, no quadratic candidate blow-up
-  * from cloned text. Copy 0 stays verbatim.
+  * documents get a per-copy CHARACTER ROTATION (letters rotated by i,
+  * digits by i mod 10; space and punctuation fixed): injective on the
+  * vocabulary, so Jaccard/containment are invariant and every copy
+  * reproduces the sf0.1 near-dup pair structure exactly, while
+  * cross-copy similarity drops to zero (a nonzero rotation has no
+  * fixed tokens) — 10 independent instances of the dedup problem, no
+  * quadratic candidate blow-up from cloned text. Unlike suffix
+  * renaming (`tok` → `tok_c<i>`, the r4 scheme), rotation is
+  * LENGTH-PRESERVING: per-document text bytes are identical across
+  * copies, so a compute-bound text query at 10× rows does exactly 10×
+  * work and the smoke ratio criterion measures the engine, not the
+  * generator (r4's +25% longer sf1 texts pushed linear text queries
+  * to ~12×). Copy 0 stays verbatim.
   *
   * Dimension tables (nation/region/supplier/part/embeddings) copy
   * verbatim — they are dims or fixed-size surfaces whose scale story
@@ -56,13 +62,18 @@ object GenScale {
     // events.ts is TIMESTAMP(NANOS) read as raw long (nanosAsLong);
     // written back as BIGINT, which SparkEntry.tbl handles identically
     rep("events")((d, i) => shifted(d, i, "event_id", "user_id"))
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, i: Int): String =
+      s.drop(i % s.length) + s.take(i % s.length)
     rep("documents") { (d, i) =>
       val base = shifted(d, i, "doc_id")
         .withColumn("source", concat(col("source"), lit(s"_c$i")))
       if (i == 0) base
-      else base.withColumn("text",
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_c$i"))), " "))
+      else base.withColumn("text", translate(col("text"),
+        lower + upper + digits,
+        rot(lower, i) + rot(upper, i) + rot(digits, i)))
     }
     Seq("nation", "region", "supplier", "part", "embeddings")
       .foreach(t => out(t,

@@ -142,6 +142,29 @@ object SparkEntry {
         round(col("pct"), 6).as("pct"))
       .orderBy(col("col_name"), col("cnt").desc, col("value"))
 
+  /** DuckDB oracle for `Frequency.approxTopK` in its exact regime
+    * (capacity ≥ distinct count → Misra-Gries never decrements → counts
+    * are exact): plain per-column counts, top-k by (cnt DESC, value),
+    * pct over the retained counts.
+    */
+  private def freqApproxOracle(table: String, cols: Seq[(String, Boolean)],
+      k: Int): String = {
+    val parts = cols.map { case (c, isString) =>
+      val v = if (isString) c else s"CAST($c AS VARCHAR)"
+      val nonMissing =
+        if (isString) s"$c IS NOT NULL AND $c <> ''" else s"$c IS NOT NULL"
+      s"SELECT '$c' AS col_name, $v AS value, count(*) AS cnt FROM $table " +
+        s"WHERE $nonMissing GROUP BY 2"
+    }
+    s"WITH c AS (${parts.mkString(" UNION ALL ")}), " +
+      "t AS (SELECT *, row_number() OVER (PARTITION BY col_name " +
+      "ORDER BY cnt DESC, value ASC) AS rn FROM c), " +
+      s"k AS (SELECT col_name, value, cnt FROM t WHERE rn <= $k) " +
+      "SELECT col_name, value, cnt, round(cnt / sum(cnt) OVER " +
+      "(PARTITION BY col_name), 6) AS pct FROM k " +
+      "ORDER BY col_name, cnt DESC, value"
+  }
+
   /** DuckDB oracle for [[freqQuery]] (semantics of whiteRRabbit.R:329-352
     * incl. the post-truncation percentage denominator at :344).
     */
@@ -1078,6 +1101,16 @@ object SparkEntry {
       Seq("o_orderstatus", "o_orderpriority"), 5L, 1000)),
     "freq_customer" -> ((s, dir) => freqQuery(tbl(s, dir, "customer"),
       Seq("c_mktsegment"), 5L, 1000)),
+    // op 11, 100 TB sketch path: Misra-Gries heavy hitters — capacity
+    // 4096 >> the columns' distinct counts, so counts are exact and
+    // the oracle replays them; the under-capacity error contract is
+    // pinned in ProfileFrequencySpec
+    "freq_approx_topk" -> ((s, dir) => Frequency.approxTopK(
+      tbl(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus", "l_linenumber"), k = 10)
+      .select(col("col_name"), col("value"), col("cnt"),
+        round(col("pct"), 6).as("pct"))
+      .orderBy(col("col_name"), col("cnt").desc, col("value"))),
     // op 11 truncation path: top-10 cap exercises the post-truncation
     // percentage denominator (whiteRRabbit.R:336-344)
     "freq_orders_custkey_top10" -> ((s, dir) => freqQuery(
@@ -1435,6 +1468,9 @@ object SparkEntry {
       Seq("o_orderstatus" -> true, "o_orderpriority" -> true), 5L, 1000),
     "freq_customer" -> freqOracle("customer",
       Seq("c_mktsegment" -> true), 5L, 1000),
+    "freq_approx_topk" -> freqApproxOracle("lineitem",
+      Seq("l_returnflag" -> true, "l_linestatus" -> true,
+        "l_linenumber" -> false), 10),
     "freq_orders_custkey_top10" -> freqOracle("orders",
       Seq("o_custkey" -> false), 5L, 10),
     "summary_part"     -> summaryOracle("part"),

@@ -20,9 +20,12 @@ object TextFunctions {
   /** BPE-ish lexer classes: alpha runs, digit runs, single punctuation. */
   val tokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Token count under [[tokenPattern]]. */
+  /** Token count under [[tokenPattern]]. `regexp_count` counts matches
+    * without materializing the match array (`size(regexp_extract_all)`
+    * allocated every token string per row just to count them).
+    */
   def regexTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
+    regexp_count(c, lit(tokenPattern))
 
   /** Distinct n-word shingles of a token array (n-gram set for
     * Jaccard/MinHash). Arrays shorter than n yield an empty set.
@@ -74,9 +77,11 @@ object TextFunctions {
       .otherwise(best.getField("lang"))
   }
 
-  /** Punctuation density (non-alphanumeric, non-space chars per char). */
+  /** Punctuation density (non-alphanumeric, non-space chars per char).
+    * Counted with `regexp_count` — no per-row match-array allocation.
+    */
   def punctRatio(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(c, lit("[^A-Za-z0-9\\s]"))
       .cast("double") / greatest(length(c), lit(1))
 
   /** Fraction of tokens that are (English) stopwords — a fluency
@@ -132,7 +137,7 @@ object TextFunctions {
 
   /** Count of matches of one PII pattern. */
   def piiCount(c: Column, pattern: String): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0)))
+    regexp_count(c, lit(pattern))
 
   /** Text with every PII match replaced by its category token
     * (`[EMAIL]`, `[PHONE]`, `[IPV4]`) — the scrub step of a

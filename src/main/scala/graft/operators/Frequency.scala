@@ -110,6 +110,43 @@ object Frequency {
     case _ => c.cast(StringType)
   }
 
+  /** Approximate top-K frequency via a Misra-Gries heavy-hitter
+    * sketch ([[graft.functions.TopKSketchAgg]]) — the 100 TB shape of
+    * this operator when a column's distinct count itself is huge: one
+    * pass, O(capacity) memory per task, and only `capacity` counters
+    * per partition reach the shuffle, where the exact
+    * [[frequencies]] shuffles every distinct (column, value) pair.
+    * Counts are exact while `capacity` ≥ the column's distinct count
+    * (no decrement ever fires — the oracle-checked regime); beyond
+    * that they undercount by at most n/capacity and any value with
+    * true share > 1/capacity is guaranteed present.
+    *
+    * Output matches [[frequencies]]: (col_name, value, cnt, pct) with
+    * pct over the RETAINED top-k counts, ordered (col_name, cnt DESC,
+    * value ASC).
+    */
+  def approxTopK(df: DataFrame, cols: Seq[String], k: Int,
+      capacity: Int = 4096): DataFrame = {
+    import graft.functions.TopKSketchAgg
+    require(cols.nonEmpty, "approxTopK: no columns requested")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      TopKSketchAgg.approxTopK(
+        when(renderValue(col(c), byName(c)) =!= lit(""),
+          renderValue(col(c), byName(c))), k, capacity).as(s"t_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
+      row.select(lit(c).as("col_name"), explode(col(s"t_$i")).as("e"))
+        .select(col("col_name"), col("e.value").as("value"),
+          col("e.cnt").as("cnt"))
+    }.reduce(_ unionByName _)
+    val sumW = Window.partitionBy(col("col_name"))
+    perCol
+      .withColumn("pct", col("cnt") / sum(col("cnt")).over(sumW))
+      .orderBy(col("col_name"), col("cnt").desc, col("value"))
+  }
+
   /** Reference-facing column names (whiteRRabbit.R:339-346). */
   def referenceFrequencies(
       df: DataFrame,

@@ -204,4 +204,28 @@ class ProfileFrequencySpec extends AnyFunSuite {
       Frequency.frequencies(mixed.select("ts"), Seq("ts"), 1, 100)
     }
   }
+
+  test("Misra-Gries top-k is exact above the distinct count and " +
+      "bounded-undercount below it") {
+    import spark.implicits._
+    // hot 500x, warm 200x, 100 tail values 5x each; n = 1200
+    val vals = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 100).flatMap(i => Seq.fill(5)(f"tail$i%03d"))
+    val df = vals.toDF("v").repartition(8) // force real partial merges
+    // exact regime: capacity >= 102 distincts -> counts match groupBy
+    val exact = Frequency.approxTopK(df, Seq("v"), k = 3, capacity = 512)
+      .collect().map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt")))
+    assert(exact.toSeq == Seq(("hot", 500L), ("warm", 200L),
+      ("tail000", 5L)))
+    // sketch regime: capacity 8 << 102 distincts. Guarantees: any value
+    // with true share > n/capacity (= 150) is present; estimates
+    // undercount by at most n/capacity
+    val approx = Frequency.approxTopK(df, Seq("v"), k = 2, capacity = 8)
+      .collect().map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt")))
+    val m = approx.toMap
+    assert(approx.head._1 == "hot")
+    assert(m("hot") <= 500L && m("hot") >= 500L - 1200L / 8)
+    assert(m.contains("warm") && m("warm") <= 200L &&
+      m("warm") >= 200L - 1200L / 8)
+  }
 }
