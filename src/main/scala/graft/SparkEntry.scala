@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
 import graft.operators.{DateShift, Dedup, Frequency, Multimodal, Profile,
-  Sampling, Similarity, Skew, TypeInference}
+  Sampling, Similarity, Skew, TextMetrics, TypeInference}
 import graft.sources.DelimitedSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -141,6 +141,51 @@ object SparkEntry {
       .select(col("col_name"), col("value"), col("cnt"),
         round(col("pct"), 6).as("pct"))
       .orderBy(col("col_name"), col("cnt").desc, col("value"))
+
+  /** Split spec shared by the `data_split` query and its oracle — the
+    * oracle embeds the EXACT cumulative-cut doubles (0.9 + 0.05
+    * accumulates to 0.9500000000000001 in IEEE; writing "0.95" in the
+    * SQL would disagree on boundary keys).
+    */
+  private val dataSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+
+  private val dataSplitOracle: String = {
+    val cuts = dataSplits.scanLeft(0.0)(_ + _._2).tail
+    val cases = dataSplits.zip(cuts).init
+      .map { case ((name, _), cut) => s"WHEN u < $cut THEN '$name'" }
+      .mkString(" ")
+    "WITH h AS (SELECT doc_id, " +
+      "((((CAST(doc_id AS BIGINT) * 48271) % 2147483647) * 48271 " +
+      "% 2147483647) * 48271 % 2147483647) / " +
+      "2147483647.0 AS u FROM documents), " +
+      s"s AS (SELECT doc_id, CASE $cases " +
+      s"ELSE '${dataSplits.last._1}' END AS split FROM h) " +
+      "SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, " +
+      "max(doc_id) AS max_id FROM s GROUP BY 1 ORDER BY 1"
+  }
+
+  private val docLengthHistOracle: String =
+    "WITH t AS (SELECT len(string_split(lower(text), ' ')) AS n " +
+      "FROM documents), " +
+      "b AS (SELECT CAST(length(printf('%b', n)) AS INT) AS bucket, n " +
+      "FROM t) " +
+      "SELECT bucket, CAST(CASE WHEN bucket > 1 " +
+      "THEN power(2, bucket - 1) ELSE 1 END AS BIGINT) AS lo_tokens, " +
+      "count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens " +
+      "FROM b GROUP BY 1 ORDER BY 1"
+
+  private val packSequencesOracle: String =
+    "WITH t AS (SELECT source, doc_id AS id, " +
+      "CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok " +
+      "FROM documents), " +
+      "c AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source " +
+      "ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+      "0) AS cum_before FROM t) " +
+      "SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS chunk, " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "min(id) AS first_id, max(id) AS last_id " +
+      "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
 
   /** DuckDB oracle for `Frequency.approxTopK` in its exact regime
     * (capacity ≥ distinct count → Misra-Gries never decrements → counts
@@ -1275,6 +1320,22 @@ object SparkEntry {
           (sum(col("n_copies")) - count(lit(1))).as("n_redundant"))
         .orderBy("source")
     }),
+    // LLM pipeline — batching/packing surfaces: power-of-2 sequence-
+    // length histogram, concat-and-chunk shard manifest (2048-token
+    // budget), and the reproducible hash split
+    "doc_length_hist" -> ((s, dir) => TextMetrics.lengthHistogram(
+      tbl(s, dir, "documents"), "text")
+      .select(col("bucket").cast("int").as("bucket"), col("lo_tokens"),
+        col("n_docs"), col("sum_tokens").cast("long").as("sum_tokens"))),
+    "pack_sequences" -> ((s, dir) => TextMetrics.packSequences(
+      tbl(s, dir, "documents"), "doc_id", "text", "source",
+      budget = 2048L)),
+    "data_split" -> ((s, dir) => Sampling.assignSplits(
+      tbl(s, dir, "documents"), "doc_id", dataSplits)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")),
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
@@ -1471,6 +1532,9 @@ object SparkEntry {
     "freq_approx_topk" -> freqApproxOracle("lineitem",
       Seq("l_returnflag" -> true, "l_linestatus" -> true,
         "l_linenumber" -> false), 10),
+    "doc_length_hist" -> docLengthHistOracle,
+    "pack_sequences" -> packSequencesOracle,
+    "data_split" -> dataSplitOracle,
     "freq_orders_custkey_top10" -> freqOracle("orders",
       Seq("o_custkey" -> false), 5L, 10),
     "summary_part"     -> summaryOracle("part"),

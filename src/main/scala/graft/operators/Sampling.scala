@@ -66,6 +66,41 @@ object Sampling {
       .limit(k)
       .drop("__key")
 
+  /** Deterministic train/validation/test splitting by key hash — the
+    * assignment every training-data pipeline needs to be REPRODUCIBLE
+    * and stable under reruns, appends, and repartitioning (unlike
+    * `randomSplit`, whose assignment depends on partition layout). The
+    * key is mixed with THREE iterated MINSTD Lehmer steps,
+    * h ← (h·48271) mod (2^31−1) — one step leaves small ids
+    * un-wrapped (id·48271 < 2^31 maps every small key below the first
+    * cut); three spread any key range across the full interval. The
+    * arithmetic stays inside BIGINT, so it is ANSI-safe in Spark and
+    * replayable verbatim in a SQL oracle; the unit interval
+    * h/(2^31−1) is cut at the cumulative split fractions.
+    *
+    * A pure projection: no shuffle, no state; the split column
+    * partitions downstream writes (`partitionBy("split")`).
+    *
+    * @param splits (name, fraction) pairs summing to ~1; the last
+    *   split absorbs rounding.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val m = 2147483647L // 2^31 - 1
+    val h = (1 to 3).foldLeft(col(idCol).cast("long")) {
+      (acc, _) => pmod(acc * lit(48271L), lit(m))
+    }
+    val u = h.cast("double") / lit(m.toDouble)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cuts).init.foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cut), rest) => when(u < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** The reference's row-cap policy: sample only when the table exceeds
     * maxRows (whiteRRabbit.R:225-272). The reference caps only for
     * maxRows > 0 (whiteRRabbit.R:225,:259,:268), so 0 and negative both

@@ -48,6 +48,61 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Sequence-length histogram for batching/packing decisions:
+    * documents bucketed by power-of-2 token count (bucket = number of
+    * binary digits of the count, so bucket b holds counts in
+    * [2^(b-1), 2^b)). One projection + one tiny aggregation — the
+    * 100 TB cost is the text scan, nothing else. The bit-length
+    * formulation (`length(bin(n))`) avoids floating log2, whose
+    * off-by-one-ulp at exact powers of two differs across engines.
+    *
+    * Output: (bucket, lo_tokens, n_docs, sum_tokens) ordered by
+    * bucket.
+    */
+  def lengthHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(TextFunctions.tokens(col(textCol)))
+    df.select(length(bin(n.cast("long"))).as("bucket"), n.as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .withColumn("lo_tokens",
+        when(col("bucket") > 1,
+          expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+          .otherwise(lit(1L)))
+      .select(col("bucket"), col("lo_tokens"), col("n_docs"),
+        col("sum_tokens"))
+      .orderBy("bucket")
+  }
+
+  /** Concat-and-chunk packing — the standard LLM-pretraining shard
+    * assignment: documents are (conceptually) concatenated per source
+    * in doc-id order and cut every `budget` tokens; a document belongs
+    * to the chunk its FIRST token falls in. chunk = floor(cumulative
+    * tokens before this doc / budget), a running-sum window partitioned
+    * by source — per-source partitions, so the shuffle is keyed by
+    * source and no window partition outgrows a source (same skew
+    * caveat as the as-of join: one giant source bounds parallelism;
+    * pre-split hot sources upstream).
+    *
+    * Output: one row per (source, chunk): docs, tokens, first/last
+    * doc id — the shard manifest a packing job writes.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = size(TextFunctions.tokens(col(textCol))).cast("long")
+    df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        n.as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", floor(col("cum_before") / budget))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+      .orderBy("source", "chunk")
+  }
+
   /** Within-document repetition profile (Gopher-style duplicate-text
     * signals): per document, the fraction of tokens belonging to
     * repeated token TYPES (a type occurring k>1 times contributes all

@@ -141,6 +141,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"read beyond lang=en: ${files.mkString(", ")}")
   }
 
+  test("Misra-Gries frequency plans one ObjectHashAggregate, no Expand") {
+    val df = (1 to 100).map(i => s"v${i % 7}").toDF("v")
+    val plan = graft.operators.Frequency.approxTopK(df, Seq("v"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("hash split is reproducible, partition-independent, and close " +
+      "to its fractions") {
+    val df = (0L until 10000L).toDF("id")
+    def dist(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.operators.Sampling.assignSplits(d, "id",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = dist(df)
+    val b = dist(df.repartition(13)) // layout must not change assignment
+    assert(a == b)
+    assert(math.abs(a("train") - 9000L) < 300 &&
+      math.abs(a("valid") - 500L) < 150 && math.abs(a("test") - 500L) < 150,
+      s"split distribution off: $a")
+  }
+
   test("IVF centroid assignment broadcasts centroids, never a " +
       "cartesian product") {
     val vecs = (0 until 40)
