@@ -73,12 +73,13 @@ object Bench {
     // Base and scaled runs interleave so both sides of every ratio are
     // equally warm.
     val sf1Dir = "target/sf1"
-    val sf1Queries = Seq("asof_last_order", "decontaminate",
-      "dedup_clusters", "dedup_exact", "dedup_incremental",
-      "dedup_jaccard_block", "dedup_keep_best", "dedup_minhash",
-      "freq_lineitem", "pipeline_clean", "range_join_sessions",
-      "sample_weighted", "sessionize_batch", "skew_salted_join",
-      "summary_lineitem", "summary_lineitem_approx",
+    val sf1Queries = Seq("asof_last_order", "data_split",
+      "decontaminate", "dedup_clusters", "dedup_exact",
+      "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
+      "dedup_minhash", "doc_length_hist", "freq_approx_topk",
+      "freq_lineitem", "pack_sequences", "pipeline_clean",
+      "range_join_sessions", "sample_weighted", "sessionize_batch",
+      "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",
       "summary_lineitem_onepass", "text_repetition",
       "typeinfer_roundtrip")
     val sf1Section =
