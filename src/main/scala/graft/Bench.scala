@@ -38,6 +38,10 @@ object Bench {
       // 16MB input splits: test-scale files are 10-60MB, the 128MB
       // default would hand a whole scan to 1-4 of the local cores
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // don't PACK a many-small-files table into fewer partitions than
+      // cores (sf1 documents = 10 sub-MB files — packed into ~2 splits
+      // they ran the compute-bound quality projections near-serial)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

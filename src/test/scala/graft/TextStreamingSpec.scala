@@ -25,6 +25,20 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "es", "fr", "zh", "und"))
   }
 
+  test("punctuation ratio counts exactly the non-alnum-space chars") {
+    // "ab, cd!" = 7 chars, 2 punctuation -> 2/7; all-clean and
+    // all-punct edges pin the translate direction (delete KEEP chars,
+    // count what remains — r5 briefly shipped the inverse)
+    val r = Seq(("ab, cd!", "abc def", "?!."))
+      .toDF("a", "b", "c")
+      .select(TextFunctions.punctRatio(col("a")),
+        TextFunctions.punctRatio(col("b")),
+        TextFunctions.punctRatio(col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 7) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+  }
+
   test("shingles build distinct n-grams; short docs yield none") {
     val sh = Seq("a b c d", "a b").toDF("t")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3))
