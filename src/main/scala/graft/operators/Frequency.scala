@@ -135,12 +135,19 @@ object Frequency {
         when(renderValue(col(c), byName(c)) =!= lit(""),
           renderValue(col(c), byName(c))), k, capacity).as(s"t_$i")
     }
+    // one tagged array concat + explode, NOT a per-column union of
+    // row.select branches: each union branch re-executes the whole
+    // aggregation lineage (3 columns = 3 full scans — seen in the
+    // physical plan), while this shape runs the agg once
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.zipWithIndex.map { case (c, i) =>
-      row.select(lit(c).as("col_name"), explode(col(s"t_$i")).as("e"))
-        .select(col("col_name"), col("e.value").as("value"),
-          col("e.cnt").as("cnt"))
-    }.reduce(_ unionByName _)
+    val tagged = cols.zipWithIndex.map { case (c, i) =>
+      transform(col(s"t_$i"), e =>
+        struct(lit(c).as("col_name"), e.getField("value").as("value"),
+          e.getField("cnt").as("cnt")))
+    }
+    val perCol = row.select(explode(concat(tagged: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"),
+        col("e.value").as("value"), col("e.cnt").as("cnt"))
     val sumW = Window.partitionBy(col("col_name"))
     perCol
       .withColumn("pct", col("cnt") / sum(col("cnt")).over(sumW))
