@@ -712,6 +712,23 @@ object SparkEntry {
       "SELECT id_a, id_b, jac FROM p WHERE jac >= 0.7 " +
       "ORDER BY id_a, id_b"
 
+  /** Cross-source overlap: the minhash oracle's exact pair set,
+    * aggregated by unordered source pair.
+    */
+  private val corpusOverlapOracle: String =
+    s"WITH $shingleCte, " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id), " +
+      "q AS (SELECT id_a, id_b FROM p WHERE jac >= 0.7), " +
+      "j AS (SELECT least(da.source, db.source) AS source_a, " +
+      "greatest(da.source, db.source) AS source_b FROM q " +
+      "JOIN documents da ON da.doc_id = q.id_a " +
+      "JOIN documents db ON db.doc_id = q.id_b) " +
+      "SELECT source_a, source_b, count(*) AS n_pairs FROM j " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
   private val dedupJaccardBlockOracle: String = {
     val toks = "string_split(lower(text), ' ')"
     s"WITH s AS (SELECT doc_id, source, list_distinct($toks) AS sh " +
@@ -1282,6 +1299,14 @@ object SparkEntry {
       tbl(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(
       tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.7)),
+    // curation report over the same pair set: which source pairs
+    // mirror each other (off-diagonal = scrape overlap)
+    "corpus_overlap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.crossSourceOverlap(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7),
+        docs, "doc_id", "source")
+    }),
     "dedup_jaccard_block" -> ((s, dir) => Dedup.blockedJaccardPairs(
       tbl(s, dir, "documents"), "doc_id", "text", "source",
       threshold = 0.9, shingleSize = 1)),
@@ -1589,6 +1614,7 @@ object SparkEntry {
     "lang_detect" -> langDetectOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
+    "corpus_overlap" -> corpusOverlapOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,

@@ -321,6 +321,30 @@ object Dedup {
     verifyJaccardUnsorted(cand, sets, threshold)
   }
 
+  /** Cross-source near-duplicate overlap report: aggregates any pair
+    * set (MinHash, SimHash, embedding — anything shaped (id_a, id_b))
+    * by UNORDERED source pair. The curation question it answers: which
+    * pairs of sources mirror each other's content (high off-diagonal
+    * counts → scrape overlap; high diagonal → within-source
+    * duplication). Two id-keyed joins against the id→source
+    * projection; the pair side is the small one at any scale (pair
+    * mining already bucketed it), so this adds no all-pairs work.
+    */
+  def crossSourceOverlap(pairs: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"),
+        col(sourceCol).as("__src_a")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"),
+        col(sourceCol).as("__src_b")), Seq("id_b"))
+      .select(least(col("__src_a"), col("__src_b")).as("source_a"),
+        greatest(col("__src_a"), col("__src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Connected components over a near-duplicate pair set — the step
     * that turns pairwise matches into a per-document keep/drop
     * decision (every document maps to its component's minimum id as
