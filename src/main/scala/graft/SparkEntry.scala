@@ -1345,6 +1345,17 @@ object SparkEntry {
           (sum(col("n_copies")) - count(lit(1))).as("n_redundant"))
         .orderBy("source")
     }),
+    // LLM pipeline — sub-document dedup: remove token chunks already
+    // seen earlier in the corpus (C4-style boilerplate removal) and
+    // reassemble the survivors
+    "dedup_chunks" -> ((s, dir) => Dedup.chunkDedup(
+      tbl(s, dir, "documents"), "doc_id", "text", chunkSize = 10)
+      .orderBy("doc_id")),
+    // LLM pipeline — salient terms: top-3 tf-idf keywords per document
+    // (integer-ordered ranking, annotated float score)
+    "keywords_tfidf" -> ((s, dir) => TextMetrics.tfidfKeywords(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("tf").desc, col("df"), col("term"))),
     // LLM pipeline — batching/packing surfaces: power-of-2 sequence-
     // length histogram, concat-and-chunk shard manifest (2048-token
     // budget), and the reproducible hash split
@@ -1670,6 +1681,40 @@ object SparkEntry {
         s"CAST(sum(${cnt("rt", email)} + ${cnt("rt", phone)} + " +
         s"${cnt("rt", ipv4)}) AS BIGINT) AS n_after_redact FROM r"
     },
+    "dedup_chunks" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+        "FROM documents), " +
+        "chunks AS (SELECT doc_id, (pos - 1) // 10 AS chunk_idx, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
+        "FROM tok GROUP BY doc_id, (pos - 1) // 10), " +
+        "ranked AS (SELECT doc_id, chunk_idx, chunk, " +
+        "row_number() OVER (PARTITION BY chunk " +
+        "ORDER BY doc_id, chunk_idx) AS rn FROM chunks), " +
+        "per AS (SELECT doc_id, count(*) AS n_chunks FROM chunks " +
+        "GROUP BY doc_id), " +
+        "keptagg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean " +
+        "FROM ranked WHERE rn = 1 GROUP BY doc_id) " +
+        "SELECT p.doc_id, p.n_chunks, " +
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(k.text_clean, '') AS text_clean " +
+        "FROM per p LEFT JOIN keptagg k USING (doc_id) " +
+        "ORDER BY p.doc_id"),
+    "keywords_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+        "GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT doc_id, term, tf, df, " +
+        "round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf " +
+        "FROM (SELECT t.doc_id, t.term, t.tf, d.df, " +
+        "row_number() OVER (PARTITION BY t.doc_id " +
+        "ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn " +
+        "FROM tf t JOIN dfq d USING (term)) s, n " +
+        "WHERE rn <= 3 ORDER BY doc_id, tf DESC, df, term"),
     "text_repetition" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

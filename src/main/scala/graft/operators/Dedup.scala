@@ -591,4 +591,58 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Sub-document (chunk-level) exact dedup, the C4-style pass that
+    * removes boilerplate repeated ACROSS documents rather than whole
+    * duplicate documents: split each document into fixed-size token
+    * chunks, keep only the globally-first occurrence of each distinct
+    * chunk (ordered by (id, position)), and reassemble what survives
+    * in original order. The reference profiles whole columns
+    * (`whiteRRabbit.R:296-341`) and never looks inside a value; this
+    * is pure extension surface for corpus curation.
+    *
+    * Output: (id, n_chunks, n_kept, text_clean) — documents whose
+    * every chunk was seen earlier elsewhere survive with
+    * `text_clean = ""`, so the row count is stable and callers can
+    * filter on `n_kept`.
+    *
+    * Scale shape: chunks are built by a per-row `transform` over the
+    * token array (no explode-then-regroup), the keep-first decision is
+    * one window partitioned by the chunk text — partition size equals
+    * that chunk's duplicate count, never the corpus — and reassembly
+    * aggregates by id, so groups are document-sized. At 100 TB key the
+    * window by `xxhash64(chunk)` instead of the chunk string to halve
+    * the shuffle width (kept as the string here so a SQL oracle can
+    * replay the operator bit-for-bit).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val toks = split(col(textCol), " ")
+    val chunked = df.select(col(idCol).as("id"),
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
+        i => struct(i.as("chunk_idx"), concat_ws(" ",
+          slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
+        .as("__chunks"))
+    val exploded = chunked
+      .select(col("id"), size(col("__chunks")).cast("long").as("n_chunks"),
+        explode(col("__chunks")).as("c"))
+      .select(col("id"), col("n_chunks"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col("id"), col("chunk_idx"))
+    exploded
+      .withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(col("id"), col("n_chunks"))
+      .agg(
+        count(when(col("__rn") === 1, lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("chunk_idx"), col("chunk"))))),
+          c => c.getField("chunk"))).as("text_clean"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
+        col("text_clean"))
+  }
 }

@@ -138,4 +138,42 @@ object TextMetrics {
         round(col("top_bigram").cast("double") / col("n_bigrams"), 6)
           .as("top_bigram_frac"))
   }
+
+  /** Per-document salient terms (tf-idf keyword extraction): the top-k
+    * terms of each document ranked by term frequency, breaking ties by
+    * ascending document frequency (rarer wins) then term text. The
+    * ranking is entirely integer-ordered — tf, df, and the term — so
+    * the selection is deterministic across engines; the tf-idf score
+    * `tf * ln(N/df)` is annotated on the output (rounded) rather than
+    * used as the sort key, because ranking by a transcendental float
+    * is not replayable bit-for-bit.
+    *
+    * Scale shape: tf is a (doc, term) aggregation with map-side
+    * combine; df aggregates tf by term into a vocabulary-sized table
+    * that broadcasts back; the corpus row count joins in as a
+    * broadcast 1-row aggregate (never a driver-side collect); the
+    * top-k window partitions by document. Nothing exceeds
+    * document-sized or vocabulary-sized groups.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val topk = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("__rn", row_number().over(topk))
+      .where(col("__rn") <= k)
+      .crossJoin(broadcast(nDocs))
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
 }

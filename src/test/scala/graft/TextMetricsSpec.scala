@@ -74,4 +74,56 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(math.abs(got(2L).getAs[Double]("top_bigram_frac") - 0.5) < 1e-9)
     assert(got(3L).isNullAt(got(3L).fieldIndex("top_bigram_frac")))
   }
+
+  test("tfidfKeywords ranks by tf desc then df asc then term, and " +
+      "scores tf * ln(N/df)") {
+    val docs = Seq(
+      (1L, "apple apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date"),
+      (3L, "apple banana cherry date date date"),
+      (4L, "fig fig fig fig grape"))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1)
+    // doc 1: apple tf=3 wins; banana/cherry tie tf=1 -> df breaks it
+    //        (banana df=3 == cherry df=3 -> term asc: banana)
+    val d1 = got(1L).sortBy(-_._3).map(t => (t._2, t._3)).toSeq
+    assert(d1 == Seq(("apple", 3L), ("banana", 1L)))
+    // doc 4: fig tf=4 (df=1 -> idf=ln(4) largest possible), grape tf=1
+    val d4 = got(4L).map(t => (t._2, t._3, t._4, t._5)).sortBy(-_._2)
+    assert(d4.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("fig", 4L, 1L), ("grape", 1L, 1L)))
+    assert(math.abs(d4.head._4 - 4.0 * math.log(4.0)) < 1e-6)
+    // every doc contributes exactly k rows when it has >= k terms
+    assert(got.values.forall(_.length == 2))
+  }
+
+  test("chunkDedup keeps the globally-first occurrence of each chunk " +
+      "and reassembles survivors in order") {
+    import graft.operators.Dedup
+    // chunkSize=2 -> doc 1 chunks: "a b","c d","e"; doc 2: "c d","a b"
+    // (both seen in doc 1 -> doc 2 fully removed); doc 3: "a b","x y"
+    // (first chunk removed, second kept)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "c d a b"),
+      (3L, "a b x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "a b c d e")))
+    assert(got(2L) == ((2L, 0L, "")))
+    assert(got(3L) == ((2L, 1L, "x y")))
+    // first occurrence is ordered by (id, position): a duplicate
+    // WITHIN one doc keeps only its earliest position
+    val rep = Seq((7L, "p q p q")).toDF("doc_id", "text")
+    val r7 = Dedup.chunkDedup(rep, "doc_id", "text", chunkSize = 2)
+      .collect().head
+    assert(r7.getLong(2) == 1L && r7.getString(3) == "p q")
+  }
 }
