@@ -78,9 +78,10 @@ object Bench {
     // equally warm.
     val sf1Dir = "target/sf1"
     val sf1Queries = Seq("asof_last_order", "data_split",
-      "decontaminate", "dedup_clusters", "dedup_exact",
+      "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "freq_approx_topk",
+      "keywords_tfidf",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
       "range_join_sessions", "sample_weighted", "sessionize_batch",
       "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",

@@ -1193,6 +1193,14 @@ object SparkEntry {
     "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
     // date aggregate suite (op 13) on microsecond-precision timestamps
     "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),
+    // profiling extensions beyond the reference's flat summary: the
+    // distribution view (equi-width histogram, two parallel passes)
+    // and the Tukey-fence outlier report (fences rounded before the
+    // compare so the in/out decision is engine-portable)
+    "hist_totalprice" -> ((s, dir) => Profile.numericHistogram(
+      tbl(s, dir, "orders"), "o_totalprice", buckets = 12)),
+    "outliers_acctbal" -> ((s, dir) => Profile.outlierFences(
+      tbl(s, dir, "customer"), "c_acctbal")),
     "freq_part" -> ((s, dir) => freqQuery(tbl(s, dir, "part"),
       Seq("p_brand", "p_type"), 5L, 1000)),
     // ops 5-6 — statistical type promotion (whiteRRabbit.R:139-204)
@@ -1681,6 +1689,29 @@ object SparkEntry {
         s"CAST(sum(${cnt("rt", email)} + ${cnt("rt", phone)} + " +
         s"${cnt("rt", ipv4)}) AS BIGINT) AS n_after_redact FROM r"
     },
+    "hist_totalprice" ->
+      ("WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo, " +
+        "CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders) " +
+        "SELECT CAST(CASE WHEN mm.hi = mm.lo THEN 0 ELSE " +
+        "least(11, floor((o_totalprice - mm.lo) * 12 / (mm.hi - mm.lo))) " +
+        "END AS INT) AS bucket, count(*) AS n_rows, " +
+        "round(min(o_totalprice), 6) AS b_min, " +
+        "round(max(o_totalprice), 6) AS b_max " +
+        "FROM orders, mm WHERE o_totalprice IS NOT NULL " +
+        "GROUP BY 1 ORDER BY 1"),
+    "outliers_acctbal" ->
+      ("WITH q AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, " +
+        "quantile_cont(c_acctbal, 0.75) AS q3 FROM customer) " +
+        "SELECT round(q1, 6) AS q1, round(q3, 6) AS q3, " +
+        "round(q3 - q1, 6) AS iqr, " +
+        "round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence, " +
+        "round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence, " +
+        "CAST(sum(CASE WHEN c_acctbal < round(q1 - 1.5 * (q3 - q1), 6) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_below, " +
+        "CAST(sum(CASE WHEN c_acctbal > round(q3 + 1.5 * (q3 - q1), 6) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_above, " +
+        "count(*) AS n_rows " +
+        "FROM customer, q WHERE c_acctbal IS NOT NULL GROUP BY q1, q3"),
     "dedup_chunks" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
         "generate_subscripts(string_split(text, ' '), 1) AS pos " +

@@ -534,4 +534,75 @@ object Profile {
       tsStr(col("latest_us")).as("LatestVal"),
       tsStr(col("median_us")).as("MedianDateVal"))
   }
+
+  /** Equi-width histogram of a numeric column — the distribution view
+    * the reference's flat min/max/quantile summary
+    * (`whiteRRabbit.R:306-329`) cannot show. Two passes, both fully
+    * parallel: a tiny min/max aggregate broadcasts back, then one
+    * map-side-combined groupBy on the bucket id — no sort, no window,
+    * so the plan is a pair of scans at any scale (equi-DEPTH buckets
+    * would need a global sort or quantile boundaries; use
+    * [[approxSummary]]'s sketch path for those).
+    *
+    * Bucket assignment is `least(b-1, floor((x-lo)*b/(hi-lo)))` with
+    * the arithmetic in exactly that order so a SQL oracle replays the
+    * same IEEE doubles bit-for-bit. Empty buckets are absent from the
+    * output (no row), which keeps the aggregate one-pass.
+    */
+  def numericHistogram(df: DataFrame, valueCol: String,
+      buckets: Int = 12): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(when(col("__hi") === col("__lo"), lit(0))
+        .otherwise(least(lit(buckets - 1),
+          floor((col("__v") - col("__lo")) * buckets /
+            (col("__hi") - col("__lo")))))
+        .cast("int").as("bucket"), col("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("__v")), 6).as("b_min"),
+        round(max(col("__v")), 6).as("b_max"))
+      .orderBy("bucket")
+  }
+
+  /** Tukey-fence outlier report for a numeric column: exact quartiles,
+    * the 1.5×IQR fences, and how many rows fall outside them. The
+    * fences are rounded to 6 decimals BEFORE the comparison on both
+    * engine sides, so the in/out decision never hinges on the last ulp
+    * of a quartile interpolation.
+    *
+    * The quartiles here use Spark's exact `percentile` aggregate
+    * (value-map based — fine while the column's distinct-value count
+    * is bounded, as money-like data is). At open-ended 100 TB scale
+    * swap in `approx_percentile`, which changes only the fence
+    * estimate, not the counting pass: the count is a broadcast of one
+    * 2-value row back over the scan, never a sort.
+    */
+  def outlierFences(df: DataFrame, valueCol: String): DataFrame = {
+    val q = df.agg(expr(
+        s"percentile($valueCol, array(0.25D, 0.75D))").as("__q"))
+      .select(col("__q").getItem(0).as("__q1"),
+        col("__q").getItem(1).as("__q3"))
+    df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .crossJoin(broadcast(q))
+      .select(col("__v"), col("__q1"), col("__q3"),
+        round(col("__q1") - lit(1.5) * (col("__q3") - col("__q1")), 6)
+          .as("__lo"),
+        round(col("__q3") + lit(1.5) * (col("__q3") - col("__q1")), 6)
+          .as("__hi"))
+      .groupBy(col("__q1"), col("__q3"), col("__lo"), col("__hi"))
+      .agg(
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_rows"))
+      .select(round(col("__q1"), 6).as("q1"), round(col("__q3"), 6).as("q3"),
+        round(col("__q3") - col("__q1"), 6).as("iqr"),
+        col("__lo").as("lo_fence"), col("__hi").as("hi_fence"),
+        col("n_below"), col("n_above"), col("n_rows"))
+  }
 }

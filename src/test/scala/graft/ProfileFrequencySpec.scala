@@ -228,4 +228,48 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(m.contains("warm") && m("warm") <= 200L &&
       m("warm") >= 200L - 1200L / 8)
   }
+
+  test("equi-width histogram buckets span [min,max], count every row, " +
+      "and collapse a constant column to bucket 0") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Profile.numericHistogram(df, "v", buckets = 4).collect()
+    assert(h.map(_.getAs[Int]("bucket")).toSeq == Seq(0, 1, 2, 3))
+    assert(h.map(_.getAs[Long]("n_rows")).sum == 101L)
+    // width 25: bucket 0 = [0,25), ..., bucket 3 = [75,100] (max value
+    // folds into the last bucket via the least() clamp)
+    assert(h(0).getAs[Double]("b_min") == 0.0 &&
+      h(0).getAs[Double]("b_max") == 24.0)
+    assert(h(3).getAs[Double]("b_min") == 75.0 &&
+      h(3).getAs[Double]("b_max") == 100.0)
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val hc = Profile.numericHistogram(const, "v", buckets = 4).collect()
+    assert(hc.length == 1 && hc.head.getAs[Int]("bucket") == 0 &&
+      hc.head.getAs[Long]("n_rows") == 3L)
+    // nulls are excluded, not bucketed
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Profile.numericHistogram(withNull, "v", 2)
+      .agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head.getLong(0) == 2L)
+  }
+
+  test("Tukey fences flag injected outliers and none on a tight " +
+      "uniform column") {
+    import spark.implicits._
+    // 1..100 uniform: q1=25.75, q3=75.25, iqr=49.5, fences [-48.5, 149.5]
+    val base = (1 to 100).map(_.toDouble)
+    val clean = Profile.outlierFences(base.toDF("v"), "v").head
+    assert(clean.getAs[Double]("q1") == 25.75 &&
+      clean.getAs[Double]("q3") == 75.25)
+    assert(clean.getAs[Long]("n_below") == 0L &&
+      clean.getAs[Long]("n_above") == 0L)
+    // inject two far outliers on each side; fences move but the four
+    // extremes stay far outside them
+    val dirty = (base ++ Seq(-1000.0, -900.0, 900.0, 1000.0)).toDF("v")
+    val d = Profile.outlierFences(dirty, "v").head
+    assert(d.getAs[Long]("n_below") == 2L && d.getAs[Long]("n_above") == 2L)
+    assert(d.getAs[Long]("n_rows") == 104L)
+    assert(d.getAs[Double]("lo_fence") < 0 &&
+      d.getAs[Double]("hi_fence") > 100)
+  }
 }
