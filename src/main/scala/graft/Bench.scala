@@ -81,9 +81,11 @@ object Bench {
       "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "freq_approx_topk",
-      "keywords_tfidf",
+      "keywords_tfidf", "quality_deciles", "unigram_logprob",
+      "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
-      "range_join_sessions", "sample_weighted", "sessionize_batch",
+      "range_join_sessions", "rolling_revenue", "sample_weighted",
+      "sessionize_batch",
       "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",
       "summary_lineitem_onepass", "text_repetition",
       "typeinfer_roundtrip")

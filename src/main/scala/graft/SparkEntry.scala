@@ -603,6 +603,185 @@ object SparkEntry {
       "SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, " +
       "o_totalprice FROM j WHERE rn <= 3 ORDER BY c_mktsegment, rn"
 
+  /** CUBE aggregation — every subset of (flag, status) including the
+    * per-status margin ROLLUP can't express; grouping_id disambiguates
+    * genuine NULL keys from subtotal rows (Spark and DuckDB use the
+    * same bit encoding: first grouping column = most significant bit).
+    */
+  private def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        decSum(col("l_extendedprice"), 2).as("sum_base"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_base"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val cubeRevenueOracle: String =
+    "SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid, " +
+      "l_returnflag, l_linestatus, count(*) AS n, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_base FROM lineitem " +
+      "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY gid, l_returnflag ASC NULLS FIRST, " +
+      "l_linestatus ASC NULLS FIRST"
+
+  /** Time-series range frame: 7-day rolling revenue over the DAILY
+    * order aggregate (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on
+    * epoch days — a calendar window, not a row window, so gaps in the
+    * date line shrink the frame exactly as a time series needs).
+    *
+    * The global-ordered window is single-partition by construction —
+    * safe HERE because it runs on the daily aggregate, whose row count
+    * is date-cardinality-bounded (years × 365) no matter how many
+    * orders feed it; the 100 TB cost is the pre-aggregation, which is
+    * an ordinary shuffled groupBy. For global windows over DATA-sized
+    * inputs use [[graft.operators.Ranking.globalRowNumber]] instead.
+    */
+  private def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    // daily revenue stays DECIMAL through the window sum: window
+    // implementations sum in engine-specific orders (sliding vs
+    // segment tree), so a double window-sum could differ at the ulp —
+    // decimal is exact and order-free; only the output casts to double
+    val daily = tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .as("rev_dec"), count(lit(1)).as("n_orders"))
+      .withColumn("day_no", datediff(col("d"), lit("1970-01-01")))
+    val w = Window.orderBy(col("day_no")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", sum(col("rev_dec")).over(w).cast(DoubleType))
+      .withColumn("n_7d", sum(col("n_orders")).over(w))
+      .select(col("d").cast("string").as("d"),
+        col("rev_dec").cast(DoubleType).as("rev"), col("n_orders"),
+        col("rev_7d"), col("n_7d"))
+      .orderBy("d")
+  }
+
+  private val rollingRevenueOracle: String =
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec, " +
+      "count(*) AS n_orders FROM orders GROUP BY 1), " +
+      "t AS (SELECT *, datediff('day', DATE '1970-01-01', d) AS day_no " +
+      "FROM daily) " +
+      "SELECT CAST(d AS VARCHAR) AS d, " +
+      "CAST(rev_dec AS DOUBLE) AS rev, n_orders, " +
+      "CAST(sum(rev_dec) OVER w AS DOUBLE) AS rev_7d, " +
+      "sum(n_orders) OVER w AS n_7d " +
+      "FROM t WINDOW w AS (ORDER BY day_no " +
+      "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY d"
+
+  /** Quality deciles over the documents table: every document ranked
+    * by (rounded quality score, doc_id) — a TOTAL order, as
+    * [[graft.operators.Ranking.globalRowNumber]] requires — then cut
+    * into 10 equal-ish buckets with the ntile fill rule expressed as
+    * exact integer arithmetic (`((rank-1) * 10) DIV n`), which both
+    * engines evaluate identically where replaying `ntile` semantics
+    * would couple the oracle to one engine's remainder policy.
+    *
+    * This is the scale counterpart of a naive
+    * `ntile(10) OVER (ORDER BY q)`: that plans as a single-partition
+    * window over every document; the ranking operator keeps the sort
+    * distributed (see Ranking's scaladoc).
+    */
+  private def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+      size(TextFunctions.tokens(col("text"))).as("n_tok"))
+    val n = d.agg(count(lit(1)).as("__n"))
+    graft.operators.Ranking
+      .globalRowNumber(d, Seq(col("q"), col("doc_id")), 32)
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr("CAST((row_num - 1) * 10 DIV __n AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("q")).as("lo_q"),
+        max(col("q")).as("hi_q"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("decile")
+  }
+
+  private val qualityDecilesOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val stopSet = TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) " +
+      "AS DOUBLE) / greatest(length(text), 1)"
+    val stop = s"CAST(len(list_filter($toks, t -> t IN ($stopSet))) " +
+      s"AS DOUBLE) / greatest(len($toks), 1)"
+    val lenCredit = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+    s"WITH q AS (SELECT doc_id, round($lenCredit * 0.5 + $stop * 0.3 " +
+      s"+ (1.0 - $punct) * 0.2, 6) AS q, " +
+      s"CAST(len($toks) AS INT) AS n_tok FROM documents), " +
+      "r AS (SELECT q, n_tok, row_number() OVER (ORDER BY q, doc_id) " +
+      "AS rn, count(*) OVER () AS n FROM q) " +
+      "SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile, " +
+      "count(*) AS n_docs, min(q) AS lo_q, max(q) AS hi_q, " +
+      "sum(n_tok) AS sum_tokens FROM r GROUP BY 1 ORDER BY decile"
+  }
+
+  /** DuckDB replay of TextMetrics.vocabCoverage: per-(source, token)
+    * counts, top-500 vocabulary via the same (count DESC, token ASC)
+    * deterministic order, left-join coverage aggregation.
+    */
+  private val vocabCoverageOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH tok AS (SELECT source, unnest($toks) AS t FROM documents), " +
+      "counts AS (SELECT source, t, count(*) AS c FROM tok " +
+      "GROUP BY 1, 2), " +
+      "vocab AS (SELECT t FROM (SELECT t, sum(c) AS n FROM counts " +
+      "GROUP BY t ORDER BY n DESC, t LIMIT 500)) " +
+      "SELECT source, sum(c) AS n_tokens, count(*) AS n_types, " +
+      "COALESCE(sum(c) FILTER (WHERE v.t IS NULL), 0) AS oov_tokens, " +
+      "COALESCE(count(*) FILTER (WHERE v.t IS NULL), 0) AS oov_types, " +
+      "round(CAST(COALESCE(sum(c) FILTER (WHERE v.t IS NULL), 0) " +
+      "AS DOUBLE) / sum(c), 6) AS oov_rate " +
+      "FROM counts LEFT JOIN vocab v ON counts.t = v.t " +
+      "GROUP BY source ORDER BY source"
+  }
+
+  /** DuckDB replay of TextMetrics.unigramLogprob: identical unigram
+    * table, identical `ln` input (count cast to DOUBLE over the BIGINT
+    * total), per-token rounding at 9 decimals, DECIMAL(20,9) sum.
+    */
+  private val unigramLogprobOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents), " +
+      "f AS (SELECT t, count(*) AS c FROM tok GROUP BY t), " +
+      "tot AS (SELECT sum(c) AS n FROM f) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(CAST(sum(CAST(round(ln(CAST(c AS DOUBLE) / n), 9) " +
+      "AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS avg_logprob " +
+      "FROM tok JOIN f USING (t) CROSS JOIN tot " +
+      "GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  /** Full replay of Similarity.semanticNearDupPairs: centroid scores
+    * for every vector (same quantizer as [[knnIvfOracle]]), argmax
+    * assignment with the (sim DESC, cid DESC) tie-break, within-cluster
+    * pair join verified by exact cosine.
+    */
+  // lazy: textually precedes vecCte's initializer
+  private lazy val semanticDedupOracle: String =
+    s"WITH $vecCte, " +
+      "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
+      "WHERE vec_id < 16), " +
+      "sc AS (SELECT n.vec_id AS id, c.cid, " +
+      "list_sum(list_transform(generate_series(1, len(n.vec)), " +
+      "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
+      "FROM n, c), " +
+      "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
+      "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
+      "FROM sc) WHERE rn = 1), " +
+      "p AS (SELECT x.cid, x.id AS id_a, y.id AS id_b, " +
+      "round(list_sum(list_transform(generate_series(1, len(nx.vec)), " +
+      "i -> nx.vec[i] * ny.vec[i])) / (nx.nrm * ny.nrm), 6) AS cos " +
+      "FROM assign x JOIN assign y ON x.cid = y.cid AND x.id < y.id " +
+      "JOIN n nx ON nx.vec_id = x.id JOIN n ny ON ny.vec_id = y.id) " +
+      "SELECT cid, id_a, id_b, cos FROM p WHERE cos >= 0.45 " +
+      "ORDER BY id_a, id_b"
+
   // -------------------------------------------------------------------
   // LLM-data-pipeline surface: text analysis, dedup, similarity,
   // multimodal. Oracles spell out the identical double arithmetic
@@ -1272,8 +1451,13 @@ object SparkEntry {
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
     "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
+    "cube_revenue"   -> ((s, dir) => cubeRevenue(s, dir)),
+    "rolling_revenue" -> ((s, dir) => rollingRevenue(s, dir)),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
+    // distributed global ranking (Ranking.globalRowNumber) driving a
+    // decile cut over document quality — the scalable ntile
+    "quality_deciles" -> ((s, dir) => qualityDeciles(s, dir)),
     // semi/anti joins: per-nation counts of customers with and without
     // orders — both plan as broadcast hash joins with the dimension
     // side reused, no row duplication from the fact side
@@ -1302,6 +1486,15 @@ object SparkEntry {
     "text_stats"   -> ((s, dir) => textStatsQuery(s, dir)),
     "text_quality" -> ((s, dir) => textQualityQuery(s, dir)),
     "lang_detect"  -> ((s, dir) => langDetectQuery(s, dir)),
+    // tokenizer-prep report: per-source coverage of the global
+    // top-500 token vocabulary
+    "vocab_coverage" -> ((s, dir) => TextMetrics.vocabCoverage(
+      tbl(s, dir, "documents"), "text", "source", vocabSize = 500)),
+    // CCNet-style perplexity proxy: per-doc mean unigram logprob
+    // under the corpus's own unigram distribution
+    "unigram_logprob" -> ((s, dir) => TextMetrics.unigramLogprob(
+      tbl(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     // LLM pipeline — dedup family
     "dedup_exact" -> ((s, dir) => Dedup.exactByContent(
       tbl(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -1390,6 +1583,12 @@ object SparkEntry {
     // spec in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairsReplayable(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // SemDeDup: near-dup pairs mined only within coarse-quantizer
+    // clusters — the O(sum cluster^2) path that replaces the exact
+    // grid self-join at corpus scale
+    "semantic_dedup" -> ((s, dir) => Similarity.semanticNearDupPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, threshold = 0.45)),
     // Scale technique under the correctness gate: salted join of the
     // (skew-prone) events fact against a per-user dim; result must
     // equal the plain join, which the oracle replays directly.
@@ -1617,6 +1816,12 @@ object SparkEntry {
     "tpch_q3" -> tpchQ3Oracle,
     "tpch_q5" -> tpchQ5Oracle,
     "rollup_revenue" -> rollupRevenueOracle,
+    "cube_revenue" -> cubeRevenueOracle,
+    "rolling_revenue" -> rollingRevenueOracle,
+    "quality_deciles" -> qualityDecilesOracle,
+    "vocab_coverage" -> vocabCoverageOracle,
+    "unigram_logprob" -> unigramLogprobOracle,
+    "semantic_dedup" -> semanticDedupOracle,
     "pivot_status"   -> pivotStatusOracle,
     "window_top_orders" -> windowTopOrdersOracle,
     "join_semi_anti" ->

@@ -189,6 +189,49 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): corpus
+    * vectors are assigned to their nearest coarse centroid — the same
+    * deterministic seed quantizer as [[knnIvf]] — and near-duplicate
+    * pairs are mined ONLY within each cluster, verified by exact
+    * cosine ≥ threshold. O(Σ clusterSize²) instead of O(n²): the
+    * cluster is both the cost bound and the unit of parallelism (the
+    * self-join shuffles on `cid`, so every cluster's quadratic block
+    * runs independently). Pairs straddling a centroid boundary are
+    * missed by construction — numCentroids is the recall/cost knob
+    * (fewer, bigger clusters → higher recall, more compute per
+    * cluster), exactly the published trade-off.
+    *
+    * Assignment is the [[knnIvf]] shape: centroids ride a broadcast
+    * join, argmax is a map-side `max(struct)` partial agg, one
+    * (id, cid) row per vector reaches the shuffle. Fully deterministic
+    * (struct tie-break toward the larger cid), so a SQL oracle replays
+    * clusters and pairs end-to-end.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, threshold: Double): DataFrame = {
+    val v = normed(df, idCol, vecCol)
+    val cents = v.where(col("id") < numCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        col("norm").as("cnorm"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"))
+      .join(v, Seq("id"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b"), col("norm_a"),
+          col("norm_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Random-hyperplane LSH buckets: sign bits of numBits fixed random
     * projections (hyperplanes derived deterministically from xxhash64 of
     * (plane, dim) — no RNG state to ship). Vectors sharing a bucket are

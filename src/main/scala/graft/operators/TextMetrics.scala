@@ -139,6 +139,85 @@ object TextMetrics {
           .as("top_bigram_frac"))
   }
 
+  /** Tokenizer-prep vocabulary coverage: build the top-`vocabSize`
+    * token vocabulary by corpus frequency (ties broken by token text
+    * ascending, so selection is deterministic) and report, per source,
+    * how much of that slice's token volume the vocabulary covers — the
+    * report that sizes a tokenizer vocab against each corpus slice
+    * before training one.
+    *
+    * Scale shape: token counts aggregate per (source, token) with
+    * map-side combine; the global vocabulary is a top-K over the
+    * vocabulary-sized count table selected via `orderBy(...).limit(V)`,
+    * which Spark plans as TakeOrderedAndProject — per-partition heaps
+    * of V entries, NO global sort and no single-partition window; the
+    * selected vocab (V rows) broadcasts back onto the per-source
+    * counts. Nothing exceeds vocabulary-sized state.
+    *
+    * Output per source: total/OOV token volume, distinct-type counts,
+    * and the OOV token rate.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, sourceCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy(col("t")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("t").asc)
+      .limit(vocabSize)
+      .select(col("t"), lit(1).as("__in_vocab"))
+    counts.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__in_vocab").isNull, col("c")).otherwise(lit(0L)))
+          .as("oov_tokens"),
+        sum(when(col("__in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("oov_types"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  /** Unigram language-model score — the perplexity proxy of CCNet-style
+    * quality filtering: per document, the mean natural-log probability
+    * of its tokens under the corpus's OWN unigram distribution. Docs
+    * full of rare tokens (boilerplate ids, binary spew) score far more
+    * negative than natural prose; threshold downstream.
+    *
+    * Scale shape: the unigram table is a vocabulary-sized aggregation
+    * that broadcasts back onto the exploded token stream (the join key
+    * is the token, and hot tokens like "the" would skew a shuffle join
+    * badly — the broadcast sidesteps that entirely); the per-document
+    * mean is a document-keyed aggregation. One corpus scan for counts,
+    * one for scoring.
+    *
+    * Determinism across engines: each token's log-probability is
+    * rounded at 9 decimals and summed as DECIMAL — exact and
+    * order-independent, where a double sum would drift with partition
+    * order. The per-token `ln` of an identical double input is the
+    * only transcendental, the same contract the tf-idf score already
+    * relies on.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("__n"))
+    val lp = round(log(col("c").cast("double") / col("__n")), 9)
+      .cast("decimal(20,9)")
+    toks.join(broadcast(freq), Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(lp).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** Per-document salient terms (tf-idf keyword extraction): the top-k
     * terms of each document ranked by term frequency, breaking ties by
     * ascending document frequency (rarer wins) then term text. The

@@ -270,6 +270,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"trained recall $trained%.3f below the 0.94 bar")
   }
 
+  test("semantic dedup: precision 1.0 vs exact pairs, positive " +
+      "within-cluster recall (sf0.001 embeddings)") {
+    val t = 0.45
+    val exact = Dedup.embeddingNearDup(realVecs, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.semanticNearDupPairs(realVecs, "vec_id",
+        "embedding", numCentroids = 16, threshold = t)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    // exact-cosine verification within clusters ⇒ no false positives
+    assert(sem.subsetOf(exact), s"false positives: ${sem.diff(exact)}")
+    // cross-centroid pairs are missed by design; fewer, bigger
+    // clusters recover them — at 1 centroid the pair set is exact
+    assert(sem.nonEmpty, "no within-cluster pairs found")
+    val all = Similarity.semanticNearDupPairs(realVecs, "vec_id",
+        "embedding", numCentroids = 1, threshold = t)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(all == exact,
+      s"single-cluster semantic dedup must equal the exact pair set")
+    info(s"semantic recall at 16 centroids: ${sem.size}/${exact.size}")
+  }
+
   test("hyperplane LSH always buckets identical vectors together") {
     val dup = vecs.union(Seq((5L, Array(1.0f, 0.1f, 0f, 0f, 0f, 0f, 0f,
       0f))).toDF("vec_id", "embedding"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranking
+
+/** Pins the distributed global-ranking operator: exact agreement with
+  * the single-partition `row_number` window it replaces, regardless of
+  * input partitioning, plus the no-data-sized-single-partition plan
+  * guarantee.
+  */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRowNumber equals the single-partition row_number window " +
+      "on a total order, for any input partitioning") {
+    val rows = (1L to 500L).map(i => (i, (i * 7919) % 501))
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("id", "k")
+      val expected = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("k"), col("id"))))
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      val got = Ranking.globalRowNumber(df,
+          Seq(col("k"), col("id")), numPartitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2).toInt)).toMap
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
+  test("globalRowNumber ranks descending orders too") {
+    val df = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0)).toDF("id", "x")
+    val got = Ranking.globalRowNumber(df,
+        Seq(col("x").desc, col("id")), numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 1L -> 3L))
+  }
+
+  test("globalRowNumber's plan has no data-sized single-partition " +
+      "window (every window is partitioned by the range-partition id)") {
+    val df = spark.range(1000).toDF("id")
+    val plan = Ranking.globalRowNumber(df, Seq(col("id")), 4)
+      .queryExecution.executedPlan.toString
+    // the only unpartitioned window in the plan must be the offset
+    // prefix-sum over per-partition counts (bounded by numPartitions)
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    val overData = windows.filterNot(_.contains("__graft_pid"))
+    // offset window runs over the count aggregate, whose plan node
+    // groups by __graft_pid — data rows never hit it
+    assert(overData.size <= 1,
+      s"unexpected unpartitioned windows over data rows: $windows")
+  }
+}

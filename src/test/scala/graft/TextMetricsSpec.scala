@@ -126,4 +126,50 @@ class TextMetricsSpec extends AnyFunSuite {
       .collect().head
     assert(r7.getLong(2) == 1L && r7.getString(3) == "p q")
   }
+
+  test("vocabCoverage reports per-source OOV volume against the " +
+      "deterministic top-K vocabulary") {
+    val docs = Seq(
+      ("web", "the the the cat"),
+      ("web", "the dog"),
+      ("book", "the cat zebra"))
+      .toDF("source", "text")
+    // counts: the=5, cat=2, dog=1, zebra=1 → vocab(2) = {the, cat}
+    // (dog/zebra tie at 1 is cut; cat beats them at 2)
+    val got = TextMetrics.vocabCoverage(docs, "text", "source", 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // book: 3 tokens {the, cat, zebra}; zebra OOV → 1/3
+    assert(got("book") == ((3L, 3L, 1L, 1L, 0.333333)))
+    // web: 6 tokens, 3 types {the, cat, dog}; dog OOV → 1/6
+    assert(got("web") == ((6L, 3L, 1L, 1L, 0.166667)))
+    // ties at the vocab boundary break by token text: with vocab
+    // size 3, "dog" (alphabetically first of the tied pair) enters
+    val got3 = TextMetrics.vocabCoverage(docs, "text", "source", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got3("web") == 0L && got3("book") == 1L)
+  }
+
+  test("unigramLogprob scores rare-token docs more negative and " +
+      "computes the exact unigram mean") {
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a a a b"))
+      .toDF("doc_id", "text")
+    // corpus: a=7, b=1, total=8 → ln(7/8) = -0.133531..., ln(1/8) =
+    // -2.079442 (each rounded at 9 decimals before the exact mean)
+    val got = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnA = BigDecimal(math.log(7.0 / 8.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val lnB = BigDecimal(math.log(1.0 / 8.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def m6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, m6(lnA))))
+    assert(got(2L) == ((4L, m6((lnA * 3 + lnB) / 4))))
+    assert(got(2L)._2 < got(1L)._2) // rare token drags the score down
+  }
 }
