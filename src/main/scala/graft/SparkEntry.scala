@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
-import graft.operators.{DateShift, Dedup, Frequency, Multimodal, Profile,
-  Sampling, Similarity, Skew, TextMetrics, TypeInference}
-import graft.sources.DelimitedSource
+import graft.operators.{DateShift, Dedup, Drift, Frequency, Multimodal,
+  Profile, Sampling, Similarity, Skew, TextMetrics, TypeInference}
+import graft.sources.{BucketedTable, DelimitedSource}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -757,6 +757,24 @@ object SparkEntry {
       "GROUP BY doc_id ORDER BY doc_id"
   }
 
+  /** DuckDB replay of Drift.ksStatistic over the F/O order-status
+    * slices: distinct-value counts per side, cumulative sums as the
+    * CDF numerators, exact integral KS numerator, rounded ratio.
+    */
+  private val driftKsOracle: String =
+    "WITH g AS (SELECT o_totalprice AS v, " +
+      "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
+      "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
+      "FROM orders WHERE o_orderstatus IN ('F', 'O')), " +
+      "c AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM g GROUP BY v), " +
+      "cum AS (SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b " +
+      "FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
+      "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c) " +
+      "SELECT na AS n_a, nb AS n_b, " +
+      "max(abs(cum_a * nb - cum_b * na)) AS d_num, " +
+      "round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE) " +
+      "/ (na * nb), 6) AS ks FROM cum, t GROUP BY na, nb"
+
   /** Full replay of Similarity.semanticNearDupPairs: centroid scores
     * for every vector (same quantizer as [[knnIvfOracle]]), argmax
     * assignment with the (sim DESC, cid DESC) tie-break, within-cluster
@@ -1458,6 +1476,30 @@ object SparkEntry {
     // distributed global ranking (Ranking.globalRowNumber) driving a
     // decile cut over document quality — the scalable ntile
     "quality_deciles" -> ((s, dir) => qualityDeciles(s, dir)),
+    // bucketed-layout co-located join: both sides pre-bucketed on the
+    // join key, so the join itself plans with zero Exchange (gated in
+    // ScaleTechniquesSpec); the oracle replays the plain join
+    "bucketed_join" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = graft.config.Scratch.dir + s"/bucketed_$tag"
+      BucketedTable.write(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8)
+      BucketedTable.write(tbl(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+        s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8)
+      BucketedTable.colocatedJoin(s, s"graft_b_orders_$tag", "o_custkey",
+          s"graft_b_customer_$tag", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+    // exact two-sample KS drift between order-status slices: integral
+    // max |cumA*nB - cumB*nA| via the distributed prefix sum
+    "drift_ks" -> ((s, dir) => Drift.ksStatistic(
+      tbl(s, dir, "orders"), "o_totalprice", "o_orderstatus",
+      "F", "O")),
     // semi/anti joins: per-nation counts of customers with and without
     // orders — both plan as broadcast hash joins with the dimension
     // side reused, no row duplication from the fact side
@@ -1755,7 +1797,14 @@ object SparkEntry {
     // emitted key set is the exact distinct set (oracle-stable)
     "streaming_dedup" -> ((s, dir) =>
       graft.streaming.StreamingProfile.runStreamingDedup(s, dir)
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+    // stream-stream interval join (funnel attribution): watermarked
+    // on BOTH sides with a two-sided time bound, so join state stays
+    // watermark-horizon-sized; the oracle replays the interval join
+    // in batch SQL
+    "stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingProfile.runFunnel(s, dir)
+        .orderBy("purchase_id", "click_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1822,6 +1871,19 @@ object SparkEntry {
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
     "semantic_dedup" -> semanticDedupOracle,
+    "bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders JOIN customer " +
+        "ON o_custkey = c_custkey GROUP BY 1 ORDER BY c_mktsegment"),
+    "drift_ks" -> driftKsOracle,
+    "stream_funnel" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM events p JOIN events c ON c.user_id = p.user_id " +
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+        "AND epoch_us(c.ts) >= epoch_us(p.ts) - 900000000 " +
+        "ORDER BY 1, 2"),
     "pivot_status"   -> pivotStatusOracle,
     "window_top_orders" -> windowTopOrdersOracle,
     "join_semi_anti" ->

@@ -60,4 +60,43 @@ object Ranking {
         row_number().over(local).cast("long") + col(off))
       .drop(pid, off)
   }
+
+  /** `df` plus an inclusive running total of each `sums` entry
+    * (inputCol -> outputCol) in `order` — the distributed prefix sum
+    * underlying exact CDFs, cut points, and quota assignment. Same
+    * two-pass shape as [[globalRowNumber]]: range-partition, sum each
+    * partition (one row per partition), prefix the offsets, then add
+    * a local running-sum window. The same total-order caveat applies:
+    * with ties on `order`, tied rows' relative cumulative values
+    * follow the partitioning — include a tiebreaker, or pre-aggregate
+    * to distinct keys (a CDF does exactly that).
+    */
+  def prefixSums(df: DataFrame, order: Seq[Column],
+      sums: Seq[(String, String)], numPartitions: Int): DataFrame = {
+    require(order.nonEmpty, "prefixSums needs at least one sort key")
+    require(sums.nonEmpty, "prefixSums needs at least one sum column")
+    val pid = "__graft_pid"
+    val ranged = df.repartitionByRange(numPartitions, order: _*)
+      .withColumn(pid, spark_partition_id())
+    val totals = sums.map { case (in, _) =>
+      sum(col(in)).as(s"__graft_t_$in")
+    }
+    val offW = Window.orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums.foldLeft(
+        ranged.groupBy(col(pid)).agg(totals.head, totals.tail: _*)) {
+      case (d, (in, _)) =>
+        d.withColumn(s"__graft_o_$in",
+          coalesce(sum(col(s"__graft_t_$in")).over(offW), lit(0L)))
+    }.select(col(pid) +: sums.map { case (in, _) =>
+      col(s"__graft_o_$in")
+    }: _*)
+    val local = Window.partitionBy(col(pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sums.foldLeft(ranged.join(broadcast(offsets), Seq(pid))) {
+      case (d, (in, out)) =>
+        d.withColumn(out,
+          sum(col(in)).over(local) + col(s"__graft_o_$in"))
+    }.drop(pid +: sums.map { case (in, _) => s"__graft_o_$in" }: _*)
+  }
 }

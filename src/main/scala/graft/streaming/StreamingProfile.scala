@@ -145,6 +145,52 @@ object StreamingProfile {
     spark.table(name)
   }
 
+  /** Stream-stream interval join — funnel attribution: each purchase
+    * matched to the same user's clicks in the `lookback` interval
+    * before it. BOTH sides carry watermarks and the join condition
+    * bounds event time in both directions, which is what lets Spark
+    * evict buffered rows once the watermark passes the interval: join
+    * state is O(events inside the watermark horizon), never O(stream).
+    * An unbounded-time stream-stream join would have to buffer one
+    * whole side forever — the time bound is not an optimization, it is
+    * what makes the operator deployable.
+    */
+  def funnelPairs(purchases: DataFrame, clicks: DataFrame,
+      lookback: String): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("click_id"))
+
+  /** Run the funnel join over two bounded replays of the events
+    * stream (two independent file-source streams, as deployment would
+    * have two topics).
+    */
+  def runFunnel(spark: SparkSession, dir: String,
+      lookback: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val p = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val c = eventsStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val name = "graft_stream_funnel_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = funnelPairs(p, c, lookback)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // -- stateful sessionization ----------------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -39,6 +39,47 @@ class RankingSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 3L -> 2L, 1L -> 3L))
   }
 
+  test("prefixSums equals the single-partition running-sum window " +
+      "for any input partitioning") {
+    val rows = (1L to 300L).map(i => (i, (i * 31) % 301, i % 5, i % 3))
+    for (parts <- Seq(1, 4)) {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, parts))
+        .toDF("id", "k", "x", "y")
+      val w = Window.orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expected = df
+        .withColumn("cx", sum(col("x")).over(w))
+        .withColumn("cy", sum(col("y")).over(w))
+        .collect().map(r => (r.getLong(0), (r.getLong(4), r.getLong(5))))
+        .toMap
+      val got = Ranking.prefixSums(df, Seq(col("k"), col("id")),
+          Seq("x" -> "cx", "y" -> "cy"), numPartitions = 4)
+        .collect().map(r => (r.getLong(0), (r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
+  test("ksStatistic is exact on a hand-computed example and zero for " +
+      "identical distributions") {
+    import graft.operators.Drift
+    // A = {1,2,3}, B = {2,3,4}: CDF gap peaks at v=1 (1/3 vs 0) and
+    // v=3 (3/3 vs 2/3) → D = 1/3; numerator max |cumA*nB - cumB*nA| = 3
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+        ("B", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r = Drift.ksStatistic(df, "v", "g", "A", "B", numPartitions = 2)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 3L)))
+    assert(r.getDouble(3) == 0.333333)
+    // a slice against an identically-distributed slice drifts by 0
+    val same = Seq(("A", 1.0), ("A", 7.0), ("B", 1.0), ("B", 7.0))
+      .toDF("g", "v")
+    val r0 = Drift.ksStatistic(same, "v", "g", "A", "B").head()
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+  }
+
   test("globalRowNumber's plan has no data-sized single-partition " +
       "window (every window is partitioned by the range-partition id)") {
     val df = spark.range(1000).toDF("id")

@@ -61,13 +61,13 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     import s2.implicits._
-    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
-    val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
-    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .saveAsTable("bucketed_a")
-    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .saveAsTable("bucketed_b")
-    val joined = s2.table("bucketed_a").join(s2.table("bucketed_b"), "k")
+    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("ka", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("kb", "vb")
+    val base = graft.config.Scratch.dir + "/spec_bucketed"
+    graft.sources.BucketedTable.write(a, "bucketed_a", s"$base/a", "ka", 8)
+    graft.sources.BucketedTable.write(b, "bucketed_b", s"$base/b", "kb", 8)
+    val joined = graft.sources.BucketedTable.colocatedJoin(
+      s2, "bucketed_a", "ka", "bucketed_b", "kb")
     val plan = joined.queryExecution.executedPlan.toString
     // co-located bucketed join: sort-merge with NO shuffle exchange
     assert(!plan.contains("Exchange hashpartitioning"),

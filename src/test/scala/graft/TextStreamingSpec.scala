@@ -164,6 +164,30 @@ class TextStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream funnel join matches the batch interval join " +
+      "(sf0.001 events)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingProfile.runFunnel(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("event_type"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts_us").as("p_us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts_us").as("c_us"))
+    val want = p.join(c, col("user_id") === col("cu") &&
+        col("c_us") <= col("p_us") &&
+        col("c_us") >= col("p_us") - lit(900000000L))
+      .select("pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup emits exactly the distinct key set " +
       "(sf0.001 events, single-batch bounded replay)") {
     val dir = "/root/testdata/sf0.001"
