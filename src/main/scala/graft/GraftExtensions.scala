@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.GraftFunctions
+
+/** Session-extension installer — the deployment path for sessions the
+  * library does not construct itself:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *
+  * Injects every native function from [[GraftFunctions.builders]]
+  * into the session's function registry at build time, so SQL-only
+  * users (JDBC, notebooks, Thrift server) can call `vector_dot`,
+  * `minhash_signature`, etc. without any Scala entry point. Built-in
+  * rules and strategies are deliberately NOT overridden: every graft
+  * operator plans through stock Catalyst, and the extension surface
+  * stays additive (functions only).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

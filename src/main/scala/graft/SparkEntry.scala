@@ -757,6 +757,24 @@ object SparkEntry {
       "GROUP BY doc_id ORDER BY doc_id"
   }
 
+  /** DuckDB replay of Profile.groupedCountQuantiles on per-source
+    * token counts: same count-based CDF and the same integral type-1
+    * pick (`cum*100 >= total*p`).
+    */
+  private val groupQuantilesOracle: String =
+    "WITH d AS (SELECT source, " +
+      "CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v " +
+      "FROM documents), " +
+      "c AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2), " +
+      "x AS (SELECT source, v, sum(c) OVER (PARTITION BY source " +
+      "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(c) OVER (PARTITION BY source) AS total FROM c) " +
+      "SELECT source, " +
+      "min(CASE WHEN cum * 100 >= total * 25 THEN v END) AS p25, " +
+      "min(CASE WHEN cum * 100 >= total * 50 THEN v END) AS p50, " +
+      "min(CASE WHEN cum * 100 >= total * 75 THEN v END) AS p75, " +
+      "max(total) AS n_rows FROM x GROUP BY source ORDER BY source"
+
   /** DuckDB replay of Drift.ksStatistic over the F/O order-status
     * slices: distinct-value counts per side, cumulative sums as the
     * CDF numerators, exact integral KS numerator, rounded ratio.
@@ -774,6 +792,32 @@ object SparkEntry {
       "max(abs(cum_a * nb - cum_b * na)) AS d_num, " +
       "round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE) " +
       "/ (na * nb), 6) AS ks FROM cum, t GROUP BY na, nb"
+
+  /** DuckDB replay of Drift.psi: reference-range equi-width bins with
+    * the histogram's IEEE arithmetic order, Laplace-smoothed shares,
+    * per-bin terms rounded at 9 decimals and DECIMAL-summed.
+    */
+  private val driftPsiOracle: String =
+    "WITH g AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
+      "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
+      "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
+      "FROM orders WHERE o_orderstatus IN ('F', 'O') " +
+      "AND o_totalprice IS NOT NULL), " +
+      "r AS (SELECT min(v) AS lo, max(v) AS hi FROM g WHERE a = 1), " +
+      "cells AS (SELECT CASE WHEN hi = lo THEN 0 ELSE " +
+      "greatest(0, least(9, CAST(floor((v - lo) * 10 / (hi - lo)) " +
+      "AS INT))) END AS bin, sum(a) AS ca, sum(b) AS cb " +
+      "FROM g, r GROUP BY 1), " +
+      "n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells), " +
+      "p AS (SELECT na, nb, " +
+      "(CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) ELSE 0.5 END) / na " +
+      "AS pa, " +
+      "(CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) ELSE 0.5 END) / nb " +
+      "AS pb FROM cells, n) " +
+      "SELECT na AS n_a, nb AS n_b, " +
+      "round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 9) " +
+      "AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi " +
+      "FROM p GROUP BY na, nb"
 
   /** Full replay of Similarity.semanticNearDupPairs: centroid scores
     * for every vector (same quantizer as [[knnIvfOracle]]), argmax
@@ -1396,6 +1440,12 @@ object SparkEntry {
     // compare so the in/out decision is engine-portable)
     "hist_totalprice" -> ((s, dir) => Profile.numericHistogram(
       tbl(s, dir, "orders"), "o_totalprice", buckets = 12)),
+    // exact per-group quantiles over a discrete domain (token counts)
+    // from count-based CDFs — no per-group value buffering
+    "group_quantiles" -> ((s, dir) => Profile.groupedCountQuantiles(
+      tbl(s, dir, "documents").select(col("source"),
+        size(TextFunctions.tokens(col("text"))).as("n_tok")),
+      "source", "n_tok", Seq(25, 50, 75))),
     "outliers_acctbal" -> ((s, dir) => Profile.outlierFences(
       tbl(s, dir, "customer"), "c_acctbal")),
     "freq_part" -> ((s, dir) => freqQuery(tbl(s, dir, "part"),
@@ -1498,6 +1548,11 @@ object SparkEntry {
     // exact two-sample KS drift between order-status slices: integral
     // max |cumA*nB - cumB*nA| via the distributed prefix sum
     "drift_ks" -> ((s, dir) => Drift.ksStatistic(
+      tbl(s, dir, "orders"), "o_totalprice", "o_orderstatus",
+      "F", "O")),
+    // binned PSI companion on the same slices (dashboard drift score;
+    // O(numBins) state, decimal-exact term sum)
+    "drift_psi" -> ((s, dir) => Drift.psi(
       tbl(s, dir, "orders"), "o_totalprice", "o_orderstatus",
       "F", "O")),
     // semi/anti joins: per-nation counts of customers with and without
@@ -1871,12 +1926,14 @@ object SparkEntry {
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
     "semantic_dedup" -> semanticDedupOracle,
+    "group_quantiles" -> groupQuantilesOracle,
     "bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_price FROM orders JOIN customer " +
         "ON o_custkey = c_custkey GROUP BY 1 ORDER BY c_mktsegment"),
     "drift_ks" -> driftKsOracle,
+    "drift_psi" -> driftPsiOracle,
     "stream_funnel" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM events p JOIN events c ON c.user_id = p.user_id " +

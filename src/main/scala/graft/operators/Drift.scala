@@ -28,6 +28,55 @@ object Drift {
     * the distinct-value count, which for a CDF is the data's value
     * cardinality — pick cardinality/partition-budget at scale).
     */
+  /** Population Stability Index between the two slices over
+    * `numBins` equi-width bins of the A-slice's [min, max] — the
+    * binned drift score production monitoring dashboards use
+    * (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    * Coarser than [[ksStatistic]] but directly comparable across runs
+    * because the bin grid is fixed by the reference slice.
+    *
+    * One pass to find the reference range, one binned aggregation —
+    * both all-column-scan shaped, state is O(numBins). Bin assignment
+    * reuses the histogram's `least(b-1, floor((x-lo)*b/(hi-lo)))`
+    * IEEE ordering so a SQL oracle replays bins bit-for-bit; B-values
+    * outside the reference range clamp into the edge bins. Zero cells
+    * are smoothed by 0.5 (Laplace) before the log ratio, and each
+    * bin's contribution is rounded at 9 decimals and summed as
+    * DECIMAL, making the total order-independent and engine-portable.
+    */
+  def psi(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, numBins: Int = 10): DataFrame = {
+    require(numBins > 0, s"numBins must be positive: $numBins")
+    val tagged = df
+      .where(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("double").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("a"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("b"))
+      .where(col("v").isNotNull)
+    val range = tagged.where(col("a") === 1L)
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bin = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(greatest(lit(0), least(lit(numBins - 1),
+        floor((col("v") - col("__lo")) * numBins /
+          (col("__hi") - col("__lo"))).cast("int"))))
+    val cells = tagged.crossJoin(broadcast(range))
+      .select(bin.as("bin"), col("a"), col("b"))
+      .groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val n = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = when(col("ca") > 0, col("ca").cast("double"))
+      .otherwise(lit(0.5)) / col("na")
+    val pb = when(col("cb") > 0, col("cb").cast("double"))
+      .otherwise(lit(0.5)) / col("nb")
+    cells.crossJoin(broadcast(n))
+      .select(col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 9).cast("decimal(20,9)")
+          .as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("psi"))
+  }
+
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String,
       numPartitions: Int = 32): DataFrame = {

@@ -605,4 +605,41 @@ object Profile {
         col("__lo").as("lo_fence"), col("__hi").as("hi_fence"),
         col("n_below"), col("n_above"), col("n_rows"))
   }
+
+  /** EXACT per-group quantiles over a DISCRETE domain, with no value
+    * buffering anywhere: counts per (group, value), a cumulative-count
+    * window whose partitions are value-cardinality-sized (distinct
+    * values per group — token counts, lengths, ratings — never row
+    * counts), and the type-1 inverse-CDF pick `min v where
+    * cum ≥ ⌈total·p/100⌉`, kept integral as `cum·100 ≥ total·p` so
+    * both engines decide identically. This is the scale-safe exact
+    * counterpart of `percentile()` (which buffers every value per
+    * group); for continuous domains where distinct values ≈ rows, use
+    * the sketch path ([[summarizeApprox]]) instead.
+    *
+    * `percents` are integer percentages (25, 50, 75); output has one
+    * `p<pct>` column per entry plus the group size.
+    */
+  def groupedCountQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents must be integer percentages in (0, 100]: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__total",
+        sum(col("__c")).over(Window.partitionBy("__g")))
+    val aggs = percents.map { p =>
+      min(when(col("__cum") * 100 >= col("__total") * p, col("__v")))
+        .as(s"p$p")
+    } :+ max(col("__total")).as("n_rows")
+    cum.groupBy(col("__g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCol)
+  }
 }

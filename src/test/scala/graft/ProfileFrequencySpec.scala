@@ -272,4 +272,22 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(d.getAs[Double]("lo_fence") < 0 &&
       d.getAs[Double]("hi_fence") > 100)
   }
+
+  test("grouped count-quantiles pick the exact type-1 per-group " +
+      "quartiles without buffering values") {
+    // group a: values 1..4 → p25=1, p50=2, p75=3 (cum·100 ≥ total·p);
+    // group b: {5,5,5,9} → p25=p50=p75 land on 5,5,9? cum(5)=3:
+    // 300≥100 ✓ p25=5, 300≥200 ✓ p50=5, 300≥300 ✓ p75=5
+    val df = (Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4)) ++
+      Seq(("b", 5), ("b", 5), ("b", 5), ("b", 9))).toDF("g", "v")
+    val got = Profile.groupedCountQuantiles(df, "g", "v", Seq(25, 50, 75))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((1L, 2L, 3L, 4L)))
+    assert(got("b") == ((5L, 5L, 5L, 4L)))
+    // p100 is the group max by construction
+    val p100 = Profile.groupedCountQuantiles(df, "g", "v", Seq(100))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p100 == Map("a" -> 4L, "b" -> 9L))
+  }
 }

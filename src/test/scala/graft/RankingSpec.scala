@@ -80,6 +80,19 @@ class RankingSpec extends AnyFunSuite {
     assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
   }
 
+  test("psi is zero for identical slices and large for a shifted one") {
+    import graft.operators.Drift
+    val same = (1 to 100).flatMap(i =>
+      Seq(("A", i.toDouble), ("B", i.toDouble))).toDF("g", "v")
+    assert(Drift.psi(same, "v", "g", "A", "B").head().getDouble(2) == 0.0)
+    // B concentrated in A's top decile → far beyond the 0.25 alarm bar
+    val shifted = ((1 to 100).map(i => ("A", i.toDouble)) ++
+      (1 to 100).map(i => ("B", 95.0 + (i % 5)))).toDF("g", "v")
+    val r = Drift.psi(shifted, "v", "g", "A", "B").head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    assert(r.getDouble(2) > 0.25, s"psi ${r.getDouble(2)} not > 0.25")
+  }
+
   test("globalRowNumber's plan has no data-sized single-partition " +
       "window (every window is partitioned by the range-partition id)") {
     val df = spark.range(1000).toDF("id")

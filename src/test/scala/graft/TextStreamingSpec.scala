@@ -99,6 +99,32 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(r.getInt(4) == 4)
   }
 
+  test("GraftExtensions installs the native functions in a session " +
+      "built with withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared session as default afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the JVM's SparkContext; only the session state is new
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "sorted_intersect_count(array('a','b'), array('b','c')) AS c")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getInt(1) == 1)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("stateful streaming sessionization matches the window-function " +
       "batch twin") {
     val gap = 100L
