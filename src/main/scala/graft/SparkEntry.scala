@@ -519,6 +519,58 @@ object SparkEntry {
       "AND o_orderdate < TIMESTAMP '1997-01-01' " +
       "GROUP BY 1 ORDER BY revenue DESC, n_name"
 
+  /** Q7-shaped 6-way join (international trade volume): the two big
+    * sides (lineitem, orders) meet in one shuffled join; supplier,
+    * customer, and both nation aliases ride broadcasts. Exercises
+    * Catalyst's join reordering + the same-table-twice alias shape.
+    */
+  private def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n = tbl(s, dir, "nation")
+    val n1 = n.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val tpchQ7Oracle: String =
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l_shipdate) AS INT) AS l_year, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE n1.n_name <> n2.n_name " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+
+  private val groupTopkOracle: String =
+    "WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) " +
+      "AS tok FROM documents), " +
+      "c AS (SELECT source, tok AS value, count(*) AS cnt FROM t " +
+      "GROUP BY 1, 2), " +
+      "r AS (SELECT source, value, cnt, row_number() OVER " +
+      "(PARTITION BY source ORDER BY cnt DESC, value) AS rank FROM c) " +
+      "SELECT source, CAST(rank AS INT) AS rank, value, cnt FROM r " +
+      "WHERE rank <= 3 ORDER BY source, rank"
+
   private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
     val cust = tbl(s, dir, "customer")
@@ -1518,6 +1570,15 @@ object SparkEntry {
     "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
+    "tpch_q7" -> ((s, dir) => tpchQ7(s, dir)),
+    // per-group heavy hitters: one Misra-Gries sketch per group in a
+    // single aggregation (capacity 4096 >> the 31 distinct tokens per
+    // source, so counts are exact and the oracle replays them)
+    "group_topk" -> ((s, dir) => Frequency.groupedApproxTopK(
+      tbl(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok")),
+      "source", "tok", k = 3)
+      .orderBy("source", "rank")),
     "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
     "cube_revenue"   -> ((s, dir) => cubeRevenue(s, dir)),
     "rolling_revenue" -> ((s, dir) => rollingRevenue(s, dir)),
@@ -1927,6 +1988,8 @@ object SparkEntry {
     "unigram_logprob" -> unigramLogprobOracle,
     "semantic_dedup" -> semanticDedupOracle,
     "group_quantiles" -> groupQuantilesOracle,
+    "tpch_q7" -> tpchQ7Oracle,
+    "group_topk" -> groupTopkOracle,
     "bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +

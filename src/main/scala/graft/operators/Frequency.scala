@@ -154,6 +154,25 @@ object Frequency {
       .orderBy(col("col_name"), col("cnt").desc, col("value"))
   }
 
+  /** Per-GROUP heavy hitters: one Misra-Gries sketch per group inside
+    * a single shuffled aggregation — the "top tokens per source"
+    * report. State is O(groups × capacity) across the cluster and the
+    * shuffle carries one partial sketch per (partition, group); with
+    * capacity ≥ the group's distinct count the result is exact (the
+    * registered contract — see [[approxTopK]] for the undercount
+    * bound beyond capacity). Output ranks are deterministic: the
+    * sketch emits (cnt DESC, value ASC).
+    */
+  def groupedApproxTopK(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int, capacity: Int = 4096): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKSketchAgg.approxTopK(col(valueCol),
+        k, capacity).as("__tk"))
+      .select(col(groupCol),
+        posexplode(col("__tk")).as(Seq("rank", "__e")))
+      .select(col(groupCol), (col("rank") + 1).cast("int").as("rank"),
+        col("__e.value").as("value"), col("__e.cnt").as("cnt"))
+
   /** Reference-facing column names (whiteRRabbit.R:339-346). */
   def referenceFrequencies(
       df: DataFrame,

@@ -290,4 +290,20 @@ class ProfileFrequencySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(p100 == Map("a" -> 4L, "b" -> 9L))
   }
+
+  test("grouped top-k sketch is exact per group above capacity and " +
+      "ranks (cnt DESC, value ASC)") {
+    import graft.operators.Frequency
+    val rows = Seq.fill(5)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
+      Seq.fill(3)(("g1", "z")) ++ Seq.fill(7)(("g2", "q")) ++
+      Seq(("g2", "x"))
+    val got = Frequency.groupedApproxTopK(
+        rows.toDF("g", "v"), "g", "v", k = 2, capacity = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    // g1 y/z tie at 3 → value ASC puts y at rank 2
+    assert(got == Set(("g1", 1, "x", 5L), ("g1", 2, "y", 3L),
+      ("g2", 1, "q", 7L), ("g2", 2, "x", 1L)))
+  }
 }
