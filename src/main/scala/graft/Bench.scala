@@ -80,10 +80,10 @@ object Bench {
     val sf1Queries = Seq("asof_last_order", "data_split",
       "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
-      "dedup_minhash", "doc_length_hist", "drift_ks",
-      "freq_approx_topk",
-      "keywords_tfidf", "quality_deciles", "unigram_logprob",
-      "vocab_coverage",
+      "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
+      "freq_approx_topk", "group_quantiles", "group_topk",
+      "keywords_tfidf", "quality_deciles", "tpch_q7",
+      "unigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
       "range_join_sessions", "rolling_revenue", "sample_weighted",
       "sessionize_batch",
