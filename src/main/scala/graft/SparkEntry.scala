@@ -1901,6 +1901,39 @@ object SparkEntry {
       .groupBy("k").agg(count(lit(1)).as("n"),
         min(col("event_id")).as("min_event"))
       .orderBy("k")),
+    // semi-structured via Spark 4's VARIANT type: parse once, extract
+    // typed fields with variant_get — the shredded-JSON path that
+    // replaces per-field get_json_object re-parsing at scale
+    "events_variant" -> ((s, dir) => tbl(s, dir, "events")
+      .select(try_variant_get(parse_json(col("props")), "$.k", "int")
+        .as("k"), col("value"))
+      .groupBy(expr("CAST(k DIV 10 AS INT)").as("k_decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .orderBy("k_decile")),
+    // mergeable-sketch rollup: one HLL sketch per (event_type, day)
+    // slice, merged per event_type with hll_union_agg — the
+    // precompute-then-merge pattern that lets 100 TB distinct counts
+    // come from slice sketches instead of re-scanning raw data. The
+    // estimate must land within 5% of exact (the oracle pins the
+    // flag, so a broken merge flips the row red).
+    "hll_rollup" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("user_id"))
+      val daily = ev.groupBy("event_type", "d")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+            .cast("int").as("within_5pct"))
+        .orderBy("event_type")
+    }),
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
@@ -1990,6 +2023,16 @@ object SparkEntry {
     "group_quantiles" -> groupQuantilesOracle,
     "tpch_q7" -> tpchQ7Oracle,
     "group_topk" -> groupTopkOracle,
+    "events_variant" ->
+      ("SELECT CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) " +
+        "AS k_decile, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // the within_5pct flag is the contract: DuckDB computes the exact
+    // side, the constant 1 flips red if the sketch merge drifts
+    "hll_rollup" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
+        "1 AS within_5pct FROM events GROUP BY 1 ORDER BY 1"),
     "bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
