@@ -809,6 +809,16 @@ object SparkEntry {
       "GROUP BY doc_id ORDER BY doc_id"
   }
 
+  /** Constant-flag oracle for the sketch-profile contracts: one row
+    * per lineitem column, every 0/1 flag pinned at 1 (the flags are
+    * deterministic for a fixed dataset — see Profile.approxContract).
+    */
+  private val sketchContractOracle: String =
+    "SELECT column_name, 1 AS distinct_ok, 1 AS q1_ok, " +
+      "1 AS median_ok, 1 AS q3_ok FROM (VALUES " +
+      tables("lineitem").map(c => s"('${c._1}')").mkString(", ") +
+      ") t(column_name) ORDER BY column_name"
+
   /** DuckDB replay of Profile.groupedCountQuantiles on per-source
     * token counts: same count-based CDF and the same integral type-1
     * pick (`cum*100 >= total*p`).
@@ -1484,6 +1494,16 @@ object SparkEntry {
       Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
         .orderBy("column_name")),
     "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
+    // oracle-facing gate for the sketch profile: rank-correctness of
+    // every approx quantile + HLL-vs-exact distinct, emitted as
+    // deterministic 0/1 flags the oracle pins at 1 (see
+    // Profile.approxContract) — a sketch regression flips rows red
+    "summary_approx_contract" -> ((s, dir) =>
+      Profile.approxContract(tbl(s, dir, "lineitem"))),
+    // same gate over the single-scan TypedImperativeAggregate path
+    "summary_onepass_contract" -> ((s, dir) =>
+      Profile.approxContract(tbl(s, dir, "lineitem"),
+        profile = Profile.summarizeOnePass(_))),
     // date aggregate suite (op 13) on microsecond-precision timestamps
     "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),
     // profiling extensions beyond the reference's flat summary: the
@@ -2023,6 +2043,8 @@ object SparkEntry {
     "group_quantiles" -> groupQuantilesOracle,
     "tpch_q7" -> tpchQ7Oracle,
     "group_topk" -> groupTopkOracle,
+    "summary_approx_contract" -> sketchContractOracle,
+    "summary_onepass_contract" -> sketchContractOracle,
     "events_variant" ->
       ("SELECT CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) " +
         "AS k_decile, count(*) AS n, " +

@@ -606,6 +606,78 @@ object Profile {
         col("n_below"), col("n_above"), col("n_rows"))
   }
 
+  /** Rank-correctness contract for the approx profile path — the
+    * oracle-facing gate the sketch outputs admit. A quantile estimate
+    * m for fraction p is rank-correct iff the exact CDF brackets it:
+    * count(x ≤ m)/n ≥ p − eps AND count(x < m)/n ≤ p + eps (the
+    * guarantee percentile_approx's accuracy parameter makes); the HLL
+    * distinct must land within `distinctTol` of exact. Both checks are
+    * DETERMINISTIC for a fixed dataset (sketches are hash-based, not
+    * random), so the emitted 0/1 flags are stable and a SQL oracle
+    * pins them at 1 — a regression in the sketch path flips rows red
+    * instead of hiding behind "no oracle".
+    *
+    * Cost: the approx profile itself + one exact-distinct pass + ONE
+    * aggregation computing every CDF probe. Per-column collect is the
+    * same report-bounded reshape the profile family already uses.
+    */
+  def approxContract(df: DataFrame, eps: Double = 0.02,
+      distinctTol: Double = 0.05,
+      profile: DataFrame => DataFrame = summarizeApprox(_)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields
+    val ap = profile(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val exactD = exactDistinctCounts(df)
+    val probes = scala.collection.mutable.ArrayBuffer[Column]()
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val r = ap(f.name)
+      if (isNum(f.dataType)) {
+        val cd = col(f.name).cast(DoubleType)
+        probes += count(cd).as(s"n_$i")
+        Seq("q1_val" -> "q1", "median_val" -> "md", "q3_val" -> "q3")
+          .foreach { case (field, tag) =>
+            val m = r.getAs[Double](field)
+            probes += count(when(cd <= m, 1)).as(s"le_${tag}_$i")
+            probes += count(when(cd < m, 1)).as(s"lt_${tag}_$i")
+          }
+      } else if (isTs(f.dataType)) {
+        val us = unix_micros(col(f.name).cast(TimestampType))
+        probes += count(us).as(s"n_$i")
+        val m = r.getAs[Long]("median_us")
+        probes += count(when(us <= m, 1)).as(s"le_md_$i")
+        probes += count(when(us < m, 1)).as(s"lt_md_$i")
+      }
+    }
+    val pr =
+      if (probes.isEmpty) null
+      else df.agg(probes.head, probes.tail.toSeq: _*).head()
+    def rankOk(i: Int, tag: String, p: Double): Int = {
+      if (pr == null || !pr.schema.fieldNames.contains(s"le_${tag}_$i")) 1
+      else {
+        val n = pr.getAs[Long](s"n_$i").toDouble
+        val le = pr.getAs[Long](s"le_${tag}_$i") / n
+        val lt = pr.getAs[Long](s"lt_${tag}_$i") / n
+        if (le >= p - eps && lt <= p + eps) 1 else 0
+      }
+    }
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val dAp = ap(f.name).getAs[Long]("distinct_count")
+      val dEx = exactD(i)
+      // absolute floor of 5: at tiny cardinalities (tens) HLL register
+      // quantization dominates the relative rsd bound
+      val dOk =
+        if (math.abs(dAp - dEx) <= math.max(distinctTol * dEx, 5.0)) 1
+        else 0
+      (f.name, dOk, rankOk(i, "q1", 0.25), rankOk(i, "md", 0.5),
+        rankOk(i, "q3", 0.75))
+    }
+    rows.toSeq
+      .toDF("column_name", "distinct_ok", "q1_ok", "median_ok", "q3_ok")
+      .orderBy("column_name")
+  }
+
   /** EXACT per-group quantiles over a DISCRETE domain, with no value
     * buffering anywhere: counts per (group, value), a cumulative-count
     * window whose partitions are value-cardinality-sized (distinct
