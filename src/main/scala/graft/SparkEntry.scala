@@ -819,6 +819,27 @@ object SparkEntry {
       tables("lineitem").map(c => s"('${c._1}')").mkString(", ") +
       ") t(column_name) ORDER BY column_name"
 
+  /** DuckDB replay of Profile.valueEntropy on the low-cardinality
+    * lineitem columns: per-column value counts (each branch groups on
+    * the RAW value — grouping is engine-local, only counts must
+    * agree), windowed share, p·ln p terms rounded and DECIMAL-summed.
+    */
+  private val colEntropyOracle: String = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+      "l_quantity", "l_discount", "l_tax")
+    val branches = cols.map { c =>
+      s"SELECT '$c' AS column_name, count(*) AS n FROM lineitem " +
+        s"WHERE $c IS NOT NULL GROUP BY $c"
+    }.mkString(" UNION ALL ")
+    s"WITH e AS ($branches), " +
+      "p AS (SELECT column_name, CAST(n AS DOUBLE) / " +
+      "sum(n) OVER (PARTITION BY column_name) AS p FROM e) " +
+      "SELECT column_name, " +
+      "round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(20,9))) " +
+      "AS DOUBLE), 6) AS entropy_nats, count(*) AS n_distinct " +
+      "FROM p GROUP BY 1 ORDER BY column_name"
+  }
+
   /** DuckDB replay of Profile.groupedCountQuantiles on per-source
     * token counts: same count-based CDF and the same integral type-1
     * pick (`cum*100 >= total*p`).
@@ -1569,6 +1590,16 @@ object SparkEntry {
           round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
         .orderBy("source")
     }),
+    // LLM pipeline — temperature-scaled source mixing weights
+    // (p_i^alpha multinomial sampling, mT5-style)
+    "mix_weights" -> ((s, dir) => TextMetrics.mixWeights(
+      tbl(s, dir, "documents"), "text", "source", alpha = 0.7)),
+    // profiling extension — per-column value-distribution entropy
+    // (near-constant vs identifier-like columns; feed-collapse flag)
+    "col_entropy" -> ((s, dir) => Profile.valueEntropy(
+      tbl(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus", "l_linenumber",
+        "l_quantity", "l_discount", "l_tax"))),
     // op 7 — ±5-day date shift (whiteRRabbit.R:283-291)
     "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
     // ops 1-3 — delimited source, all-string read, fast row count
@@ -2045,6 +2076,18 @@ object SparkEntry {
     "group_topk" -> groupTopkOracle,
     "summary_approx_contract" -> sketchContractOracle,
     "summary_onepass_contract" -> sketchContractOracle,
+    "mix_weights" ->
+      ("WITH c AS (SELECT source, count(*) AS n_docs, " +
+        "sum(len(string_split(lower(text), ' '))) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "s AS (SELECT *, CAST(n_tokens AS DOUBLE) / " +
+        "sum(n_tokens) OVER () AS share FROM c), " +
+        "t AS (SELECT *, CAST(round(pow(share, 0.7), 9) " +
+        "AS DECIMAL(20,9)) AS sc FROM s) " +
+        "SELECT source, n_docs, n_tokens, round(share, 6) AS share, " +
+        "round(CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE), 6) " +
+        "AS weight FROM t ORDER BY source"),
+    "col_entropy" -> colEntropyOracle,
     "events_variant" ->
       ("SELECT CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) " +
         "AS k_decile, count(*) AS n, " +

@@ -678,6 +678,37 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Shannon entropy (nats) of each column's value distribution — the
+    * profiling signal that separates near-constant columns (entropy→0)
+    * from identifier-like ones (entropy→ln n): a selectivity hint and
+    * a quick anomaly flag (an entropy collapse between ingests means a
+    * feed went constant). One melt + one (column, value)-keyed count —
+    * the frequency-table shape, so ONE shuffle for all columns; the
+    * per-column normalization window partitions over distinct values
+    * (vocabulary-sized, never row-sized). The p·ln p terms are rounded
+    * at 9 decimals and DECIMAL-summed per column, so the sum is
+    * order-free and engine-portable.
+    */
+  def valueEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "valueEntropy: no columns requested")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*))
+        .as("e"))
+      .select(col("e.c").as("c"), col("e.v").as("v"))
+      .where(col("v").isNotNull)
+    val w = Window.partitionBy("c")
+    val p = col("n").cast(DoubleType) / sum(col("n")).over(w)
+    pairs.groupBy(col("c"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("term", round(-p * log(p), 9).cast("decimal(20,9)"))
+      .groupBy(col("c").as("column_name"))
+      .agg(round(sum(col("term")).cast(DoubleType), 6).as("entropy_nats"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("column_name")
+  }
+
   /** EXACT per-group quantiles over a DISCRETE domain, with no value
     * buffering anywhere: counts per (group, value), a cumulative-count
     * window whose partitions are value-cardinality-sized (distinct

@@ -218,6 +218,38 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Temperature-scaled source-mixing weights — the multinomial
+    * sampling step of multi-source pretraining (mT5/XLM-R style):
+    * source i with token share p_i is sampled with probability
+    * p_i^alpha / Σ p_j^alpha. alpha < 1 upsamples small sources,
+    * alpha = 1 is proportional, alpha = 0 is uniform. One tiny
+    * aggregation over per-source token counts; the normalization
+    * rides a source-count-sized window. Weight arithmetic is rounded
+    * at 9 decimals and the normalizer DECIMAL-summed so the output is
+    * order-free and engine-portable (same scheme as the unigram
+    * scorer).
+    */
+  def mixWeights(df: DataFrame, textCol: String, sourceCol: String,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(TextFunctions.tokens(col(textCol))))
+        .as("n_tokens"), count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy(lit(1))
+    val share = col("n_tokens").cast("double") /
+      sum(col("n_tokens")).over(all)
+    val scaled = round(pow(share, alpha), 9).cast("decimal(20,9)")
+    counts
+      .withColumn("share", round(share, 6))
+      .withColumn("__s", scaled)
+      .withColumn("weight", round(
+        col("__s").cast("double") /
+          sum(col("__s")).over(all).cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share"), col("weight"))
+      .orderBy("source")
+  }
+
   /** Per-document salient terms (tf-idf keyword extraction): the top-k
     * terms of each document ranked by term frequency, breaking ties by
     * ascending document frequency (rarer wins) then term text. The

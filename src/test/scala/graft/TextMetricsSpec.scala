@@ -172,4 +172,32 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got(2L) == ((4L, m6((lnA * 3 + lnB) / 4))))
     assert(got(2L)._2 < got(1L)._2) // rare token drags the score down
   }
+
+  test("mixWeights: alpha=1 is proportional, alpha=0 is uniform, " +
+      "alpha<1 upsamples the small source; weights sum to 1") {
+    val docs = Seq(("big", "a b c d e f g h"), ("small", "a b"))
+      .toDF("source", "text")
+    def weights(alpha: Double) =
+      TextMetrics.mixWeights(docs, "text", "source", alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val w1 = weights(1.0)
+    assert(w1 == Map("big" -> 0.8, "small" -> 0.2))
+    val w0 = weights(0.0)
+    assert(w0 == Map("big" -> 0.5, "small" -> 0.5))
+    val w = weights(0.5)
+    assert(w("small") > 0.2 && w("small") < 0.5)
+    assert(math.abs(w.values.sum - 1.0) < 1e-9)
+  }
+
+  test("valueEntropy: constant column scores 0, uniform column " +
+      "scores ln(n)") {
+    import graft.operators.Profile
+    val df = (1 to 8).map(i => ("const", i % 4)).toDF("c1", "c2")
+    val got = Profile.valueEntropy(df, Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got("c1") == ((0.0, 1L)))
+    assert(math.abs(got("c2")._1 - math.log(4.0)) < 1e-5)
+    assert(got("c2")._2 == 4L)
+  }
 }
