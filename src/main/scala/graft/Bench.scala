@@ -77,7 +77,7 @@ object Bench {
     // Base and scaled runs interleave so both sides of every ratio are
     // equally warm.
     val sf1Dir = "target/sf1"
-    val sf1Queries = Seq("asof_last_order", "data_split",
+    val sf1Queries = Seq("asof_last_order", "col_entropy", "data_split",
       "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
