@@ -1985,6 +1985,19 @@ object SparkEntry {
             .cast("int").as("within_5pct"))
         .orderBy("event_type")
     }),
+    // event analytics: weekly retention cohorts — users bucketed by
+    // first-activity epoch week, distinct-active counts per
+    // (cohort, week offset). Two user-keyed aggregations and one
+    // user-keyed join: every group is user- or cohort-sized
+    "retention_cohorts" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort", "week_offset")
+    }),
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
@@ -2088,6 +2101,14 @@ object SparkEntry {
         "round(CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE), 6) " +
         "AS weight FROM t ORDER BY source"),
     "col_entropy" -> colEntropyOracle,
+    "retention_cohorts" ->
+      ("WITH e AS (SELECT user_id, " +
+        "epoch_us(ts) // 604800000000 AS wk FROM events), " +
+        "f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1) " +
+        "SELECT cohort, wk - cohort AS week_offset, " +
+        "count(DISTINCT e.user_id) AS n_active " +
+        "FROM e JOIN f ON e.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "events_variant" ->
       ("SELECT CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) " +
         "AS k_decile, count(*) AS n, " +
