@@ -819,6 +819,28 @@ object SparkEntry {
       tables("lineitem").map(c => s"('${c._1}')").mkString(", ") +
       ") t(column_name) ORDER BY column_name"
 
+  /** DuckDB replay of the perplexity-filter pipeline: the unigram
+    * logprob CTEs, a row_number rank over (logprob, doc_id), the
+    * integral bottom-decile cut, per-source survivor report.
+    */
+  private val pipelinePerplexityOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents), " +
+      "f AS (SELECT t, count(*) AS c FROM tok GROUP BY t), " +
+      "tot AS (SELECT sum(c) AS n FROM f), " +
+      "lp AS (SELECT doc_id, " +
+      "round(CAST(sum(CAST(round(ln(CAST(c AS DOUBLE) / n), 9) " +
+      "AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS avg_logprob " +
+      "FROM tok JOIN f USING (t) CROSS JOIN tot GROUP BY doc_id), " +
+      "r AS (SELECT doc_id, avg_logprob, row_number() OVER " +
+      "(ORDER BY avg_logprob, doc_id) AS rn, count(*) OVER () AS n " +
+      "FROM lp) " +
+      "SELECT d.source, count(*) AS n_kept, " +
+      "min(r.avg_logprob) AS worst_kept_lp " +
+      "FROM r JOIN documents d USING (doc_id) WHERE rn * 10 > n " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   /** DuckDB replay of Profile.valueEntropy on the low-cardinality
     * lineitem columns: per-column value counts (each branch groups on
     * the RAW value — grouping is engine-local, only counts must
@@ -1590,6 +1612,45 @@ object SparkEntry {
           round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
         .orderBy("source")
     }),
+    // LLM pipeline — perplexity filtering with an EXACT global
+    // percentile cut: per-doc unigram logprob, ranked by the
+    // distributed ranking operator (no single-partition window), the
+    // bottom decile dropped, survivors reported per source. The
+    // integer rank cut (rank*10 > n) replays exactly in SQL.
+    "pipeline_perplexity" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val lp = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        lp, Seq(col("avg_logprob"), col("id")), 32)
+      val n = lp.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .where(col("row_num") * 10 > col("__n"))
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("avg_logprob")).as("worst_kept_lp"))
+        .orderBy("source")
+    }),
+    // event analytics — funnel conversion rate: share of purchases
+    // preceded by a click from the same user within 15 minutes
+    // (EXISTS semi-join over the interval condition)
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("event_type"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t_us").as("c_us"))
+      val converted = p.join(c, col("user_id") === col("cu") &&
+          col("c_us") <= col("t_us") &&
+          col("c_us") >= col("t_us") - lit(900000000L), "left_semi")
+      p.agg(count(lit(1)).as("n_purchases"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_purchases"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_purchases"),
+            6).as("conversion_rate"))
+    }),
     // LLM pipeline — temperature-scaled source mixing weights
     // (p_i^alpha multinomial sampling, mT5-style)
     "mix_weights" -> ((s, dir) => TextMetrics.mixWeights(
@@ -2101,6 +2162,18 @@ object SparkEntry {
         "round(CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE), 6) " +
         "AS weight FROM t ORDER BY source"),
     "col_entropy" -> colEntropyOracle,
+    "pipeline_perplexity" -> pipelinePerplexityOracle,
+    "funnel_conversion" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS cu, epoch_us(ts) AS c_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "conv AS (SELECT count(*) AS n_converted FROM p WHERE EXISTS " +
+        "(SELECT 1 FROM c WHERE cu = p.user_id " +
+        "AND c_us <= p.t_us AND c_us >= p.t_us - 900000000)) " +
+        "SELECT (SELECT count(*) FROM p) AS n_purchases, n_converted, " +
+        "round(CAST(n_converted AS DOUBLE) / " +
+        "(SELECT count(*) FROM p), 6) AS conversion_rate FROM conv"),
     "retention_cohorts" ->
       ("WITH e AS (SELECT user_id, " +
         "epoch_us(ts) // 604800000000 AS wk FROM events), " +
