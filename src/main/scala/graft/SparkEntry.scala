@@ -841,6 +841,29 @@ object SparkEntry {
       "GROUP BY 1 ORDER BY 1"
   }
 
+  /** DuckDB replay of TextMetrics.zipfFit: top-100 token counts with
+    * the deterministic (count DESC, token) rank, regression sums
+    * rounded-then-DECIMAL-summed, identical closed-form slope
+    * arithmetic.
+    */
+  private val zipfFitOracle: String = {
+    val lnr = "ln(CAST(rank AS DOUBLE))"
+    val lnn = "ln(CAST(n AS DOUBLE))"
+    def ds(e: String) =
+      s"CAST(sum(CAST(round($e, 9) AS DECIMAL(24,9))) AS DOUBLE)"
+    val slope = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+    "WITH c AS (SELECT t, count(*) AS n FROM (SELECT " +
+      "unnest(string_split(lower(text), ' ')) AS t FROM documents) " +
+      "GROUP BY t ORDER BY n DESC, t LIMIT 100), " +
+      "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) " +
+      "AS rank FROM c), " +
+      s"a AS (SELECT count(*) AS k, ${ds(lnr)} AS sx, " +
+      s"${ds(lnn)} AS sy, ${ds(s"$lnr * $lnn")} AS sxy, " +
+      s"${ds(s"$lnr * $lnr")} AS sxx FROM r) " +
+      s"SELECT k AS n_points, round($slope, 4) AS slope, " +
+      s"round((sy - ($slope) * sx) / k, 4) AS intercept FROM a"
+  }
+
   /** DuckDB replay of Profile.valueEntropy on the low-cardinality
     * lineitem columns: per-column value counts (each branch groups on
     * the RAW value — grouping is engine-local, only counts must
@@ -1661,6 +1684,13 @@ object SparkEntry {
       tbl(s, dir, "lineitem"),
       Seq("l_returnflag", "l_linestatus", "l_linenumber",
         "l_quantity", "l_discount", "l_tax"))),
+    // profiling extension — column-pair dependence (functional-
+    // dependency candidates score MI ≈ min entropy)
+    "mutual_info" -> ((s, dir) => Profile.mutualInfo(
+      tbl(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    // corpus health — Zipf slope of the token-frequency distribution
+    "zipf_fit" -> ((s, dir) => TextMetrics.zipfFit(
+      tbl(s, dir, "documents"), "text", topN = 100)),
     // op 7 — ±5-day date shift (whiteRRabbit.R:283-291)
     "dateshift_bounds" -> ((s, dir) => dateshiftQuery(s, dir)),
     // ops 1-3 — delimited source, all-string read, fast row count
@@ -2162,6 +2192,24 @@ object SparkEntry {
         "round(CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE), 6) " +
         "AS weight FROM t ORDER BY source"),
     "col_entropy" -> colEntropyOracle,
+    "mutual_info" ->
+      ("WITH j AS (SELECT CAST(l_returnflag AS VARCHAR) AS x, " +
+        "CAST(l_linestatus AS VARCHAR) AS y, count(*) AS n " +
+        "FROM lineitem WHERE l_returnflag IS NOT NULL " +
+        "AND l_linestatus IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT n, CAST(n AS DOUBLE) / sum(n) OVER () AS pxy, " +
+        "CAST(sum(n) OVER (PARTITION BY x) AS DOUBLE) / " +
+        "sum(n) OVER () AS px, " +
+        "CAST(sum(n) OVER (PARTITION BY y) AS DOUBLE) / " +
+        "sum(n) OVER () AS py FROM j) " +
+        "SELECT round(CAST(sum(CAST(round(pxy * ln(pxy / (px * py)), 9) " +
+        "AS DECIMAL(20,9))) AS DOUBLE), 6) AS mi_nats, " +
+        "round(CAST(sum(CAST(round(-pxy * ln(px), 9) " +
+        "AS DECIMAL(20,9))) AS DOUBLE), 6) AS h_x, " +
+        "round(CAST(sum(CAST(round(-pxy * ln(py), 9) " +
+        "AS DECIMAL(20,9))) AS DOUBLE), 6) AS h_y, " +
+        "count(*) AS n_joint FROM t"),
+    "zipf_fit" -> zipfFitOracle,
     "pipeline_perplexity" -> pipelinePerplexityOracle,
     "funnel_conversion" ->
       ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us " +

@@ -709,6 +709,45 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Mutual information (nats) between two discrete columns — the
+    * dependency-discovery signal of a profiler (MI ≈ 0: independent
+    * columns; MI ≈ min(H_x, H_y): one column determines the other,
+    * a functional-dependency candidate). One (x, y)-keyed count —
+    * joint-cardinality-sized — with the marginals derived from the
+    * joint by two more tiny aggregations; every p·ln term is rounded
+    * at 9 decimals and DECIMAL-summed (the engine-portable scheme the
+    * entropy profiler uses). Output also carries both marginal
+    * entropies so callers can normalize.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df
+      .select(col(xCol).cast(StringType).as("x"),
+        col(yCol).cast(StringType).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy(lit(1))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val tot = sum(col("n")).over(all)
+    val pxy = col("n").cast(DoubleType) / tot
+    val px = sum(col("n")).over(wx).cast(DoubleType) / tot
+    val py = sum(col("n")).over(wy).cast(DoubleType) / tot
+    def decSum9(c: Column): Column =
+      round(sum(round(c, 9).cast("decimal(20,9)")).cast(DoubleType), 6)
+    joint
+      .withColumn("mi_term", pxy * log(pxy / (px * py)))
+      // entropy terms weighted inside the joint table: summing
+      // -pxy*ln(px) over y reproduces -px*ln(px) exactly in decimal
+      .withColumn("hx_term", -pxy * log(px))
+      .withColumn("hy_term", -pxy * log(py))
+      .agg(decSum9(col("mi_term")).as("mi_nats"),
+        decSum9(col("hx_term")).as("h_x"),
+        decSum9(col("hy_term")).as("h_y"),
+        count(lit(1)).as("n_joint"))
+  }
+
   /** EXACT per-group quantiles over a DISCRETE domain, with no value
     * buffering anywhere: counts per (group, value), a cumulative-count
     * window whose partitions are value-cardinality-sized (distinct

@@ -218,6 +218,41 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Zipf-exponent fit over the corpus token-frequency distribution:
+    * the least-squares slope of ln(count) against ln(rank) for the
+    * top-`topN` tokens. Natural corpora fit slope ≈ −1; a corpus
+    * whose slope collapses toward 0 is template/boilerplate-heavy and
+    * one steeper than −1.5 is dominated by a tiny vocabulary — a
+    * one-number corpus-health indicator. Token counts aggregate
+    * distributedly; the regression runs on the topN-sized ranked
+    * table (TakeOrderedAndProject, then a topN-row window), with
+    * every regression sum rounded at 9 decimals and DECIMAL-summed so
+    * the closed-form slope is engine-portable.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 1, s"topN must exceed 1: $topN")
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(topN)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("t"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    def decSum9(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(24,9)")).cast("double")
+    val agg = ranked.agg(count(lit(1)).as("k"), decSum9(x).as("sx"),
+      decSum9(y).as("sy"), decSum9(x * y).as("sxy"),
+      decSum9(x * x).as("sxx"))
+    agg.select(col("k").as("n_points"),
+      round((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+      round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("k"), 4).as("intercept"))
+  }
+
   /** Temperature-scaled source-mixing weights — the multinomial
     * sampling step of multi-source pretraining (mT5/XLM-R style):
     * source i with token share p_i is sampled with probability

@@ -291,6 +291,24 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(p100 == Map("a" -> 4L, "b" -> 9L))
   }
 
+  test("mutual information: zero for independent columns, equal to " +
+      "the entropy when one column determines the other") {
+    import graft.operators.Profile
+    // balanced independent pair: every (x, y) combination equally
+    // likely -> pxy = px*py exactly -> every MI term ln(1) = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v") }
+      yield (x, y)).flatMap(p => Seq.fill(5)(p)).toDF("x", "y")
+    val ri = Profile.mutualInfo(indep, "x", "y").head()
+    assert(ri.getDouble(0) == 0.0)
+    // y = f(x): MI = H(x) = H(y) = ln 2 for a balanced binary column
+    val dep = (Seq.fill(10)(("a", "u")) ++ Seq.fill(10)(("b", "v")))
+      .toDF("x", "y")
+    val rd = Profile.mutualInfo(dep, "x", "y").head()
+    assert(math.abs(rd.getDouble(0) - math.log(2.0)) < 1e-5)
+    assert(rd.getDouble(0) == rd.getDouble(1)) // MI == H(x)
+    assert(rd.getLong(3) == 2L)
+  }
+
   test("grouped top-k sketch is exact per group above capacity and " +
       "ranks (cnt DESC, value ASC)") {
     import graft.operators.Frequency

@@ -173,6 +173,18 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(1L)._2) // rare token drags the score down
   }
 
+  test("zipfFit recovers the exponent of a synthetic power-law corpus") {
+    // token w_r appears round(1000 / r^1) times: slope must fit ~ -1
+    val text = (1 to 20).flatMap(r =>
+      Seq.fill(math.max(1, math.round(1000.0 / r).toInt))(s"w$r"))
+      .mkString(" ")
+    val got = TextMetrics.zipfFit(Seq(Tuple1(text)).toDF("text"),
+      "text", topN = 20).head()
+    assert(got.getLong(0) == 20L)
+    val slope = got.getDouble(1)
+    assert(slope < -0.95 && slope > -1.05, s"slope $slope not ~ -1")
+  }
+
   test("mixWeights: alpha=1 is proportional, alpha=0 is uniform, " +
       "alpha<1 upsamples the small source; weights sum to 1") {
     val docs = Seq(("big", "a b c d e f g h"), ("small", "a b"))
