@@ -1162,7 +1162,11 @@ object SparkEntry {
     * each node's representative is the minimum reachable id — exactly
     * the fixpoint Dedup.duplicateClusters converges to.
     */
-  private val dedupClustersOracle: String = {
+  /** Shared recursive-CTE closure over the blocked-Jaccard pair graph
+    * (threshold 0.9, 1-gram shingles, source-blocked) — the oracle
+    * ground truth for duplicate clustering and the savings report.
+    */
+  private val jaccardClosureCte: String = {
     val toks = "string_split(lower(text), ' ')"
     s"WITH RECURSIVE s AS (SELECT doc_id, source, " +
       s"list_distinct($toks) AS sh FROM documents " +
@@ -1176,10 +1180,24 @@ object SparkEntry {
       "closure AS (SELECT src AS node, src AS reach FROM e " +
       "UNION SELECT src, dst FROM e " +
       "UNION SELECT c.node, e.dst FROM closure c " +
-      "JOIN e ON c.reach = e.src) " +
+      "JOIN e ON c.reach = e.src)"
+  }
+
+  private val dedupClustersOracle: String =
+    s"$jaccardClosureCte " +
       "SELECT node AS doc_id, min(reach) AS cluster_rep " +
       "FROM closure GROUP BY 1 ORDER BY doc_id"
-  }
+
+  private val dedupSavingsOracle: String =
+    s"$jaccardClosureCte, " +
+      "rm AS (SELECT node AS doc_id FROM closure GROUP BY node " +
+      "HAVING min(reach) <> node) " +
+      "SELECT d.source, count(*) AS n_docs, " +
+      "count(r.doc_id) AS n_removed, " +
+      "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL " +
+      "THEN length(d.text) END), 0) AS chars_removed " +
+      "FROM documents d LEFT JOIN rm r ON d.doc_id = r.doc_id " +
+      "GROUP BY 1 ORDER BY d.source"
 
   /** Shared DuckDB CTE: vec_id + double vector + L2 norm, spelling out
     * the same double arithmetic the Spark operators use.
@@ -1822,6 +1840,24 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
       Dedup.blockedJaccardPairs(tbl(s, dir, "documents"), "doc_id",
         "text", "source", threshold = 0.9, shingleSize = 1))),
+    // the full dedup story in one report: pairs → clusters →
+    // non-representative docs removed → per-source volume saved
+    "dedup_savings" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val removed = Dedup.duplicateClusters(
+        Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source",
+          threshold = 0.9, shingleSize = 1))
+        .where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"), lit(1).as("__rm"))
+      docs.join(removed, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__rm").isNotNull, 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("__rm").isNotNull, length(col("text"))
+            .cast("long")).otherwise(0L)).as("chars_removed"))
+        .orderBy("source")
+    }),
     // exact dedup, keep-best policy: the highest-quality copy of each
     // content group survives (ties to the smallest id)
     "dedup_keep_best" -> ((s, dir) => {
@@ -2273,6 +2309,7 @@ object SparkEntry {
     "corpus_overlap" -> corpusOverlapOracle,
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_savings" -> dedupSavingsOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,
     "pipeline_clean" -> pipelineCleanOracle,
     "embed_neardup" -> embedNearDupOracle,
