@@ -1035,7 +1035,11 @@ object SparkEntry {
     * struct tie-break (equal scores resolve to the lexicographically
     * largest language code), "und" when nothing scores.
     */
-  private val langDetectOracle: String = {
+  /** Shared langId replay CTEs: scores + argmax CASE, carrying
+    * `extraCols` through so callers can slice the detected language
+    * by other document columns.
+    */
+  private def langIdCtes(extraCols: String): String = {
     val toks = "string_split(lower(text), ' ')"
     def latin(words: Seq[String]): String =
       s"CAST(len(list_filter($toks, x -> x IN " +
@@ -1045,18 +1049,27 @@ object SparkEntry {
       .map(m => s"(length(text) - length(replace(text, '$m', '')))")
       .mkString(" + ")
     val g = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
-    s"WITH s AS (SELECT ${latin(profiles("en"))} AS s_en, " +
+    val carry = if (extraCols.isEmpty) "" else s"$extraCols, "
+    s"s AS (SELECT $carry${latin(profiles("en"))} AS s_en, " +
       s"${latin(profiles("de"))} AS s_de, " +
       s"${latin(profiles("es"))} AS s_es, " +
       s"${latin(profiles("fr"))} AS s_fr, " +
       s"CAST($zh AS INT) AS s_zh FROM documents), " +
-      s"d AS (SELECT CASE WHEN $g <= 0 THEN 'und' " +
+      s"d AS (SELECT ${carry}CASE WHEN $g <= 0 THEN 'und' " +
       s"WHEN s_zh = $g THEN 'zh' WHEN s_fr = $g THEN 'fr' " +
       s"WHEN s_es = $g THEN 'es' WHEN s_en = $g THEN 'en' " +
-      "ELSE 'de' END AS detected_lang FROM s) " +
+      "ELSE 'de' END AS detected_lang FROM s)"
+  }
+
+  private val langDetectOracle: String =
+    s"WITH ${langIdCtes("")} " +
       "SELECT detected_lang, count(*) AS n FROM d " +
       "GROUP BY 1 ORDER BY 1"
-  }
+
+  private val langMixOracle: String =
+    s"WITH ${langIdCtes("source")} " +
+      "SELECT source, detected_lang, count(*) AS n FROM d " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
 
   /** Shared DuckDB CTE: doc_id + distinct 3-word shingle set. */
   private val shingleCte: String = {
@@ -1804,6 +1817,32 @@ object SparkEntry {
     "text_stats"   -> ((s, dir) => textStatsQuery(s, dir)),
     "text_quality" -> ((s, dir) => textQualityQuery(s, dir)),
     "lang_detect"  -> ((s, dir) => langDetectQuery(s, dir)),
+    // curation report — language × source mix (which slices carry
+    // which languages)
+    "lang_mix" -> ((s, dir) => tbl(s, dir, "documents")
+      .select(col("source"),
+        TextFunctions.langId(col("text")).as("detected_lang"))
+      .groupBy("source", "detected_lang").agg(count(lit(1)).as("n"))
+      .orderBy("source", "detected_lang")),
+    // tokenizer prep — the statistic the first BPE merge maximizes
+    "bpe_pairs" -> ((s, dir) => TextMetrics.bpePairCounts(
+      tbl(s, dir, "documents"), "text", k = 10)),
+    // data-quality classic — first-significant-digit profile vs the
+    // Benford expectation (digit via exact integer stringification,
+    // never float log10)
+    "benford_totalprice" -> ((s, dir) => {
+      val d = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1)
+      val n = tbl(s, dir, "orders").where(col("o_totalprice") >= 1.0)
+        .groupBy(d.as("digit")).agg(count(lit(1)).as("n"))
+      val all = Window.partitionBy(lit(1))
+      n.withColumn("pct",
+          round(col("n").cast("double") / sum(col("n")).over(all), 6))
+        .withColumn("benford_pct",
+          round(log(10.0, lit(1.0) + lit(1.0) /
+            col("digit").cast("double")), 6))
+        .orderBy("digit")
+    }),
     // tokenizer-prep report: per-source coverage of the global
     // top-500 token vocabulary
     "vocab_coverage" -> ((s, dir) => TextMetrics.vocabCoverage(
@@ -2246,6 +2285,23 @@ object SparkEntry {
         "AS DECIMAL(20,9))) AS DOUBLE), 6) AS h_y, " +
         "count(*) AS n_joint FROM t"),
     "zipf_fit" -> zipfFitOracle,
+    "lang_mix" -> langMixOracle,
+    "bpe_pairs" ->
+      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS t " +
+        "FROM documents), " +
+        "p AS (SELECT substr(t, CAST(i AS INT), 2) AS pair FROM " +
+        "(SELECT t, unnest(generate_series(1, length(t) - 1)) AS i " +
+        "FROM t WHERE length(t) >= 2)) " +
+        "SELECT pair, count(*) AS cnt FROM p GROUP BY 1 " +
+        "ORDER BY cnt DESC, pair LIMIT 10"),
+    "benford_totalprice" ->
+      ("WITH n AS (SELECT substr(CAST(CAST(floor(o_totalprice) " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS digit, count(*) AS n " +
+        "FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1) " +
+        "SELECT digit, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS pct, " +
+        "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) " +
+        "AS benford_pct FROM n ORDER BY digit"),
     "pipeline_perplexity" -> pipelinePerplexityOracle,
     "funnel_conversion" ->
       ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us " +

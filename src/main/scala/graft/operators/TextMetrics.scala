@@ -218,6 +218,25 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Adjacent-symbol pair counts — the statistic the first BPE merge
+    * iteration maximizes: for every token of ≥ 2 characters, each
+    * in-token character bigram counted corpus-wide, top-k by (count
+    * DESC, pair ASC). Tokenizer-prep: the argmax pair is the first
+    * merge a BPE trainer would learn. Explode + count with map-side
+    * combine, top-k via TakeOrderedAndProject — the frequency shape.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .where(length(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Zipf-exponent fit over the corpus token-frequency distribution:
     * the least-squares slope of ln(count) against ln(rank) for the
     * top-`topN` tokens. Natural corpora fit slope ≈ −1; a corpus
