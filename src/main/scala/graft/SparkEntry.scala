@@ -1728,6 +1728,22 @@ object SparkEntry {
     "csv_roundtrip" -> ((s, dir) => csvRoundtripQuery(s, dir)),
     // JSONL source roundtrip (LLM-corpus interchange format)
     "jsonl_roundtrip" -> ((s, dir) => jsonlRoundtripQuery(s, dir)),
+    // plain-text source roundtrip: one newline-flattened document per
+    // line out through the text sink, back through spark.read.text;
+    // the facts are order-free aggregates, so the nondeterministic
+    // file/line order of a parallel write cannot affect the hash
+    "text_roundtrip" -> ((s, dir) => {
+      val out = graft.config.Scratch.dir + "/text_rt_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      tbl(s, dir, "documents")
+        .select(regexp_replace(col("text"), "\n", " ").as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("sum_chars"),
+          countDistinct(md5(encode(col("value"), "UTF-8")))
+            .as("n_distinct_md5"))
+    }),
     // ORC source roundtrip (Spark's other built-in columnar format)
     "orc_roundtrip" -> ((s, dir) => orcRoundtripQuery(s, dir)),
     // hive-partitioned layout + partition-pruned scan
@@ -2286,6 +2302,11 @@ object SparkEntry {
         "count(*) AS n_joint FROM t"),
     "zipf_fit" -> zipfFitOracle,
     "lang_mix" -> langMixOracle,
+    "text_roundtrip" ->
+      ("SELECT count(*) AS n_lines, " +
+        "sum(length(replace(text, chr(10), ' '))) AS sum_chars, " +
+        "count(DISTINCT md5(replace(text, chr(10), ' '))) " +
+        "AS n_distinct_md5 FROM documents"),
     "bpe_pairs" ->
       ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS t " +
         "FROM documents), " +
