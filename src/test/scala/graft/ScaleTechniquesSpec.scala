@@ -73,8 +73,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in bucketed join plan:\n$plan")
     assert(joined.count() == 1000)
+    // the negative: MISMATCHED bucket counts lose co-location — the
+    // planner must shuffle again (why BucketedTable documents equal
+    // bucket counts as part of the layout contract)
+    s2.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+      "false")
+    graft.sources.BucketedTable.write(b, "bucketed_b4", s"$base/b4",
+      "kb", 4)
+    val mismatched = graft.sources.BucketedTable.colocatedJoin(
+      s2, "bucketed_a", "ka", "bucketed_b4", "kb")
+    assert(mismatched.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "expected a shuffle for mismatched bucket counts")
     s2.sql("DROP TABLE IF EXISTS bucketed_a")
     s2.sql("DROP TABLE IF EXISTS bucketed_b")
+    s2.sql("DROP TABLE IF EXISTS bucketed_b4")
   }
 
   // ---------------------------------------------------------------
