@@ -64,7 +64,10 @@ object SparkEntry {
       "n_nationkey" -> Num, "n_name" -> Str, "n_regionkey" -> Num),
     "events" -> Seq(
       "event_id" -> Num, "ts" -> Ts, "user_id" -> Num,
-      "event_type" -> Str, "value" -> Num, "props" -> Str)
+      "event_type" -> Str, "value" -> Num, "props" -> Str),
+    "documents" -> Seq(
+      "doc_id" -> Num, "text" -> Str, "lang" -> Str,
+      "source" -> Str, "n_chars" -> Num)
   )
 
   private val dblCols = Set("min_val", "max_val", "mean_val", "median_val",
@@ -1603,6 +1606,11 @@ object SparkEntry {
         profile = Profile.summarizeOnePass(_))),
     // date aggregate suite (op 13) on microsecond-precision timestamps
     "summary_events"   -> ((s, dir) => roundedSummary(tbl(s, dir, "events"))),
+    // the profiler pointed at the LLM corpus table itself
+    "summary_documents" -> ((s, dir) =>
+      roundedSummary(tbl(s, dir, "documents"))),
+    "freq_documents" -> ((s, dir) => freqQuery(tbl(s, dir, "documents"),
+      Seq("lang", "source"), 5L, 1000)),
     // profiling extensions beyond the reference's flat summary: the
     // distribution view (equi-width histogram, two parallel passes)
     // and the Tukey-fence outlier report (fences rounded before the
@@ -2227,6 +2235,9 @@ object SparkEntry {
     "summary_part"     -> summaryOracle("part"),
     "summary_supplier" -> summaryOracle("supplier"),
     "summary_events"   -> summaryOracle("events"),
+    "summary_documents" -> summaryOracle("documents"),
+    "freq_documents" -> freqOracle("documents",
+      Seq("lang" -> true, "source" -> true), 5L, 1000),
     "freq_part" -> freqOracle("part",
       Seq("p_brand" -> true, "p_type" -> true), 5L, 1000),
     "typeinfer_orders" -> typeinferOracle("orders"),
