@@ -1723,6 +1723,23 @@ object SparkEntry {
       tbl(s, dir, "lineitem"),
       Seq("l_returnflag", "l_linestatus", "l_linenumber",
         "l_quantity", "l_discount", "l_tax"))),
+    // profiling extension — FK discovery: inclusion coefficients for
+    // three candidate relationships (two true FKs, one non-FK control)
+    "fk_inclusion" -> ((s, dir) => {
+      val pairs = Seq(
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
+          "l_orderkey", "orders", "o_orderkey"),
+        ("customer.c_custkey->supplier.s_suppkey", "customer",
+          "c_custkey", "supplier", "s_suppkey"))
+      pairs.map { case (label, ta, ca, tb, cb) =>
+        Profile.inclusionCoefficient(tbl(s, dir, ta), ca,
+            tbl(s, dir, tb), cb)
+          .select(lit(label).as("pair"), col("n_a"), col("n_in_b"),
+            col("inclusion"))
+      }.reduce(_ unionByName _).orderBy("pair")
+    }),
     // profiling extension — column-pair dependence (functional-
     // dependency candidates score MI ≈ min entropy)
     "mutual_info" -> ((s, dir) => Profile.mutualInfo(
@@ -2312,6 +2329,27 @@ object SparkEntry {
         "AS DECIMAL(20,9))) AS DOUBLE), 6) AS h_y, " +
         "count(*) AS n_joint FROM t"),
     "zipf_fit" -> zipfFitOracle,
+    "fk_inclusion" -> {
+      def one(label: String, ta: String, ca: String, tb: String,
+          cb: String) =
+        s"SELECT '$label' AS pair, count(*) AS n_a, " +
+          s"count(b.v) AS n_in_b, " +
+          "round(CAST(count(b.v) AS DOUBLE) / " +
+          "greatest(count(*), 1), 6) AS inclusion FROM " +
+          s"(SELECT DISTINCT CAST($ca AS VARCHAR) AS v FROM $ta " +
+          s"WHERE $ca IS NOT NULL) a LEFT JOIN " +
+          s"(SELECT DISTINCT CAST($cb AS VARCHAR) AS v FROM $tb " +
+          s"WHERE $cb IS NOT NULL) b ON a.v = b.v"
+      one("orders.o_custkey->customer.c_custkey", "orders",
+        "o_custkey", "customer", "c_custkey") +
+        " UNION ALL " +
+        one("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
+          "l_orderkey", "orders", "o_orderkey") +
+        " UNION ALL " +
+        one("customer.c_custkey->supplier.s_suppkey", "customer",
+          "c_custkey", "supplier", "s_suppkey") +
+        " ORDER BY pair"
+    },
     "lang_mix" -> langMixOracle,
     "text_roundtrip" ->
       ("SELECT count(*) AS n_lines, " +

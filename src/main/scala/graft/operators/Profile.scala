@@ -709,6 +709,31 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Inclusion coefficient of column A in column B — the
+    * foreign-key-discovery profile: |distinct(A) ∩ distinct(B)| /
+    * |distinct(A)|. 1.0 means every A value exists in B (an FK
+    * candidate, the relationship an ETL designer maps first); the
+    * coefficient degrades gracefully under dirty data where a strict
+    * subset check would flip to false on one orphan row. Scale shape:
+    * both sides reduce to their distinct value sets (key-shuffled,
+    * map-side combined) and meet in one equality join — never a
+    * row-level comparison.
+    */
+  def inclusionCoefficient(dfA: DataFrame, colA: String,
+      dfB: DataFrame, colB: String): DataFrame = {
+    val a = dfA.select(col(colA).cast(StringType).as("v"))
+      .where(col("v").isNotNull).distinct()
+    val b = dfB.select(col(colB).cast(StringType).as("v"))
+      .where(col("v").isNotNull).distinct()
+    a.join(b.withColumn("__in_b", lit(1)), Seq("v"), "left")
+      .agg(count(lit(1)).as("n_a"),
+        sum(when(col("__in_b").isNotNull, 1L).otherwise(0L))
+          .as("n_in_b"))
+      .select(col("n_a"), col("n_in_b"),
+        round(col("n_in_b").cast(DoubleType) /
+          greatest(col("n_a"), lit(1L)), 6).as("inclusion"))
+  }
+
   /** Mutual information (nats) between two discrete columns — the
     * dependency-discovery signal of a profiler (MI ≈ 0: independent
     * columns; MI ≈ min(H_x, H_y): one column determines the other,

@@ -93,6 +93,21 @@ class RankingSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.25, s"psi ${r.getDouble(2)} not > 0.25")
   }
 
+  test("ranking, prefix-sum, drift, and grouped-quantile operators " +
+      "return empty results on empty input") {
+    import graft.operators.{Drift, Profile}
+    val e = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(Ranking.globalRowNumber(e,
+      Seq(col("x"), col("id")), 4).count() == 0)
+    assert(Ranking.prefixSums(e, Seq(col("x")),
+      Seq("id" -> "cum_id"), 4).count() == 0)
+    val eg = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Drift.ksStatistic(eg, "v", "g", "A", "B").count() == 0)
+    assert(Profile.groupedCountQuantiles(
+      Seq.empty[(String, Int)].toDF("g", "v"), "g", "v",
+      Seq(50)).count() == 0)
+  }
+
   test("globalRowNumber's plan has no data-sized single-partition " +
       "window (every window is partitioned by the range-partition id)") {
     val df = spark.range(1000).toDF("id")
