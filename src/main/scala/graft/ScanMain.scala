@@ -54,7 +54,8 @@ object ScanMain {
       case ("prefix", v)            => c = c.copy(prefix = v)
       case ("cpus", v)              => c = c.copy(cpus = v.toInt)
       case ("exclude_cols", v) =>
-        c = c.copy(excludeCols = v.split(',').map(_.trim).filter(_.nonEmpty))
+        c = c.copy(excludeCols =
+          v.split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq)
       case ("shift_dates", v)       => c = c.copy(shiftDates = b(v))
       case ("scan_field_values", v) => c = c.copy(scanFieldValues = b(v))
       case ("min_cell_count", v)    => c = c.copy(minCellCount = v.toLong)

@@ -387,7 +387,7 @@ object Profile {
       ProfileSketchAgg.sketch(value, num,
         isString = f.dataType == StringType, rsd, relativeError).as(s"s_$i")
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
     val rows: Seq[Row] = fields.zipWithIndex.toSeq.map { case (f, i) =>
       val s = r.getStruct(r.fieldIndex(s"s_$i"))
       val total = s.getAs[Long]("n")
