@@ -93,6 +93,40 @@ class RankingSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.25, s"psi ${r.getDouble(2)} not > 0.25")
   }
 
+  test("globalRowNumber and prefixSums fuzz against the window " +
+      "baseline over random data, duplicates, and partitionings") {
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 5) {
+      val n = 50 + rnd.nextInt(400)
+      // heavy duplicate pressure on the sort key: only ~12 distinct
+      // key values, so ordering is total ONLY with the id tiebreaker
+      val rows = (1L to n).map(i => (i, rnd.nextInt(12).toLong,
+        rnd.nextInt(100).toLong))
+      val parts = 1 + rnd.nextInt(6)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("id", "k", "x")
+      val w = Window.orderBy(col("k"), col("id"))
+      val expected = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cx", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(3), r.getLong(4)))).toMap
+      val ranked = Ranking.globalRowNumber(df,
+          Seq(col("k"), col("id")), 1 + rnd.nextInt(8))
+        .collect().map(r => (r.getLong(0), r.getLong(3).toInt)).toMap
+      val summed = Ranking.prefixSums(df, Seq(col("k"), col("id")),
+          Seq("x" -> "cx"), 1 + rnd.nextInt(8))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      rows.foreach { case (id, _, _) =>
+        assert(ranked(id) == expected(id)._1,
+          s"rank mismatch at id=$id round=$round")
+        assert(summed(id) == expected(id)._2,
+          s"prefix-sum mismatch at id=$id round=$round")
+      }
+    }
+  }
+
   test("ranking, prefix-sum, drift, and grouped-quantile operators " +
       "return empty results on empty input") {
     import graft.operators.{Drift, Profile}
