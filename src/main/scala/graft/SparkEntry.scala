@@ -724,7 +724,7 @@ object SparkEntry {
       "SELECT CAST(d AS VARCHAR) AS d, " +
       "CAST(rev_dec AS DOUBLE) AS rev, n_orders, " +
       "CAST(sum(rev_dec) OVER w AS DOUBLE) AS rev_7d, " +
-      "sum(n_orders) OVER w AS n_7d " +
+      "CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d " +
       "FROM t WINDOW w AS (ORDER BY day_no " +
       "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY d"
 
@@ -773,7 +773,8 @@ object SparkEntry {
       "AS rn, count(*) OVER () AS n FROM q) " +
       "SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile, " +
       "count(*) AS n_docs, min(q) AS lo_q, max(q) AS hi_q, " +
-      "sum(n_tok) AS sum_tokens FROM r GROUP BY 1 ORDER BY decile"
+      "CAST(sum(n_tok) AS BIGINT) AS sum_tokens " +
+      "FROM r GROUP BY 1 ORDER BY decile"
   }
 
   /** DuckDB replay of TextMetrics.vocabCoverage: per-(source, token)
@@ -787,8 +788,10 @@ object SparkEntry {
       "GROUP BY 1, 2), " +
       "vocab AS (SELECT t FROM (SELECT t, sum(c) AS n FROM counts " +
       "GROUP BY t ORDER BY n DESC, t LIMIT 500)) " +
-      "SELECT source, sum(c) AS n_tokens, count(*) AS n_types, " +
-      "COALESCE(sum(c) FILTER (WHERE v.t IS NULL), 0) AS oov_tokens, " +
+      "SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "count(*) AS n_types, " +
+      "CAST(COALESCE(sum(c) FILTER (WHERE v.t IS NULL), 0) AS BIGINT) " +
+      "AS oov_tokens, " +
       "COALESCE(count(*) FILTER (WHERE v.t IS NULL), 0) AS oov_types, " +
       "round(CAST(COALESCE(sum(c) FILTER (WHERE v.t IS NULL), 0) " +
       "AS DOUBLE) / sum(c), 6) AS oov_rate " +
@@ -904,29 +907,38 @@ object SparkEntry {
       "min(CASE WHEN cum * 100 >= total * 25 THEN v END) AS p25, " +
       "min(CASE WHEN cum * 100 >= total * 50 THEN v END) AS p50, " +
       "min(CASE WHEN cum * 100 >= total * 75 THEN v END) AS p75, " +
-      "max(total) AS n_rows FROM x GROUP BY source ORDER BY source"
+      "CAST(max(total) AS BIGINT) AS n_rows " +
+      "FROM x GROUP BY source ORDER BY source"
 
   /** DuckDB replay of Drift.ksStatistic over the F/O order-status
-    * slices: distinct-value counts per side, cumulative sums as the
-    * CDF numerators, exact integral KS numerator, rounded ratio.
+    * slices: NULL values dropped (not CDF points), distinct-value
+    * counts per side, cumulative sums as the CDF numerators, exact
+    * integral KS numerator (HUGEINT here, DECIMAL(38,0) in Spark —
+    * both exact, both surfaced as DOUBLE), rounded ratio over a
+    * double product so neither engine's integer width is in play.
     */
   private val driftKsOracle: String =
     "WITH g AS (SELECT o_totalprice AS v, " +
       "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
       "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
-      "FROM orders WHERE o_orderstatus IN ('F', 'O')), " +
+      "FROM orders WHERE o_orderstatus IN ('F', 'O') " +
+      "AND o_totalprice IS NOT NULL), " +
       "c AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM g GROUP BY v), " +
       "cum AS (SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b " +
       "FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
-      "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c) " +
+      "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+      "CAST(sum(cb) AS BIGINT) AS nb FROM c) " +
       "SELECT na AS n_a, nb AS n_b, " +
-      "max(abs(cum_a * nb - cum_b * na)) AS d_num, " +
+      "CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE) AS d_num, " +
       "round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE) " +
-      "/ (na * nb), 6) AS ks FROM cum, t GROUP BY na, nb"
+      "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks " +
+      "FROM cum, t GROUP BY na, nb"
 
   /** DuckDB replay of Drift.psi: reference-range equi-width bins with
-    * the histogram's IEEE arithmetic order, Laplace-smoothed shares,
-    * per-bin terms rounded at 9 decimals and DECIMAL-summed.
+    * the histogram's IEEE arithmetic order, completed against the
+    * fixed 0..9 grid (a doubly-empty bin still carries its smoothed
+    * term), Laplace-smoothed shares, per-bin terms rounded at 9
+    * decimals and DECIMAL-summed.
     */
   private val driftPsiOracle: String =
     "WITH g AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
@@ -935,11 +947,16 @@ object SparkEntry {
       "FROM orders WHERE o_orderstatus IN ('F', 'O') " +
       "AND o_totalprice IS NOT NULL), " +
       "r AS (SELECT min(v) AS lo, max(v) AS hi FROM g WHERE a = 1), " +
-      "cells AS (SELECT CASE WHEN hi = lo THEN 0 ELSE " +
+      "obs AS (SELECT CASE WHEN hi = lo THEN 0 ELSE " +
       "greatest(0, least(9, CAST(floor((v - lo) * 10 / (hi - lo)) " +
       "AS INT))) END AS bin, sum(a) AS ca, sum(b) AS cb " +
       "FROM g, r GROUP BY 1), " +
-      "n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells), " +
+      "cells AS (SELECT gr.bin, COALESCE(ca, 0) AS ca, " +
+      "COALESCE(cb, 0) AS cb FROM " +
+      "(SELECT unnest(generate_series(0, 9)) AS bin) gr " +
+      "LEFT JOIN obs ON gr.bin = obs.bin), " +
+      "n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+      "CAST(sum(cb) AS BIGINT) AS nb FROM cells), " +
       "p AS (SELECT na, nb, " +
       "(CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) ELSE 0.5 END) / na " +
       "AS pa, " +
@@ -1210,8 +1227,8 @@ object SparkEntry {
       "HAVING min(reach) <> node) " +
       "SELECT d.source, count(*) AS n_docs, " +
       "count(r.doc_id) AS n_removed, " +
-      "COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL " +
-      "THEN length(d.text) END), 0) AS chars_removed " +
+      "CAST(COALESCE(sum(CASE WHEN r.doc_id IS NOT NULL " +
+      "THEN length(d.text) END), 0) AS BIGINT) AS chars_removed " +
       "FROM documents d LEFT JOIN rm r ON d.doc_id = r.doc_id " +
       "GROUP BY 1 ORDER BY d.source"
 
@@ -2301,8 +2318,8 @@ object SparkEntry {
     "summary_onepass_contract" -> sketchContractOracle,
     "mix_weights" ->
       ("WITH c AS (SELECT source, count(*) AS n_docs, " +
-        "sum(len(string_split(lower(text), ' '))) AS n_tokens " +
-        "FROM documents GROUP BY 1), " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY 1), " +
         "s AS (SELECT *, CAST(n_tokens AS DOUBLE) / " +
         "sum(n_tokens) OVER () AS share FROM c), " +
         "t AS (SELECT *, CAST(round(pow(share, 0.7), 9) " +
@@ -2353,7 +2370,8 @@ object SparkEntry {
     "lang_mix" -> langMixOracle,
     "text_roundtrip" ->
       ("SELECT count(*) AS n_lines, " +
-        "sum(length(replace(text, chr(10), ' '))) AS sum_chars, " +
+        "CAST(sum(length(replace(text, chr(10), ' '))) AS BIGINT) " +
+        "AS sum_chars, " +
         "count(DISTINCT md5(replace(text, chr(10), ' '))) " +
         "AS n_distinct_md5 FROM documents"),
     "bpe_pairs" ->

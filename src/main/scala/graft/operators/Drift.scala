@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * appears anywhere: the shuffle is keyed by value for the count
   * aggregation, then range-partitioned for the CDF. The decision
   * arithmetic stays integral — D's numerator is
-  * |cumA·nB - cumB·nA| over BIGINTs — so the max is exact and
-  * engine-portable; only the final ratio becomes a rounded double.
+  * |cumA·nB - cumB·nA| computed in DECIMAL(38,0), which stays exact
+  * up to ~10^19 rows per slice where a BIGINT product would wrap
+  * silently (non-ANSI multiply) at ~3·10^9 rows — so the max is
+  * exact and engine-portable at any realistic scale; the numerator
+  * and the final ratio surface as doubles.
   */
 object Drift {
 
@@ -39,10 +42,16 @@ object Drift {
     * both all-column-scan shaped, state is O(numBins). Bin assignment
     * reuses the histogram's `least(b-1, floor((x-lo)*b/(hi-lo)))`
     * IEEE ordering so a SQL oracle replays bins bit-for-bit; B-values
-    * outside the reference range clamp into the edge bins. Zero cells
-    * are smoothed by 0.5 (Laplace) before the log ratio, and each
-    * bin's contribution is rounded at 9 decimals and summed as
-    * DECIMAL, making the total order-independent and engine-portable.
+    * outside the reference range clamp into the edge bins. The cell
+    * table is completed against the full 0..numBins-1 grid, so a bin
+    * empty in BOTH slices still contributes its smoothed
+    * (0.5/nA - 0.5/nB)·ln(nB/nA) term when the slice sizes differ —
+    * the textbook fixed-grid PSI, not a union-of-observed-bins
+    * variant. Zero cells are smoothed by 0.5 (Laplace) before the
+    * log ratio, and each bin's contribution is rounded at 9 decimals
+    * and summed as DECIMAL, making the total order-independent and
+    * engine-portable. Returns empty when either slice is empty (PSI
+    * is undefined there) rather than a division-by-zero row.
     */
   def psi(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String, numBins: Int = 10): DataFrame = {
@@ -59,16 +68,24 @@ object Drift {
       .otherwise(greatest(lit(0), least(lit(numBins - 1),
         floor((col("v") - col("__lo")) * numBins /
           (col("__hi") - col("__lo"))).cast("int"))))
-    val cells = tagged.crossJoin(broadcast(range))
+    val observed = tagged.crossJoin(broadcast(range))
       .select(bin.as("bin"), col("a"), col("b"))
       .groupBy(col("bin"))
       .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    // complete against the fixed grid: doubly-empty interior bins
+    // must still carry their smoothed term (numBins rows — tiny)
+    val grid = df.sparkSession.range(numBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val cells = grid.join(broadcast(observed), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
     val n = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val pa = when(col("ca") > 0, col("ca").cast("double"))
       .otherwise(lit(0.5)) / col("na")
     val pb = when(col("cb") > 0, col("cb").cast("double"))
       .otherwise(lit(0.5)) / col("nb")
     cells.crossJoin(broadcast(n))
+      .where(col("na") > 0 && col("nb") > 0)
       .select(col("na"), col("nb"),
         round((pa - pb) * log(pa / pb), 9).cast("decimal(20,9)")
           .as("term"))
@@ -85,19 +102,28 @@ object Drift {
       .select(col(valueCol).as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("a"),
         when(col(groupCol) === groupB, 1L).otherwise(0L).as("b"))
+      // NULL is not a CDF point (and range partitioning would order
+      // it differently from a SQL ORDER BY anyway — drop it here)
+      .where(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
     val cum = Ranking.prefixSums(counts, Seq(col("v")),
       Seq("ca" -> "cum_a", "cb" -> "cum_b"), numPartitions)
     val n = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // cross-multiply in DECIMAL(38,0): counts are longs, so each
+    // factor fits decimal(19,0) and the product stays exact where a
+    // long*long would wrap past ~3e9 rows per slice
+    val dec = "decimal(19,0)"
     cum.crossJoin(broadcast(n))
       .select(col("na"), col("nb"),
-        abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
-          .as("dnum"))
+        abs(col("cum_a").cast(dec) * col("nb").cast(dec) -
+          col("cum_b").cast(dec) * col("na").cast(dec)).as("dnum"))
       .groupBy(col("na"), col("nb"))
       .agg(max(col("dnum")).as("d_num"))
-      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
-        round(col("d_num").cast("double") / (col("na") * col("nb")), 6)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("d_num").cast("double").as("d_num"),
+        round(col("d_num").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6)
           .as("ks"))
   }
 }

@@ -71,13 +71,20 @@ class RankingSpec extends AnyFunSuite {
       .toDF("g", "v")
     val r = Drift.ksStatistic(df, "v", "g", "A", "B", numPartitions = 2)
       .head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 3L)))
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((3L, 3L, 3.0)))
     assert(r.getDouble(3) == 0.333333)
     // a slice against an identically-distributed slice drifts by 0
     val same = Seq(("A", 1.0), ("A", 7.0), ("B", 1.0), ("B", 7.0))
       .toDF("g", "v")
     val r0 = Drift.ksStatistic(same, "v", "g", "A", "B").head()
-    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0)
+    // NULL values are not CDF points: an all-NULL extra slice-A batch
+    // must not move D
+    val withNulls = df.union(
+      spark.sql("SELECT 'A' AS g, CAST(NULL AS DOUBLE) AS v"))
+    val rn = Drift.ksStatistic(withNulls, "v", "g", "A", "B").head()
+    assert((rn.getLong(0), rn.getDouble(3)) == ((3L, 0.333333)))
   }
 
   test("psi is zero for identical slices and large for a shifted one") {

@@ -6,7 +6,10 @@ Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
 the matching oracle SQL from oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, and compares: row count, column names
-(sorted), and values (rows sorted, columns sorted by name).
+(sorted), RESULT TYPES (DuckDB DESCRIBE on both sides — the driver's
+hash is type-sensitive, so a DuckDB HUGEINT sum vs a Spark BIGINT is a
+red row even when every value matches), and values (rows sorted,
+columns sorted by name).
 
 Dev-only tool for fast iteration; the real gate is driver-side.
 """
@@ -70,6 +73,21 @@ def main():
         if sorted(got_cols) != sorted(want_cols):
             print(f"[FAIL] {name}: columns {sorted(got_cols)} != "
                   f"{sorted(want_cols)}")
+            n_fail += 1
+            continue
+        got_types = dict((r[0], r[1]) for r in con.execute(
+            "DESCRIBE SELECT * FROM "
+            f"read_parquet('{d}/*.parquet')").fetchall())
+        want_types = dict((r[0], r[1]) for r in con.execute(
+            f"DESCRIBE {oracles[name]}").fetchall())
+        type_bad = [(c, got_types.get(c), want_types.get(c))
+                    for c in sorted(got_cols)
+                    if got_types.get(c) != want_types.get(c)]
+        if type_bad:
+            print(f"[FAIL] {name}: result types differ "
+                  "(driver hash is type-sensitive):")
+            for c, g, w in type_bad:
+                print(f"    {c}: spark={g} oracle={w}")
             n_fail += 1
             continue
         if len(got) != len(want):
