@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the configured
-  * scale factor and prints ONE JSON line (the driver's contract).
+  * scale factor and prints one full per-query JSON line followed by a
+  * compact (<500 char) summary JSON line — the LAST stdout line is
+  * always a whole parseable object even under a 2,000-char tail
+  * capture.
   *
   * Noise hardening (VERDICT r4 #1): single-run second-scale timings on
   * a shared box swing 3-19x run-to-run, which made BENCH_r04 tell a
@@ -97,35 +100,64 @@ object Bench {
       "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",
       "summary_lineitem_onepass", "text_repetition",
       "typeinfer_roundtrip")
-    val sf1Section =
-      if (!new java.io.File(sf1Dir).isDirectory || only.isDefined) ""
-      else {
-        val smoke = sf1Queries.flatMap { name =>
-          SparkEntry.queries.get(name).flatMap { fn =>
-            try {
-              val pairs = Seq.fill(reps) {
-                val b = time(fn(spark, sfDir).count())
-                val s = time(fn(spark, sf1Dir).count())
-                (b, s)
-              }
-              Some((name, median(pairs.map(_._1)), median(pairs.map(_._2))))
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] sf1 $name FAILED: $e"); None
+    // dev-only focused smoke runs (driver runs unfiltered)
+    val onlySmoke = sys.env.get("SPARK_GRAFT_SMOKE_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
+    val smoke =
+      if (!new java.io.File(sf1Dir).isDirectory ||
+          (only.isDefined && onlySmoke.isEmpty))
+        Seq.empty[(String, Double, Double)]
+      else sf1Queries.filter(n => onlySmoke.forall(_.contains(n)))
+        .flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          try {
+            // the two approx-profile queries submit three concurrent
+            // jobs each, which makes them the most load-sensitive
+            // timings in the suite (driver r5 measured their x10
+            // ratio at 7.89 vs 2.21 for the same build under
+            // different box load) — more interleaved pairs tighten
+            // exactly those medians at negligible suite cost
+            val smokeReps =
+              if (name.startsWith("summary_lineitem_")) math.max(reps, 5)
+              else reps
+            val pairs = Seq.fill(smokeReps) {
+              val b = time(fn(spark, sfDir).count())
+              val s = time(fn(spark, sf1Dir).count())
+              (b, s)
             }
+            Some((name, median(pairs.map(_._1)), median(pairs.map(_._2))))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name FAILED: $e"); None
           }
         }
+      }
+    val flagged = smoke.collect { case (k, b, s) if s / b >= 10.0 =>
+      "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val sf1Section =
+      if (smoke.isEmpty) ""
+      else {
         val entries = smoke.map { case (k, b, s) =>
           val r = math.round(s / b * 100) / 100.0
           "\"" + k + "\":{\"sec\":" + s + ",\"base_sec\":" + b +
             ",\"x10_ratio\":" + r + "}"
         }.mkString("{", ",", "}")
-        val flagged = smoke.collect { case (k, b, s) if s / b >= 10.0 =>
-          "\"" + k + "\""
-        }.mkString("[", ",", "]")
         s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"queries":$entries,"flagged":$flagged}"""
       }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    // The full line above carries per-query detail but runs far past
+    // the ~2,000-char stdout tail the round driver records, so for
+    // five rounds BENCH_r{N}.json held a truncated fragment. This
+    // LAST line is the same headline numbers compacted well under 500
+    // chars — any tail capture gets one whole parseable JSON object.
+    val worst = smoke.map { case (k, b, s) => (k, s / b) }
+      .sortBy(-_._2).take(3)
+      .map { case (k, r) =>
+        "\"" + k + "\":" + (math.round(r * 100) / 100.0)
+      }.mkString("{", ",", "}")
+    val totalR = math.round(total * 1000) / 1000.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
