@@ -53,7 +53,11 @@ object Bench {
     // optional comma-separated filter for focused timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
-    val selected = SparkEntry.queries
+    // bench times the oracle-gated queries PLUS the sketch-value
+    // profile paths (no SQL oracle, so not in the correctness map —
+    // see SparkEntry.benchOnlyQueries)
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
+    val selected = allQueries
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // a failed query must not pass off its (fast) failure time as a
@@ -109,7 +113,7 @@ object Bench {
         Seq.empty[(String, Double, Double)]
       else sf1Queries.filter(n => onlySmoke.forall(_.contains(n)))
         .flatMap { name =>
-        SparkEntry.queries.get(name).flatMap { fn =>
+        allQueries.get(name).flatMap { fn =>
           try {
             // the two approx-profile queries submit three concurrent
             // jobs each, which makes them the most load-sensitive

@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val names = if (args.length > 1) Seq(args(1))
-                else SparkEntry.queries.keys.toSeq.sorted
+                else all.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -20,7 +21,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try all(n)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"explain failed: $e") }
     }
     spark.stop()

@@ -1598,18 +1598,6 @@ object SparkEntry {
     "freq_orders_custkey_top10" -> ((s, dir) => freqQuery(
       tbl(s, dir, "orders"), Seq("o_custkey"), 5L, 10)),
     "summary_part"     -> ((s, dir) => roundedSummary(tbl(s, dir, "part"))),
-    // 100 TB mode: HLL distinct + sketch quantiles, one pass, no value
-    // buffering (documented divergence from exact semantics — no oracle)
-    "summary_lineitem_approx" -> ((s, dir) =>
-      Profile.summarizeApprox(tbl(s, dir, "lineitem"))
-        .orderBy("column_name")),
-    // 100 TB mode, single-scan variant: ONE custom
-    // TypedImperativeAggregate folds counters + moments + HLL + sketch
-    // quantiles per column in one pass (no oracle — same documented
-    // divergence as the approx path; pinned by ProfileFrequencySpec)
-    "summary_lineitem_onepass" -> ((s, dir) =>
-      Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
-        .orderBy("column_name")),
     "summary_supplier" -> ((s, dir) => roundedSummary(tbl(s, dir, "supplier"))),
     // oracle-facing gate for the sketch profile: rank-correctness of
     // every approx quantile + HLL-vs-exact distinct, emitted as
@@ -2244,6 +2232,29 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id"))
   )
 
+  /** Sketch-VALUE profile paths, timed by Bench under their
+    * historical names but kept out of the correctness gate: their
+    * outputs are approximations (HLL distinct, GK quantiles) with no
+    * SQL-expressible oracle, so a `queries` entry could only earn a
+    * rows-only check. Accuracy is gated instead by the oracle-backed
+    * summary_approx_contract / summary_onepass_contract queries
+    * (deterministic rank-correctness + HLL-tolerance flags over the
+    * same sketch outputs) plus the ProfileFrequencySpec pins.
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      // 100 TB mode: HLL distinct + sketch quantiles, three concurrent
+      // jobs, no value buffering
+      "summary_lineitem_approx" -> ((s, dir) =>
+        Profile.summarizeApprox(tbl(s, dir, "lineitem"))
+          .orderBy("column_name")),
+      // 100 TB mode, single-scan variant: ONE custom
+      // TypedImperativeAggregate folds counters + moments + HLL +
+      // sketch quantiles per column in one pass
+      "summary_lineitem_onepass" -> ((s, dir) =>
+        Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
+          .orderBy("column_name")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2632,11 +2643,8 @@ object SparkEntry {
     "streaming_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type")
-    // summary_lineitem_approx, summary_lineitem_onepass:
-    // sketch-approximate operators with no SQL-expressible oracle —
-    // covered by the driver's rows-only check plus empirical ScalaTest
-    // pins (blocking completeness, precision/recall floors,
-    // rank-error tolerance vs
-    // exact twins).
+    // every `queries` entry has an oracle; the sketch-VALUE profile
+    // paths live in benchOnlyQueries (their accuracy gate is the
+    // oracle-backed summary_*_contract pair above).
   )
 }
