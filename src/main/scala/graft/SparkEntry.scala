@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextFunctions
+import graft.functions.{BpeExpressions, TextFunctions}
 import graft.operators.{DateShift, Dedup, Drift, Frequency, Multimodal,
   Profile, Sampling, Similarity, Skew, TextMetrics, TypeInference}
 import graft.sources.{BucketedTable, DelimitedSource}
@@ -797,6 +797,59 @@ object SparkEntry {
       "AS DOUBLE) / sum(c), 6) AS oov_rate " +
       "FROM counts LEFT JOIN vocab v ON counts.t = v.t " +
       "GROUP BY source ORDER BY source"
+  }
+
+  /** BPE fixture vocabulary — the single source of truth for both the
+    * bpe_encode Spark query and its DuckDB oracle (the oracle VALUES
+    * list is generated from this Seq). Multi-char pieces only; single
+    * characters are the encoder's implicit fallback. Chosen so the
+    * synthetic corpus exercises all three encode paths: full-word
+    * pieces ("spark", "table"), multi-piece segmentations
+    * ("cus"+"tom"+"er", "win"+"dow"), and fallback characters
+    * ("slo"+'w', "bi"+'g').
+    */
+  private val bpeFixturePieces: Seq[String] = Seq(
+    "the", "spark", "join", "data", "sort", "merge", "table", "key",
+    "row", "line", "ba", "tch", "str", "eam", "fil", "ter", "cus",
+    "tom", "er", "val", "ue", "col", "umn", "vec", "tor", "win", "dow",
+    "qu", "ery", "gro", "up", "sc", "an", "ha", "sh", "sm", "all",
+    "slo", "ord", "ag", "fa", "st", "bi", "du", "pa", "rt")
+
+  /** DuckDB replay of the greedy longest-match BPE encode: per
+    * distinct word, the longest vocabulary piece matching at every
+    * position is precomputed non-recursively (a LEFT JOIN + max_by —
+    * two same-length pieces can never both match one position, so the
+    * argmax is total), then a recursive CTE walks each word
+    * left-to-right emitting the precomputed pick (or the single
+    * fallback character), and piece counts weight back by word
+    * frequency.
+    */
+  private val bpeEncodeOracle: String = {
+    val vals = bpeFixturePieces.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"WITH RECURSIVE vocab(id, piece) AS (VALUES $vals), " +
+      "wc AS (SELECT word, count(*) AS wn FROM " +
+      "(SELECT unnest(string_split(lower(text), ' ')) AS word " +
+      "FROM documents) WHERE length(word) > 0 GROUP BY word), " +
+      "wpos AS (SELECT word, " +
+      "unnest(generate_series(1, length(word))) AS pos FROM wc), " +
+      "pick AS (SELECT p.word, p.pos, " +
+      "COALESCE(max_by(v.piece, length(v.piece)), " +
+      "substr(p.word, p.pos, 1)) AS pick " +
+      "FROM wpos p LEFT JOIN vocab v " +
+      "ON substr(p.word, p.pos, length(v.piece)) = v.piece " +
+      "GROUP BY p.word, p.pos), " +
+      "seg AS (SELECT word, CAST(1 AS BIGINT) AS pos, " +
+      "CAST(NULL AS VARCHAR) AS piece FROM wc " +
+      "UNION ALL SELECT s.word, s.pos + length(p.pick), p.pick " +
+      "FROM seg s JOIN pick p ON p.word = s.word AND p.pos = s.pos " +
+      "WHERE s.pos <= length(s.word)), " +
+      "pc AS (SELECT s.piece, CAST(sum(w.wn) AS BIGINT) AS cnt " +
+      "FROM seg s JOIN wc w ON s.word = w.word " +
+      "WHERE s.piece IS NOT NULL GROUP BY s.piece) " +
+      "SELECT COALESCE(v.id, -1) AS token_id, pc.piece, cnt FROM pc " +
+      "LEFT JOIN vocab v ON pc.piece = v.piece " +
+      "ORDER BY cnt DESC, pc.piece LIMIT 30"
   }
 
   /** DuckDB replay of TextMetrics.unigramLogprob: identical unigram
@@ -1873,6 +1926,24 @@ object SparkEntry {
     // tokenizer prep — the statistic the first BPE merge maximizes
     "bpe_pairs" -> ((s, dir) => TextMetrics.bpePairCounts(
       tbl(s, dir, "documents"), "text", k = 10)),
+    // greedy longest-match BPE encode of the corpus against the
+    // broadcast fixture vocabulary (native codegen expression with
+    // the single-char fallback rule), token ids assigned by a
+    // broadcast vocab join; the (cnt DESC, piece) total order makes
+    // the top-30 cut engine-portable
+    "bpe_encode" -> ((s, dir) => {
+      val enc = tbl(s, dir, "documents")
+        .select(explode(BpeExpressions.bpeEncodePieces(
+          lower(col("text")), bpeFixturePieces)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      val vocab = s.createDataFrame(
+        bpeFixturePieces.zipWithIndex.map { case (p, i) => (i, p) })
+        .toDF("token_id", "piece")
+      enc.join(broadcast(vocab), Seq("piece"), "left")
+        .select(coalesce(col("token_id"), lit(-1)).as("token_id"),
+          col("piece"), col("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(30)
+    }),
     // data-quality classic — first-significant-digit profile vs the
     // Benford expectation (digit via exact integer stringification,
     // never float log10)
@@ -2385,6 +2456,7 @@ object SparkEntry {
         "AS sum_chars, " +
         "count(DISTINCT md5(replace(text, chr(10), ' '))) " +
         "AS n_distinct_md5 FROM documents"),
+    "bpe_encode" -> bpeEncodeOracle,
     "bpe_pairs" ->
       ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS t " +
         "FROM documents), " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -87,11 +87,12 @@ object TextMetrics {
     * doc id — the shard manifest a packing job writes.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, budget: Long): DataFrame = {
+      sourceCol: String, budget: Long,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val n = size(TextFunctions.tokens(col(textCol))).cast("long")
+    val n = size(tokenizer(col(textCol))).cast("long")
     df.select(col(sourceCol).as("source"), col(idCol).as("id"),
         n.as("n_tok"))
       .withColumn("cum_before",
@@ -158,11 +159,12 @@ object TextMetrics {
     * and the OOV token rate.
     */
   def vocabCoverage(df: DataFrame, textCol: String, sourceCol: String,
-      vocabSize: Int): DataFrame = {
+      vocabSize: Int,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     val counts = df
       .select(col(sourceCol).as("source"),
-        explode(TextFunctions.tokens(col(textCol))).as("t"))
+        explode(tokenizer(col(textCol))).as("t"))
       .groupBy(col("source"), col("t"))
       .agg(count(lit(1)).as("c"))
     val vocab = counts.groupBy(col("t")).agg(sum(col("c")).as("n"))
@@ -202,10 +204,10 @@ object TextMetrics {
     * only transcendental, the same contract the tf-idf score already
     * relies on.
     */
-  def unigramLogprob(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      explode(tokenizer(col(textCol))).as("t"))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("__n"))
     val lp = round(log(col("c").cast("double") / col("__n")), 9)

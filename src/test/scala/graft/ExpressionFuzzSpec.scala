@@ -162,4 +162,43 @@ class ExpressionFuzzSpec extends AnyFunSuite {
     assert(math.abs(one("n").getAs[Double]("sd_val") -
       exact("n").getAs[Double]("sd_val")) < 1e-6)
   }
+
+  test("bpeEncodePieces matches an independent greedy reference over " +
+      "random vocabularies and texts, and round-trips the input") {
+    import graft.functions.BpeExpressions.bpeEncodePieces
+    def refEncode(text: String, pieces: Seq[String]): Seq[String] =
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        while (pos < w.length) {
+          val m = pieces.filter(p => w.startsWith(p, pos))
+            .sortBy(-_.length).headOption
+          val p = m.getOrElse(w.substring(pos, pos + 1))
+          out += p; pos += p.length
+        }
+        out
+      }
+    for (round <- 1 to 20) {
+      // small alphabet forces heavy piece overlap (prefix-of-prefix
+      // cases are the interesting ones for longest-match)
+      val vocab = (0 until (2 + rnd.nextInt(10)))
+        .map(_ => (1 to (2 + rnd.nextInt(3)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct
+      val texts = (0 until 25).map(_ =>
+        (0 until rnd.nextInt(8)).map(_ =>
+          (0 until rnd.nextInt(7)).map(_ =>
+            ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+      val got = texts.map(Tuple1(_)).toDF("text")
+        .select(bpeEncodePieces(col("text"), vocab).as("p"))
+        .collect().map(_.getSeq[String](0))
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == refEncode(t, vocab),
+          s"round=$round vocab=$vocab text='$t'")
+        // pieces always reassemble the spaceless input
+        assert(g.mkString == t.split(" ").filter(_.nonEmpty).mkString,
+          s"round-trip round=$round text='$t'")
+      }
+    }
+  }
 }

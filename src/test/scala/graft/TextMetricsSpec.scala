@@ -2,6 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 import graft.operators.TextMetrics
 
 /** Pins the corpus-hygiene operators: benchmark decontamination
@@ -211,5 +214,59 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got("c1") == ((0.0, 1L)))
     assert(math.abs(got("c2")._1 - math.log(4.0)) < 1e-5)
     assert(got("c2")._2 == 4L)
+  }
+
+  test("bpeEncodePieces: greedy longest match, single-char fallback, " +
+      "word boundaries, empty-word skipping") {
+    import graft.functions.BpeExpressions.bpeEncodePieces
+    val pieces = Seq("the", "sort", "cus", "tom", "er", "win", "dow",
+      "slo", "ag", "tch", "ba", "st", "eam")
+    def enc(s: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("text")
+        .select(bpeEncodePieces(lower(col("text")), pieces).as("p"))
+        .head().getSeq[String](0)
+    // multi-piece segmentation and fallback chars
+    assert(enc("customer") == Seq("cus", "tom", "er"))
+    assert(enc("slow agg") == Seq("slo", "w", "ag", "g"))
+    // longest match wins over a shorter prefix piece ("sort" > "st"
+    // would never collide, but "sort" must beat nothing-at-'s' +
+    // fallback; "st" must apply where "sort" cannot)
+    assert(enc("sort") == Seq("sort"))
+    assert(enc("stream") == Seq("st", "r", "eam"))
+    // pieces never match across a word boundary
+    assert(enc("ba tch") == Seq("ba", "tch"))
+    assert(enc("batch") == Seq("ba", "tch"))
+    // empty words from repeated/leading/trailing spaces are skipped
+    assert(enc("  the   sort ") == Seq("the", "sort"))
+    // uppercase input is folded by the lower() the caller applies
+    assert(enc("THE Sort") == Seq("the", "sort"))
+  }
+
+  test("bpeEncodePieces feeds the token-id pipeline: broadcast vocab " +
+      "join assigns ids, vocabCoverage/unigramLogprob run on pieces") {
+    import graft.functions.BpeExpressions.bpeEncodePieces
+    val pieces = Seq("the", "cus", "tom", "er")
+    val docs = Seq((1L, "a", "the customer"), (2L, "b", "the the"))
+      .toDF("doc_id", "source", "text")
+    val tok: Column => Column = c => bpeEncodePieces(lower(c), pieces)
+    // vocabCoverage over BPE pieces: 2+4 pieces in doc 1 ("the" +
+    // cus/tom/er), 2 in doc 2; vocab of size 4 covers every piece
+    val cov = TextMetrics.vocabCoverage(docs, "text", "source", 4, tok)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    assert(cov == Map("a" -> ((4L, 0L)), "b" -> ((2L, 0L))))
+    // unigramLogprob over pieces: doc 2 is two copies of the most
+    // frequent piece, so it must score strictly higher than doc 1
+    val lp = TextMetrics.unigramLogprob(docs, "doc_id", "text", tok)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lp(2L) > lp(1L))
+    // token-id assignment via the broadcast vocab join (the
+    // bpe_encode contract query's shape): every piece resolves
+    val vocab = pieces.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("token_id", "piece")
+    val ids = docs
+      .select(explode(tok(col("text"))).as("piece"))
+      .join(broadcast(vocab), Seq("piece"), "left")
+    assert(ids.where(col("token_id").isNull).count() == 0)
   }
 }
