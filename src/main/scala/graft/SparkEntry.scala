@@ -1511,48 +1511,32 @@ object SparkEntry {
       "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) " +
       "AS INT) AS n_chunks FROM documents ORDER BY doc_id"
 
-  /** DuckDB replay of `Multimodal.fakeFeature`: fold h = (h*31)^byte
-    * over the UTF-8 bytes (recursive CTE over the hex encoding, HUGEINT
-    * arithmetic mod 2^64), then per-dim hd = h XOR (d*golden mod 2^64)
-    * with the 8 per-dim constants precomputed, Java-signed `% 1000`, and
-    * FLOAT division — bit-identical to the Scala stub.
+  /** DuckDB replay of synthesizeBmp → decodeImageStats WITHOUT going
+    * through BMP bytes: the fixture's pixel arithmetic (blue = text
+    * byte / (k·7) mod 256 padding, green = (3·b+1) mod 256, red =
+    * k mod 256 over npx = 8·ceil(n/8) pixels) is recomputed straight
+    * from the text, so the two sides agree only if the Scala writer
+    * AND parser round-trip every pixel into its correct position.
     */
-  private val multimodalFeaturesOracle: String = {
-    val mask = BigInt(1) << 64
-    val golden = BigInt("9e3779b97f4a7c15", 16)
-    val dimConsts = (0 until 8)
-      .map(d => s"($d, CAST(${(golden * d).mod(mask)} AS HUGEINT))")
-      .mkString(", ")
-    s"""WITH RECURSIVE hx AS (
-       |  SELECT doc_id, hex(encode(text)) AS hs,
-       |         octet_length(encode(text)) AS n FROM documents
-       |), fold AS (
-       |  SELECT doc_id, 0 AS pos,
-       |         CAST(1125899906842597 AS HUGEINT) AS acc, hs, n FROM hx
-       |  UNION ALL
-       |  SELECT doc_id, pos+1,
-       |    (SELECT m - (m % 256) + CAST(xor(CAST(m % 256 AS BIGINT),
-       |        16*(strpos('0123456789ABCDEF', substr(hs, 2*pos+1, 1))-1)
-       |         + (strpos('0123456789ABCDEF', substr(hs, 2*pos+2, 1))-1))
-       |       AS HUGEINT)
-       |     FROM (SELECT (acc*31) % 18446744073709551616 AS m)), hs, n
-       |  FROM fold WHERE pos < n
-       |), hfin AS (SELECT doc_id, acc FROM fold WHERE pos = n),
-       |dims AS (SELECT * FROM (VALUES $dimConsts) AS t(d, c)),
-       |feat AS (
-       |  SELECT doc_id, d,
-       |    CAST(xor(CAST(acc // 4294967296 AS BIGINT),
-       |             CAST(c // 4294967296 AS BIGINT)) AS HUGEINT)
-       |      * 4294967296
-       |      + CAST(xor(CAST(acc % 4294967296 AS BIGINT),
-       |               CAST(c % 4294967296 AS BIGINT)) AS HUGEINT) AS hd
-       |  FROM hfin CROSS JOIN dims)
-       |SELECT doc_id, CAST(d AS INT) AS d,
-       |  round(CAST(CAST(CAST((CASE WHEN hd >= 9223372036854775808
-       |      THEN hd - 18446744073709551616 ELSE hd END) % 1000 AS INT)
-       |    AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE), 6) AS f
-       |FROM feat ORDER BY doc_id, d""".stripMargin
-  }
+  private val multimodalFeaturesOracle: String =
+    "WITH d AS (SELECT doc_id, text, strlen(text) AS n, " +
+      "CAST(ceil(strlen(text) / 8.0) AS BIGINT) * 8 AS npx " +
+      "FROM documents " +
+      "WHERE length(text) = strlen(text) AND strlen(text) > 0), " +
+      "px AS (SELECT doc_id, npx, k, " +
+      "CASE WHEN k < n THEN unicode(substr(text, CAST(k + 1 AS INT), 1)) " +
+      "ELSE CAST((k * 7) % 256 AS INT) END AS b " +
+      "FROM (SELECT doc_id, text, n, npx, " +
+      "unnest(generate_series(0, npx - 1)) AS k FROM d)) " +
+      "SELECT doc_id, 8 AS img_w, CAST(npx // 8 AS INT) AS img_h, " +
+      "CAST(npx AS INT) AS n_px, " +
+      "round(CAST(sum(b) AS DOUBLE) / npx, 6) AS mean_b, " +
+      "round(CAST(sum((3 * b + 1) % 256) AS DOUBLE) / npx, 6) AS mean_g, " +
+      "round(CAST(sum(k % 256) AS DOUBLE) / npx, 6) AS mean_r, " +
+      "CAST(sum((k + 1) * b) AS BIGINT) AS wsum_b, " +
+      "CAST(sum((k + 1) * ((3 * b + 1) % 256)) AS BIGINT) AS wsum_g, " +
+      "CAST(sum((k + 1) * (k % 256)) AS BIGINT) AS wsum_r " +
+      "FROM px GROUP BY doc_id, npx ORDER BY doc_id"
 
   // -------------------------------------------------------------------
   // Streaming (Structured Streaming over the bounded events stream)
@@ -2167,17 +2151,20 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 6, numQueries = 10, k = 5,
       iterations = 2)),
-    // LLM pipeline — multimodal plumbing (decode stubbed, see Multimodal)
+    // LLM pipeline — multimodal plumbing with a REAL codec: corpus
+    // text synthesized into 24-bit BMPs, decoded back by the header-
+    // validating parser, per-image pixel statistics compared against
+    // an oracle that recomputes them from the text alone (the
+    // position-weighted sums are order-sensitive, so row-order or
+    // padding bugs in either codec half go red). ASCII filter: the
+    // oracle replays byte arithmetic as per-char codepoints.
     "multimodal_meta" -> ((s, dir) => multimodalMetaQuery(s, dir)),
-    // Long-form (doc_id, d, f) projection: scalar rows the driver can
-    // sort/hash (an Array[Float] column is not canonicalizable), and the
-    // deterministic fake decoder is replayed in the DuckDB oracle.
-    "multimodal_features" -> ((s, dir) => Multimodal.decodeFeatures(
-      Multimodal.binarize(tbl(s, dir, "documents"), "doc_id", "text"))
-      .selectExpr("doc_id", "posexplode(features) AS (d, f)")
-      .selectExpr("doc_id", "CAST(d AS INT) AS d",
-        "round(CAST(f AS DOUBLE), 6) AS f")
-      .orderBy("doc_id", "d")),
+    "multimodal_features" -> ((s, dir) => Multimodal.decodeImageStats(
+      Multimodal.synthesizeBmp(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text"))
+      .orderBy("doc_id")),
     // as-of join (no native Spark operator): each event matched to its
     // user's latest order at-or-before the event time; DuckDB's native
     // ASOF JOIN is the oracle

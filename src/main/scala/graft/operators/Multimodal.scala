@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as batched partition-local functions.
   *
-  * The decode step itself is STUBBED with a deterministic fake (no
-  * image/audio codecs exist in this container — clearly marked below);
-  * everything around it — schema, binary payload handling, hash
-  * bucketing for batch locality, the mapPartitions batch shape — is
-  * the real 100 TB plumbing a production codec would drop into.
+  * The decode step is a REAL (if deliberately small) codec: a 24-bit
+  * uncompressed BMP parser — file + info header validation, bottom-up
+  * and top-down row order, 4-byte row padding — plus the matching
+  * writer used to synthesize deterministic fixtures from the corpus
+  * itself. Real bytes flow through the whole path: synthesize → BMP
+  * encode → shuffle → batched decode → pixel statistics, and the SQL
+  * oracle recomputes the statistics from the source text alone, so a
+  * hash mismatch pins a codec bug (padding, row order, channel order),
+  * not fixture drift. Heavier codecs (JPEG, audio) drop into the same
+  * batched `mapPartitions` shape.
   */
 object Multimodal {
 
@@ -27,37 +32,128 @@ object Multimodal {
       .withColumn("n_chunks",
         ceil(col("n_bytes").cast("double") / lit(256.0)).cast("int"))
 
-  /** Deterministic fake feature vector — STUB standing in for a real
-    * decoder (e.g. image decode + CNN embedding). Derives `dim`
-    * pseudo-features from the payload bytes so results are stable and
-    * testable; replace the body of `fakeFeature` with the codec call
-    * when one is available.
+  // -----------------------------------------------------------------
+  // BMP codec (public format: BITMAPFILEHEADER + BITMAPINFOHEADER,
+  // 24bpp uncompressed). Pure JVM, no dependencies.
+  // -----------------------------------------------------------------
+
+  private val HeaderBytes = 54 // 14 (file header) + 40 (info header)
+
+  /** Encode top-down row-major BGR pixel bytes as a 24-bit
+    * uncompressed BMP. Bottom-up row order by default (the on-disk
+    * convention; biHeight positive), top-down (negative biHeight) on
+    * request; each row padded to a 4-byte boundary per the spec.
     */
-  private def fakeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // FNV-ish seed
-    var i = 0
-    while (i < bytes.length) {
-      h = (h * 31) ^ (bytes(i) & 0xffL)
-      i += 1
-    }
-    var d = 0
-    while (d < dim) {
-      val hd = h ^ (d.toLong * 0x9e3779b97f4a7c15L)
-      out(d) = ((hd % 1000L).toFloat / 1000.0f)
-      d += 1
+  def encodeBmp(bgr: Array[Byte], width: Int, height: Int,
+      topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && bgr.length == width * height * 3,
+      s"bad dimensions: $width x $height for ${bgr.length} bytes")
+    val stride = (width * 3 + 3) / 4 * 4
+    val size = HeaderBytes + stride * height
+    val out = new Array[Byte](size)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(HeaderBytes)
+    bb.putInt(40).putInt(width)
+      .putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < height) {
+      val imgRow = if (topDown) fileRow else height - 1 - fileRow
+      System.arraycopy(bgr, imgRow * width * 3,
+        out, HeaderBytes + fileRow * stride, width * 3)
+      fileRow += 1
     }
     out
+  }
+
+  /** Decode a 24-bit uncompressed BMP: validates the BM magic, header
+    * sizes, planes/bpp/compression fields, honors bfOffBits (extra
+    * header space is legal), and normalizes both row orders to
+    * top-down. Returns (width, height, row-major BGR bytes).
+    */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= HeaderBytes &&
+      bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offBits = bb.getInt(10)
+    val biSize = bb.getInt(14)
+    val width = bb.getInt(18)
+    val rawHeight = bb.getInt(22)
+    val planes = bb.getShort(26)
+    val bitCount = bb.getShort(28)
+    val compression = bb.getInt(30)
+    require(biSize >= 40, s"unsupported info header size $biSize")
+    require(planes == 1 && bitCount == 24 && compression == 0,
+      s"unsupported BMP variant: planes=$planes bpp=$bitCount " +
+        s"compression=$compression")
+    require(width > 0 && rawHeight != 0, s"bad dims $width x $rawHeight")
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val stride = (width * 3 + 3) / 4 * 4
+    require(offBits >= HeaderBytes &&
+      bytes.length >= offBits + stride.toLong * height,
+      "truncated pixel array")
+    val out = new Array[Byte](width * height * 3)
+    var imgRow = 0
+    while (imgRow < height) {
+      val fileRow = if (topDown) imgRow else height - 1 - imgRow
+      System.arraycopy(bytes, offBits + fileRow * stride,
+        out, imgRow * width * 3, width * 3)
+      imgRow += 1
+    }
+    (width, height, out)
+  }
+
+  /** Deterministic BMP fixture synthesis from a text column: byte k
+    * of the UTF-8 text is pixel k's blue channel, green = (3·b+1) mod
+    * 256, red = k mod 256, and pad pixels completing the last row use
+    * b = (k·7) mod 256 — arithmetic simple enough that a SQL oracle
+    * recomputes the decoded statistics from the text alone. Empty
+    * texts are dropped (a 0-row bitmap is not representable).
+    */
+  def synthesizeBmp(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    require(width > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val h = (tb.length + width - 1) / width
+          val npx = width * h
+          val bgr = new Array[Byte](npx * 3)
+          var k = 0
+          while (k < npx) {
+            val b = if (k < tb.length) tb(k) & 0xff else (k * 7) % 256
+            bgr(3 * k) = b.toByte
+            bgr(3 * k + 1) = ((3 * b + 1) % 256).toByte
+            bgr(3 * k + 2) = (k % 256).toByte
+            k += 1
+          }
+          (id, encodeBmp(bgr, width, h))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("content_hash", sha2(col("payload"), 256))
   }
 
   /** Frame sampling: split the payload into fixed-size frames and keep
     * every `stride`-th one — the video/audio pre-processing shape
     * (sample frames before the expensive decode). Pure byte plumbing,
-    * no codec needed, so unlike the decode stub this is fully real AND
-    * oracle-checkable: output is (doc_id, frame_idx, frame_bytes,
-    * frame_hash) for frames 0, stride, 2·stride, … A generator
-    * expression (posexplode over substrings) keeps it codegen'd and
-    * row-bounded — no driver involvement, no UDF.
+    * no codec needed, so it is fully real AND oracle-checkable:
+    * output is (doc_id, frame_idx, frame_bytes, frame_hash) for
+    * frames 0, stride, 2·stride, … A generator expression (posexplode
+    * over substrings) keeps it codegen'd and row-bounded — no driver
+    * involvement, no UDF.
     */
   def sampleFrames(df: DataFrame, frameBytes: Int,
       stride: Int): DataFrame = {
@@ -74,14 +170,61 @@ object Multimodal {
       .withColumn("frame_hash", sha2(col("frame_bytes"), 256))
   }
 
-  /** Batched partition-local "decode": repartition by content hash for
-    * batch locality (so identical payloads co-locate and a real decoder
-    * could cache), then process fixed-size batches inside each
-    * partition — the exact shape a GPU/codec UDF wants. Returns
-    * (doc_id, features).
+  /** Batched partition-local decode to pixel statistics: repartition
+    * by content hash for batch locality (identical payloads co-locate
+    * so a real decoder could cache), then run the BMP parser inside
+    * each partition and aggregate per-image sums in one pass over the
+    * pixel array. Output per image: dimensions, pixel count, exact
+    * per-channel means (rounded at 6), and position-WEIGHTED channel
+    * sums Σ(k+1)·channel_k — the weighted sums are order-sensitive,
+    * so a decoder that flips row order or mixes up padding cannot
+    * slip past a mean that happens to be order-invariant.
+    */
+  def decodeImageStats(df: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(numBuckets, col("content_hash"))
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodeBmp(bytes)
+          val npx = w * h
+          var sb, sg, sr, wb, wg, wr = 0L
+          var k = 0
+          while (k < npx) {
+            val b = px(3 * k) & 0xff
+            val g = px(3 * k + 1) & 0xff
+            val r = px(3 * k + 2) & 0xff
+            sb += b; sg += g; sr += r
+            wb += (k + 1).toLong * b
+            wg += (k + 1).toLong * g
+            wr += (k + 1).toLong * r
+            k += 1
+          }
+          (id, w, h, npx, sb, sg, sr, wb, wg, wr)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "sum_b", "sum_g",
+        "sum_r", "wsum_b", "wsum_g", "wsum_r")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        round(col("sum_b").cast("double") / col("n_px"), 6).as("mean_b"),
+        round(col("sum_g").cast("double") / col("n_px"), 6).as("mean_g"),
+        round(col("sum_r").cast("double") / col("n_px"), 6).as("mean_r"),
+        col("wsum_b"), col("wsum_g"), col("wsum_r"))
+  }
+
+  /** Batched partition-local decode to an ANN-ready feature vector:
+    * the BMP is parsed for real and `dim` equal pixel-index buckets
+    * each contribute their mean normalized intensity
+    * ((B+G+R) / 3·255) — a crude but honest image embedding whose
+    * accumulation order is fixed (sequential k), so features are
+    * bit-deterministic. The `grouped(batchSize)` shape is where a
+    * GPU/codec batch call would slot in.
     */
   def decodeFeatures(df: DataFrame, dim: Int = 8,
       batchSize: Int = 64, numBuckets: Int = 32): DataFrame = {
+    require(dim > 0)
     val spark = df.sparkSession
     import spark.implicits._
     val payloads: Dataset[(Long, Array[Byte])] = df
@@ -91,8 +234,30 @@ object Multimodal {
     payloads.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real implementation would hand `batch` to the codec /
-        // accelerator in one call; the stub maps it element-wise
-        batch.map { case (id, bytes) => (id, fakeFeature(bytes, dim)) }
+        // accelerator in one call; the BMP parser maps it element-wise
+        batch.map { case (id, bytes) =>
+          val (w, h, px) = decodeBmp(bytes)
+          val npx = w * h
+          val sums = new Array[Double](dim)
+          val cnts = new Array[Int](dim)
+          var k = 0
+          while (k < npx) {
+            val d = (k.toLong * dim / npx).toInt
+            sums(d) += ((px(3 * k) & 0xff) + (px(3 * k + 1) & 0xff) +
+              (px(3 * k + 2) & 0xff)).toDouble
+            cnts(d) += 1
+            k += 1
+          }
+          val out = new Array[Float](dim)
+          var d = 0
+          while (d < dim) {
+            out(d) =
+              if (cnts(d) == 0) 0f
+              else (sums(d) / (765.0 * cnts(d))).toFloat
+            d += 1
+          }
+          (id, out)
+        }
       }
     }.toDF("doc_id", "features")
   }

@@ -66,7 +66,7 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(n == 5) // ab | 12 | c | ! | d
   }
 
-  test("multimodal metadata and stubbed decode are deterministic") {
+  test("multimodal metadata and real BMP decode are deterministic") {
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF(
       "doc_id", "text")
     val bin = Multimodal.binarize(docs, "doc_id", "text")
@@ -74,11 +74,66 @@ class TextStreamingSpec extends AnyFunSuite {
       (r.getAs[Int]("n_bytes"), r.getAs[String]("content_hash"))).toMap
     assert(meta(1L)._1 == 5)
     assert(meta(1L) == meta(2L)) // same payload → same metadata
-    val feats = Multimodal.decodeFeatures(bin, dim = 4).collect()
+    val bmp = Multimodal.synthesizeBmp(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(bmp, dim = 4).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(feats(1L) == feats(2L))
     assert(feats(1L) != feats(3L))
     assert(feats(1L).length == 4)
+  }
+
+  test("BMP codec round-trips pixels through both row orders, row " +
+      "padding, and extra header space; corrupt payloads are refused") {
+    val rnd = new scala.util.Random(20260813L)
+    // widths 1..5 exercise every row-padding remainder (w*3 mod 4)
+    for (w <- 1 to 5; topDown <- Seq(false, true)) {
+      val h = 1 + rnd.nextInt(4)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val bytes = Multimodal.encodeBmp(px, w, h, topDown)
+      val (gw, gh, gpx) = Multimodal.decodeBmp(bytes)
+      assert((gw, gh) == ((w, h)), s"dims w=$w topDown=$topDown")
+      assert(gpx.toSeq == px.toSeq, s"pixels w=$w topDown=$topDown")
+    }
+    // bfOffBits beyond 54 (legal: larger info headers) still decodes
+    val px = Array.tabulate(2 * 2 * 3)(_.toByte)
+    val base = Multimodal.encodeBmp(px, 2, 2)
+    val padded = new Array[Byte](base.length + 8)
+    System.arraycopy(base, 0, padded, 0, 54)
+    System.arraycopy(base, 54, padded, 62, base.length - 54)
+    val bb = java.nio.ByteBuffer.wrap(padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(10, 62) // bfOffBits
+    assert(Multimodal.decodeBmp(padded)._3.toSeq == px.toSeq)
+    // refusals: bad magic, truncated pixel array, unsupported bpp
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("not a bitmap at all, only text".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(base.dropRight(3))
+    }
+    val bad = base.clone()
+    java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(bad) }
+  }
+
+  test("synthesizeBmp fixture arithmetic lands in decodeImageStats " +
+      "on a hand-computed image") {
+    // text "ab": bytes 97,98 → w=8 forces one row with 6 pad pixels
+    val docs = Seq((7L, "ab")).toDF("doc_id", "text")
+    val r = Multimodal.decodeImageStats(
+      Multimodal.synthesizeBmp(docs, "doc_id", "text")).head()
+    val b = Seq(97, 98) ++ (2 until 8).map(k => (k * 7) % 256)
+    val g = b.map(v => (3 * v + 1) % 256)
+    val red = (0 until 8).map(_ % 256)
+    assert(r.getInt(1) == 8 && r.getInt(2) == 1 && r.getInt(3) == 8)
+    assert(r.getDouble(4) == math.rint(b.sum / 8.0 * 1e6) / 1e6)
+    assert(r.getLong(7) == b.zipWithIndex.map {
+      case (v, k) => (k + 1L) * v }.sum)
+    assert(r.getLong(8) == g.zipWithIndex.map {
+      case (v, k) => (k + 1L) * v }.sum)
+    assert(r.getLong(9) == red.zipWithIndex.map {
+      case (v, k) => (k + 1L) * v }.sum)
   }
 
   test("native expressions are SQL-registrable and correct") {
