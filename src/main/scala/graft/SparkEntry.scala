@@ -1845,16 +1845,23 @@ object SparkEntry {
     "quality_deciles" -> ((s, dir) => qualityDeciles(s, dir)),
     // bucketed-layout co-located join: both sides pre-bucketed on the
     // join key, so the join itself plans with zero Exchange (gated in
-    // ScaleTechniquesSpec); the oracle replays the plain join
+    // ScaleTechniquesSpec); the oracle replays the plain join. The
+    // shuffle-at-write is paid ONCE per dataset: later sessions (each
+    // driver run is a fresh JVM) find the persisted layout spec and
+    // re-register the catalog entry instead of rewriting the data.
     "bucketed_join" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val base = graft.config.Scratch.dir + s"/bucketed_$tag"
-      BucketedTable.write(tbl(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice"),
-        s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8)
-      BucketedTable.write(tbl(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment"),
-        s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8)
+      if (!BucketedTable.register(s, s"graft_b_orders_$tag",
+          s"$base/orders"))
+        BucketedTable.write(tbl(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8)
+      if (!BucketedTable.register(s, s"graft_b_customer_$tag",
+          s"$base/customer"))
+        BucketedTable.write(tbl(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment"),
+          s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8)
       BucketedTable.colocatedJoin(s, s"graft_b_orders_$tag", "o_custkey",
           s"graft_b_customer_$tag", "c_custkey")
         .groupBy("c_mktsegment")

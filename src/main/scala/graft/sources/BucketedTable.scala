@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Bucketed parquet table layout — shuffle paid ONCE at write time so
@@ -17,11 +17,23 @@ import org.apache.spark.sql.functions.col
   * catalog entry is just metadata over the parquet files); bucketing
   * requires the catalog because bucket layout is a table property,
   * not something a bare `parquet(path)` write can record.
+  *
+  * The catalog is per-JVM (in-memory implementation), so [[write]]
+  * ALSO persists the layout contract as a spec file next to the data
+  * — the Delta/Iceberg split of data files from table metadata, at
+  * minimum viable scale. A fresh session (new JVM, empty catalog)
+  * calls [[register]] to re-create the catalog entry from the spec
+  * and gets the same zero-Exchange plans without rewriting a byte of
+  * data. The underscore-prefixed file name keeps it invisible to
+  * parquet scans (the same convention that hides _SUCCESS markers).
   */
 object BucketedTable {
 
+  val SpecFile = "_graft_table_spec.json"
+
   /** Write `df` as a parquet-backed bucketed table (bucketed AND
-    * sorted by `key`) registered as `table` with files at `path`.
+    * sorted by `key`) registered as `table` with files at `path`,
+    * and persist the layout spec beside the data for [[register]].
     */
   def write(df: DataFrame, table: String, path: String, key: String,
       numBuckets: Int): Unit = {
@@ -33,6 +45,62 @@ object BucketedTable {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+    def js(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val spec =
+      s"""{"version":1,"format":"parquet","schema_ddl":"${js(
+        df.schema.toDDL)}","bucket_key":"${js(key)}","num_buckets":$numBuckets,"sort_key":"${js(key)}"}"""
+    val hPath = new org.apache.hadoop.fs.Path(path, SpecFile)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hPath, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-create the catalog entry for a bucketed table from the spec
+    * file persisted next to its data. Returns false when no spec
+    * exists at `path` (caller falls back to [[write]]); true when the
+    * table was (re-)registered — after which co-located joins plan
+    * exactly as they did in the writing session, Exchange-free.
+    */
+  def register(spark: SparkSession, table: String,
+      path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path, SpecFile)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return false
+    val in = fs.open(hPath)
+    val raw =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    // fixed-shape single-object JSON written by `write` above: field
+    // extraction by anchored regex keeps this dependency-free (the
+    // values are a schema DDL and identifiers — no nested objects)
+    def str(field: String): String = {
+      val m = s""""$field":"((?:[^"\\\\]|\\\\.)*)"""".r
+        .findFirstMatchIn(raw)
+        .getOrElse(sys.error(s"$SpecFile at $path lacks '$field'"))
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val num = s""""num_buckets":(\\d+)""".r.findFirstMatchIn(raw)
+      .getOrElse(sys.error(s"$SpecFile at $path lacks 'num_buckets'"))
+      .group(1).toInt
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` (${str("schema_ddl")})
+         |USING ${str("format")}
+         |CLUSTERED BY (`${str("bucket_key")}`)
+         |SORTED BY (`${str("sort_key")}`)
+         |INTO $num BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    true
   }
 
   /** Join two co-bucketed tables on their bucket keys. The plan is a

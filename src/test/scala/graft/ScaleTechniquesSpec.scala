@@ -85,6 +85,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(mismatched.queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"),
       "expected a shuffle for mismatched bucket counts")
+    // restart survival: drop the catalog entries (the data and the
+    // persisted layout specs stay on disk — exactly what a new JVM's
+    // empty in-memory catalog sees), re-register from the specs, and
+    // the join must still plan Exchange-free over the SAME files
+    s2.sql("DROP TABLE IF EXISTS bucketed_a")
+    s2.sql("DROP TABLE IF EXISTS bucketed_b")
+    assert(graft.sources.BucketedTable.register(s2, "bucketed_a",
+      s"$base/a"))
+    assert(graft.sources.BucketedTable.register(s2, "bucketed_b",
+      s"$base/b"))
+    val revived = graft.sources.BucketedTable.colocatedJoin(
+      s2, "bucketed_a", "ka", "bucketed_b", "kb")
+    assert(!revived.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "re-registered bucketed join lost co-location")
+    assert(revived.count() == 1000)
+    // register on a path with no spec reports false (caller writes)
+    assert(!graft.sources.BucketedTable.register(s2, "bucketed_nope",
+      s"$base/nowhere"))
     s2.sql("DROP TABLE IF EXISTS bucketed_a")
     s2.sql("DROP TABLE IF EXISTS bucketed_b")
     s2.sql("DROP TABLE IF EXISTS bucketed_b4")
