@@ -1020,6 +1020,46 @@ object SparkEntry {
       "AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi " +
       "FROM p GROUP BY na, nb"
 
+  /** DuckDB replay of Drift.ksMatrix on per-source token counts: the
+    * identical dense source × token-count grid, per-source CDF
+    * windows, and exact integral KS numerator per pair (HUGEINT here,
+    * DECIMAL(38,0) in Spark — both exact), double ratio.
+    */
+  private val driftKsMatrixOracle: String =
+    "WITH d AS (SELECT source AS g, " +
+      "CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v " +
+      "FROM documents), " +
+      "cc AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2), " +
+      "vals AS (SELECT DISTINCT v FROM cc), " +
+      "sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cc " +
+      "GROUP BY g), " +
+      "x AS (SELECT sz.g, sz.n, vals.v, COALESCE(cc.c, 0) AS c " +
+      "FROM sz CROSS JOIN vals " +
+      "LEFT JOIN cc ON cc.g = sz.g AND cc.v = vals.v), " +
+      "cum AS (SELECT g, n, v, sum(c) OVER (PARTITION BY g ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM x) " +
+      "SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b, " +
+      "round(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) " +
+      "/ (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6) AS ks " +
+      "FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY g_a, g_b"
+
+  /** DuckDB replay of Profile.equiDepthHistogram: distinct-value
+    * counts, rows-before prefix sum, the identical integral
+    * `(rows_before * k) // n` bucket cut, per-bucket aggregates.
+    */
+  private val histEquidepthOracle: String =
+    "WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
+      "count(*) AS c FROM orders WHERE o_totalprice IS NOT NULL " +
+      "GROUP BY 1), " +
+      "x AS (SELECT v, c, sum(c) OVER (ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) - c AS cb, sum(c) OVER () AS n " +
+      "FROM c) " +
+      "SELECT CAST(cb * 10 // n AS INT) AS bucket, " +
+      "round(min(v), 6) AS lo, round(max(v), 6) AS hi, " +
+      "CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct " +
+      "FROM x GROUP BY 1 ORDER BY bucket"
+
   /** Full replay of Similarity.semanticNearDupPairs: centroid scores
     * for every vector (same quantizer as [[knnIvfOracle]]), argmax
     * assignment with the (sim DESC, cid DESC) tie-break, within-cluster
@@ -1879,6 +1919,19 @@ object SparkEntry {
     "drift_psi" -> ((s, dir) => Drift.psi(
       tbl(s, dir, "orders"), "o_totalprice", "o_orderstatus",
       "F", "O")),
+    // pairwise KS matrix across every source pair over the per-doc
+    // token-count distribution (bounded discrete domain — the
+    // operator's contract); dense-grid CDFs, domain-sized windows
+    "drift_ks_matrix" -> ((s, dir) => Drift.ksMatrix(
+      tbl(s, dir, "documents")
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("n_tok")),
+      "n_tok", "source")),
+    // exact equi-depth histogram without a global sort: distinct-value
+    // counts → distributed prefix sum → integral DIV bucket cut
+    "hist_equidepth" -> ((s, dir) => Profile.equiDepthHistogram(
+      tbl(s, dir, "orders"), "o_totalprice", numBuckets = 10)),
     // semi/anti joins: per-nation counts of customers with and without
     // orders — both plan as broadcast hash joins with the dimension
     // side reused, no row duplication from the fact side
@@ -2504,6 +2557,8 @@ object SparkEntry {
         "ON o_custkey = c_custkey GROUP BY 1 ORDER BY c_mktsegment"),
     "drift_ks" -> driftKsOracle,
     "drift_psi" -> driftPsiOracle,
+    "drift_ks_matrix" -> driftKsMatrixOracle,
+    "hist_equidepth" -> histEquidepthOracle,
     "stream_funnel" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM events p JOIN events c ON c.user_id = p.user_id " +

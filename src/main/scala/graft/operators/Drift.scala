@@ -126,4 +126,51 @@ object Drift {
           (col("na").cast("double") * col("nb").cast("double")), 6)
           .as("ks"))
   }
+
+  /** Pairwise KS drift matrix over every pair of groups — the corpus
+    * monitoring view ("which sources drifted against which?").
+    *
+    * Contract: `valueCol` has a BOUNDED discrete domain (token
+    * counts, bucketed scores, day numbers …). The per-group CDFs are
+    * computed on the dense group × distinct-value grid, so window
+    * frames are domain-sized — never data-sized — and the pair join
+    * emits O(|groups|² · |domain|) rows: matrix semantics like the
+    * cross-source overlap report, not a row-volume-scaled operator.
+    * The KS numerator reuses [[ksStatistic]]'s overflow-proof
+    * DECIMAL(38,0) cross-multiplication; for two groups the matrix
+    * row equals `ksStatistic`'s (spec-pinned cross-law).
+    */
+  def ksMatrix(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val values = counts.select(col("v")).distinct()
+    val sizes = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = sizes.crossJoin(broadcast(values))
+      .join(counts, Seq("g", "v"), "left")
+      .select(col("g"), col("n"), col("v"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val dec = "decimal(19,0)"
+    val a = cums.select(col("g").as("g_a"), col("n").as("n_a"),
+      col("v"), col("cum").as("cum_a"))
+    val b = cums.select(col("g").as("g_b"), col("n").as("n_b"),
+      col("v"), col("cum").as("cum_b"))
+    a.join(b, Seq("v")).where(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(dec) * col("n_b").cast(dec) -
+          col("cum_b").cast(dec) * col("n_a").cast(dec)).as("dnum"))
+      .groupBy(col("g_a"), col("g_b"), col("n_a"), col("n_b"))
+      .agg(max(col("dnum")).as("d"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks"))
+      .orderBy("g_a", "g_b")
+  }
 }

@@ -547,7 +547,8 @@ object Profile {
     * Bucket assignment is `least(b-1, floor((x-lo)*b/(hi-lo)))` with
     * the arithmetic in exactly that order so a SQL oracle replays the
     * same IEEE doubles bit-for-bit. Empty buckets are absent from the
-    * output (no row), which keeps the aggregate one-pass.
+    * output (no row), which keeps the aggregate one-pass. For
+    * equi-DEPTH buckets see [[equiDepthHistogram]].
     */
   def numericHistogram(df: DataFrame, valueCol: String,
       buckets: Int = 12): DataFrame = {
@@ -566,6 +567,43 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"),
         round(min(col("__v")), 6).as("b_min"),
         round(max(col("__v")), 6).as("b_max"))
+      .orderBy("bucket")
+  }
+
+  /** EXACT equi-depth histogram — `numBuckets` buckets of (as near as
+    * the discrete data allows) equal row counts — without the global
+    * sort it naively needs: distinct-value counts (one value-keyed
+    * shuffle with map-side combine), a DISTRIBUTED prefix sum over
+    * them ([[graft.operators.Ranking.prefixSums]]: range-partitioned,
+    * never a single-partition window), then integral bucket
+    * assignment `floor(rows_before * k / n)` per distinct value and a
+    * tiny per-bucket aggregate. All rows of one distinct value land
+    * in one bucket (the standard discrete-domain rule), so a value
+    * holding more than n/k rows overflows its bucket and may leave
+    * later buckets empty-and-absent — counts stay exact either way.
+    *
+    * The integral cut arithmetic is the same engine-portable
+    * `DIV`-on-BIGINTs the quality-decile query uses, so a SQL oracle
+    * replays it exactly; the companion [[numericHistogram]] covers
+    * the equi-width view.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      numBuckets: Int, numPartitions: Int = 32): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val counts = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = Ranking.prefixSums(counts, Seq(col("v")),
+      Seq("c" -> "cum"), numPartitions)
+    val total = counts.agg(sum(col("c")).as("__n"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr(s"CAST((cum - c) * $numBuckets DIV __n AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(round(min(col("v")), 6).as("lo"),
+        round(max(col("v")), 6).as("hi"),
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
       .orderBy("bucket")
   }
 

@@ -87,6 +87,32 @@ class RankingSpec extends AnyFunSuite {
     assert((rn.getLong(0), rn.getDouble(3)) == ((3L, 0.333333)))
   }
 
+  test("ksMatrix matches ksStatistic pairwise (cross-law) and scores " +
+      "identical groups zero") {
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(20260813L)
+    val rows = Seq("A", "B", "C").flatMap { g =>
+      (1 to 80).map(_ => (g, (rnd.nextInt(12) +
+        (if (g == "C") 4 else 0)).toLong))
+    } ++ (1 to 80).map(i => ("D", (i % 12).toLong)) // D ~ uniform
+    val df = rows.toDF("g", "v")
+    val got = Drift.ksMatrix(df, "v", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 6) // C(4,2) unordered pairs
+    for (Seq(a, b) <- Seq("A", "B", "C", "D").combinations(2)) {
+      val one = Drift.ksStatistic(
+        df.where(col("g").isin(a, b)), "v", "g", a, b).head()
+      assert(got((a, b)) ==
+        ((one.getLong(0), one.getLong(1), one.getDouble(3))),
+        s"pair ($a,$b) disagrees with ksStatistic")
+    }
+    // a group against itself (two copies under different names) is 0
+    val same = ((1 to 50).map(i => ("X", i.toLong)) ++
+      (1 to 50).map(i => ("Y", i.toLong))).toDF("g", "v")
+    assert(Drift.ksMatrix(same, "v", "g").head().getDouble(4) == 0.0)
+  }
+
   test("psi is zero for identical slices and large for a shifted one") {
     import graft.operators.Drift
     val same = (1 to 100).flatMap(i =>
@@ -98,6 +124,38 @@ class RankingSpec extends AnyFunSuite {
     val r = Drift.psi(shifted, "v", "g", "A", "B").head()
     assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
     assert(r.getDouble(2) > 0.25, s"psi ${r.getDouble(2)} not > 0.25")
+  }
+
+  test("equiDepthHistogram cuts equal-count buckets, keeps heavy " +
+      "values whole, and is partitioning-invariant") {
+    import graft.operators.Profile
+    // 1..10 once each, 5 buckets → 2 rows per bucket, tight ranges
+    val even = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("x")
+    val e = Profile.equiDepthHistogram(even, "x", 5).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+    assert(e.toSeq == (0 until 5).map(b =>
+      b -> ((2.0 * b + 1, 2.0 * b + 2, 2L))))
+    // one value holding 60% of rows lands whole in ONE bucket; counts
+    // stay exact and sum to the total
+    val skewed = ((1 to 6).map(_ => 5.0) ++ Seq(1.0, 2.0, 8.0, 9.0))
+      .map(Tuple1(_)).toDF("x")
+    val s = Profile.equiDepthHistogram(skewed, "x", 2).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(s(0) == ((1.0, 5.0, 8L, 3L))) // 1,2 + the six 5s
+    assert(s(1) == ((8.0, 9.0, 2L, 2L)))
+    assert(s.values.map(_._3).sum == 10L)
+    // numPartitions must not change the cut (range partitioning is an
+    // implementation detail of the prefix sum)
+    val rnd = new scala.util.Random(42)
+    val big = (1 to 500).map(_ => Tuple1(rnd.nextInt(40).toDouble))
+      .toDF("x")
+    val p1 = Profile.equiDepthHistogram(big, "x", 7, numPartitions = 1)
+      .collect().toSeq.map(_.toSeq)
+    val p9 = Profile.equiDepthHistogram(big, "x", 7, numPartitions = 9)
+      .collect().toSeq.map(_.toSeq)
+    assert(p1 == p9)
   }
 
   test("globalRowNumber and prefixSums fuzz against the window " +
