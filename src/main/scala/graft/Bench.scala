@@ -95,6 +95,8 @@ object Bench {
       "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
+      "drift_ks_matrix", "hist_equidepth", "bpe_encode",
+      "multimodal_features",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",

@@ -2315,6 +2315,25 @@ object SparkEntry {
             .cast("int").as("within_5pct"))
         .orderBy("event_type")
     }),
+    // time-series anomaly report: per-day order volume z-scored
+    // against the whole series (sample sd), top-10 |z| days. The
+    // series is calendar-day-sized, the stats row broadcasts back —
+    // one day-keyed aggregation at any corpus size; both engines
+    // round z BEFORE ranking so the cut is portable
+    "anomaly_days" -> ((s, dir) => {
+      val daily = tbl(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val stats = daily.agg(
+        avg(col("n_orders").cast("double")).as("__mu"),
+        stddev_samp(col("n_orders").cast("double")).as("__sd"))
+      daily.crossJoin(broadcast(stats))
+        .select(col("d").cast("string").as("d"), col("n_orders"),
+          round((col("n_orders").cast("double") - col("__mu")) /
+            col("__sd"), 6).as("z"))
+        .orderBy(abs(col("z")).desc, col("d"))
+        .limit(10)
+    }),
     // event analytics: weekly retention cohorts — users bucketed by
     // first-activity epoch week, distinct-active counts per
     // (cohort, week offset). Two user-keyed aggregations and one
@@ -2559,6 +2578,16 @@ object SparkEntry {
     "drift_psi" -> driftPsiOracle,
     "drift_ks_matrix" -> driftKsMatrixOracle,
     "hist_equidepth" -> histEquidepthOracle,
+    "anomaly_days" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1), " +
+        "st AS (SELECT avg(CAST(n_orders AS DOUBLE)) AS mu, " +
+        "stddev_samp(CAST(n_orders AS DOUBLE)) AS sd FROM daily) " +
+        "SELECT CAST(d AS VARCHAR) AS d, n_orders, " +
+        "round((CAST(n_orders AS DOUBLE) - mu) / sd, 6) AS z " +
+        "FROM daily, st " +
+        "ORDER BY abs(round((CAST(n_orders AS DOUBLE) - mu) / sd, 6)) " +
+        "DESC, d LIMIT 10"),
     "stream_funnel" ->
       ("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM events p JOIN events c ON c.user_id = p.user_id " +

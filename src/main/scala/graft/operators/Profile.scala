@@ -649,7 +649,11 @@ object Profile {
     * m for fraction p is rank-correct iff the exact CDF brackets it:
     * count(x ≤ m)/n ≥ p − eps AND count(x < m)/n ≤ p + eps (the
     * guarantee percentile_approx's accuracy parameter makes); the HLL
-    * distinct must land within `distinctTol` of exact. Both checks are
+    * distinct must land within `distinctTol` of exact — default 0.15,
+    * i.e. 3σ of the profile's rsd = 0.05 (a 1σ gate flipped on a
+    * borderline column at sf0.001 even though the sketch met its
+    * contract; a genuinely broken sketch path is off by far more
+    * than 3σ). Both checks are
     * DETERMINISTIC for a fixed dataset (sketches are hash-based, not
     * random), so the emitted 0/1 flags are stable and a SQL oracle
     * pins them at 1 — a regression in the sketch path flips rows red
@@ -660,7 +664,7 @@ object Profile {
     * same report-bounded reshape the profile family already uses.
     */
   def approxContract(df: DataFrame, eps: Double = 0.02,
-      distinctTol: Double = 0.05,
+      distinctTol: Double = 0.15,
       profile: DataFrame => DataFrame = summarizeApprox(_)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -239,6 +239,86 @@ object TextMetrics {
       .limit(k)
   }
 
+  /** BPE TRAINER — learns a ranked merge list from the corpus,
+    * completing the tokenizer path ([[bpePairCounts]] is the
+    * statistic ONE iteration maximizes;
+    * [[graft.functions.BpeExpressions]] encodes with the trained
+    * pieces). Classic algorithm (Sennrich et al. 2016, public):
+    * iterate on the distinct-WORD frequency dictionary — count
+    * adjacent symbol pairs weighted by word frequency, merge the
+    * (count DESC, pair ASC)-best pair everywhere (leftmost-first
+    * within a word), repeat `numMerges` times.
+    *
+    * Scale split, exactly as production BPE training does it: the
+    * DATA-sized work (tokenize + distinct-word counts over the
+    * corpus) is one Spark shuffle with map-side combine; the
+    * iteration then runs on the word dictionary, which is
+    * VOCABULARY-sized by definition (and `maxWords` caps it — rare
+    * words contribute counts of at most their frequency, so a top-N
+    * cap by (count DESC, word ASC) is the standard sampling). A
+    * 100 TB corpus and a 100 GB corpus hand the trainer the same few
+    * hundred thousand dictionary rows.
+    *
+    * Deterministic: ties break (count DESC, pair lexicographic ASC),
+    * the dictionary cut is total-ordered, so the same corpus always
+    * learns the same merges. Returns merges in learned order; feed
+    * `merges.map(m => m._1 + m._2)` to `bpeEncodePieces`.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 100000): Seq[(String, String)] = {
+    require(numMerges > 0 && maxWords > 0)
+    val dict: Array[(String, Long)] =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    while (iter < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) iter = numMerges
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, c) =>
+          if (best == null || c > best._2 || (c == best._2 &&
+              (p._1 < best._1._1 ||
+                (p._1 == best._1._1 && p._2 < best._1._2))))
+            best = (p, c)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        val merged = a + b
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += merged; i += 2 // leftmost-first, no overlap reuse
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        iter += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Zipf-exponent fit over the corpus token-frequency distribution:
     * the least-squares slope of ln(count) against ln(rank) for the
     * top-`topN` tokens. Natural corpora fit slope ≈ −1; a corpus

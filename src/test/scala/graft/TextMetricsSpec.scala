@@ -242,6 +242,35 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(enc("THE Sort") == Seq("the", "sort"))
   }
 
+  test("trainBpeMerges learns the hand-computed merge sequence and " +
+      "its pieces drive the encoder") {
+    // the classic BPE teaching corpus: low x5, lower x2, newest x6,
+    // widest x3. Weighted pair counts put (e,s)=9 and (s,t)=9 first —
+    // lexicographic tie-break picks (e,s) — then (es,t)=9; after
+    // that merge "newest" is n,e,w,est so (w,e) has fallen to 2 and
+    // the 7-7 tie between (l,o) and (o,w) resolves to (l,o)
+    val docs = Seq(
+      ((1 to 5).map(_ => "low") ++ (1 to 2).map(_ => "lower") ++
+        (1 to 6).map(_ => "newest") ++ (1 to 3).map(_ => "widest"))
+        .mkString(" ")).map(Tuple1(_)).toDF("text")
+    val merges = TextMetrics.trainBpeMerges(docs, "text", 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    // deeper training folds whole words: "low" must become one piece
+    val more = TextMetrics.trainBpeMerges(docs, "text", 10)
+    val pieces = more.map { case (a, b) => a + b }
+    assert(pieces.contains("low"))
+    // trained pieces feed the longest-match encoder: "lowest" (an
+    // UNSEEN word) segments into learned subwords, not characters
+    import graft.functions.BpeExpressions.bpeEncodePieces
+    val enc = Seq(Tuple1("lowest")).toDF("text")
+      .select(bpeEncodePieces(lower(col("text")),
+        pieces.filter(_.length >= 2)).as("p"))
+      .head().getSeq[String](0)
+    assert(enc.contains("low") && enc.contains("est"), enc.toString)
+    // determinism: same corpus, same merges
+    assert(TextMetrics.trainBpeMerges(docs, "text", 10) == more)
+  }
+
   test("bpeEncodePieces feeds the token-id pipeline: broadcast vocab " +
       "join assigns ids, vocabCoverage/unigramLogprob run on pieces") {
     import graft.functions.BpeExpressions.bpeEncodePieces
