@@ -1060,6 +1060,72 @@ object SparkEntry {
       "CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct " +
       "FROM x GROUP BY 1 ORDER BY bucket"
 
+  /** DuckDB replay of Dedup.containmentPairs on the source-blocked
+    * corpus: distinct token sets, pair join within blocks, the
+    * asymmetric containment ratio over the SMALLER set.
+    */
+  private val dedupContainmentOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH s AS (SELECT doc_id, source, list_distinct($toks) AS sh " +
+      s"FROM documents WHERE len($toks) >= 1) " +
+      "SELECT id_a, id_b, containment FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "least(len(a.sh), len(b.sh)), 6) AS containment " +
+      "FROM s a JOIN s b ON a.source = b.source " +
+      "AND a.doc_id < b.doc_id) " +
+      "WHERE containment >= 0.9 ORDER BY id_a, id_b"
+  }
+
+  /** DuckDB replay of TextMetrics.ngramNovelty (trigrams): the same
+    * distinct (doc, gram) projection, document-frequency count, and
+    * df=1 share.
+    */
+  private val textNoveltyOracle: String = {
+    val toks = "string_split(lower(text), ' ')"
+    s"WITH t AS (SELECT doc_id, $toks AS t FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, g FROM " +
+      "(SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, len(t) - 2), " +
+      "i -> array_to_string(t[i:i + 2], ' '))) AS g " +
+      "FROM t WHERE len(t) >= 3)), " +
+      "f AS (SELECT g, count(*) AS df FROM g GROUP BY g) " +
+      "SELECT doc_id AS id, count(*) AS n_ngrams, " +
+      "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_novel, " +
+      "round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*), 6) AS novelty " +
+      "FROM g JOIN f USING (g) GROUP BY doc_id ORDER BY id"
+  }
+
+  /** DuckDB replay of Profile.corrMatrix: identical DECIMAL(18,6)
+    * quantization, exact decimal Σx/Σxy, and the same closed-form
+    * double arithmetic from those exact sums.
+    */
+  private val corrMatrixOracle: String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // width 19 (not 18): same scale-6 quantization as the Spark side,
+    // but DuckDB multiplies width-18 decimals in int64 and overflows —
+    // width 19 forces int128 arithmetic
+    def dec(c: String) = s"CAST($c AS DECIMAL(19,6))"
+    val sums =
+      cs.indices.map(i => s"sum(${dec(cs(i))}) AS s_$i") ++
+        (for (i <- cs.indices; j <- i until cs.size)
+          yield s"sum(${dec(cs(i))} * ${dec(cs(j))}) AS p_${i}_$j")
+    def varTerm(i: Int) =
+      s"(CAST(n AS DOUBLE) * CAST(p_${i}_$i AS DOUBLE) - " +
+        s"CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE))"
+    val branches = for (i <- cs.indices; j <- i + 1 until cs.size)
+      yield s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +
+        s"round((CAST(n AS DOUBLE) * CAST(p_${i}_$j AS DOUBLE) - " +
+        s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE)) / " +
+        s"(sqrt(${varTerm(i)}) * sqrt(${varTerm(j)})), 6) AS corr FROM a"
+    s"WITH a AS (SELECT count(*) AS n, ${sums.mkString(", ")} " +
+      s"FROM lineitem WHERE ${cs.map(c => s"$c IS NOT NULL")
+        .mkString(" AND ")}) " +
+      branches.mkString(" UNION ALL ") + " ORDER BY col_a, col_b"
+  }
+
   /** Full replay of Similarity.semanticNearDupPairs: centroid scores
     * for every vector (same quantizer as [[knnIvfOracle]]), argmax
     * assignment with the (sim DESC, cid DESC) tie-break, within-cluster
@@ -1932,6 +1998,21 @@ object SparkEntry {
     // counts → distributed prefix sum → integral DIV bucket cut
     "hist_equidepth" -> ((s, dir) => Profile.equiDepthHistogram(
       tbl(s, dir, "orders"), "o_totalprice", numBuckets = 10)),
+    // near-subset detection: containment |A∩B|/min(|A|,|B|) — the
+    // asymmetric twin of the Jaccard pass (quotation/expansion dups)
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(
+      tbl(s, dir, "documents"), "doc_id", "text", "source",
+      threshold = 0.9)),
+    // per-doc n-gram novelty (memorization/diversity signal): share
+    // of a doc's distinct trigrams appearing in no other document
+    "text_novelty" -> ((s, dir) => TextMetrics.ngramNovelty(
+      tbl(s, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("id")),
+    // decimal-exact Pearson correlation matrix over the lineitem
+    // money/quantity columns (single-pass exact sums, double finish)
+    "corr_matrix" -> ((s, dir) => Profile.corrMatrix(
+      tbl(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // semi/anti joins: per-nation counts of customers with and without
     // orders — both plan as broadcast hash joins with the dimension
     // side reused, no row duplication from the fact side
@@ -2578,6 +2659,9 @@ object SparkEntry {
     "drift_psi" -> driftPsiOracle,
     "drift_ks_matrix" -> driftKsMatrixOracle,
     "hist_equidepth" -> histEquidepthOracle,
+    "dedup_containment" -> dedupContainmentOracle,
+    "text_novelty" -> textNoveltyOracle,
+    "corr_matrix" -> corrMatrixOracle,
     "anomaly_days" ->
       ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
         "count(*) AS n_orders FROM orders GROUP BY 1), " +

@@ -252,6 +252,39 @@ object Dedup {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
 
+  /** Near-SUBSET detection: pairs whose smaller shingle set is almost
+    * contained in the larger — containment |A∩B| / min(|A|, |B|) ≥
+    * threshold. Catches the expansion/quotation duplicates symmetric
+    * Jaccard structurally misses: a document pasted verbatim inside
+    * one 5× longer scores containment 1.0 but Jaccard ≈ 0.2. Same
+    * bounded-block exact shape (and salt fan-out) as
+    * [[exactBlockedJaccardPairs]], O(block²) by the blocking-key
+    * contract; NO size prefilter is possible here — wildly
+    * asymmetric pairs are exactly the targets.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, shingleSize: Int = 1,
+      salts: Int = 8): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        graft.functions.SetExpressions.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sets.select(col("blk"),
+      pmod(xxhash64(col("id")), lit(salts)).as("salt"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("blk"),
+      explode(sequence(lit(0L), lit(salts - 1L))).as("salt"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = graft.functions.SetExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    a.join(b, Seq("blk", "salt")).where(col("id_a") < col("id_b"))
+      .withColumn("containment", round(inter.cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))), 6))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact all-pairs n-gram Jaccard within blocks — O(block²), complete
     * by construction. Only for callers that can BOUND the block size
     * (e.g. ≤ a few thousand rows); [[blockedJaccardPairs]] applies the

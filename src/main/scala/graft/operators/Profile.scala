@@ -720,6 +720,49 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Decimal-exact Pearson correlation matrix over numeric columns —
+    * the numeric dependence view beside [[mutualInfo]]'s categorical
+    * one (selectivity hints, redundant-feature discovery). ONE
+    * single-pass aggregate computes every Σx and Σxy with each value
+    * quantized to DECIMAL(18,6) first, so the sums are EXACT and
+    * order-free where raw double sums would drift with partition
+    * order; the closed-form correlation then runs in double
+    * arithmetic from those exact sums — the identical expression a
+    * SQL oracle evaluates, so the rounded result is engine-portable.
+    * Output is the upper triangle (col_a < col_b by the given
+    * order). Rows with a NULL in any requested column are dropped
+    * (listwise completeness — per-pair masks would need per-pair
+    * counts).
+    *
+    * Scale shape: one codegen'd scan with map-side partial
+    * aggregation producing a single k(k+3)/2-value row; the pair
+    * reshape happens on that one row inside the plan. No shuffle
+    * carries more than the aggregate state.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val k = cols.size
+    val d = df.na.drop(cols)
+      .select(cols.map(c => col(c).cast("decimal(18,6)").as(c)): _*)
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("n"))
+    for (i <- 0 until k) aggs += sum(col(cols(i))).as(s"s_$i")
+    for (i <- 0 until k; j <- i until k)
+      aggs += sum(col(cols(i)) * col(cols(j))).as(s"p_${i}_$j")
+    val one = d.agg(aggs.head, aggs.tail.toSeq: _*)
+    def dbl(name: String) = col(name).cast("double")
+    def varTerm(i: Int) =
+      dbl("n") * dbl(s"p_${i}_$i") - dbl(s"s_$i") * dbl(s"s_$i")
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        round((dbl("n") * dbl(s"p_${i}_$j") -
+          dbl(s"s_$i") * dbl(s"s_$j")) /
+          (sqrt(varTerm(i)) * sqrt(varTerm(j))), 6).as("corr"))
+    one.select(explode(array(pairs: _*)).as("c"))
+      .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Shannon entropy (nats) of each column's value distribution — the
     * profiling signal that separates near-constant columns (entropy→0)
     * from identifier-like ones (entropy→ln n): a selectivity hint and

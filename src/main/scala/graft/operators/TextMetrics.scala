@@ -48,6 +48,46 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document n-gram NOVELTY — the memorization/diversity signal
+    * of a training corpus: what share of a document's distinct
+    * n-grams appears in NO other document? Boilerplate- and
+    * template-heavy docs score near 0, genuinely novel text near 1;
+    * the corpus-level distribution is the diversity dashboard, and
+    * low-novelty outliers are dedup candidates the pairwise passes
+    * may have missed (many-way shared passages).
+    *
+    * Shape: distinct (doc, n-gram) projection, one n-gram-keyed count
+    * (document frequency), one n-gram-keyed join back, one doc-keyed
+    * aggregation — two shuffles total, no pairs materialized anywhere
+    * (a pairwise shared-passage report over the same signal would be
+    * quadratic; novelty needs only the df=1 test). Hot n-grams make
+    * the join-back skewed in the textbook way AQE's skew-join
+    * splitting handles; per-doc grams are DISTINCT so no single key
+    * exceeds the document count. Docs shorter than `n` tokens have no
+    * n-grams and are absent from the output (their novelty is
+    * undefined, not zero).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = df
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+        .as("g"))
+    val docFreq = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+  }
+
   /** Sequence-length histogram for batching/packing decisions:
     * documents bucketed by power-of-2 token count (bucket = number of
     * binary digits of the count, so bucket b holds counts in

@@ -300,4 +300,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 5L))) // identical vector, cos = 1
   }
+
+  test("containmentPairs catches near-subset docs symmetric Jaccard " +
+      "misses, and never pairs across blocks") {
+    import graft.operators.Dedup
+    // doc 1 is fully contained in doc 2 (5 of 25 tokens → Jaccard
+    // 0.2, containment 1.0); doc 4 shares nothing; doc 5 duplicates
+    // doc 1 in ANOTHER block, so blocking must keep (1,5) apart
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta gamma delta epsilon " +
+        ((1 to 20).map(i => s"w$i").mkString(" ")), "s1"),
+      (4L, "zeta eta theta iota kappa", "s1"),
+      (5L, "alpha beta gamma delta epsilon", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", "source",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair scores far below a 0.9 JACCARD bar — the
+    // asymmetric ratio is the point of the operator
+    val jac = Dedup.exactBlockedJaccardPairs(docs, "doc_id", "text",
+      "source", threshold = 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }

@@ -324,4 +324,30 @@ class ProfileFrequencySpec extends AnyFunSuite {
     assert(got == Set(("g1", 1, "x", 5L), ("g1", 2, "y", 3L),
       ("g2", 1, "q", 7L), ("g2", 2, "x", 1L)))
   }
+
+  test("corrMatrix: exact +1/-1 on linear columns, matches Spark's " +
+      "corr aggregate on random data") {
+    import graft.operators.Profile
+    val lin = (1 to 50).map(i =>
+      (i.toDouble, 3.0 * i + 7, -2.0 * i + 1)).toDF("x", "y", "z")
+    val got = Profile.corrMatrix(lin, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 &&
+      got(("y", "z")) == -1.0)
+    val rnd = new scala.util.Random(7L)
+    val noisy = (1 to 400).map { _ =>
+      val a = rnd.nextInt(1000) / 10.0
+      (a, a + rnd.nextInt(500) / 10.0, rnd.nextInt(1000) / 10.0)
+    }.toDF("a", "b", "c")
+    val cm = Profile.corrMatrix(noisy, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    import org.apache.spark.sql.functions.corr
+    val ref = noisy.select(corr("a", "b"), corr("a", "c"),
+      corr("b", "c")).head()
+    assert(math.abs(cm(("a", "b")) - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(cm(("a", "c")) - ref.getDouble(1)) < 1e-6)
+    assert(math.abs(cm(("b", "c")) - ref.getDouble(2)) < 1e-6)
+  }
 }

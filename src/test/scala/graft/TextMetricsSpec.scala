@@ -242,6 +242,19 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(enc("THE Sort") == Seq("the", "sort"))
   }
 
+  test("ngramNovelty: unique doc scores 1, verbatim duplicate scores " +
+      "0, short docs are absent") {
+    val docs = Seq(
+      (1L, "one two three four"),         // trigrams unique → 1.0
+      (2L, "aa bb cc dd"), (3L, "aa bb cc dd"), // shared → 0.0
+      (4L, "too short")).toDF("doc_id", "text") // < 3 tokens → absent
+    val got = TextMetrics.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 0L, 0.0)), 3L -> ((2L, 0L, 0.0))))
+  }
+
   test("trainBpeMerges learns the hand-computed merge sequence and " +
       "its pieces drive the encoder") {
     // the classic BPE teaching corpus: low x5, lower x2, newest x6,
