@@ -116,6 +116,32 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   // rather than in a 100 TB run.
   // ---------------------------------------------------------------
 
+  test("corrMatrix plans one aggregation pass with no Expand") {
+    val df = (1 to 100).map(i =>
+      (i.toDouble, i * 2.0, i * 3.0)).toDF("x", "y", "z")
+    val plan = graft.operators.Profile.corrMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"corrMatrix must not multiply rows through Expand:\n$plan")
+    // all sums fold into hash aggregation (codegen'd partials), and
+    // the only window-free reshape is the explode over ONE row
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("ngramNovelty joins gram-keyed with no cartesian or " +
+      "data-sized window") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"w$i alpha beta gamma delta")).toDF("doc_id", "text")
+    val plan = graft.operators.TextMetrics
+      .ngramNovelty(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ngramNovelty must never go all-pairs:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("decontaminate broadcasts the benchmark n-gram side") {
     val corpus = (1 to 100)
       .map(i => (i.toLong, s"tok$i alpha beta gamma delta"))
