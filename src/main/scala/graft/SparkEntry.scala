@@ -1663,6 +1663,29 @@ object SparkEntry {
       "min(value) AS min_value, max(value) AS max_value " +
       "FROM events GROUP BY 1,2 ORDER BY 1,2"
 
+  /** Batch replay of the streaming category-drift monitor: identical
+    * hourly counts, reference shares, dense grid, Laplace smoothing,
+    * and rounded DECIMAL term sum.
+    */
+  private val streamDriftOracle: String = {
+    val pw = "(CASE WHEN n > 0 THEN CAST(n AS DOUBLE) ELSE 0.5 END " +
+      "/ w_n)"
+    "WITH w AS (SELECT epoch_us(date_trunc('hour', ts)) AS wus, " +
+      "event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+      "ref AS (SELECT event_type, CAST(count(*) AS DOUBLE) / " +
+      "(SELECT count(*) FROM events) AS p_ref FROM events " +
+      "GROUP BY 1), " +
+      "tot AS (SELECT wus, CAST(sum(n) AS BIGINT) AS w_n FROM w " +
+      "GROUP BY 1), " +
+      "cells AS (SELECT t.wus, t.w_n, r.p_ref, COALESCE(w.n, 0) AS n " +
+      "FROM tot t CROSS JOIN ref r " +
+      "LEFT JOIN w ON w.wus = t.wus AND w.event_type = r.event_type) " +
+      s"SELECT wus AS window_start_us, w_n AS n_events, " +
+      s"round(CAST(sum(CAST(round(($pw - p_ref) * ln($pw / p_ref), 9) " +
+      "AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi " +
+      "FROM cells GROUP BY 1, 2 ORDER BY window_start_us"
+  }
+
   private def streamingEnrichedQuery(s: SparkSession,
       dir: String): DataFrame =
     graft.streaming.StreamingProfile.runEnrichedProfile(s, dir)
@@ -2431,6 +2454,11 @@ object SparkEntry {
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
+    // streaming drift monitor: hourly event-type mix PSI-scored
+    // against the full-corpus reference — windowed counts accumulate
+    // in the stream, the score is a window-sized batch rollup
+    "stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingProfile.runCategoryDrift(s, dir)),
     // stream-static broadcast enrichment + windowed agg
     "streaming_enriched" -> ((s, dir) => streamingEnrichedQuery(s, dir)),
     "sessionize_batch"  -> ((s, dir) => sessionizeBatchQuery(s, dir)),
@@ -2854,6 +2882,7 @@ object SparkEntry {
         "ASOF LEFT JOIN r ON e.user_id = r.k AND e.tu >= r.tu " +
         "ORDER BY event_id"),
     "streaming_profile" -> streamingProfileOracle,
+    "stream_drift" -> streamDriftOracle,
     "streaming_enriched" -> streamingEnrichedOracle,
     "sessionize_batch"  -> sessionizeOracle,
     "sessionize_stream" -> sessionizeOracle,

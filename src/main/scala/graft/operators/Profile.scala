@@ -732,7 +732,9 @@ object Profile {
     * Output is the upper triangle (col_a < col_b by the given
     * order). Rows with a NULL in any requested column are dropped
     * (listwise completeness — per-pair masks would need per-pair
-    * counts).
+    * counts), and pairs whose correlation is undefined — fewer than
+    * two rows, or a zero-variance column — are ABSENT from the
+    * output rather than NaN rows.
     *
     * Scale shape: one codegen'd scan with map-side partial
     * aggregation producing a single k(k+3)/2-value row; the pair
@@ -753,13 +755,19 @@ object Profile {
     def dbl(name: String) = col(name).cast("double")
     def varTerm(i: Int) =
       dbl("n") * dbl(s"p_${i}_$i") - dbl(s"s_$i") * dbl(s"s_$i")
-    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield {
+      // the when() guard keeps the division unevaluated when the
+      // denominator is 0 (zero-variance column) or NULL (no rows) —
+      // ANSI mode would otherwise raise DIVIDE_BY_ZERO; such pairs
+      // surface as NULL and are filtered below
+      val den = sqrt(varTerm(i)) * sqrt(varTerm(j))
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
-        round((dbl("n") * dbl(s"p_${i}_$j") -
-          dbl(s"s_$i") * dbl(s"s_$j")) /
-          (sqrt(varTerm(i)) * sqrt(varTerm(j))), 6).as("corr"))
+        round(when(den > 0, (dbl("n") * dbl(s"p_${i}_$j") -
+          dbl(s"s_$i") * dbl(s"s_$j")) / den), 6).as("corr"))
+    }
     one.select(explode(array(pairs: _*)).as("c"))
       .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
+      .where(col("corr").isNotNull && !isnan(col("corr")))
       .orderBy("col_a", "col_b")
   }
 

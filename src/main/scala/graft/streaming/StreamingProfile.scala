@@ -116,6 +116,58 @@ object StreamingProfile {
     spark.table(name)
   }
 
+  /** Streaming drift monitor: per-hour event-type counts accumulate
+    * INCREMENTALLY (one watermark-bounded streaming aggregation —
+    * chained streaming aggregations are unsupported, so the per-window
+    * PSI score is a report-sized batch rollup over the finished
+    * window table: windows × categories rows, never event rows). The
+    * reference distribution is the full-corpus event-type mix
+    * (broadcast); a window missing a reference category gets the
+    * same 0.5-Laplace smoothing the batch [[graft.operators.Drift]]
+    * PSI uses, over the full reference grid, and each term is
+    * rounded at 9 decimals and DECIMAL-summed so the score replays
+    * exactly in SQL. Output: (window_start_us, n_events, psi).
+    */
+  def runCategoryDrift(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_drift_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wins = spark.table(name)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val refCounts = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ref_n"))
+    val refTotal = refCounts.agg(sum(col("ref_n")).as("__t"))
+    val ref = refCounts.crossJoin(broadcast(refTotal))
+      .select(col("event_type"),
+        (col("ref_n").cast("double") / col("__t")).as("p_ref"))
+    val totals = wins.groupBy(col("window_start_us"))
+      .agg(sum(col("n")).as("w_n"))
+    val grid = totals.crossJoin(broadcast(ref))
+    val pw = when(col("n") > 0, col("n").cast("double"))
+      .otherwise(lit(0.5)) / col("w_n")
+    grid.join(wins, Seq("window_start_us", "event_type"), "left")
+      .select(col("window_start_us"), col("w_n"),
+        coalesce(col("n"), lit(0L)).as("n"), col("p_ref"))
+      .select(col("window_start_us"), col("w_n"),
+        round((pw - col("p_ref")) * log(pw / col("p_ref")), 9)
+          .cast("decimal(20,9)").as("term"))
+      .groupBy(col("window_start_us"), col("w_n"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("window_start_us"), col("w_n").as("n_events"),
+        col("psi"))
+      .orderBy("window_start_us")
+  }
+
   /** Streaming exact dedup: one output row per distinct key, state
     * bounded by the watermark (`dropDuplicatesWithinWatermark` drops a
     * key's state once the watermark passes it — the shape an unbounded

@@ -202,9 +202,18 @@ class RankingSpec extends AnyFunSuite {
       Seq("id" -> "cum_id"), 4).count() == 0)
     val eg = Seq.empty[(String, Double)].toDF("g", "v")
     assert(Drift.ksStatistic(eg, "v", "g", "A", "B").count() == 0)
+    assert(Drift.ksMatrix(eg, "v", "g").count() == 0)
     assert(Profile.groupedCountQuantiles(
       Seq.empty[(String, Int)].toDF("g", "v"), "g", "v",
       Seq(50)).count() == 0)
+    assert(Profile.equiDepthHistogram(e, "x", 4).count() == 0)
+    // undefined correlations (no rows / zero variance) are ABSENT,
+    // not NaN rows
+    assert(Profile.corrMatrix(
+      Seq.empty[(Double, Double)].toDF("x", "y"), Seq("x", "y"))
+      .count() == 0)
+    val const = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("x", "y")
+    assert(Profile.corrMatrix(const, Seq("x", "y")).count() == 0)
   }
 
   test("globalRowNumber's plan has no data-sized single-partition " +
