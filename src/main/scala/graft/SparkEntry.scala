@@ -2419,6 +2419,32 @@ object SparkEntry {
             .cast("int").as("within_5pct"))
         .orderBy("event_type")
     }),
+    // dataset-card summary: the one-row corpus overview a training
+    // run's data sheet starts from. Distinct counts run as separate
+    // distinct+count pipelines crossJoined back (one agg with three
+    // countDistincts would plan an Expand multiplying every corpus
+    // row 4x through the scan — the melt rule from the profiler)
+    "corpus_card" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val toks = size(TextFunctions.tokens(col("text")))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("n_tokens"),
+        round(avg(toks.cast("double")), 6).as("mean_doc_tokens"),
+        round(avg((length(col("text")) === octet_length(col("text")))
+          .cast("double")), 6).as("ascii_share"))
+      def distinctCount(name: String,
+          proj: org.apache.spark.sql.Column) =
+        d.select(proj.as("__k")).distinct()
+          .agg(count(lit(1)).as(name))
+      base
+        .crossJoin(broadcast(distinctCount("n_sources", col("source"))))
+        .crossJoin(broadcast(distinctCount("n_langs", col("lang"))))
+        .crossJoin(broadcast(
+          distinctCount("n_distinct_texts", sha2(col("text"), 256))))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("mean_doc_tokens"), col("ascii_share"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"))
+    }),
     // time-series anomaly report: per-day order volume z-scored
     // against the whole series (sample sd), top-10 |z| days. The
     // series is calendar-day-sized, the stats row broadcasts back —
@@ -2690,6 +2716,18 @@ object SparkEntry {
     "dedup_containment" -> dedupContainmentOracle,
     "text_novelty" -> textNoveltyOracle,
     "corr_matrix" -> corrMatrixOracle,
+    "corpus_card" ->
+      ("SELECT count(*) AS n_docs, " +
+        "(SELECT count(DISTINCT source) FROM documents) AS n_sources, " +
+        "(SELECT count(DISTINCT lang) FROM documents) AS n_langs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) " +
+        "AS n_tokens, " +
+        "round(avg(CAST(len(string_split(lower(text), ' ')) " +
+        "AS DOUBLE)), 6) AS mean_doc_tokens, " +
+        "round(avg(CASE WHEN length(text) = strlen(text) " +
+        "THEN 1.0 ELSE 0.0 END), 6) AS ascii_share, " +
+        "count(*) - (SELECT count(DISTINCT sha256(text)) " +
+        "FROM documents) AS n_exact_dups FROM documents"),
     "anomaly_days" ->
       ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
         "count(*) AS n_orders FROM orders GROUP BY 1), " +
