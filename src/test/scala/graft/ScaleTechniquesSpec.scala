@@ -116,6 +116,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   // rather than in a 100 TB run.
   // ---------------------------------------------------------------
 
+  test("AQE splits the skewed side of a sort-merge join at runtime " +
+      "(the complement of Skew.saltedJoin's static two-path salting)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "1m")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "512k")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    // one hot key carrying 100k rows of INCOMPRESSIBLE ~128-byte
+    // payload (shuffle sizes are post-compression — constant padding
+    // would deflate to nothing) against ~0.9 MB median partitions:
+    // the skew rule (> max(factor * median, threshold)) fires on
+    // exactly that key's partition
+    val payload = concat(md5(col("id").cast("string")),
+      md5((col("id") + 1).cast("string")),
+      md5((col("id") + 2).cast("string")),
+      md5((col("id") + 3).cast("string")))
+    val hot = s2.range(100000).select(lit(1L).as("k"), col("id"))
+    val cold = s2.range(999L * 50)
+      .select((col("id") % 999 + 2).as("k"), col("id"))
+    val left = hot.union(cold).select(col("k"), payload.as("payload"))
+    val right = (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+    val joined = left.join(right, "k")
+    // materialize through the SAME QueryExecution so the adaptive
+    // plan is final, then check the skew-split marker
+    assert(joined.collect().length == 100000 + 999 * 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE skew-split SortMergeJoin in final plan:\n$plan")
+  }
+
   test("corrMatrix plans one aggregation pass with no Expand") {
     val df = (1 to 100).map(i =>
       (i.toDouble, i * 2.0, i * 3.0)).toDF("x", "y", "z")
