@@ -153,6 +153,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"expected AQE skew-split SortMergeJoin in final plan:\n$plan")
   }
 
+  test("a selective dimension filter injects a runtime bloom filter " +
+      "on the fact side of a shuffle join") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "true")
+    // local test files are far under the 10 GB default application
+    // threshold — drop it so the injection rule can fire at test scale
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a runtime bloom filter on the fact scan:\n$plan")
+    assert(j.count() > 0)
+  }
+
   test("corrMatrix plans one aggregation pass with no Expand") {
     val df = (1 to 100).map(i =>
       (i.toDouble, i * 2.0, i * 3.0)).toDF("x", "y", "z")
