@@ -1617,6 +1617,35 @@ object SparkEntry {
       "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) " +
       "AS INT) AS n_chunks FROM documents ORDER BY doc_id"
 
+  /** DuckDB replay of the resize pipeline (synthesize → resize 4×2 →
+    * stats) straight from the text: nearest-neighbor sampling picks
+    * source pixel k = ⌊y·h/2⌋·8 + 2x for output (x, y), whose
+    * channels follow the generation formula — both codec passes and
+    * the sampler must agree for the hash to match.
+    */
+  private val multimodalResizeOracle: String =
+    "WITH d AS (SELECT doc_id, text, strlen(text) AS n, " +
+      "CAST(ceil(strlen(text) / 8.0) AS BIGINT) AS h " +
+      "FROM documents " +
+      "WHERE length(text) = strlen(text) AND strlen(text) > 0), " +
+      "py AS (SELECT doc_id, text, n, h, " +
+      "unnest(generate_series(0, 1)) AS y FROM d), " +
+      "p AS (SELECT doc_id, text, n, h, y, " +
+      "unnest(generate_series(0, 3)) AS x FROM py), " +
+      "v AS (SELECT doc_id, (y * 4 + x) AS di, " +
+      "((y * h) // 2) * 8 + 2 * x AS k, n, text FROM p) " +
+      "SELECT doc_id, 4 AS img_w, 2 AS img_h, 8 AS n_px, " +
+      "round(CAST(sum(b) AS DOUBLE) / 8, 6) AS mean_b, " +
+      "round(CAST(sum((3 * b + 1) % 256) AS DOUBLE) / 8, 6) AS mean_g, " +
+      "round(CAST(sum(k % 256) AS DOUBLE) / 8, 6) AS mean_r, " +
+      "CAST(sum((di + 1) * b) AS BIGINT) AS wsum_b, " +
+      "CAST(sum((di + 1) * ((3 * b + 1) % 256)) AS BIGINT) AS wsum_g, " +
+      "CAST(sum((di + 1) * (k % 256)) AS BIGINT) AS wsum_r " +
+      "FROM (SELECT doc_id, di, k, " +
+      "CASE WHEN k < n THEN unicode(substr(text, CAST(k + 1 AS INT), 1)) " +
+      "ELSE CAST((k * 7) % 256 AS INT) END AS b FROM v) " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
   /** DuckDB replay of synthesizeBmp → decodeImageStats WITHOUT going
     * through BMP bytes: the fixture's pixel arithmetic (blue = text
     * byte / (k·7) mod 256 padding, green = (3·b+1) mod 256, red =
@@ -2329,6 +2358,18 @@ object SparkEntry {
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text"))
       .orderBy("doc_id")),
+    // resize composes through the codec twice: synthesize → encode →
+    // decode+nearest-neighbor-sample+re-encode → decode → stats; the
+    // oracle computes the sampled pixels straight from the text via
+    // the generation formula at positions (2x, floor(y*h/2))
+    "multimodal_resize" -> ((s, dir) => Multimodal.decodeImageStats(
+      Multimodal.resizeTable(
+        Multimodal.synthesizeBmp(
+          tbl(s, dir, "documents")
+            .where(length(col("text")) === octet_length(col("text"))),
+          "doc_id", "text"),
+        outW = 4, outH = 2))
+      .orderBy("doc_id")),
     // as-of join (no native Spark operator): each event matched to its
     // user's latest order at-or-before the event time; DuckDB's native
     // ASOF JOIN is the oracle
@@ -2896,6 +2937,7 @@ object SparkEntry {
         "FROM ta t LEFT JOIN ba b ON t.doc_id = b.doc_id " +
         "ORDER BY t.doc_id"),
     "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +

@@ -146,6 +146,51 @@ object Multimodal {
       .withColumn("content_hash", sha2(col("payload"), 256))
   }
 
+  /** Nearest-neighbor image resize — the pre-embedding normalization
+    * step every vision pipeline runs before the model: output pixel
+    * (x, y) samples source pixel (⌊x·W/w⌋, ⌊y·H/h⌋). Decodes,
+    * samples, re-encodes — so the result is again a valid BMP
+    * payload any downstream codec step accepts. Handles both down-
+    * and up-scaling (the index formula is direction-agnostic).
+    */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0)
+    val (w, h, px) = decodeBmp(bytes)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val si = (sy * w + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = px(si); out(di + 1) = px(si + 1)
+        out(di + 2) = px(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(out, outW, outH)
+  }
+
+  /** Batched partition-local resize of a payload table: same
+    * (doc_id, payload, content_hash) shape in and out, so codec
+    * steps COMPOSE — synthesize → resize → [[decodeImageStats]] runs
+    * the parser twice through one pipeline.
+    */
+  def resizeTable(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, resizeBmp(bytes, outW, outH)) }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("content_hash", sha2(col("payload"), 256))
+  }
+
   /** Frame sampling: split the payload into fixed-size frames and keep
     * every `stride`-th one — the video/audio pre-processing shape
     * (sample frames before the expensive decode). Pure byte plumbing,

@@ -117,6 +117,24 @@ class TextStreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodeBmp(bad) }
   }
 
+  test("resizeBmp nearest-neighbor samples the exact source grid, " +
+      "both downscale and upscale") {
+    // 4x2 source with pixel value = its index (B=G=R=index)
+    val px = Array.tabulate(4 * 2 * 3)(i => (i / 3).toByte)
+    val bmp = Multimodal.encodeBmp(px, 4, 2)
+    // downscale to 2x1: output (x,0) samples source (2x, 0)
+    val (dw, dh, dpx) = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(bmp, 2, 1))
+    assert((dw, dh) == ((2, 1)))
+    assert(dpx.grouped(3).map(_(0).toInt).toSeq == Seq(0, 2))
+    // upscale to 8x2: each source pixel repeats horizontally
+    val (uw, uh, upx) = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(bmp, 8, 2))
+    assert((uw, uh) == ((8, 2)))
+    assert(upx.grouped(3).map(_(0).toInt).toSeq ==
+      Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7))
+  }
+
   test("synthesizeBmp fixture arithmetic lands in decodeImageStats " +
       "on a hand-computed image") {
     // text "ab": bytes 97,98 → w=8 forces one row with 6 pad pixels
