@@ -96,8 +96,8 @@ object Bench {
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
       "drift_ks_matrix", "hist_equidepth", "bpe_encode",
-      "multimodal_features", "dedup_containment", "text_novelty",
-      "corr_matrix",
+      "multimodal_features", "multimodal_resize", "dedup_containment",
+      "text_novelty", "corr_matrix",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",
