@@ -1546,6 +1546,63 @@ object SparkEntry {
       "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
       "WHERE rn <= 5 ORDER BY query_id, rn"
 
+  /** Full replay of Similarity.knnPq: per-subspace slicing, codebook =
+    * vectors with id < 16, argmin encoding with the (d2 ASC, code ASC)
+    * tie-break, per-query ADC lookup tables, and the final distance as
+    * the same fixed-order list fold over 9-decimal-rounded subspace
+    * distances the engine uses — so the doubles agree bit-for-bit.
+    */
+  private val knnPqOracle: String = {
+    val (m, kc, sd) = (8, 16, 8)
+    s"""WITH $vecCte,
+       |sub AS (
+       |  SELECT vec_id AS id, t.m, list_transform(
+       |    generate_series(1, $sd),
+       |    i -> vec[t.m * $sd + i] / nrm) AS svec
+       |  FROM n, generate_series(0, ${m - 1}) AS t(m)
+       |), cb AS (
+       |  SELECT m, CAST(id AS INT) AS code, svec AS cvec
+       |  FROM sub WHERE id < $kc
+       |), d AS (
+       |  SELECT s.id, s.m, cb.code,
+       |    round(list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (s.svec[i] - cb.cvec[i]) * (s.svec[i] - cb.cvec[i]))),
+       |      9) AS d2
+       |  FROM sub s JOIN cb ON cb.m = s.m
+       |), enc AS (
+       |  SELECT id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT id, m, code, row_number() OVER
+       |      (PARTITION BY id, m ORDER BY d2, code) AS rn FROM d)
+       |  WHERE rn = 1 GROUP BY id
+       |), lut AS (
+       |  SELECT id AS query_id, list(d2 ORDER BY m * $kc + code) AS lt
+       |  FROM d WHERE id < 10 GROUP BY id
+       |), dist AS (
+       |  SELECT l.query_id, e.id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, $m),
+       |      mi -> l.lt[(mi - 1) * $kc + e.codes[mi] + 1])) AS dist
+       |  FROM enc e, lut l WHERE e.id <> l.query_id
+       |), cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |    FROM dist)
+       |  WHERE rn <= 50
+       |), s2 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> q.vec[i] * x.vec[i])) / (q.nrm * x.nrm) AS sim
+       |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |    JOIN n x ON x.vec_id = c.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM s2
+       |)
+       |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id
+       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Full replay of Similarity.knnIvfTrained: seed centroids = vectors
     * with id < 16, two fixed Lloyd's rounds — assignment argmax with
     * the (sim DESC, cid DESC) tie-break, per-(cid,dim) means as
@@ -1939,6 +1996,22 @@ object SparkEntry {
           .select(lit(label).as("pair"), col("n_a"), col("n_in_b"),
             col("inclusion"))
       }.reduce(_ unionByName _).orderBy("pair")
+    }),
+    // data-quality constraint suite: 8 declarative checks (incl. one
+    // that intentionally fails — uniqueness of a 5-value segment
+    // column) evaluated in ONE aggregation scan
+    "quality_checks" -> ((s, dir) => {
+      import graft.operators.QualityChecks._
+      evaluate(tbl(s, dir, "customer"), Seq(
+        completeness("c_name", 1.0),
+        completeness("c_acctbal", 1.0),
+        uniqueness("c_custkey", 1.0),
+        uniqueness("c_mktsegment", 0.5),
+        minValue("c_acctbal", -1000.0),
+        maxValue("c_acctbal", 10000.0),
+        matchFraction("c_name", "^Customer#[0-9]{9}$", 1.0),
+        inSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"), 1.0)))
     }),
     // profiling extension — column-pair dependence (functional-
     // dependency candidates score MI ≈ min entropy)
@@ -2344,6 +2417,14 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 6, numQueries = 10, k = 5,
       iterations = 2)),
+    // product-quantization ANN: corpus compressed to 8 one-byte codes
+    // per vector, queries scan codes through a broadcast ADC lookup
+    // table — the 100 TB path where the index is 64× smaller than the
+    // embeddings (recall vs brute force measured in DedupSimilaritySpec)
+    "knn_pq" -> ((s, dir) => Similarity.knnPq(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
+      shortlist = 50)),
     // LLM pipeline — multimodal plumbing with a REAL codec: corpus
     // text synthesized into 24-bit BMPs, decoded back by the header-
     // validating parser, per-image pixel statistics compared against
@@ -2691,6 +2772,44 @@ object SparkEntry {
           "c_custkey", "supplier", "s_suppkey") +
         " ORDER BY pair"
     },
+    "quality_checks" -> {
+      // one aggregate subquery (mirroring the engine's single pass),
+      // melted via UNION ALL; every literal cast so types match the
+      // Spark report exactly (DOUBLE metric/threshold, INT passed)
+      def row(name: String, c: String, metric: String, op: String,
+          t: Double) =
+        s"SELECT '$name' AS check_name, '$c' AS col_name, " +
+          s"$metric AS metric, CAST($t AS DOUBLE) AS threshold, " +
+          s"CASE WHEN $metric $op $t THEN 1 ELSE 0 END AS passed FROM a"
+      "WITH a AS (SELECT " +
+        "round(CAST(count(c_name) AS DOUBLE) / count(*), 9) AS m1, " +
+        "round(CAST(count(c_acctbal) AS DOUBLE) / count(*), 9) AS m2, " +
+        "round(CAST(count(DISTINCT c_custkey) AS DOUBLE) / " +
+        "count(c_custkey), 9) AS m3, " +
+        "round(CAST(count(DISTINCT c_mktsegment) AS DOUBLE) / " +
+        "count(c_mktsegment), 9) AS m4, " +
+        "round(CAST(min(c_acctbal) AS DOUBLE), 9) AS m5, " +
+        "round(CAST(max(c_acctbal) AS DOUBLE), 9) AS m6, " +
+        "round(CAST(sum(CASE WHEN regexp_matches(c_name, " +
+        "'^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "count(c_name), 9) AS m7, " +
+        "round(CAST(sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE', " +
+        "'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY') " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(c_mktsegment), 9) " +
+        "AS m8 FROM customer) " +
+        Seq(
+          row("completeness_c_name", "c_name", "m1", ">=", 1.0),
+          row("completeness_c_acctbal", "c_acctbal", "m2", ">=", 1.0),
+          row("uniqueness_c_custkey", "c_custkey", "m3", ">=", 1.0),
+          row("uniqueness_c_mktsegment", "c_mktsegment", "m4", ">=",
+            0.5),
+          row("min_c_acctbal", "c_acctbal", "m5", ">=", -1000.0),
+          row("max_c_acctbal", "c_acctbal", "m6", "<=", 10000.0),
+          row("match_c_name", "c_name", "m7", ">=", 1.0),
+          row("in_set_c_mktsegment", "c_mktsegment", "m8", ">=", 1.0)
+        ).mkString(" UNION ALL ") +
+        " ORDER BY check_name"
+    },
     "lang_mix" -> langMixOracle,
     "text_roundtrip" ->
       ("SELECT count(*) AS n_lines, " +
@@ -2814,6 +2933,7 @@ object SparkEntry {
     "knn_bruteforce" -> knnBruteForceOracle,
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
+    "knn_pq" -> knnPqOracle,
     "sample_weighted" ->
       ("SELECT CAST(1000 AS BIGINT) AS n, " +
         "CAST(1000 AS BIGINT) AS n_distinct, CAST(1 AS INT) AS uplift"),

@@ -317,6 +317,135 @@ object Similarity {
     (((h >> 33).mod(BigInt(1) << 20)) - (BigInt(1) << 19)).toLong
   }
 
+  /** Product-quantization top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector is split
+    * into `numSubspaces` contiguous sub-vectors, each quantized to its
+    * nearest codebook entry, so a 64-dim double vector compresses to
+    * `numSubspaces` small ints — at 100 TB the corpus index is codes,
+    * not floats (8 bytes/vector here vs 512, a 64× working-set cut),
+    * and search never touches the original embeddings.
+    *
+    * The codebook is the deterministic stand-in quantizer (vectors
+    * with `id < numCodes`, sliced per subspace), mirroring [[knnIvf]]'s
+    * seed centroids, so the whole pipeline is a pure function of the
+    * input and a SQL oracle replays it end-to-end.
+    *
+    * Scale shape of each stage:
+    *   - encode: corpus sub-vectors join the BROADCAST codebook
+    *     (numSubspaces·numCodes rows); the per-(id, subspace) argmin is
+    *     a map-side `min(struct)` partial agg — one code row per
+    *     sub-vector reaches the shuffle, never the fan-out.
+    *   - query LUTs: each query precomputes its
+    *     numSubspaces×numCodes squared-distance table once
+    *     (asymmetric distance computation — the query side stays
+    *     exact, only the corpus is quantized).
+    *   - scan: corpus codes join the broadcast LUTs; the ADC distance
+    *     is a fixed-order fold of `lut[m·numCodes + code_m]` — pure
+    *     codegen'd array arithmetic over the 8-byte codes, no vector
+    *     math in the hot loop.
+    *
+    * Vectors are L2-normalized before slicing, so squared-L2 ADC
+    * ranking is cosine ranking (‖a−b‖² = 2−2·cos for unit vectors) and
+    * the results are comparable to [[knnBruteForce]]'s.
+    *
+    * `shortlist > 0` adds the production rerank stage: ADC picks the
+    * `shortlist` best candidates per query (the cheap scan over codes
+    * prunes the corpus), then ONLY those rows are fetched for an exact
+    * cosine rerank to top-k — quantization error affects which
+    * candidates survive the shortlist, not the final ordering, so an
+    * untrained codebook still reaches high recall. `shortlist = 0`
+    * returns the raw ADC ranking.
+    *
+    * Per-subspace distances are rounded at 9 decimals before the fold
+    * and the fold order is fixed (zip_with position order), so engine
+    * and oracle sum bit-identically; rank ties break by neighbor id.
+    */
+  def knnPq(df: DataFrame, idCol: String, vecCol: String,
+      numCodes: Int = 16, numSubspaces: Int = 8, numQueries: Int = 10,
+      k: Int = 5, dim: Int = 64, shortlist: Int = 0): DataFrame = {
+    require(dim % numSubspaces == 0, "dim must split evenly")
+    val subDim = dim / numSubspaces
+    val vRaw = normed(df, idCol, vecCol)
+    val v = vRaw.select(col("id"),
+      transform(col("vec"), x => x / col("norm")).as("vec"))
+
+    // (id, m, svec): the m-th contiguous sub-vector of each row
+    def sliced(side: DataFrame): DataFrame =
+      side.select(col("id"), posexplode(
+        array((0 until numSubspaces).map(m =>
+          slice(col("vec"), m * subDim + 1, subDim)): _*))
+        .as(Seq("m", "svec")))
+
+    val cb = sliced(v.where(col("id") < numCodes))
+      .select(col("m"), col("id").cast("int").as("code"),
+        col("svec").as("cvec"))
+
+    // squared L2 between a sub-vector and a codebook entry, rounded so
+    // the oracle's argmin/sum compare identical values
+    val d2 = round(aggregate(
+      zip_with(col("svec"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _), 9)
+
+    def scored(side: DataFrame): DataFrame =
+      side.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
+
+    // corpus → codes: argmin per (id, subspace) aggregates partially
+    // map-side; codes pivot back to a position-ordered array
+    val enc = scored(sliced(v))
+      .groupBy("id", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("id"), col("m"), col("best.code").as("code"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("m"), col("code"))))
+        .as("ps"))
+      .select(col("id"),
+        transform(col("ps"), p => p.getField("code")).as("codes"))
+
+    // query → flat LUT array indexed by m·numCodes + code
+    val lut = scored(sliced(v.where(col("id") < numQueries)))
+      .withColumn("slot", col("m") * numCodes + col("code"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("slot"), col("d2"))))
+        .as("ps"))
+      .select(col("id").as("query_id"),
+        transform(col("ps"), p => p.getField("d2")).as("lut"))
+
+    // ADC: fixed-order fold over the code array through the LUT
+    val dist = aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), lit(numSubspaces - 1)),
+        (c, mi) => element_at(col("lut"),
+          (mi * numCodes + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("id").asc)
+    val adc = enc.join(broadcast(lut), col("id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+    if (shortlist <= 0) {
+      adc.where(col("rn") <= k)
+        .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
+        .orderBy("query_id", "rn")
+    } else {
+      // rerank: exact cosine over the ADC shortlist only — the join
+      // fetches shortlist·numQueries vectors, not the corpus
+      val cand = adc.where(col("rn") <= shortlist)
+        .select(col("query_id"), col("id"))
+      val q = vRaw.select(col("id").as("query_id"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
+      val rw = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("id").asc)
+      cand.join(broadcast(q), Seq("query_id"))
+        .join(vRaw, Seq("id"))
+        .withColumn("sim",
+          cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+        .withColumn("rn", row_number().over(rw))
+        .where(col("rn") <= k)
+        .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
+        .orderBy("query_id", "rn")
+    }
+  }
+
   /** Bucket equality join → exact-cosine verification, shared by both
     * LSH variants.
     */
