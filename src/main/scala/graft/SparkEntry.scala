@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BpeExpressions, TextFunctions}
-import graft.operators.{DateShift, Dedup, Drift, Frequency, Multimodal,
-  Profile, Sampling, Similarity, Skew, TextMetrics, TypeInference}
+import graft.operators.{Cdc, DateShift, Dedup, Drift, Frequency,
+  Multimodal, Profile, Sampling, Similarity, Skew, TextMetrics,
+  TypeInference}
 import graft.sources.{BucketedTable, DelimitedSource}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2013,6 +2014,32 @@ object SparkEntry {
         inSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
           "HOUSEHOLD", "MACHINERY"), 1.0)))
     }),
+    // CDC: insert/update/delete classification between two snapshots
+    // (both derived deterministically from orders so the oracle can
+    // rebuild them); one full-outer sort-merge join, unchanged keys
+    // never leave the join
+    "cdc_diff" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val old = orders.where(col("o_orderkey") % 10 =!= 0)
+      val nw = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Cdc.snapshotDiff(old, nw, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+    // SCD type-2 history of each user's event_type: one shuffle, two
+    // windows over the same key partitioning
+    "scd2_history" -> ((s, dir) => Cdc.scd2(tbl(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "version")),
     // profiling extension — column-pair dependence (functional-
     // dependency candidates score MI ≈ min entropy)
     "mutual_info" -> ((s, dir) => Profile.mutualInfo(
@@ -2772,6 +2799,46 @@ object SparkEntry {
           "c_custkey", "supplier", "s_suppkey") +
         " ORDER BY pair"
     },
+    "cdc_diff" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "j AS (SELECT coalesce(o.o_orderkey, nn.o_orderkey) " +
+        "AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'insert' " +
+        "WHEN nn.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN (o.o_totalprice IS DISTINCT FROM nn.o_totalprice) " +
+        "OR (o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus) " +
+        "THEN 'update' END AS action, " +
+        "(CASE WHEN o.o_totalprice IS DISTINCT FROM nn.o_totalprice " +
+        "THEN 1 ELSE 0 END + " +
+        "CASE WHEN o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus " +
+        "THEN 1 ELSE 0 END) AS nc " +
+        "FROM o FULL OUTER JOIN nn ON o.o_orderkey = nn.o_orderkey) " +
+        "SELECT o_orderkey, action, " +
+        "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
+        "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"),
+    "scd2_history" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, " +
+        "event_id FROM events), " +
+        "c AS (SELECT *, lag(event_type) OVER w AS prev, " +
+        "row_number() OVER w AS rn FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "ch AS (SELECT user_id, ts_us, event_id, event_type FROM c " +
+        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+        "v AS (SELECT user_id, event_type, ts_us AS valid_from_us, " +
+        "lead(ts_us) OVER w2 AS valid_to_us, " +
+        "row_number() OVER w2 AS version FROM ch " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+        "SELECT user_id, CAST(version AS INT) AS version, event_type, " +
+        "valid_from_us, valid_to_us, " +
+        "CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current " +
+        "FROM v ORDER BY user_id, version"),
     "quality_checks" -> {
       // one aggregate subquery (mirroring the engine's single pass),
       // melted via UNION ALL; every literal cast so types match the
