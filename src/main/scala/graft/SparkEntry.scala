@@ -1381,6 +1381,36 @@ object SparkEntry {
       "SELECT node AS doc_id, min(reach) AS cluster_rep " +
       "FROM closure GROUP BY 1 ORDER BY doc_id"
 
+  /** Replay of the leakage-safe split: cluster closure (shared CTE) →
+    * representative per doc (singletons are their own rep) → the SAME
+    * MINSTD hash/cuts as [[dataSplitOracle]] applied to the rep →
+    * per-split counts, plus the straddling-pair count (must be 0 by
+    * construction — same rep ⇒ same split).
+    */
+  private val splitLeakageSafeOracle: String = {
+    val cuts = dataSplits.scanLeft(0.0)(_ + _._2).tail
+    val cases = dataSplits.zip(cuts).init
+      .map { case ((name, _), cut) => s"WHEN u < $cut THEN '$name'" }
+      .mkString(" ")
+    s"$jaccardClosureCte, " +
+      "cl AS (SELECT node, min(reach) AS rep FROM closure GROUP BY 1), " +
+      "r AS (SELECT d.doc_id, COALESCE(cl.rep, d.doc_id) AS rep " +
+      "FROM documents d LEFT JOIN cl ON d.doc_id = cl.node), " +
+      "hh AS (SELECT doc_id, rep, " +
+      "((((CAST(rep AS BIGINT) * 48271) % 2147483647) * 48271 " +
+      "% 2147483647) * 48271 % 2147483647) / 2147483647.0 AS u " +
+      "FROM r), " +
+      s"sp AS (SELECT doc_id, rep, CASE $cases " +
+      s"ELSE '${dataSplits.last._1}' END AS split FROM hh), " +
+      "viol AS (SELECT count(*) AS v FROM p " +
+      "JOIN sp a ON p.id_a = a.doc_id " +
+      "JOIN sp b ON p.id_b = b.doc_id WHERE a.split <> b.split) " +
+      "SELECT split, count(*) AS n_docs, " +
+      "count(DISTINCT rep) AS n_clusters, " +
+      "(SELECT v FROM viol) AS cross_split_pairs " +
+      "FROM sp GROUP BY 1 ORDER BY 1"
+  }
+
   private val dedupSavingsOracle: String =
     s"$jaccardClosureCte, " +
       "rm AS (SELECT node AS doc_id FROM closure GROUP BY node " +
@@ -2014,6 +2044,39 @@ object SparkEntry {
         inSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
           "HOUSEHOLD", "MACHINERY"), 1.0)))
     }),
+    // Z-order clustering key: Morton interleave of (l_partkey,
+    // l_suppkey) on a 16-bit grid with fixed bounds — the sort key
+    // layoutZOrder range-partitions files by (file-skipping evidence
+    // is measured in ZOrderSpec; this pins the code arithmetic)
+    "zorder_code" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .where(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        operators.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey"),
+          0.0, 4000.0, 0.0, 200.0).as("zcode"))
+      .orderBy("l_orderkey", "l_linenumber")),
+    // incremental view maintenance: two batch states (orders before /
+    // after a cutover date) merged WITHOUT rescanning raw rows must
+    // equal the direct full aggregation the oracle computes; the HLL
+    // flag pins the sketch merge like hll_rollup
+    "ivm_merge" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val keys = Seq("o_orderstatus")
+      val cut = "1997-01-01"
+      val merged = operators.Ivm.merge(Seq(
+        operators.Ivm.aggState(orders.where(col("o_orderdate") < cut),
+          keys, "o_totalprice", "o_custkey"),
+        operators.Ivm.aggState(orders.where(col("o_orderdate") >= cut),
+          keys, "o_totalprice", "o_custkey")), keys)
+      val exact = orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      operators.Ivm.finalizeState(merged, keys)
+        .join(exact, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n"), col("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")) /
+            col("n_exact") <= 0.05).cast("int").as("within_5pct"))
+        .orderBy("o_orderstatus")
+    }),
     // CDC: insert/update/delete classification between two snapshots
     // (both derived deterministically from orders so the oracle can
     // rebuild them); one full-outer sort-merge join, unchanged keys
@@ -2342,6 +2405,33 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy("split")),
+    // leakage-safe split: the split is assigned on the duplicate-
+    // CLUSTER representative, not the doc, so near-duplicate docs can
+    // never straddle train/test (the classic eval-contamination bug);
+    // cross_split_pairs is the violation count, oracle-pinned at 0
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        "source", threshold = 0.9, shingleSize = 1)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val rep = docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      val assigned = Sampling.assignSplits(rep, "rep", dataSplits)
+      val viol = pairs
+        .join(assigned.select(col("doc_id").as("id_a"),
+          col("split").as("sp_a")), "id_a")
+        .join(assigned.select(col("doc_id").as("id_b"),
+          col("split").as("sp_b")), "id_b")
+        .where(col("sp_a") =!= col("sp_b"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .crossJoin(broadcast(viol))
+        .orderBy("split")
+    }),
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
@@ -2696,6 +2786,7 @@ object SparkEntry {
     "doc_length_hist" -> docLengthHistOracle,
     "pack_sequences" -> packSequencesOracle,
     "data_split" -> dataSplitOracle,
+    "split_leakage_safe" -> splitLeakageSafeOracle,
     "freq_orders_custkey_top10" -> freqOracle("orders",
       Seq("o_custkey" -> false), 5L, 10),
     "summary_part"     -> summaryOracle("part"),
@@ -2799,6 +2890,21 @@ object SparkEntry {
           "c_custkey", "supplier", "s_suppkey") +
         " ORDER BY pair"
     },
+    "zorder_code" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        graft.operators.ZOrder.mortonSql("l_partkey", "l_suppkey",
+          0.0, 4000.0, 0.0, 200.0) + " AS zcode " +
+        "FROM lineitem WHERE l_orderkey < 400 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "ivm_merge" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_v, " +
+        "min(o_totalprice) AS min_v, max(o_totalprice) AS max_v, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) / count(*), 6) AS avg_v, " +
+        "count(DISTINCT o_custkey) AS n_exact, 1 AS within_5pct " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "cdc_diff" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderkey % 10 <> 0), " +

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering layout — the multi-dimensional
+  * data-skipping technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+  * interleaving the bits of two normalized columns produces a 1-D sort
+  * key whose contiguous ranges are 2-D tiles, so range-partitioning
+  * files by the Z-value keeps per-file min/max statistics tight on
+  * BOTH columns at once. A predicate on EITHER column then skips most
+  * files, where a plain 1-D sort only ever skips on its sort column.
+  *
+  * Everything is plain integer/double column arithmetic (shift, mask,
+  * multiply-add) — codegen'd end to end and bit-replayable in any
+  * engine, which is what the contract oracle does.
+  */
+object ZOrder {
+
+  /** Morton code of (x, y): each value is affinely mapped onto the
+    * `bits`-bit grid over its caller-supplied [min, max] bounds
+    * (clamped), then the grid coordinates' bits are interleaved
+    * (x even positions, y odd). Bounds are parameters, not a data
+    * scan: at 100 TB the writer knows its domain, and codes stay
+    * stable across batches — re-deriving bounds per batch would
+    * re-tile the space every ingest.
+    */
+  def mortonCode(x: Column, y: Column,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val hi = (1L << bits) - 1
+    def grid(c: Column, lo: Double, up: Double): Column =
+      least(greatest(
+        floor((c.cast("double") - lo) * hi / (up - lo)).cast("long"),
+        lit(0L)), lit(hi))
+    val ux = grid(x, xMin, xMax)
+    val uy = grid(y, yMin, yMax)
+    (0 until bits).map { b =>
+      shiftright(ux, b).bitwiseAND(1) * (1L << (2 * b)) +
+        shiftright(uy, b).bitwiseAND(1) * (1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The DuckDB expression computing the identical Morton code —
+    * kept next to the operator so engine and oracle can never drift.
+    */
+  def mortonSql(x: String, y: String,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      bits: Int = 16): String = {
+    val hi = (1L << bits) - 1
+    def grid(c: String, lo: Double, up: Double): String =
+      s"least(greatest(CAST(floor((CAST($c AS DOUBLE) - $lo) * $hi " +
+        s"/ (${up - lo})) AS BIGINT), 0), $hi)"
+    val ux = grid(x, xMin, xMax)
+    val uy = grid(y, yMin, yMax)
+    (0 until bits).map { b =>
+      s"((($ux >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"((($uy >> $b) & 1)) * ${1L << (2 * b + 1)})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Write `df` Z-clustered on (xCol, yCol): range-partition into
+    * `numFiles` contiguous Z-ranges, sort each file by Z. One shuffle
+    * at write time buys file-level skipping on both columns for every
+    * read after.
+    */
+  def layoutZOrder(df: DataFrame, xCol: String, yCol: String,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      numFiles: Int, path: String): Unit =
+    df.withColumn("z",
+        mortonCode(col(xCol), col(yCol), xMin, xMax, yMin, yMax))
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+}

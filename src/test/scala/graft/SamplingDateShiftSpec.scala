@@ -81,6 +81,17 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split keeps every near-dup pair in one split and " +
+      "assigns every doc (sf0.001 documents)") {
+    val out = SparkEntry.queries("split_leakage_safe")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(1)).sum == 500, "every doc gets a split")
+    assert(out.forall(_.getLong(3) == 0L),
+      s"near-dup pairs straddle splits: ${out.mkString(", ")}")
+    // clusters collapse docs: strictly fewer clusters than docs overall
+    assert(out.map(_.getLong(2)).sum < 500)
+  }
+
   test("asof join matches the latest right row at-or-before each left " +
       "row, null when none precedes") {
     import graft.operators.AsofJoin
