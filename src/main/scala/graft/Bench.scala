@@ -98,6 +98,8 @@ object Bench {
       "drift_ks_matrix", "hist_equidepth", "bpe_encode",
       "multimodal_features", "multimodal_resize", "dedup_containment",
       "text_novelty", "corr_matrix",
+      "chunk_documents", "split_leakage_safe", "cdc_diff",
+      "scd2_history", "ivm_merge", "knn_pq",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",

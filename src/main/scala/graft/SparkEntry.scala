@@ -2148,6 +2148,28 @@ object SparkEntry {
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
     "tpch_q7" -> ((s, dir) => tpchQ7(s, dir)),
+    // Q4 shape: date-windowed EXISTS semi-join + agg (adapted to this
+    // schema's columns: flagged lineitems stand in for late deliveries)
+    "tpch_q4" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-07-01" &&
+          col("o_orderdate") < "1996-10-01")
+      val l = tbl(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R").select("l_orderkey")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // Q6 shape: highly selective scan-local filter + single agg — the
+    // pushdown/codegen benchmark head
+    "tpch_q6" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .where(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))),
     // per-group heavy hitters: one Misra-Gries sketch per group in a
     // single aggregation (capacity 4096 >> the 31 distinct tokens per
     // source, so counts are exact and the oracle replays them)
@@ -2442,6 +2464,17 @@ object SparkEntry {
     // spec in DedupSimilaritySpec
     "embed_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairsReplayable(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    // contrastive-training mining: per query the top-k corpus rows in
+    // the [0.3, 0.8) cosine band — informative negatives below the
+    // near-dup band (which would be false negatives)
+    "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numQueries = 10, k = 5, simLo = 0.3, simHi = 0.8)),
+    // RAG chunking: 32-token sliding windows advancing by 24 (8-token
+    // overlap); pure projection+explode, zero shuffle
+    "chunk_documents" -> ((s, dir) => operators.TextMetrics.chunkDocs(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)),
     // SemDeDup: near-dup pairs mined only within coarse-quantizer
     // clusters — the O(sum cluster^2) path that replaces the exact
     // grid self-join at corpus scale
@@ -2836,6 +2869,45 @@ object SparkEntry {
     "semantic_dedup" -> semanticDedupOracle,
     "group_quantiles" -> groupQuantilesOracle,
     "tpch_q7" -> tpchQ7Oracle,
+    "tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= '1996-07-01' " +
+        "AND o_orderdate < '1996-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_q6" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice * l_discount " +
+        "AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= '1996-01-01' " +
+        "AND l_shipdate < '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "hard_negatives" ->
+      (s"WITH $vecCte, " +
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+        "FROM n WHERE vec_id < 10), " +
+        "p AS (SELECT q.query_id, n.vec_id AS id, " +
+        "round(list_sum(list_transform(generate_series(1, " +
+        "len(q.qvec)), i -> q.qvec[i] * n.vec[i])) / " +
+        "(q.qnrm * n.nrm), 6) AS sim " +
+        "FROM q, n WHERE n.vec_id <> q.query_id), " +
+        "f AS (SELECT * FROM p WHERE sim >= 0.3 AND sim < 0.8), " +
+        "r AS (SELECT query_id, id, sim, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM f) " +
+        "SELECT query_id, CAST(rn AS INT) AS rn, id AS negative_id, " +
+        "sim FROM r WHERE rn <= 5 ORDER BY query_id, rn"),
+    "chunk_documents" ->
+      ("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') " +
+        "AS tk FROM documents), " +
+        "c AS (SELECT doc_id, tk, greatest(CAST(ceil(" +
+        "CAST(len(tk) - 8 AS DOUBLE) / 24) AS INT), 1) AS nc FROM t), " +
+        "e AS (SELECT doc_id, tk, unnest(range(0, nc)) AS ci FROM c), " +
+        "w AS (SELECT doc_id, ci, " +
+        "tk[ci * 24 + 1 : ci * 24 + 32] AS w FROM e) " +
+        "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, " +
+        "CAST(len(w) AS INT) AS n_tok, " +
+        "array_to_string(w, ' ') AS chunk_text FROM w " +
+        "ORDER BY doc_id, chunk_idx"),
     "group_topk" -> groupTopkOracle,
     "summary_approx_contract" -> sketchContractOracle,
     "summary_onepass_contract" -> sketchContractOracle,

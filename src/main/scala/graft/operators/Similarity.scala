@@ -446,6 +446,36 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive training (the in-between
+    * band of DPR/SimCSE-style pipelines): per query, the top-k corpus
+    * rows whose cosine lies in [simLo, simHi) — similar enough to be
+    * informative negatives, below the near-duplicate band that would
+    * make them false negatives. Same scan shape as [[knnBruteForce]]
+    * (query side broadcast, corpus streamed once); at corpus scale
+    * swap the scorer for [[knnPq]]'s ADC shortlist and band-filter the
+    * rerank instead — the band logic is one `where` either way.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, k: Int, simLo: Double, simHi: Double)
+      : DataFrame = {
+    val v = normed(df, idCol, vecCol)
+    val q = v.where(col("id") < numQueries)
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id"))
+    v.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosine(col("qvec"), col("vec"), col("qnorm"),
+          col("norm")), 6))
+      .where(col("sim") >= simLo && col("sim") < simHi)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("rn"),
+        col("id").as("negative_id"), col("sim"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Bucket equality join → exact-cosine verification, shared by both
     * LSH variants.
     */

@@ -144,6 +144,35 @@ object TextMetrics {
       .orderBy("source", "chunk")
   }
 
+  /** RAG-style sliding-window chunking: each document's token array is
+    * cut into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens of context. Pure per-row projection + explode — no
+    * shuffle at all; chunk count per doc is ⌈max(n−overlap,1) /
+    * stride⌉, and the final short window is kept (a retrieval index
+    * must cover the tail, not drop it).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / stride).cast("int"),
+      lit(1))
+    df.select(col(idCol).as("doc_id"), toks.as("t"), nChunks.as("nc"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens)).as("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).as("n_tok"),
+        array_join(col("w"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Within-document repetition profile (Gopher-style duplicate-text
     * signals): per document, the fraction of tokens belonging to
     * repeated token TYPES (a type occurring k>1 times contributes all

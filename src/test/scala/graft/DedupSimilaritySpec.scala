@@ -305,6 +305,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"pq recall $recall%.3f below the 0.85 floor")
   }
 
+  test("hard negatives stay inside the band and below the near-dup " +
+      "zone (sf0.001 embeddings)") {
+    val out = Similarity.hardNegatives(realVecs, "vec_id", "embedding",
+      numQueries = 10, k = 5, simLo = 0.3, simHi = 0.8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val s = r.getDouble(3); s >= 0.3 && s < 0.8
+    }, "similarity outside the mining band")
+    // per query: ranks are 1..n and similarities non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("semantic dedup: precision 1.0 vs exact pairs, positive " +
       "within-cluster recall (sf0.001 embeddings)") {
     val t = 0.45

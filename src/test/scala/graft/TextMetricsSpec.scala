@@ -16,6 +16,33 @@ class TextMetricsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("chunkDocs: sliding windows overlap, cover the tail, and " +
+      "handle short docs") {
+    // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6: the last window
+    // already reaches the end, so no redundant tail chunk is emitted
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y")                      // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = operators.TextMetrics.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq("a b c d", "c d e f", "e f g h",
+      "g h i j"))
+    // every adjacent pair shares the 2-token overlap
+    d1.sliding(2).collect { case Array(p, n) => (p, n) }.foreach {
+      case (p, n) =>
+        assert(p._4.split(" ").takeRight(2).sameElements(
+          n._4.split(" ").take(2)))
+    }
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("x y"))
+    // reconstruction: de-overlapped concat yields the original tokens
+    val rebuilt = d1.head._4.split(" ") ++
+      d1.tail.flatMap(_._4.split(" ").drop(2))
+    assert(rebuilt.mkString(" ") == "a b c d e f g h i j")
+  }
+
   test("decontaminate counts distinct shared n-grams per doc and " +
       "skips clean docs") {
     val corpus = Seq(
