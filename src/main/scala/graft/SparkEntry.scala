@@ -1381,6 +1381,27 @@ object SparkEntry {
       "SELECT node AS doc_id, min(reach) AS cluster_rep " +
       "FROM closure GROUP BY 1 ORDER BY doc_id"
 
+  /** Full-rebuild SCD2 replay (shared by `scd2_history` and the
+    * incremental `scd2_merge`, whose whole contract is equality with
+    * this rebuild).
+    */
+  private val scd2HistoryOracle: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, " +
+      "event_id FROM events), " +
+      "c AS (SELECT *, lag(event_type) OVER w AS prev, " +
+      "row_number() OVER w AS rn FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+      "ch AS (SELECT user_id, ts_us, event_id, event_type FROM c " +
+      "WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+      "v AS (SELECT user_id, event_type, ts_us AS valid_from_us, " +
+      "lead(ts_us) OVER w2 AS valid_to_us, " +
+      "row_number() OVER w2 AS version FROM ch " +
+      "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+      "SELECT user_id, CAST(version AS INT) AS version, event_type, " +
+      "valid_from_us, valid_to_us, " +
+      "CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current " +
+      "FROM v ORDER BY user_id, version"
+
   /** Replay of the leakage-safe split: cluster closure (shared CTE) →
     * representative per doc (singletons are their own rep) → the SAME
     * MINSTD hash/cuts as [[dataSplitOracle]] applied to the rep →
@@ -2103,6 +2124,25 @@ object SparkEntry {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("is_current"))
       .orderBy("user_id", "version")),
+    // incremental SCD2: history built from the first half of the log,
+    // the second half applied as a delta batch — untouched keys keep
+    // their rows verbatim, touched keys replay change points + delta.
+    // The oracle is the FULL-rebuild SQL, so incremental == batch is
+    // driver-pinned
+    "scd2_merge" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cut = "2024-01-16"
+      val base = Cdc.scd2(ev.where(col("ts") < cut),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      val merged = Cdc.scd2Merge(base,
+        ev.where(col("ts") >= cut),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      merged.select(col("user_id"), col("version"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
     // profiling extension — column-pair dependence (functional-
     // dependency candidates score MI ≈ min entropy)
     "mutual_info" -> ((s, dir) => Profile.mutualInfo(
@@ -3001,22 +3041,9 @@ object SparkEntry {
         "SELECT o_orderkey, action, " +
         "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
         "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"),
-    "scd2_history" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, " +
-        "event_id FROM events), " +
-        "c AS (SELECT *, lag(event_type) OVER w AS prev, " +
-        "row_number() OVER w AS rn FROM e " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
-        "ch AS (SELECT user_id, ts_us, event_id, event_type FROM c " +
-        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
-        "v AS (SELECT user_id, event_type, ts_us AS valid_from_us, " +
-        "lead(ts_us) OVER w2 AS valid_to_us, " +
-        "row_number() OVER w2 AS version FROM ch " +
-        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
-        "SELECT user_id, CAST(version AS INT) AS version, event_type, " +
-        "valid_from_us, valid_to_us, " +
-        "CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current " +
-        "FROM v ORDER BY user_id, version"),
+    "scd2_history" -> scd2HistoryOracle,
+    // the incremental merge must equal the batch rebuild — same oracle
+    "scd2_merge" -> scd2HistoryOracle,
     "quality_checks" -> {
       // one aggregate subquery (mirroring the engine's single pass),
       // melted via UNION ALL; every literal cast so types match the

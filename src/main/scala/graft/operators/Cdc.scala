@@ -51,6 +51,40 @@ object Cdc {
       .orderBy(col("action") +: keyCols.map(col): _*)
   }
 
+  /** Apply a new event batch to an existing SCD2 history WITHOUT
+    * rebuilding untouched keys — the incremental path that keeps a
+    * 100 TB dimension table fresh per micro-batch. Keys absent from
+    * the delta keep their history rows verbatim (a left-anti join);
+    * only touched keys replay, and their replay input is the
+    * history's change points (one row per version, which already
+    * reproduce the original change sequence) unioned with the delta
+    * rows. The result is EXACTLY what [[scd2]] over the full log
+    * would produce — late/out-of-order delta events included, since
+    * the replay re-sorts the union.
+    *
+    * `history` must carry the [[scd2]] output shape plus the tie
+    * columns are lost at version granularity, so ties are broken by
+    * `valid_from` alone on replayed change points — pass the same
+    * `tieCols` used to build the history and they order the delta
+    * rows; history rows sort at tie value null (FIRST among equals,
+    * matching their origin as the earliest event at that timestamp).
+    */
+  def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
+      tsCol: String, attrCol: String, tieCols: Seq[String] = Nil)
+      : DataFrame = {
+    val touched = delta.select(col(keyCol)).distinct()
+    val untouched = history.join(touched, Seq(keyCol), "left_anti")
+    val replayBase = history.join(touched, Seq(keyCol), "left_semi")
+      .select(Seq(col(keyCol), col("valid_from").as(tsCol),
+        col(attrCol)) ++
+        tieCols.map(t => lit(null).cast("long").as(t)): _*)
+    val replayDelta = delta
+      .select((Seq(keyCol, tsCol, attrCol) ++ tieCols).map(col): _*)
+    val rebuilt = scd2(replayBase.unionByName(replayDelta),
+      keyCol, tsCol, attrCol, tieCols)
+    untouched.unionByName(rebuilt)
+  }
+
   /** Build an SCD type-2 history from an event log: per key, rows
     * where `attrCol` null-safely differs from its previous value open
     * a new version; `valid_from` is that event's time, `valid_to` the

@@ -60,6 +60,36 @@ class CdcSpec extends AnyFunSuite {
       (9L, 1, Some("solo"), 1L, -1L, 1)))
   }
 
+  test("scd2Merge equals the full rebuild, including late deltas and " +
+      "untouched keys") {
+    def ev(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("user_id", "seq", "plan")
+        .selectExpr("user_id", "timestamp_micros(seq) AS ts", "seq",
+          "plan")
+    val baseRows = Seq((1L, 10L, "a"), (1L, 20L, "b"),
+      (2L, 10L, "x"), (3L, 15L, "q"))
+    // user 1 gets new changes INCLUDING one before its last version
+    // (late data); user 2 gets a no-op repeat; user 3 untouched
+    val deltaRows = Seq((1L, 15L, "c"), (1L, 30L, "d"), (2L, 40L, "x"))
+    val merged = Cdc.scd2Merge(
+      Cdc.scd2(ev(baseRows), "user_id", "ts", "plan", Seq("seq")),
+      ev(deltaRows), "user_id", "ts", "plan", Seq("seq"))
+    val full = Cdc.scd2(ev(baseRows ++ deltaRows),
+      "user_id", "ts", "plan", Seq("seq"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("user_id", "version", "plan",
+        "unix_micros(valid_from) AS f", "unix_micros(valid_to) AS t",
+        "is_current")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getInt(5))).toSet
+    assert(canon(merged) == canon(full))
+    // late delta split user 1's history: a[10,15) c[15,20) b[20,30) d
+    assert(canon(merged).count(_._1 == 1L) == 4)
+    // user 2's repeat opened no version
+    assert(canon(merged).count(_._1 == 2L) == 1)
+  }
+
   test("scd2 plans ONE exchange for both windows") {
     val events = Seq((1L, 1L, "a")).toDF("user_id", "seq", "plan")
       .selectExpr("user_id", "timestamp_micros(seq) AS ts", "seq", "plan")
