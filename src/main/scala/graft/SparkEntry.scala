@@ -2124,6 +2124,30 @@ object SparkEntry {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("is_current"))
       .orderBy("user_id", "version")),
+    // entity resolution: customers linked to a deterministically
+    // dirtied twin (one-char name edit, small balance jitter) via
+    // nation-blocked levenshtein + numeric tolerance; ground truth =
+    // same custkey, so per-block precision is part of the contract
+    "entity_resolution" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val clean = cust.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("blk"), col("c_name").as("s_a"),
+        col("c_acctbal").as("v_a"))
+      val dirty = cust.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("blk"),
+        concat(substring(col("c_name"), 1, 8), lit("-"),
+          substring(col("c_name"), 10, 9)).as("s_b"),
+        (col("c_acctbal") + when(col("c_custkey") % 7 === 0,
+          lit(0.001)).otherwise(lit(0.0))).as("v_b"))
+      operators.EntityResolution
+        .scoredCandidates(clean, dirty, maxEdit = 2, numTol = 0.005)
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("matched")).as("n_matched"),
+          sum(when(col("matched") === 1 && col("id_a") === col("id_b"),
+            1L).otherwise(0L)).as("n_correct"))
+        .orderBy("blk")
+    }),
     // incremental SCD2: history built from the first half of the log,
     // the second half applied as a delta batch — untouched keys keep
     // their rows verbatim, touched keys replay change points + delta.
@@ -2791,6 +2815,11 @@ object SparkEntry {
     }),
     // streaming: incremental windowed profile + stateful sessionization
     // (flatMapGroupsWithState), plus the window-function batch twin
+    // streaming IVM: a foreachBatch sink folds each micro-batch's agg
+    // state into a persistent state table; the final rollup must equal
+    // the batch recompute (monoid merge ⇒ batch-boundary-independent)
+    "streaming_ivm" -> ((s, dir) =>
+      graft.streaming.StreamingIvm.runStreamingIvm(s, dir)),
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
     // streaming drift monitor: hourly event-type mix PSI-scored
     // against the full-corpus reference — windowed counts accumulate
@@ -3008,6 +3037,24 @@ object SparkEntry {
           0.0, 4000.0, 0.0, 200.0) + " AS zcode " +
         "FROM lineitem WHERE l_orderkey < 400 " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "entity_resolution" ->
+      ("WITH a AS (SELECT c_custkey AS id_a, c_nationkey AS blk, " +
+        "c_name AS s_a, c_acctbal AS v_a FROM customer), " +
+        "b AS (SELECT c_custkey AS id_b, c_nationkey AS blk, " +
+        "substring(c_name, 1, 8) || '-' || substring(c_name, 10, 9) " +
+        "AS s_b, " +
+        "c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 0.001 " +
+        "ELSE 0.0 END AS v_b FROM customer), " +
+        "c AS (SELECT a.blk, id_a, id_b, " +
+        "levenshtein(s_a, s_b) AS edit, " +
+        "CASE WHEN levenshtein(s_a, s_b) <= 2 " +
+        "AND abs(v_a - v_b) <= 0.005 THEN 1 ELSE 0 END AS m " +
+        "FROM a JOIN b ON a.blk = b.blk) " +
+        "SELECT blk, count(*) AS n_candidates, " +
+        "CAST(sum(m) AS BIGINT) AS n_matched, " +
+        "CAST(sum(CASE WHEN m = 1 AND id_a = id_b THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
     "ivm_merge" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
@@ -3353,6 +3400,14 @@ object SparkEntry {
         "SELECT e.event_id, r.last_order FROM e " +
         "ASOF LEFT JOIN r ON e.user_id = r.k AND e.tu >= r.tu " +
         "ORDER BY event_id"),
+    "streaming_ivm" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ count(*), 6) AS avg_v, " +
+        "count(DISTINCT user_id) AS n_exact, 1 AS within_5pct " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "streaming_profile" -> streamingProfileOracle,
     "stream_drift" -> streamDriftOracle,
     "streaming_enriched" -> streamingEnrichedOracle,

@@ -12,6 +12,31 @@ class TextStreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("streaming IVM equals the batch rollup and reruns do not " +
+      "double-count (sf0.001 events)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.streaming.StreamingIvm
+      .runStreamingIvm(spark, dir)
+      .select("event_type", "n", "sum_v", "min_v", "max_v", "avg_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val first = run()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_v"),
+        min("value").cast("double").as("min_v"),
+        max("value").cast("double").as("max_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(first.map(t => (t._1, t._2, t._3, t._4, t._5)) == batch)
+    // a second full run restages and rebuilds state from scratch
+    assert(run() == first, "rerun drifted — state leaked across runs")
+  }
+
   test("language ID recognizes real multilingual snippets") {
     val samples = Seq(
       "the cat and the dog sat by the fire with a book for you",
