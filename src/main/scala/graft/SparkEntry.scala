@@ -2124,6 +2124,45 @@ object SparkEntry {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("is_current"))
       .orderBy("user_id", "version")),
+    // privacy: k-anonymity audit of the (nation, segment) quasi-
+    // identifier — one groupBy + one rollup row
+    "k_anonymity" -> ((s, dir) => operators.Privacy.kAnonymity(
+      tbl(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      k = 10)),
+    // privacy: disclosure-limited counts with seeded (replayable)
+    // Laplace noise — production swaps the seed for a real RNG
+    "dp_counts" -> ((s, dir) => operators.Privacy.dpCounts(
+      tbl(s, dir, "customer"), "c_mktsegment", eps = 1.0)),
+    // sketch set ops: pairwise distinct-user overlap between event
+    // types via HLL inclusion-exclusion (|A|+|B|−|A∪B|) — mergeable
+    // sketches, never a re-scan per pair; exact side + tolerance flag
+    "distinct_overlap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"))
+      val est = a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          (hll_sketch_estimate(col("sk_a")) +
+            hll_sketch_estimate(col("sk_b")) -
+            hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+            .as("est"))
+      val d = ev.select("event_type", "user_id").distinct()
+      val exact = d.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(d.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.15)
+            .cast("int").as("within_15pct"))
+        .orderBy("type_a", "type_b")
+    }),
     // entity resolution: customers linked to a deterministically
     // dirtied twin (one-char name edit, small balance jitter) via
     // nation-blocked levenshtein + numeric tolerance; ground truth =
@@ -3037,6 +3076,48 @@ object SparkEntry {
           0.0, 4000.0, 0.0, 200.0) + " AS zcode " +
         "FROM lineitem WHERE l_orderkey < 400 " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "k_anonymity" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_groups, " +
+        "CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_violating, " +
+        "CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) " +
+        "AS n_rows_at_risk, " +
+        "min(sz) AS min_group, " +
+        "round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) " +
+        "AS DOUBLE) / sum(sz), 9) AS suppression_rate FROM g"),
+    "dp_counts" ->
+      ("WITH h0 AS (SELECT c_mktsegment AS g, count(*) AS n " +
+        "FROM customer GROUP BY 1), " +
+        "hh AS (SELECT g, n, list_reduce(" +
+        "list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(range(1, length(g) + 1), " +
+        "i -> CAST(ascii(substr(g, i, 1)) AS HUGEINT))), " +
+        "(acc, x) -> ((acc + x) * 6364136223846793005) " +
+        "% 18446744073709551616) AS hu FROM h0), " +
+        "hs AS (SELECT g, n, CAST(CASE WHEN hu >= " +
+        "CAST(9223372036854775808 AS HUGEINT) THEN hu - " +
+        "CAST(18446744073709551616 AS HUGEINT) ELSE hu END " +
+        "AS BIGINT) AS hsig FROM hh), " +
+        "v1 AS (SELECT g, n, ((hsig % 2147483647) + 2147483647) " +
+        "% 2147483647 AS v FROM hs), " +
+        "v2 AS (SELECT g, n, (v * 48271) % 2147483647 AS v FROM v1), " +
+        "v3 AS (SELECT g, n, (v * 48271) % 2147483647 AS v FROM v2), " +
+        "v4 AS (SELECT g, n, (v * 48271) % 2147483647 AS v FROM v3), " +
+        "u AS (SELECT g, n, (CAST(v AS DOUBLE) + 0.5) / 2147483647.0 " +
+        "- 0.5 AS u FROM v4) " +
+        "SELECT g AS c_mktsegment, " +
+        "round(n + round(-1.0 * (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 " +
+        "END) * ln(1.0 - 2.0 * abs(u)), 3), 3) AS noisy_n " +
+        "FROM u ORDER BY 1"),
+    "distinct_overlap" ->
+      ("WITH d AS (SELECT DISTINCT event_type, user_id FROM events) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS n_exact, 1 AS within_15pct " +
+        "FROM d a JOIN d b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "entity_resolution" ->
       ("WITH a AS (SELECT c_custkey AS id_a, c_nationkey AS blk, " +
         "c_name AS s_a, c_acctbal AS v_a FROM customer), " +

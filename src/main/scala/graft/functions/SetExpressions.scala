@@ -236,6 +236,48 @@ object PolySimHash64 {
   val Init = 1125899906842597L
 }
 
+/** The scalar LCG char fold of one STRING — the same (h+c)·A mod 2⁶⁴
+  * recurrence [[PolySimHash64]] applies per token, exposed directly so
+  * seeded-noise/bucketing operators get a SQL-replayable hash (DuckDB
+  * mirrors it in HUGEINT arithmetic). Native because Java's wrapping
+  * multiply is the semantics — ANSI-mode Column arithmetic would throw
+  * on the intentional overflow.
+  */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = PolySimHash64.Init
+    var k = 0
+    while (k < s.length) {
+      h = (h + s.charAt(k)) * PolySimHash64.A
+      k += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val k = ctx.freshName("k")
+      s"""
+         |String $s = $a.toString();
+         |long $h = ${PolySimHash64.Init}L;
+         |for (int $k = 0; $k < $s.length(); $k++) {
+         |  $h = ($h + $s.charAt($k)) * ${PolySimHash64.A}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** The SORTED DISTINCT n-gram window hashes of a token array, as one
   * native codegen expression: tokens hashed once (xxh64 seed 42), each
   * window combining its n token hashes by chained hashLong (the same
@@ -361,4 +403,8 @@ object SetExpressions {
   /** SQL-replayable SimHash twin (LCG token hash). */
   def polySimhash64(tokens: Column): Column =
     ColumnBridge.column(PolySimHash64(ColumnBridge.expression(tokens)))
+
+  /** Scalar LCG char fold of a string (SQL-replayable, wraps mod 2⁶⁴). */
+  def polyHash64(s: Column): Column =
+    ColumnBridge.column(PolyHash64(ColumnBridge.expression(s)))
 }
