@@ -2124,6 +2124,10 @@ object SparkEntry {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("is_current"))
       .orderBy("user_id", "version")),
+    // time-series regularization: per-user daily grid with forward
+    // fill — one shuffle, per-key generated calendar (no driver loop)
+    "resample_ffill" -> ((s, dir) => operators.Resample.dailyForwardFill(
+      tbl(s, dir, "events"), "user_id", "ts", "value")),
     // privacy: k-anonymity audit of the (nation, segment) quasi-
     // identifier — one groupBy + one rollup row
     "k_anonymity" -> ((s, dir) => operators.Privacy.kAnonymity(
@@ -3076,6 +3080,27 @@ object SparkEntry {
           0.0, 4000.0, 0.0, 200.0) + " AS zcode " +
         "FROM lineitem WHERE l_orderkey < 400 " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "resample_ffill" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+        "CAST(ts AS DATE) AS day, value FROM events), " +
+        "d AS (SELECT user_id, day, value FROM (" +
+        "SELECT user_id, day, value, row_number() OVER " +
+        "(PARTITION BY user_id, day ORDER BY ts_us DESC, value DESC) " +
+        "AS rn FROM e) WHERE rn = 1), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 " +
+        "FROM d GROUP BY 1), " +
+        "grid AS (SELECT user_id, " +
+        "CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+        "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM span), " +
+        "j AS (SELECT g.user_id, g.day, d.value FROM grid g " +
+        "LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day) " +
+        "SELECT user_id, day, " +
+        "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS v_ffill, " +
+        "CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END " +
+        "AS is_observed FROM j ORDER BY user_id, day"),
     "k_anonymity" ->
       ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz " +
         "FROM customer GROUP BY 1, 2) " +
