@@ -56,18 +56,24 @@ object Cdc {
     * 100 TB dimension table fresh per micro-batch. Keys absent from
     * the delta keep their history rows verbatim (a left-anti join);
     * only touched keys replay, and their replay input is the
-    * history's change points (one row per version, which already
-    * reproduce the original change sequence) unioned with the delta
-    * rows. The result is EXACTLY what [[scd2]] over the full log
-    * would produce — late/out-of-order delta events included, since
-    * the replay re-sorts the union.
+    * history's change points (one row per version) unioned with the
+    * delta rows, re-sorted.
     *
-    * `history` must carry the [[scd2]] output shape plus the tie
-    * columns are lost at version granularity, so ties are broken by
-    * `valid_from` alone on replayed change points — pass the same
-    * `tieCols` used to build the history and they order the delta
-    * rows; history rows sort at tie value null (FIRST among equals,
-    * matching their origin as the earliest event at that timestamp).
+    * Equals [[scd2]] over the full log when batches PARTITION EVENT
+    * TIME (every delta event at or after the base log's events for
+    * that key — what any time-cut/append ingestion gives you). A
+    * delta older than that can still merge correctly when it only
+    * crosses retained change points (the spec covers one), but a
+    * delta landing inside a base run whose later same-attribute
+    * events were dropped as no-ops is unrecoverable from history
+    * alone — those keys need a raw-source rebuild, the standard SCD2
+    * late-arrival limitation.
+    *
+    * `history` must carry the [[scd2]] output shape; the tie columns
+    * are lost at version granularity, so replayed change points sort
+    * at tie value null (FIRST among equals, matching their origin as
+    * the earliest event at that timestamp) while `tieCols` order the
+    * delta rows.
     */
   def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
       tsCol: String, attrCol: String, tieCols: Seq[String] = Nil)

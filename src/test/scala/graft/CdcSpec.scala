@@ -90,6 +90,77 @@ class CdcSpec extends AnyFunSuite {
     assert(canon(merged).count(_._1 == 2L) == 1)
   }
 
+  test("fuzz: scd2 agrees with an independent in-memory reference " +
+      "over random logs (ties, nulls, single-event keys)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 25) {
+      val n = 1 + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(4).toLong,            // user
+          (1 + rnd.nextInt(10)).toLong,    // ts with collisions
+          i.toLong,                        // unique tie
+          if (rnd.nextInt(5) == 0) null
+          else s"v${rnd.nextInt(3)}")      // attr incl. nulls
+      }
+      val df = rows.toDF("u", "seq", "tie", "a")
+        .selectExpr("u", "timestamp_micros(seq) AS ts", "tie", "a")
+      val got = Cdc.scd2(df, "u", "ts", "a", Seq("tie"))
+        .selectExpr("u", "version", "a", "unix_micros(valid_from)",
+          "unix_micros(valid_to)", "is_current")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          Option(r.getString(2)), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(5))).toSet
+      // reference: per key sort by (ts, tie), keep change points,
+      // then valid_to = next change point's ts
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val changes = sorted.foldLeft(
+          Vector.empty[(Long, Option[String])]) { (acc, r) =>
+          val a = Option(r._4)
+          if (acc.isEmpty || acc.last._2 != a) acc :+ ((r._2, a))
+          else acc
+        }
+        changes.zipWithIndex.map { case ((ts, a), i) =>
+          val to = if (i + 1 < changes.length) changes(i + 1)._1
+                   else -1L
+          (u, i + 1, a, ts, to, if (to == -1L) 1 else 0)
+        }
+      }.toSet
+      assert(got == want, s"round $round: log = $rows")
+    }
+  }
+
+  test("fuzz: time-cut scd2Merge equals the full rebuild") {
+    val rnd = new scala.util.Random(42424242L)
+    for (round <- 1 to 15) {
+      val n = 2 + rnd.nextInt(25)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(3).toLong, (1 + rnd.nextInt(12)).toLong,
+          i.toLong, s"v${rnd.nextInt(3)}")
+      }
+      def df(rs: Seq[(Long, Long, Long, String)]) =
+        rs.toDF("u", "seq", "tie", "a")
+          .selectExpr("u", "timestamp_micros(seq) AS ts", "tie", "a")
+      val cut = 1 + rnd.nextInt(12)
+      val (baseR, deltaR) = rows.partition(_._2 < cut)
+      if (baseR.nonEmpty) {
+        def canon(x: org.apache.spark.sql.DataFrame) =
+          x.selectExpr("u", "version", "a", "unix_micros(valid_from)",
+            "unix_micros(valid_to)", "is_current")
+            .collect().map(r => (r.getLong(0), r.getInt(1),
+              r.getString(2), r.getLong(3),
+              if (r.isNullAt(4)) -1L else r.getLong(4),
+              r.getInt(5))).toSet
+        val merged = Cdc.scd2Merge(
+          Cdc.scd2(df(baseR), "u", "ts", "a", Seq("tie")),
+          df(deltaR), "u", "ts", "a", Seq("tie"))
+        val full = Cdc.scd2(df(rows), "u", "ts", "a", Seq("tie"))
+        assert(canon(merged) == canon(full),
+          s"round $round cut $cut: log = $rows")
+      }
+    }
+  }
+
   test("scd2 plans ONE exchange for both windows") {
     val events = Seq((1L, 1L, "a")).toDF("user_id", "seq", "plan")
       .selectExpr("user_id", "timestamp_micros(seq) AS ts", "seq", "plan")

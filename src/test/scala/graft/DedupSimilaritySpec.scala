@@ -305,6 +305,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"pq recall $recall%.3f below the 0.85 floor")
   }
 
+  test("PQ and hard-negative plans broadcast the small side and never " +
+      "plan a raw cartesian product") {
+    for (df <- Seq(
+      Similarity.knnPq(realVecs, "vec_id", "embedding",
+        numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
+        shortlist = 50),
+      Similarity.hardNegatives(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5, simLo = 0.3, simHi = 0.8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"unbroadcast cartesian in plan:\n$plan")
+      assert(plan.contains("Broadcast"),
+        s"expected a broadcast join in plan:\n$plan")
+    }
+  }
+
   test("hard negatives stay inside the band and below the near-dup " +
       "zone (sf0.001 embeddings)") {
     val out = Similarity.hardNegatives(realVecs, "vec_id", "embedding",

@@ -56,6 +56,26 @@ class IvmSpec extends AnyFunSuite {
       ("both", 2L, 4.0, 1.0, 3.0, 2.0)))
   }
 
+  test("fuzz: any random partitioning into 2..5 batches merges to " +
+      "the direct aggregation") {
+    val rnd = new scala.util.Random(777L)
+    val keys = Seq("g")
+    val direct = fin(Ivm.finalizeState(
+      Ivm.aggState(full, keys, "v", "d"), keys))
+    for (round <- 1 to 8) {
+      val nParts = 2 + rnd.nextInt(4)
+      val tagged = rows.map(r => (rnd.nextInt(nParts), r))
+      val parts = (0 until nParts).map(p =>
+        tagged.filter(_._1 == p).map(_._2))
+        .filter(_.nonEmpty)
+        .map(_.toDF("g", "v", "d"))
+      val merged = fin(Ivm.finalizeState(
+        Ivm.merge(parts.map(p => Ivm.aggState(p, keys, "v", "d")),
+          keys), keys))
+      assert(merged == direct, s"round $round with ${parts.size} parts")
+    }
+  }
+
   test("hll distinct estimate survives merging within its error bound") {
     val keys = Seq("g")
     val big = spark.range(0, 5000)
