@@ -2696,6 +2696,16 @@ object SparkEntry {
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text"))
       .orderBy("doc_id")),
+    // audio modality through a REAL codec: text synthesized into
+    // 16-bit mono PCM WAV, parsed back by the header-validating
+    // decoder; position-weighted sums + zero crossings are
+    // order-sensitive, so sample permutation/padding bugs go red
+    "multimodal_audio" -> ((s, dir) => Multimodal.decodeAudioStats(
+      Multimodal.synthesizeWav(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text"))
+      .orderBy("doc_id")),
     // resize composes through the codec twice: synthesize → encode →
     // decode+nearest-neighbor-sample+re-encode → decode → stats; the
     // oracle computes the sampled pixels straight from the text via
@@ -3484,6 +3494,22 @@ object SparkEntry {
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
+    "multimodal_audio" ->
+      ("WITH t AS (SELECT doc_id, text FROM documents " +
+        "WHERE length(text) > 0 " +
+        "AND length(text) = octet_length(encode(text))), " +
+        "s AS (SELECT doc_id, list_transform(" +
+        "range(1, length(text) + 1), " +
+        "i -> ((ascii(substr(text, i, 1)) * 131 + i * 7) % 65536) " +
+        "- 32768) AS sm FROM t) " +
+        "SELECT doc_id, 16000 AS sample_rate, " +
+        "CAST(len(sm) AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(sm) AS BIGINT) AS sum_s, " +
+        "CAST(list_sum(list_transform(range(1, len(sm) + 1), " +
+        "i -> i * sm[i])) AS BIGINT) AS wsum_s, " +
+        "CAST(len(list_filter(range(2, len(sm) + 1), " +
+        "i -> (sm[i] < 0) <> (sm[i - 1] < 0))) AS BIGINT) " +
+        "AS n_zero_cross FROM s ORDER BY doc_id"),
     "multimodal_frames" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +
         "WHERE octet_length(encode(text)) = length(text) " +

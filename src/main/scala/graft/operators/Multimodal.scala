@@ -259,6 +259,117 @@ object Multimodal {
         col("wsum_b"), col("wsum_g"), col("wsum_r"))
   }
 
+  /** Canonical 44-byte RIFF/WAVE header + 16-bit little-endian mono
+    * PCM — the real format, so any external reader accepts the
+    * payload.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                  // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)                 // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array
+  }
+
+  /** Header-validating WAV parse (strict: PCM, mono, 16-bit — the
+    * contract [[encodeWav]] writes). Returns (sampleRate, samples).
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "missing RIFF marker")
+    val riffLen = buf.getInt
+    require(riffLen == bytes.length - 8, s"bad RIFF length $riffLen")
+    require(tag() == "WAVE", "missing WAVE marker")
+    require(tag() == "fmt ", "missing fmt chunk")
+    require(buf.getInt == 16, "non-canonical fmt length")
+    require(buf.getShort == 1, "not PCM")
+    require(buf.getShort == 1, "not mono")
+    val rate = buf.getInt
+    buf.getInt                                   // byte rate
+    require(buf.getShort == 2, "bad block align")
+    require(buf.getShort == 16, "not 16-bit")
+    require(tag() == "data", "missing data chunk")
+    val dataLen = buf.getInt
+    require(dataLen == bytes.length - 44, s"bad data length $dataLen")
+    val out = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getShort; i += 1 }
+    (rate, out)
+  }
+
+  /** Deterministic WAV fixture synthesis from a text column: char k
+    * (1-based) of an ASCII text becomes sample
+    * ((code·131 + k·7) mod 65536) − 32768 — integer arithmetic a SQL
+    * oracle recomputes from the text alone. Empty texts are dropped.
+    */
+  def synthesizeWav(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = new Array[Short](text.length)
+          var k = 0
+          while (k < text.length) {
+            val code = text.charAt(k).toInt
+            samples(k) =
+              (((code * 131 + (k + 1) * 7) % 65536) - 32768).toShort
+            k += 1
+          }
+          (id, encodeWav(samples, sampleRate))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Batched partition-local WAV decode → per-clip audio statistics:
+    * duration, exact sum / position-weighted sum of samples
+    * (order-sensitive — a codec or staging bug that permutes or pads
+    * samples goes red), and the zero-crossing count (the classic
+    * cheap audio feature). Same hash-bucketed batched mapPartitions
+    * shape as the image path.
+    */
+  def decodeAudioStats(df: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(numBuckets, col("doc_id"))
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (rate, s) = decodeWav(bytes)
+          var sum = 0L
+          var wsum = 0L
+          var zc = 0L
+          var k = 0
+          while (k < s.length) {
+            sum += s(k)
+            wsum += (k + 1).toLong * s(k)
+            if (k > 0 && ((s(k) < 0) != (s(k - 1) < 0))) zc += 1
+            k += 1
+          }
+          (id, rate, s.length.toLong, sum, wsum, zc)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_s", "wsum_s",
+        "n_zero_cross")
+  }
+
   /** Batched partition-local decode to an ANN-ready feature vector:
     * the BMP is parsed for real and `dim` equal pixel-index buckets
     * each contribute their mean normalized intensity

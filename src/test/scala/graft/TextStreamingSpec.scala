@@ -107,6 +107,38 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(feats(1L).length == 4)
   }
 
+  test("WAV codec round-trips samples; corrupt headers are refused; " +
+      "zero crossings hand-computed") {
+    val rnd = new scala.util.Random(424242L)
+    for (n <- Seq(1, 2, 7, 100)) {
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = Multimodal.encodeWav(s, 16000)
+      assert(bytes.length == 44 + 2 * n)
+      val (rate, got) = Multimodal.decodeWav(bytes)
+      assert(rate == 16000 && got.toSeq == s.toSeq, s"n=$n")
+    }
+    // refusals: bad magic, truncated data, stereo
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("definitely not audio bytes".getBytes)
+    }
+    val ok = Multimodal.encodeWav(Array[Short](1, -1, 2), 8000)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(ok.dropRight(2))
+    }
+    val stereo = ok.clone()
+    stereo(22) = 2 // channel count
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(stereo) }
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val stats = Multimodal.decodeAudioStats(
+      Multimodal.synthesizeWav(df, "doc_id", "text")).collect().head
+    // chars 'a'=97,'b'=98 → s1 = (97*131+7)%65536-32768 = -20054,
+    // s2 = (98*131+14)%65536-32768 = -19916 → no crossing
+    assert(stats.getLong(2) == 2L)
+    assert(stats.getLong(3) == -20054L + -19916L)
+    assert(stats.getLong(4) == -20054L + 2L * -19916L)
+    assert(stats.getLong(5) == 0L)
+  }
+
   test("BMP codec round-trips pixels through both row orders, row " +
       "padding, and extra header space; corrupt payloads are refused") {
     val rnd = new scala.util.Random(20260813L)
