@@ -99,7 +99,8 @@ object Bench {
       "multimodal_features", "multimodal_resize", "dedup_containment",
       "text_novelty", "corr_matrix",
       "chunk_documents", "split_leakage_safe", "cdc_diff",
-      "scd2_history", "ivm_merge", "knn_pq",
+      "scd2_history", "ivm_merge", "knn_pq", "multimodal_audio",
+      "hard_negatives",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",
