@@ -1381,6 +1381,48 @@ object SparkEntry {
       "SELECT node AS doc_id, min(reach) AS cluster_rep " +
       "FROM closure GROUP BY 1 ORDER BY doc_id"
 
+  /** Replay of `schema_drift`: the old side is the standard inference
+    * oracle; the new side re-runs the same vote over the derived
+    * snapshot's expressions (dropped column, poisoned numeric, added
+    * flag), then a full outer join classifies each column.
+    */
+  private val schemaDriftOracle: String = {
+    def infer(alias: String, v: String): String = {
+      val ne = s"$v IS NOT NULL AND $v <> ''"
+      val numFail = s"count(*) FILTER (WHERE $ne AND " +
+        s"try_cast(trim($v) AS DOUBLE) IS NULL)"
+      val numRate = s"avg(CASE WHEN $ne THEN (CASE WHEN " +
+        s"try_cast(trim($v) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 " +
+        s"END) END)"
+      val dateRate = s"avg(CASE WHEN $ne THEN (CASE WHEN " +
+        s"try_cast(trim($v) AS TIMESTAMP) IS NOT NULL THEN 1.0 " +
+        s"ELSE 0.0 END) END)"
+      s"SELECT '$alias' AS column_name, CASE WHEN $numFail = 0 AND " +
+        s"$numRate >= 0.8 THEN 'numeric' WHEN $dateRate >= 0.8 THEN " +
+        s"'datetime' ELSE 'character' END AS inferred_type FROM orders"
+    }
+    val newCols = Seq(
+      "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+      "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+      "o_orderstatus" -> "CAST(o_orderstatus AS VARCHAR)",
+      "o_totalprice" -> ("CAST(o_totalprice AS VARCHAR) || CASE WHEN " +
+        "o_orderkey % 50 = 0 THEN 'x' ELSE '' END"),
+      "o_orderdate" -> "CAST(o_orderdate AS VARCHAR)",
+      "o_flag" -> "CASE WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END")
+    val aT = typeinferOracle("orders")
+    val bT = newCols.map { case (c, v) => infer(c, v) }
+      .mkString(" UNION ALL ")
+    s"WITH aT AS ($aT), bT AS ($bT) " +
+      "SELECT coalesce(a.column_name, b.column_name) AS col_name, " +
+      "a.inferred_type AS old_type, b.inferred_type AS new_type, " +
+      "CASE WHEN a.column_name IS NULL THEN 'added' " +
+      "WHEN b.column_name IS NULL THEN 'removed' " +
+      "WHEN a.inferred_type <> b.inferred_type THEN 'type_changed' " +
+      "ELSE 'unchanged' END AS change " +
+      "FROM aT a FULL OUTER JOIN bT b " +
+      "ON a.column_name = b.column_name ORDER BY col_name"
+  }
+
   /** Full-rebuild SCD2 replay (shared by `scd2_history` and the
     * incremental `scd2_merge`, whose whole contract is equality with
     * this rebuild).
@@ -2190,6 +2232,34 @@ object SparkEntry {
           sum(when(col("matched") === 1 && col("id_a") === col("id_b"),
             1L).otherwise(0L)).as("n_correct"))
         .orderBy("blk")
+    }),
+    // schema drift between snapshots: the INFERRED logical schema of
+    // two table versions compared column-by-column — added/removed
+    // columns and inference-driven type demotions (a poisoned numeric
+    // column demotes to character via the real vote, not a hardcode)
+    "schema_drift" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val nw = o.drop("o_orderpriority")
+        .withColumn("o_totalprice",
+          concat(col("o_totalprice").cast("string"),
+            when(col("o_orderkey") % 50 === 0, lit("x"))
+              .otherwise(lit(""))))
+        .withColumn("o_flag",
+          when(col("o_orderkey") % 2 === 0, lit("Y"))
+            .otherwise(lit("N")))
+      val a = typeinferQuery(s, o)
+        .select(col("column_name"), col("inferred_type").as("old_type"))
+      val b = typeinferQuery(s, nw)
+        .select(col("column_name").as("cn"),
+          col("inferred_type").as("new_type"))
+      a.join(b, a("column_name") === b("cn"), "full_outer")
+        .select(coalesce(col("column_name"), col("cn")).as("col_name"),
+          col("old_type"), col("new_type"),
+          when(col("column_name").isNull, "added")
+            .when(col("cn").isNull, "removed")
+            .when(col("old_type") =!= col("new_type"), "type_changed")
+            .otherwise("unchanged").as("change"))
+        .orderBy("col_name")
     }),
     // incremental SCD2: history built from the first half of the log,
     // the second half applied as a delta batch — untouched keys keep
@@ -3204,6 +3274,7 @@ object SparkEntry {
         "SELECT o_orderkey, action, " +
         "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
         "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"),
+    "schema_drift" -> schemaDriftOracle,
     "scd2_history" -> scd2HistoryOracle,
     // the incremental merge must equal the batch rebuild — same oracle
     "scd2_merge" -> scd2HistoryOracle,
