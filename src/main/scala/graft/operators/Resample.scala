@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the day grid is generated per key from that key's own
   * [first, last] span (`sequence` + explode — no driver calendar), the
   * observed side is one groupBy to day granularity, and the fill is a
-  * running `last(ignoreNulls)` window over the SAME key partitioning
-  * the grid join used — one shuffle end to end, state bounded by days
-  * per key.
+  * running `last(ignoreNulls)` window over the key. Every exchange is
+  * keyed by the entity key (two key-local shuffles, plan-gated in the
+  * spec — never a global repartition or single-partition sort); window
+  * state is bounded by days per key.
   */
 object Resample {
 

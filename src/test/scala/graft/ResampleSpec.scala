@@ -8,6 +8,25 @@ class ResampleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("resample plan: all exchanges are keyed by the entity key " +
+      "(no global shuffle)") {
+    val events = Seq((1L, "2024-03-01 08:00:00", 10.0))
+      .toDF("user_id", "t", "value")
+      .selectExpr("user_id", "CAST(t AS TIMESTAMP) AS ts", "value")
+    val plan = Resample.dailyForwardFill(events, "user_id", "ts",
+      "value").queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    info(s"exchanges: $n")
+    // every hash exchange must partition on user_id (alone or with
+    // day) — never a keyless/global repartition
+    "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).foreach { m =>
+        assert(m.group(1).contains("user_id"), s"non-key exchange: $m")
+      }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition exchange in plan:\n$plan")
+  }
+
   test("daily forward fill bridges gaps, flags observations, and " +
       "picks the LAST value of multi-event days") {
     val events = Seq(
