@@ -2233,6 +2233,18 @@ object SparkEntry {
             1L).otherwise(0L)).as("n_correct"))
         .orderBy("blk")
     }),
+    // window-function breadth: percent_rank + cume_dist over segment
+    // partitions (the two rank-normalizing windows nothing else uses)
+    "window_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      tbl(s, dir, "customer")
+        .where(col("c_custkey") < 200)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
     // schema drift between snapshots: the INFERRED logical schema of
     // two table versions compared column-by-column — added/removed
     // columns and inference-driven type demotions (a poisoned numeric
@@ -3274,6 +3286,14 @@ object SparkEntry {
         "SELECT o_orderkey, action, " +
         "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
         "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"),
+    "window_percentiles" ->
+      ("SELECT c_mktsegment, c_custkey, " +
+        "round(percent_rank() OVER w, 9) AS pct_rank, " +
+        "round(cume_dist() OVER w, 9) AS cume " +
+        "FROM customer WHERE c_custkey < 200 " +
+        "WINDOW w AS (PARTITION BY c_mktsegment " +
+        "ORDER BY c_acctbal, c_custkey) " +
+        "ORDER BY c_mktsegment, c_custkey"),
     "schema_drift" -> schemaDriftOracle,
     "scd2_history" -> scd2HistoryOracle,
     // the incremental merge must equal the batch rebuild — same oracle
