@@ -105,8 +105,8 @@ object Bench {
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
-      "range_join_sessions", "rolling_revenue", "sample_weighted",
-      "sessionize_batch",
+      "range_join_sessions", "rolling_revenue", "sample_exactk",
+      "sample_weighted", "sessionize_batch",
       "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",
       "summary_lineitem_onepass", "text_repetition",
       "typeinfer_roundtrip")

@@ -57,8 +57,11 @@ object Scan {
       totalRows: Long, config: ScanConfig): TableScanResult = {
     // nFields is counted BEFORE column exclusion (ref :293 vs :304)
     val nFields = df0.columns.length
-    val capped =
-      Sampling.cap(df0, config.maxRows, config.randomSample, config.seed)
+    // totalRows (the already-paid line count) feeds exactK's pre-thin;
+    // for delimited sources it overcounts by the header line, which
+    // only widens the sampling margin — the survivor check stays exact
+    val capped = Sampling.cap(df0, config.maxRows, config.randomSample,
+      config.seed, totalRows = Some(totalRows))
     val (promoted, inference) = TypeInference.inferAndPromote(
       capped, threshold = 0.8, seed = config.seed,
       randomSample = config.randomSample)

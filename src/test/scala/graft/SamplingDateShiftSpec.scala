@@ -28,6 +28,39 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("exactK pre-thin: filter precedes the top-k in the plan and the " +
+      "sample is bit-identical to the unthinned path") {
+    // range-backed (a LocalRelation would be folded driver-side and
+    // hide the Filter node the assertion needs)
+    val big = spark.range(10000).select(col("id").cast("int").as("n"))
+    val thinned = Sampling.exactK(big, 100, seed = 1L,
+      totalRows = Some(10000L))
+    val plan = thinned.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the threshold cut sits between the scan and the top-k, so the
+    // final merge sees ~k survivors instead of P·k heap outputs
+    val filterAt = plan.indexOf("Filter")
+    assert(filterAt >= 0 && plan.contains("__rand"),
+      s"no pre-thin filter in plan:\n$plan")
+    assert(plan.indexOf("TakeOrderedAndProject") < filterAt,
+      "pre-thin filter must run below the top-k")
+    // shared random key => identical rows, identical order
+    val legacy = Sampling.exactK(big, 100, seed = 1L)
+      .collect().map(_.getInt(0))
+    assert(thinned.collect().map(_.getInt(0)).toSeq == legacy.toSeq)
+  }
+
+  test("exactK pre-thin falls back exactly on survivor shortfall " +
+      "(totalRows wildly overstated)") {
+    // p = target/10^9 admits ~0 of the 10k rows: the survivor count
+    // catches the shortfall and the unthinned path must take over
+    val s = Sampling.exactK(nums, 100, seed = 1L,
+      totalRows = Some(1000000000L)).collect().map(_.getInt(0))
+    val legacy = Sampling.exactK(nums, 100, seed = 1L)
+      .collect().map(_.getInt(0))
+    assert(s.toSeq == legacy.toSeq)
+  }
+
   test("cap: maxRows<=0 keeps everything; k>n keeps n") {
     assert(Sampling.cap(nums, -1, randomSample = true).count() == 10000)
     // the reference caps only for maxRows > 0 (whiteRRabbit.R:225):
@@ -56,6 +89,23 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     val c = Sampling.weightedExactK(withBad, "w", 1002, seed = 7L)
       .collect().map(_.getLong(0)).toSet
     assert(!c.contains(2000L) && !c.contains(2001L))
+    // the exact ladder counts make the pre-thin selection-identical
+    // to the unthinned path (shared key), and the thinned plan cuts
+    // before the top-k (range-backed so the Filter is not folded)
+    val bigW = spark.range(1000).select(col("id"),
+      when(col("id") < 500, 10.0).otherwise(1.0).as("w"))
+    val thin = Sampling.weightedExactK(bigW, "w", 200, seed = 7L)
+    val plain = Sampling.weightedExactK(bigW, "w", 200, seed = 7L,
+      preThin = false)
+    assert(thin.collect().map(_.getLong(0)).toSeq ==
+      plain.collect().map(_.getLong(0)).toSeq)
+    val plan = thin.queryExecution.executedPlan.toString
+    // the key-threshold Filter (not the w>0 filter) must cut below
+    // the top-k
+    val keyFilter = "(?s)Filter[^\\n]*__key".r.findFirstMatchIn(plan)
+    assert(plan.contains("TakeOrderedAndProject") && keyFilter.nonEmpty &&
+      plan.indexOf("TakeOrderedAndProject") < keyFilter.get.start,
+      s"weighted pre-thin key filter missing below the top-k:\n$plan")
   }
 
   test("stratified sampling caps each group at k, reproducibly") {
@@ -73,6 +123,24 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     val b = Sampling.stratifiedExactK(df, "g", 50, seed = 3L).collect()
       .map(r => (r.getInt(0), r.getString(1)))
     assert(a.sorted.toSeq == b.sorted.toSeq)
+    // per-group pre-thin (default) selects the same rows as the
+    // unthinned window — shared key + exact per-group survivor check
+    val plain = Sampling.stratifiedExactK(df, "g", 50, seed = 3L,
+      preThin = false).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(a.sorted.toSeq == plain.sorted.toSeq)
+    // NULL group keys survive the null-safe thin join as their own group
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 600).map(i =>
+        org.apache.spark.sql.Row(i, if (i % 2 == 0) null else "x"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType))))
+    val nullSampled = Sampling.stratifiedExactK(withNull, "g", 40, seed = 3L)
+      .collect().map(r => Option(r.getString(1)))
+    assert(nullSampled.count(_.isEmpty) == 40)
+    assert(nullSampled.count(_.nonEmpty) == 40)
   }
 
   test("cap rejects maxRows above Int.MaxValue instead of overflowing") {
