@@ -69,11 +69,14 @@ object Cdc {
     * alone — those keys need a raw-source rebuild, the standard SCD2
     * late-arrival limitation.
     *
-    * `history` must carry the [[scd2]] output shape; the tie columns
-    * are lost at version granularity, so replayed change points sort
-    * at tie value null (FIRST among equals, matching their origin as
-    * the earliest event at that timestamp) while `tieCols` order the
-    * delta rows.
+    * `history` must carry the [[scd2]] output shape; the original tie
+    * values are lost at version granularity, so replayed change points
+    * carry `version − 2^62` as their tie value: hugely negative, they
+    * sort FIRST among equal timestamps (matching their origin as the
+    * earliest event at that timestamp) while staying in ORIGINAL
+    * version order when two change points of one key share a
+    * `valid_from` — a null tie would make that replay order
+    * nondeterministic.
     */
   def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
       tsCol: String, attrCol: String, tieCols: Seq[String] = Nil)
@@ -83,7 +86,8 @@ object Cdc {
     val replayBase = history.join(touched, Seq(keyCol), "left_semi")
       .select(Seq(col(keyCol), col("valid_from").as(tsCol),
         col(attrCol)) ++
-        tieCols.map(t => lit(null).cast("long").as(t)): _*)
+        tieCols.map(t => (col("version").cast("long") -
+          lit(1L << 62)).as(t)): _*)
     val replayDelta = delta
       .select((Seq(keyCol, tsCol, attrCol) ++ tieCols).map(col): _*)
     val rebuilt = scd2(replayBase.unionByName(replayDelta),

@@ -29,6 +29,10 @@ object ZOrder {
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
       bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    // degenerate bounds would divide by zero and NaN every code —
+    // corrupt layout, silently; fail fast instead
+    require(xMax > xMin && yMax > yMin,
+      s"degenerate Z-order bounds: x [$xMin, $xMax], y [$yMin, $yMax]")
     val hi = (1L << bits) - 1
     def grid(c: Column, lo: Double, up: Double): Column =
       least(greatest(
@@ -48,6 +52,8 @@ object ZOrder {
   def mortonSql(x: String, y: String,
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
       bits: Int = 16): String = {
+    require(xMax > xMin && yMax > yMin,
+      s"degenerate Z-order bounds: x [$xMin, $xMax], y [$yMin, $yMax]")
     val hi = (1L << bits) - 1
     def grid(c: String, lo: Double, up: Double): String =
       s"least(greatest(CAST(floor((CAST($c AS DOUBLE) - $lo) * $hi " +

@@ -31,12 +31,36 @@ object BucketedTable {
 
   val SpecFile = "_graft_table_spec.json"
 
+  /** Cheap identity stamp of a source dataset: file count, total
+    * bytes, and newest modification time under `path`. Stored in the
+    * layout spec at [[write]] time and checked by [[register]] — a
+    * regenerated source (different rows, same path) then fails the
+    * match and the caller rewrites instead of silently serving the
+    * stale bucketed copy.
+    */
+  def sourceFingerprint(spark: SparkSession, path: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return "absent"
+    val it = fs.listFiles(hPath, true)
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        n += 1; bytes += f.getLen; mtime = math.max(mtime, f.getModificationTime)
+      }
+    }
+    s"$n-$bytes-$mtime"
+  }
+
   /** Write `df` as a parquet-backed bucketed table (bucketed AND
     * sorted by `key`) registered as `table` with files at `path`,
     * and persist the layout spec beside the data for [[register]].
+    * `sourceFp` (from [[sourceFingerprint]]) stamps which source
+    * snapshot this layout was derived from.
     */
   def write(df: DataFrame, table: String, path: String, key: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int, sourceFp: String = ""): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     df.write.format("parquet")
@@ -53,7 +77,8 @@ object BucketedTable {
     }
     val spec =
       s"""{"version":1,"format":"parquet","schema_ddl":"${js(
-        df.schema.toDDL)}","bucket_key":"${js(key)}","num_buckets":$numBuckets,"sort_key":"${js(key)}"}"""
+        df.schema.toDDL)}","bucket_key":"${js(key)}","num_buckets":$numBuckets,"sort_key":"${js(key)}","source_fp":"${js(
+        sourceFp)}"}"""
     val hPath = new org.apache.hadoop.fs.Path(path, SpecFile)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(hPath, true)
@@ -62,12 +87,15 @@ object BucketedTable {
 
   /** Re-create the catalog entry for a bucketed table from the spec
     * file persisted next to its data. Returns false when no spec
-    * exists at `path` (caller falls back to [[write]]); true when the
-    * table was (re-)registered — after which co-located joins plan
-    * exactly as they did in the writing session, Exchange-free.
+    * exists at `path` OR when `expectSourceFp` is non-empty and
+    * differs from the spec's stamp — the source was regenerated since
+    * the layout was written, so the caller falls back to [[write]]
+    * instead of serving stale data. True when the table was
+    * (re-)registered — after which co-located joins plan exactly as
+    * they did in the writing session, Exchange-free.
     */
   def register(spark: SparkSession, table: String,
-      path: String): Boolean = {
+      path: String, expectSourceFp: String = ""): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path, SpecFile)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) return false
@@ -92,6 +120,13 @@ object BucketedTable {
     val num = s""""num_buckets":(\\d+)""".r.findFirstMatchIn(raw)
       .getOrElse(sys.error(s"$SpecFile at $path lacks 'num_buckets'"))
       .group(1).toInt
+    if (expectSourceFp.nonEmpty) {
+      // pre-fingerprint specs have no source_fp field — treat as a
+      // mismatch so the layout is rewritten once and stamped
+      val recorded = s""""source_fp":"((?:[^"\\\\]|\\\\.)*)"""".r
+        .findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+      if (recorded != expectSourceFp) return false
+    }
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(
       s"""CREATE TABLE `$table` (${str("schema_ddl")})
