@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Ivm
+import graft.sources.VersionedTable
 
 /** Streaming incremental view maintenance: a `foreachBatch` sink that
   * folds each micro-batch's [[Ivm.aggState]] into a persistent state
@@ -16,11 +17,36 @@ import graft.operators.Ivm
   * arrival order, and equals the batch recompute over the whole log —
   * which is exactly what the contract oracle pins.
   *
-  * The state lives as parquet versions swapped atomically (write next,
-  * move over current) — the same pattern a production job would use on
-  * object storage with a manifest.
+  * The state lives in a [[graft.sources.VersionedTable]]: each batch
+  * commits a new snapshot (manifest-last, so readers never see a
+  * half-written state) TAGGED with its batch id — `foreachBatch`
+  * delivers at-least-once after a crash-restart, and skipping any
+  * batch at or below the last committed tag makes the sink
+  * exactly-once (the recovery path StreamingIvmSpec forces). Past
+  * states stay time-travelable per batch.
   */
 object StreamingIvm {
+
+  /** Fold one micro-batch into the versioned state at `stateRoot`.
+    * Idempotent under replay: batch ids at or below the last
+    * committed tag are already folded and are skipped.
+    */
+  def foldBatch(spark: SparkSession, stateRoot: String, keys: Seq[String],
+      valueCol: String, userCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val replayed = VersionedTable.latestTag(spark, stateRoot)
+      .flatMap(_.toLongOption).exists(_ >= batchId)
+    if (!replayed) {
+      val st = Ivm.aggState(batch, keys, valueCol, userCol)
+      val merged = VersionedTable.latestVersion(spark, stateRoot) match {
+        case Some(v) => Ivm.merge(
+          Seq(VersionedTable.readVersion(spark, stateRoot, v), st), keys)
+        case None => st
+      }
+      VersionedTable.commit(merged, stateRoot, tag = batchId.toString)
+      ()
+    }
+  }
 
   /** Replay the events log as a TWO-micro-batch file stream (split at
     * `cut`, one file per half, maxFilesPerTrigger=1), maintain the
@@ -35,7 +61,6 @@ object StreamingIvm {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(s"${graft.config.Scratch.dir}/ivm_stream_$tag")
     val stateRoot = s"${graft.config.Scratch.dir}/ivm_state_$tag"
-    val cur = Paths.get(s"$stateRoot/cur")
 
     // stage the two "arriving" batch files deterministically — RAW
     // columns (ts stays nanos-long) so the stream schema matches;
@@ -68,11 +93,7 @@ object StreamingIvm {
       }
     }
     // fresh state per run (reruns must not double-count)
-    if (Files.exists(Paths.get(stateRoot))) {
-      Files.walk(Paths.get(stateRoot))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    VersionedTable.destroy(spark, stateRoot)
 
     val stream = spark.readStream
       .schema(StreamingProfile.eventsRawSchema)
@@ -81,29 +102,14 @@ object StreamingIvm {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val st = Ivm.aggState(batch, keys, "value", "user_id")
-        val merged =
-          if (Files.exists(cur))
-            Ivm.merge(Seq(spark.read.parquet(cur.toString), st), keys)
-          else st
-        val next = s"$stateRoot/next"
-        merged.write.mode("overwrite").parquet(next)
-        // swap: the state version flip a manifest would make atomic
-        if (Files.exists(cur)) {
-          Files.walk(cur).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-        }
-        Files.move(Paths.get(next), cur)
-        ()
-      }
+      .foreachBatch(foldBatch(spark, stateRoot, keys, "value", "user_id") _)
       .start()
     try q.processAllAvailable() finally q.stop()
 
     val exact = spark.read.parquet(s"$dir/events.parquet")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    Ivm.finalizeState(spark.read.parquet(cur.toString), keys)
+    Ivm.finalizeState(VersionedTable.read(spark, stateRoot), keys)
       .join(exact, "event_type")
       .select(col("event_type"), col("n"), col("sum_v"), col("min_v"),
         col("max_v"), col("avg_v"), col("n_exact"),
