@@ -283,9 +283,31 @@ object SparkEntry {
   // Sampling / date shift / CSV roundtrip / overview (ops 1-4, 7, 16)
   // -------------------------------------------------------------------
 
-  private def sampleQuery(s: SparkSession, dir: String): DataFrame =
-    Sampling.exactK(tbl(s, dir, "lineitem"), 1000, seed = 42L)
+  /** The two deterministic orders-derived snapshots behind `cdc_diff`
+    * and `table_time_travel` (drop every 10th key vs drop every 7th
+    * with seeded price/status mutations).
+    */
+  private def cdcSnapshots(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val orders = tbl(s, dir, "orders")
+    val old = orders.where(col("o_orderkey") % 10 =!= 0)
+    val nw = orders.where(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    (old, nw)
+  }
+
+  private def sampleQuery(s: SparkSession, dir: String): DataFrame = {
+    // parquet-footer count feeds the scale path's pre-thin — the
+    // analogue of the reference's awk line-number pre-filter
+    val li = tbl(s, dir, "lineitem")
+    Sampling.exactK(li, 1000, seed = 42L, totalRows = Some(li.count()))
       .agg(count(lit(1)).as("n"))
+  }
 
   private def dateshiftQuery(s: SparkSession, dir: String): DataFrame = {
     // One scan, zero joins: carry the original value as a string (not
@@ -1077,6 +1099,37 @@ object SparkEntry {
       "AND a.doc_id < b.doc_id) " +
       "WHERE containment >= 0.9 ORDER BY id_a, id_b"
   }
+
+  /** DuckDB replay of Cdc.snapshotDiff over the two deterministic
+    * orders-derived snapshots — shared by `cdc_diff` (in-memory
+    * snapshots) and `table_time_travel` (the same snapshots COMMITTED
+    * to a VersionedTable and read back by version id): the versioned
+    * reads must be byte-faithful, so one oracle pins both.
+    */
+  private val cdcDiffOracle: String =
+    "WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+      "FROM orders WHERE o_orderkey % 10 <> 0), " +
+      "nn AS (SELECT o_orderkey, " +
+      "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+      "ELSE o_totalprice END AS o_totalprice, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+      "ELSE o_orderstatus END AS o_orderstatus " +
+      "FROM orders WHERE o_orderkey % 7 <> 0), " +
+      "j AS (SELECT coalesce(o.o_orderkey, nn.o_orderkey) " +
+      "AS o_orderkey, " +
+      "CASE WHEN o.o_orderkey IS NULL THEN 'insert' " +
+      "WHEN nn.o_orderkey IS NULL THEN 'delete' " +
+      "WHEN (o.o_totalprice IS DISTINCT FROM nn.o_totalprice) " +
+      "OR (o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus) " +
+      "THEN 'update' END AS action, " +
+      "(CASE WHEN o.o_totalprice IS DISTINCT FROM nn.o_totalprice " +
+      "THEN 1 ELSE 0 END + " +
+      "CASE WHEN o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus " +
+      "THEN 1 ELSE 0 END) AS nc " +
+      "FROM o FULL OUTER JOIN nn ON o.o_orderkey = nn.o_orderkey) " +
+      "SELECT o_orderkey, action, " +
+      "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
+      "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"
 
   /** DuckDB replay of TextMetrics.ngramNovelty (trigrams): the same
     * distinct (doc, gram) projection, document-frequency count, and
@@ -2145,17 +2198,30 @@ object SparkEntry {
     // rebuild them); one full-outer sort-merge join, unchanged keys
     // never leave the join
     "cdc_diff" -> ((s, dir) => {
-      val orders = tbl(s, dir, "orders")
-      val old = orders.where(col("o_orderkey") % 10 =!= 0)
-      val nw = orders.where(col("o_orderkey") % 7 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100)
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderstatus",
-          when(col("o_orderkey") % 5 === 0, lit("X"))
-            .otherwise(col("o_orderstatus")))
+      val (old, nw) = cdcSnapshots(s, dir)
       Cdc.snapshotDiff(old, nw, Seq("o_orderkey"),
         Seq("o_totalprice", "o_orderstatus"))
+    }),
+    // snapshot-versioned table layer: commit the SAME two snapshots
+    // as manifest-last parquet versions, read both back BY VERSION ID
+    // (time travel), and re-derive the cdc_diff classification from
+    // the committed bytes — one oracle pins the diff AND the
+    // round-trip fidelity of the versioned reads
+    "table_time_travel" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/vt_orders_$tag"
+      // fresh table per run: two commits, ids returned by the protocol
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      val v0 = graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      val v1 = graft.sources.VersionedTable.commit(
+        nw.select(cols.map(col): _*), root, tag = "revised")
+      Cdc.snapshotDiff(
+        graft.sources.VersionedTable.readVersion(s, root, v0),
+        graft.sources.VersionedTable.readVersion(s, root, v1),
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
     }),
     // SCD type-2 history of each user's event_type: one shuffle, two
     // windows over the same key partitioning
@@ -2384,16 +2450,25 @@ object SparkEntry {
     "bucketed_join" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val base = graft.config.Scratch.dir + s"/bucketed_$tag"
+      // the reuse is keyed on the SOURCE fingerprint, not just the dir
+      // name: a regenerated dataset under the same dir fails the match
+      // and triggers a rewrite instead of serving the stale layout
+      val ordersFp = BucketedTable.sourceFingerprint(s,
+        s"$dir/orders.parquet")
+      val custFp = BucketedTable.sourceFingerprint(s,
+        s"$dir/customer.parquet")
       if (!BucketedTable.register(s, s"graft_b_orders_$tag",
-          s"$base/orders"))
+          s"$base/orders", ordersFp))
         BucketedTable.write(tbl(s, dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice"),
-          s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8)
+          s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8,
+          ordersFp)
       if (!BucketedTable.register(s, s"graft_b_customer_$tag",
-          s"$base/customer"))
+          s"$base/customer", custFp))
         BucketedTable.write(tbl(s, dir, "customer")
             .select("c_custkey", "c_mktsegment"),
-          s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8)
+          s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8,
+          custFp)
       BucketedTable.colocatedJoin(s, s"graft_b_orders_$tag", "o_custkey",
           s"graft_b_customer_$tag", "c_custkey")
         .groupBy("c_mktsegment")
@@ -2494,6 +2569,35 @@ object SparkEntry {
         .select(coalesce(col("token_id"), lit(-1)).as("token_id"),
           col("piece"), col("cnt"))
         .orderBy(col("cnt").desc, col("piece")).limit(30)
+    }),
+    // tokenizer ROUND-TRIP: train merges on the corpus, persist the
+    // merges table (the artifact a packing pipeline ships), reload
+    // it, encode with SentencePiece-style word markers, decode back —
+    // decode(encode(x)) must equal the whitespace-normalized text for
+    // EVERY doc. ok / n_words / n_chars are vocab-independent, so the
+    // oracle stays exact while the query exercises the whole
+    // train→persist→load→encode→decode path.
+    "bpe_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val path = graft.config.Scratch.dir + s"/bpe_merges_$tag"
+      TextMetrics.saveMerges(s,
+        TextMetrics.trainBpeMerges(docs, "text", numMerges = 60), path)
+      val pieces = TextMetrics.loadMergePieces(s, path)
+      val normalized = array_join(
+        filter(split(lower(col("text")), " "), w => length(w) > 0), " ")
+      docs.select(col("doc_id"),
+          BpeExpressions.bpeEncodePieces(lower(col("text")), pieces,
+            markWords = true).as("p"),
+          normalized.as("norm"))
+        .select(col("doc_id"),
+          (BpeExpressions.bpeDecodePieces(col("p")) <=> col("norm"))
+            .cast("int").as("ok"),
+          size(filter(col("p"), x =>
+            x.substr(lit(1), lit(1)) === lit(graft.functions.WordMark.value)))
+            .as("n_words"),
+          length(col("norm")).as("n_chars"))
+        .orderBy("doc_id")
     }),
     // data-quality classic — first-significant-digit profile vs the
     // Benford expectation (digit via exact integer stringification,
@@ -3262,30 +3366,11 @@ object SparkEntry {
         "AS DOUBLE) / count(*), 6) AS avg_v, " +
         "count(DISTINCT o_custkey) AS n_exact, 1 AS within_5pct " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
-    "cdc_diff" ->
-      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
-        "FROM orders WHERE o_orderkey % 10 <> 0), " +
-        "nn AS (SELECT o_orderkey, " +
-        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
-        "ELSE o_totalprice END AS o_totalprice, " +
-        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
-        "ELSE o_orderstatus END AS o_orderstatus " +
-        "FROM orders WHERE o_orderkey % 7 <> 0), " +
-        "j AS (SELECT coalesce(o.o_orderkey, nn.o_orderkey) " +
-        "AS o_orderkey, " +
-        "CASE WHEN o.o_orderkey IS NULL THEN 'insert' " +
-        "WHEN nn.o_orderkey IS NULL THEN 'delete' " +
-        "WHEN (o.o_totalprice IS DISTINCT FROM nn.o_totalprice) " +
-        "OR (o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus) " +
-        "THEN 'update' END AS action, " +
-        "(CASE WHEN o.o_totalprice IS DISTINCT FROM nn.o_totalprice " +
-        "THEN 1 ELSE 0 END + " +
-        "CASE WHEN o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus " +
-        "THEN 1 ELSE 0 END) AS nc " +
-        "FROM o FULL OUTER JOIN nn ON o.o_orderkey = nn.o_orderkey) " +
-        "SELECT o_orderkey, action, " +
-        "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed " +
-        "FROM j WHERE action IS NOT NULL ORDER BY action, o_orderkey"),
+    "cdc_diff" -> cdcDiffOracle,
+    // time travel re-derives cdc_diff's classification from two
+    // COMMITTED snapshots read back by version id — the oracle is
+    // identical because the versioned reads must be byte-faithful
+    "table_time_travel" -> cdcDiffOracle,
     "window_percentiles" ->
       ("SELECT c_mktsegment, c_custkey, " +
         "round(percent_rank() OVER w, 9) AS pct_rank, " +
@@ -3344,6 +3429,18 @@ object SparkEntry {
         "count(DISTINCT md5(replace(text, chr(10), ' '))) " +
         "AS n_distinct_md5 FROM documents"),
     "bpe_encode" -> bpeEncodeOracle,
+    // the roundtrip contract: every doc decodes back to its
+    // whitespace-normalized text (ok pinned 1), the marker count is
+    // the nonempty-word count, the decoded length is the normalized
+    // length — all vocab-independent, so the trained vocabulary never
+    // enters the oracle
+    "bpe_roundtrip" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split(lower(text), ' '), w -> length(w) > 0) AS ws " +
+        "FROM documents) " +
+        "SELECT doc_id, 1 AS ok, CAST(len(ws) AS INT) AS n_words, " +
+        "CAST(length(array_to_string(ws, ' ')) AS INT) AS n_chars " +
+        "FROM w ORDER BY doc_id"),
     "bpe_pairs" ->
       ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS t " +
         "FROM documents), " +

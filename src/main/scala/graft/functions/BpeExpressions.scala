@@ -38,11 +38,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * like [[TextFunctions.tokens]] does, so engine-vs-oracle folding
   * parity is concentrated in one well-tested place.
   */
-case class BpeEncodePieces(child: Expression, pieces: Seq[String])
+case class BpeEncodePieces(child: Expression, pieces: Seq[String],
+    markWords: Boolean = false)
     extends UnaryExpression {
   require(pieces.nonEmpty && pieces.forall(_.length >= 2),
     "vocabulary must be multi-char pieces (single chars are the " +
       "implicit fallback)")
+  require(!markWords || pieces.forall(!_.contains(WordMark.value)),
+    s"pieces must not contain the word marker '${WordMark.value}'")
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -70,6 +73,7 @@ case class BpeEncodePieces(child: Expression, pieces: Seq[String])
       val sp = text.indexOf(' ', start)
       val end = if (sp < 0) len else sp
       var pos = start
+      var firstInWord = true
       while (pos < end) {
         var matched: String = null
         val cands = byFirst.getOrElse(text.charAt(pos), null)
@@ -82,13 +86,25 @@ case class BpeEncodePieces(child: Expression, pieces: Seq[String])
             ci += 1
           }
         }
-        if (matched == null) {
-          out += UTF8String.fromString(text.substring(pos, pos + 1))
-          pos += 1
-        } else {
-          out += UTF8String.fromString(matched)
-          pos += matched.length
-        }
+        val piece =
+          if (matched == null) {
+            // whole-codepoint fallback: stepping charAt-wise would
+            // split a non-BMP character into two lone-surrogate pieces
+            // (malformed UTF8 and a divergence from the per-codepoint
+            // SQL oracle)
+            val n = Character.charCount(text.codePointAt(pos))
+            val p = text.substring(pos, math.min(pos + n, end))
+            pos += n
+            p
+          } else {
+            pos += matched.length
+            matched
+          }
+        // SentencePiece-style word marker on each word's first piece
+        // makes the encoding invertible: decode = concat + marker→space
+        out += UTF8String.fromString(
+          if (markWords && firstInWord) WordMark.value + piece else piece)
+        firstInWord = false
       }
       start = end + 1
     }
@@ -108,11 +124,35 @@ case class BpeEncodePieces(child: Expression, pieces: Seq[String])
       : Expression = copy(child = newChild)
 }
 
+/** The SentencePiece word-boundary marker (U+2581 LOWER ONE EIGHTH
+  * BLOCK) — prefixes each word's first piece when `markWords` is on,
+  * making the piece stream invertible.
+  */
+object WordMark {
+  val value: String = "▁"
+  override def toString: String = value
+}
+
 object BpeExpressions {
   /** Column entry point: greedy longest-match BPE pieces of an
-    * (already lowercased) text column.
+    * (already lowercased) text column. With `markWords` each word's
+    * first piece is prefixed by [[WordMark]], making
+    * [[bpeDecodePieces]] an exact inverse up to whitespace
+    * normalization (multiple spaces collapse — empty words are
+    * skipped by the encoder).
     */
-  def bpeEncodePieces(text: Column, pieces: Seq[String]): Column =
+  def bpeEncodePieces(text: Column, pieces: Seq[String],
+      markWords: Boolean = false): Column =
     ColumnBridge.column(BpeEncodePieces(
-      ColumnBridge.expression(text), pieces))
+      ColumnBridge.expression(text), pieces, markWords))
+
+  /** Inverse of a `markWords = true` encoding: concatenate the
+    * pieces, turn each word marker back into a space, trim the
+    * leading one. Plain codegen'd string functions — no custom
+    * expression needed for the decode direction.
+    */
+  def bpeDecodePieces(piecesCol: Column): Column = {
+    import org.apache.spark.sql.functions._
+    ltrim(translate(array_join(piecesCol, ""), WordMark.value, " "))
+  }
 }

@@ -56,16 +56,23 @@ object TextMetrics {
     * low-novelty outliers are dedup candidates the pairwise passes
     * may have missed (many-way shared passages).
     *
-    * Shape: distinct (doc, n-gram) projection, one n-gram-keyed count
-    * (document frequency), one n-gram-keyed join back, one doc-keyed
-    * aggregation — two shuffles total, no pairs materialized anywhere
-    * (a pairwise shared-passage report over the same signal would be
-    * quadratic; novelty needs only the df=1 test). Hot n-grams make
-    * the join-back skewed in the textbook way AQE's skew-join
-    * splitting handles; per-doc grams are DISTINCT so no single key
-    * exceeds the document count. Docs shorter than `n` tokens have no
-    * n-grams and are absent from the output (their novelty is
-    * undefined, not zero).
+    * Shape: distinct (doc, n-gram) projection, then TWO independent
+    * aggregations of it — per-gram (document frequency + owner) and
+    * per-doc (distinct-gram totals) — joined at DOC granularity. A
+    * df=1 gram has exactly one owner, so `max(id)` inside the
+    * per-gram aggregate names the doc to credit and the gram-keyed
+    * JOIN-BACK of the full (doc, gram) pair set disappears: the only
+    * gram-keyed shuffle ships one combined row per gram, the novel
+    * credits reshuffle only the df=1 gram subset, and the per-doc
+    * totals collapse map-side to one row per doc. (The previous shape
+    * re-shuffled every (doc, gram) pair through the join — the worst
+    * 10× smoke scaler in round 6 at 5.11; this one scales with the
+    * gram dictionary instead.) No pairs are materialized anywhere (a
+    * pairwise shared-passage report over the same signal would be
+    * quadratic; novelty needs only the df=1 test). Per-doc grams are
+    * DISTINCT so no single aggregation key exceeds the document
+    * count. Docs shorter than `n` tokens have no n-grams and are
+    * absent from the output (their novelty is undefined, not zero).
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -78,12 +85,16 @@ object TextMetrics {
         sequence(lit(0), size(col("__toks")) - n),
         i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
         .as("g"))
-    val docFreq = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-    grams.join(docFreq, Seq("g"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    val novel = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), max(col("id")).as("owner"))
+      .where(col("df") === 1)
+      .groupBy(col("owner").as("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_ngrams"), 6))
   }
@@ -387,6 +398,30 @@ object TextMetrics {
     }
     merges.toSeq
   }
+
+  /** Persist a learned merge list ([[trainBpeMerges]] output) as a
+    * parquet artifact of (rank, left, right) — the tokenizer file a
+    * packing pipeline ships alongside its manifests. Rank preserves
+    * learned order, which IS the merge priority.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merges table back as encode-ready pieces (merge
+    * products in learned-rank order — a merges list and its vocab are
+    * equivalent for greedy encoding).
+    */
+  def loadMergePieces(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    spark.read.parquet(path).orderBy("rank")
+      .select(concat(col("left"), col("right")))
+      .collect().map(_.getString(0)).toSeq
 
   /** Zipf-exponent fit over the corpus token-frequency distribution:
     * the least-squares slope of ln(count) against ln(rank) for the
