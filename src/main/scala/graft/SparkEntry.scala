@@ -1760,14 +1760,24 @@ object SparkEntry {
     * 64 (the embeddings-table contract; DuckDB's generate_series can't
     * laterally reference len(vec)).
     */
-  private val knnIvfTrainedOracle: String = {
+  private def oracleDot(a: String, b: String, d: Int = 64): String =
+    s"list_sum(list_transform(generate_series(1, $d), " +
+      s"i -> $a[i] * $b[i]))"
+
+  /** Shared CTE chain for the trained-IVF oracles: seed centroids =
+    * vectors with id < 16, two fixed Lloyd's rounds (assignment
+    * argmax with the (sim DESC, cid DESC) tie-break, per-(cid,dim)
+    * means as DECIMAL(30,12)-exact sums divided in double and rounded
+    * at 9 decimals), then the final `assignf` corpus assignment and
+    * the per-query top-`nprobe` `probes`. Trained centroids land in
+    * CTE `c2`. Dim is fixed at 64 (the embeddings-table contract;
+    * DuckDB's generate_series can't laterally reference len(vec)).
+    */
+  private def trainedIvfPrefix(nprobe: Int): String = {
     val D = 64
-    def dot(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, $D), " +
-        s"i -> $a[i] * $b[i]))"
     def score(cIn: String, name: String, filter: String = ""): String =
       s"$name AS (SELECT n.vec_id AS id, c.cid, " +
-        s"${dot("c.cvec", "n.vec")} / (c.cnrm * n.nrm) AS sim " +
+        s"${oracleDot("c.cvec", "n.vec")} / (c.cnrm * n.nrm) AS sim " +
         s"FROM n, $cIn c$filter)"
     val iters = 2
     val sb = new StringBuilder
@@ -1794,14 +1804,89 @@ object SparkEntry {
       "AS rn FROM scf) WHERE rn = 1)")
     sb.append(", probes AS (SELECT id AS query_id, cid FROM (SELECT id, " +
       "cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, " +
-      "cid DESC) AS rn FROM scf WHERE id < 10) WHERE rn <= 6)")
+      s"cid DESC) AS rn FROM scf WHERE id < 10) WHERE rn <= $nprobe)")
+    sb.toString
+  }
+
+  /** Probe/rank tail over the trained centroids — see
+    * [[trainedIvfPrefix]] for the shared chain.
+    */
+  private val knnIvfTrainedOracle: String = {
+    val sb = new StringBuilder(trainedIvfPrefix(nprobe = 6))
     sb.append(", cand AS (SELECT p.query_id, a.id AS neighbor_id " +
       "FROM probes p JOIN assignf a ON a.cid = p.cid " +
       "WHERE a.id <> p.query_id)")
     sb.append(", s2 AS (SELECT cd.query_id, cd.neighbor_id, " +
-      s"${dot("q.vec", "m.vec")} / (q.nrm * m.nrm) AS sim " +
+      s"${oracleDot("q.vec", "m.vec")} / (q.nrm * m.nrm) AS sim " +
       "FROM cand cd JOIN n q ON q.vec_id = cd.query_id " +
       "JOIN n m ON m.vec_id = cd.neighbor_id)")
+    sb.append(", r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+      "FROM s2)")
+    sb.append(" SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id " +
+      "FROM r WHERE rn <= 5 ORDER BY query_id, rn")
+    sb.toString
+  }
+
+  /** Full replay of Similarity.knnIvfPq: the trained-IVF prefix
+    * (training, assignment, probes), then unit-space residuals
+    * against the assigned/probed centroid, the shared residual
+    * codebook (residuals of id < 16), per-(id, subspace) argmin
+    * encode with the (d2 ASC, code ASC) tie-break, per-(query, list)
+    * LUTs, the fixed-order ADC fold over 9-decimal-rounded subspace
+    * distances, the shortlist cut (dist ASC, neighbor ASC), and the
+    * exact-cosine rerank to top-5.
+    */
+  private val knnIvfPqOracle: String = {
+    val (m, kc, sd) = (8, 32, 8)
+    val sb = new StringBuilder(trainedIvfPrefix(nprobe = 8))
+    sb.append(", cu AS (SELECT cid, " +
+      "list_transform(cvec, x -> x / cnrm) AS cuvec FROM c2)")
+    sb.append(", un AS (SELECT vec_id AS id, " +
+      "list_transform(vec, x -> x / nrm) AS uvec FROM n)")
+    def residual(keyOut: String, from: String, idRef: String): String =
+      s"(SELECT $keyOut, g.cid, list_transform(generate_series(1, 64), " +
+        s"i -> u.uvec[i] - cu.cuvec[i]) AS rvec FROM $from g " +
+        s"JOIN un u ON u.id = $idRef JOIN cu ON cu.cid = g.cid)"
+    sb.append(", resid AS " +
+      residual("g.id AS id", "assignf", "g.id"))
+    sb.append(", qresid AS " +
+      residual("g.query_id AS query_id", "probes", "g.query_id"))
+    def slices(name: String, src: String, key: String): String =
+      s", $name AS (SELECT $key, t.m, list_transform(" +
+        s"generate_series(1, $sd), i -> rvec[t.m * $sd + i]) AS svec " +
+        s"FROM $src, generate_series(0, ${m - 1}) AS t(m))"
+    sb.append(slices("rsub", "resid", "id, cid"))
+    sb.append(slices("qsub", "qresid", "query_id, cid"))
+    sb.append(s", cb AS (SELECT m, CAST(id AS INT) AS code, " +
+      s"svec AS cvec FROM rsub WHERE id < $kc)")
+    def d2(name: String, src: String, key: String): String =
+      s", $name AS (SELECT $key, s.m, cb.code, " +
+        s"round(list_sum(list_transform(generate_series(1, $sd), " +
+        "i -> (s.svec[i] - cb.cvec[i]) * (s.svec[i] - cb.cvec[i]))), " +
+        "9) AS d2 FROM " + s"$src s JOIN cb ON cb.m = s.m)"
+    sb.append(d2("dd", "rsub", "s.id, s.cid"))
+    sb.append(d2("qd", "qsub", "s.query_id, s.cid"))
+    sb.append(", enc AS (SELECT id, cid, list(code ORDER BY m) " +
+      "AS codes FROM (SELECT id, cid, m, code, row_number() OVER " +
+      "(PARTITION BY id, m ORDER BY d2, code) AS rn FROM dd) " +
+      "WHERE rn = 1 GROUP BY id, cid)")
+    sb.append(s", lut AS (SELECT query_id, cid, " +
+      s"list(d2 ORDER BY m * $kc + code) AS lt FROM qd " +
+      "GROUP BY query_id, cid)")
+    sb.append(s", adc AS (SELECT l.query_id, e.id AS neighbor_id, " +
+      s"list_sum(list_transform(generate_series(1, $m), " +
+      s"mi -> l.lt[(mi - 1) * $kc + e.codes[mi] + 1])) AS dist " +
+      "FROM enc e JOIN lut l ON l.cid = e.cid " +
+      "WHERE e.id <> l.query_id)")
+    sb.append(", cand AS (SELECT query_id, neighbor_id FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn " +
+      "FROM adc) WHERE rn <= 50)")
+    sb.append(", s2 AS (SELECT c.query_id, c.neighbor_id, " +
+      s"${oracleDot("q.vec", "x.vec")} / (q.nrm * x.nrm) AS sim " +
+      "FROM cand c JOIN n q ON q.vec_id = c.query_id " +
+      "JOIN n x ON x.vec_id = c.neighbor_id)")
     sb.append(", r AS (SELECT query_id, neighbor_id, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
       "FROM s2)")
@@ -2868,6 +2953,20 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
       shortlist = 50)),
+    // IVF-PQ (IVFADC): trained coarse quantizer bounds the search to
+    // 8/16 lists, PQ codes of unit-space RESIDUALS bound the stored
+    // bytes, broadcast per-(query, list) ADC LUTs scan the codes, and
+    // the exact rerank touches only the shortlist — the composition
+    // that IS the standard 100 TB ANN index (recall 0.88 vs brute
+    // force at the flat-PQ shortlist, measured in DedupSimilaritySpec;
+    // 32 residual codes per subspace because the stand-in codebook is
+    // residuals of the first ids, which post-training cluster small —
+    // twice the entries recovers the coverage a k-means codebook
+    // would give 16)
+    "knn_ivfpq" -> ((s, dir) => Similarity.knnIvfPq(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, nprobe = 8, numCodes = 32, numSubspaces = 8,
+      numQueries = 10, k = 5, shortlist = 50, iterations = 2)),
     // LLM pipeline — multimodal plumbing with a REAL codec: corpus
     // text synthesized into 24-bit BMPs, decoded back by the header-
     // validating parser, per-image pixel statistics compared against
@@ -3557,6 +3656,7 @@ object SparkEntry {
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
+    "knn_ivfpq" -> knnIvfPqOracle,
     "sample_weighted" ->
       ("SELECT CAST(1000 AS BIGINT) AS n, " +
         "CAST(1000 AS BIGINT) AS n_distinct, CAST(1 AS INT) AS uplift"),

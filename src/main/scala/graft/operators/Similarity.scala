@@ -446,6 +446,150 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ (IVFADC — Jégou et al. 2011, §IV): the industry-standard
+    * 100 TB ANN index, composing the two pieces that already exist
+    * separately — [[trainIvfCentroids]]'s coarse quantizer bounds the
+    * search to nprobe inverted lists, and product quantization
+    * compresses what is STORED per vector to `numSubspaces` one-byte
+    * codes of its RESIDUAL (x/‖x‖ − c/‖c‖) rather than the vector
+    * itself. Residuals carry far less variance than raw vectors, so
+    * the same codebook budget quantizes them tighter — that is the
+    * reason IVFADC beats flat PQ at equal bytes. Within one probed
+    * list, ADC over residual codes ranks by ‖q−x‖² exactly (the
+    * shared centroid cancels), and unit-normalized inputs make that
+    * cosine ranking across lists.
+    *
+    * Scale shape of every stage matches its parents: centroids and
+    * the residual codebook ride broadcast joins (k·d doubles);
+    * assignment and encode are map-side `max/min(struct)` partial
+    * aggs (one row per vector reaches each shuffle); per-(query,
+    * probed-list) LUTs are numSubspaces×numCodes doubles broadcast to
+    * the code scan; the exact-cosine rerank fetches only
+    * shortlist·numQueries vectors. The corpus-sized working set is
+    * CODES + one cid per vector — bytes, not floats.
+    *
+    * Deterministic end to end (struct tie-breaks, 9-decimal-rounded
+    * subspace distances, fixed fold order), so the SQL oracle replays
+    * training, assignment, residual encode, LUT, ADC, and rerank
+    * bit-for-bit. The residual codebook is the deterministic stand-in
+    * (residuals of vectors with `id < numCodes`), mirroring
+    * [[knnPq]]'s seed codebook.
+    */
+  def knnIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, nprobe: Int = 6, numCodes: Int = 16,
+      numSubspaces: Int = 8, numQueries: Int = 10, k: Int = 5,
+      dim: Int = 64, shortlist: Int = 50, iterations: Int = 2)
+      : DataFrame = {
+    require(dim % numSubspaces == 0, "dim must split evenly")
+    val subDim = dim / numSubspaces
+    val v = normed(df, idCol, vecCol)
+    val cents = trainIvfCentroids(df, idCol, vecCol, numCentroids,
+      iterations)
+    val cu = broadcast(cents.select(col("cid"),
+      transform(col("cvec"), x => x / col("cnorm")).as("cuvec")))
+
+    def scored(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
+    // unit-space residual vs the assigned (or probed) centroid
+    val rvec = zip_with(
+      transform(col("vec"), x => x / col("norm")), col("cuvec"),
+      (x, c) => x - c)
+
+    // corpus: one list per vector (argmax with the (sim, cid) struct
+    // tie-break), residual against the OWN list's centroid
+    val assigned = scored(v)
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"))
+      .join(v, Seq("id"))
+      .join(cu, Seq("cid"))
+      .withColumn("rvec", rvec)
+
+    // (key..., m, svec): contiguous sub-vectors of the residual
+    def rsliced(side: DataFrame, keyCols: Seq[String]): DataFrame =
+      side.select(keyCols.map(col) :+ posexplode(
+        array((0 until numSubspaces).map(m =>
+          slice(col("rvec"), m * subDim + 1, subDim)): _*))
+        .as(Seq("m", "svec")): _*)
+
+    // shared residual codebook: residual sub-vectors of the stand-in
+    // rows, one codebook per subspace, broadcast everywhere
+    val cb = broadcast(
+      rsliced(assigned.where(col("id") < numCodes), Seq("id"))
+        .select(col("m"), col("id").cast("int").as("code"),
+          col("svec").as("cvec")))
+    val d2 = round(aggregate(
+      zip_with(col("svec"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _), 9)
+
+    // encode: per-(id, subspace) argmin over the codebook, map-side
+    // partial agg, codes pivoted to a position-ordered byte array
+    val enc = rsliced(assigned, Seq("id", "cid")).join(cb, Seq("m"))
+      .withColumn("d2", d2)
+      .groupBy("id", "cid", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("id"), col("cid"), col("m"), col("best.code").as("code"))
+      .groupBy("id", "cid")
+      .agg(array_sort(collect_list(struct(col("m"), col("code"))))
+        .as("ps"))
+      .select(col("id"), col("cid"),
+        transform(col("ps"), p => p.getField("code")).as("codes"))
+
+    // queries probe their nprobe best lists; each probe carries the
+    // residual against THAT list's centroid (ADC's distances are
+    // per-list because the centroid term differs)
+    val probeW = Window.partitionBy("id")
+      .orderBy(col("csim").desc, col("cid").desc)
+    val probes = scored(v.where(col("id") < numQueries))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"), col("vec"),
+        col("norm"))
+      .join(cu, Seq("cid"))
+      .withColumn("rvec", rvec)
+    val lut = rsliced(probes, Seq("query_id", "cid")).join(cb, Seq("m"))
+      .withColumn("d2", d2)
+      .withColumn("slot", col("m") * numCodes + col("code"))
+      .groupBy("query_id", "cid")
+      .agg(array_sort(collect_list(struct(col("slot"), col("d2"))))
+        .as("ps"))
+      .select(col("query_id"), col("cid"),
+        transform(col("ps"), p => p.getField("d2")).as("lut"))
+
+    // ADC scan: codes join the broadcast per-(query, list) LUTs on
+    // cid — only probed lists produce candidates; fixed-order fold
+    val dist = aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), lit(numSubspaces - 1)),
+        (c, mi) => element_at(col("lut"),
+          (mi * numCodes + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("id").asc)
+    val cand = enc.join(broadcast(lut), Seq("cid"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("id"))
+
+    // exact-cosine rerank over the shortlist only
+    val q = v.select(col("id").as("query_id"), col("vec").as("qvec"),
+      col("norm").as("qnorm"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id").asc)
+    cand.join(broadcast(q), Seq("query_id"))
+      .join(v, Seq("id"))
+      .withColumn("sim",
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Hard-negative mining for contrastive training (the in-between
     * band of DPR/SimCSE-style pipelines): per query, the top-k corpus
     * rows whose cosine lies in [simLo, simHi) — similar enough to be

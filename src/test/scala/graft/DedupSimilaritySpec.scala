@@ -305,6 +305,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"pq recall $recall%.3f below the 0.85 floor")
   }
 
+  test("IVF-PQ recall vs brute force at the registered config, at " +
+      "least the flat-PQ floor at the same shortlist (sf0.001 " +
+      "embeddings)") {
+    val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // residual quantization + the 8/16-list probe: a true neighbor is
+    // lost only when its list goes unprobed or ADC drops it from the
+    // 50-candidate shortlist — the exact rerank fixes all ordering
+    val ivfpq = Similarity.knnIvfPq(realVecs, "vec_id", "embedding",
+        numCentroids = 16, nprobe = 8, numCodes = 32, numSubspaces = 8,
+        numQueries = 10, k = 5, shortlist = 50, iterations = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(f"ivfpq recall at 8/16 probes, 8x32 residual codes, " +
+      f"rerank 50: $recall%.3f")
+    assert(recall >= 0.85,
+      f"ivfpq recall $recall%.3f below the 0.85 flat-PQ floor")
+  }
+
   test("PQ and hard-negative plans broadcast the small side and never " +
       "plan a raw cartesian product") {
     for (df <- Seq(
