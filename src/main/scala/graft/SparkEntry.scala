@@ -2534,23 +2534,26 @@ object SparkEntry {
     // re-register the catalog entry instead of rewriting the data.
     "bucketed_join" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val base = graft.config.Scratch.dir + s"/bucketed_$tag"
-      // the reuse is keyed on the SOURCE fingerprint, not just the dir
-      // name: a regenerated dataset under the same dir fails the match
-      // and triggers a rewrite instead of serving the stale layout
+      val base = graft.config.Scratch.dir + s"/bucketed_vt_$tag"
+      // the layout lives in a VersionedTable (re-bucketing commits a
+      // new snapshot; a crashed rewrite never corrupts the serving
+      // layout), and the reuse is keyed on the SOURCE fingerprint,
+      // not just the dir name: a regenerated dataset under the same
+      // dir fails the match and triggers a new version instead of
+      // serving the stale layout
       val ordersFp = BucketedTable.sourceFingerprint(s,
         s"$dir/orders.parquet")
       val custFp = BucketedTable.sourceFingerprint(s,
         s"$dir/customer.parquet")
-      if (!BucketedTable.register(s, s"graft_b_orders_$tag",
+      if (!BucketedTable.registerVersioned(s, s"graft_b_orders_$tag",
           s"$base/orders", ordersFp))
-        BucketedTable.write(tbl(s, dir, "orders")
+        BucketedTable.writeVersioned(tbl(s, dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice"),
           s"graft_b_orders_$tag", s"$base/orders", "o_custkey", 8,
           ordersFp)
-      if (!BucketedTable.register(s, s"graft_b_customer_$tag",
+      if (!BucketedTable.registerVersioned(s, s"graft_b_customer_$tag",
           s"$base/customer", custFp))
-        BucketedTable.write(tbl(s, dir, "customer")
+        BucketedTable.writeVersioned(tbl(s, dir, "customer")
             .select("c_custkey", "c_mktsegment"),
           s"graft_b_customer_$tag", s"$base/customer", "c_custkey", 8,
           custFp)

@@ -66,6 +66,15 @@ object ZOrder {
     }.mkString("(", " + ", ")")
   }
 
+  private def clustered(df: DataFrame, xCol: String, yCol: String,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      numFiles: Int): DataFrame =
+    df.withColumn("z",
+        mortonCode(col(xCol), col(yCol), xMin, xMax, yMin, yMax))
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+
   /** Write `df` Z-clustered on (xCol, yCol): range-partition into
     * `numFiles` contiguous Z-ranges, sort each file by Z. One shuffle
     * at write time buys file-level skipping on both columns for every
@@ -74,10 +83,20 @@ object ZOrder {
   def layoutZOrder(df: DataFrame, xCol: String, yCol: String,
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
       numFiles: Int, path: String): Unit =
-    df.withColumn("z",
-        mortonCode(col(xCol), col(yCol), xMin, xMax, yMin, yMax))
-      .repartitionByRange(numFiles, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z")
+    clustered(df, xCol, yCol, xMin, xMax, yMin, yMax, numFiles)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-cluster `df` and COMMIT it as the next snapshot of the
+    * [[graft.sources.VersionedTable]] at `root` — what `OPTIMIZE
+    * ZORDER BY` is in Delta: layout evolution with history. Each
+    * re-cluster (new bounds, grown data) is a new version; a crashed
+    * rewrite never corrupts the serving layout (manifest-last), and
+    * old layouts stay time-travelable. Returns the committed version.
+    */
+  def layoutZOrderVersioned(df: DataFrame, xCol: String, yCol: String,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      numFiles: Int, root: String, tag: String = ""): Long =
+    graft.sources.VersionedTable.commit(
+      clustered(df, xCol, yCol, xMin, xMax, yMin, yMax, numFiles),
+      root, tag)
 }

@@ -138,6 +138,38 @@ object BucketedTable {
     true
   }
 
+  /** Write `df` as a bucketed layout committed as the next snapshot
+    * of the [[VersionedTable]] at `root`: the bucketed files land in
+    * the version's data directory (with their layout spec), and the
+    * manifest publishes them — so re-bucketing (new data, new key,
+    * new bucket count) is a VERSION, a crashed rewrite never corrupts
+    * the serving layout, and old layouts stay registerable for time
+    * travel. Returns the committed version id.
+    */
+  def writeVersioned(df: DataFrame, table: String, root: String,
+      key: String, numBuckets: Int, sourceFp: String = ""): Long = {
+    val spark = df.sparkSession
+    val (v, dir) = VersionedTable.nextVersionDir(spark, root)
+    write(df, table, dir, key, numBuckets, sourceFp)
+    VersionedTable.publish(spark, root, v)
+    v
+  }
+
+  /** [[register]] against a snapshot of the versioned bucketed table
+    * at `root` — the latest version by default, or any older one for
+    * time travel. False when nothing is committed yet or the latest
+    * layout's source fingerprint mismatches (caller falls back to
+    * [[writeVersioned]]).
+    */
+  def registerVersioned(spark: SparkSession, table: String,
+      root: String, expectSourceFp: String = "",
+      version: Option[Long] = None): Boolean =
+    version.orElse(VersionedTable.latestVersion(spark, root)) match {
+      case Some(v) =>
+        register(spark, table, s"$root/v$v", expectSourceFp)
+      case None => false
+    }
+
   /** Join two co-bucketed tables on their bucket keys. The plan is a
     * SortMergeJoin with NO Exchange on either side (gated in
     * ScaleTechniquesSpec) — the join cost is the two scans.

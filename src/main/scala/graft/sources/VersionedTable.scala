@@ -97,9 +97,29 @@ object VersionedTable {
     */
   def commit(df: DataFrame, root: String, tag: String = ""): Long = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
-    val dataDir = s"$root/v$next"
+    val (next, dataDir) = nextVersionDir(spark, root)
     df.write.mode("overwrite").parquet(dataDir)
+    publish(spark, root, next, tag)
+    next
+  }
+
+  /** The id and data directory the NEXT commit will use — for writers
+    * whose output path must be fixed before the write (bucketed
+    * `saveAsTable`, external tools). Write there, then [[publish]].
+    * Single-writer per table, like every manifest-last store without
+    * a compare-and-swap primitive.
+    */
+  def nextVersionDir(spark: SparkSession, root: String): (Long, String) = {
+    val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
+    (next, s"$root/v$next")
+  }
+
+  /** Publish `version` (already written under `root/v<version>`) by
+    * creating its manifest — the commit point. Refuses to overwrite
+    * an existing manifest: versions are immutable.
+    */
+  def publish(spark: SparkSession, root: String, version: Long,
+      tag: String = ""): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -107,12 +127,11 @@ object VersionedTable {
       case c => c.toString
     }
     val manifest =
-      s"""{"version":$next,"path":"v$next","tag":"${js(tag)}"}"""
+      s"""{"version":$version,"path":"v$version","tag":"${js(tag)}"}"""
     val f = fs(spark, root)
-    val p = new Path(root, s"$ManifestPrefix$next.json")
+    val p = new Path(root, s"$ManifestPrefix$version.json")
     val out = f.create(p, false) // no overwrite: a version is immutable
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    next
   }
 
   /** Read the newest committed snapshot. */
@@ -129,6 +148,56 @@ object VersionedTable {
     val rel = """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .map(_.group(1)).getOrElse(s"v$version")
     spark.read.parquet(s"$root/$rel")
+  }
+
+  /** (version, tag) pairs of every commit, oldest first — the
+    * audit-log view a `DESCRIBE HISTORY` gives.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Long, String)] =
+    manifestVersions(spark, root).map { v =>
+      val raw = readManifest(spark, root, v)
+      val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse("")
+      (v, tag)
+    }
+
+  /** Restore an old snapshot by COMMITTING its data as the newest
+    * version (roll-forward, never history rewrite — the standard
+    * `RESTORE TABLE` semantics). Returns the new version id.
+    */
+  def rollback(spark: SparkSession, root: String,
+      toVersion: Long, tag: String = ""): Long =
+    commit(readVersion(spark, root, toVersion), root,
+      if (tag.nonEmpty) tag else s"rollback-to-v$toVersion")
+
+  /** Garbage-collect the table: delete data directories of versions
+    * older than the `keepLast` newest (their manifests too) and any
+    * ORPHAN data directory no manifest names (a crashed commit).
+    * Readers pinned to a vacuumed version lose it — the retention
+    * trade every snapshot store makes; time travel keeps working
+    * across the retained window.
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val f = fs(spark, root)
+    val versions = manifestVersions(spark, root)
+    val keep = versions.takeRight(keepLast).toSet
+    versions.filterNot(keep).foreach { v =>
+      f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
+    }
+    // every vN data dir outside the retained set goes — expired
+    // versions (manifest just deleted) and orphans alike (a crashed
+    // commit's dir that no manifest ever named)
+    val rootPath = new Path(root)
+    if (f.exists(rootPath)) {
+      f.listStatus(rootPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.drop(1).toLongOption.exists(v => !keep.contains(v)))
+        .foreach(p => f.delete(p, true))
+    }
   }
 
   /** Drop everything under `root` — test/scratch hygiene helper. */

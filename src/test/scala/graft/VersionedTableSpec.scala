@@ -56,6 +56,139 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.latestTag(spark, root).contains("0"))
     VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root, tag = "7")
     assert(VersionedTable.latestTag(spark, root).contains("7"))
+    assert(VersionedTable.history(spark, root) ==
+      Seq((0L, "0"), (1L, "7")))
+  }
+
+  test("rollback commits the old snapshot forward; vacuum expires old " +
+      "versions and crashed-commit orphans but keeps the retained " +
+      "window readable") {
+    val root = freshRoot("vacuum")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)   // v0
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)   // v1
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)   // v2
+    // roll back to v0: history moves FORWARD (v3 = v0's data)
+    val v3 = VersionedTable.rollback(spark, root, 0L)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(VersionedTable.history(spark, root).last ==
+      ((3L, "rollback-to-v0")))
+    // a crashed commit leaves an orphan dir
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$root/v99")
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    // v0/v1 and the orphan are gone; v2 and v3 remain readable
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    intercept[Exception] { VersionedTable.readVersion(spark, root, 0L) }
+    assert(!new java.io.File(s"$root/v99").exists)
+    assert(!new java.io.File(s"$root/v0").exists)
+    assert(VersionedTable.readVersion(spark, root, 2L).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("versioned Z-order layout: each commit is a complete clustered " +
+      "layout, skipping holds on the latest, old layouts time-travel") {
+    import graft.operators.ZOrder
+    val root = freshRoot("zorder")
+    val pts = spark.range(0, 20000).select(
+      (pmod(xxhash64(col("id")), lit(10000L)) / 10.0).as("x"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(10000L)) / 10.0).as("y"))
+    val v0 = ZOrder.layoutZOrderVersioned(pts, "x", "y",
+      0.0, 1000.0, 0.0, 1000.0, numFiles = 4, root = root)
+    // data grew / re-cluster finer: a NEW version, not an overwrite
+    val v1 = ZOrder.layoutZOrderVersioned(pts, "x", "y",
+      0.0, 1000.0, 0.0, 1000.0, numFiles = 16, root = root)
+    assert(v0 == 0L && v1 == 1L)
+    // both versions hold the full dataset
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 20000)
+    assert(VersionedTable.read(spark, root).count() == 20000)
+    // file-skipping evidence on the LATEST committed layout: a narrow
+    // y-band touches a minority of the 16 z-files
+    val files = VersionedTable.read(spark, root)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("y").as("lo"), max("y").as("hi"))
+    assert(files.count() == 16)
+    val touched = files.where(col("lo") <= 420.0 && col("hi") >= 400.0)
+      .count()
+    assert(touched <= 8, s"$touched of 16 files intersect a 2% y-band")
+    // the previous layout still reads with ITS file count
+    val files0 = VersionedTable.readVersion(spark, root, v0)
+      .select(input_file_name()).distinct().count()
+    assert(files0 == 4)
+  }
+
+  test("versioned bucketed layout: registerVersioned serves the " +
+      "latest fingerprint-matched snapshot Exchange-free; a source " +
+      "change commits a new version; old versions register for time " +
+      "travel") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import graft.sources.BucketedTable
+    val root = freshRoot("bucketed")
+    val dfA = spark.range(1, 1001)
+      .select(col("id").as("ka"), (col("id") * 2).as("va"))
+    val dfB = spark.range(1, 1001)
+      .select(col("id").as("kb"), (col("id") * 3).as("vb"))
+    // nothing committed yet -> caller must write
+    assert(!BucketedTable.registerVersioned(s2, "vt_a", s"$root/a", "fp1"))
+    assert(BucketedTable.writeVersioned(dfA, "vt_a", s"$root/a",
+      "ka", 8, "fp1") == 0L)
+    assert(BucketedTable.writeVersioned(dfB, "vt_b", s"$root/b",
+      "kb", 8, "fpB") == 0L)
+    // matching fingerprint registers the latest snapshot
+    assert(BucketedTable.registerVersioned(s2, "vt_a", s"$root/a", "fp1"))
+    assert(BucketedTable.registerVersioned(s2, "vt_b", s"$root/b", "fpB"))
+    val joined = BucketedTable.colocatedJoin(s2, "vt_a", "ka", "vt_b", "kb")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "versioned bucketed join lost co-location")
+    assert(joined.count() == 1000)
+    // source regenerated: fingerprint mismatch refuses the stale
+    // layout, the rewrite lands as version 1
+    assert(!BucketedTable.registerVersioned(s2, "vt_a", s"$root/a", "fp2"))
+    val dfA2 = spark.range(1, 501)
+      .select(col("id").as("ka"), (col("id") * 7).as("va"))
+    assert(BucketedTable.writeVersioned(dfA2, "vt_a", s"$root/a",
+      "ka", 8, "fp2") == 1L)
+    assert(BucketedTable.registerVersioned(s2, "vt_a", s"$root/a", "fp2"))
+    assert(s2.table("vt_a").count() == 500)
+    // time travel: the ORIGINAL layout still registers by version id
+    assert(BucketedTable.registerVersioned(s2, "vt_a_v0", s"$root/a",
+      version = Some(0L)))
+    assert(s2.table("vt_a_v0").count() == 1000)
+    Seq("vt_a", "vt_b", "vt_a_v0").foreach(t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("SCD2 dimension states as versions: base history at v0, " +
+      "incremental merge at v1 equals the full rebuild, v0 stays " +
+      "readable") {
+    import graft.operators.Cdc
+    val root = freshRoot("scd2")
+    val baseLog = Seq(
+      (1L, 10L, "a", 100L), (1L, 20L, "b", 101L),
+      (2L, 10L, "x", 102L), (2L, 30L, "x", 103L))
+      .toDF("k", "ts", "attr", "eid")
+    val delta = Seq((1L, 40L, "c", 104L), (3L, 5L, "z", 105L))
+      .toDF("k", "ts", "attr", "eid")
+    val hist0 = Cdc.scd2(baseLog, "k", "ts", "attr", Seq("eid"))
+    VersionedTable.commit(hist0, root, tag = "base")
+    val merged = Cdc.scd2Merge(
+      VersionedTable.read(spark, root), delta, "k", "ts", "attr",
+      Seq("eid"))
+    VersionedTable.commit(merged, root, tag = "merged")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "version", "attr", "valid_from", "valid_to",
+        "is_current").collect()
+        .map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val full = Cdc.scd2(baseLog.unionByName(delta), "k", "ts", "attr",
+      Seq("eid"))
+    assert(canon(VersionedTable.read(spark, root)) == canon(full),
+      "merged dimension state diverged from the full rebuild")
+    assert(canon(VersionedTable.readVersion(spark, root, 0L)) ==
+      canon(hist0), "base dimension state no longer time-travels")
   }
 
   test("streaming IVM survives a forced mid-stream crash-restart from " +
