@@ -83,6 +83,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, runs, true) => median(runs) }.sum
+    // ONE authoritative count: every registered query must carry a
+    // timing in this artifact. n_registered is the registry size
+    // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
+    // between it and n_queries is exactly the failed list, and the
+    // process exits nonzero so a partial artifact can't read as a
+    // clean one.
+    val nRegistered = allQueries.size
+    val missing = allQueries.keySet -- results.collect {
+      case (k, _, true) => k
+    }
 
     // Scale smoke: when the GenScale-produced 10x directory exists,
     // re-time the heaviest scaling queries there and report the
@@ -99,8 +109,8 @@ object Bench {
       "multimodal_features", "multimodal_resize", "dedup_containment",
       "text_novelty", "corr_matrix",
       "chunk_documents", "split_leakage_safe", "cdc_diff",
-      "scd2_history", "ivm_merge", "knn_pq", "multimodal_audio",
-      "hard_negatives",
+      "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
+      "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7",
       "unigram_logprob", "vocab_coverage",
@@ -155,7 +165,7 @@ object Bench {
         s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"queries":$entries,"flagged":$flagged}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
     // The full line above carries per-query detail but runs far past
     // the ~2,000-char stdout tail the round driver records, so for
     // five rounds BENCH_r{N}.json held a truncated fragment. This
@@ -167,7 +177,12 @@ object Bench {
         "\"" + k + "\":" + (math.round(r * 100) / 100.0)
       }.mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
     spark.stop()
+    if (only.isEmpty && missing.nonEmpty) {
+      System.err.println(s"[bench] registered queries without a " +
+        s"timing: ${missing.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
