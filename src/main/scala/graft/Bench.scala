@@ -112,8 +112,9 @@ object Bench {
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
-      "keywords_tfidf", "quality_deciles", "tpch_q7",
-      "unigram_logprob", "vocab_coverage",
+      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q10",
+      "sample_weighted_stratified",
+      "unigram_logprob", "bigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
       "range_join_sessions", "rolling_revenue", "sample_exactk",
       "sample_weighted", "sessionize_batch",

@@ -614,6 +614,78 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Q10 shape — returned-item revenue report: the revenue aggregate
+    * runs FIRST on the quarter-filtered fact join, keyed by custkey
+    * alone, and only the aggregated (≤ active-customer-count) result
+    * joins the customer/nation dimensions — at 100 TB the dimensions
+    * never see un-aggregated lineitem rows, and the aggregate side is
+    * the broadcast side.
+    */
+  private def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
+    val hi = lit(java.time.LocalDateTime.of(1996, 4, 1, 0, 0))
+    val ords = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val rev = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("revenue"))
+    tbl(s, dir, "customer")
+      .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val tpchQ10Oracle: String =
+    "WITH rev AS (SELECT o_custkey, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+      "AND l_returnflag = 'R' GROUP BY 1) " +
+      "SELECT c_custkey, c_name, revenue, c_acctbal, n_name " +
+      "FROM rev JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
+
+  /** Q18 shape — large-volume orders: aggregate the fact table to
+    * find qualifying orders (HAVING over a decimal-exact sum), then
+    * semi-join-style enrich only that tiny set with its order and
+    * customer rows; the qualifying aggregate is the broadcast side
+    * both times.
+    */
+  private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(decSum(col("l_quantity"), 2).as("sum_qty"))
+      .where(col("sum_qty") > 250)
+    val sel = tbl(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    tbl(s, dir, "customer")
+      .join(broadcast(sel), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val tpchQ18Oracle: String =
+    "WITH big AS (SELECT l_orderkey, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty > 250) " +
+      "SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+      "o_totalprice, sum_qty " +
+      "FROM big JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+
   private val tpchQ3Oracle: String =
     "SELECT l_orderkey, o_orderdate, " +
       "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
@@ -2149,6 +2221,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("o_orderkey")).as("n_distinct"))
       .orderBy("o_orderpriority")),
+    // LLM pipeline — the combined mixer primitive: per-source k docs
+    // biased by quality (A-Res per group, per-group exact-ladder
+    // pre-thin). Contract: per-group size, distinctness, and the
+    // weighted uplift flag (sampled mean weight must beat the
+    // group's population mean — flips red if the weighting or the
+    // grouping breaks)
+    "sample_weighted_stratified" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val sampled = Sampling.weightedStratifiedExactK(
+        orders, "o_orderpriority", "o_totalprice", 100)
+      val pop = orders.where(col("o_totalprice") > 0)
+        .groupBy(col("o_orderpriority").as("__p"))
+        .agg(avg(col("o_totalprice")).as("__avg_p"))
+      sampled.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("o_orderkey")).as("n_distinct"),
+          avg(col("o_totalprice")).as("__avg_s"))
+        .join(broadcast(pop), col("o_orderpriority") === col("__p"))
+        .select(col("o_orderpriority"), col("n_sampled"),
+          col("n_distinct"),
+          (col("__avg_s") > col("__avg_p")).cast("int").as("uplift"))
+        .orderBy("o_orderpriority")
+    }),
     // LLM pipeline — corpus mix report: per-source doc/token/char
     // volume and token share (what a data-mixing step consumes)
     "corpus_mix" -> ((s, dir) => {
@@ -2486,6 +2581,8 @@ object SparkEntry {
     // relational/bench headliners: agg, broadcast join, window
     "tpch_q1" -> ((s, dir) => tpchQ1(s, dir)),
     "tpch_q3" -> ((s, dir) => tpchQ3(s, dir)),
+    "tpch_q10" -> ((s, dir) => tpchQ10(s, dir)),
+    "tpch_q18" -> ((s, dir) => tpchQ18(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
     "tpch_q7" -> ((s, dir) => tpchQ7(s, dir)),
     // Q4 shape: date-windowed EXISTS semi-join + agg (adapted to this
@@ -2710,6 +2807,12 @@ object SparkEntry {
     // CCNet-style perplexity proxy: per-doc mean unigram logprob
     // under the corpus's own unigram distribution
     "unigram_logprob" -> ((s, dir) => TextMetrics.unigramLogprob(
+      tbl(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+    // the bigram layer of the perplexity filter: interpolated-backoff
+    // bigram LM score per doc (catches wrong-order/boilerplate text
+    // that a unigram model scores fluently)
+    "bigram_logprob" -> ((s, dir) => TextMetrics.bigramLogprob(
       tbl(s, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     // LLM pipeline — dedup family
@@ -2970,6 +3073,17 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 8, numCodes = 32, numSubspaces = 8,
       numQueries = 10, k = 5, shortlist = 50, iterations = 2)),
+    // corpus clustering report over the trained quantizer: cluster
+    // sizes + cohesion (mean cosine to own centroid, decimal-exact
+    // mean so engine and oracle sum identically)
+    "embed_clusters" -> ((s, dir) => Similarity.clusterAssignments(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, iterations = 2)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("csim"), 9).cast("decimal(20,12)"))
+          .cast("double") / count(lit(1)), 6).as("mean_sim"))
+      .orderBy("cid")),
     // LLM pipeline — multimodal plumbing with a REAL codec: corpus
     // text synthesized into 24-bit BMPs, decoded back by the header-
     // validating parser, per-image pixel statistics compared against
@@ -3249,6 +3363,10 @@ object SparkEntry {
       ("SELECT o_orderpriority, LEAST(100, count(*)) AS n_sampled, " +
         "LEAST(100, count(*)) AS n_distinct FROM orders " +
         "GROUP BY 1 ORDER BY 1"),
+    "sample_weighted_stratified" ->
+      ("SELECT o_orderpriority, LEAST(100, count(*)) AS n_sampled, " +
+        "LEAST(100, count(*)) AS n_distinct, 1 AS uplift FROM orders " +
+        "WHERE o_totalprice > 0 GROUP BY 1 ORDER BY 1"),
     "corpus_mix" ->
       ("WITH m AS (SELECT source, count(*) AS n_docs, " +
         "sum(len(string_split(lower(text), ' '))) AS n_tokens, " +
@@ -3269,6 +3387,8 @@ object SparkEntry {
     "overview" -> overviewOracle,
     "tpch_q1" -> tpchQ1Oracle,
     "tpch_q3" -> tpchQ3Oracle,
+    "tpch_q10" -> tpchQ10Oracle,
+    "tpch_q18" -> tpchQ18Oracle,
     "tpch_q5" -> tpchQ5Oracle,
     "rollup_revenue" -> rollupRevenueOracle,
     "cube_revenue" -> cubeRevenueOracle,
@@ -3276,6 +3396,30 @@ object SparkEntry {
     "quality_deciles" -> qualityDecilesOracle,
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
+    // bigram replay: DuckDB's parallel unnests zip the shifted token
+    // slices into adjacent pairs; the probability mix, per-pair
+    // round-9 log, DECIMAL(20,9) sum, and round-6 mean repeat the
+    // engine's fixed-order expression exactly
+    "bigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "u AS (SELECT t, count(*) AS cu FROM tok GROUP BY t), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ts " +
+        "FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), " +
+        "bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, " +
+        "unnest(ts[2:len(ts)]) AS w2 FROM tk), " +
+        "b AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(CAST(sum(CAST(round(ln(" +
+        "0.75 * (CAST(cb AS DOUBLE) / c1) + " +
+        "0.25 * (CAST(cu AS DOUBLE) / n)), 9) AS DECIMAL(20,9))) " +
+        "AS DOUBLE) / count(*), 6) AS avg_logprob " +
+        "FROM bi JOIN b USING (w1, w2) " +
+        "JOIN (SELECT t AS w1, cu AS c1 FROM u) USING (w1) " +
+        "JOIN (SELECT t AS w2, cu FROM u) USING (w2) " +
+        "CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "semantic_dedup" -> semanticDedupOracle,
     "group_quantiles" -> groupQuantilesOracle,
     "tpch_q7" -> tpchQ7Oracle,
@@ -3660,6 +3804,14 @@ object SparkEntry {
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
     "knn_ivfpq" -> knnIvfPqOracle,
+    // cluster report replay: trained assignment (assignf) joined back
+    // to its own (id, cid) score row in scf, decimal-exact mean
+    "embed_clusters" -> (trainedIvfPrefix(nprobe = 8) +
+      " SELECT a.cid, count(*) AS n, " +
+      "round(CAST(sum(CAST(round(s.sim, 9) AS DECIMAL(20,12))) " +
+      "AS DOUBLE) / count(*), 6) AS mean_sim " +
+      "FROM assignf a JOIN scf s ON s.id = a.id AND s.cid = a.cid " +
+      "GROUP BY 1 ORDER BY 1"),
     "sample_weighted" ->
       ("SELECT CAST(1000 AS BIGINT) AS n, " +
         "CAST(1000 AS BIGINT) AS n_distinct, CAST(1 AS INT) AS uplift"),

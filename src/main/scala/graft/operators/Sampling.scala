@@ -166,6 +166,78 @@ object Sampling {
     thinned.orderBy(col("__key")).limit(k).drop("__key")
   }
 
+  /** Exactly min(k, positive-weight group size) rows PER GROUP,
+    * sampled without replacement with probability proportional to
+    * `weightCol` — the combined source-balancing + quality-weighting
+    * primitive of a training-data mix (per source: k docs, biased by
+    * quality). A-Res exponential keys ([[weightedExactK]]) ranked per
+    * group.
+    *
+    * Scale path (on by default), one exact counting pass: every row's
+    * ladder level ⌈log2(e·W_g / target)⌉ (clamped to [0, 63]) is a
+    * DETERMINISTIC expression the final filter reuses verbatim, so
+    * the per-(group, level) counts decide exactly how many rows each
+    * candidate per-group threshold admits; the smallest level
+    * admitting ≥ min(k, n_g) survivors becomes that group's cut (the
+    * top level admits the whole group, so a cut always exists — no
+    * fallback rerun). Only ~target survivors per group reach the rank
+    * window, so hot groups never funnel their full membership through
+    * one window partition. Groups are assumed vocabulary-sized.
+    */
+  def weightedStratifiedExactK(df: DataFrame, groupCol: String,
+      weightCol: String, k: Int, seed: Long = 42L,
+      preThin: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.where(col(weightCol) > 0)
+    val keyed = pos.withColumn("__key",
+      -log(rand(seed)) / col(weightCol).cast("double"))
+    val thinned =
+      if (!preThin || k <= 0) keyed
+      else {
+        val target = thinTarget(k)
+        val stats = pos.groupBy(col(groupCol).as("__g"))
+          .agg(sum(col(weightCol).cast("double")).as("__w"),
+            count(lit(1)).as("__n"))
+        val joined = keyed.join(broadcast(stats),
+          col(groupCol) <=> col("__g"))
+        val lvl = greatest(least(
+          ceil(log(2.0, col("__key") * col("__w") / lit(target))),
+          lit(63.0)), lit(0.0)).cast("int")
+        val withLvl = joined.withColumn("__lvl", lvl)
+        val counts = withLvl.groupBy(col("__g"), col("__lvl"))
+          .agg(count(lit(1)).as("__c"))
+          .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+        val needByG = stats.collect()
+          .map(r => r.get(0) -> math.min(k.toLong, r.getLong(2))).toMap
+        val cutByG: Map[Any, Int] = counts.groupBy(_._1).map {
+          case (g, rows) =>
+            val need = needByG.getOrElse(g, 0L)
+            val byLvl = rows.map(r => r._2 -> r._3).toMap
+            var cum = 0L
+            var cut = 63
+            var l = 0
+            var found = false
+            while (l <= 63 && !found) {
+              cum += byLvl.getOrElse(l, 0L)
+              if (cum >= need) { cut = l; found = true }
+              l += 1
+            }
+            g -> cut
+        }
+        val cutExpr = cutByG.foldLeft(lit(63): Column) {
+          case (acc, (g, c)) =>
+            if (g == null) when(col(groupCol).isNull, lit(c)).otherwise(acc)
+            else when(col(groupCol) <=> lit(g), lit(c)).otherwise(acc)
+        }
+        withLvl.where(col("__lvl") <= cutExpr)
+          .drop("__g", "__w", "__n", "__lvl")
+      }
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__key"))
+    thinned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__key", "__rn")
+  }
+
   /** Deterministic train/validation/test splitting by key hash — the
     * assignment every training-data pipeline needs to be REPRODUCIBLE
     * and stable under reruns, appends, and repartitioning (unlike

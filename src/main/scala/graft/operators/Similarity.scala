@@ -142,9 +142,32 @@ object Similarity {
       numCentroids: Int, nprobe: Int, numQueries: Int, k: Int,
       iterations: Int = 2): DataFrame = {
     val v = normed(df, idCol, vecCol)
+    // numCentroids rows behind 2 Lloyd's rounds of corpus-scan
+    // lineage, consumed by both the assignment and the probe side —
+    // pin it (the production equivalent: persist the trained index
+    // artifact) so training runs once, not per consumer
     val cents = trainIvfCentroids(df, idCol, vecCol, numCentroids,
-      iterations)
+      iterations).persist()
     knnIvfWith(v, cents, nprobe, numQueries, k)
+  }
+
+  /** Corpus→cluster assignment over the TRAINED coarse quantizer —
+    * the report view behind cluster-size/cohesion dashboards and the
+    * `embed_clusters` contract query: (id, cid, csim) with the same
+    * deterministic argmax ((sim, cid) struct max) as [[knnIvfWith]].
+    */
+  def clusterAssignments(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iterations: Int = 2): DataFrame = {
+    val v = normed(df, idCol, vecCol)
+    val cents = trainIvfCentroids(df, idCol, vecCol, numCentroids,
+      iterations).persist()
+    v.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"),
+        col("best.csim").as("csim"))
   }
 
   private def knnIvfWith(v: DataFrame, cents: DataFrame, nprobe: Int,
@@ -483,8 +506,11 @@ object Similarity {
     require(dim % numSubspaces == 0, "dim must split evenly")
     val subDim = dim / numSubspaces
     val v = normed(df, idCol, vecCol)
+    // pinned: the trained quantizer feeds assignment, codebook,
+    // probes, and the unit-centroid view — without the persist every
+    // consumer re-runs the 2 Lloyd's rounds
     val cents = trainIvfCentroids(df, idCol, vecCol, numCentroids,
-      iterations)
+      iterations).persist()
     val cu = broadcast(cents.select(col("cid"),
       transform(col("cvec"), x => x / col("cnorm")).as("cuvec")))
 

@@ -300,6 +300,56 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Per-document BIGRAM language-model score — the KenLM-shaped
+    * perplexity filter most published data pipelines run (unigram
+    * catches gibberish vocabulary; the bigram layer catches
+    * wrong-order/boilerplate text that unigram scores fluently).
+    * Each adjacent token pair scores
+    * `ln(λ·P(w2|w1) + (1−λ)·P(w2))` — interpolated backoff, so
+    * unseen-in-context pairs degrade to the unigram floor instead of
+    * −∞; `P(w2|w1) = c(w1,w2)/c(w1)` with corpus unigram counts as
+    * the context denominator.
+    *
+    * Scale shape: the bigram dictionary aggregates with map-side
+    * combine and joins back SHUFFLE-keyed on (w1, w2) — a bigram
+    * dictionary outgrows broadcast long before the corpus stops
+    * growing — while the two unigram sides and the 1-row total stay
+    * broadcast. Determinism: the probability mix is a fixed-order
+    * double expression replayed verbatim by the oracle, each log
+    * rounds at 9 decimals into an exact DECIMAL(20,9) sum, and the
+    * per-doc mean rounds at 6 — the [[unigramLogprob]] convention.
+    * Docs with fewer than 2 tokens have no bigrams and are absent.
+    */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        tokenizer(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    val bi = base.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val toksAll = df.select(explode(tokenizer(col(textCol))).as("t"))
+    val uni = toksAll.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val total = toksAll.agg(count(lit(1)).as("__n"))
+    val big = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
+      lit(1.0 - lambda) * (col("cu").cast("double") / col("__n"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("t").as("w1"), col("cu").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("t").as("w2"), col("cu"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(log(p), 9).cast("decimal(20,9)"))
+          .cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Adjacent-symbol pair counts — the statistic the first BPE merge
     * iteration maximizes: for every token of ≥ 2 characters, each
     * in-token character bigram counted corpus-wide, top-k by (count

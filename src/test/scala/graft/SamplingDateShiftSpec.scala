@@ -143,6 +143,49 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(nullSampled.count(_.nonEmpty) == 40)
   }
 
+  test("weighted stratified sampling: per-group exact k, heavy rows " +
+      "oversampled within groups, pre-thin selection-identical") {
+    // two groups of 600; each group: 300 rows at weight 10, 300 at 1
+    // (id mod 4 ∈ {0,1} is heavy — one heavy, one light residue per
+    // id-parity group)
+    val df = spark.range(0, 1200).select(
+      col("id"),
+      concat(lit("g"), (col("id") % 2)).as("g"),
+      when(pmod(col("id"), lit(4)) < 2, 10.0).otherwise(1.0).as("w"))
+    val a = Sampling.weightedStratifiedExactK(df, "g", "w", 100,
+      seed = 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.length == 200)
+    val byG = a.groupBy(_._2)
+    assert(byG.keySet == Set("g0", "g1"))
+    assert(byG.forall(_._2.length == 100))
+    assert(a.map(_._1).distinct.length == 200)
+    // within EACH group the weight-10 rows dominate (A-Res bias)
+    byG.foreach { case (g, rows) =>
+      val heavy = rows.count(_._3 == 10.0)
+      assert(heavy > 70, s"group $g heavy share $heavy/100 not biased")
+    }
+    // reproducible, and the exact-ladder pre-thin must select the
+    // SAME rows as the unthinned per-group rank (shared key)
+    val b = Sampling.weightedStratifiedExactK(df, "g", "w", 100,
+      seed = 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    val plain = Sampling.weightedStratifiedExactK(df, "g", "w", 100,
+      seed = 5L, preThin = false).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(a.sorted.toSeq == plain.sorted.toSeq)
+    // a group smaller than k is kept whole; non-positive weights drop
+    val tiny = Sampling.weightedStratifiedExactK(
+      spark.range(0, 10).select(col("id"),
+        when(col("id") < 7, "s").otherwise("t").as("g"),
+        when(col("id") === 0, 0.0).otherwise(2.0).as("w")),
+      "g", "w", 5).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(tiny.count(_._2 == "t") == 3)
+    assert(tiny.count(_._2 == "s") == 5)
+    assert(!tiny.map(_._1).contains(0L)) // zero-weight row never drawn
+  }
+
   test("cap rejects maxRows above Int.MaxValue instead of overflowing") {
     intercept[IllegalArgumentException] {
       Sampling.cap(nums, Int.MaxValue.toLong + 1, randomSample = true)

@@ -203,6 +203,40 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(1L)._2) // rare token drags the score down
   }
 
+  test("bigramLogprob interpolates bigram and unigram probabilities " +
+      "exactly; short docs are absent") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a b"),
+      (3L, "x")) // < 2 tokens → no bigrams → absent
+      .toDF("doc_id", "text")
+    // corpus unigrams: a=3, b=2, x=1, N=6; bigrams: (a,b)=2, (b,a)=1
+    // p(a,b) = .75*(2/3) + .25*(2/6); p(b,a) = .75*(1/2) + .25*(3/6)
+    val got = TextMetrics.bigramLogprob(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def m6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnAB = r9(math.log(0.75 * (2.0 / 3.0) + 0.25 * (2.0 / 6.0)))
+    val lnBA = r9(math.log(0.75 * (1.0 / 2.0) + 0.25 * (3.0 / 6.0)))
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, m6((lnAB + lnBA) / 2))))
+    assert(got(2L) == ((1L, m6(lnAB))))
+    // the frequent-order doc outscores a reversed-order one built
+    // from the same vocabulary (what the bigram layer adds over
+    // unigram, which scores both identically)
+    val docs2 = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "sat cat the"))
+      .toDF("doc_id", "text")
+    val s2 = TextMetrics.bigramLogprob(docs2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(1L) > s2(4L),
+      s"frequent order ${s2(1L)} must beat reversed ${s2(4L)}")
+  }
+
   test("zipfFit recovers the exponent of a synthetic power-law corpus") {
     // token w_r appears round(1000 / r^1) times: slope must fit ~ -1
     val text = (1 to 20).flatMap(r =>
