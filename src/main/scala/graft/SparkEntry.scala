@@ -2373,6 +2373,23 @@ object SparkEntry {
             col("n_exact") <= 0.05).cast("int").as("within_5pct"))
         .orderBy("o_orderstatus")
     }),
+    // MERGE-style upsert on the versioned table: base snapshot + the
+    // even-keyed half of the revised snapshot as the update set; the
+    // committed result must equal the SQL merge replay row-for-row
+    // (pins the left-anti + union shape AND the committed bytes)
+    "table_upsert" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/vt_upsert_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      graft.sources.VersionedTable.upsert(s, root,
+        nw.where(col("o_orderkey") % 2 === 0).select(cols.map(col): _*),
+        Seq("o_orderkey"), tag = "merge")
+      graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
     // CDC: insert/update/delete classification between two snapshots
     // (both derived deterministically from orders so the oracle can
     // rebuild them); one full-outer sort-merge join, unchanged keys
@@ -2607,6 +2624,38 @@ object SparkEntry {
         col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice") * col("l_discount"))
         .cast("decimal(18,4)")).cast("double").as("revenue"))),
+    // approx point-frequency via Spark's built-in count-min sketch
+    // (the complement of Misra-Gries: MG answers "who is heavy", CMS
+    // answers "how often is THIS key", O(w·d) memory, mergeable).
+    // Contract: the heavy-hitter keys' exact counts plus the two CMS
+    // guarantees as pinned flags — estimate never undercounts
+    // (always true) and overshoots by at most ⌈eps·N⌉ (holds at
+    // 1-confidence, deterministic for fixed data + seed). The sketch
+    // estimate itself is hash-dependent, so the flags ARE the
+    // oracle-checkable surface.
+    "freq_cms" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val row = li.agg(
+        count_min_sketch(col("l_orderkey"), lit(0.001), lit(0.99),
+          lit(42)).as("sk"),
+        count(lit(1)).as("n")).first()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+      val n = row.getLong(1)
+      val slack = math.ceil(0.001 * n).toLong
+      val top = li.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("l_orderkey"))
+        .limit(10).collect()
+        .map { r =>
+          val k = r.getLong(0); val t = r.getLong(1)
+          val est = cms.estimateCount(k)
+          (k, t, if (est >= t) 1 else 0,
+            if (est <= t + slack) 1 else 0)
+        }
+      import s.implicits._
+      top.toSeq.toDF("l_orderkey", "true_cnt", "lb_ok", "ub_ok")
+    }),
     // per-group heavy hitters: one Misra-Gries sketch per group in a
     // single aggregation (capacity 4096 >> the 31 distinct tokens per
     // source, so counts are exact and the oracle replays them)
@@ -3367,6 +3416,10 @@ object SparkEntry {
       ("SELECT o_orderpriority, LEAST(100, count(*)) AS n_sampled, " +
         "LEAST(100, count(*)) AS n_distinct, 1 AS uplift FROM orders " +
         "WHERE o_totalprice > 0 GROUP BY 1 ORDER BY 1"),
+    "freq_cms" ->
+      ("SELECT l_orderkey, count(*) AS true_cnt, 1 AS lb_ok, " +
+        "1 AS ub_ok FROM lineitem GROUP BY 1 " +
+        "ORDER BY true_cnt DESC, l_orderkey LIMIT 10"),
     "corpus_mix" ->
       ("WITH m AS (SELECT source, count(*) AS n_docs, " +
         "sum(len(string_split(lower(text), ' '))) AS n_tokens, " +
@@ -3617,6 +3670,20 @@ object SparkEntry {
     // COMMITTED snapshots read back by version id — the oracle is
     // identical because the versioned reads must be byte-faithful
     "table_time_travel" -> cdcDiffOracle,
+    "table_upsert" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "upd AS (SELECT * FROM nn WHERE o_orderkey % 2 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT * FROM o WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM upd) " +
+        "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey"),
     "window_percentiles" ->
       ("SELECT c_mktsegment, c_custkey, " +
         "round(percent_rank() OVER w, 9) AS pct_rank, " +

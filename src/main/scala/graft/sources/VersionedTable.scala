@@ -150,6 +150,31 @@ object VersionedTable {
     spark.read.parquet(s"$root/$rel")
   }
 
+  /** Copy-on-write DELETE: commit a snapshot without the matching
+    * rows (the whole-table rewrite every snapshot store without
+    * deletion vectors performs — the GDPR-eraser path). Old versions
+    * still contain the rows until [[vacuum]] expires them, exactly
+    * like Delta/Iceberg retention. Returns the new version id.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, tag: String = ""): Long =
+    commit(read(spark, root).where(!predicate), root, tag)
+
+  /** MERGE-style upsert: rows of `updates` replace current rows with
+    * the same key; unmatched keys append. One left-anti join on the
+    * key (the unchanged majority streams through untouched) plus the
+    * update set — then one commit. Returns the new version id.
+    */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = read(spark, root)
+    val kept = cur.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    commit(kept.unionByName(updates.select(cur.columns.map(col): _*)),
+      root, tag)
+  }
+
   /** (version, tag) pairs of every commit, oldest first — the
     * audit-log view a `DESCRIBE HISTORY` gives.
     */

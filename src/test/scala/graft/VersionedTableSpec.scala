@@ -60,6 +60,27 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq((0L, "0"), (1L, "7")))
   }
 
+  test("copy-on-write delete and upsert commit new snapshots; the " +
+      "pre-delete version retains the rows until vacuumed") {
+    val root = freshRoot("crud")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v"), root)
+    VersionedTable.deleteWhere(spark, root, col("k") === 2L,
+      tag = "erase-2")
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the eraser path: old version still holds the row (retention)
+    assert(VersionedTable.readVersion(spark, root, 0L).count() == 3)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    intercept[Exception] { VersionedTable.readVersion(spark, root, 0L) }
+    // upsert: same-key replace + new-key append in one commit
+    VersionedTable.upsert(spark, root,
+      Seq((3L, "c2"), (9L, "z")).toDF("k", "v"), Seq("k"))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (3L, "c2"), (9L, "z")))
+  }
+
   test("rollback commits the old snapshot forward; vacuum expires old " +
       "versions and crashed-commit orphans but keeps the retained " +
       "window readable") {
