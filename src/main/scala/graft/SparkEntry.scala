@@ -301,6 +301,24 @@ object SparkEntry {
     (old, nw)
   }
 
+  /** The (events, per-day-deduped orders) pair behind the as-of
+    * family: right side unique per (key, time) as the operator's
+    * determinism contract requires.
+    */
+  private def asofBase(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ev = tbl(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val ord = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_order"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("t_us"),
+        col("last_order"))
+    (ev, ord)
+  }
+
   private def sampleQuery(s: SparkSession, dir: String): DataFrame = {
     // parquet-footer count feeds the scale path's pre-thin — the
     // analogue of the reference's awk line-number pre-filter
@@ -3189,6 +3207,30 @@ object SparkEntry {
         .select("event_id", "last_order")
         .orderBy("event_id")
     }),
+    // as-of FORWARD: each event's user's earliest order at-or-after
+    // the event (the "time to next purchase" attribution join); one
+    // key shuffle, matched epoch pinned too
+    "asof_next_order" -> ((s, dir) => {
+      val (ev, ord) = asofBase(s, dir)
+      graft.operators.AsofJoin.asofJoinDirectional(
+        ev, "user_id", "t_us", ord, "o_custkey", "t_us", "last_order",
+        direction = "forward")
+        .select(col("event_id"), col("last_order").as("next_order"),
+          col("matched_ts"))
+        .orderBy("event_id")
+    }),
+    // as-of NEAREST: the closer of the backward/forward matches (an
+    // exact tie prefers backward) — both direction frames ride ONE
+    // sort, so nearest costs the same single shuffle
+    "asof_nearest_order" -> ((s, dir) => {
+      val (ev, ord) = asofBase(s, dir)
+      graft.operators.AsofJoin.asofJoinDirectional(
+        ev, "user_id", "t_us", ord, "o_custkey", "t_us", "last_order",
+        direction = "nearest")
+        .select(col("event_id"), col("last_order").as("near_order"),
+          col("matched_ts"))
+        .orderBy("event_id")
+    }),
     // range join (no native Spark operator): events bucketed into
     // their containing sessions via granularity equi-join + exact
     // containment filter; counts must reproduce each session's
@@ -4042,6 +4084,39 @@ object SparkEntry {
         "SELECT e.event_id, r.last_order FROM e " +
         "ASOF LEFT JOIN r ON e.user_id = r.k AND e.tu >= r.tu " +
         "ORDER BY event_id"),
+    // DuckDB's ASOF is backward-only, so the forward/nearest replays
+    // use correlated LIMIT-1 subqueries over the same deduped right
+    "asof_next_order" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu " +
+        "FROM events), " +
+        "r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, " +
+        "max(o_orderkey) AS last_order FROM orders GROUP BY 1, 2) " +
+        "SELECT e.event_id, " +
+        "(SELECT r.last_order FROM r WHERE r.k = e.user_id " +
+        "AND r.tu >= e.tu ORDER BY r.tu LIMIT 1) AS next_order, " +
+        "(SELECT r.tu FROM r WHERE r.k = e.user_id " +
+        "AND r.tu >= e.tu ORDER BY r.tu LIMIT 1) AS matched_ts " +
+        "FROM e ORDER BY event_id"),
+    "asof_nearest_order" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu " +
+        "FROM events), " +
+        "r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, " +
+        "max(o_orderkey) AS last_order FROM orders GROUP BY 1, 2), " +
+        "m AS (SELECT e.event_id, e.tu, " +
+        "(SELECT r.last_order FROM r WHERE r.k = e.user_id " +
+        "AND r.tu <= e.tu ORDER BY r.tu DESC LIMIT 1) AS bv, " +
+        "(SELECT r.tu FROM r WHERE r.k = e.user_id " +
+        "AND r.tu <= e.tu ORDER BY r.tu DESC LIMIT 1) AS bt, " +
+        "(SELECT r.last_order FROM r WHERE r.k = e.user_id " +
+        "AND r.tu >= e.tu ORDER BY r.tu LIMIT 1) AS fv, " +
+        "(SELECT r.tu FROM r WHERE r.k = e.user_id " +
+        "AND r.tu >= e.tu ORDER BY r.tu LIMIT 1) AS ft FROM e) " +
+        "SELECT event_id, " +
+        "CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv " +
+        "WHEN tu - bt <= ft - tu THEN bv ELSE fv END AS near_order, " +
+        "CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt " +
+        "WHEN tu - bt <= ft - tu THEN bt ELSE ft END AS matched_ts " +
+        "FROM m ORDER BY event_id"),
     "streaming_ivm" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, " +

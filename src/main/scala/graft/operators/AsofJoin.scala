@@ -53,4 +53,67 @@ object AsofJoin {
       .select((left.columns.map(c => col(s"__row.`$c`").as(c)) :+
         col("__m").as(valueCol)).toSeq: _*)
   }
+
+  /** As-of join with a DIRECTION — the full pandas-`merge_asof`
+    * surface: `backward` (latest right at-or-before, like
+    * [[asofJoin]]), `forward` (earliest right at-or-after), `nearest`
+    * (the closer of the two; an exact-distance tie prefers backward).
+    * Same union-then-window shape; both direction frames are RANGE
+    * frames over the epoch column, so ONE key shuffle and ONE sort
+    * serve backward and forward simultaneously — `nearest` costs the
+    * same single shuffle as either direction alone.
+    *
+    * Output: left columns + `valueCol` (the matched right value) +
+    * `matched_ts` (the matched right row's epoch) — both NULL when no
+    * right row qualifies in the direction.
+    */
+  def asofJoinDirectional(left: DataFrame, leftKey: String,
+      leftTs: String, right: DataFrame, rightKey: String,
+      rightTs: String, valueCol: String,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest: $direction")
+    val reserved = Set("__k", "__t", "__side", "__v", "__row", "__b",
+      "__f", valueCol, "matched_ts")
+    val clashes = left.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoinDirectional: left columns ${clashes.mkString(", ")} " +
+        "collide with internal names — rename them before joining")
+    val vType = right.schema(valueCol).dataType
+    val leftRow = struct(left.columns.map(col).toSeq: _*)
+    val l = left.select(col(leftKey).as("__k"),
+      col(leftTs).cast("long").as("__t"), lit(1).as("__side"),
+      lit(null).cast(vType).as("__v"), leftRow.as("__row"))
+    val r = right.select(col(rightKey).as("__k"),
+      col(rightTs).cast("long").as("__t"), lit(0).as("__side"),
+      col(valueCol).as("__v"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    // the match payload is null on left rows so ignoreNulls windows
+    // skip them; range frames keyed on __t make equal-timestamp right
+    // rows inclusive in BOTH directions under one sort order
+    val mv = when(col("__side") === 0,
+      struct(col("__t").as("mt"), col("__v").as("v")))
+    val wB = Window.partitionBy("__k").orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("__k").orderBy(col("__t"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBoth = l.unionByName(r)
+      .withColumn("__b", last(mv, ignoreNulls = true).over(wB))
+      .withColumn("__f", first(mv, ignoreNulls = true).over(wF))
+    val chosen = direction match {
+      case "backward" => col("__b")
+      case "forward"  => col("__f")
+      case "nearest" =>
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(col("__t") - col("__b.mt") <=
+            col("__f.mt") - col("__t"), col("__b"))
+          .otherwise(col("__f"))
+    }
+    withBoth
+      .where(col("__side") === 1)
+      .select((left.columns.map(c => col(s"__row.`$c`").as(c)) :+
+        chosen.getField("v").as(valueCol) :+
+        chosen.getField("mt").as("matched_ts")).toSeq: _*)
+  }
 }

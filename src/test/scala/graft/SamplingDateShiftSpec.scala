@@ -220,6 +220,33 @@ class SamplingDateShiftSpec extends AnyFunSuite {
       5L -> null))
   }
 
+  test("directional asof: forward takes the earliest at-or-after, " +
+      "nearest takes the closer side with exact ties backward") {
+    import graft.operators.AsofJoin
+    val l = Seq((1L, 5L, 100L), (2L, 10L, 100L), (3L, 20L, 100L),
+      (4L, 10L, 200L), (5L, 3L, 999L)).toDF("lid", "t", "k")
+    val r = Seq((10L, 100L, "a"), (4L, 100L, "b"), (15L, 100L, "c"),
+      (10L, 200L, "d")).toDF("t", "k", "v")
+    def run(dir: String) = AsofJoin.asofJoinDirectional(
+      l, "k", "t", r, "k", "t", "v", direction = dir)
+      .collect().map(x => x.getAs[Long]("lid") ->
+        ((x.getAs[String]("v"), x.getAs[Any]("matched_ts")))).toMap
+    val fwd = run("forward")
+    // lid1 (t=5): earliest ≥ 5 is t=10 "a"; lid2 (t=10): inclusive
+    // tie "a"; lid3 (t=20): nothing follows; lid4: "d"; lid5: no key
+    assert(fwd == Map(1L -> (("a", 10L)), 2L -> (("a", 10L)),
+      3L -> ((null, null)), 4L -> (("d", 10L)), 5L -> ((null, null))))
+    val near = run("nearest")
+    // lid1: backward t=4 (d=1) beats forward t=10 (d=5); lid2: exact
+    // tie prefers backward (= the same t=10 row); lid3: backward only
+    assert(near == Map(1L -> (("b", 4L)), 2L -> (("a", 10L)),
+      3L -> (("c", 15L)), 4L -> (("d", 10L)), 5L -> ((null, null))))
+    // backward direction reproduces the classic asofJoin
+    val back = run("backward")
+    assert(back.view.mapValues(_._1).toMap == Map(1L -> "b", 2L -> "a",
+      3L -> "c", 4L -> "d", 5L -> null))
+  }
+
   test("range join matches points to containing intervals across " +
       "bucket boundaries") {
     import graft.operators.RangeJoin
