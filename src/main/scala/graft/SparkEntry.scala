@@ -2368,6 +2368,17 @@ object SparkEntry {
         operators.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey"),
           0.0, 4000.0, 0.0, 200.0).as("zcode"))
       .orderBy("l_orderkey", "l_linenumber")),
+    // N-dimensional Morton interleave (bit b of dim i at position
+    // b·d+i, 10 bits × 3 dims) — the multi-column OPTIMIZE ZORDER
+    // key, bit-replayed by the generated SQL twin
+    "zorder3_code" -> ((s, dir) => tbl(s, dir, "lineitem")
+      .where(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        operators.ZOrder.mortonCodeN(Seq(
+          (col("l_partkey"), 0.0, 4000.0),
+          (col("l_suppkey"), 0.0, 200.0),
+          (col("l_quantity"), 0.0, 50.0)), bits = 10).as("zcode3"))
+      .orderBy("l_orderkey", "l_linenumber")),
     // incremental view maintenance: two batch states (orders before /
     // after a cutover date) merged WITHOUT rescanning raw rows must
     // equal the direct full aggregation the oracle computes; the HLL
@@ -3615,6 +3626,13 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, " +
         graft.operators.ZOrder.mortonSql("l_partkey", "l_suppkey",
           0.0, 4000.0, 0.0, 200.0) + " AS zcode " +
+        "FROM lineitem WHERE l_orderkey < 400 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "zorder3_code" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        graft.operators.ZOrder.mortonSqlN(Seq(
+          ("l_partkey", 0.0, 4000.0), ("l_suppkey", 0.0, 200.0),
+          ("l_quantity", 0.0, 50.0)), bits = 10) + " AS zcode3 " +
         "FROM lineitem WHERE l_orderkey < 400 " +
         "ORDER BY l_orderkey, l_linenumber"),
     "resample_ffill" ->

@@ -27,22 +27,37 @@ object ZOrder {
     */
   def mortonCode(x: Column, y: Column,
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      bits: Int = 16): Column =
+    mortonCodeN(Seq((x, xMin, xMax), (y, yMin, yMax)), bits)
+
+  /** N-dimensional Morton code — real `OPTIMIZE ZORDER BY` takes any
+    * number of columns: bit b of dimension i lands at position
+    * b·d + i, so 2-D reduces to the classic x-even/y-odd interleave.
+    * `bits · dims` must fit a positive BIGINT (≤ 62). Per-dimension
+    * bounds are caller-supplied, same batch-stability argument as the
+    * 2-D form.
+    */
+  def mortonCodeN(dims: Seq[(Column, Double, Double)],
       bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val d = dims.size
+    require(d >= 1, "at least one dimension")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits*dims must be in [1, 62]: $bits*$d")
     // degenerate bounds would divide by zero and NaN every code —
     // corrupt layout, silently; fail fast instead
-    require(xMax > xMin && yMax > yMin,
-      s"degenerate Z-order bounds: x [$xMin, $xMax], y [$yMin, $yMax]")
+    dims.zipWithIndex.foreach { case ((_, lo, up), i) =>
+      require(up > lo, s"degenerate Z-order bounds for dim $i: [$lo, $up]")
+    }
     val hi = (1L << bits) - 1
     def grid(c: Column, lo: Double, up: Double): Column =
       least(greatest(
         floor((c.cast("double") - lo) * hi / (up - lo)).cast("long"),
         lit(0L)), lit(hi))
-    val ux = grid(x, xMin, xMax)
-    val uy = grid(y, yMin, yMax)
-    (0 until bits).map { b =>
-      shiftright(ux, b).bitwiseAND(1) * (1L << (2 * b)) +
-        shiftright(uy, b).bitwiseAND(1) * (1L << (2 * b + 1))
+    val grids = dims.map { case (c, lo, up) => grid(c, lo, up) }
+    (0 until bits).flatMap { b =>
+      grids.zipWithIndex.map { case (g, i) =>
+        shiftright(g, b).bitwiseAND(1) * (1L << (b * d + i))
+      }
     }.reduce(_ + _)
   }
 
@@ -51,18 +66,26 @@ object ZOrder {
     */
   def mortonSql(x: String, y: String,
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      bits: Int = 16): String =
+    mortonSqlN(Seq((x, xMin, xMax), (y, yMin, yMax)), bits)
+
+  /** The DuckDB expression computing [[mortonCodeN]] identically. */
+  def mortonSqlN(dims: Seq[(String, Double, Double)],
       bits: Int = 16): String = {
-    require(xMax > xMin && yMax > yMin,
-      s"degenerate Z-order bounds: x [$xMin, $xMax], y [$yMin, $yMax]")
+    val d = dims.size
+    require(d >= 1 && bits >= 1 && bits * d <= 62)
+    dims.zipWithIndex.foreach { case ((_, lo, up), i) =>
+      require(up > lo, s"degenerate Z-order bounds for dim $i: [$lo, $up]")
+    }
     val hi = (1L << bits) - 1
     def grid(c: String, lo: Double, up: Double): String =
       s"least(greatest(CAST(floor((CAST($c AS DOUBLE) - $lo) * $hi " +
         s"/ (${up - lo})) AS BIGINT), 0), $hi)"
-    val ux = grid(x, xMin, xMax)
-    val uy = grid(y, yMin, yMax)
-    (0 until bits).map { b =>
-      s"((($ux >> $b) & 1) * ${1L << (2 * b)} + " +
-        s"((($uy >> $b) & 1)) * ${1L << (2 * b + 1)})"
+    val grids = dims.map { case (c, lo, up) => grid(c, lo, up) }
+    (0 until bits).flatMap { b =>
+      grids.zipWithIndex.map { case (g, i) =>
+        s"((($g >> $b) & 1) * ${1L << (b * d + i)})"
+      }
     }.mkString("(", " + ", ")")
   }
 

@@ -186,6 +186,31 @@ class SamplingDateShiftSpec extends AnyFunSuite {
     assert(!tiny.map(_._1).contains(0L)) // zero-weight row never drawn
   }
 
+  test("fuzz: weighted stratified pre-thin selects identically to the " +
+      "unthinned rank across random weights, group counts, and k") {
+    val rnd = new scala.util.Random(4242L)
+    for (round <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val n = 500 + rnd.nextInt(1500)
+      val k = 1 + rnd.nextInt(60)
+      val seed = rnd.nextLong()
+      val rows = (0 until n).map { i =>
+        // weights spanning 5 orders of magnitude incl. tiny groups
+        (i.toLong, s"s${i % nGroups}",
+          math.pow(10.0, rnd.nextDouble() * 5 - 2))
+      }
+      val df = rows.toDF("id", "g", "w")
+        .repartition(7) // layout-independent keys need a fixed layout
+      val thin = Sampling.weightedStratifiedExactK(df, "g", "w", k,
+        seed).collect().map(_.getLong(0)).sorted.toSeq
+      val plain = Sampling.weightedStratifiedExactK(df, "g", "w", k,
+        seed, preThin = false).collect().map(_.getLong(0)).sorted.toSeq
+      assert(thin == plain,
+        s"round $round (n=$n k=$k groups=$nGroups): pre-thin selected " +
+          s"${thin.size} vs ${plain.size}")
+    }
+  }
+
   test("cap rejects maxRows above Int.MaxValue instead of overflowing") {
     intercept[IllegalArgumentException] {
       Sampling.cap(nums, Int.MaxValue.toLong + 1, randomSample = true)

@@ -19,6 +19,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(out == Seq(0L, 5L, 10L, 15L, 6L))
   }
 
+  test("3-D morton code interleaves bit b of dim i at position 3b+i " +
+      "(hand-computed corners)") {
+    val df = Seq((0.0, 0.0, 0.0), (3.0, 0.0, 0.0), (0.0, 3.0, 0.0),
+      (0.0, 0.0, 3.0), (3.0, 3.0, 3.0), (2.0, 1.0, 3.0))
+      .toDF("x", "y", "z")
+    val out = df.select(ZOrder.mortonCodeN(Seq(
+      (col("x"), 0.0, 3.0), (col("y"), 0.0, 3.0), (col("z"), 0.0, 3.0)),
+      bits = 2)).collect().map(_.getLong(0)).toSeq
+    // grid coords are exact at corners; x bits at {0,3}, y at {1,4},
+    // z at {2,5}: (3,0,0)=0b001001=9, (0,3,0)=18, (0,0,3)=36,
+    // (3,3,3)=63, (2,1,3)=x10,y01,z11 → bit0:x0=0,y0=1,z0=1,
+    // bit1:x1=1,y1=0,z1=1 → 0b101110=46
+    assert(out == Seq(0L, 9L, 18L, 36L, 63L, 46L))
+    // 2-D delegation is bit-identical to the classic interleave
+    val two = df.select(ZOrder.mortonCode(col("x"), col("y"),
+      0.0, 3.0, 0.0, 3.0, bits = 2)).collect().map(_.getLong(0)).toSeq
+    val twoN = df.select(ZOrder.mortonCodeN(Seq(
+      (col("x"), 0.0, 3.0), (col("y"), 0.0, 3.0)), bits = 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(two == twoN)
+  }
+
   test("morton code is monotone within a tile and clamps outside " +
       "bounds") {
     val df = Seq((-5.0, 1.0), (500.0, 1.0)).toDF("x", "y")
