@@ -238,6 +238,62 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"expected exactly 1 key shuffle, found $exchanges:\n$plan")
   }
 
+  test("directional as-of plans exactly one key shuffle and one sort " +
+      "for BOTH direction frames") {
+    val left = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "t")
+    val right = (1 to 20).map(i => (i.toLong % 5, i.toLong, i * 1.0))
+      .toDF("k", "t", "v")
+    val plan = graft.operators.AsofJoin
+      .asofJoinDirectional(left, "k", "t", right, "k", "t", "v",
+        direction = "nearest")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 key shuffle, found $exchanges:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllMatchIn(plan).length
+    assert(sorts == 1,
+      s"backward+forward frames must share one sort, found $sorts:\n$plan")
+  }
+
+  test("bigramLogprob joins the bigram dictionary shuffle-keyed while " +
+      "the unigram sides stay broadcast") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.TextMetrics
+      .bigramLogprob(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the explicit broadcast hints survive a disabled auto-threshold:
+    // two unigram joins + the 1-row total
+    val bcasts = "BroadcastHashJoin".r.findAllMatchIn(plan).length +
+      "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
+    assert(bcasts >= 3, s"unigram/total sides must broadcast:\n$plan")
+    // the bigram dictionary join must NOT be broadcast — it outgrows
+    // any driver at corpus scale
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"bigram dictionary join must shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("weighted stratified sampling plans the thin filter below the " +
+      "rank window (survivors only reach the window)") {
+    val df = spark.range(0, 2000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      (pmod(col("id"), lit(7)) + 1).cast("double").as("w"))
+    val plan = graft.operators.Sampling
+      .weightedStratifiedExactK(df, "g", "w", 20, seed = 1L)
+      .queryExecution.executedPlan.toString
+    // Catalyst fuses the ladder test (the LOG(2.0, ...) level
+    // expression vs the per-group cut) into the broadcast-join
+    // condition — either way it must evaluate BELOW the rank window
+    val winAt = plan.indexOf("Window")
+    val ladderAt = plan.indexOf("LOG(2.0")
+    assert(winAt >= 0 && ladderAt >= 0 && winAt < ladderAt,
+      s"ladder cut must sit below the rank window:\n$plan")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan") {
     val dir = graft.config.Scratch.dir + "/prune_spec"
     val df = (1 to 300)
