@@ -12,7 +12,9 @@ import org.apache.spark.sql.graft.ColumnBridge
   *
   * Functions: vector_dot(arr, arr), sorted_intersect_count(arr, arr),
   * simhash64(tokens), minhash_signature(tokens, numHashes, ngram),
-  * shingle_hash_set(tokens, ngram).
+  * shingle_hash_set(tokens, ngram),
+  * bpe_encode_pieces(text, pieces[, mark_words]),
+  * bpe_decode_pieces(pieces).
   *
   * For sessions the library doesn't construct (notebooks, spark-submit
   * with `--conf spark.sql.extensions=graft.GraftExtensions`), the
@@ -34,6 +36,31 @@ object GraftFunctions {
     "shingle_hash_set" -> (es => {
       require(es.length == 2, "shingle_hash_set(tokens, ngram)")
       ShingleHashSet(es.head, es(1).eval().toString.toInt)
+    }),
+    // tokenizer pair: the vocabulary argument must be a foldable
+    // array<string> (it ships inside the plan like a literal)
+    "bpe_encode_pieces" -> (es => {
+      require(es.length == 2 || es.length == 3,
+        "bpe_encode_pieces(text, pieces_array[, mark_words])")
+      val pieces = es(1).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq
+        case _ => sys.error(
+          "bpe_encode_pieces: pieces must be a foldable array<string>")
+      }
+      val mark = es.length == 3 && es(2).eval().toString.toBoolean
+      BpeEncodePieces(es.head, pieces, mark)
+    }),
+    "bpe_decode_pieces" -> (es => {
+      require(es.length == 1, "bpe_decode_pieces(pieces)")
+      // raw Catalyst composition (a Column-built tree would inject
+      // unresolved ColumnNode wrappers into the registry)
+      import org.apache.spark.sql.catalyst.expressions.{ArrayJoin,
+        Literal, StringTranslate, StringTrimLeft}
+      StringTrimLeft(StringTranslate(
+        ArrayJoin(es.head, Literal(""), None),
+        Literal(WordMark.value), Literal(" ")))
     }))
 
   def register(spark: SparkSession): Unit =

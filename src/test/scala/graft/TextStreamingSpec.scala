@@ -227,6 +227,14 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(r.getInt(3) == 16)
     // windows: abc,bcd,cda,dab,abc → distinct {abc,bcd,cda,dab} = 4
     assert(r.getInt(4) == 4)
+    // the tokenizer pair round-trips from pure SQL
+    val t = spark.sql(
+      "SELECT bpe_decode_pieces(bpe_encode_pieces(" +
+        "'the  spark table', array('the', 'spark', 'tab'), true)) AS s, " +
+        "bpe_encode_pieces('slow', array('slo')) AS p")
+      .head()
+    assert(t.getString(0) == "the spark table")
+    assert(t.getSeq[String](1) == Seq("slo", "w"))
   }
 
   test("GraftExtensions installs the native functions in a session " +
