@@ -237,6 +237,55 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(t.getSeq[String](1) == Seq("slo", "w"))
   }
 
+  test("windowed profile DROPS events older than the watermark on a " +
+      "later trigger (append mode) while on-time events count") {
+    val base = graft.config.Scratch.dir + "/late_drop_spec"
+    val src = s"$base/src"
+    val fs = new java.io.File(base)
+    if (fs.exists) {
+      java.nio.file.Files.walk(fs.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    def mk(rows: Seq[(String, String, Long, Double)]) = rows
+      .map { case (t, e, u, v) =>
+        (java.sql.Timestamp.valueOf(t), e, u, v) }
+      .toDF("ts", "event_type", "user_id", "value")
+    // batch 0: two 10-o'clock events + a 13:00 event that pushes the
+    // watermark to 12:00 once the batch commits
+    val b0 = mk(Seq(("2024-01-01 10:00:00", "a", 1L, 1.0),
+      ("2024-01-01 10:30:00", "a", 2L, 2.0),
+      ("2024-01-01 13:00:00", "a", 3L, 1.0)))
+    b0.coalesce(1).write.parquet(src)
+    val name = "graft_late_drop_spec"
+    val q = StreamingProfile.windowedProfile(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 1: one event 2h older than the watermark (its window is
+      // already closed — MUST be dropped) + one on-time event
+      mk(Seq(("2024-01-01 10:15:00", "a", 9L, 100.0),
+        ("2024-01-01 13:30:00", "a", 4L, 1.0)))
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val w10 = spark.table(name)
+      .select(col("window.start").cast("string").as("ws"), col("n"),
+        col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1.contains(" 10:"))
+    // the finalized 10:00 window holds ONLY the two on-time events; a
+    // batch recompute over the same files would count 3 (sum 103)
+    assert(w10.length == 1, s"expected one finalized 10:00 window: " +
+      w10.mkString(", "))
+    assert(w10.head._2 == 2L && w10.head._3 == 3.0,
+      s"late event leaked into the closed window: ${w10.head}")
+  }
+
   test("GraftExtensions installs the native functions in a session " +
       "built with withExtensions") {
     import org.apache.spark.sql.SparkSession
