@@ -1736,7 +1736,7 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private val knnBruteForceOracle: String =
+  private def knnBruteCtes: String =
     s"WITH $vecCte, " +
       "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
       "FROM n WHERE vec_id < 10), " +
@@ -1746,9 +1746,19 @@ object SparkEntry {
       "FROM q, n WHERE n.vec_id <> q.query_id), " +
       "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
-      "FROM p) " +
-      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
+      "FROM p)"
+
+  private val knnBruteForceOracle: String =
+    knnBruteCtes +
+      " SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
       "WHERE rn <= 5 ORDER BY query_id, rn"
+
+  private val semanticSearchOracle: String =
+    knnBruteCtes +
+      " SELECT r.query_id, CAST(r.rn AS INT) AS rn, r.neighbor_id, " +
+      "d.source, d.lang FROM r " +
+      "JOIN documents d ON d.doc_id = r.neighbor_id " +
+      "WHERE r.rn <= 3 ORDER BY query_id, rn"
 
   /** Full replay of Similarity.knnIvf (deterministic end to end):
     * centroid scores for every vector, assignment argmax with the
@@ -2204,6 +2214,24 @@ object SparkEntry {
       "source", "n_tok", Seq(25, 50, 75))),
     "outliers_acctbal" -> ((s, dir) => Profile.outlierFences(
       tbl(s, dir, "customer"), "c_acctbal")),
+    // robust-statistics twin of the Tukey fences: median absolute
+    // deviation outliers (|x − med| > 3·1.4826·MAD — the consistent-
+    // estimator scaling). Two exact interpolated medians (the same
+    // arithmetic DuckDB's median/mad interpolate), broadcast back as
+    // 1-row aggregates — never a driver collect
+    "outliers_mad" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val med = c.agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+      val dev = c.crossJoin(broadcast(med))
+        .select(col("med"), abs(col("c_acctbal") - col("med")).as("dev"))
+      val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"),
+            1L).otherwise(0L)).as("n_outliers"))
+    }),
     "freq_part" -> ((s, dir) => freqQuery(tbl(s, dir, "part"),
       Seq("p_brand", "p_type"), 5L, 1000)),
     // ops 5-6 — statistical type promotion (whiteRRabbit.R:139-204)
@@ -3113,6 +3141,20 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, dir) => Similarity.knnBruteForce(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numQueries = 10, k = 5)),
+    // end-to-end semantic search: ANN neighbors joined back to the
+    // document table for serving metadata (the retrieval-result shape
+    // a RAG pipeline returns); the doc join is a broadcast of the
+    // k·queries result, never the corpus
+    "semantic_search" -> ((s, dir) => {
+      val knn = Similarity.knnBruteForce(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", numQueries = 10, k = 3)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .join(broadcast(knn), col("doc_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          col("source"), col("lang"))
+        .orderBy("query_id", "rn")
+    }),
     // recall vs knn_bruteforce measured 0.94 at nprobe=4/16 on the
     // sf0.001 table — see DedupSimilaritySpec
     "knn_ivf" -> ((s, dir) => Similarity.knnIvf(
@@ -3927,6 +3969,16 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracle,
     "embed_neardup_lsh" -> embedNearDupLshOracle,
     "knn_bruteforce" -> knnBruteForceOracle,
+    "semantic_search" -> semanticSearchOracle,
+    "outliers_mad" ->
+      ("WITH m AS (SELECT median(c_acctbal) AS med FROM customer), " +
+        "d AS (SELECT med, abs(c_acctbal - med) AS dev " +
+        "FROM customer CROSS JOIN m), " +
+        "m2 AS (SELECT median(dev) AS mad FROM d) " +
+        "SELECT count(*) AS n, round(max(med), 6) AS med, " +
+        "round(max(mad), 6) AS mad, " +
+        "CAST(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_outliers FROM d CROSS JOIN m2"),
     "knn_ivf" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
