@@ -2937,6 +2937,20 @@ object SparkEntry {
     "dedup_jaccard_block" -> ((s, dir) => Dedup.blockedJaccardPairs(
       tbl(s, dir, "documents"), "doc_id", "text", "source",
       threshold = 0.9, shingleSize = 1)),
+    // incremental NEAR-dup admission: the every-5th-doc "batch" gated
+    // against the rest as the seen corpus; candidates come from
+    // new-bucket × seen-bucket equi-joins only (seen×seen never
+    // pairs), verified by exact Jaccard — the oracle replays the
+    // cross-boundary pairs exhaustively
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.incrementalNearNew(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     // replayableHash: LCG token hash so the DuckDB oracle replays the
     // signature bit-for-bit; the production xxh64 variant is pinned by
     // the pigeonhole-completeness spec in DedupSimilaritySpec
@@ -3960,6 +3974,14 @@ object SparkEntry {
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
     "corpus_overlap" -> corpusOverlapOracle,
+    "dedup_incremental_near" ->
+      (s"WITH $shingleCte, " +
+        "p AS (SELECT a.doc_id AS id_a FROM s a JOIN s b " +
+        "ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.7) " +
+        "SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0 " +
+        "AND doc_id NOT IN (SELECT id_a FROM p) ORDER BY doc_id"),
     "dedup_jaccard_block" -> dedupJaccardBlockOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_savings" -> dedupSavingsOracle,

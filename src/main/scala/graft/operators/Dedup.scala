@@ -130,6 +130,52 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Near-duplicate-aware incremental admission — the MinHash twin of
+    * [[incrementalNew]]: admit only batch docs with NO near-duplicate
+    * (exact Jaccard ≥ threshold) in the seen corpus. The scale shape
+    * is what matters: batch and seen band-bucket SEPARATELY and the
+    * candidate join is new-side buckets EQUI-JOINED to seen-side
+    * buckets — seen×seen pairs are never generated, so each batch
+    * costs O(batch signatures + bucket collisions), not a corpus
+    * re-pairing (production keeps the seen bucket table as a
+    * persisted index and this join probes it). Ids must be distinct
+    * across the two inputs. Within-batch duplicates are the batch's
+    * own dedup pass; this operator gates against history.
+    */
+  def incrementalNearNew(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3)
+      : DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bucketsOf(df: DataFrame): DataFrame = {
+      val withSig = df.select(col(idCol).as("id"),
+        graft.functions.MinHashExpression.minhashSignature(
+          TextFunctions.tokens(col(textCol)), numHashes, shingleSize)
+          .as("sig"))
+        .where(col("sig").isNotNull)
+      val bandStructs = transform(sequence(lit(0), lit(bands - 1)),
+        j => struct(j.as("band"),
+          xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))
+            .as("bh")))
+      withSig.select(col("id"), explode(bandStructs).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    }
+    val cand = bucketsOf(batch)
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bucketsOf(seen)
+        .select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = shingleSets(
+      batch.select(col(idCol), col(textCol))
+        .unionByName(seen.select(col(idCol), col(textCol))),
+      idCol, textCol, shingleSize)
+    val dup = verifyJaccard(cand, sets, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** All ordered pairs (a < b) of a sorted id array, as structs. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(sequence(lit(0), size(ids) - 2), i =>

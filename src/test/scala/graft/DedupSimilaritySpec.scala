@@ -127,6 +127,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotEmptySeen == Seq(10L, 11L, 12L, 13L))
   }
 
+  test("incremental near-dup gates a batch against the seen corpus: " +
+      "near-dups of history blocked, novel docs admitted") {
+    val batch = Seq(
+      (10L, base + " trailing words appended here", "c"), // near-dup of 0
+      (11L, "an entirely unrelated report about morton codes and " +
+        "parquet footers and nothing else at all", "c"), // novel
+      (12L, "tiny", "c")) // < 3 tokens: no shingles, always admitted
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.incrementalNearNew(batch, docs, "doc_id", "text",
+      threshold = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L), s"admitted $got")
+    // empty seen corpus: everything is admitted
+    val all = Dedup.incrementalNearNew(batch, docs.where(lit(false)),
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(10L, 11L, 12L))
+  }
+
   test("keep-best dedup keeps the highest-scored copy, ties to min id") {
     val d = Seq((1L, "same text", 0.2), (2L, "same text", 0.9),
       (3L, "same text", 0.9), (4L, "other", 0.1))
