@@ -59,8 +59,9 @@ object GenScale {
       shifted(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
     rep("orders")((d, i) => shifted(d, i, "o_orderkey", "o_custkey"))
     rep("customer")((d, i) => shifted(d, i, "c_custkey"))
-    // events.ts is TIMESTAMP(NANOS) read as raw long (nanosAsLong);
-    // written back as BIGINT, which SparkEntry.tbl handles identically
+    // events.ts passes through untouched (nanos-long or TIMESTAMP_NTZ
+    // depending on the testdata generation); SparkEntry.tbl's
+    // schema-adaptive reader handles either physical type on read
     rep("events")((d, i) => shifted(d, i, "event_id", "user_id"))
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase

@@ -25,12 +25,11 @@ object SparkEntry {
 
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no type
-      // for: read the nanos as long, truncate to microseconds (exactly
-      // what DuckDB's epoch_us yields for a nanos timestamp).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // events.ts has shipped as TIMESTAMP(NANOS)-as-long and as
+      // TIMESTAMP(MICROS)/NTZ across testdata generations; the
+      // schema-adaptive reader normalizes both to session-zone
+      // TimestampType micros (= DuckDB's epoch_us view of the file).
+      graft.sources.EventsSource.read(s, dir)
     } else s.read.parquet(s"$dir/$name.parquet")
 
   // -------------------------------------------------------------------

@@ -686,17 +686,24 @@ object Dedup {
     * filter on `n_kept`.
     *
     * Scale shape: chunks are built by a per-row `transform` over the
-    * token array (no explode-then-regroup), the keep-first decision is
-    * one window partitioned by the chunk text — partition size equals
-    * that chunk's duplicate count, never the corpus — and reassembly
-    * aggregates by id, so groups are document-sized. At 100 TB key the
-    * window by `xxhash64(chunk)` instead of the chunk string to halve
-    * the shuffle width (kept as the string here so a SQL oracle can
-    * replay the operator bit-for-bit).
+    * token array (no explode-then-regroup), and the keep-first decision
+    * is `groupBy(chunk).agg(min(struct(id, chunk_idx)))` — the same
+    * (id, chunk_idx) total order a first-seen window would use, but as
+    * an AGGREGATE it gets map-side partial combine, so a boilerplate
+    * chunk shared by half the corpus collapses to one row per map task
+    * instead of funneling a corpus-sized sort partition through one
+    * reducer (the previous window-by-chunk shape did exactly that and
+    * smoked 15× at 10× data — hot-chunk skew, not volume). The winning
+    * (id, chunk_idx) rows ARE the kept chunks, so there is no join-back
+    * on the chunk key at all; reassembly aggregates the winners by id
+    * (document-sized groups) and left-joins onto the per-doc chunk
+    * counts (id-keyed, one row per doc). At 100 TB key the aggregate by
+    * `xxhash64(chunk)` instead of the chunk string to halve the shuffle
+    * width (kept as the string here so a SQL oracle can replay the
+    * operator bit-for-bit).
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
     val toks = split(col(textCol), " ")
     val chunked = df.select(col(idCol).as("id"),
@@ -705,23 +712,24 @@ object Dedup {
         i => struct(i.as("chunk_idx"), concat_ws(" ",
           slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
         .as("__chunks"))
+    val perDoc = chunked.select(col("id"),
+      size(col("__chunks")).cast("long").as("n_chunks"))
     val exploded = chunked
-      .select(col("id"), size(col("__chunks")).cast("long").as("n_chunks"),
-        explode(col("__chunks")).as("c"))
-      .select(col("id"), col("n_chunks"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    val firstSeen = Window.partitionBy(col("chunk"))
-      .orderBy(col("id"), col("chunk_idx"))
-    exploded
-      .withColumn("__rn", row_number().over(firstSeen))
-      .groupBy(col("id"), col("n_chunks"))
-      .agg(
-        count(when(col("__rn") === 1, lit(1))).as("n_kept"),
+      .select(col("id"), explode(col("__chunks")).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+    val firsts = exploded.groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
+      .select(col("f.id").as("id"), col("f.chunk_idx").as("chunk_idx"),
+        col("chunk"))
+    val reassembled = firsts.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__rn") === 1,
-            struct(col("chunk_idx"), col("chunk"))))),
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
           c => c.getField("chunk"))).as("text_clean"))
-      .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
-        col("text_clean"))
+    perDoc.join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

@@ -18,13 +18,20 @@ object TextMetrics {
     * the training doc" contamination test. Output: (id, n_hits) for
     * contaminated documents only; callers anti-join or threshold.
     *
-    * Scale shape: both sides explode to DISTINCT n-gram strings and
-    * meet in one equality join on the n-gram — never a doc×doc
-    * comparison. The benchmark side is typically tiny (test sets) and
-    * broadcasts; the corpus side streams. N-grams stay strings here
-    * (not hashes) so the operator is exactly replayable by a SQL
-    * oracle — at 100 TB swap the join key for xxhash64(ngram), which
-    * halves the shuffle width without changing the plan shape.
+    * Scale shape: the benchmark side (typically tiny — test sets)
+    * collapses to distinct n-grams and broadcasts; the corpus side
+    * explodes and is FILTERED through that broadcast join before
+    * anything shuffles, so the only shuffled rows are the contaminated
+    * (id, n-gram) survivors — the distinct-then-count runs on the hit
+    * set, not the corpus. (The previous shape deduplicated the FULL
+    * corpus-wide (id, n-gram) projection first — a shuffle that scaled
+    * with the corpus's n-gram volume and smoked 6.7× at 10× data; the
+    * distinct commutes with the broadcast semi-filter, so filtering
+    * first is value-identical.) Never a doc×doc comparison. N-grams
+    * stay strings here (not hashes) so the operator is exactly
+    * replayable by a SQL oracle — at 100 TB swap the join key for
+    * xxhash64(ngram), which halves the broadcast width without
+    * changing the plan shape.
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, ngram: Int): DataFrame = {
@@ -37,13 +44,13 @@ object TextMetrics {
           sequence(lit(0), size(col("__toks")) - ngram),
           i => concat_ws(" ",
             slice(col("__toks"), i + 1, lit(ngram))))).as("__ng"): _*)
-        .distinct()
     }
     val benchNgrams = ngrams(bench, Seq.empty, benchTextCol)
       .select(col("__ng"))
       .distinct()
     ngrams(corpus, Seq(col(idCol)), textCol)
       .join(broadcast(benchNgrams), Seq("__ng"))
+      .select(col(idCol), col("__ng")).distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -314,11 +321,18 @@ object TextMetrics {
     * combine and joins back SHUFFLE-keyed on (w1, w2) — a bigram
     * dictionary outgrows broadcast long before the corpus stops
     * growing — while the two unigram sides and the 1-row total stay
-    * broadcast. Determinism: the probability mix is a fixed-order
-    * double expression replayed verbatim by the oracle, each log
-    * rounds at 9 decimals into an exact DECIMAL(20,9) sum, and the
-    * per-doc mean rounds at 6 — the [[unigramLogprob]] convention.
-    * Docs with fewer than 2 tokens have no bigrams and are absent.
+    * broadcast. The per-doc side collapses to DISTINCT (doc, w1, w2)
+    * rows with an occurrence count BEFORE that join (map-side
+    * combine), so the dictionary join ships one row per distinct
+    * per-doc bigram instead of one per occurrence — repeated pairs
+    * inside a document (exactly what boilerplate text is made of) add
+    * zero shuffle width. Determinism: the probability mix is a
+    * fixed-order double expression replayed verbatim by the oracle,
+    * each log rounds at 9 decimals and the occurrence count multiplies
+    * it in exact decimal (k · round(log p, 9) equals the sum of k
+    * identical rounded terms, digit for digit), and the per-doc mean
+    * rounds at 6 — the [[unigramLogprob]] convention. Docs with fewer
+    * than 2 tokens have no bigrams and are absent.
     */
   def bigramLogprob(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75,
@@ -331,6 +345,8 @@ object TextMetrics {
         i => struct(element_at(col("__toks"), i).as("w1"),
           element_at(col("__toks"), i + 1).as("w2")))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biDoc = bi.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
     val toksAll = df.select(explode(tokenizer(col(textCol))).as("t"))
     val uni = toksAll.groupBy(col("t")).agg(count(lit(1)).as("cu"))
     val total = toksAll.agg(count(lit(1)).as("__n"))
@@ -338,16 +354,17 @@ object TextMetrics {
       .agg(count(lit(1)).as("cb"))
     val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__n"))
-    bi.join(big, Seq("w1", "w2"))
+    biDoc.join(big, Seq("w1", "w2"))
       .join(broadcast(uni.select(col("t").as("w1"), col("cu").as("c1"))),
         Seq("w1"))
       .join(broadcast(uni.select(col("t").as("w2"), col("cu"))),
         Seq("w2"))
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(round(log(p), 9).cast("decimal(20,9)"))
-          .cast("double") / count(lit(1)), 6).as("avg_logprob"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("k").cast("decimal(10,0)") *
+            round(log(p), 9).cast("decimal(20,9)"))
+          .cast("double") / sum(col("k")), 6).as("avg_logprob"))
   }
 
   /** Adjacent-symbol pair counts — the statistic the first BPE merge

@@ -56,22 +56,22 @@ object StreamingIvm {
     */
   def runStreamingIvm(spark: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val keys = Seq("event_type")
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(s"${graft.config.Scratch.dir}/ivm_stream_$tag")
     val stateRoot = s"${graft.config.Scratch.dir}/ivm_state_$tag"
 
-    // stage the two "arriving" batch files deterministically — RAW
-    // columns (ts stays nanos-long) so the stream schema matches;
+    // stage the two "arriving" batch files deterministically — ts
+    // already NORMALIZED to TimestampType so the stream schema is the
+    // staged files' own schema regardless of the source generation;
     // always restage so a stale layout can't leak across code versions
     if (Files.exists(staged)) {
       Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
     locally {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val t = expr("timestamp_micros(ts DIV 1000)")
+      val ev = graft.sources.EventsSource.read(spark, dir)
+      val t = col("ts")
       ev.where(t < cut).coalesce(1)
         .write.mode("overwrite").parquet(s"$staged/b0")
       ev.where(t >= cut).coalesce(1)
@@ -96,17 +96,16 @@ object StreamingIvm {
     VersionedTable.destroy(spark, stateRoot)
 
     val stream = spark.readStream
-      .schema(StreamingProfile.eventsRawSchema)
+      .schema(spark.read.parquet(staged.toString).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
     val q = stream.writeStream
       .foreachBatch(foldBatch(spark, stateRoot, keys, "value", "user_id") _)
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val exact = spark.read.parquet(s"$dir/events.parquet")
+    val exact = graft.sources.EventsSource.read(spark, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
     Ivm.finalizeState(VersionedTable.read(spark, stateRoot), keys)

@@ -15,20 +15,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingProfile {
 
-  /** events as the stream source reads it: ts arrives as raw nanos
-    * because parquet TIMESTAMP(NANOS) has no Spark type (the nanos are
-    * converted to a microsecond timestamp in the first projection).
+  /** The file's own schema, read from the parquet footer — `ts` may be
+    * a raw nanos long or a TIMESTAMP_NTZ depending on the testdata
+    * generation (the stream source needs an explicit schema, and it
+    * must match the file; normalization happens in the projection).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsRawSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source requires a directory; stage the single
     // events file into one (a production stream would already be a
     // directory of arriving files)
@@ -41,10 +38,10 @@ object StreamingProfile {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
     }
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.EventsSource.normalizeTs(
+      spark.readStream
+        .schema(eventsRawSchema(spark, dst.toString))
+        .parquet(staged.toString))
   }
 
   /** Tumbling-window per-event-type profile: counts, approximate
@@ -142,8 +139,7 @@ object StreamingProfile {
     val wins = spark.table(name)
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.sources.EventsSource.read(spark, dir)
     val refCounts = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("ref_n"))
     val refTotal = refCounts.agg(sum(col("ref_n")).as("__t"))

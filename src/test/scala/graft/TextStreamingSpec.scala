@@ -22,8 +22,7 @@ class TextStreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     val first = run()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.sources.EventsSource.read(spark, dir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double")
@@ -382,10 +381,9 @@ class TextStreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingProfile.runFunnel(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.EventsSource.read(spark, dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("ts_us"), col("event_type"))
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"),
         col("ts_us").as("p_us"))
@@ -406,8 +404,7 @@ class TextStreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingProfile.runStreamingDedup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = graft.sources.EventsSource.read(spark, dir)
       .select("user_id", "event_type").distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(got == want)
