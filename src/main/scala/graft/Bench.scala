@@ -109,6 +109,7 @@ object Bench {
       "multimodal_features", "multimodal_resize", "dedup_containment",
       "text_novelty", "corr_matrix",
       "chunk_documents", "split_leakage_safe", "cdc_diff",
+      "nb_quality_score", "table_changes", "table_compaction",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

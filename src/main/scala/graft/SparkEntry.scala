@@ -2476,6 +2476,63 @@ object SparkEntry {
         graft.sources.VersionedTable.readVersion(s, root, v1),
         Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
     }),
+    // maintenance OPTIMIZE: a deliberately fragmented commit (32
+    // small files — the shape an incremental writer leaves), a
+    // copy-on-write delete, then bin-packing compaction; the oracle
+    // pins that the compacted bytes are row-identical to the logical
+    // content (file-count evidence lives in VersionedTableSpec)
+    "table_compaction" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/vt_compact_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, _) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*).repartition(32), root, tag = "frag")
+      graft.sources.VersionedTable.deleteWhere(s, root,
+        col("o_orderkey") % 11 === 0, tag = "erase")
+      graft.sources.VersionedTable.compact(s, root,
+        targetBytes = 1L << 30)
+      graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+    // incremental changes feed (CDF read): classify row changes
+    // between committed versions on demand — step 1 = base→revised
+    // (the cdc_diff classification), step 2 = revised→after a
+    // copy-on-write delete (deletes only); one full-outer join per
+    // step, unchanged keys never leave it
+    "table_changes" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/vt_changes_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      val v0 = graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      val v1 = graft.sources.VersionedTable.commit(
+        nw.select(cols.map(col): _*), root, tag = "revised")
+      val v2 = graft.sources.VersionedTable.deleteWhere(s, root,
+        col("o_orderkey") % 11 === 0, tag = "erase")
+      graft.sources.VersionedTable.changes(s, root, v0, v1,
+          Seq("o_orderkey")).withColumn("step", lit(1))
+        .unionByName(graft.sources.VersionedTable.changes(s, root, v1,
+          v2, Seq("o_orderkey")).withColumn("step", lit(2)))
+        .orderBy("step", "action", "o_orderkey")
+    }),
+    // corpus curation: multinomial Naive Bayes quality classifier —
+    // trained on the seed third (doc_id % 3 = 0, label = lang='en'),
+    // scoring the WHOLE corpus; closed-form training (two
+    // aggregations), broadcast vocabulary-sized model, per-doc
+    // distinct-token counts before the join
+    "nb_quality_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      operators.Classify.naiveBayesScore(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 3 === 0)
+          .withColumn("__lab", col("lang") === "en"),
+        "__lab")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
+        .orderBy("doc_id")
+    }),
     // SCD type-2 history of each user's event_type: one shuffle, two
     // windows over the same key partitioning
     "scd2_history" -> ((s, dir) => Cdc.scd2(tbl(s, dir, "events"),
@@ -3785,6 +3842,80 @@ object SparkEntry {
     // COMMITTED snapshots read back by version id — the oracle is
     // identical because the versioned reads must be byte-faithful
     "table_time_travel" -> cdcDiffOracle,
+    // fragmented commit + copy-on-write delete + compaction must be
+    // row-identical to the logical content — the oracle IS that
+    // content; file-count evidence is spec-side
+    "table_compaction" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 10 <> 0 AND o_orderkey % 11 <> 0 " +
+        "ORDER BY o_orderkey"),
+    // changes feed: step 1 replays the cdc_diff full-outer
+    // classification, step 2 is exactly the copy-on-write delete set
+    "table_changes" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "j AS (SELECT coalesce(o.o_orderkey, nn.o_orderkey) " +
+        "AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'insert' " +
+        "WHEN nn.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN (o.o_totalprice IS DISTINCT FROM nn.o_totalprice) " +
+        "OR (o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus) " +
+        "THEN 'update' END AS action, " +
+        "(CASE WHEN o.o_totalprice IS DISTINCT FROM nn.o_totalprice " +
+        "THEN 1 ELSE 0 END + " +
+        "CASE WHEN o.o_orderstatus IS DISTINCT FROM nn.o_orderstatus " +
+        "THEN 1 ELSE 0 END) AS nc " +
+        "FROM o FULL OUTER JOIN nn ON o.o_orderkey = nn.o_orderkey) " +
+        "SELECT o_orderkey, action, " +
+        "CASE WHEN action = 'update' THEN nc ELSE 0 END AS n_changed, " +
+        "1 AS step FROM j WHERE action IS NOT NULL " +
+        "UNION ALL " +
+        "SELECT o_orderkey, 'delete' AS action, 0 AS n_changed, " +
+        "2 AS step FROM nn WHERE o_orderkey % 11 = 0 " +
+        "ORDER BY step, action, o_orderkey"),
+    // NB classifier: closed-form Laplace-smoothed token LLRs from the
+    // seed third, exact-decimal per-doc sums — digit-for-digit replay
+    "nb_quality_score" ->
+      ("WITH tr AS (SELECT d.lang = 'en' AS pos, " +
+        "unnest(string_split(lower(d.text), ' ')) AS t " +
+        "FROM documents d WHERE d.doc_id % 3 = 0), " +
+        "cnt AS (SELECT t, " +
+        "CAST(count(*) FILTER (pos) AS BIGINT) AS cp, " +
+        "CAST(count(*) FILTER (NOT pos) AS BIGINT) AS cn " +
+        "FROM tr GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, " +
+        "CAST(sum(cn) AS BIGINT) AS nn, " +
+        "CAST(count(*) AS BIGINT) AS v FROM cnt), " +
+        "model AS (SELECT t, CAST(round(" +
+        "ln(CAST(cp + 1 AS DOUBLE) / (np + v)) - " +
+        "ln(CAST(cn + 1 AS DOUBLE) / (nn + v)), 9) " +
+        "AS DECIMAL(20,9)) AS llr FROM cnt, tot), " +
+        "pri AS (SELECT CAST(round(ln(" +
+        "CAST((SELECT count(*) FROM documents " +
+        "WHERE doc_id % 3 = 0 AND lang = 'en') AS DOUBLE) / " +
+        "(SELECT count(*) FROM documents " +
+        "WHERE doc_id % 3 = 0 AND lang <> 'en')), 9) " +
+        "AS DECIMAL(20,9)) AS prior, " +
+        "CAST(round(ln(CAST(1 AS DOUBLE) / (np + v)) - " +
+        "ln(CAST(1 AS DOUBLE) / (nn + v)), 9) AS DECIMAL(20,9)) " +
+        "AS llr_unseen FROM tot), " +
+        "dt AS (SELECT d.doc_id, " +
+        "unnest(string_split(lower(d.text), ' ')) AS t " +
+        "FROM documents d), " +
+        "dk AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS k " +
+        "FROM dt GROUP BY doc_id, t) " +
+        "SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_tokens, " +
+        "CAST(round(any_value(pri.prior) + CAST(sum(CAST(dk.k AS " +
+        "DECIMAL(10,0)) * coalesce(model.llr, pri.llr_unseen)) " +
+        "AS DECIMAL(28,9)), 6) AS DOUBLE) AS nb_llr " +
+        "FROM dk LEFT JOIN model ON dk.t = model.t CROSS JOIN pri " +
+        "GROUP BY dk.doc_id ORDER BY dk.doc_id"),
     "table_upsert" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderkey % 10 <> 0), " +

@@ -196,6 +196,72 @@ object VersionedTable {
     commit(readVersion(spark, root, toVersion), root,
       if (tag.nonEmpty) tag else s"rollback-to-v$toVersion")
 
+  /** Bin-packing OPTIMIZE: rewrite the newest snapshot into
+    * `ceil(bytes / targetBytes)` files and commit the rewrite as a
+    * NEW version — content-identical (the spec and the
+    * `table_compaction` oracle pin row-for-row equality), history
+    * intact (the small-file version stays time-travelable until
+    * [[vacuum]]). Small-file pressure is the chronic failure mode of
+    * streaming/incremental writers at 100 TB: a footer + open cost
+    * per file makes a million 1 MB files read ~100× slower than the
+    * same bytes in 10k well-sized files. `repartition(n)` is a full
+    * shuffle of ONE snapshot — the round-robin exchange is exactly
+    * what bin-packs unevenly sized inputs; compactions of disjoint
+    * tables parallelize trivially. Returns the new version id.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20, tag: String = ""): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val bytes = dataBytes(spark, root, v)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commit(readVersion(spark, root, v).repartition(nFiles), root,
+      if (tag.nonEmpty) tag else s"compact-v$v")
+  }
+
+  /** Total parquet bytes of snapshot `version` (manifest-addressed
+    * files only — the footer-level stat OPTIMIZE planning reads).
+    */
+  def dataBytes(spark: SparkSession, root: String, version: Long): Long = {
+    val f = fs(spark, root)
+    val dir = new Path(root, s"v$version")
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** Parquet file count of snapshot `version` — the compaction
+    * evidence metric.
+    */
+  def dataFileCount(spark: SparkSession, root: String,
+      version: Long): Int = {
+    val f = fs(spark, root)
+    val dir = new Path(root, s"v$version")
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).count(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Incremental changes feed: the insert/update/delete row set
+    * between two committed versions, classified by `keyCols` — the
+    * `table_changes`/CDF read every downstream incremental consumer
+    * (IVM folds, sync jobs, audit) wants, derived on demand from two
+    * snapshots rather than stored per-commit. One full-outer
+    * sort-merge join on the key; unchanged keys never leave it.
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val old = readVersion(spark, root, fromVersion)
+    val nw = readVersion(spark, root, toVersion)
+    val valueCols =
+      old.columns.filterNot(keyCols.contains).toSeq
+    graft.operators.Cdc.snapshotDiff(old, nw, keyCols, valueCols)
+  }
+
   /** Garbage-collect the table: delete data directories of versions
     * older than the `keepLast` newest (their manifests too) and any
     * ORPHAN data directory no manifest names (a crashed commit).

@@ -264,4 +264,62 @@ class VersionedTableSpec extends AnyFunSuite {
     StreamingIvm.foldBatch(spark, stateRoot, keys, "v", "d")(b0, 0L)
     assert(VersionedTable.versions(spark, stateRoot) == Seq(0L, 1L))
   }
+
+  test("compaction bin-packs a fragmented snapshot into fewer files, " +
+      "content-identical, history intact") {
+    val root = freshRoot("compact")
+    val base = spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 3 % 97).as("v"))
+    // fragmented commit: 32 files for a sub-MB table
+    val v0 = VersionedTable.commit(base.repartition(32), root,
+      tag = "frag")
+    val beforeFiles = VersionedTable.dataFileCount(spark, root, v0)
+    assert(beforeFiles == 32, s"fixture should fragment: $beforeFiles")
+    val v1 = VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+    val afterFiles = VersionedTable.dataFileCount(spark, root, v1)
+    assert(afterFiles == 1,
+      s"sub-target table must compact to one file: $afterFiles")
+    // content identical row-for-row
+    val want = base.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the fragmented version stays time-travelable until vacuum
+    assert(VersionedTable.versions(spark, root) == Seq(v0, v1))
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 10000L)
+    // target sizing: ceil(bytes/target) files when target < data size
+    val bytes = VersionedTable.dataBytes(spark, root, v1)
+    val v2 = VersionedTable.compact(spark, root,
+      targetBytes = math.max(1L, bytes / 4))
+    val files2 = VersionedTable.dataFileCount(spark, root, v2)
+    assert(files2 >= 4 && files2 <= 6,
+      s"quarter-target should yield ~5 files: $files2")
+  }
+
+  test("changes feed classifies insert/update/delete between any two " +
+      "committed versions") {
+    val root = freshRoot("changes")
+    val d0 = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status")
+    val d1 = Seq((1L, 10.0, "A"), (2L, 25.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "price", "status")
+    val v0 = VersionedTable.commit(d0, root)
+    val v1 = VersionedTable.commit(d1, root)
+    val got = VersionedTable.changes(spark, root, v0, v1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // key 1 unchanged (absent), 2 updated in one column, 3 deleted,
+    // 4 inserted
+    assert(got == Set((2L, "update", 1), (3L, "delete", 0),
+      (4L, "insert", 0)))
+    // non-adjacent pairs work: v0 -> v2 skips the middle version
+    val d2 = Seq((2L, 25.0, "B")).toDF("k", "price", "status")
+    val v2 = VersionedTable.commit(d2, root)
+    val got02 = VersionedTable.changes(spark, root, v0, v2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got02 == Set((1L, "delete"), (2L, "update"), (3L, "delete")))
+    intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, root, v1, v1, Seq("k"))
+    }
+  }
 }
