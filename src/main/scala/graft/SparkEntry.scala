@@ -2533,6 +2533,35 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
     }),
+    // data skipping: commit a range-clustered snapshot WITH per-file
+    // min/max stats, then range-scan through the sidecar — only
+    // overlapping files are opened (file-count evidence spec-side);
+    // the oracle pins that pruning loses no rows
+    "table_pruned_scan" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/vt_pruned_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val v = graft.sources.VersionedTable.commitWithStats(
+        li.repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"),
+        root, statsCols = Seq("l_orderkey"), tag = "clustered")
+      graft.sources.VersionedTable.readPruned(s, root, v,
+          "l_orderkey", 1000d, 2000d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+    // training-data export: seeded deterministic epoch shuffle —
+    // MINSTD permutation key, one exchange on the shard + per-shard
+    // sort; byte-identical re-runs are the contract
+    "epoch_shuffle" -> ((s, dir) => operators.ShuffleExport
+      .epochShuffle(tbl(s, dir, "documents"), "doc_id", seed = 42L,
+        nShards = 8)
+      .orderBy("shard", "pos")),
     // SCD type-2 history of each user's event_type: one shuffle, two
     // windows over the same key partitioning
     "scd2_history" -> ((s, dir) => Cdc.scd2(tbl(s, dir, "events"),
@@ -3879,6 +3908,24 @@ object SparkEntry {
         "SELECT o_orderkey, 'delete' AS action, 0 AS n_changed, " +
         "2 AS step FROM nn WHERE o_orderkey % 11 = 0 " +
         "ORDER BY step, action, o_orderkey"),
+    // pruned range scan must lose no rows vs the plain filter
+    "table_pruned_scan" ->
+      ("SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
+        "GROUP BY 1 ORDER BY 1"),
+    // epoch shuffle: the MINSTD chain in plain BIGINT arithmetic —
+    // every intermediate < 2^47, replayed exactly
+    "epoch_shuffle" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "(((((((doc_id + 42) % 2147483647) * 48271) % 2147483647) " +
+        "* 48271) % 2147483647) * 48271) % 2147483647 AS key " +
+        "FROM documents) " +
+        "SELECT key % 8 AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY key % 8 " +
+        "ORDER BY key, doc_id) AS BIGINT) AS pos, doc_id " +
+        "FROM k ORDER BY shard, pos"),
     // NB classifier: closed-form Laplace-smoothed token LLRs from the
     // seed third, exact-decimal per-doc sums — digit-for-digit replay
     "nb_quality_score" ->

@@ -196,6 +196,92 @@ object VersionedTable {
     commit(readVersion(spark, root, toVersion), root,
       if (tag.nonEmpty) tag else s"rollback-to-v$toVersion")
 
+  /** Commit `df` WITH per-file min/max statistics for `statsCols`
+    * (numeric/date/timestamp — values stored as doubles) — the
+    * data-skipping sidecar every lakehouse format keeps. The stats
+    * table is itself parquet under an underscore-prefixed dir
+    * (`_graft_stats_v<N>/`, invisible to data scans, manifest still
+    * last so the commit point is unchanged); it is file-count-sized,
+    * never data-sized. Stats collection is ONE distributed
+    * aggregation grouped by `input_file_name()` over the
+    * just-written files — the same bytes the write just produced,
+    * while they are hot. Returns the version id.
+    *
+    * Pair with a clustered write ([[graft.operators.ZOrder]] or a
+    * range sort) — stats on unclustered data prune nothing because
+    * every file spans the whole domain.
+    */
+  def commitWithStats(df: DataFrame, root: String,
+      statsCols: Seq[String], tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val spark = df.sparkSession
+    val (next, dataDir) = nextVersionDir(spark, root)
+    df.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    written.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir(root, next))
+    publish(spark, root, next, tag)
+    next
+  }
+
+  private def statsDir(root: String, version: Long): String =
+    s"$root/_graft_stats_v$version"
+
+  /** The data files of snapshot `version` whose [min, max] range on
+    * `colName` intersects [lo, hi] — resolved from the stats sidecar
+    * alone (no data I/O). Falls back to ALL files when the snapshot
+    * has no stats or the column was not collected. A file whose
+    * min/max is null (all-null column chunk) is conservatively kept.
+    */
+  def prunedPaths(spark: SparkSession, root: String, version: Long,
+      colName: String, lo: Double, hi: Double): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val sd = statsDir(root, version)
+    val f = fs(spark, root)
+    if (!f.exists(new Path(sd))) return dataPaths(spark, root, version)
+    val stats = spark.read.parquet(sd)
+    if (!stats.columns.contains(s"mn_$colName"))
+      return dataPaths(spark, root, version)
+    stats.where(
+      !(col(s"mx_$colName") < lo || col(s"mn_$colName") > hi) ||
+        col(s"mn_$colName").isNull)
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  private def dataPaths(spark: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(root, s"v$version")
+    f.listStatus(dir).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
+  /** Range scan through the stats sidecar: read ONLY the files whose
+    * stats admit `colName` ∈ [lo, hi], then apply the exact predicate
+    * (stats pruning is conservative, files still carry out-of-range
+    * rows at their edges). On a clustered snapshot this touches
+    * O(selectivity) of the files instead of all of them — the
+    * manifest-level skip that makes needle queries on 100 TB cheap
+    * before a single row group is opened.
+    */
+  def readPruned(spark: SparkSession, root: String, version: Long,
+      colName: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val paths = prunedPaths(spark, root, version, colName, lo, hi)
+    val base =
+      if (paths.isEmpty)
+        readVersion(spark, root, version).where(lit(false))
+      else spark.read.parquet(paths: _*)
+    base.where(col(colName).cast("double").between(lo, hi))
+  }
+
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into
     * `ceil(bytes / targetBytes)` files and commit the rewrite as a
     * NEW version — content-identical (the spec and the
@@ -279,14 +365,21 @@ object VersionedTable {
     }
     // every vN data dir outside the retained set goes — expired
     // versions (manifest just deleted) and orphans alike (a crashed
-    // commit's dir that no manifest ever named)
+    // commit's dir that no manifest ever named); stats sidecars ride
+    // with their version
     val rootPath = new Path(root)
     if (f.exists(rootPath)) {
       f.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
         .map(_.getPath)
-        .filter(p => p.getName.startsWith("v") &&
-          p.getName.drop(1).toLongOption.exists(v => !keep.contains(v)))
+        .filter { p =>
+          val n = p.getName
+          (n.startsWith("v") &&
+            n.drop(1).toLongOption.exists(v => !keep.contains(v))) ||
+          (n.startsWith("_graft_stats_v") &&
+            n.stripPrefix("_graft_stats_v").toLongOption
+              .exists(v => !keep.contains(v)))
+        }
         .foreach(p => f.delete(p, true))
     }
   }

@@ -399,6 +399,48 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("left-outer interval join emits the unmatched purchase only " +
+      "after the watermark evicts its state (explicit micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val base = 1700000000000L // ms
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000)
+    val pSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val p = pSrc.toDF().toDF("purchase_id", "user_id", "purchase_ts")
+      .withWatermark("purchase_ts", "0 seconds")
+    val c = cSrc.toDF().toDF("click_id", "c_user", "click_ts")
+      .withWatermark("click_ts", "0 seconds")
+    val name = "graft_funnel_outer"
+    val q = graft.streaming.StreamingProfile
+      .funnelPairsOuter(p, c, "15 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: user 1 purchase with a click inside the window
+      // (matched row emits immediately); user 2 purchase with NO
+      // click — its outer row must NOT emit yet
+      pSrc.addData((100L, 1L, ts(600)), (200L, 2L, ts(600)))
+      cSrc.addData((10L, 1L, ts(300)))
+      q.processAllAvailable()
+      def rows() = spark.table(name).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+      assert(rows() == Seq((100L, 10L)),
+        s"outer row must wait for eviction: ${rows()}")
+      // batch 2: both watermarks jump far past purchase_ts+lookback —
+      // user 2's state evicts and the null-click row emits
+      pSrc.addData((300L, 9L, ts(10000)))
+      cSrc.addData((30L, 9L, ts(10000)))
+      q.processAllAvailable()
+      // user 9's own pair matches (same instant is inside the
+      // window); user 2's evicted purchase emits with a null click
+      assert(rows() == Seq((100L, 10L), (200L, -1L), (300L, 30L)),
+        s"evicted unmatched purchase must emit null click: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits exactly the distinct key set " +
       "(sf0.001 events, single-batch bounded replay)") {
     val dir = "/root/testdata/sf0.001"

@@ -296,6 +296,43 @@ class VersionedTableSpec extends AnyFunSuite {
       s"quarter-target should yield ~5 files: $files2")
   }
 
+  test("min/max stats sidecar prunes a clustered range scan to the " +
+      "overlapping files only, losing no rows") {
+    val root = freshRoot("pruned")
+    val base = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+    val v = VersionedTable.commitWithStats(
+      base.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    val all = VersionedTable.dataFileCount(spark, root, v)
+    assert(all == 8)
+    // a 1000-wide needle on a 8000-wide domain: 1-2 of 8 files
+    val picked = VersionedTable.prunedPaths(spark, root, v,
+      "k", 2100d, 2900d)
+    assert(picked.size < all / 2,
+      s"stats must prune most files: ${picked.size} of $all")
+    val got = VersionedTable.readPruned(spark, root, v, "k",
+      2100d, 2900d).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (2100L to 2900L),
+      "pruned scan must equal the exact filter")
+    // out-of-domain range: zero files, empty result, schema intact
+    assert(VersionedTable.prunedPaths(spark, root, v, "k",
+      20000d, 30000d).isEmpty)
+    assert(VersionedTable.readPruned(spark, root, v, "k",
+      20000d, 30000d).count() == 0L)
+    // un-collected column falls back to all files, still correct
+    val gotV = VersionedTable.readPruned(spark, root, v, "v", 3d, 3d)
+    assert(gotV.count() == base.where(col("v") === 3).count())
+    // vacuum drops the expired version's stats sidecar with it
+    VersionedTable.commit(base.limit(10), root)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fsys.exists(
+      new org.apache.hadoop.fs.Path(root, s"_graft_stats_v$v")),
+      "vacuum must expire the stats sidecar")
+  }
+
   test("changes feed classifies insert/update/delete between any two " +
       "committed versions") {
     val root = freshRoot("changes")
