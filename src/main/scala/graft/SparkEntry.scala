@@ -1747,6 +1747,36 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
       "FROM p)"
 
+  /** DuckDB replay of TextMetrics.bm25Search over the fixed query
+    * terms: same tokenizer, same fixed-order double arithmetic (all
+    * decimal literals promote to DOUBLE through a DOUBLE operand),
+    * idf and per-(doc, term) weights rounded at 9 into DECIMAL(20,9),
+    * per-doc sum exact, rounded at 6. `2.2` = k1+1, `1.2` = k1,
+    * `0.25` = 1−b, `0.75` = b.
+    */
+  private val bm25Ctes: String =
+    "WITH tk AS (SELECT doc_id AS id, " +
+      "string_split(lower(text), ' ') AS toks FROM documents), " +
+      "dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM tk), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS nn, " +
+      "CAST(sum(dl) AS BIGINT) AS tot FROM dl), " +
+      "tf AS (SELECT id, t, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT id, unnest(toks) AS t FROM tk) " +
+      "WHERE t IN ('spark','query','fast','merge') GROUP BY id, t), " +
+      "idf AS (SELECT t, CAST(round(ln(" +
+      "(CAST(nn - dft AS DOUBLE) + 0.5) / " +
+      "(CAST(dft AS DOUBLE) + 0.5) + 1.0), 9) AS DECIMAL(20,9)) " +
+      "AS idf FROM (SELECT t, CAST(count(*) AS BIGINT) AS dft " +
+      "FROM tf GROUP BY t), st), " +
+      "w AS (SELECT tf.id, CAST(round(" +
+      "CAST(idf.idf AS DOUBLE) * (CAST(tf.tf AS DOUBLE) * 2.2) / " +
+      "(CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + " +
+      "0.75 * CAST(dl.dl AS DOUBLE) / " +
+      "(CAST(st.tot AS DOUBLE) / st.nn))), 9) AS DECIMAL(20,9)) AS w " +
+      "FROM tf JOIN idf USING (t) JOIN dl USING (id) CROSS JOIN st), " +
+      "sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_terms, " +
+      "CAST(round(sum(w), 6) AS DOUBLE) AS score FROM w GROUP BY id)"
+
   private val knnBruteForceOracle: String =
     knnBruteCtes +
       " SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
@@ -2532,6 +2562,45 @@ object SparkEntry {
         "__lab")
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
+    }),
+    // lexical retrieval: Okapi BM25 over a fixed query-term set —
+    // term-filter BEFORE the shuffle, broadcast idf table, top-10 by
+    // (score DESC, id) with ranks assigned after the limit
+    "bm25_search" -> ((s, dir) => {
+      val top = operators.TextMetrics.bm25Search(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "query", "fast", "merge"))
+        .orderBy(col("score").desc, col("id")).limit(10)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select(col("rank"), col("id").as("doc_id"), col("n_terms"),
+          col("score"))
+        .orderBy("rank")
+    }),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    // the ANN top-20 (query vector 0) — 1/(60+rank) per list, missing
+    // list contributes 0; the standard RRF k=60 constant
+    "hybrid_search" -> ((s, dir) => {
+      val lexTop = operators.TextMetrics.bm25Search(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "query", "fast", "merge"))
+        .orderBy(col("score").desc, col("id")).limit(20)
+      val lex = lexTop.withColumn("rn_lex", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("rn_lex"))
+      val sem = operators.Similarity.knnBruteForce(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        numQueries = 1, k = 20)
+        .select(col("neighbor_id").as("id"), col("rn").as("rn_sem"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .select(col("id"), col("rn_lex"), col("rn_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rn_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rn_sem")), lit(0.0)), 9)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+        .orderBy(col("rrf").desc, col("id"))
     }),
     // data skipping: commit a range-clustered snapshot WITH per-file
     // min/max stats, then range-scan through the sidecar — only
@@ -3908,6 +3977,42 @@ object SparkEntry {
         "SELECT o_orderkey, 'delete' AS action, 0 AS n_changed, " +
         "2 AS step FROM nn WHERE o_orderkey % 11 = 0 " +
         "ORDER BY step, action, o_orderkey"),
+    // BM25: fixed-order double expression over exact integers, idf
+    // and weights rounded at 9 into decimal, per-doc sum exact
+    "bm25_search" -> (bm25Ctes +
+      " SELECT CAST(row_number() OVER (ORDER BY score DESC, id) " +
+      "AS INT) AS rank, id AS doc_id, n_terms, score " +
+      "FROM sc ORDER BY score DESC, id LIMIT 10"),
+    // RRF fusion of the BM25 top-20 and ANN top-20 for query vec 0;
+    // 1/(60+rank) per list in DOUBLE (decimal literals cast)
+    "hybrid_search" -> (bm25Ctes + ", " +
+      "lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score " +
+      "DESC, id) AS INT) AS rn_lex FROM sc " +
+      "ORDER BY score DESC, id LIMIT 20), " +
+      "v AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+      "n AS (SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, " +
+      "x -> x * x))) AS nrm FROM v), " +
+      "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+      "FROM n WHERE vec_id < 1), " +
+      "p AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+      "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+      "i -> q.qvec[i] * n.vec[i])) / (q.qnrm * n.nrm) AS sim " +
+      "FROM q, n WHERE n.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+      "FROM p), " +
+      "sem AS (SELECT neighbor_id AS id, CAST(rn AS INT) AS rn_sem " +
+      "FROM r WHERE rn <= 20), " +
+      "f AS (SELECT coalesce(lex.id, sem.id) AS id, lex.rn_lex, " +
+      "sem.rn_sem, " +
+      "round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.rn_lex), " +
+      "CAST(0.0 AS DOUBLE)) + " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.rn_sem), " +
+      "CAST(0.0 AS DOUBLE)), 9) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem ON lex.id = sem.id) " +
+      "SELECT id, rn_lex, rn_sem, rrf FROM f " +
+      "ORDER BY rrf DESC, id LIMIT 10"),
     // pruned range scan must lose no rows vs the plain filter
     "table_pruned_scan" ->
       ("SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines, " +

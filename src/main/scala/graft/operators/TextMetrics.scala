@@ -594,4 +594,60 @@ object TextMetrics {
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
           .as("tfidf"))
   }
+
+  /** BM25 lexical scoring of the corpus against a fixed term set —
+    * the keyword-retrieval half of hybrid search (the ANN stack in
+    * [[Similarity]] is the other half; [[graft.SparkEntry]] fuses the
+    * two ranked lists with reciprocal-rank fusion). Okapi BM25 with
+    * the Lucene-style idf floor:
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (always positive),
+    * `w(t,d) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    * Output: (id, n_terms, score) for documents matching ≥1 term.
+    *
+    * Scale shape: the corpus explodes ONCE and is filtered to the
+    * query terms BEFORE anything shuffles (the term set is a literal
+    * predicate, codegen'd), so the shuffled volume is the posting
+    * rows of the query terms only — never the corpus vocabulary. The
+    * per-term idf table and the 2-value corpus stats broadcast. One
+    * doc-keyed aggregation ends it.
+    *
+    * Determinism (the [[unigramLogprob]] convention): idf rounds at 9
+    * into DECIMAL(20,9); each per-(doc, term) weight is a fixed-order
+    * double expression over exact integers (tf, dl, N, Σdl) rounded
+    * at 9; the per-doc sum is exact decimal, rounded at 6.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val toks = df.select(col(idCol).as("id"),
+      tokenizer(col(textCol)).as("__toks"))
+    val dl = toks.select(col("id"),
+      size(col("__toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tot"))
+    val tf = toks.select(col("id"), explode(col("__toks")).as("t"))
+      .where(col("t").isInCollection(terms))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("t"))
+      .agg(count(lit(1)).as("dft"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"), round(log(
+        ((col("nn") - col("dft")).cast("double") + lit(0.5)) /
+          (col("dft").cast("double") + lit(0.5)) + lit(1.0)), 9)
+        .cast("decimal(20,9)").as("idf"))
+    val avgdl = col("tot").cast("double") / col("nn")
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / avgdl)
+    val w = round(col("idf").cast("double") *
+      (col("tf").cast("double") * lit(k1 + 1.0)) / denom, 9)
+      .cast("decimal(20,9)")
+    tf.join(broadcast(idf), Seq("t"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(w), 6).cast("double").as("score"))
+  }
 }

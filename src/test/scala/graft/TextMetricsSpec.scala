@@ -372,4 +372,35 @@ class TextMetricsSpec extends AnyFunSuite {
       .join(broadcast(vocab), Seq("piece"), "left")
     assert(ids.where(col("token_id").isNull).count() == 0)
   }
+
+  test("bm25Search matches an independent scalar computation of the " +
+      "Okapi formula, term filter included") {
+    // corpus: d1 "cat cat dog" (dl 3), d2 "dog bird" (dl 2),
+    // d3 "fish" (dl 1) -> N=3, avgdl=2; terms {cat, dog}
+    val docs = Seq((1L, "cat cat dog"), (2L, "dog bird"),
+      (3L, "fish")).toDF("id", "text")
+    val got = TextMetrics.bm25Search(docs, "id", "text",
+        terms = Seq("cat", "dog"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // scalar replica with the operator's exact expression order
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val avgdl = 6.0 / 3L
+    def idf(df: Long) =
+      r9(math.log(((3L - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0))
+    def w(i: BigDecimal, tf: Long, dl: Long) =
+      r9(i.toDouble * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)))
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(w(idf(1L), 2L, 3L) + w(idf(2L), 1L, 3L))
+    val d2 = r6(w(idf(2L), 1L, 2L))
+    assert(got.toSeq == Seq((1L, 2L, d1), (2L, 1L, d2)),
+      s"scalar replica diverged: ${got.toSeq} vs ($d1, $d2)")
+    // d3 matches no term and must be absent; d1 (two terms, one
+    // repeated) must outrank d2
+    assert(!got.exists(_._1 == 3L))
+    assert(d1 > d2)
+  }
 }
