@@ -2563,6 +2563,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
     }),
+    // incrementally-maintained ANN index: two embedding batches
+    // assign independently (broadcast centroids + map-side argmax,
+    // no re-scan of prior batches) and land as fast-APPEND commits —
+    // probing the appended index must equal the one-shot knn_ivf
+    // build, so this replays knn_ivf's own oracle
+    "knn_ivf_incremental" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.dir + s"/ivf_index_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val emb = tbl(s, dir, "embeddings")
+      val cents = operators.Similarity.ivfSeedCentroids(
+        emb, "vec_id", "embedding", numCentroids = 16)
+      Seq(0, 1).foreach { par =>
+        graft.sources.VersionedTable.commitAppend(
+          operators.Similarity.ivfIndexAssign(
+            emb.where(col("vec_id") % 2 === par),
+            "vec_id", "embedding", cents),
+          root, tag = s"batch$par")
+      }
+      operators.Similarity.knnIvfOnIndex(
+        graft.sources.VersionedTable.read(s, root),
+        emb, "vec_id", "embedding", cents,
+        nprobe = 4, numQueries = 10, k = 5)
+    }),
     // lexical retrieval: Okapi BM25 over a fixed query-term set —
     // term-filter BEFORE the shuffle, broadcast idf table, top-10 by
     // (score DESC, id) with ranks assigned after the limit
@@ -4284,6 +4308,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 " +
         "END) AS BIGINT) AS n_outliers FROM d CROSS JOIN m2"),
     "knn_ivf" -> knnIvfOracle,
+    // the append-maintained index must be indistinguishable from the
+    // one-shot build — identical oracle by design
+    "knn_ivf_incremental" -> knnIvfOracle,
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
     "knn_ivfpq" -> knnIvfPqOracle,

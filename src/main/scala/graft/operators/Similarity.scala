@@ -171,30 +171,74 @@ object Similarity {
   }
 
   private def knnIvfWith(v: DataFrame, cents: DataFrame, nprobe: Int,
-      numQueries: Int, k: Int): DataFrame = {
+      numQueries: Int, k: Int): DataFrame =
+    probeIvfIndex(assignWith(v, cents), v, cents, nprobe, numQueries, k)
 
-    // (row, centroid) scores via broadcast join; ties break toward the
-    // larger cid (struct comparison on (sim, cid)), matching array_max
-    // over (sim, cid) structs
-    def scored(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
+  // (row, centroid) scores via broadcast join; ties break toward the
+  // larger cid (struct comparison on (sim, cid)), matching array_max
+  // over (sim, cid) structs
+  private def centroidScored(side: DataFrame,
+      cents: DataFrame): DataFrame =
+    side.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosine(col("cvec"), col("vec"), col("cnorm"), col("norm")))
 
-    // corpus side: each vector lands in exactly one inverted list;
-    // max(struct) aggregates partially map-side, then the single
-    // assignment row rejoins the vector payload
-    val assigned = scored(v)
+  // corpus side: each vector lands in exactly one inverted list;
+  // max(struct) aggregates partially map-side, then the single
+  // assignment row rejoins the vector payload
+  private def assignWith(v: DataFrame, cents: DataFrame): DataFrame =
+    centroidScored(v, cents)
       .groupBy("id")
       .agg(max(struct(col("csim"), col("cid"))).as("best"))
       .select(col("id"), col("best.cid").as("cid"))
       .join(v, Seq("id"))
+
+  /** The seed coarse quantizer as a standalone frame (cid, cvec,
+    * cnorm) — vectors with `id < numCentroids`, the same stand-in
+    * [[knnIvf]] uses. Public so an externally-MAINTAINED index
+    * ([[ivfIndexAssign]]) and its probes share one quantizer.
+    */
+  def ivfSeedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): DataFrame =
+    normed(df, idCol, vecCol).where(col("id") < numCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        col("norm").as("cnorm"))
+
+  /** Assign a batch of vectors to the inverted lists of `cents`:
+    * (cid, id, vec, norm) rows, the PERSISTENT index format. Each
+    * arriving batch assigns independently — a broadcast join plus a
+    * map-side argmax, never a re-scan of previously indexed
+    * batches — so committing each result as a
+    * [[graft.sources.VersionedTable]] APPEND maintains a 100 TB ANN
+    * index at per-batch cost. Rebuild-equivalence is oracle-pinned
+    * (`knn_ivf_incremental` replays `knn_ivf`'s oracle on the
+    * append-maintained index).
+    */
+  def ivfIndexAssign(batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignWith(normed(batch, idCol, vecCol), cents)
+      .select(col("cid"), col("id"), col("vec"), col("norm"))
+
+  /** Probe a prebuilt inverted-list index (rows as produced by
+    * [[ivfIndexAssign]], possibly across many appended batches):
+    * identical query path to [[knnIvf]] — nprobe nearest lists per
+    * query, candidates from those lists only, exact-cosine rank.
+    */
+  def knnIvfOnIndex(index: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, nprobe: Int, numQueries: Int,
+      k: Int): DataFrame =
+    probeIvfIndex(index, normed(df, idCol, vecCol), cents, nprobe,
+      numQueries, k)
+
+  private def probeIvfIndex(assigned: DataFrame, v: DataFrame,
+      cents: DataFrame, nprobe: Int, numQueries: Int, k: Int)
+      : DataFrame = {
     // query side: the nprobe closest lists per query (the query set is
     // k-NN-sized; the rank window is bounded by numCentroids rows per
     // query)
     val probeW = Window.partitionBy("id")
       .orderBy(col("csim").desc, col("cid").desc)
-    val q = scored(v.where(col("id") < numQueries))
+    val q = centroidScored(v.where(col("id") < numQueries), cents)
       .withColumn("pr", row_number().over(probeW))
       .where(col("pr") <= nprobe)
       .select(col("id").as("query_id"), col("vec").as("qvec"),

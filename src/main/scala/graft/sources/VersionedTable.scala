@@ -114,24 +114,61 @@ object VersionedTable {
     (next, s"$root/v$next")
   }
 
-  /** Publish `version` (already written under `root/v<version>`) by
-    * creating its manifest — the commit point. Refuses to overwrite
-    * an existing manifest: versions are immutable.
+  /** Publish `version` by creating its manifest — the commit point.
+    * `dirs` is the ordered list of data directories (relative to
+    * `root`) the snapshot comprises: a rewrite commit names exactly
+    * one (`v<version>`), an APPEND commit names every directory of
+    * the previous snapshot plus its own delta — the Iceberg-style
+    * fast append, no data rewritten. Refuses to overwrite an existing
+    * manifest: versions are immutable.
     */
   def publish(spark: SparkSession, root: String, version: Long,
-      tag: String = ""): Unit = {
+      tag: String = "", dirs: Seq[String] = Nil): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val pathField =
+      (if (dirs.isEmpty) Seq(s"v$version") else dirs).mkString(",")
     val manifest =
-      s"""{"version":$version,"path":"v$version","tag":"${js(tag)}"}"""
+      s"""{"version":$version,"path":"${js(pathField)}","tag":"${js(tag)}"}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val out = f.create(p, false) // no overwrite: a version is immutable
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fast APPEND: write ONLY `delta` as this version's data directory
+    * and publish a manifest naming the previous snapshot's
+    * directories plus the new one — no existing byte is rewritten or
+    * moved, the per-commit cost is the delta write alone. This is how
+    * an incrementally-maintained table (an ANN index absorbing
+    * arriving batches, an event log) stays cheap at 100 TB; run
+    * [[compact]] when the directory list grows long. Returns the new
+    * version id.
+    */
+  def commitAppend(delta: DataFrame, root: String,
+      tag: String = ""): Long = {
+    val spark = delta.sparkSession
+    val prev = latestVersion(spark, root)
+      .map(v => resolveDirs(spark, root, v)).getOrElse(Nil)
+    val (next, dataDir) = nextVersionDir(spark, root)
+    delta.write.mode("overwrite").parquet(dataDir)
+    publish(spark, root, next, tag, dirs = prev :+ s"v$next")
+    next
+  }
+
+  /** The ordered data directories (relative to root) snapshot
+    * `version` comprises.
+    */
+  def resolveDirs(spark: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    val raw = readManifest(spark, root, version)
+    """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).getOrElse(s"v$version")
+      .split(',').toSeq.filter(_.nonEmpty)
   }
 
   /** Read the newest committed snapshot. */
@@ -141,14 +178,14 @@ object VersionedTable {
     readVersion(spark, root, v)
   }
 
-  /** Time travel: read snapshot `version` exactly as committed. */
+  /** Time travel: read snapshot `version` exactly as committed (all
+    * of its data directories — one for a rewrite, several after
+    * appends).
+    */
   def readVersion(spark: SparkSession, root: String,
-      version: Long): DataFrame = {
-    val raw = readManifest(spark, root, version)
-    val rel = """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-      .map(_.group(1)).getOrElse(s"v$version")
-    spark.read.parquet(s"$root/$rel")
-  }
+      version: Long): DataFrame =
+    spark.read.parquet(
+      resolveDirs(spark, root, version).map(d => s"$root/$d"): _*)
 
   /** Copy-on-write DELETE: commit a snapshot without the matching
     * rows (the whole-table rewrite every snapshot store without
@@ -257,10 +294,11 @@ object VersionedTable {
   private def dataPaths(spark: SparkSession, root: String,
       version: Long): Seq[String] = {
     val f = fs(spark, root)
-    val dir = new Path(root, s"v$version")
-    f.listStatus(dir).toSeq.filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+    resolveDirs(spark, root, version).flatMap { d =>
+      f.listStatus(new Path(root, d)).toSeq.filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
   }
 
   /** Range scan through the stats sidecar: read ONLY the files whose
@@ -306,28 +344,33 @@ object VersionedTable {
       if (tag.nonEmpty) tag else s"compact-v$v")
   }
 
-  /** Total parquet bytes of snapshot `version` (manifest-addressed
-    * files only — the footer-level stat OPTIMIZE planning reads).
+  /** Total parquet bytes of snapshot `version` across ALL of its
+    * manifest-addressed directories — the footer-level stat OPTIMIZE
+    * planning reads.
     */
   def dataBytes(spark: SparkSession, root: String, version: Long): Long = {
     val f = fs(spark, root)
-    val dir = new Path(root, s"v$version")
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).toSeq.filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    resolveDirs(spark, root, version).map { d =>
+      val dir = new Path(root, d)
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
   }
 
-  /** Parquet file count of snapshot `version` — the compaction
-    * evidence metric.
+  /** Parquet file count of snapshot `version` across all of its
+    * directories — the compaction evidence metric.
     */
   def dataFileCount(spark: SparkSession, root: String,
       version: Long): Int = {
     val f = fs(spark, root)
-    val dir = new Path(root, s"v$version")
-    if (!f.exists(dir)) 0
-    else f.listStatus(dir).count(s => s.isFile &&
-      s.getPath.getName.endsWith(".parquet"))
+    resolveDirs(spark, root, version).map { d =>
+      val dir = new Path(root, d)
+      if (!f.exists(dir)) 0
+      else f.listStatus(dir).count(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    }.sum
   }
 
   /** Incremental changes feed: the insert/update/delete row set
@@ -360,13 +403,18 @@ object VersionedTable {
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
     val keep = versions.takeRight(keepLast).toSet
+    // a retained APPEND manifest may reference directories created by
+    // expired versions — liveness is per-DIRECTORY, the union of the
+    // retained manifests' path lists, exactly like reachable-file GC
+    // in any manifest store
+    val liveDirs = keep.toSeq.flatMap(v => resolveDirs(spark, root, v))
+      .toSet
     versions.filterNot(keep).foreach { v =>
       f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
     }
-    // every vN data dir outside the retained set goes — expired
-    // versions (manifest just deleted) and orphans alike (a crashed
-    // commit's dir that no manifest ever named); stats sidecars ride
-    // with their version
+    // every data dir outside the LIVE set goes — expired versions'
+    // unreferenced dirs and orphans alike (a crashed commit's dir no
+    // manifest ever named); stats sidecars ride with their version
     val rootPath = new Path(root)
     if (f.exists(rootPath)) {
       f.listStatus(rootPath).toSeq
@@ -374,8 +422,8 @@ object VersionedTable {
         .map(_.getPath)
         .filter { p =>
           val n = p.getName
-          (n.startsWith("v") &&
-            n.drop(1).toLongOption.exists(v => !keep.contains(v))) ||
+          (n.startsWith("v") && n.drop(1).toLongOption.isDefined &&
+            !liveDirs.contains(n)) ||
           (n.startsWith("_graft_stats_v") &&
             n.stripPrefix("_graft_stats_v").toLongOption
               .exists(v => !keep.contains(v)))

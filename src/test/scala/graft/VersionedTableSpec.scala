@@ -333,6 +333,45 @@ class VersionedTableSpec extends AnyFunSuite {
       "vacuum must expire the stats sidecar")
   }
 
+  test("fast append commits only the delta; history, compaction, and " +
+      "directory-level vacuum liveness all hold") {
+    val root = freshRoot("append")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b1 = Seq((3L, "c")).toDF("k", "v")
+    val b2 = Seq((4L, "d")).toDF("k", "v")
+    val v0 = VersionedTable.commit(b0.coalesce(1), root)
+    val v1 = VersionedTable.commitAppend(b1.coalesce(1), root)
+    val v2 = VersionedTable.commitAppend(b2.coalesce(1), root)
+    // each snapshot sees its cumulative content; old versions intact
+    def keys(v: Long) = VersionedTable.readVersion(spark, root, v)
+      .collect().map(_.getLong(0)).toSet
+    assert(keys(v0) == Set(1L, 2L))
+    assert(keys(v1) == Set(1L, 2L, 3L))
+    assert(keys(v2) == Set(1L, 2L, 3L, 4L))
+    // the append wrote ONLY its delta dir
+    assert(VersionedTable.resolveDirs(spark, root, v2) ==
+      Seq("v0", "v1", "v2"))
+    assert(VersionedTable.dataFileCount(spark, root, v2) == 3)
+    // compaction rewrites the multi-dir snapshot into one dir
+    val v3 = VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(VersionedTable.resolveDirs(spark, root, v3) == Seq("v3"))
+    assert(keys(v3) == Set(1L, 2L, 3L, 4L))
+    // vacuum keeps every directory a RETAINED manifest references:
+    // retaining (v2, v3) keeps v0/v1 alive because v2 references them
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(VersionedTable.versions(spark, root) == Seq(v2, v3))
+    assert(keys(v2) == Set(1L, 2L, 3L, 4L))
+    // retaining only the compacted v3 lets v0..v2 go
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(keys(v3) == Set(1L, 2L, 3L, 4L))
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("v0", "v1", "v2").foreach { d =>
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(root, d)),
+        s"unreferenced dir $d must be vacuumed")
+    }
+  }
+
   test("changes feed classifies insert/update/delete between any two " +
       "committed versions") {
     val root = freshRoot("changes")
