@@ -1777,6 +1777,37 @@ object SparkEntry {
       "sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_terms, " +
       "CAST(round(sum(w), 6) AS DOUBLE) AS score FROM w GROUP BY id)"
 
+  /** DuckDB replay of synthesizeBmp → resize(9×8) → dhash64 straight
+    * from the text: sampled source pixel (⌊x·8/9⌋, ⌊y·h/8⌋), fixture
+    * channel arithmetic, integer luminance b+g+r, bit (y·8+x) set
+    * when the right neighbor is brighter. The bit sum runs in HUGEINT
+    * (BIGINT refuses 1<<63) and wraps back to the signed 64-bit value
+    * Spark's Long carries.
+    */
+  private val imageDhashCtes: String =
+    "WITH d AS (SELECT doc_id, text, strlen(text) AS n, " +
+      "CAST(ceil(strlen(text) / 8.0) AS BIGINT) AS h " +
+      "FROM documents " +
+      "WHERE length(text) = strlen(text) AND strlen(text) > 0), " +
+      "gy AS (SELECT doc_id, text, n, h, " +
+      "unnest(generate_series(0, 7)) AS y FROM d), " +
+      "g AS (SELECT doc_id, text, n, h, y, " +
+      "unnest(generate_series(0, 8)) AS x FROM gy), " +
+      "smp AS (SELECT doc_id, y, x, " +
+      "((y * h) // 8) * 8 + ((x * 8) // 9) AS k, n, text FROM g), " +
+      "lm AS (SELECT doc_id, y, x, b + (3 * b + 1) % 256 + k % 256 " +
+      "AS lum FROM (SELECT doc_id, y, x, k, " +
+      "CASE WHEN k < n THEN unicode(substr(text, CAST(k + 1 AS INT), 1)) " +
+      "ELSE CAST((k * 7) % 256 AS INT) END AS b FROM smp)), " +
+      "bits AS (SELECT doc_id, y, x, lum, " +
+      "lead(lum) OVER (PARTITION BY doc_id, y ORDER BY x) AS nlum " +
+      "FROM lm), " +
+      "hs AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808 " +
+      "THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS dhash " +
+      "FROM (SELECT doc_id, sum(CASE WHEN nlum > lum " +
+      "THEN CAST(1 AS HUGEINT) << (y * 8 + x) ELSE 0 END) AS s " +
+      "FROM bits WHERE x < 8 GROUP BY doc_id))"
+
   private val knnBruteForceOracle: String =
     knnBruteCtes +
       " SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
@@ -2563,6 +2594,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
     }),
+    // image perceptual fingerprint: synthesized BMPs through the
+    // codec → 9×8 nearest-neighbor resize → 64-bit dHash; the oracle
+    // recomputes every bit from the text alone, so resize sampling,
+    // row order, and bit packing are all pinned
+    "image_dhash" -> ((s, dir) => Multimodal.imageDhashes(
+      Multimodal.synthesizeBmp(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text"))
+      .orderBy("doc_id")),
+    // image near-dup pairs: pigeonhole-blocked hamming ≤ 3 over the
+    // dHashes — candidates only from chunk-equal pairs; the oracle is
+    // the full n² hamming scan, so blocking completeness is pinned
+    "image_neardup" -> ((s, dir) => operators.Dedup.hammingPairs64(
+      Multimodal.imageDhashes(Multimodal.synthesizeBmp(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text")),
+      "doc_id", "dhash", maxHamming = 3)),
     // incrementally-maintained ANN index: two embedding batches
     // assign independently (broadcast centroids + map-side argmax,
     // no re-scan of prior batches) and land as fast-APPEND commits —
@@ -4311,6 +4361,16 @@ object SparkEntry {
     // the append-maintained index must be indistinguishable from the
     // one-shot build — identical oracle by design
     "knn_ivf_incremental" -> knnIvfOracle,
+    "image_dhash" -> (imageDhashCtes +
+      " SELECT doc_id, dhash FROM hs ORDER BY doc_id"),
+    // full n-squared hamming scan: pigeonhole blocking must find
+    // exactly these pairs
+    "image_neardup" -> (imageDhashCtes +
+      " SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 " +
+      "ORDER BY id_a, id_b"),
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
     "knn_ivfpq" -> knnIvfPqOracle,

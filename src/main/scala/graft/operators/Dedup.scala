@@ -627,6 +627,37 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup pairs over ANY precomputed 64-bit fingerprint column
+    * (image dHash, an external signature): identical 4×16-bit
+    * pigeonhole blocking to [[simhashPairs]] — two hashes within
+    * hamming ≤ 3 must agree on at least one 16-bit chunk, so the
+    * candidate join touches only chunk-equal pairs, never all pairs —
+    * with the exact `bit_count(xor)` verify behind it.
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk blocking is only complete for maxHamming <= 3")
+    val chunks = df.select(col(idCol).as("id"),
+        col(hashCol).cast("long").as("sim"))
+      .select(col("id"), col("sim"),
+        explode(expr("transform(sequence(0, 3), j -> " +
+          "struct(j AS chunk, (shiftright(sim, j * 16) & 65535) AS ch))"))
+          .as("c"))
+      .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
+        col("c.ch").as("ch"))
+    val a = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"),
+      col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"),
+      col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold
     * via a BLOCK-GRID self-join — each vector lands in one of
     * `numBlocks` hash buckets, the B(B+1)/2 bucket pairs are enumerated

@@ -259,6 +259,49 @@ object Multimodal {
         col("wsum_b"), col("wsum_g"), col("wsum_r"))
   }
 
+  /** 64-bit difference hash (dHash) of a BMP payload — the standard
+    * perceptual fingerprint for IMAGE near-dup detection: resize to
+    * 9×8 through the nearest-neighbor codec path, take integer
+    * luminance `b+g+r` per cell, and set bit (y·8+x) when the cell to
+    * the right is brighter. Crops/re-encodes/brightness shifts move
+    * few bits, so near-duplicate images land within a small hamming
+    * distance — the image-side analogue of SimHash over text.
+    */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val (w9, h8, px) = decodeBmp(resizeBmp(bytes, 9, 8))
+    require(w9 == 9 && h8 == 8, s"resize contract violated: $w9 x $h8")
+    def lum(x: Int, y: Int): Int = {
+      val i = 3 * (y * 9 + x)
+      (px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Batched partition-local dHash of a payload table (same
+    * hash-bucketed shape as [[decodeImageStats]]): (doc_id, dhash).
+    */
+  def imageDhashes(df: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(numBuckets, col("content_hash"))
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, dhash64(bytes))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
   /** Canonical 44-byte RIFF/WAVE header + 16-bit little-endian mono
     * PCM — the real format, so any external reader accepts the
     * payload.

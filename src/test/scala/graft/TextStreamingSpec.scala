@@ -106,6 +106,48 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(feats(1L).length == 4)
   }
 
+  test("dHash: identical images collide, a one-pixel edit moves few " +
+      "bits, and pigeonhole blocking equals the brute-force scan") {
+    // identical payloads -> identical hashes (hamming 0)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "The quick brown fox jumps over the lazy dog!"),
+      (4L, "completely different content here with other words"))
+      .toDF("doc_id", "text")
+    val hs = Multimodal.imageDhashes(
+      Multimodal.synthesizeBmp(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L), "identical images must collide")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a near-identical image (2-char edit) stays close; a different
+    // one is far
+    assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)),
+      s"dHash must order by visual similarity: " +
+        s"${hamming(hs(1L), hs(3L))} vs ${hamming(hs(1L), hs(4L))}")
+    // blocking completeness on a seeded 64-bit corpus: every pair
+    // within hamming 3 must surface
+    val rnd = new scala.util.Random(77L)
+    val base = Array.fill(40)(rnd.nextLong())
+    // plant guaranteed near pairs: flip 1..3 bits of some bases
+    val planted = base.zipWithIndex.collect {
+      case (h, i) if i % 4 == 0 =>
+        h ^ (1L << (i % 64)) ^ (if (i % 8 == 0) 1L << 63 else 0L)
+    }
+    val all = (base ++ planted).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val got = graft.operators.Dedup.hammingPairs64(
+        all.toSeq.toDF("id", "h"), "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"blocking must equal brute force: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty, "fixture must plant near pairs")
+  }
+
   test("WAV codec round-trips samples; corrupt headers are refused; " +
       "zero crossings hand-computed") {
     val rnd = new scala.util.Random(424242L)
