@@ -3470,6 +3470,16 @@ object SparkEntry {
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text"))
       .orderBy("doc_id")),
+    // audio twin of image_dhash: 65 frame energies (exact integer
+    // sum of |sample| per equal index range) through the real WAV
+    // codec, bit f = frame f+1 louder than frame f; the oracle
+    // recomputes every frame energy from the text alone
+    "audio_fingerprint" -> ((s, dir) => Multimodal.audioFingerprints(
+      Multimodal.synthesizeWav(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text"))
+      .orderBy("doc_id")),
     // resize composes through the codec twice: synthesize → encode →
     // decode+nearest-neighbor-sample+re-encode → decode → stats; the
     // oracle computes the sampled pixels straight from the text via
@@ -3670,6 +3680,19 @@ object SparkEntry {
     // stream-static broadcast enrichment + windowed agg
     "streaming_enriched" -> ((s, dir) => streamingEnrichedQuery(s, dir)),
     "sessionize_batch"  -> ((s, dir) => sessionizeBatchQuery(s, dir)),
+    // Spark's NATIVE session_window in batch mode — same 30-min gap;
+    // its merge rule closes a session when the delta is >= gap
+    // (window overlap is half-open), vs the custom operator's > gap,
+    // so it carries its own >=-semantics oracle; window.end is
+    // last event + gap by definition, pinned as-is
+    "sessionize_native" -> ((s, dir) => tbl(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")),
     "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir)),
     // streaming exact dedup: watermark-bounded dropDuplicates state;
     // the bounded single-file replay is one micro-batch, so the
@@ -4363,6 +4386,32 @@ object SparkEntry {
     "knn_ivf_incremental" -> knnIvfOracle,
     "image_dhash" -> (imageDhashCtes +
       " SELECT doc_id, dhash FROM hs ORDER BY doc_id"),
+    // frame energies recomputed from the text (same sample formula as
+    // multimodal_audio), difference bits summed in HUGEINT and
+    // wrapped to the signed value
+    "audio_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, text FROM documents " +
+        "WHERE length(text) > 0 " +
+        "AND length(text) = octet_length(encode(text))), " +
+        "s AS (SELECT doc_id, list_transform(" +
+        "range(1, length(text) + 1), " +
+        "i -> ((ascii(substr(text, i, 1)) * 131 + i * 7) % 65536) " +
+        "- 32768) AS sm FROM t), " +
+        "fr AS (SELECT doc_id, sm, len(sm) AS n, " +
+        "unnest(generate_series(0, 64)) AS f FROM s), " +
+        "en AS (SELECT doc_id, f, coalesce(list_sum(list_transform(" +
+        "range((f * n) // 65 + 1, ((f + 1) * n) // 65 + 1), " +
+        "i -> abs(sm[i]))), 0) AS e FROM fr), " +
+        "bits AS (SELECT doc_id, f, e, " +
+        "lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne " +
+        "FROM en), " +
+        "hs AS (SELECT doc_id, " +
+        "CAST(CASE WHEN s2 >= 9223372036854775808 " +
+        "THEN s2 - 18446744073709551616 ELSE s2 END AS BIGINT) AS afp " +
+        "FROM (SELECT doc_id, sum(CASE WHEN ne > e " +
+        "THEN CAST(1 AS HUGEINT) << f ELSE 0 END) AS s2 " +
+        "FROM bits WHERE f < 64 GROUP BY doc_id)) " +
+        "SELECT doc_id, afp FROM hs ORDER BY doc_id"),
     // full n-squared hamming scan: pigeonhole blocking must find
     // exactly these pairs
     "image_neardup" -> (imageDhashCtes +
@@ -4590,6 +4639,19 @@ object SparkEntry {
     "stream_drift" -> streamDriftOracle,
     "streaming_enriched" -> streamingEnrichedOracle,
     "sessionize_batch"  -> sessionizeOracle,
+    "sessionize_native" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "x AS (SELECT user_id, ts_us, CASE WHEN " +
+        "lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL " +
+        "OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY " +
+        s"ts_us) >= $sessionGapUs THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY " +
+        "user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid " +
+        "FROM x) " +
+        "SELECT user_id, min(ts_us) AS start_us, " +
+        s"max(ts_us) + $sessionGapUs AS end_us, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"),
     "sessionize_stream" -> sessionizeOracle,
     "range_join_sessions" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +

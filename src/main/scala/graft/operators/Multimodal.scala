@@ -413,6 +413,52 @@ object Multimodal {
         "n_zero_cross")
   }
 
+  /** 64-bit audio difference fingerprint — the audio twin of
+    * [[dhash64]]: the clip is cut into 65 equal sample-index frames
+    * (frame f covers [⌊f·n/65⌋, ⌊(f+1)·n/65⌋), empty when the clip is
+    * shorter than 65 samples), each frame's energy is the exact
+    * integer Σ|sample|, and bit f is set when frame f+1 carries more
+    * energy than frame f. Tempo-preserving edits (padding, gain
+    * within a frame, small splices) move few bits, so near-duplicate
+    * clips land within a small hamming distance — feed
+    * [[Dedup.hammingPairs64]] for blocked pair mining.
+    */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var i = f * n / 65
+      val end = (f + 1) * n / 65
+      var s = 0L
+      while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var hash = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) hash |= 1L << f
+      f += 1
+    }
+    hash
+  }
+
+  /** Batched partition-local audio fingerprints of a WAV payload
+    * table: (doc_id, afp).
+    */
+  def audioFingerprints(df: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(numBuckets, col("doc_id"))
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, audioFingerprint64(decodeWav(bytes)._2))
+      })
+      .toDF("doc_id", "afp")
+  }
+
   /** Batched partition-local decode to an ANN-ready feature vector:
     * the BMP is parsed for real and `dim` equal pixel-index buckets
     * each contribute their mean normalized intensity

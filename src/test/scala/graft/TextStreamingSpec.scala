@@ -148,6 +148,28 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must plant near pairs")
   }
 
+  test("audio fingerprint: identical clips collide, a trailing-pad " +
+      "edit stays near, an unrelated clip is far") {
+    def fp(s: Array[Short]) = Multimodal.audioFingerprint64(s)
+    // structured audio: a triangle amplitude envelope (rise/fall every
+    // 100 samples) gives a stable frame-energy contour — the signal
+    // class the fingerprint is FOR (white noise has no contour)
+    def tri(n: Int, phase: Int) = Array.tabulate(n)(k =>
+      ((math.abs((k + phase) % 200 - 100)) * 300).toShort)
+    val a = tri(650, 0)
+    assert(fp(a) == fp(tri(650, 0)))
+    // pad one frame-width of near-silence: boundaries shift by at
+    // most one frame, so few contour comparisons flip
+    val padded = a ++ Array.fill(10)(1.toShort)
+    val b = tri(650, 100) // inverted contour
+    def hd(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hd(fp(a), fp(padded)) < hd(fp(a), fp(b)),
+      s"pad edit must stay nearer than an inverted contour: " +
+        s"${hd(fp(a), fp(padded))} vs ${hd(fp(a), fp(b))}")
+    // shorter than 65 samples: trailing frames are empty, no crash
+    assert(fp(Array.fill(3)(100.toShort)) == fp(Array.fill(3)(100.toShort)))
+  }
+
   test("WAV codec round-trips samples; corrupt headers are refused; " +
       "zero crossings hand-computed") {
     val rnd = new scala.util.Random(424242L)
