@@ -2594,6 +2594,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
     }),
+    // filtered ANN: metadata predicate (lang='en') applied BEFORE the
+    // vector search — pre-filtering, the semantics real vector stores
+    // call "filtered search" (post-filtering k results can starve);
+    // queries are the filtered ids < 10, neighbors only from the
+    // filtered set
+    "knn_filtered" -> ((s, dir) => {
+      val filtered = tbl(s, dir, "embeddings")
+        .join(tbl(s, dir, "documents")
+          .where(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      Similarity.knnBruteForce(filtered, "vec_id", "embedding",
+        numQueries = 10, k = 5)
+    }),
     // image perceptual fingerprint: synthesized BMPs through the
     // codec → 9×8 nearest-neighbor resize → 64-bit dHash; the oracle
     // recomputes every bit from the text alone, so resize sampling,
@@ -4384,6 +4397,25 @@ object SparkEntry {
     // the append-maintained index must be indistinguishable from the
     // one-shot build — identical oracle by design
     "knn_ivf_incremental" -> knnIvfOracle,
+    // pre-filtered vector search: the same brute-force ranking over
+    // only the lang='en' subset
+    "knn_filtered" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings " +
+        "JOIN documents ON doc_id = vec_id AND lang = 'en'), " +
+        "n AS (SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, " +
+        "x -> x * x))) AS nrm FROM v), " +
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+        "FROM n WHERE vec_id < 10), " +
+        "p AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+        "i -> q.qvec[i] * n.vec[i])) / (q.qnrm * n.nrm) AS sim " +
+        "FROM q, n WHERE n.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+        "FROM p) " +
+        "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM r " +
+        "WHERE rn <= 5 ORDER BY query_id, rn"),
     "image_dhash" -> (imageDhashCtes +
       " SELECT doc_id, dhash FROM hs ORDER BY doc_id"),
     // frame energies recomputed from the text (same sample formula as
