@@ -2579,6 +2579,28 @@ object SparkEntry {
           v2, Seq("o_orderkey")).withColumn("step", lit(2)))
         .orderBy("step", "action", "o_orderkey")
     }),
+    // token-budget curation: per source, admit documents in quality
+    // order (rounded at 6 so cross-engine ordering is stable, doc_id
+    // tiebreak) while the RUNNING token total stays within the
+    // budget — the greedy-prefix rule every budgeted data-mix uses.
+    // One window per source; at extreme per-source cardinality swap
+    // the window for Ranking.globalRowNumber's range-partition rank
+    "budget_select" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"),
+          round(functions.TextFunctions.qualityScore(col("text")), 6)
+            .as("quality"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 800L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality"), col("cum_tokens"))
+        .orderBy("source", "cum_tokens")
+    }),
     // corpus curation: multinomial Naive Bayes quality classifier —
     // trained on the seed third (doc_id % 3 = 0, label = lang='en'),
     // scoring the WHOLE corpus; closed-form training (two
@@ -2594,6 +2616,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("nb_llr"))
         .orderBy("doc_id")
     }),
+    // SQ8 scalar quantization: per-dimension byte codes of the unit
+    // vectors (no codebook training), affine-decoded scan against
+    // exact queries, shortlist 50, exact rerank — completes the
+    // IVF / PQ / IVF-PQ quantization ladder
+    "knn_sq8" -> ((s, dir) => Similarity.knnSq8(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numQueries = 10, k = 5, shortlist = 50)),
     // filtered ANN: metadata predicate (lang='en') applied BEFORE the
     // vector search — pre-filtering, the semantics real vector stores
     // call "filtered search" (post-filtering k results can starve);
@@ -4141,6 +4170,29 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY key % 8 " +
         "ORDER BY key, doc_id) AS BIGINT) AS pos, doc_id " +
         "FROM k ORDER BY shard, pos"),
+    // greedy-prefix budget admission replayed with the same rounded
+    // quality key and running-sum window
+    "budget_select" -> {
+      val toks = "string_split(lower(text), ' ')"
+      val stopSet = functions.TextFunctions.stopwordProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      val punct = "CAST(len(regexp_extract_all(text, " +
+        "'[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1)"
+      val stop = s"CAST(len(list_filter($toks, t -> t IN ($stopSet)))" +
+        s" AS DOUBLE) / greatest(len($toks), 1)"
+      val lenCredit = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+      "WITH d AS (SELECT source, doc_id, " +
+        s"CAST(len($toks) AS BIGINT) AS n_tokens, " +
+        s"round($lenCredit * 0.5 + $stop * 0.3 + (1.0 - $punct) * 0.2" +
+        ", 6) AS quality FROM documents), " +
+        "c AS (SELECT source, doc_id, n_tokens, quality, " +
+        "sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY quality DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM d) " +
+        "SELECT source, doc_id, n_tokens, quality, " +
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c " +
+        "WHERE cum_tokens <= 800 ORDER BY source, cum_tokens"
+    },
     // NB classifier: closed-form Laplace-smoothed token LLRs from the
     // seed third, exact-decimal per-doc sums — digit-for-digit replay
     "nb_quality_score" ->
@@ -4397,6 +4449,42 @@ object SparkEntry {
     // the append-maintained index must be indistinguishable from the
     // one-shot build — identical oracle by design
     "knn_ivf_incremental" -> knnIvfOracle,
+    // SQ8 replay: per-dim [min,max] of the unit vectors, round-to-byte
+    // encode, affine decode, rounded-at-9 approximate inner product,
+    // shortlist, exact rerank — every double expression fixed-order
+    "knn_sq8" ->
+      (s"WITH $vecCte, " +
+        "u AS (SELECT vec_id, list_transform(generate_series(1, 64), " +
+        "i -> vec[i] / nrm) AS uvec FROM n), " +
+        "st AS (SELECT i, min(uvec[i]) AS mn, max(uvec[i]) AS mx " +
+        "FROM u, (SELECT unnest(generate_series(1, 64)) AS i) " +
+        "GROUP BY i), " +
+        "sta AS (SELECT list(mn ORDER BY i) AS mns, " +
+        "list(mx ORDER BY i) AS mxs FROM st), " +
+        "dqv AS (SELECT vec_id, list_transform(" +
+        "generate_series(1, 64), i -> CASE WHEN mxs[i] = mns[i] " +
+        "THEN mns[i] + 0.0 * (mxs[i] - mns[i]) / 255.0 " +
+        "ELSE mns[i] + round((uvec[i] - mns[i]) * 255.0 / " +
+        "(mxs[i] - mns[i])) * (mxs[i] - mns[i]) / 255.0 END) AS dvec " +
+        "FROM u, sta), " +
+        "qs AS (SELECT vec_id AS query_id, uvec AS qvec FROM u " +
+        "WHERE vec_id < 10), " +
+        "sq AS (SELECT q.query_id, d.vec_id AS id, " +
+        "round(list_sum(list_transform(generate_series(1, 64), " +
+        "i -> d.dvec[i] * q.qvec[i])), 9) AS simq " +
+        "FROM qs q, dqv d WHERE d.vec_id <> q.query_id), " +
+        "sl AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY simq DESC, id) AS rn FROM sq) WHERE rn <= 50), " +
+        "rr AS (SELECT sl.query_id, sl.id, " +
+        "list_sum(list_transform(generate_series(1, len(qn.vec)), " +
+        "i -> qn.vec[i] * dn.vec[i])) / (qn.nrm * dn.nrm) AS sim " +
+        "FROM sl JOIN n qn ON qn.vec_id = sl.query_id " +
+        "JOIN n dn ON dn.vec_id = sl.id) " +
+        "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id " +
+        "FROM (SELECT query_id, id AS neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM rr) " +
+        "WHERE rn <= 5 ORDER BY query_id, rn"),
     // pre-filtered vector search: the same brute-force ranking over
     // only the lang='en' subset
     "knn_filtered" ->

@@ -513,6 +513,85 @@ object Similarity {
     }
   }
 
+  /** Scalar quantization (SQ8) — the remaining standard quantization
+    * on the IVF/PQ/IVFPQ ladder and the cheapest: each UNIT-vector
+    * dimension compresses independently to one byte via the corpus's
+    * per-dimension [min, max] range, `q_i = round((x_i − mn_i)·255 /
+    * (mx_i − mn_i))`. No codebook training, 4× smaller than float32,
+    * and — unlike PQ — decode is a two-FLOP affine map, so scan
+    * throughput is memory-bound. Search ranks by the inner product of
+    * the DEQUANTIZED corpus vector against the EXACT query (rounded
+    * at 9 for a replayable order, doc-id tiebreak), shortlists, and
+    * reranks the shortlist by exact cosine — the [[knnPq]] recipe
+    * with an affine decoder instead of a LUT.
+    *
+    * Scale shape: the 64-entry min/max table is one aggregation and
+    * broadcasts; encode/decode are per-row projections; the scan is
+    * the same broadcast-queries pass as [[knnBruteForce]] but over
+    * byte codes. A constant dimension (mx = mn) encodes as 0 and
+    * decodes back to mn exactly.
+    */
+  def knnSq8(df: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int = 10, k: Int = 5, shortlist: Int = 50,
+      dim: Int = 64): DataFrame = {
+    val vRaw = normed(df, idCol, vecCol)
+    val u = vRaw.select(col("id"),
+      transform(col("vec"), x => x / col("norm")).as("uvec"))
+    // per-dimension corpus range, pivoted into broadcast arrays
+    val ranges = u.select(posexplode(col("uvec")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx"))))
+        .as("ps"))
+      .select(transform(col("ps"), p => p.getField("mn")).as("mns"),
+        transform(col("ps"), p => p.getField("mx")).as("mxs"))
+    // encode: q_i = round((x_i − mn_i)·255/(mx_i − mn_i)); decode:
+    // mn_i + q_i·(mx_i − mn_i)/255 — both fixed-order expressions
+    val enc = u.crossJoin(broadcast(ranges))
+      .select(col("id"), transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => {
+          val x = element_at(col("uvec"), i + 1)
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, lit(0.0))
+            .otherwise(round((x - mn) * lit(255.0) / (mx - mn)))
+        }).as("codes"))
+    val dq = enc.crossJoin(broadcast(ranges))
+      .select(col("id"), transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => {
+          val q = element_at(col("codes"), i + 1)
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          mn + q * (mx - mn) / lit(255.0)
+        }).as("dvec"))
+    val queries = u.where(col("id") < numQueries)
+      .select(col("id").as("query_id"), col("uvec").as("qvec"))
+    val simQ = round(aggregate(
+      zip_with(col("dvec"), col("qvec"), (a, b) => a * b),
+      lit(0.0), _ + _), 9)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("simq").desc, col("id").asc)
+    val cand = dq.join(broadcast(queries), col("id") =!= col("query_id"))
+      .withColumn("simq", simQ)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("id"))
+    // exact rerank over the shortlist only
+    val qx = vRaw.select(col("id").as("query_id"),
+      col("vec").as("qvec"), col("norm").as("qnorm"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id").asc)
+    cand.join(broadcast(qx), Seq("query_id"))
+      .join(vRaw, Seq("id"))
+      .withColumn("sim",
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
+      .orderBy("query_id", "rn")
+  }
+
   /** IVF-PQ (IVFADC — Jégou et al. 2011, §IV): the industry-standard
     * 100 TB ANN index, composing the two pieces that already exist
     * separately — [[trainIvfCentroids]]'s coarse quantizer bounds the

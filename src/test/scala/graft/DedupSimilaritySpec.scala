@@ -263,6 +263,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"ivf recall $recall%.3f below the 0.5 floor")
   }
 
+  test("SQ8 recall vs brute force at the registered shortlist " +
+      "(sf0.001 embeddings)") {
+    val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val sq = Similarity.knnSq8(realVecs, "vec_id", "embedding",
+        numQueries = 10, k = 5, shortlist = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    info(f"sq8 recall at shortlist=50: $recall%.3f")
+    // byte quantization of 64 dims loses almost nothing through a
+    // 50-candidate shortlist + exact rerank
+    assert(recall >= 0.9,
+      f"sq8 recall $recall%.3f below the 0.9 floor")
+  }
+
   test("k-means-trained IVF meets the 0.94 recall bar at its " +
       "registered config (sf0.001 embeddings)") {
     val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",
