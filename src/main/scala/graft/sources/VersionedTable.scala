@@ -270,25 +270,74 @@ object VersionedTable {
   private def statsDir(root: String, version: Long): String =
     s"$root/_graft_stats_v$version"
 
+  /** Fast APPEND with data skipping intact: stats for the DELTA files
+    * are one aggregation over the just-written delta, and the new
+    * sidecar is the previous version's sidecar plus those rows — so
+    * per-commit cost stays delta-sized and [[readPruned]] keeps
+    * pruning across the whole append chain. If the previous version
+    * carries no sidecar its files simply stay un-covered, which
+    * [[prunedPaths]] handles conservatively (they are always read).
+    */
+  def commitAppendWithStats(delta: DataFrame, root: String,
+      statsCols: Seq[String], tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val spark = delta.sparkSession
+    val prevV = latestVersion(spark, root)
+    val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
+      .getOrElse(Nil)
+    val (next, dataDir) = nextVersionDir(spark, root)
+    delta.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    val deltaStats = written
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+    val f = fs(spark, root)
+    val prior = prevV.filter(v =>
+        f.exists(new Path(statsDir(root, v))))
+      .map(v => spark.read.parquet(statsDir(root, v)))
+    val merged = prior match {
+      case Some(p) if p.columns.sorted.sameElements(
+        deltaStats.columns.sorted) => p.unionByName(deltaStats)
+      case _ => deltaStats
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(statsDir(root, next))
+    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next")
+    next
+  }
+
   /** The data files of snapshot `version` whose [min, max] range on
     * `colName` intersects [lo, hi] — resolved from the stats sidecar
     * alone (no data I/O). Falls back to ALL files when the snapshot
-    * has no stats or the column was not collected. A file whose
-    * min/max is null (all-null column chunk) is conservatively kept.
+    * has no stats or the column was not collected. Conservative in
+    * both null directions: a file whose min/max is null (all-null
+    * column chunk) is kept, and a data file the sidecar does not
+    * mention at all (e.g. appended without stats) is kept too —
+    * pruning may only ever REMOVE provably-disjoint files.
     */
   def prunedPaths(spark: SparkSession, root: String, version: Long,
       colName: String, lo: Double, hi: Double): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val sd = statsDir(root, version)
     val f = fs(spark, root)
-    if (!f.exists(new Path(sd))) return dataPaths(spark, root, version)
+    val all = dataPaths(spark, root, version)
+    if (!f.exists(new Path(sd))) return all
     val stats = spark.read.parquet(sd)
-    if (!stats.columns.contains(s"mn_$colName"))
-      return dataPaths(spark, root, version)
-    stats.where(
+    if (!stats.columns.contains(s"mn_$colName")) return all
+    // input_file_name() URIs ("file:///x") and Hadoop Path strings
+    // ("file:/x") differ textually — compare by the scheme-less path
+    def norm(p: String) = new Path(p).toUri.getPath
+    val covered = stats.select("path").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val kept = stats.where(
       !(col(s"mx_$colName") < lo || col(s"mn_$colName") > hi) ||
         col(s"mn_$colName").isNull)
       .select("path").collect().map(_.getString(0)).toSeq
+    kept ++ all.filterNot(p => covered.contains(norm(p)))
   }
 
   private def dataPaths(spark: SparkSession, root: String,

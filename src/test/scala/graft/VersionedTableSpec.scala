@@ -333,6 +333,37 @@ class VersionedTableSpec extends AnyFunSuite {
       "vacuum must expire the stats sidecar")
   }
 
+  test("append chains keep data skipping: delta stats merge into the " +
+      "sidecar and uncovered files are conservatively read") {
+    val root = freshRoot("appendstats")
+    def ranged(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    val v0 = VersionedTable.commitWithStats(ranged(0, 1000), root,
+      statsCols = Seq("k"))
+    val v1 = VersionedTable.commitAppendWithStats(ranged(1000, 2000),
+      root, statsCols = Seq("k"))
+    val v2 = VersionedTable.commitAppendWithStats(ranged(2000, 3000),
+      root, statsCols = Seq("k"))
+    assert(VersionedTable.dataFileCount(spark, root, v2) == 6)
+    // a needle inside the SECOND batch prunes to that batch's files
+    val picked = VersionedTable.prunedPaths(spark, root, v2,
+      "k", 1200d, 1300d)
+    assert(picked.size <= 2,
+      s"append-chain pruning must stay delta-tight: ${picked.size}")
+    val got = VersionedTable.readPruned(spark, root, v2, "k",
+      1200d, 1300d).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1200L to 1300L))
+    // a stats-less append leaves its files UN-covered: they must
+    // always be read, never silently dropped
+    val v3 = VersionedTable.commitAppend(ranged(3000, 4000), root)
+    val got3 = VersionedTable.readPruned(spark, root, v3, "k",
+      3500d, 3600d).collect().map(_.getLong(0)).sorted
+    assert(got3.toSeq == (3500L to 3600L),
+      "uncovered appended files must stay visible to pruned reads")
+    assert(v0 == 0L && v1 == 1L && v2 == 2L && v3 == 3L)
+  }
+
   test("fast append commits only the delta; history, compaction, and " +
       "directory-level vacuum liveness all hold") {
     val root = freshRoot("append")
