@@ -2579,6 +2579,18 @@ object SparkEntry {
           v2, Seq("o_orderkey")).withColumn("step", lit(2)))
         .orderBy("step", "action", "o_orderkey")
     }),
+    // dead-letter routing: per-row conformance rules tag violators
+    // with their reasons (declaration order); the quarantined subset
+    // is returned, the clean path is its complement — one codegen'd
+    // projection, no shuffle
+    "quarantine_route" -> ((s, dir) => operators.QualityChecks
+      .quarantine(tbl(s, dir, "orders"), Seq(
+        "price_cap" -> (col("o_totalprice") <= 400000.0),
+        "status_final" -> (col("o_orderstatus") =!= "P"),
+        "key_mod" -> (col("o_orderkey") % 97 =!= 0)))
+      .where(col("n_reasons") > 0)
+      .select(col("o_orderkey"), col("reasons"), col("n_reasons"))
+      .orderBy("o_orderkey")),
     // token-budget curation: per source, admit documents in quality
     // order (rounded at 6 so cross-engine ordering is stable, doc_id
     // tiebreak) while the RUNNING token total stays within the
@@ -4170,6 +4182,22 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY key % 8 " +
         "ORDER BY key, doc_id) AS BIGINT) AS pos, doc_id " +
         "FROM k ORDER BY shard, pos"),
+    // quarantine tags replayed with the same declaration-order
+    // concat_ws (both engines skip NULLs)
+    "quarantine_route" ->
+      ("SELECT o_orderkey, concat_ws(',', " +
+        "CASE WHEN o_totalprice <= 400000.0 THEN NULL " +
+        "ELSE 'price_cap' END, " +
+        "CASE WHEN o_orderstatus <> 'P' THEN NULL " +
+        "ELSE 'status_final' END, " +
+        "CASE WHEN o_orderkey % 97 <> 0 THEN NULL " +
+        "ELSE 'key_mod' END) AS reasons, " +
+        "CAST((CASE WHEN o_totalprice <= 400000.0 THEN 0 ELSE 1 END + " +
+        "CASE WHEN o_orderstatus <> 'P' THEN 0 ELSE 1 END + " +
+        "CASE WHEN o_orderkey % 97 <> 0 THEN 0 ELSE 1 END) AS INT) " +
+        "AS n_reasons FROM orders " +
+        "WHERE o_totalprice > 400000.0 OR o_orderstatus = 'P' " +
+        "OR o_orderkey % 97 = 0 ORDER BY o_orderkey"),
     // greedy-prefix budget admission replayed with the same rounded
     // quality key and running-sum window
     "budget_select" -> {

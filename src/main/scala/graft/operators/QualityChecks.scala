@@ -97,4 +97,26 @@ object QualityChecks {
         col("r.threshold"), col("r.passed"))
       .orderBy("check_name")
   }
+
+  /** Row-level quarantine routing — the dead-letter pattern: every
+    * row is tagged with the names of the ROW-LEVEL rules it violates
+    * (in rule declaration order), and the caller splits on
+    * `n_reasons`: zero → the clean path, nonzero → the quarantine
+    * table for triage/replay. Unlike [[evaluate]] (dataset-level
+    * metrics against thresholds), this is per-row conformance — the
+    * step between ingest and the clean table in every production
+    * pipeline. One codegen'd projection, no shuffle, no UDF.
+    */
+  def quarantine(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "empty rule set")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val tags = rules.map { case (name, pred) =>
+      when(!pred, lit(name))
+    }
+    df.withColumn("reasons", concat_ws(",", tags: _*))
+      .withColumn("n_reasons",
+        size(filter(array(tags: _*), t => t.isNotNull)))
+  }
 }

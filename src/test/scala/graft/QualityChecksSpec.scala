@@ -67,4 +67,25 @@ class QualityChecksSpec extends AnyFunSuite {
       completeness("v", 0.5))).collect().head
     assert(out.getDouble(2) == 0.0 && out.getInt(4) == 0)
   }
+
+  test("quarantine tags each row with its violated rules in " +
+      "declaration order; the clean/quarantine split is a partition") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (3L, 10.0, "B"),
+      (4L, -1.0, "B"), (5L, 0.0, "A")).toDF("k", "price", "status")
+    val tagged = QualityChecks.quarantine(df, Seq(
+      "pos_price" -> (col("price") > 0.0),
+      "status_a" -> (col("status") === "A")))
+    val rows = tagged.collect().map(r => (r.getLong(0),
+      r.getAs[String]("reasons"), r.getAs[Int]("n_reasons"))).toSet
+    assert(rows == Set(
+      (1L, "", 0),
+      (2L, "pos_price", 1),
+      (3L, "status_a", 1),
+      (4L, "pos_price,status_a", 2),
+      (5L, "pos_price", 1)))
+    // clean + quarantined partition the input exactly
+    assert(tagged.where(col("n_reasons") === 0).count() +
+      tagged.where(col("n_reasons") > 0).count() == 5L)
+  }
 }
