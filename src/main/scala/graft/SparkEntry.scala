@@ -2648,6 +2648,38 @@ object SparkEntry {
       Similarity.knnBruteForce(filtered, "vec_id", "embedding",
         numQueries = 10, k = 5)
     }),
+    // video modality: a clip = 4 frames (equal text slices, each
+    // synthesized to a BMP), per-frame dHash through the codec, and a
+    // SCENE CUT wherever consecutive frame hashes differ by more than
+    // 16 bits — shot-boundary detection, the standard first pass of
+    // video curation; composes sliceing (zero-shuffle), the codec
+    // batch path, and one per-clip lead() window
+    "video_scenecut" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .where(length(col("text")) === octet_length(col("text")) &&
+          length(col("text")) >= 4)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("n"))
+      val frames = d.select(col("doc_id"), col("text"), col("n"),
+          explode(sequence(lit(0), lit(3))).as("fidx"))
+        .select((col("doc_id") * 4 + col("fidx")).as("fid"),
+          expr("substring(text, CAST(fidx * n DIV 4 AS INT) + 1, " +
+            "CAST((fidx + 1) * n DIV 4 - fidx * n DIV 4 AS INT))")
+            .as("slice"))
+      val fh = Multimodal.imageDhashes(
+        Multimodal.synthesizeBmp(frames, "fid", "slice"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("fidx"))
+      fh.select(expr("doc_id DIV 4").as("doc_id"),
+          pmod(col("doc_id"), lit(4L)).as("fidx"), col("dhash"))
+        .withColumn("next_hash", lead(col("dhash"), 1).over(w))
+        .where(col("next_hash").isNotNull)
+        .select(col("doc_id"), col("fidx"),
+          bit_count(col("dhash").bitwiseXOR(col("next_hash")))
+            .as("hamming"))
+        .withColumn("is_cut", (col("hamming") > 16).cast("int"))
+        .orderBy("doc_id", "fidx")
+    }),
     // image perceptual fingerprint: synthesized BMPs through the
     // codec → 9×8 nearest-neighbor resize → 64-bit dHash; the oracle
     // recomputes every bit from the text alone, so resize sampling,
@@ -4534,6 +4566,48 @@ object SparkEntry {
         "WHERE rn <= 5 ORDER BY query_id, rn"),
     "image_dhash" -> (imageDhashCtes +
       " SELECT doc_id, dhash FROM hs ORDER BY doc_id"),
+    // per-frame dHash replay over the 4 equal text slices, then
+    // consecutive-frame hamming with the >16 cut rule
+    "video_scenecut" ->
+      ("WITH d0 AS (SELECT doc_id, text, strlen(text) AS n " +
+        "FROM documents WHERE length(text) = strlen(text) " +
+        "AND strlen(text) >= 4), " +
+        "fr AS (SELECT doc_id, f, substr(text, " +
+        "CAST((f * n) // 4 + 1 AS INT), " +
+        "CAST(((f + 1) * n) // 4 - (f * n) // 4 AS INT)) AS s " +
+        "FROM (SELECT doc_id, text, n, " +
+        "unnest(generate_series(0, 3)) AS f FROM d0)), " +
+        "fd AS (SELECT doc_id, f, s, strlen(s) AS m, " +
+        "CAST(ceil(strlen(s) / 8.0) AS BIGINT) AS h FROM fr), " +
+        "g AS (SELECT doc_id, f, s, m, h, y, " +
+        "unnest(generate_series(0, 8)) AS x " +
+        "FROM (SELECT doc_id, f, s, m, h, " +
+        "unnest(generate_series(0, 7)) AS y FROM fd)), " +
+        "smp AS (SELECT doc_id, f, y, x, " +
+        "((y * h) // 8) * 8 + ((x * 8) // 9) AS k, m, s FROM g), " +
+        "lm AS (SELECT doc_id, f, y, x, " +
+        "b + (3 * b + 1) % 256 + k % 256 AS lum " +
+        "FROM (SELECT doc_id, f, y, x, k, " +
+        "CASE WHEN k < m THEN unicode(substr(s, CAST(k + 1 AS INT), 1)) " +
+        "ELSE CAST((k * 7) % 256 AS INT) END AS b FROM smp)), " +
+        "bits AS (SELECT doc_id, f, y, x, lum, " +
+        "lead(lum) OVER (PARTITION BY doc_id, f, y ORDER BY x) AS nlum " +
+        "FROM lm), " +
+        "hs AS (SELECT doc_id, f, " +
+        "CAST(CASE WHEN s2 >= 9223372036854775808 " +
+        "THEN s2 - 18446744073709551616 ELSE s2 END AS BIGINT) " +
+        "AS dhash FROM (SELECT doc_id, f, " +
+        "sum(CASE WHEN nlum > lum THEN CAST(1 AS HUGEINT) << " +
+        "(y * 8 + x) ELSE 0 END) AS s2 FROM bits WHERE x < 8 " +
+        "GROUP BY doc_id, f)), " +
+        "cc AS (SELECT doc_id, f AS fidx, dhash, " +
+        "lead(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS nh " +
+        "FROM hs) " +
+        "SELECT doc_id, fidx, " +
+        "CAST(bit_count(xor(dhash, nh)) AS INT) AS hamming, " +
+        "CAST(CASE WHEN bit_count(xor(dhash, nh)) > 16 THEN 1 " +
+        "ELSE 0 END AS INT) AS is_cut " +
+        "FROM cc WHERE nh IS NOT NULL ORDER BY doc_id, fidx"),
     // frame energies recomputed from the text (same sample formula as
     // multimodal_audio), difference bits summed in HUGEINT and
     // wrapped to the signed value
