@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Model-based fuzz of the snapshot store: a seeded random sequence of
+  * commit / append / deleteWhere / upsert / compact / rollback /
+  * vacuum ops runs against both the real table and an in-memory
+  * multiset model; after every op the latest snapshot must equal the
+  * model, and every still-retained historical version must equal the
+  * model's memory of it. This is the test shape that catches protocol
+  * interactions no single-op spec enumerates (append-after-rollback,
+  * vacuum liveness under shared directories, compaction of an append
+  * chain mid-history).
+  */
+class VersionedTableFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type Rows = Seq[(Long, Long)] // multiset of (k, v)
+
+  private def df(rows: Rows) = rows.toDF("k", "v").coalesce(1)
+
+  private def readRows(root: String, version: Long): Rows =
+    VersionedTable.readVersion(spark, root, version)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("30-op random sequences against the in-memory model, 3 seeds") {
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"${graft.config.Scratch.dir}/vtfuzz_$seed"
+      VersionedTable.destroy(spark, root)
+      var nextKey = 0L
+      def fresh(n: Int): Rows = {
+        val rows = (0 until n).map(i =>
+          (nextKey + i, rnd.nextInt(100).toLong))
+        nextKey += n
+        rows
+      }
+      // model: content of every committed version, by version id
+      val model = scala.collection.mutable.Map[Long, Rows]()
+      var live = Set.empty[Long]
+      // first op is always a base commit
+      val base = fresh(20)
+      val v0 = VersionedTable.commit(df(base), root)
+      model(v0) = base; live += v0
+      def latest = live.max
+
+      for (step <- 1 to 30) {
+        rnd.nextInt(7) match {
+          case 0 => // rewrite commit
+            val rows = fresh(rnd.nextInt(15) + 1)
+            val v = VersionedTable.commit(df(rows), root)
+            model(v) = rows; live += v
+          case 1 => // fast append
+            val delta = fresh(rnd.nextInt(10) + 1)
+            val v = VersionedTable.commitAppend(df(delta), root)
+            // the version preceding v is always the live max at call
+            // time: nextVersionDir allocates latestVersion + 1
+            model(v) = model(v - 1) ++ delta
+            live += v
+          case 2 => // copy-on-write delete of a random key residue
+            val m = rnd.nextInt(5) + 2
+            val v = VersionedTable.deleteWhere(spark, root,
+              col("k") % m === 0)
+            model(v) = model(v - 1).filterNot(_._1 % m == 0)
+            live += v
+          case 3 => // upsert: update some existing keys + new ones
+            val cur = model(latest)
+            val updKeys = rnd.shuffle(cur.map(_._1).distinct)
+              .take(rnd.nextInt(5))
+            val upd = updKeys.map(k => (k, 999L)) ++ fresh(2)
+            val v = VersionedTable.upsert(spark, root, df(upd),
+              Seq("k"))
+            model(v) = model(v - 1).filterNot(r =>
+              upd.map(_._1).contains(r._1)) ++ upd
+            live += v
+          case 4 => // compact (content-identical new version)
+            val v = VersionedTable.compact(spark, root,
+              targetBytes = 1L << 30)
+            model(v) = model(v - 1); live += v
+          case 5 => // rollback to a random LIVE version
+            val target = rnd.shuffle(live.toSeq).head
+            val v = VersionedTable.rollback(spark, root, target)
+            model(v) = model(target); live += v
+          case 6 => // vacuum to a random retention window
+            val keep = rnd.nextInt(3) + 1
+            VersionedTable.vacuum(spark, root, keepLast = keep)
+            live = live.toSeq.sorted.takeRight(keep).toSet
+        }
+        // latest snapshot always equals the model
+        val got = readRows(root, latest).sorted
+        assert(got == model(latest).sorted,
+          s"seed $seed step $step: latest diverged " +
+            s"(${got.size} vs ${model(latest).size} rows)")
+        // one random retained historical version equals its memory
+        val probe = rnd.shuffle(live.toSeq).head
+        assert(readRows(root, probe).sorted == model(probe).sorted,
+          s"seed $seed step $step: version $probe diverged")
+        // version ids the store reports are exactly the live set
+        assert(VersionedTable.versions(spark, root).toSet == live,
+          s"seed $seed step $step: live set diverged")
+      }
+      VersionedTable.destroy(spark, root)
+    }
+  }
+}
