@@ -114,7 +114,7 @@ object Bench {
       "hybrid_search", "knn_ivf_incremental", "image_dhash",
       "image_neardup", "audio_fingerprint", "sessionize_native",
       "knn_filtered", "knn_sq8", "budget_select", "quarantine_route",
-      "video_scenecut",
+      "video_scenecut", "audio_neardup",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

@@ -2648,6 +2648,15 @@ object SparkEntry {
       Similarity.knnBruteForce(filtered, "vec_id", "embedding",
         numQueries = 10, k = 5)
     }),
+    // audio near-dup pairs: the same pigeonhole-blocked hamming miner
+    // over the clip fingerprints; oracle is the full n² scan, so
+    // blocking completeness is pinned for the audio modality too
+    "audio_neardup" -> ((s, dir) => operators.Dedup.hammingPairs64(
+      Multimodal.audioFingerprints(Multimodal.synthesizeWav(
+        tbl(s, dir, "documents")
+          .where(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text")),
+      "doc_id", "afp", maxHamming = 3)),
     // video modality: a clip = 4 frames (equal text slices, each
     // synthesized to a BMP), per-frame dHash through the codec, and a
     // SCENE CUT wherever consecutive frame hashes differ by more than
@@ -4634,6 +4643,34 @@ object SparkEntry {
         "THEN CAST(1 AS HUGEINT) << f ELSE 0 END) AS s2 " +
         "FROM bits WHERE f < 64 GROUP BY doc_id)) " +
         "SELECT doc_id, afp FROM hs ORDER BY doc_id"),
+    // full n-squared hamming scan over the audio fingerprints
+    "audio_neardup" ->
+      ("WITH t AS (SELECT doc_id, text FROM documents " +
+        "WHERE length(text) > 0 " +
+        "AND length(text) = octet_length(encode(text))), " +
+        "s AS (SELECT doc_id, list_transform(" +
+        "range(1, length(text) + 1), " +
+        "i -> ((ascii(substr(text, i, 1)) * 131 + i * 7) % 65536) " +
+        "- 32768) AS sm FROM t), " +
+        "fr AS (SELECT doc_id, sm, len(sm) AS n, " +
+        "unnest(generate_series(0, 64)) AS f FROM s), " +
+        "en AS (SELECT doc_id, f, coalesce(list_sum(list_transform(" +
+        "range((f * n) // 65 + 1, ((f + 1) * n) // 65 + 1), " +
+        "i -> abs(sm[i]))), 0) AS e FROM fr), " +
+        "bits AS (SELECT doc_id, f, e, " +
+        "lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne " +
+        "FROM en), " +
+        "hs AS (SELECT doc_id, " +
+        "CAST(CASE WHEN s2 >= 9223372036854775808 " +
+        "THEN s2 - 18446744073709551616 ELSE s2 END AS BIGINT) AS afp " +
+        "FROM (SELECT doc_id, sum(CASE WHEN ne > e " +
+        "THEN CAST(1 AS HUGEINT) << f ELSE 0 END) AS s2 " +
+        "FROM bits WHERE f < 64 GROUP BY doc_id)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming " +
+        "FROM hs a JOIN hs b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.afp, b.afp)) <= 3 " +
+        "ORDER BY id_a, id_b"),
     // full n-squared hamming scan: pigeonhole blocking must find
     // exactly these pairs
     "image_neardup" -> (imageDhashCtes +
