@@ -118,7 +118,7 @@ object ScanReportE2E {
     */
   def query(s: SparkSession, dir: String,
       loadTable: String => DataFrame): DataFrame = {
-    val scratch = graft.config.Scratch.dir + "/scan_e2e_" +
+    val scratch = graft.config.Scratch.runDir + "/scan_e2e_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     val inDir = s"$scratch/in"
     val outDir = s"$scratch/out"

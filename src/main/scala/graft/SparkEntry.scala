@@ -348,7 +348,7 @@ object SparkEntry {
     * facts that must equal the original parquet table's.
     */
   private def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.config.Scratch.dir + "/csv_rt_" +
+    val scratch = graft.config.Scratch.runDir + "/csv_rt_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     // repartition(1), not coalesce(1): coalesce would collapse the
     // whole stringification into the single writer task; the shuffle
@@ -381,7 +381,7 @@ object SparkEntry {
     * reader/writer path end-to-end including string escaping.
     */
   private def jsonlRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.config.Scratch.dir + "/jsonl_rt_" +
+    val scratch = graft.config.Scratch.runDir + "/jsonl_rt_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     tbl(s, dir, "documents")
       .write.mode("overwrite").json(scratch)
@@ -406,7 +406,7 @@ object SparkEntry {
     * schema preserved, no inference needed).
     */
   private def orcRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.config.Scratch.dir + "/orc_rt_" +
+    val scratch = graft.config.Scratch.runDir + "/orc_rt_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     tbl(s, dir, "documents")
       .write.mode("overwrite").orc(scratch)
@@ -427,7 +427,7 @@ object SparkEntry {
     * original.
     */
   private def partitionPruneQuery(s: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.config.Scratch.dir + "/part_prune_" +
+    val scratch = graft.config.Scratch.runDir + "/part_prune_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     tbl(s, dir, "documents")
       .write.mode("overwrite").partitionBy("lang").parquet(scratch)
@@ -2496,7 +2496,7 @@ object SparkEntry {
     // (pins the left-anti + union shape AND the committed bytes)
     "table_upsert" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/vt_upsert_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_upsert_$tag"
       graft.sources.VersionedTable.destroy(s, root)
       val (old, nw) = cdcSnapshots(s, dir)
       val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -2523,7 +2523,7 @@ object SparkEntry {
     // round-trip fidelity of the versioned reads
     "table_time_travel" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/vt_orders_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_orders_$tag"
       // fresh table per run: two commits, ids returned by the protocol
       graft.sources.VersionedTable.destroy(s, root)
       val (old, nw) = cdcSnapshots(s, dir)
@@ -2544,7 +2544,7 @@ object SparkEntry {
     // content (file-count evidence lives in VersionedTableSpec)
     "table_compaction" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/vt_compact_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_compact_$tag"
       graft.sources.VersionedTable.destroy(s, root)
       val (old, _) = cdcSnapshots(s, dir)
       val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -2563,7 +2563,7 @@ object SparkEntry {
     // step, unchanged keys never leave it
     "table_changes" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/vt_changes_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_changes_$tag"
       graft.sources.VersionedTable.destroy(s, root)
       val (old, nw) = cdcSnapshots(s, dir)
       val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -2715,7 +2715,7 @@ object SparkEntry {
     // build, so this replays knn_ivf's own oracle
     "knn_ivf_incremental" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/ivf_index_$tag"
+      val root = graft.config.Scratch.runDir + s"/ivf_index_$tag"
       graft.sources.VersionedTable.destroy(s, root)
       val emb = tbl(s, dir, "embeddings")
       val cents = operators.Similarity.ivfSeedCentroids(
@@ -2777,7 +2777,7 @@ object SparkEntry {
     // the oracle pins that pruning loses no rows
     "table_pruned_scan" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val root = graft.config.Scratch.dir + s"/vt_pruned_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_pruned_$tag"
       graft.sources.VersionedTable.destroy(s, root)
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
@@ -2792,6 +2792,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .orderBy("l_orderkey")
+    }),
+    // data skipping on BOTH clustered dimensions: Z-order the
+    // snapshot on (l_orderkey, l_partkey) with stats on both, then
+    // conjunction range-scan through the sidecar — the either/both-
+    // dim skip is what the Z layout exists for (file-count evidence
+    // lives in VersionedTableSpec); the oracle pins no row loss
+    "table_pruned_scan2" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_pruned2_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      // Z bounds are writer-supplied domain edges: one bounded agg,
+      // not a convention — re-derive per commit and codes stay stable
+      val b = li.agg(max(col("l_orderkey")).cast("double"),
+        max(col("l_partkey")).cast("double")).head()
+      val z = li.withColumn("zc", operators.ZOrder.mortonCode(
+          col("l_orderkey"), col("l_partkey"),
+          0d, b.getDouble(0), 0d, b.getDouble(1)))
+        .repartitionByRange(16, col("zc"))
+        .sortWithinPartitions("zc").drop("zc")
+      val v = graft.sources.VersionedTable.commitWithStats(z, root,
+        statsCols = Seq("l_orderkey", "l_partkey"), tag = "zorder")
+      graft.sources.VersionedTable.readPruned(s, root, v, Seq(
+          ("l_orderkey", 1000d, 4000d), ("l_partkey", 1d, 100d)))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_partkey")
     }),
     // training-data export: seeded deterministic epoch shuffle —
     // MINSTD permutation key, one exchange on the shard + per-shard
@@ -2953,7 +2982,7 @@ object SparkEntry {
     // the facts are order-free aggregates, so the nondeterministic
     // file/line order of a parallel write cannot affect the hash
     "text_roundtrip" -> ((s, dir) => {
-      val out = graft.config.Scratch.dir + "/text_rt_" +
+      val out = graft.config.Scratch.runDir + "/text_rt_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       tbl(s, dir, "documents")
         .select(regexp_replace(col("text"), "\n", " ").as("value"))
@@ -3060,7 +3089,7 @@ object SparkEntry {
     // re-register the catalog entry instead of rewriting the data.
     "bucketed_join" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val base = graft.config.Scratch.dir + s"/bucketed_vt_$tag"
+      val base = graft.config.Scratch.runDir + s"/bucketed_vt_$tag"
       // the layout lives in a VersionedTable (re-bucketing commits a
       // new snapshot; a crashed rewrite never corrupts the serving
       // layout), and the reuse is keyed on the SOURCE fingerprint,
@@ -3194,7 +3223,7 @@ object SparkEntry {
     "bpe_roundtrip" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val path = graft.config.Scratch.dir + s"/bpe_merges_$tag"
+      val path = graft.config.Scratch.runDir + s"/bpe_merges_$tag"
       TextMetrics.saveMerges(s,
         TextMetrics.trainBpeMerges(docs, "text", numMerges = 60), path)
       val pieces = TextMetrics.loadMergePieces(s, path)
@@ -4211,6 +4240,15 @@ object SparkEntry {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
         "AS DECIMAL(28,2)) AS sum_qty " +
         "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
+        "GROUP BY 1 ORDER BY 1"),
+    // conjunction pruning on the Z-ordered pair must lose no rows
+    // vs the plain two-predicate filter
+    "table_pruned_scan2" ->
+      ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4000 " +
+        "AND l_partkey BETWEEN 1 AND 100 " +
         "GROUP BY 1 ORDER BY 1"),
     // epoch shuffle: the MINSTD chain in plain BIGINT arithmetic —
     // every intermediate < 2^47, replayed exactly

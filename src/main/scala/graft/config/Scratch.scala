@@ -12,4 +12,28 @@ object Scratch {
       .replaceAll("[^A-Za-z0-9_.-]", "_")
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft-scratch-$user"
   })
+
+  /** Per-JVM scratch root under [[dir]], unique per process launch
+    * (pid + start-time nonce) and removed on JVM exit. Every piece of
+    * scratch state a query materializes MUST live under this root:
+    * two processes profiling the same input (a bench overlapping a
+    * verify, a retried verify) would otherwise interleave
+    * destroy/commit/read cycles on one shared path and corrupt each
+    * other's snapshots — the non-hermeticity behind the one flaky
+    * correctness row of round 8.
+    */
+  lazy val runDir: String = {
+    val pid = ProcessHandle.current().pid()
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val d = new java.io.File(dir, s"run-$pid-$nonce")
+    d.mkdirs()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(d) catch { case _: Throwable => () } // best-effort cleanup
+    }
+    d.getAbsolutePath
+  }
 }

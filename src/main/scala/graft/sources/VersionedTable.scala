@@ -320,24 +320,52 @@ object VersionedTable {
     * pruning may only ever REMOVE provably-disjoint files.
     */
   def prunedPaths(spark: SparkSession, root: String, version: Long,
-      colName: String, lo: Double, hi: Double): Seq[String] = {
-    import org.apache.spark.sql.functions.col
+      colName: String, lo: Double, hi: Double): Seq[String] =
+    prunedPaths(spark, root, version, Seq((colName, lo, hi)))
+
+  /** Conjunctive form: keep a file only if its [min, max] intersects
+    * EVERY predicate's range — the multi-column skip a Z-ordered
+    * layout exists for (a needle query on either/both clustered dims
+    * prunes through one sidecar pass). Predicates on columns the
+    * sidecar never collected are ignored here (no stats to prune on)
+    * and left to [[readPruned]]'s exact row filter.
+    */
+  def prunedPaths(spark: SparkSession, root: String, version: Long,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val sd = statsDir(root, version)
     val f = fs(spark, root)
     val all = dataPaths(spark, root, version)
     if (!f.exists(new Path(sd))) return all
     val stats = spark.read.parquet(sd)
-    if (!stats.columns.contains(s"mn_$colName")) return all
+    val usable = preds.filter { case (c, _, _) =>
+      stats.columns.contains(s"mn_$c") }
+    if (usable.isEmpty) return all
     // input_file_name() URIs ("file:///x") and Hadoop Path strings
     // ("file:/x") differ textually — compare by the scheme-less path
     def norm(p: String) = new Path(p).toUri.getPath
-    val covered = stats.select("path").collect()
+    // a null min/max (all-null chunk, or a half-null stat a cast
+    // produced) must keep the file: coalesce the verdict to TRUE so
+    // pruning only ever removes provably-disjoint files
+    val keep = usable.map { case (c, lo, hi) =>
+      coalesce(
+        !(col(s"mx_$c") < lo || col(s"mn_$c") > hi) ||
+          col(s"mn_$c").isNull,
+        lit(true))
+    }.reduce(_ && _)
+    val verdicts = stats.select(col("path"), keep.as("keep")).collect()
+    val covered = verdicts.map(r => norm(r.getString(0))).toSet
+    val keptNorm = verdicts.filter(_.getBoolean(1))
       .map(r => norm(r.getString(0))).toSet
-    val kept = stats.where(
-      !(col(s"mx_$colName") < lo || col(s"mn_$colName") > hi) ||
-        col(s"mn_$colName").isNull)
-      .select("path").collect().map(_.getString(0)).toSeq
-    kept ++ all.filterNot(p => covered.contains(norm(p)))
+    // Return a SUBSET of the authoritative directory listing, never a
+    // concatenation with sidecar-recorded strings: each physical file
+    // appears at most once even if a sidecar path normalizes
+    // differently from its listing form, and files the sidecar does
+    // not mention (appended without stats) stay conservatively kept.
+    all.filter { p =>
+      val n = norm(p)
+      keptNorm.contains(n) || !covered.contains(n)
+    }
   }
 
   private def dataPaths(spark: SparkSession, root: String,
@@ -359,14 +387,26 @@ object VersionedTable {
     * before a single row group is opened.
     */
   def readPruned(spark: SparkSession, root: String, version: Long,
-      colName: String, lo: Double, hi: Double): DataFrame = {
+      colName: String, lo: Double, hi: Double): DataFrame =
+    readPruned(spark, root, version, Seq((colName, lo, hi)))
+
+  /** Conjunctive range scan: files must survive EVERY predicate's
+    * stats check, rows every exact predicate — the public API through
+    * which a Z-ordered snapshot skips on either/both of its
+    * clustered dimensions.
+    */
+  def readPruned(spark: SparkSession, root: String, version: Long,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val paths = prunedPaths(spark, root, version, colName, lo, hi)
+    require(preds.nonEmpty, "readPruned needs at least one predicate")
+    val paths = prunedPaths(spark, root, version, preds)
     val base =
       if (paths.isEmpty)
         readVersion(spark, root, version).where(lit(false))
       else spark.read.parquet(paths: _*)
-    base.where(col(colName).cast("double").between(lo, hi))
+    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.where(col(c).cast("double").between(lo, hi))
+    }
   }
 
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into

@@ -58,8 +58,8 @@ object StreamingIvm {
       cut: String = "2024-01-16"): DataFrame = {
     val keys = Seq("event_type")
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val staged = Paths.get(s"${graft.config.Scratch.dir}/ivm_stream_$tag")
-    val stateRoot = s"${graft.config.Scratch.dir}/ivm_state_$tag"
+    val staged = Paths.get(s"${graft.config.Scratch.runDir}/ivm_stream_$tag")
+    val stateRoot = s"${graft.config.Scratch.runDir}/ivm_state_$tag"
 
     // stage the two "arriving" batch files deterministically — ts
     // already NORMALIZED to TimestampType so the stream schema is the

@@ -30,7 +30,7 @@ object StreamingProfile {
     // events file into one (a production stream would already be a
     // directory of arriving files)
     val staged = java.nio.file.Paths.get(
-      graft.config.Scratch.dir + "/stream_events_" +
+      graft.config.Scratch.runDir + "/stream_events_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")

@@ -13,7 +13,7 @@ class VersionedTableSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def freshRoot(name: String): String = {
-    val root = s"${graft.config.Scratch.dir}/vtspec_$name"
+    val root = s"${graft.config.Scratch.runDir}/vtspec_$name"
     VersionedTable.destroy(spark, root)
     root
   }
@@ -401,6 +401,102 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(!fsys.exists(new org.apache.hadoop.fs.Path(root, d)),
         s"unreferenced dir $d must be vacuumed")
     }
+  }
+
+  test("conjunction pruning skips on either and both Z-order dims " +
+      "through the table API, losing no rows") {
+    import graft.operators.ZOrder
+    val root = freshRoot("pruned2")
+    val pts = spark.range(0, 40000).select(
+      pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000L)).cast("double").as("y"))
+    val z = pts.withColumn("zc",
+        ZOrder.mortonCode(col("x"), col("y"), 0.0, 1000.0, 0.0, 1000.0))
+      .repartitionByRange(16, col("zc")).sortWithinPartitions("zc")
+      .drop("zc")
+    val v = VersionedTable.commitWithStats(z, root,
+      statsCols = Seq("x", "y"))
+    val all = VersionedTable.dataFileCount(spark, root, v)
+    assert(all == 16)
+    // the Z layout's headline: a narrow band on EITHER dim skips files
+    val onX = VersionedTable.prunedPaths(spark, root, v,
+      Seq(("x", 100d, 160d)))
+    val onY = VersionedTable.prunedPaths(spark, root, v,
+      Seq(("y", 100d, 160d)))
+    assert(onX.size < all, s"x-band must skip: ${onX.size} of $all")
+    assert(onY.size < all, s"y-band must skip: ${onY.size} of $all")
+    // the conjunction prunes at least as hard as either dim alone
+    val both = VersionedTable.prunedPaths(spark, root, v,
+      Seq(("x", 100d, 160d), ("y", 100d, 160d)))
+    assert(both.size <= math.min(onX.size, onY.size))
+    // and the scan through the public API loses no rows vs the
+    // exact two-predicate filter
+    val got = VersionedTable.readPruned(spark, root, v, Seq(
+      ("x", 100d, 160d), ("y", 100d, 160d))).count()
+    val want = pts.where(col("x").between(100, 160) &&
+      col("y").between(100, 160)).count()
+    assert(got == want, s"conjunction pruned scan lost rows: $got/$want")
+  }
+
+  test("path resolution is duplicate-proof: a sidecar whose recorded " +
+      "paths normalize differently (or point nowhere) can never " +
+      "double-read or ghost-read a file") {
+    val root = freshRoot("sidecarpaths")
+    val base = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+    val v = VersionedTable.commitWithStats(
+      base.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    // doctor the sidecar: rewrite half the recorded paths into a
+    // textually-different-but-equivalent URI form, and add a row for
+    // a file that does not exist with stats that always match
+    val sd = s"${root}/_graft_stats_v$v"
+    val stats = spark.read.parquet(sd).collect()
+    val doctored = stats.zipWithIndex.map { case (r, i) =>
+      val p = r.getString(r.fieldIndex("path"))
+      val q = if (i % 2 == 0)
+        "file://" + new org.apache.hadoop.fs.Path(p).toUri.getPath
+      else p
+      (q, r.getAs[Double]("mn_k"), r.getAs[Double]("mx_k"))
+    }.toSeq :+ (("/nonexistent/ghost.parquet", 0.0, 1e12))
+    doctored.toDF("path", "mn_k", "mx_k").coalesce(1)
+      .write.mode("overwrite").parquet(sd)
+    val picked = VersionedTable.prunedPaths(spark, root, v,
+      "k", 0d, 1e12)
+    // every file exactly once, every returned path really exists
+    assert(picked.size == picked.distinct.size,
+      "a path must never be returned twice")
+    assert(picked.size == 8, s"all 8 covered files kept: ${picked.size}")
+    assert(!picked.exists(_.contains("nonexistent")),
+      "a sidecar row must never inject a path the listing lacks")
+    val got = VersionedTable.readPruned(spark, root, v, "k", 2100d, 2900d)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (2100L to 2900L),
+      "doctored sidecar must not change scan results")
+  }
+
+  test("two concurrent commit/read cycles on distinct roots never " +
+      "interfere (the hermeticity the contract queries rely on)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def cycle(name: String, n: Long): Future[Unit] = Future {
+      val root = freshRoot(s"conc_$name")
+      (0 until 3).foreach { _ =>
+        VersionedTable.destroy(spark, root)
+        val df = spark.range(0, n)
+          .select(col("id").as("k"), (col("id") % 7).as("v"))
+        val v = VersionedTable.commitWithStats(
+          df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+          root, statsCols = Seq("k"))
+        val got = VersionedTable.readPruned(spark, root, v,
+          "k", 0d, n.toDouble).count()
+        assert(got == n, s"$name read $got of $n rows")
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(cycle("a", 5000L), cycle("b", 3000L))),
+      5.minutes): Unit
   }
 
   test("changes feed classifies insert/update/delete between any two " +
