@@ -609,21 +609,46 @@ object Dedup {
       .where(size(col("toks")) > 0)
       .withColumn("sim", sigOf(col("toks")))
       .select("id", "sim")
-    val chunks = base.select(col("id"), col("sim"),
+    chunkBlockedPairs(base, maxHamming)
+  }
+
+  /** Shared candidate engine for the 4×16-bit pigeonhole pipelines:
+    * `base` carries (id, sim). The chunk self-join runs over DISTINCT
+    * hash values, not rows — a pile of byte-identical inputs (one
+    * hash, thousands of ids) contributes ONE row per chunk to the
+    * join instead of a quadratic bucket, and the id expansion at the
+    * end is output-sized (those pairs genuinely belong in the
+    * result). The hamming verify runs BEFORE the pair-dedup shuffle,
+    * so rejected candidates (the large majority at maxHamming=3 on
+    * 64 bits) never enter the distinct's exchange.
+    */
+  private def chunkBlockedPairs(base: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val uniq = base.select("sim").distinct()
+    val chunks = uniq.select(col("sim"),
       explode(expr("transform(sequence(0, 3), j -> " +
         "struct(j AS chunk, (shiftright(sim, j * 16) & 65535) AS ch))"))
         .as("c"))
-      .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
+      .select(col("sim"), col("c.chunk").as("chunk"),
         col("c.ch").as("ch"))
-    val a = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"),
-      col("sim").as("sim_a"))
-    val b = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"),
-      col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val a = chunks.select(col("chunk"), col("ch"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("ch"), col("sim").as("sim_b"))
+    val hashPairs = a.join(b, Seq("chunk", "ch"))
+      .where(col("sim_a") <= col("sim_b"))
+      .select(col("sim_a"), col("sim_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
+    hashPairs
+      .join(base.select(col("id").as("ida"), col("sim").as("sim_a")),
+        Seq("sim_a"))
+      .join(base.select(col("id").as("idb"), col("sim").as("sim_b")),
+        Seq("sim_b"))
+      // same-hash pairs: each unordered id pair once; cross-hash
+      // pairs appear once per hash pair, ordered by least/greatest
+      .where(col("sim_a") < col("sim_b") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
 
@@ -638,24 +663,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk blocking is only complete for maxHamming <= 3")
-    val chunks = df.select(col(idCol).as("id"),
-        col(hashCol).cast("long").as("sim"))
-      .select(col("id"), col("sim"),
-        explode(expr("transform(sequence(0, 3), j -> " +
-          "struct(j AS chunk, (shiftright(sim, j * 16) & 65535) AS ch))"))
-          .as("c"))
-      .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
-        col("c.ch").as("ch"))
-    val a = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"),
-      col("sim").as("sim_a"))
-    val b = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"),
-      col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+    chunkBlockedPairs(
+      df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sim")),
+      maxHamming)
   }
 
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold
