@@ -53,6 +53,17 @@ object Classify {
   def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
       labeled: DataFrame, labelCol: String,
       tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
+    // a one-class (or empty) seed set makes prior = log(dp/dn)
+    // ±Infinity/null and every score silently degenerate — fail fast
+    // instead; the seed set is small by construction, so this check
+    // is one bounded aggregation
+    val seed = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("dn")).head()
+    val (dp, dn) = (if (seed.isNullAt(0)) 0L else seed.getLong(0),
+      if (seed.isNullAt(1)) 0L else seed.getLong(1))
+    require(dp > 0 && dn > 0, "naiveBayesScore needs both classes in " +
+      s"the labeled seed set: positives=$dp, negatives=$dn")
     val trainToks = labeled.select(col(labelCol).as("__pos"),
       explode(tokenizer(col(textCol))).as("t"))
     val counts = trainToks.groupBy(col("t"))

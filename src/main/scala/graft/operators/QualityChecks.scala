@@ -112,8 +112,13 @@ object QualityChecks {
     require(rules.nonEmpty, "empty rule set")
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique")
+    // a rule evaluating to NULL (e.g. a NULL in the checked column)
+    // must count as a VIOLATION: `!pred` alone would yield NULL, skip
+    // the tag, and route the row to the clean path — the unsafe
+    // direction for a dead-letter split, and it diverges from SQL
+    // CASE semantics (WHEN NULL falls to the ELSE branch, tagging)
     val tags = rules.map { case (name, pred) =>
-      when(!pred, lit(name))
+      when(!coalesce(pred, lit(false)), lit(name))
     }
     df.withColumn("reasons", concat_ws(",", tags: _*))
       .withColumn("n_reasons",

@@ -537,6 +537,17 @@ object Similarity {
     val vRaw = normed(df, idCol, vecCol)
     val u = vRaw.select(col("id"),
       transform(col("vec"), x => x / col("norm")).as("uvec"))
+    // the encode/decode projections index positions 1..dim — a vector
+    // shorter than `dim` would element_at past its end and propagate
+    // NULLs into codes and the shortlist ranking silently. One
+    // size-only corpus pass fails fast instead (same guard family as
+    // the morton-bounds require in ZOrder).
+    u.agg(min(size(col("uvec"))).as("a"), max(size(col("uvec"))).as("b"))
+      .take(1).headOption.filterNot(_.isNullAt(0)).foreach { r =>
+        require(r.getInt(0) == dim && r.getInt(1) == dim,
+          s"knnSq8 dim=$dim but corpus vector lengths span " +
+            s"[${r.getInt(0)}, ${r.getInt(1)}]")
+      }
     // per-dimension corpus range, pivoted into broadcast arrays
     val ranges = u.select(posexplode(col("uvec")).as(Seq("d", "x")))
       .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))

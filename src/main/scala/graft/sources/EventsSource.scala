@@ -49,6 +49,14 @@ object EventsSource {
         // 2^53, and epoch-nanos (~1.7e18) are already past it
         df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` DIV 1000")))
       case TimestampNTZType =>
+        // the NTZ→TimestampType cast reinterprets wall-clock micros in
+        // the SESSION zone: value-identical only under UTC. Every
+        // entry point pins UTC; assert rather than silently shift a
+        // future caller's instants by their local offset
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts NTZ normalization requires a UTC session " +
+            s"zone (got '$tz'): set spark.sql.session.timeZone=UTC")
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case TimestampType => df
       case other =>

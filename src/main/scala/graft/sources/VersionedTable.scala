@@ -148,6 +148,18 @@ object VersionedTable {
     * arriving batches, an event log) stays cheap at 100 TB; run
     * [[compact]] when the directory list grows long. Returns the new
     * version id.
+    *
+    * Concurrency contract: SINGLE WRITER PER TABLE (the same contract
+    * every manifest-last store has without a compare-and-swap
+    * primitive — Delta needs a LogStore CAS for multi-writer). Two
+    * concurrent appenders resolve the same next version; the loser
+    * fails SAFELY at the no-overwrite manifest create — the published
+    * snapshot is never corrupted — but its already-written delta
+    * directory is orphaned until [[vacuum]] sweeps unreferenced dirs.
+    * Serialize writers externally (one streaming query per table, a
+    * coordinator lock) rather than retrying here: both racers write
+    * the same `v<next>` DATA path, so a retry-on-publish loop could
+    * not make the data write safe either.
     */
   def commitAppend(delta: DataFrame, root: String,
       tag: String = ""): Long = {

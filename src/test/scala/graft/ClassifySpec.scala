@@ -76,4 +76,18 @@ class ClassifySpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L)
     assert(r.getDouble(2) == -0.669431)
   }
+
+  test("a one-class or empty labeled seed set fails fast instead of " +
+      "scoring everything Infinity/null") {
+    val docs = Seq((1L, "zeta eta")).toDF("id", "text")
+    val onlyPos = Seq(("alpha beta", true)).toDF("text", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Classify.naiveBayesScore(docs, "id", "text", onlyPos, "lab")
+    }
+    assert(e.getMessage.contains("both classes"))
+    val empty = Seq.empty[(String, Boolean)].toDF("text", "lab")
+    intercept[IllegalArgumentException] {
+      Classify.naiveBayesScore(docs, "id", "text", empty, "lab")
+    }
+  }
 }

@@ -281,6 +281,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"sq8 recall $recall%.3f below the 0.9 floor")
   }
 
+  test("SQ8 fails fast when dim does not match the corpus vectors " +
+      "instead of silently corrupting the shortlist") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnSq8(realVecs, "vec_id", "embedding",
+        numQueries = 2, k = 2, shortlist = 10, dim = 48).count()
+    }
+    assert(e.getMessage.contains("dim=48"))
+  }
+
   test("k-means-trained IVF meets the 0.94 recall bar at its " +
       "registered config (sf0.001 embeddings)") {
     val exact = Similarity.knnBruteForce(realVecs, "vec_id", "embedding",

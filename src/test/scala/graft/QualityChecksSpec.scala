@@ -88,4 +88,23 @@ class QualityChecksSpec extends AnyFunSuite {
     assert(tagged.where(col("n_reasons") === 0).count() +
       tagged.where(col("n_reasons") > 0).count() == 5L)
   }
+
+  test("quarantine routes NULL-evaluating rules to the quarantine " +
+      "path, not the clean path") {
+    import org.apache.spark.sql.functions.col
+    // a NULL price makes `price > 0` evaluate to NULL: the row is NOT
+    // provably conformant, so it must be tagged (the safe direction
+    // for a dead-letter split, and SQL CASE semantics)
+    val df = Seq((1L, Some(10.0), "A"), (2L, None: Option[Double], "A"),
+      (3L, None: Option[Double], "B")).toDF("k", "price", "status")
+    val rows = QualityChecks.quarantine(df, Seq(
+        "pos_price" -> (col("price") > 0.0),
+        "status_a" -> (col("status") === "A")))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[String]("reasons"), r.getAs[Int]("n_reasons"))).toSet
+    assert(rows == Set(
+      (1L, "", 0),
+      (2L, "pos_price", 1),
+      (3L, "pos_price,status_a", 2)))
+  }
 }
