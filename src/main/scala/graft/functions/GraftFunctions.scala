@@ -10,7 +10,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   GraftFunctions.register(spark)
   *   spark.sql("SELECT vector_dot(a.embedding, b.embedding) ...")
   *
-  * Functions: vector_dot(arr, arr), sorted_intersect_count(arr, arr),
+  * Functions: vector_dot(arr, arr), vector_norm(arr),
+  * vector_cosine(arr, arr), sorted_intersect_count(arr, arr),
   * simhash64(tokens), minhash_signature(tokens, numHashes, ngram),
   * shingle_hash_set(tokens, ngram),
   * bpe_encode_pieces(text, pieces[, mark_words]),
@@ -25,6 +26,21 @@ object GraftFunctions {
   /** Name → Catalyst builder for every native function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_dot" -> (es => VectorDot(es(0), es(1))),
+    // norm and cosine as raw Catalyst compositions over VectorDot, so
+    // SQL-only users can run similarity without the Scala Column API
+    "vector_norm" -> (es => {
+      require(es.length == 1, "vector_norm(arr)")
+      import org.apache.spark.sql.catalyst.expressions.Sqrt
+      Sqrt(VectorDot(es.head, es.head))
+    }),
+    "vector_cosine" -> (es => {
+      require(es.length == 2, "vector_cosine(arr, arr)")
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply,
+        Sqrt}
+      Divide(VectorDot(es(0), es(1)),
+        Multiply(Sqrt(VectorDot(es(0), es(0))),
+          Sqrt(VectorDot(es(1), es(1)))))
+    }),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_signature" -> (es => {

@@ -290,6 +290,16 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(r.getInt(3) == 16)
     // windows: abc,bcd,cda,dab,abc → distinct {abc,bcd,cda,dab} = 4
     assert(r.getInt(4) == 4)
+    // vector norm/cosine compose over VectorDot from pure SQL —
+    // SQL-only users can run similarity without the Column API
+    val v = spark.sql(
+      "SELECT vector_norm(array(3.0d, 4.0d)) AS n, " +
+        "round(vector_cosine(array(1.0d, 0.0d), array(1.0d, 1.0d)), 6) " +
+        "AS cs, vector_cosine(array(2.0d, 0.0d), array(5.0d, 0.0d)) AS cp")
+      .head()
+    assert(v.getDouble(0) == 5.0)
+    assert(v.getDouble(1) == 0.707107)
+    assert(v.getDouble(2) == 1.0)
     // the tokenizer pair round-trips from pure SQL
     val t = spark.sql(
       "SELECT bpe_decode_pieces(bpe_encode_pieces(" +
