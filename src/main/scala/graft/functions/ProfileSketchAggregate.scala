@@ -79,10 +79,17 @@ final class ProfileSketch(
 }
 
 object ProfileSketch {
-  /** Rows buffered between GK flushes; 64k doubles = 512 KB per open
-    * buffer, bounded per aggregate instance per task.
+  /** Rows buffered between GK flushes. Sizing trade: bigger batches
+    * amortize the flush's sort+merge, but every open buffer holds
+    * `8·BufSize` bytes per column per task — at 64k doubles the
+    * 11-column lineitem profile held ~5.5 MB per task (~176 MB across
+    * 32 concurrent tasks), enough transient heap to make the query's
+    * timing degrade under full-suite GC pressure (the r8 smoke-slope
+    * regression on an unchanged aggregate). 16k keeps the flush cost
+    * sublinear-identical (total sort work is n·log b) at a quarter of
+    * the footprint.
     */
-  val BufSize = 65536
+  val BufSize = 16384
 }
 
 /** One-pass profile aggregate (SURVEY §4's deferred optional — VERDICT
