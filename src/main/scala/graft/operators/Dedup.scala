@@ -484,10 +484,16 @@ object Dedup {
     // edges anyway — a distinct here would be a pure extra shuffle.
     val p = materialize(
       pairs.select(col(idA).as("src"), col(idB).as("dst")), "cc_pairs")
-    val edges = p.unionByName(
+    var edges = p.unionByName(
       p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")), "cc_labels_init")
+    // components proven final at a convergence check are FROZEN out of
+    // later rounds: their labels accumulate here and their edges leave
+    // the per-round shuffles, so late rounds (the long tail of a
+    // high-diameter graph) shuffle only the still-moving minority
+    // instead of the full edge set every round
+    var frozen: Option[DataFrame] = None
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -507,14 +513,40 @@ object Dedup {
           least(col("label"), coalesce(col("label2"), col("label")))
             .as("label"))
       labels = materialize(doubled, s"cc_labels_${round % 2}")
-      if (round % checkEvery == 0 || round == maxRounds)
-        converged = edges
+      if (round % checkEvery == 0 || round == maxRounds) {
+        val edgeLabels = edges
           .join(labels.select(col("id").as("src"),
             col("label").as("__ls")), Seq("src"))
           .join(labels.select(col("id").as("dst"),
             col("label").as("__ld")), Seq("dst"))
+        // every label of an inconsistent edge marks its group as
+        // still moving; label-consistent GROUPS are closed (any edge
+        // leaving a group is inconsistent, so a fully-consistent
+        // group has no outside edge) and therefore final
+        val moving = materialize(edgeLabels
           .where(col("__ls") =!= col("__ld"))
-          .isEmpty
+          .select(explode(array(col("__ls"), col("__ld"))).as("label"))
+          .distinct(), s"cc_moving_${round % 2}")
+        converged = moving.isEmpty
+        if (!converged) {
+          val fin = labels.join(moving, Seq("label"), "left_anti")
+          frozen = Some(frozen match {
+            case Some(d) => materialize(d.unionByName(fin),
+              s"cc_frozen_${round % 2}")
+            case None => materialize(fin, s"cc_frozen_${round % 2}")
+          })
+          labels = materialize(
+            labels.join(moving, Seq("label"), "left_semi"),
+            s"cc_labels_live_${round % 2}")
+          // a consistent edge carries its group's label on both ends,
+          // an inconsistent edge has both ends marked moving — so
+          // src-label membership alone decides edge liveness
+          edges = materialize(edgeLabels
+            .join(moving.select(col("label").as("__ls")), Seq("__ls"),
+              "left_semi")
+            .select(col("src"), col("dst")), s"cc_edges_${round % 2}")
+        }
+      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -522,7 +554,8 @@ object Dedup {
           "(labels would be wrong — raise maxRounds; pointer-doubling " +
           "needs ~log2(longest path) rounds)")
     log.info(s"duplicateClusters converged after $round rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    frozen.map(_.unionByName(labels)).getOrElse(labels)
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }
 

@@ -189,6 +189,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/cc_pairs").exists())
   }
 
+  test("component freezing: cliques that converge in round one drop " +
+      "out of later rounds without changing any label") {
+    // one slow component (a 12-node path, needs several rounds) mixed
+    // with two cliques that are label-consistent after round one — the
+    // first convergence check freezes the cliques, later rounds only
+    // shuffle the path's edges, and the final union must still carry
+    // every node with its component-min label
+    val path = (100L to 111L).sliding(2)
+      .map(w => (w.head, w.last)).toSeq
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val cliqueB = Seq((20L, 21L), (20L, 22L), (21L, 22L), (20L, 23L),
+      (21L, 23L), (22L, 23L))
+    val pairs = (path ++ cliqueA ++ cliqueB).toDF("id_a", "id_b")
+    val expected =
+      (100L to 111L).map(_ -> 100L).toMap ++
+        Seq(1L, 2L, 3L).map(_ -> 1L).toMap ++
+        Seq(20L, 21L, 22L, 23L).map(_ -> 20L).toMap
+    // checkEvery=1 forces a freeze opportunity after every round
+    val got = Dedup.duplicateClusters(pairs, checkEvery = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // and the reliable-checkpoint path takes the same freeze branches
+    val dir = graft.config.Scratch.runDir + "/cc_freeze_test"
+    val got2 = Dedup.duplicateClusters(pairs, checkEvery = 1,
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == expected)
+  }
+
   private lazy val vecs = {
     // 8-dim: three tight cluster members + two far points
     val rows = Seq(
