@@ -2822,6 +2822,91 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .orderBy("l_partkey")
     }),
+    // Bloom-sidecar point lookup: a HASH-partitioned key column makes
+    // min/max stats useless (every file spans the domain), so the
+    // commit builds a per-file Bloom of the key set and the lookup
+    // opens only admitted files (file-count evidence lives in
+    // VersionedTableSpec); the oracle pins that admission loses no row
+    "table_bloom_lookup" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_bloom_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      val v = graft.sources.VersionedTable.commitWithBloom(
+        li.repartition(16, col("l_orderkey")), root,
+        bloomCols = Seq("l_orderkey"), expectedItemsPerFile = 100000L,
+        tag = "hashed")
+      graft.sources.VersionedTable.readPointLookup(s, root, v,
+          "l_orderkey", Seq(7L, 996L, 1995L, 2950L))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // schema evolution: an APPEND whose delta carries a column the
+    // base commit lacks; the merged-schema read surfaces it as NULL
+    // on pre-evolution rows — ADD COLUMN without a rewrite
+    "table_schema_evolution" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_evolve_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        root, tag = "base")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority")),
+        root, tag = "evolved")
+      graft.sources.VersionedTable.readMerged(s, root)
+        .orderBy("o_orderkey")
+    }),
+    // lexicographic data skipping: range-cluster on a CATEGORY column
+    // (cast-to-double stats are blind to strings), commit with string
+    // min/max, prune a two-priority range through the sidecar —
+    // file-skip evidence lives in VersionedTableSpec; the oracle pins
+    // no row loss
+    "table_pruned_string" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_prunestr_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      val v = graft.sources.VersionedTable.commitWithStats(
+        o.repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+          .sortWithinPartitions("o_orderpriority"),
+        root, statsCols = Nil, tag = "bypriority",
+        stringStatsCols = Seq("o_orderpriority"))
+      graft.sources.VersionedTable.readPrunedString(s, root, v,
+          Seq(("o_orderpriority", "1-URGENT", "2-HIGH")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // retention GC: commit, copy-on-write delete, vacuum to the
+    // newest snapshot only — the surviving read must still be exactly
+    // the logical content (expired-bytes-gone evidence lives in
+    // VersionedTableSpec)
+    "table_vacuum" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_vacuum_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(o, root, tag = "base")
+      graft.sources.VersionedTable.deleteWhere(s, root,
+        col("o_orderstatus") === "F", tag = "erase")
+      graft.sources.VersionedTable.vacuum(s, root, keepLast = 1)
+      graft.sources.VersionedTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // training-data export: seeded deterministic epoch shuffle —
     // MINSTD permutation key, one exchange on the shard + per-shard
     // sort; byte-identical re-runs are the contract
@@ -3362,6 +3447,41 @@ object SparkEntry {
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDedup(
       tbl(s, dir, "documents"), "doc_id", "text", chunkSize = 10)
       .orderBy("doc_id")),
+    // within-doc repetition removal (looping-generation artifacts):
+    // later repeats of a chunk inside the SAME doc are dropped, other
+    // docs never influence the verdict; chunkSize=3 so the synthetic
+    // corpus actually exhibits intra-doc repeats
+    "dedup_intradoc" -> ((s, dir) => Dedup.intraDocChunkDedup(
+      tbl(s, dir, "documents"), "doc_id", "text", chunkSize = 3)
+      .orderBy("doc_id")),
+    // CCNet-style boilerplate removal: chunks appearing in MORE than
+    // maxDocs distinct documents are dropped from every document
+    // (frequency thresholding), survivors reassembled in order
+    "dedup_boilerplate" -> ((s, dir) => Dedup.boilerplateChunkFilter(
+      tbl(s, dir, "documents"), "doc_id", "text", chunkSize = 10,
+      maxDocs = 2)
+      .orderBy("doc_id")),
+    // SoftDeDup-style reweighting: duplicates are kept but weighted
+    // 1/multiplicity, so one weighted epoch sees each distinct
+    // content once in expectation; sum(weight) = effective corpus size
+    "dedup_soft_weights" -> ((s, dir) => Dedup.softDedupWeights(
+      tbl(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")),
+    // DSIR importance resampling: score the non-English pool by how
+    // English-like its bigram profile is (lang='en' as the target
+    // distribution), top-100 by log importance weight — ranks
+    // assigned AFTER the limit so the window is 100 rows, not corpus
+    "dsir_select" -> ((s, dir) => {
+      val top = TextMetrics.dsirWeights(tbl(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("logw").desc, col("doc_id")).limit(100)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("logw").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("n_bigrams"), col("logw"))
+        .orderBy("rank")
+    }),
     // LLM pipeline — salient terms: top-3 tf-idf keywords per document
     // (integer-ordered ranking, annotated float score)
     "keywords_tfidf" -> ((s, dir) => TextMetrics.tfidfKeywords(
@@ -4250,6 +4370,40 @@ object SparkEntry {
         "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4000 " +
         "AND l_partkey BETWEEN 1 AND 100 " +
         "GROUP BY 1 ORDER BY 1"),
+    // Bloom admission is one-sided, so the lookup must equal the
+    // plain IN filter row-for-row; file-skip evidence is spec-side
+    "table_bloom_lookup" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_quantity " +
+        "FROM lineitem WHERE l_orderkey IN (7, 996, 1995, 2950) " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    // merged-schema read: pre-evolution rows surface the appended
+    // column as NULL — exactly a UNION with a NULL fill
+    "table_schema_evolution" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, " +
+        "CAST(NULL AS VARCHAR) AS o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 2 = 1) " +
+        "ORDER BY o_orderkey"),
+    // lexicographic pruning loses no rows vs the plain string range
+    // (both engines compare strings in binary order)
+    "table_pruned_string" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_price " +
+        "FROM orders WHERE o_orderpriority " +
+        "BETWEEN '1-URGENT' AND '2-HIGH' " +
+        "GROUP BY 1 ORDER BY 1"),
+    // vacuum keeps only the newest snapshot; its read is exactly the
+    // copy-on-write delete's logical content
+    "table_vacuum" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_price " +
+        "FROM orders WHERE o_orderstatus <> 'F' " +
+        "GROUP BY 1 ORDER BY 1"),
     // epoch shuffle: the MINSTD chain in plain BIGINT arithmetic —
     // every intermediate < 2^47, replayed exactly
     "epoch_shuffle" ->
@@ -4816,6 +4970,89 @@ object SparkEntry {
         "coalesce(k.text_clean, '') AS text_clean " +
         "FROM per p LEFT JOIN keptagg k USING (doc_id) " +
         "ORDER BY p.doc_id"),
+    // keep-first WITHIN each doc: the dedup_chunks replay with the
+    // doc id added to the ranking partition (chunk size 3)
+    "dedup_intradoc" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+        "FROM documents), " +
+        "chunks AS (SELECT doc_id, (pos - 1) // 3 AS chunk_idx, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
+        "FROM tok GROUP BY doc_id, (pos - 1) // 3), " +
+        "ranked AS (SELECT doc_id, chunk_idx, chunk, " +
+        "row_number() OVER (PARTITION BY doc_id, chunk " +
+        "ORDER BY chunk_idx) AS rn FROM chunks), " +
+        "per AS (SELECT doc_id, count(*) AS n_chunks FROM chunks " +
+        "GROUP BY doc_id), " +
+        "keptagg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean " +
+        "FROM ranked WHERE rn = 1 GROUP BY doc_id) " +
+        "SELECT p.doc_id, p.n_chunks, " +
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(k.text_clean, '') AS text_clean " +
+        "FROM per p LEFT JOIN keptagg k USING (doc_id) " +
+        "ORDER BY p.doc_id"),
+    // frequency thresholding instead of keep-first: a chunk in MORE
+    // than 2 distinct docs is boilerplate and survives in none
+    "dedup_boilerplate" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+        "FROM documents), " +
+        "chunks AS (SELECT doc_id, (pos - 1) // 10 AS chunk_idx, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
+        "FROM tok GROUP BY doc_id, (pos - 1) // 10), " +
+        "freq AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs " +
+        "FROM chunks GROUP BY chunk), " +
+        "per AS (SELECT doc_id, count(*) AS n_chunks FROM chunks " +
+        "GROUP BY doc_id), " +
+        "keptagg AS (SELECT c.doc_id, count(*) AS n_kept, " +
+        "string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS text_clean " +
+        "FROM chunks c JOIN freq f USING (chunk) " +
+        "WHERE f.n_docs <= 2 GROUP BY c.doc_id) " +
+        "SELECT p.doc_id, p.n_chunks, " +
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(k.text_clean, '') AS text_clean " +
+        "FROM per p LEFT JOIN keptagg k USING (doc_id) " +
+        "ORDER BY p.doc_id"),
+    "dedup_soft_weights" ->
+      ("SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies, " +
+        "round(CAST(1 AS DOUBLE) / " +
+        "count(*) OVER (PARTITION BY text), 6) AS weight " +
+        "FROM documents ORDER BY doc_id"),
+    // DSIR log importance ratio replayed bigram-for-bigram: Laplace-
+    // smoothed target/raw bigram models, shared vocabulary V, decimal
+    // occurrence-count multiply (the bigram_logprob convention)
+    "dsir_select" ->
+      ("WITH tk AS (SELECT doc_id, lang, " +
+        "string_split(lower(text), ' ') AS ts FROM documents " +
+        "WHERE len(string_split(lower(text), ' ')) >= 2), " +
+        "bi AS (SELECT doc_id, lang = 'en' AS tgt, " +
+        "unnest(ts[1:len(ts)-1]) AS w1, " +
+        "unnest(ts[2:len(ts)]) AS w2 FROM tk), " +
+        "t AS (SELECT w1, w2, count(*) AS ct FROM bi WHERE tgt " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT w1, w2, count(*) AS cr FROM bi WHERE NOT tgt " +
+        "GROUP BY 1, 2), " +
+        "sc AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt, " +
+        "sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS nr, " +
+        "(SELECT count(*) FROM (SELECT DISTINCT w1, w2 FROM bi)) AS v " +
+        "FROM bi), " +
+        "d AS (SELECT doc_id, w1, w2, count(*) AS k FROM bi " +
+        "WHERE NOT tgt GROUP BY 1, 2, 3), " +
+        "s AS (SELECT d.doc_id, d.k, round(" +
+        "ln((CAST(coalesce(t.ct, 0) AS DOUBLE) + 1.0) / " +
+        "CAST(sc.nt + sc.v AS DOUBLE)) - " +
+        "ln((CAST(r.cr AS DOUBLE) + 1.0) / " +
+        "CAST(sc.nr + sc.v AS DOUBLE)), 9) AS lr " +
+        "FROM d JOIN r USING (w1, w2) LEFT JOIN t USING (w1, w2), sc), " +
+        "w AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, " +
+        "round(CAST(sum(CAST(k AS DECIMAL(10,0)) * " +
+        "CAST(lr AS DECIMAL(20,9))) AS DOUBLE), 6) AS logw " +
+        "FROM s GROUP BY doc_id), " +
+        "top AS (SELECT doc_id, n_bigrams, logw, row_number() OVER " +
+        "(ORDER BY logw DESC, doc_id) AS rank FROM w) " +
+        "SELECT CAST(rank AS INT) AS rank, doc_id, n_bigrams, logw " +
+        "FROM top WHERE rank <= 100 ORDER BY rank"),
     "keywords_tfidf" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
         "FROM documents), " +

@@ -806,4 +806,129 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** CCNet-style boilerplate removal by CORPUS FREQUENCY: split each
+    * document into fixed-size token chunks, count how many DISTINCT
+    * documents each chunk content appears in across the whole corpus,
+    * drop every chunk above `maxDocs` (headers, footers, cookie
+    * banners and license blurbs repeat across thousands of pages;
+    * body text does not), and reassemble the survivors in original
+    * order. Differs from [[chunkDedup]] in the keep rule: frequency
+    * thresholding keeps a common chunk in NO document once it crosses
+    * the threshold (it is boilerplate everywhere), while first-seen
+    * dedup keeps exactly one copy.
+    *
+    * Output: (id, n_chunks, n_kept, text_clean) — same shape as
+    * [[chunkDedup]], rows stable, fully-boilerplate documents survive
+    * with `text_clean = ""`.
+    *
+    * Scale shape: the frequency table aggregates by `xxhash64(chunk)`
+    * — the shuffle carries 8-byte keys, not chunk strings — with
+    * map-side combine on both the (hash, id) dedup and the distinct-
+    * doc count; the verdict joins back to the exploded chunks
+    * SHUFFLE-keyed on the same hash (the frequency table is
+    * corpus-sized, never broadcast). A 64-bit collision merging two
+    * chunks' doc counts is the only way a keep/drop verdict could
+    * move (p ≈ n²/2⁶⁵ — the [[shingleSets]] argument); the SQL oracle
+    * counts by chunk CONTENT, so the gate itself would catch one.
+    */
+  def boilerplateChunkFilter(df: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int = 10, maxDocs: Long = 2L): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(maxDocs >= 1, s"maxDocs must be at least 1: $maxDocs")
+    val toks = split(col(textCol), " ")
+    val chunked = df.select(col(idCol).as("id"),
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
+        i => struct(i.as("chunk_idx"), concat_ws(" ",
+          slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
+        .as("__chunks"))
+    val perDoc = chunked.select(col("id"),
+      size(col("__chunks")).cast("long").as("n_chunks"))
+    val exploded = chunked
+      .select(col("id"), explode(col("__chunks")).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"), xxhash64(col("c.chunk")).as("__ch"))
+    val freq = exploded.select(col("__ch"), col("id")).distinct()
+      .groupBy(col("__ch")).agg(count(lit(1)).as("__n_docs"))
+    val reassembled = exploded
+      .join(freq, Seq("__ch"))
+      .where(col("__n_docs") <= maxDocs)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          c => c.getField("chunk"))).as("text_clean"))
+    perDoc.join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** WITHIN-document repetition removal, completing the chunk-dedup
+    * matrix ([[chunkDedup]] = inter-doc keep-first,
+    * [[boilerplateChunkFilter]] = inter-doc frequency threshold, this
+    * = intra-doc): keep the FIRST occurrence of each distinct chunk
+    * inside each document, drop later repeats of the same chunk in
+    * the same document (looping generation artifacts, copy-pasted
+    * sections), reassemble survivors in order. Other documents never
+    * influence the verdict.
+    *
+    * Output: (id, n_chunks, n_kept, text_clean) — the family shape.
+    *
+    * Scale shape: the keep-first decision is
+    * `groupBy(id, chunk).agg(min(chunk_idx))` — the document id is
+    * PART of the grouping key, so a boilerplate chunk shared by half
+    * the corpus still spreads across the id hash space; groups are
+    * document-sized and there is no corpus-wide hot key at all (the
+    * skew [[chunkDedup]] had to design around cannot occur here).
+    */
+  def intraDocChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 10): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val toks = split(col(textCol), " ")
+    val chunked = df.select(col(idCol).as("id"),
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
+        i => struct(i.as("chunk_idx"), concat_ws(" ",
+          slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
+        .as("__chunks"))
+    val perDoc = chunked.select(col("id"),
+      size(col("__chunks")).cast("long").as("n_chunks"))
+    val firsts = chunked
+      .select(col("id"), explode(col("__chunks")).as("c"))
+      .groupBy(col("id"), col("c.chunk").as("chunk"))
+      .agg(min(col("c.chunk_idx")).as("chunk_idx"))
+    val reassembled = firsts.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          c => c.getField("chunk"))).as("text_clean"))
+    perDoc.join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Soft dedup: instead of DROPPING duplicates, weight each copy by
+    * the inverse of its exact-content multiplicity, so one epoch over
+    * the weighted corpus trains on each distinct content exactly once
+    * in expectation (the SoftDeDup-style reweighting path — keeps the
+    * corpus intact for loss-weighted samplers, where hard dedup would
+    * discard the duplicate rows' distinct metadata). One shuffle: a
+    * count window partitioned by the 32-byte content hash, so
+    * partitions are duplicate-group sized regardless of corpus size.
+    *
+    * Output: (id, n_copies, weight) for every input row;
+    * `sum(weight)` is the effective (deduplicated) corpus size.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256))
+    df.select(col(idCol),
+        count(lit(1)).over(w).as("n_copies"))
+      .select(col(idCol), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+  }
 }

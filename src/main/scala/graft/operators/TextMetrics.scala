@@ -650,4 +650,85 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_terms"),
         round(sum(w), 6).cast("double").as("score"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document of the raw pool by the log importance ratio of its
+    * bigram profile between a TARGET corpus (rows matching
+    * `targetPred` — the small high-quality set you want more of) and
+    * the raw pool itself, under Laplace-smoothed bag-of-bigrams
+    * models:
+    * {{{
+    *   logw(doc) = Σ_b k_b · [ ln((ct(b)+1)/(Nt+V)) − ln((cr(b)+1)/(Nr+V)) ]
+    * }}}
+    * with ct/cr the target/raw corpus bigram counts, Nt/Nr the
+    * corpora's total bigram occurrences, V the distinct-bigram
+    * vocabulary of the WHOLE corpus (shared smoothing denominator)
+    * and k_b the bigram's occurrence count in the doc. Sampling
+    * proportionally to exp(logw) is the paper's importance
+    * resampling; the top-k by logw is its deterministic argmax
+    * variant — both consume exactly this output.
+    *
+    * Output: (id, n_bigrams, logw) for every raw-pool document with
+    * ≥ 2 tokens (target rows are the reference distribution, not
+    * candidates — they are absent).
+    *
+    * Scale shape: the same skeleton as [[bigramLogprob]] — the
+    * per-doc side collapses to distinct (doc, bigram) rows with a
+    * count BEFORE the dictionary join (map-side combine), the two
+    * corpus dictionaries aggregate with partial combine and join
+    * SHUFFLE-keyed on the bigram (a bigram dictionary outgrows
+    * broadcast long before the corpus stops growing), and the three
+    * scalars (Nt, Nr, V) ride a broadcast. The paper's hashed
+    * features are the 100 TB variant: key every join by
+    * `pmod(xxhash64(bigram), 2²⁰)` and the dictionaries collapse to
+    * fixed-width bucket tables (kept as strings here so the SQL
+    * oracle replays the operator bit-for-bit). Determinism: each log
+    * rounds at 9 decimals, the per-doc sum multiplies occurrence
+    * counts in exact decimal and rounds at 6 — the [[bigramLogprob]]
+    * convention.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column,
+      tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
+    // NULL-evaluating predicates route to the RAW pool (coalesce to
+    // false) — a row must land on exactly one side, never vanish from
+    // both counts (the quarantine() NULL lesson)
+    val base = df.select(col(idCol).as("id"),
+        coalesce(targetPred, lit(false)).as("__tgt"),
+        tokenizer(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    val bi = base.select(col("id"), col("__tgt"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("__tgt"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tgtCounts = bi.where(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val rawCounts = bi.where(!col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cr"))
+    val scalars = bi.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("nr"),
+      count_distinct(col("w1"), col("w2")).as("v"))
+    val docBi = bi.where(!col("__tgt"))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    // every raw-doc bigram exists in rawCounts by construction (inner
+    // join); a bigram the target corpus never saw degrades to the
+    // smoothing floor via the left join's coalesce(ct, 0)
+    val lr = round(
+      log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("nt") + col("v")).cast("double")) -
+      log((col("cr").cast("double") + lit(1.0)) /
+        (col("nr") + col("v")).cast("double")), 9)
+    docBi.join(rawCounts, Seq("w1", "w2"))
+      .join(tgtCounts, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("k").cast("decimal(10,0)") *
+            lr.cast("decimal(20,9)")).cast("double"), 6).as("logw"))
+  }
 }

@@ -199,6 +199,23 @@ object VersionedTable {
     spark.read.parquet(
       resolveDirs(spark, root, version).map(d => s"$root/$d"): _*)
 
+  /** Schema-evolution read: the newest snapshot with the UNION of the
+    * schemas across its data directories — columns a pre-evolution
+    * commit lacks surface as NULL, exactly the ADD COLUMN semantics
+    * every lakehouse format ships. Append chains evolve for free
+    * ([[commitAppend]] never rewrites old files, so old directories
+    * simply keep the old schema); the cost over [[read]] is one
+    * parquet footer read per file for the schema merge — metadata-
+    * sized, never data-sized. The plain [[read]] stays single-schema
+    * (parquet picks one footer) for tables that never evolve.
+    */
+  def readMerged(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    spark.read.option("mergeSchema", "true").parquet(
+      resolveDirs(spark, root, v).map(d => s"$root/$d"): _*)
+  }
+
   /** Copy-on-write DELETE: commit a snapshot without the matching
     * rows (the whole-table rewrite every snapshot store without
     * deletion vectors performs — the GDPR-eraser path). Old versions
@@ -261,15 +278,25 @@ object VersionedTable {
     * every file spans the whole domain.
     */
   def commitWithStats(df: DataFrame, root: String,
-      statsCols: Seq[String], tag: String = ""): Long = {
+      statsCols: Seq[String], tag: String = "",
+      stringStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(statsCols.nonEmpty || stringStatsCols.nonEmpty,
+      "commitWithStats needs at least one stats column")
     val spark = df.sparkSession
     val (next, dataDir) = nextVersionDir(spark, root)
     df.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
+    // numeric stats cast to double (mn_/mx_); string stats keep their
+    // native UTF8 binary order (smn_/smx_) — the order parquet itself
+    // uses for string min/max, so lexicographic range pruning on a
+    // category / ISO-date / identifier-prefix column is sound
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c"))
+    } ++ stringStatsCols.flatMap { c =>
+      Seq(min(col(c).cast("string")).as(s"smn_$c"),
+        max(col(c).cast("string")).as(s"smx_$c"))
     }
     written.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -281,6 +308,111 @@ object VersionedTable {
 
   private def statsDir(root: String, version: Long): String =
     s"$root/_graft_stats_v$version"
+
+  private def bloomDir(root: String, version: Long): String =
+    s"$root/_graft_bloom_v$version"
+
+  /** Commit `df` WITH a per-file Bloom-filter sidecar on `bloomCols`
+    * — the point-lookup data-skipping min/max stats cannot give: a
+    * hash-distributed key column has every file spanning the whole
+    * domain, so range stats prune nothing, but a Bloom of each file's
+    * key set answers "could key k be in this file?" with no data I/O
+    * ([[readPointLookup]]). One distributed aggregation grouped by
+    * `input_file_name()` builds every file's filter in a single pass
+    * over the just-written (still hot) bytes — Spark's own mergeable
+    * `BloomFilterAggregate` over `xxhash64(col)`, so lookups must
+    * probe with a literal of the SAME type the column carries. The
+    * sidecar is file-count-sized (≈ 1.2 MB per file per column at
+    * `expectedItemsPerFile` = 1e6 and the default 3% fpp — false
+    * positives only cost an extra file read, never correctness).
+    * Returns the version id.
+    */
+  def commitWithBloom(df: DataFrame, root: String,
+      bloomCols: Seq[String], expectedItemsPerFile: Long = 1000000L,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(bloomCols.nonEmpty, "commitWithBloom needs at least one column")
+    val spark = df.sparkSession
+    val (next, dataDir) = nextVersionDir(spark, root)
+    df.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val aggs = bloomCols.map { c =>
+      ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col(c))),
+          expectedItemsPerFile).toAggregateExpression()).as(s"bf_$c")
+    }
+    written.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomDir(root, next))
+    publish(spark, root, next, tag)
+    next
+  }
+
+  /** The data files of snapshot `version` whose Bloom filter on
+    * `colName` admits ANY of `values` — resolved from the bloom
+    * sidecar alone. Conservative like [[prunedPaths]]: no sidecar, an
+    * uncovered file, a missing column, or a NULL filter (an empty
+    * file group) all keep the file; pruning only ever removes files
+    * the Bloom PROVES contain none of the probed keys. `values` must
+    * be literals of the column's own type ([[commitWithBloom]] hashes
+    * the raw column).
+    */
+  def bloomPrunedPaths(spark: SparkSession, root: String, version: Long,
+      colName: String, values: Seq[Any]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    require(values.nonEmpty, "bloomPrunedPaths needs at least one value")
+    val bd = bloomDir(root, version)
+    val f = fs(spark, root)
+    val all = dataPaths(spark, root, version)
+    if (!f.exists(new Path(bd))) return all
+    val blooms = spark.read.parquet(bd)
+    if (!blooms.columns.contains(s"bf_$colName")) return all
+    def norm(p: String) = new Path(p).toUri.getPath
+    // probe hashes come from Spark's own xxhash64 over one literal
+    // row, so build-side and probe-side hashing can never diverge
+    // (might_contain demands a CONSTANT filter, so admission runs
+    // driver-side over the file-count-sized sidecar instead — the
+    // same bounded collect prunedPaths performs on its verdicts)
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val verdicts = blooms
+      .select(col("path"), col(s"bf_$colName").as("bf")).collect()
+    val keptNorm = verdicts.filter { r =>
+      r.isNullAt(1) || { // a NULL filter (empty file group) keeps
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        hashes.exists(bf.mightContainLong)
+      }
+    }.map(r => norm(r.getString(0))).toSet
+    val covered = verdicts.map(r => norm(r.getString(0))).toSet
+    // subset of the authoritative listing, exactly as [[prunedPaths]]
+    all.filter { p =>
+      val n = norm(p)
+      keptNorm.contains(n) || !covered.contains(n)
+    }
+  }
+
+  /** Point lookup through the Bloom sidecar: open ONLY the files that
+    * might contain one of `values` on `colName`, then apply the exact
+    * IN filter (Bloom admission is one-sided — admitted files still
+    * need the row-level check). On a key-partitioned snapshot each
+    * probed key lives in one file, so a needle lookup on 100 TB opens
+    * O(|values|) files plus the ~3% false-positive tail instead of
+    * every file.
+    */
+  def readPointLookup(spark: SparkSession, root: String, version: Long,
+      colName: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val paths = bloomPrunedPaths(spark, root, version, colName, values)
+    if (paths.isEmpty) readVersion(spark, root, version).where(lit(false))
+    else spark.read.parquet(paths: _*)
+      .where(col(colName).isin(values: _*))
+  }
 
   /** Fast APPEND with data skipping intact: stats for the DELTA files
     * are one aggregation over the just-written delta, and the new
@@ -377,6 +509,60 @@ object VersionedTable {
     all.filter { p =>
       val n = norm(p)
       keptNorm.contains(n) || !covered.contains(n)
+    }
+  }
+
+  /** Lexicographic twin of [[prunedPaths]] over the string stats
+    * ([[commitWithStats]]'s `stringStatsCols`): keep a file only if
+    * its [smn, smx] UTF8 range intersects every predicate's
+    * [lo, hi] — range pruning on category, ISO-date-string and
+    * identifier-prefix columns (equality is `lo == hi`). Same
+    * conservative fallbacks as the numeric form.
+    */
+  def prunedPathsString(spark: SparkSession, root: String, version: Long,
+      preds: Seq[(String, String, String)]): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val sd = statsDir(root, version)
+    val f = fs(spark, root)
+    val all = dataPaths(spark, root, version)
+    if (!f.exists(new Path(sd))) return all
+    val stats = spark.read.parquet(sd)
+    val usable = preds.filter { case (c, _, _) =>
+      stats.columns.contains(s"smn_$c") }
+    if (usable.isEmpty) return all
+    def norm(p: String) = new Path(p).toUri.getPath
+    val keep = usable.map { case (c, lo, hi) =>
+      coalesce(
+        !(col(s"smx_$c") < lo || col(s"smn_$c") > hi) ||
+          col(s"smn_$c").isNull,
+        lit(true))
+    }.reduce(_ && _)
+    val verdicts = stats.select(col("path"), keep.as("keep")).collect()
+    val covered = verdicts.map(r => norm(r.getString(0))).toSet
+    val keptNorm = verdicts.filter(_.getBoolean(1))
+      .map(r => norm(r.getString(0))).toSet
+    all.filter { p =>
+      val n = norm(p)
+      keptNorm.contains(n) || !covered.contains(n)
+    }
+  }
+
+  /** Range scan through the STRING stats: open only the files whose
+    * lexicographic [smn, smx] admits every predicate, then apply the
+    * exact row filters — the categorical/date-string needle path
+    * (`readPruned`'s cast-to-double stats are blind to these).
+    */
+  def readPrunedString(spark: SparkSession, root: String, version: Long,
+      preds: Seq[(String, String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readPrunedString needs at least one predicate")
+    val paths = prunedPathsString(spark, root, version, preds)
+    val base =
+      if (paths.isEmpty)
+        readVersion(spark, root, version).where(lit(false))
+      else spark.read.parquet(paths: _*)
+    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.where(col(c).cast("string").between(lo, hi))
     }
   }
 
@@ -527,6 +713,9 @@ object VersionedTable {
             !liveDirs.contains(n)) ||
           (n.startsWith("_graft_stats_v") &&
             n.stripPrefix("_graft_stats_v").toLongOption
+              .exists(v => !keep.contains(v))) ||
+          (n.startsWith("_graft_bloom_v") &&
+            n.stripPrefix("_graft_bloom_v").toLongOption
               .exists(v => !keep.contains(v)))
         }
         .foreach(p => f.delete(p, true))

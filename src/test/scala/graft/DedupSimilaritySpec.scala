@@ -488,4 +488,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "source", threshold = 0.9).collect()
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("boilerplateChunkFilter drops chunks above the distinct-doc " +
+      "threshold from EVERY doc and keeps the rest in order") {
+    // chunkSize=2: "x y" is the shared boilerplate chunk in 3 docs
+    // (above maxDocs=2); "p q" is shared by exactly 2 (kept in both)
+    val df = Seq(
+      (0L, "x y a b"), (1L, "x y c d"), (2L, "x y p q"),
+      (3L, "p q e f"), (4L, "solo text")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunkFilter(df, "doc_id", "text",
+        chunkSize = 2, maxDocs = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 1L, "a b")))
+    assert(got(1L) == ((2L, 1L, "c d")))
+    assert(got(2L) == ((2L, 1L, "p q")))
+    assert(got(3L) == ((2L, 2L, "p q e f")))
+    assert(got(4L) == ((1L, 1L, "solo text")))
+    // a doc that is ALL boilerplate survives as an empty row, so the
+    // output row count is input-stable
+    val all = Seq((0L, "x y"), (1L, "x y"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val wiped = Dedup.boilerplateChunkFilter(all, "doc_id", "text",
+        chunkSize = 2, maxDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(wiped.length == 3 && wiped.forall(t => t._2 == 0L &&
+      t._3 == ""))
+  }
+
+  test("intraDocChunkDedup drops later repeats of a chunk within one " +
+      "doc but never across docs") {
+    val df = Seq(
+      (0L, "a b a b c d"),   // chunk 'a b' repeats inside doc 0
+      (1L, "a b x y"),       // same chunk in ANOTHER doc: untouched
+      (2L, "e f e f e f")    // pure loop: collapses to one chunk
+    ).toDF("doc_id", "text")
+    val got = Dedup.intraDocChunkDedup(df, "doc_id", "text",
+        chunkSize = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((3L, 2L, "a b c d")))
+    assert(got(1L) == ((2L, 2L, "a b x y")))
+    assert(got(2L) == ((3L, 1L, "e f")))
+  }
+
+  test("softDedupWeights: 1/multiplicity per copy, effective corpus " +
+      "size = number of distinct contents") {
+    val df = Seq((0L, "aaa"), (1L, "aaa"), (2L, "aaa"), (3L, "bbb"),
+      (4L, "ccc"), (5L, "ccc")).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 6)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(0L) == ((3L, 0.333333)) && byId(2L) == ((3L, 0.333333)))
+    assert(byId(3L) == ((1L, 1.0)))
+    assert(byId(4L) == ((2L, 0.5)) && byId(5L) == ((2L, 0.5)))
+    val eff = got.map(_._3).sum
+    assert(math.abs(eff - 2.999999) < 1e-6) // 3 distinct contents
+  }
 }

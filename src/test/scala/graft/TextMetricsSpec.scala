@@ -403,4 +403,30 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
     assert(d1 > d2)
   }
+
+  test("dsirWeights ranks target-like raw docs above target-unlike " +
+      "ones; target rows and short docs are absent; NULL pred = raw") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(
+      // target distribution: bigrams of "good clean data"
+      (0L, "good clean data good clean data", "tgt"),
+      (1L, "good clean data here", "tgt"),
+      // raw pool: 10 shares the target's bigrams, 11 shares none
+      (10L, "good clean data again", "raw"),
+      (11L, "junk noise junk noise spam", "raw"),
+      // one token -> no bigrams -> absent
+      (12L, "solo", "raw"),
+      (13L, "good clean words", null)).toDF("doc_id", "text", "pool")
+    val got = TextMetrics.dsirWeights(df, "doc_id", "text",
+        col("pool") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target docs are the reference distribution, not candidates;
+    // the NULL-pool row routes to raw (coalesce-to-false), both
+    // score; the 1-token row has no features
+    assert(got.keySet == Set(10L, 11L, 13L))
+    assert(got(10L) > got(11L),
+      s"target-like ${got(10L)} must beat target-unlike ${got(11L)}")
+    assert(got(13L) > got(11L)) // shares 'good clean' with the target
+  }
 }

@@ -525,4 +525,104 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.changes(spark, root, v1, v1, Seq("k"))
     }
   }
+
+  test("bloom sidecar admits the needle's file and skips the rest; " +
+      "point lookup equals the plain filter; conservative fallbacks") {
+    val root = freshRoot("bloom")
+    // 16 hash-partitioned files: every file spans the key domain, so
+    // min/max stats would prune NOTHING — the bloom's home turf
+    val d = spark.range(0L, 4000L).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .repartition(16, col("k"))
+    val v = VersionedTable.commitWithBloom(d, root,
+      bloomCols = Seq("k"), expectedItemsPerFile = 10000L)
+    val allFiles = VersionedTable.dataFileCount(spark, root, v)
+    assert(allFiles == 16)
+    // one probed key lives in exactly one file; 3% fpp on the other
+    // 15 leaves the admitted set far below the full listing
+    val kept = VersionedTable.bloomPrunedPaths(spark, root, v,
+      "k", Seq(1234L))
+    assert(kept.nonEmpty && kept.size <= 4,
+      s"bloom admitted ${kept.size} of $allFiles files")
+    val got = VersionedTable.readPointLookup(spark, root, v,
+        "k", Seq(7L, 1234L, 3999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 70L), (1234L, 12340L), (3999L, 39990L)))
+    // a key outside the domain: every file may be bloom-rejected —
+    // the lookup is empty, never an error
+    assert(VersionedTable.readPointLookup(spark, root, v,
+      "k", Seq(999999L)).count() == 0L)
+    // conservative fallbacks: un-bloomed column and un-bloomed commit
+    // both fall back to the full listing
+    assert(VersionedTable.bloomPrunedPaths(spark, root, v,
+      "v", Seq(70L)).size == allFiles)
+    val plain = VersionedTable.commit(d, root)
+    assert(VersionedTable.bloomPrunedPaths(spark, root, plain,
+      "k", Seq(1234L)).size ==
+      VersionedTable.dataFileCount(spark, root, plain))
+  }
+
+  test("schema evolution: an appended delta adds a column; readMerged " +
+      "surfaces it as NULL on pre-evolution rows, no rewrite") {
+    val root = freshRoot("evolve")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val before = VersionedTable.dataBytes(spark, root, 0L)
+    VersionedTable.commitAppend(
+      Seq((3L, "c", 30)).toDF("k", "v", "extra"), root)
+    // fast append never rewrites the base commit's bytes
+    assert(VersionedTable.dataBytes(spark, root, 0L) == before)
+    val got = VersionedTable.readMerged(spark, root)
+      .select("k", "v", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30))))
+    // the single-schema read still serves tables that never evolve
+    assert(VersionedTable.read(spark, root).count() == 3L)
+  }
+
+  test("string stats prune a category-clustered scan to the matching " +
+      "files; numeric pruning is blind to the same column") {
+    val root = freshRoot("strstats")
+    val cats = Seq("apple", "banana", "cherry", "date")
+    val d = spark.range(0L, 400L).toDF("k")
+      .withColumn("cat", element_at(
+        typedLit(cats), (col("k") % 4 + 1).cast("int")))
+    val v = VersionedTable.commitWithStats(
+      d.repartitionByRange(4, col("cat")).sortWithinPartitions("cat"),
+      root, statsCols = Nil, stringStatsCols = Seq("cat"))
+    val allFiles = VersionedTable.dataFileCount(spark, root, v)
+    assert(allFiles >= 3)
+    // equality = degenerate range; one category lives in ~1 file
+    val kept = VersionedTable.prunedPathsString(spark, root, v,
+      Seq(("cat", "banana", "banana")))
+    assert(kept.size < allFiles,
+      s"string stats kept ${kept.size} of $allFiles files")
+    val got = VersionedTable.readPrunedString(spark, root, v,
+      Seq(("cat", "banana", "banana")))
+    assert(got.count() == 100L)
+    assert(got.select("cat").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("banana"))
+    // the numeric sidecar never covered this column: conservative
+    // full listing, not a wrong answer
+    assert(VersionedTable.prunedPaths(spark, root, v,
+      Seq(("cat", 0d, 1d))).size == allFiles)
+  }
+
+  test("vacuum sweeps expired bloom sidecars with their versions") {
+    val root = freshRoot("bloomvac")
+    val d = spark.range(0L, 100L).toDF("k")
+    VersionedTable.commitWithBloom(d, root, Seq("k"))
+    val v1 = VersionedTable.commitWithBloom(
+      spark.range(100L, 200L).toDF("k"), root, Seq("k"))
+    val dir = new java.io.File(root)
+    assert(dir.listFiles().exists(_.getName == "_graft_bloom_v0"))
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(!names.contains("_graft_bloom_v0") && !names.contains("v0"))
+    assert(names.contains("_graft_bloom_v1"))
+    // the survivor still prunes
+    assert(VersionedTable.readPointLookup(spark, root, v1,
+      "k", Seq(150L)).count() == 1L)
+  }
 }
