@@ -3557,6 +3557,25 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => Similarity.semanticNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, threshold = 0.45)),
+    // LLM pipeline — embedding-space decontamination: corpus vectors
+    // (label != 0) within cosine 0.4 of ANY benchmark vector (label
+    // 0), with the argmax benchmark hit; benchmark side broadcast,
+    // one map-side max(struct) row per corpus vector
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.where(col("label") =!= 0), emb.where(col("label") === 0),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+    // LLM pipeline — measure-don't-guess harness: precision/recall of
+    // the MinHash-LSH candidate stage vs EXACT inverted-index ground
+    // truth on a bounded eval sample; the oracle pins the exact pair
+    // count and the measured floors (raw ratios are hash-family-
+    // dependent, so they ship as floor booleans, not values)
+    "minhash_eval" -> ((s, dir) => Dedup.minhashEval(
+      tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.7,
+      sampleLimit = 100000L, precisionFloor = 0.9,
+      recallFloor = 0.95)),
     // Scale technique under the correctness gate: salted join of the
     // (skew-prone) events fact against a per-user dim; result must
     // equal the plain join, which the oracle replays directly.
@@ -4078,6 +4097,20 @@ object SparkEntry {
         "CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "semantic_dedup" -> semanticDedupOracle,
+    "decontaminate_semantic" ->
+      ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "n AS (SELECT vec_id, label, vec, sqrt(list_sum(" +
+        "list_transform(vec, x -> x * x))) AS nrm FROM v), " +
+        "p AS (SELECT a.vec_id AS id, b.vec_id AS bench_id, " +
+        "round(list_sum(list_transform(" +
+        "generate_series(1, len(a.vec)), " +
+        "i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS sim " +
+        "FROM n a JOIN n b ON a.label <> 0 AND b.label = 0), " +
+        "r AS (SELECT id, bench_id, sim, row_number() OVER " +
+        "(PARTITION BY id ORDER BY sim DESC, bench_id DESC) AS rn " +
+        "FROM p WHERE sim >= 0.4) " +
+        "SELECT id, bench_id, sim FROM r WHERE rn = 1 ORDER BY id"),
     "group_quantiles" -> groupQuantilesOracle,
     "tpch_q7" -> tpchQ7Oracle,
     "tpch_q4" ->
@@ -4678,6 +4711,14 @@ object SparkEntry {
     "lang_detect" -> langDetectOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
+    "minhash_eval" ->
+      (s"WITH $shingleCte, " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT count(*) AS n_true, 1 AS precision_ok, " +
+        "1 AS recall_ok FROM p WHERE jac >= 0.7"),
     "corpus_overlap" -> corpusOverlapOracle,
     "dedup_incremental_near" ->
       (s"WITH $shingleCte, " +

@@ -96,8 +96,23 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleSize)
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** The LSH candidate stage of [[minhashPairs]], unverified:
+    * distinct (id_a, id_b) pairs colliding in at least one band.
+    * Exposed for [[minhashEval]] so the candidate set can be graded
+    * against exact ground truth without the verification filter
+    * hiding the false positives.
+    */
+  private[graft] def minhashCandidates(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     // signatures come from the codegen'd native expression over raw
     // tokens (no shingle strings materialized — see MinHashSignature);
     // the string shingle sets are only joined back for exact-Jaccard
@@ -120,14 +135,60 @@ object Dedup {
     // lineage for each side, doubling the expensive part. Buckets are
     // LSH-sized (near-dups only), so the collect_list stays small; a
     // pathological hot bucket would surface here and should be salted.
-    val cand = buckets
+    buckets
       .groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Measure, don't guess: precision/recall of the MinHash-LSH
+    * candidate stage against EXACT ground truth, on an evaluation
+    * sample — the harness that justifies a banding config before it
+    * runs over a corpus. Ground truth comes from an inverted-index
+    * similarity join (docs sharing ≥1 shingle, then exact Jaccard):
+    * any pair with Jaccard > 0 shares a shingle, so the pair set is
+    * complete — no LSH involved on the truth side. That join is
+    * quadratic in a shingle's document frequency, which is exactly
+    * why it only ever runs on the bounded eval sample (`sampleLimit`
+    * ids) while the LSH path under test is the corpus-scale design.
+    *
+    * Output is one contract row: the exact pair count plus
+    * measured-floor booleans (cast to int for oracle stability) —
+    * precision/recall themselves depend on the hash family, so the
+    * oracle pins the exact side and the floors, not the raw ratios.
+    */
+  def minhashEval(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, sampleLimit: Long,
+      precisionFloor: Double, recallFloor: Double,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val sample = df.where(col(idCol) < sampleLimit)
+    val sets = shingleSets(sample, idCol, textCol, shingleSize)
+    val inv = sets.select(col("id"), explode(col("sh")).as("g"))
+    val truthCand = inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val truth = verifyJaccardUnsorted(truthCand, sets, threshold)
+      .select("id_a", "id_b")
+    val cand = minhashCandidates(sample, idCol, textCol, numHashes,
+      bands, shingleSize)
+    val graded = cand.withColumn("in_cand", lit(1))
+      .join(truth.withColumn("in_true", lit(1)),
+        Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(when(col("in_cand").isNotNull &&
+          col("in_true").isNotNull, 1)).as("tp"),
+        count(col("in_cand")).as("n_cand"),
+        count(col("in_true")).as("n_true"))
+    graded.select(col("n_true"),
+      (col("tp").cast("double") / col("n_cand") >= precisionFloor)
+        .cast("int").as("precision_ok"),
+      (col("tp").cast("double") / col("n_true") >= recallFloor)
+        .cast("int").as("recall_ok"))
   }
 
   /** Near-duplicate-aware incremental admission — the MinHash twin of

@@ -299,6 +299,42 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * [[TextMetrics.decontaminate]]'s n-gram overlap gate: flag every
+    * corpus vector whose cosine similarity to ANY benchmark vector
+    * reaches `threshold` (a paraphrased eval question shares no
+    * 13-gram with its source but sits right next to it in embedding
+    * space). Output is one row per contaminated corpus id with its
+    * most-similar benchmark id and that similarity; callers anti-join
+    * it to drop the hits.
+    *
+    * Scale shape: benchmark sets are eval suites — thousands of rows,
+    * not corpus-sized — so the benchmark side rides a broadcast and
+    * the corpus streams through ONCE with a map-side `max(struct)`
+    * partial aggregate; one (id, best) row per corpus vector reaches
+    * the shuffle, and only rows already ≥ threshold at that. No
+    * corpus×corpus pairing anywhere. Tie-break toward the larger
+    * benchmark id (struct max), matching the house argmax shape, so a
+    * SQL oracle replays the result exactly.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = normed(corpus, idCol, vecCol)
+    val b = normed(benchmark, idCol, vecCol)
+      .select(col("id").as("bench_id"), col("vec").as("bvec"),
+        col("norm").as("bnorm"))
+    v.crossJoin(broadcast(b))
+      .withColumn("sim",
+        round(cosine(col("bvec"), col("vec"), col("bnorm"),
+          col("norm")), 6))
+      .where(col("sim") >= threshold)
+      .groupBy("id")
+      .agg(max(struct(col("sim"), col("bench_id"))).as("best"))
+      .select(col("id"), col("best.bench_id").as("bench_id"),
+        col("best.sim").as("sim"))
+      .orderBy("id")
+  }
+
   /** Random-hyperplane LSH buckets: sign bits of numBits fixed random
     * projections (hyperplanes derived deterministically from xxhash64 of
     * (plane, dim) — no RNG state to ship). Vectors sharing a bucket are

@@ -546,4 +546,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val eff = got.map(_._3).sum
     assert(math.abs(eff - 2.999999) < 1e-6) // 3 distinct contents
   }
+
+  test("minhashEval: exact ground truth matches the verified LSH " +
+      "pair set on the fixture, floors grade both directions") {
+    val verified = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    val r = Dedup.minhashEval(docs, "doc_id", "text", threshold = 0.5,
+      sampleLimit = Long.MaxValue, precisionFloor = 0.5,
+      recallFloor = 0.5).collect()(0)
+    // inverted-index truth is complete, so it can never be smaller
+    // than what LSH+verify found; on this fixture they coincide
+    assert(r.getLong(0) == verified)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    // unattainable floors must grade 0 — the booleans are live
+    val bad = Dedup.minhashEval(docs, "doc_id", "text", threshold = 0.5,
+      sampleLimit = Long.MaxValue, precisionFloor = 1.01,
+      recallFloor = 1.01).collect()(0)
+    assert(bad.getInt(1) == 0 && bad.getInt(2) == 0)
+    // the sample bound is honored: only ids < 2 participate
+    val lim = Dedup.minhashEval(docs, "doc_id", "text", threshold = 0.5,
+      sampleLimit = 2L, precisionFloor = 0.5, recallFloor = 0.5)
+      .collect()(0)
+    assert(lim.getLong(0) == 1L) // only the (0, 1) pair remains
+  }
+
+  test("semanticDecontaminate flags only corpus vectors within the " +
+      "cosine threshold of a benchmark vector, argmax ties to the " +
+      "larger bench id") {
+    // bench 100 = e1, bench 101 = e2; corpus: 0 == e1 (sim 1.0 to
+    // bench 100), 1 == e1+e2 (sim ~0.707 to BOTH benches — tie must
+    // resolve to bench 101), 2 == e3 (orthogonal, never flagged)
+    val bench = Seq((100L, Array(1f, 0f, 0f)), (101L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 100L, 1.0), (1L, 101L, 0.707107)))
+  }
 }
