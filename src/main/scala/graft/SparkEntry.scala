@@ -2537,6 +2537,31 @@ object SparkEntry {
         graft.sources.VersionedTable.readVersion(s, root, v1),
         Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
     }),
+    // named refs: tag the curated snapshot, advance the table twice,
+    // vacuum with a retention window that would EXPIRE the tagged
+    // version — the ref pins it — then time-travel by name; the
+    // oracle replays the curated slice off the raw table
+    "table_ref_read" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_ref_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val v0 = graft.sources.VersionedTable.commit(
+        orders.where(col("o_orderkey") % 4 === 0), root, "curated")
+      graft.sources.VersionedTable.createRef(s, root,
+        "train-2026.08", v0)
+      graft.sources.VersionedTable.commit(orders, root, "full")
+      graft.sources.VersionedTable.commit(
+        orders.where(col("o_orderkey") % 2 === 0), root, "half")
+      graft.sources.VersionedTable.vacuum(s, root, keepLast = 2)
+      graft.sources.VersionedTable.readRef(s, root, "train-2026.08")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // maintenance OPTIMIZE: a deliberately fragmented commit (32
     // small files — the shape an incremental writer leaves), a
     // copy-on-write delete, then bin-packing compaction; the oracle
@@ -4314,6 +4339,11 @@ object SparkEntry {
     // COMMITTED snapshots read back by version id — the oracle is
     // identical because the versioned reads must be byte-faithful
     "table_time_travel" -> cdcDiffOracle,
+    "table_ref_read" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders WHERE o_orderkey % 4 = 0 " +
+        "GROUP BY 1 ORDER BY 1"),
     // fragmented commit + copy-on-write delete + compaction must be
     // row-identical to the logical content — the oracle IS that
     // content; file-count evidence is spec-side

@@ -262,6 +262,118 @@ object VersionedTable {
     commit(readVersion(spark, root, toVersion), root,
       if (tag.nonEmpty) tag else s"rollback-to-v$toVersion")
 
+  // -------------------------------------------------------------------
+  // Named refs — Iceberg-style tags and branches over version ids.
+  // A ref is one tiny json file (`_graft_ref_<name>.json`) naming a
+  // committed version: immutable refs are tags ("the v2024.08 training
+  // snapshot"), movable refs are branches ("prod points here"). Refs
+  // pin their target against [[vacuum]], so a tagged corpus snapshot
+  // survives retention sweeps until the ref is dropped — the property
+  // that makes "reproduce last quarter's training run" possible.
+  // -------------------------------------------------------------------
+
+  private val RefPrefix = "_graft_ref_"
+
+  private def refPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name must be [A-Za-z0-9._-]+ starting alphanumeric: $name")
+    new Path(root, s"$RefPrefix$name.json")
+  }
+
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  private def writeRefFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+      name: String, version: Long, movable: Boolean): Unit = {
+    // create(overwrite=false) is the publish point, same as a manifest
+    val out = f.create(p, false)
+    try out.write(
+      (s"""{"name":"$name","version":$version,""" +
+        s""""movable":$movable}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Create ref `name` at committed `version`. Immutable by default
+    * (tag semantics — creating an existing name throws, exactly like
+    * re-publishing a manifest); pass `movable = true` for a branch
+    * head that [[moveRef]] may re-point later.
+    */
+  def createRef(spark: SparkSession, root: String, name: String,
+      version: Long, movable: Boolean = false): Unit = {
+    require(manifestVersions(spark, root).contains(version),
+      s"cannot ref uncommitted version $version at $root")
+    writeRefFile(fs(spark, root), refPath(root, name), name, version,
+      movable)
+  }
+
+  /** Re-point movable ref `name` at `version`. Refuses on a tag —
+    * immutability is the point of tagging. Delete-then-create, not
+    * atomic: single-writer per table, the [[commitAppend]] contract.
+    */
+  def moveRef(spark: SparkSession, root: String, name: String,
+      version: Long): Unit = {
+    val (_, movable) = refTarget(spark, root, name)
+    require(movable, s"ref $name is an immutable tag; drop it or use " +
+      "a movable ref (branch) for a head that moves")
+    require(manifestVersions(spark, root).contains(version),
+      s"cannot ref uncommitted version $version at $root")
+    val f = fs(spark, root)
+    val p = refPath(root, name)
+    f.delete(p, false)
+    writeRefFile(f, p, name, version, movable = true)
+  }
+
+  private def refTarget(spark: SparkSession, root: String,
+      name: String): (Long, Boolean) = {
+    val f = fs(spark, root)
+    val p = refPath(root, name)
+    require(f.exists(p), s"no ref $name at $root")
+    val raw = readSmallFile(f, p)
+    val v = """"version":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed ref file $p"))
+    val mv = """"movable":(true|false)""".r.findFirstMatchIn(raw)
+      .exists(_.group(1) == "true")
+    (v, mv)
+  }
+
+  /** The version id ref `name` points at. */
+  def resolveRef(spark: SparkSession, root: String, name: String): Long =
+    refTarget(spark, root, name)._1
+
+  /** All refs as (name, version, movable), name-sorted. */
+  def listRefs(spark: SparkSession,
+      root: String): Seq[(String, Long, Boolean)] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return Nil
+    f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(RefPrefix) && n.endsWith(".json"))
+      .map(n => n.stripPrefix(RefPrefix).stripSuffix(".json"))
+      .sorted
+      .map { n => val (v, mv) = refTarget(spark, root, n); (n, v, mv) }
+  }
+
+  /** Drop ref `name` (its target version becomes vacuumable again). */
+  def dropRef(spark: SparkSession, root: String, name: String): Unit = {
+    fs(spark, root).delete(refPath(root, name), false)
+    ()
+  }
+
+  /** Time travel by name: read the snapshot ref `name` pins. */
+  def readRef(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, resolveRef(spark, root, name))
+
   /** Commit `df` WITH per-file min/max statistics for `statsCols`
     * (numeric/date/timestamp — values stored as doubles) — the
     * data-skipping sidecar every lakehouse format keeps. The stats
@@ -683,13 +795,18 @@ object VersionedTable {
     * ORPHAN data directory no manifest names (a crashed commit).
     * Readers pinned to a vacuumed version lose it — the retention
     * trade every snapshot store makes; time travel keeps working
-    * across the retained window.
+    * across the retained window, and versions a named ref points at
+    * ([[createRef]]) are retained regardless of age.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
     require(keepLast >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
-    val keep = versions.takeRight(keepLast).toSet
+    // named refs pin their targets: a tagged training snapshot must
+    // survive retention until the ref itself is dropped
+    val pinned = listRefs(spark, root).map(_._2).toSet
+    val keep = versions.takeRight(keepLast).toSet ++
+      pinned.filter(versions.contains)
     // a retained APPEND manifest may reference directories created by
     // expired versions — liveness is per-DIRECTORY, the union of the
     // retained manifests' path lists, exactly like reachable-file GC

@@ -625,4 +625,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readPointLookup(spark, root, v1,
       "k", Seq(150L)).count() == 1L)
   }
+
+  test("named refs: tags are immutable, branches move, vacuum " +
+      "retains the tagged version past its retention window") {
+    val root = freshRoot("refs")
+    val v0 = VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    val v1 = VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    VersionedTable.createRef(spark, root, "release-1", v0)
+    VersionedTable.createRef(spark, root, "main", v1, movable = true)
+    assert(VersionedTable.listRefs(spark, root) ==
+      Seq(("main", v1, true), ("release-1", v0, false)))
+    // a tag can be neither re-created nor moved
+    intercept[IllegalArgumentException] {
+      VersionedTable.moveRef(spark, root, "release-1", v1)
+    }
+    intercept[Exception] {
+      VersionedTable.createRef(spark, root, "release-1", v1)
+    }
+    // refs only target committed versions
+    intercept[IllegalArgumentException] {
+      VersionedTable.createRef(spark, root, "nope", 99L)
+    }
+    val v2 = VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    val v3 = VersionedTable.commit(Seq((4L, "d")).toDF("k", "v"), root)
+    VersionedTable.moveRef(spark, root, "main", v3)
+    assert(VersionedTable.resolveRef(spark, root, "main") == v3)
+    // retention alone would keep only {v2, v3}; the release-1 tag
+    // pins v0, while untagged v1 expires
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(VersionedTable.versions(spark, root) == Seq(v0, v2, v3))
+    assert(VersionedTable.readRef(spark, root, "release-1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a")))
+    // dropping the tag releases the pin: the next vacuum sweeps v0
+    VersionedTable.dropRef(spark, root, "release-1")
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(VersionedTable.versions(spark, root) == Seq(v2, v3))
+    assert(VersionedTable.listRefs(spark, root) ==
+      Seq(("main", v3, true)))
+  }
 }
