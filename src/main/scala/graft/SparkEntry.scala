@@ -3582,6 +3582,35 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => Similarity.semanticNearDupPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, threshold = 0.45)),
+    // embedding ops — per-dimension mean/variance melt (feature-
+    // collapse and dead-dimension diagnosis); variance via the
+    // avg(x²)−avg(x)² identity so both engines run the same formula
+    "embed_variance" -> ((s, dir) => {
+      val v = tbl(s, dir, "embeddings")
+        .select(posexplode(transform(col("embedding"),
+          x => x.cast("double"))).as(Seq("pos", "x")))
+      v.groupBy(col("pos").cast("bigint").as("dim"))
+        .agg(round(avg(col("x")), 6).as("mean"),
+          round(avg(col("x") * col("x")) -
+            avg(col("x")) * avg(col("x")), 6).as("var_pop"))
+        .orderBy("dim")
+    }),
+    // embedding ops — leading principal component via one-pass
+    // mergeable vector moments + driver-side power iteration (the
+    // d×d matrix is model-sized, never data-sized); the oracle pins
+    // corpus size/dimension and the convergence certificates
+    "embed_pca_contract" -> ((s, dir) => {
+      val p = Similarity.pcaTopComponent(
+        tbl(s, dir, "embeddings"), "embedding")
+      val nrm = math.sqrt(p.eigenvector.map(x => x * x).sum)
+      import s.implicits._
+      Seq((p.n, p.dim,
+        if (p.explainedRatio > 0 && p.explainedRatio <= 1.0) 1 else 0,
+        if (p.residual < 1e-8) 1 else 0,
+        if (math.abs(nrm - 1.0) < 1e-12) 1 else 0))
+        .toDF("n_vectors", "n_dims", "ratio_ok", "residual_ok",
+          "norm_ok")
+    }),
     // LLM pipeline — embedding-space decontamination: corpus vectors
     // (label != 0) within cosine 0.4 of ANY benchmark vector (label
     // 0), with the argmax benchmark hit; benchmark side broadcast,
@@ -4122,6 +4151,17 @@ object SparkEntry {
         "CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "semantic_dedup" -> semanticDedupOracle,
+    "embed_variance" ->
+      ("WITH v AS (SELECT list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings) " +
+        "SELECT t.i - 1 AS dim, round(avg(vec[t.i]), 6) AS mean, " +
+        "round(avg(vec[t.i] * vec[t.i]) - " +
+        "avg(vec[t.i]) * avg(vec[t.i]), 6) AS var_pop " +
+        "FROM v, unnest(generate_series(1, len(vec))) AS t(i) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "embed_pca_contract" ->
+      ("SELECT count(*) AS n_vectors, 64 AS n_dims, 1 AS ratio_ok, " +
+        "1 AS residual_ok, 1 AS norm_ok FROM embeddings"),
     "decontaminate_semantic" ->
       ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +

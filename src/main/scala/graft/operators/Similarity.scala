@@ -335,6 +335,95 @@ object Similarity {
       .orderBy("id")
   }
 
+  /** Result of [[pcaTopComponent]]: the leading eigenpair of the
+    * population covariance matrix plus its diagnostics. `residual` is
+    * ‖Cv − λv‖∞ after the fixed iteration budget, `explainedRatio`
+    * is λ / trace(C).
+    */
+  final case class PcaTop(n: Long, dim: Int, eigenvalue: Double,
+      eigenvector: Array[Double], explainedRatio: Double,
+      residual: Double)
+
+  /** Leading principal component of an embedding column — the
+    * whitening/centering primitive (dominant-direction removal, ABTT
+    * "all-but-the-top", drift diagnosis on embedding spaces).
+    *
+    * Scale shape: the data contributes through ONE pass of the
+    * [[graft.functions.VectorMomentsAgg]] mergeable summary — each
+    * task folds its rows into a single O(d²) buffer and only those
+    * buffers shuffle, so 100 TB of vectors still lands exactly one
+    * (n, Σx, Σxxᵀ) row on the driver. Power iteration then runs on
+    * the d×d covariance DRIVER-SIDE (d is model-sized — 64 here,
+    * ≤4096 in practice — so the d² matrix is KBs-to-MBs, never
+    * data-sized) until ‖Cv − λv‖∞ ≤ tol or maxIters. The budget is
+    * tolerance-driven because near-isotropic spectra (random-ish
+    * embeddings — λ₁/λ₂ close to 1) converge slowly: a matvec is d²
+    * flops, so even 10⁴ driver-side iterations are microseconds,
+    * while a fixed small count silently under-converges.
+    * Deterministic: fixed all-ones start vector, no RNG.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String,
+      tol: Double = 1e-9, maxIters: Int = 20000): PcaTop = {
+    val row = df.agg(graft.functions.VectorMomentsAgg.vectorMoments(
+      transform(col(vecCol), x => x.cast("double"))).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.prods"))
+      .head()
+    val n = row.getLong(0)
+    require(n > 0, "pcaTopComponent: no vectors")
+    val sums = row.getSeq[Double](1).toArray
+    val prods = row.getSeq[Double](2).toArray
+    val d = sums.length
+    val mean = sums.map(_ / n)
+    // population covariance from the upper-triangle moments
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = prods(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    def matvec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var a = 0
+      while (a < d) {
+        var s = 0.0
+        var b = 0
+        while (b < d) { s += cov(a)(b) * v(b); b += 1 }
+        w(a) = s
+        a += 1
+      }
+      w
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var residual = Double.MaxValue
+    var it = 0
+    while (it < maxIters && residual > tol) {
+      val cv = matvec(v)
+      // λ via the Rayleigh quotient; residual in the max norm
+      // certifies convergence of THIS iterate before it advances
+      lambda = (0 until d).map(a => v(a) * cv(a)).sum
+      residual = (0 until d).map(a => math.abs(cv(a) -
+        lambda * v(a))).max
+      if (residual > tol) {
+        val nw = math.sqrt(cv.map(x => x * x).sum)
+        require(nw > 0, "pcaTopComponent: covariance annihilated the " +
+          "iterate (degenerate input)")
+        v = cv.map(_ / nw)
+      }
+      it += 1
+    }
+    PcaTop(n, d, lambda, v, lambda / trace, residual)
+  }
+
   /** Random-hyperplane LSH buckets: sign bits of numBits fixed random
     * projections (hyperplanes derived deterministically from xxhash64 of
     * (plane, dim) — no RNG state to ship). Vectors sharing a bucket are

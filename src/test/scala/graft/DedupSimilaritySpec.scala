@@ -547,6 +547,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(eff - 2.999999) < 1e-6) // 3 distinct contents
   }
 
+  test("vector moments aggregate: exact n/mean/cov across a " +
+      "multi-partition merge") {
+    val pts = Seq(
+      Array(1f, 2f), Array(3f, 4f), Array(5f, 6f), Array(7f, 9f),
+      Array(2f, 1f))
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding").repartition(5)
+    val r = df.agg(graft.functions.VectorMomentsAgg.vectorMoments(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding"),
+          x => x.cast("double"))).as("m"))
+      .select("m.n", "m.sums", "m.prods").head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getSeq[Double](1).toSeq == Seq(18.0, 22.0))
+    // upper triangle of sum x x^T: [sum x0², sum x0x1, sum x1²]
+    assert(r.getSeq[Double](2).toSeq == Seq(
+      1.0 + 9 + 25 + 49 + 4, 2.0 + 12 + 30 + 63 + 2,
+      4.0 + 16 + 36 + 81 + 1))
+  }
+
+  test("pcaTopComponent recovers a planted dominant direction and " +
+      "certifies convergence on the real embeddings table") {
+    // planted: spread along (0.6, 0.8, 0) with tiny orthogonal noise
+    val planted = (0 until 40).map { i =>
+      val t = (i - 20).toDouble
+      val noise = 0.01 * ((i % 3) - 1)
+      (i.toLong, Array((0.6 * t + 0.8 * noise).toFloat,
+        (0.8 * t - 0.6 * noise).toFloat, (0.02 * ((i % 5) - 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = Similarity.pcaTopComponent(planted, "embedding")
+    assert(p.dim == 3 && p.n == 40)
+    val align = math.abs(p.eigenvector(0) * 0.6 + p.eigenvector(1) * 0.8)
+    assert(align > 0.9999, s"eigvec=${p.eigenvector.toSeq}")
+    assert(p.explainedRatio > 0.99)
+    assert(p.residual < 1e-8, s"residual=${p.residual}")
+    // the registered contract's convergence bound must hold on the
+    // real table at the default iteration budget
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = Similarity.pcaTopComponent(emb, "embedding")
+    assert(q.dim == 64 && q.n == 500)
+    assert(q.explainedRatio > 0 && q.explainedRatio <= 1.0)
+    assert(q.residual < 1e-8,
+      s"residual=${q.residual} ratio=${q.explainedRatio}")
+  }
+
   test("minhashEval: exact ground truth matches the verified LSH " +
       "pair set on the fixture, floors grade both directions") {
     val verified = Dedup.minhashPairs(docs, "doc_id", "text",
