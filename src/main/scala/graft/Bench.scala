@@ -115,6 +115,11 @@ object Bench {
       "image_neardup", "audio_fingerprint", "sessionize_native",
       "knn_filtered", "knn_sq8", "budget_select", "quarantine_route",
       "video_scenecut", "audio_neardup",
+      "dedup_boilerplate", "dedup_intradoc", "dedup_soft_weights",
+      "dsir_select", "table_bloom_lookup", "table_schema_evolution",
+      "table_pruned_string", "table_vacuum", "table_ref_read",
+      "minhash_eval", "decontaminate_semantic", "embed_variance",
+      "embed_pca_contract",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

@@ -3719,6 +3719,19 @@ object SparkEntry {
     "knn_ivf" -> ((s, dir) => Similarity.knnIvf(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, nprobe = 4, numQueries = 10, k = 5)),
+    // the recall number itself, under the correctness gate: per-query
+    // recall@5 of the registered IVF config against exact brute
+    // force; BOTH sides are deterministic, so the oracle replays the
+    // two searches end-to-end and the recall values hash-match
+    "ann_recall_eval" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnBruteForce(emb, "vec_id", "embedding",
+          numQueries = 10, k = 5),
+        Similarity.knnIvf(emb, "vec_id", "embedding",
+          numCentroids = 16, nprobe = 4, numQueries = 10, k = 5),
+        k = 5)
+    }),
     // IVF over k-means-TRAINED centroids (2 fixed Lloyd's rounds,
     // decimal-exact means — fully deterministic, full SQL replay).
     // nprobe=6 reaches recall 0.96 on the sf0.001 corpus (the seed
@@ -4818,6 +4831,46 @@ object SparkEntry {
         "CAST(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 " +
         "END) AS BIGINT) AS n_outliers FROM d CROSS JOIN m2"),
     "knn_ivf" -> knnIvfOracle,
+    "ann_recall_eval" ->
+      (s"WITH $vecCte, " +
+        "bq AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+        "FROM n WHERE vec_id < 10), " +
+        "bp AS (SELECT bq.query_id, n.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, len(bq.qvec)), " +
+        "i -> bq.qvec[i] * n.vec[i])) / (bq.qnrm * n.nrm) AS sim " +
+        "FROM bq, n WHERE n.vec_id <> bq.query_id), " +
+        "br AS (SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+        "FROM bp), " +
+        "btop AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5), " +
+        "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
+        "WHERE vec_id < 16), " +
+        "sc AS (SELECT n.vec_id AS id, c.cid, " +
+        "list_sum(list_transform(generate_series(1, len(n.vec)), " +
+        "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
+        "FROM n, c), " +
+        "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
+        "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
+        "FROM sc) WHERE rn = 1), " +
+        "probes AS (SELECT id AS query_id, cid FROM (SELECT id, cid, " +
+        "row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) " +
+        "AS rn FROM sc WHERE id < 10) WHERE rn <= 4), " +
+        "cand AS (SELECT p.query_id, a.id AS neighbor_id FROM probes p " +
+        "JOIN assign a ON a.cid = p.cid WHERE a.id <> p.query_id), " +
+        "s2 AS (SELECT cd.query_id, cd.neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, len(q2.vec)), " +
+        "i -> q2.vec[i] * m.vec[i])) / (q2.nrm * m.nrm) AS sim " +
+        "FROM cand cd JOIN n q2 ON q2.vec_id = cd.query_id " +
+        "JOIN n m ON m.vec_id = cd.neighbor_id), " +
+        "ir AS (SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn " +
+        "FROM s2), " +
+        "itop AS (SELECT query_id, neighbor_id FROM ir WHERE rn <= 5) " +
+        "SELECT b.query_id, count(i.neighbor_id) AS n_hits, " +
+        "round(CAST(count(i.neighbor_id) AS DOUBLE) / 5, 6) " +
+        "AS recall_at_5 FROM btop b LEFT JOIN itop i " +
+        "ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id " +
+        "GROUP BY 1 ORDER BY 1"),
     // the append-maintained index must be indistinguishable from the
     // one-shot build — identical oracle by design
     "knn_ivf_incremental" -> knnIvfOracle,

@@ -335,6 +335,25 @@ object Similarity {
       .orderBy("id")
   }
 
+  /** Measure-don't-guess harness for ANN indexes: per-query recall@k
+    * of an approximate neighbor list against the exact one. Both
+    * inputs are (query_id, neighbor_id) frames — the shape every knn*
+    * operator here returns — so any index variant (IVF, PQ, SQ8,
+    * LSH) grades against [[knnBruteForce]] with one call. The join is
+    * per-query-key equi-join on result-sized frames (k·queries rows,
+    * never corpus-sized).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6)
+          .as(s"recall_at_$k"))
+      .orderBy("query_id")
+
   /** Result of [[pcaTopComponent]]: the leading eigenpair of the
     * population covariance matrix plus its diagnostics. `residual` is
     * ‖Cv − λv‖∞ after the fixed iteration budget, `explainedRatio`

@@ -547,6 +547,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(eff - 2.999999) < 1e-6) // 3 distinct contents
   }
 
+  test("recallAtK grades an approximate neighbor list per query, " +
+      "missing queries in the approx side score zero") {
+    val exact = Seq((0L, 10L), (0L, 11L), (1L, 12L), (1L, 13L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((0L, 10L), (0L, 99L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 0.5), (1L, 0L, 0.0)))
+  }
+
   test("vector moments aggregate: exact n/mean/cov across a " +
       "multi-partition merge") {
     val pts = Seq(
