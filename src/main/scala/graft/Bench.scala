@@ -119,7 +119,7 @@ object Bench {
       "dsir_select", "table_bloom_lookup", "table_schema_evolution",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "minhash_eval", "decontaminate_semantic", "embed_variance",
-      "embed_pca_contract",
+      "embed_pca_contract", "embed_abtt_contract", "ann_recall_eval",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

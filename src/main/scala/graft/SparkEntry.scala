@@ -3611,6 +3611,24 @@ object SparkEntry {
         .toDF("n_vectors", "n_dims", "ratio_ok", "residual_ok",
           "norm_ok")
     }),
+    // embedding ops — all-but-the-top correction: mean + top-2 PC
+    // projections removed distributively (model ships as plan
+    // literals; the correction is zip_with arithmetic, zero shuffle);
+    // the contract re-measures the corrected corpus — mean collapsed
+    // to ~0 and the leading eigenvalue strictly reduced
+    "embed_abtt_contract" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val top = Similarity.pcaTopComponent(emb, "embedding")
+      val corrected = Similarity.abttCorrect(emb, "vec_id",
+        "embedding", numComponents = 2)
+      val (n2, mean2, _) = Similarity.momentsOf(corrected, "corrected")
+      val ctop = Similarity.pcaTopComponent(corrected, "corrected")
+      import s.implicits._
+      Seq((n2,
+        if (mean2.forall(m => math.abs(m) < 1e-9)) 1 else 0,
+        if (ctop.eigenvalue < top.eigenvalue) 1 else 0))
+        .toDF("n_vectors", "centered_ok", "top_reduced_ok")
+    }),
     // LLM pipeline — embedding-space decontamination: corpus vectors
     // (label != 0) within cosine 0.4 of ANY benchmark vector (label
     // 0), with the argmax benchmark hit; benchmark side broadcast,
@@ -4175,6 +4193,9 @@ object SparkEntry {
     "embed_pca_contract" ->
       ("SELECT count(*) AS n_vectors, 64 AS n_dims, 1 AS ratio_ok, " +
         "1 AS residual_ok, 1 AS norm_ok FROM embeddings"),
+    "embed_abtt_contract" ->
+      ("SELECT count(*) AS n_vectors, 1 AS centered_ok, " +
+        "1 AS top_reduced_ok FROM embeddings"),
     "decontaminate_semantic" ->
       ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +

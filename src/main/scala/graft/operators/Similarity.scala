@@ -382,18 +382,55 @@ object Similarity {
     * Deterministic: fixed all-ones start vector, no RNG.
     */
   def pcaTopComponent(df: DataFrame, vecCol: String,
-      tol: Double = 1e-9, maxIters: Int = 20000): PcaTop = {
+      tol: Double = 1e-9, maxIters: Int = 20000): PcaTop =
+    pcaTopK(df, vecCol, 1, tol, maxIters).head
+
+  /** Top-k principal components via power iteration with Hotelling
+    * deflation (C ← C − λ v vᵀ after each recovered eigenpair). Same
+    * scale shape as [[pcaTopComponent]] — the data is touched by ONE
+    * moments pass; everything after is driver-side O(k·d²·iters)
+    * arithmetic on the model-sized matrix. Each component's
+    * `explainedRatio` is its λ over the ORIGINAL trace.
+    */
+  def pcaTopK(df: DataFrame, vecCol: String, k: Int,
+      tol: Double = 1e-9, maxIters: Int = 20000): Seq[PcaTop] = {
+    val (n, _, cov) = momentsOf(df, vecCol)
+    val d = cov.length
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d components")
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    (0 until k).map { _ =>
+      val (lambda, v, residual) = powerIterate(cov, tol, maxIters)
+      // deflate in place: later components iterate on the residual
+      // operator, orthogonal to everything already extracted
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          cov(i)(j) -= lambda * v(i) * v(j)
+          j += 1
+        }
+        i += 1
+      }
+      PcaTop(n, d, lambda, v, lambda / trace, residual)
+    }
+  }
+
+  /** One [[graft.functions.VectorMomentsAgg]] pass →
+    * (n, mean, population covariance). The only data-sized step of
+    * the PCA/ABTT family.
+    */
+  private[graft] def momentsOf(df: DataFrame,
+      vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
     val row = df.agg(graft.functions.VectorMomentsAgg.vectorMoments(
       transform(col(vecCol), x => x.cast("double"))).as("m"))
       .select(col("m.n"), col("m.sums"), col("m.prods"))
       .head()
     val n = row.getLong(0)
-    require(n > 0, "pcaTopComponent: no vectors")
+    require(n > 0, "momentsOf: no vectors")
     val sums = row.getSeq[Double](1).toArray
     val prods = row.getSeq[Double](2).toArray
     val d = sums.length
     val mean = sums.map(_ / n)
-    // population covariance from the upper-triangle moments
     val cov = Array.ofDim[Double](d, d)
     var t = 0
     var i = 0
@@ -408,7 +445,12 @@ object Similarity {
       }
       i += 1
     }
-    val trace = (0 until d).map(i => cov(i)(i)).sum
+    (n, mean, cov)
+  }
+
+  private def powerIterate(cov: Array[Array[Double]], tol: Double,
+      maxIters: Int): (Double, Array[Double], Double) = {
+    val d = cov.length
     def matvec(v: Array[Double]): Array[Double] = {
       val w = new Array[Double](d)
       var a = 0
@@ -434,13 +476,58 @@ object Similarity {
         lambda * v(a))).max
       if (residual > tol) {
         val nw = math.sqrt(cv.map(x => x * x).sum)
-        require(nw > 0, "pcaTopComponent: covariance annihilated the " +
+        require(nw > 0, "powerIterate: covariance annihilated the " +
           "iterate (degenerate input)")
         v = cv.map(_ / nw)
       }
       it += 1
     }
-    PcaTop(n, d, lambda, v, lambda / trace, residual)
+    (lambda, v, residual)
+  }
+
+  /** All-but-the-top embedding postprocessing (Mu & Viswanath, ICLR
+    * '18): subtract the corpus mean and the projections onto the top
+    * `numComponents` principal components — the dominant directions
+    * of trained embedding spaces carry corpus-frequency artifacts,
+    * and removing them measurably improves cosine-similarity tasks.
+    *
+    * Scale shape: the model (mean + k component vectors) comes from
+    * the one-pass moments aggregate + driver-side deflation, then
+    * ships back into the plan as ARRAY LITERALS (the BPE-vocab /
+    * centroid pattern): the correction itself is a pure projection —
+    * per-row zip_with arithmetic, no join, no shuffle, no second
+    * aggregate. Output: idCol + `corrected` array&lt;double&gt;.
+    */
+  def abttCorrect(df: DataFrame, idCol: String, vecCol: String,
+      numComponents: Int = 1, tol: Double = 1e-9,
+      maxIters: Int = 20000): DataFrame = {
+    val (_, mean, cov) = momentsOf(df, vecCol)
+    val comps = {
+      // deflate off a private copy: momentsOf already returned ours
+      val d = cov.length
+      (0 until numComponents).map { _ =>
+        val (lambda, v, _) = powerIterate(cov, tol, maxIters)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { cov(i)(j) -= lambda * v(i) * v(j); j += 1 }
+          i += 1
+        }
+        v
+      }
+    }
+    val meanCol = array(mean.map(lit).toIndexedSeq: _*)
+    val centered = df.select(col(idCol),
+      zip_with(transform(col(vecCol), x => x.cast("double")), meanCol,
+        (x, m) => x - m).as("corrected"))
+    comps.zipWithIndex.foldLeft(centered) { case (acc, (u, c)) =>
+      val uCol = array(u.map(lit).toIndexedSeq: _*)
+      acc.withColumn(s"__proj$c",
+          VectorExpressions.vectorDot(col("corrected"), uCol))
+        .withColumn("corrected", zip_with(col("corrected"), uCol,
+          (x, uu) => x - col(s"__proj$c") * uu))
+        .drop(s"__proj$c")
+    }
   }
 
   /** Random-hyperplane LSH buckets: sign bits of numBits fixed random

@@ -602,6 +602,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"residual=${q.residual} ratio=${q.explainedRatio}")
   }
 
+  test("pcaTopK deflation yields orthogonal descending components; " +
+      "abttCorrect removes mean and dominant directions") {
+    // two planted directions with variances ~46 and ~5, plus tiny
+    // third-axis noise
+    val pts = (0 until 60).map { i =>
+      val t = (i - 30).toDouble / 2.5
+      val u = ((i * 7) % 11 - 5).toDouble
+      (i.toLong, Array((0.6 * t + 0.8 * u * 0.5).toFloat,
+        (0.8 * t - 0.6 * u * 0.5).toFloat, (0.01 * ((i % 4) - 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaTopK(pts, "embedding", 2)
+    assert(comps(0).eigenvalue > comps(1).eigenvalue)
+    val ortho = (0 until 3).map(i =>
+      comps(0).eigenvector(i) * comps(1).eigenvector(i)).sum
+    assert(math.abs(ortho) < 1e-6, s"dot=$ortho")
+    val corrected = Similarity.abttCorrect(pts, "vec_id", "embedding",
+      numComponents = 2)
+    val (n, mean, _) = Similarity.momentsOf(corrected, "corrected")
+    assert(n == 60 && mean.forall(m => math.abs(m) < 1e-9))
+    // with both planted directions removed only the third-axis noise
+    // remains
+    val resid = Similarity.pcaTopComponent(corrected, "corrected")
+    assert(resid.eigenvalue < comps(1).eigenvalue / 10,
+      s"resid=${resid.eigenvalue} vs ${comps(1).eigenvalue}")
+  }
+
   test("minhashEval: exact ground truth matches the verified LSH " +
       "pair set on the fixture, floors grade both directions") {
     val verified = Dedup.minhashPairs(docs, "doc_id", "text",
