@@ -123,7 +123,8 @@ object Bench {
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
-      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q10",
+      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8",
+      "tpch_q10", "tpch_q14", "tpch_q15", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",

@@ -614,6 +614,147 @@ object SparkEntry {
       "SELECT source, CAST(rank AS INT) AS rank, value, cnt FROM r " +
       "WHERE rank <= 3 ORDER BY source, rank"
 
+  /** Q8 shape (national market share): the widest join in the suite —
+    * lineitem against part, supplier, orders, customer, both nation
+    * roles, and region, with the share as a conditional-over-total
+    * ratio per year. Every dimension side is an explicit broadcast;
+    * only the fact table shuffles (for the orders join). Adapted to
+    * this schema: region AMERICA, supplier nation NATION_1, p_type
+    * STANDARD (reference TPC-H 2.18 Q8; predicates fit TESTDATA.md's
+    * domains).
+    */
+  private def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part").where(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val o = tbl(s, dir, "orders")
+      .where(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val n1 = tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val n2 = tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+    val r = tbl(s, dir, "region").where(col("r_name") === "AMERICA")
+      .select("r_regionkey")
+    val zero = lit(0.0).cast("decimal(18,4)")
+    tbl(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(tbl(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(zero)).as("nat_vol"),
+        sum(col("volume")).as("tot_vol"))
+      .select(col("o_year"),
+        round(col("nat_vol").cast("double") /
+          col("tot_vol").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val tpchQ8Oracle: String =
+    "SELECT CAST(year(o_orderdate) AS INT) AS o_year, " +
+      "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN " +
+      "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) " +
+      "ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON n1.n_nationkey = c_nationkey " +
+      "JOIN region ON r_regionkey = n1.n_regionkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation n2 ON n2.n_nationkey = s_nationkey " +
+      "WHERE r_name = 'AMERICA' AND p_type = 'STANDARD' " +
+      "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** Q14 shape (promotion effect): conditional-share aggregate over a
+    * fact-dim broadcast join, by ship month across 1996 (reference
+    * Q14 is a single month; twelve rows exercise the same plan with
+    * a group key).
+    */
+  private def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0.0).cast("decimal(18,4)")
+    tbl(s, dir, "lineitem")
+      .where(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(month(col("l_shipdate")).as("mo"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("volume"))
+      .join(broadcast(tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("mo"))
+      .agg(sum(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(zero)).as("promo_vol"),
+        sum(col("volume")).as("tot_vol"))
+      .select(col("mo"),
+        round(lit(100.0) * col("promo_vol").cast("double") /
+          col("tot_vol").cast("double"), 6).as("promo_share"))
+      .orderBy("mo")
+  }
+
+  private val tpchQ14Oracle: String =
+    "SELECT CAST(month(l_shipdate) AS INT) AS mo, " +
+      "round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+      "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) " +
+      "ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** Q15 shape (top supplier): revenue aggregate reused twice — once
+    * for the per-supplier totals, once for the scalar max — with the
+    * winner(s) selected by exact-decimal equality (ties are
+    * well-defined, unlike a double max). The max rides back in as a
+    * one-row broadcast.
+    */
+  private def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .where(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top),
+        col("total_revenue") === col("max_revenue"))
+      .join(broadcast(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val tpchQ15Oracle: String =
+    "WITH rev AS (SELECT l_suppkey, " +
+      "sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS total_revenue FROM lineitem " +
+      "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' " +
+      "GROUP BY 1) " +
+      "SELECT s_suppkey, s_name, " +
+      "CAST(total_revenue AS DOUBLE) AS total_revenue " +
+      "FROM rev JOIN supplier ON s_suppkey = l_suppkey " +
+      "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+      "ORDER BY s_suppkey"
+
   private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
     val cust = tbl(s, dir, "customer")
@@ -3121,6 +3262,9 @@ object SparkEntry {
     "tpch_q18" -> ((s, dir) => tpchQ18(s, dir)),
     "tpch_q5" -> ((s, dir) => tpchQ5(s, dir)),
     "tpch_q7" -> ((s, dir) => tpchQ7(s, dir)),
+    "tpch_q8" -> ((s, dir) => tpchQ8(s, dir)),
+    "tpch_q14" -> ((s, dir) => tpchQ14(s, dir)),
+    "tpch_q15" -> ((s, dir) => tpchQ15(s, dir)),
     // Q4 shape: date-windowed EXISTS semi-join + agg (adapted to this
     // schema's columns: flagged lineitems stand in for late deliveries)
     "tpch_q4" -> ((s, dir) => {
@@ -3611,6 +3755,11 @@ object SparkEntry {
         .toDF("n_vectors", "n_dims", "ratio_ok", "residual_ok",
           "norm_ok")
     }),
+    // embedding ops — per-label distribution summary from one grouped
+    // moments pass: centroid norm + total in-group variance (the
+    // collapse/diversity diagnostic per shard)
+    "embed_group_stats" -> ((s, dir) => Similarity.groupMomentStats(
+      tbl(s, dir, "embeddings"), "label", "embedding", dim = 64)),
     // embedding ops — all-but-the-top correction: mean + top-2 PC
     // projections removed distributively (model ships as plan
     // literals; the correction is zip_with arithmetic, zero shuffle);
@@ -4151,6 +4300,9 @@ object SparkEntry {
     "tpch_q10" -> tpchQ10Oracle,
     "tpch_q18" -> tpchQ18Oracle,
     "tpch_q5" -> tpchQ5Oracle,
+    "tpch_q8" -> tpchQ8Oracle,
+    "tpch_q14" -> tpchQ14Oracle,
+    "tpch_q15" -> tpchQ15Oracle,
     "rollup_revenue" -> rollupRevenueOracle,
     "cube_revenue" -> cubeRevenueOracle,
     "rolling_revenue" -> rollingRevenueOracle,
@@ -4196,6 +4348,17 @@ object SparkEntry {
     "embed_abtt_contract" ->
       ("SELECT count(*) AS n_vectors, 1 AS centered_ok, " +
         "1 AS top_reduced_ok FROM embeddings"),
+    "embed_group_stats" ->
+      ("WITH v AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "m AS (SELECT label, t.i AS i, count(*) AS n, " +
+        "avg(vec[t.i]) AS am, avg(vec[t.i] * vec[t.i]) AS aq " +
+        "FROM v, unnest(generate_series(1, len(vec))) AS t(i) " +
+        "GROUP BY 1, 2) " +
+        "SELECT label, max(n) AS n_vectors, " +
+        "round(sqrt(sum(am * am)), 6) AS mean_norm, " +
+        "round(sum(aq - am * am), 6) AS cov_trace " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
     "decontaminate_semantic" ->
       ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +

@@ -485,6 +485,36 @@ object Similarity {
     (lambda, v, residual)
   }
 
+  /** Per-group embedding distribution summary off ONE grouped pass of
+    * the mergeable moments aggregate: vectors per group, L2 norm of
+    * the group mean (centroid drift from the origin), and the trace
+    * of the group's population covariance (total in-group variance —
+    * the collapse/diversity diagnostic per source, language, or label
+    * shard). The per-group state is O(d²) regardless of group size,
+    * so skewed groups cost memory, not correctness; everything after
+    * the aggregate is arithmetic on the moments struct.
+    */
+  def groupMomentStats(df: DataFrame, groupCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    // 0-based position of the (i,i) diagonal entry in the row-major
+    // upper-triangle flattening: i*d - i*(i-1)/2
+    def diagSum(prods: Column): Column =
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc + element_at(prods,
+          (i * dim - i * (i - 1) / lit(2) + 1).cast("int")))
+    def meanSq(sums: Column, n: Column): Column =
+      aggregate(sums, lit(0.0), (acc, s) => acc + (s / n) * (s / n))
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.VectorMomentsAgg.vectorMoments(
+        transform(col(vecCol), x => x.cast("double"))).as("m"))
+      .select(col(groupCol), col("m.n").as("n_vectors"),
+        round(sqrt(meanSq(col("m.sums"), col("m.n"))), 6)
+          .as("mean_norm"),
+        round(diagSum(col("m.prods")) / col("m.n") -
+          meanSq(col("m.sums"), col("m.n")), 6).as("cov_trace"))
+      .orderBy(groupCol)
+  }
+
   /** All-but-the-top embedding postprocessing (Mu & Viswanath, ICLR
     * '18): subtract the corpus mean and the projections onto the top
     * `numComponents` principal components — the dominant directions
