@@ -4191,6 +4191,12 @@ object SparkEntry {
         unix_micros(col("sw.end")).as("end_us"), col("n_events"))
       .orderBy("user_id", "start_us")),
     "sessionize_stream" -> ((s, dir) => sessionizeStreamQuery(s, dir)),
+    // streaming benchmark decontamination: a stateless map-side gate
+    // (benchmark n-grams ride the plan as a literal — no join state,
+    // no watermark); emits the clean doc ids
+    "stream_decontaminate" -> ((s, dir) =>
+      graft.streaming.StreamingProfile
+        .runStreamingDecontaminate(s, dir).orderBy("doc_id")),
     // streaming exact dedup: watermark-bounded dropDuplicates state;
     // the bounded single-file replay is one micro-batch, so the
     // emitted key set is the exact distinct set (oracle-stable)
@@ -5257,6 +5263,20 @@ object SparkEntry {
         "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3) " +
         "SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (ng) " +
         "GROUP BY 1 ORDER BY doc_id"),
+    "stream_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
+        "FROM documents), " +
+        "cg AS (SELECT DISTINCT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "bg AS (SELECT DISTINCT " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3), " +
+        "bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (ng)) " +
+        "SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY 1"),
     "pii_scan" -> {
       val Seq(email, phone, ipv4) =
         graft.functions.TextFunctions.piiPatterns.map(_._2)

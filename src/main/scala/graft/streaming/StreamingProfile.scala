@@ -413,4 +413,61 @@ object StreamingProfile {
         max(col("ts_us")).as("end_us"))
       .orderBy("user_id", "session_id")
   }
+
+  private def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      graft.config.Scratch.runDir + "/stream_docs_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+    java.nio.file.Files.createDirectories(staged)
+    val dst = staged.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), dst)
+    }
+    spark.readStream
+      .schema(spark.read.parquet(dst.toString).schema)
+      .parquet(staged.toString)
+  }
+
+  /** Ingestion-time benchmark decontamination — the STREAMING twin of
+    * [[graft.operators.TextMetrics.decontaminate]], as a STATELESS
+    * gate: the benchmark's distinct n-gram set is collected once (an
+    * eval suite is KB-to-MB-sized by construction — the same bound
+    * that lets the batch operator broadcast it) and ships into the
+    * stream plan as an array literal, so every micro-batch filters
+    * map-side with arrays_overlap: no join state, no watermark, no
+    * shuffle, and a crash-restart replays the gate bit-identically.
+    * A benchmark that outgrows a plan literal falls back to the batch
+    * operator's broadcast semi-join inside foreachBatch — same
+    * semantics, per-batch join instead of a literal.
+    *
+    * Emits the CLEAN documents (no n-gram shared with the benchmark);
+    * benchmark members arriving on the stream self-collide and drop.
+    */
+  def runStreamingDecontaminate(spark: SparkSession, dir: String,
+      ngram: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    def ngramsOf(text: org.apache.spark.sql.Column) = {
+      val toks = TextFunctions.tokens(text)
+      when(size(toks) >= ngram,
+        transform(sequence(lit(0), size(toks) - ngram),
+          i => concat_ws(" ", slice(toks, i + 1, lit(ngram)))))
+        .otherwise(array())
+    }
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 50 === 0)
+      .select(explode(ngramsOf(col("text"))).as("ng"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val name = "graft_stream_decon_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = docsStream(spark, dir)
+      .where(!arrays_overlap(ngramsOf(col("text")), typedlit(bench)))
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }

@@ -526,4 +526,21 @@ class TextStreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming decontamination gate emits exactly the complement " +
+      "of the batch operator's contaminated set") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val clean = graft.streaming.StreamingProfile
+      .runStreamingDecontaminate(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val contaminated = graft.operators.TextMetrics.decontaminate(
+        docs, "doc_id", "text",
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 50
+          === 0), "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    val all = docs.collect().map(_.getLong(0)).toSet
+    assert(clean.toSet == all -- contaminated)
+    assert(clean.nonEmpty && contaminated.nonEmpty)
+  }
 }
