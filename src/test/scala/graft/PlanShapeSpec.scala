@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards over REGISTERED queries — the
+  * ".explain and iterate" discipline frozen as tests: each flagship
+  * query's scale-critical plan property (broadcast placement, no
+  * cartesian blowup, pushdown reaching the scan, bounded shuffle
+  * count) is pinned so a refactor that silently degrades the plan
+  * fails here, not in a 100 TB run. Assertions are deliberately
+  * coarse (substring / count bounds on the planned text) so they
+  * survive cosmetic Spark plan-format changes.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("tpch_q8: every dimension joins as a broadcast hash join and " +
+      "nothing degenerates to a cartesian product") {
+    val p = planOf("tpch_q8")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(count(p, "BroadcastHashJoin") >= 6,
+      s"expected >=6 broadcast joins:\n${p.take(800)}")
+  }
+
+  test("tpch_q6: the selective predicates reach the parquet scan as " +
+      "pushed filters") {
+    val p = planOf("tpch_q6")
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("l_quantity"), "quantity filter not pushed")
+    // column pruning: q6 reads 4 columns, never the ship metadata
+    assert(!p.contains("l_returnflag"), "scan reads unneeded columns")
+  }
+
+  test("tpch_q3: customer is the broadcast side and unused customer " +
+      "columns are pruned from its scan") {
+    val p = planOf("tpch_q3")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("c_acctbal"), "customer scan not column-pruned")
+  }
+
+  test("knn_ivf and decontaminate_semantic: the only cross joins are " +
+      "against explicit broadcasts (centroids / benchmark)") {
+    for (q <- Seq("knn_ivf", "decontaminate_semantic")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+    }
+  }
+
+  test("summary_lineitem_onepass: the assembled summary frame never " +
+      "re-scans the table (the single data pass lives in the sketch " +
+      "aggregate job)") {
+    val p = planOf("summary_lineitem_onepass")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"summary output re-reads the input:\n${p.take(600)}")
+    assert(count(p, "Exchange") <= 2, s"exchange count grew:\n$p")
+  }
+
+  test("dedup_exact: content dedup is one hash aggregation, not a " +
+      "self-join") {
+    val p = planOf("dedup_exact")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "dedup_exact must not join")
+  }
+}
