@@ -3838,6 +3838,24 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), "text", 3)
         .orderBy("doc_id")
     }),
+    // LLM pipeline — contamination dashboard: benchmark-overlap rate
+    // per source (which feeds are poisoning eval metrics); the
+    // doc-level gate re-used, one broadcast-sized left join on ids
+    "contamination_by_source" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val bad = operators.TextMetrics.decontaminate(d, "doc_id",
+          "text", d.where(col("doc_id") % 50 === 0), "text", 3)
+        .select(col("doc_id"), lit(1).as("hit"))
+      d.select("doc_id", "source")
+        .join(broadcast(bad), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_contaminated"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_docs"),
+            6).as("rate"))
+        .orderBy("source")
+    }),
     // LLM pipeline — PII scan + scrub: deterministic PII is injected
     // into every 50th doc (both engines replicate it), counts are
     // taken before and after redaction, and the after-count must be
@@ -5263,6 +5281,23 @@ object SparkEntry {
         "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3) " +
         "SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (ng) " +
         "GROUP BY 1 ORDER BY doc_id"),
+    "contamination_by_source" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
+        "FROM documents), " +
+        "cg AS (SELECT DISTINCT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE len(t) >= 3), " +
+        "bg AS (SELECT DISTINCT " +
+        "unnest(list_transform(generate_series(1, len(t) - 2), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS ng " +
+        "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3), " +
+        "bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (ng)) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "count(b.doc_id) AS n_contaminated, " +
+        "round(CAST(count(b.doc_id) AS DOUBLE) / count(*), 6) AS rate " +
+        "FROM documents d LEFT JOIN bad b USING (doc_id) " +
+        "GROUP BY 1 ORDER BY 1"),
     "stream_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t " +
         "FROM documents), " +
