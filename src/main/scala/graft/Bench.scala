@@ -120,6 +120,7 @@ object Bench {
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "minhash_eval", "decontaminate_semantic", "embed_variance",
       "embed_pca_contract", "embed_abtt_contract", "ann_recall_eval",
+      "text_hash_embed", "knn_text_hash", "contamination_by_source",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

@@ -3755,6 +3755,45 @@ object SparkEntry {
         .toDF("n_vectors", "n_dims", "ratio_ok", "residual_ok",
           "norm_ok")
     }),
+    // LLM pipeline — model-free text embedding (hashing trick): LCG
+    // token hash → signed power-of-two buckets → L2-normalized dense
+    // vector; exploded nonzero entries are hash-checked against a
+    // full HUGEINT replay of the hash fold
+    "text_hash_embed" -> ((s, dir) => {
+      operators.TextMetrics.hashEmbedding(
+        tbl(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          posexplode(col("vec")).as(Seq("dim", "val")))
+        .where(col("val") =!= 0.0)
+        .select(col("doc_id"), col("dim"),
+          round(col("val"), 6).as("val"))
+        .orderBy("doc_id", "dim")
+    }),
+    // LLM pipeline — the hashing-trick payoff: exact cosine k-NN over
+    // text WITHOUT any trained model, end to end (tokens → signed
+    // buckets → normalize → broadcast-query top-3); the oracle
+    // replays hash, vectors, and ranking. Ranking keys on the
+    // 6-decimal-rounded similarity (vectors are unit-norm, dot =
+    // cosine) so the two engines' different summation orders can
+    // never flip a rank
+    "knn_text_hash" -> ((s, dir) => {
+      val v = operators.TextMetrics.hashEmbedding(
+        tbl(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text")
+      val q = v.where(col("id") < 5)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("s").desc, col("id"))
+      v.join(broadcast(q), col("id") =!= col("query_id"))
+        .withColumn("s", round(graft.functions.VectorExpressions
+          .vectorDot(col("qvec"), col("vec")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("query_id"), col("rn"),
+          col("id").as("neighbor_id"))
+        .orderBy("query_id", "rn")
+    }),
     // embedding ops — per-label distribution summary from one grouped
     // moments pass: centroid norm + total in-group variance (the
     // collapse/diversity diagnostic per shard)
@@ -4372,6 +4411,77 @@ object SparkEntry {
     "embed_abtt_contract" ->
       ("SELECT count(*) AS n_vectors, 1 AS centered_ok, " +
         "1 AS top_reduced_ok FROM embeddings"),
+    "text_hash_embed" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50
+        |), th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, x) -> ((acc + x) * 6364136223846793005)
+        |      % 18446744073709551616) AS h
+        |  FROM toks
+        |), b AS (
+        |  SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+        |    CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM th
+        |), w AS (
+        |  SELECT doc_id, dim, sum(sgn) AS w FROM b GROUP BY 1, 2
+        |), n AS (
+        |  SELECT doc_id, sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT w.doc_id, w.dim,
+        |  round(CAST(w.w AS DOUBLE) / n.nrm, 6) AS val
+        |FROM w JOIN n USING (doc_id) WHERE w.w <> 0
+        |ORDER BY 1, 2""".stripMargin),
+    "knn_text_hash" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50
+        |), th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |        i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+        |    (acc, x) -> ((acc + x) * 6364136223846793005)
+        |      % 18446744073709551616) AS h
+        |  FROM toks
+        |), b AS (
+        |  SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+        |    CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM th
+        |), w AS (
+        |  SELECT doc_id, dim, sum(sgn) AS w FROM b GROUP BY 1, 2
+        |), nm AS (
+        |  SELECT doc_id, sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm
+        |  FROM w GROUP BY 1
+        |), prod AS (
+        |  SELECT wa.doc_id AS qa, wb.doc_id AS nb,
+        |    sum((CAST(wa.w AS DOUBLE) / na.nrm) *
+        |        (CAST(wb.w AS DOUBLE) / nb2.nrm)) AS s
+        |  FROM w wa JOIN w wb ON wa.dim = wb.dim
+        |    AND wa.doc_id < 5 AND wb.doc_id <> wa.doc_id
+        |  JOIN nm na ON na.doc_id = wa.doc_id
+        |  JOIN nm nb2 ON nb2.doc_id = wb.doc_id
+        |  WHERE wa.w <> 0 AND wb.w <> 0
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT q.doc_id AS qa, c.doc_id AS nb
+        |  FROM nm q, nm c WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+        |), sim AS (
+        |  SELECT g.qa, g.nb, round(coalesce(p.s, 0.0), 6) AS s
+        |  FROM grid g LEFT JOIN prod p ON p.qa = g.qa AND p.nb = g.nb
+        |), r AS (
+        |  SELECT qa, nb, row_number() OVER
+        |    (PARTITION BY qa ORDER BY s DESC, nb) AS rn
+        |  FROM sim
+        |)
+        |SELECT qa AS query_id, CAST(rn AS INT) AS rn,
+        |  nb AS neighbor_id FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin),
     "embed_group_stats" ->
       ("WITH v AS (SELECT label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +

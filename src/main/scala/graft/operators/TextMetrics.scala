@@ -731,4 +731,57 @@ object TextMetrics {
         round(sum(col("k").cast("decimal(10,0)") *
             lr.cast("decimal(20,9)")).cast("double"), 6).as("logw"))
   }
+
+  /** Hashing-trick text embedding (Weinberger et al. '09): each token
+    * hashes to one of `dim` signed buckets (bucket = low hash bits,
+    * sign = the next bit), per-doc signed counts L2-normalize into a
+    * dense `array<double>` — a model-free text→vector encoder that
+    * makes the whole similarity stack (cosine near-dup, k-NN, PCA,
+    * semantic decontamination) usable on raw text with no trained
+    * model in the loop.
+    *
+    * Scale shape: explode(token) → map-side-combinable
+    * (id, bucket) partial sums → one per-doc aggregate whose state is
+    * ≤ dim entries; nothing doc-pair-shaped anywhere. `dim` must be a
+    * power of two: bucketing uses a bit mask, which is the ONLY
+    * signed/unsigned-agnostic modulo — it keeps the engine's signed
+    * 64-bit [[graft.functions.PolyHash64]] fold and the oracle's
+    * unsigned HUGEINT replay on the same buckets. Note the house
+    * tokenizer maps empty text to ONE empty token (string-split
+    * semantics, shared with every n-gram oracle), so even empty docs
+    * embed — to a fixed one-hot — rather than dropping out.
+    */
+  def hashEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      "dim must be a power of two")
+    val signBit = Integer.numberOfTrailingZeros(dim)
+    val h = graft.functions.SetExpressions.polyHash64(col("tok"))
+    val sums = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        col("tok"),
+        h.as("h"))
+      .select(col("id"),
+        col("h").bitwiseAND(lit((dim - 1).toLong)).cast("int")
+          .as("bucket"),
+        when(shiftrightunsigned(col("h"), signBit)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("id", "bucket")
+      .agg(sum(col("sgn")).as("w"))
+    sums.groupBy("id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("w")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))
+            .cast("double")).as("raw"))
+      .withColumn("nrm",
+        graft.functions.VectorExpressions.vectorNorm(col("raw")))
+      .select(col("id"),
+        when(col("nrm") > 0,
+          transform(col("raw"), x => x / col("nrm")))
+          .otherwise(col("raw")).as("vec"))
+  }
 }

@@ -429,4 +429,36 @@ class TextMetricsSpec extends AnyFunSuite {
       s"target-like ${got(10L)} must beat target-unlike ${got(11L)}")
     assert(got(13L) > got(11L)) // shares 'good clean' with the target
   }
+
+  test("hashEmbedding: unit vectors, identical texts collide " +
+      "exactly, shared-token texts beat disjoint ones on cosine") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),        // exact duplicate of 0
+      (2L, "alpha beta gamma epsilon"),      // 3/4 token overlap
+      (3L, "zeta eta theta iota"),           // disjoint
+      (4L, "solo"),                          // single token
+      (5L, "")).toDF("doc_id", "text")       // one EMPTY token
+    val vecs = TextMetrics.hashEmbedding(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    // split semantics: empty text is one empty token, embedding to a
+    // fixed one-hot (same convention as every n-gram oracle)
+    assert(vecs(5L).count(_ != 0.0) == 1)
+    assert(cosArr(vecs(5L), vecs(4L)) == 0.0)
+    // every emitted vector is unit-norm
+    vecs.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    assert(vecs(0L).toSeq == vecs(1L).toSeq)
+    // single token: exactly one +-1 entry
+    assert(vecs(4L).count(_ != 0.0) == 1)
+    assert(math.abs(vecs(4L).map(math.abs).max - 1.0) < 1e-12)
+    assert(cosArr(vecs(0L), vecs(2L)) > cosArr(vecs(0L), vecs(3L)) + 0.3,
+      s"overlap=${cosArr(vecs(0L), vecs(2L))} " +
+        s"disjoint=${cosArr(vecs(0L), vecs(3L))}")
+  }
+
+  private def cosArr(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
 }
