@@ -948,6 +948,67 @@ object SparkEntry {
     * an ordinary shuffled groupBy. For global windows over DATA-sized
     * inputs use [[graft.operators.Ranking.globalRowNumber]] instead.
     */
+  /** Classical additive decomposition of the daily revenue series:
+    * trend = centered 7-day moving average (only where the full ±3-day
+    * window is present), seasonal = day-of-week mean of the detrended
+    * values, residual = the rest. Day-of-week is `day_no % 7` —
+    * integer arithmetic both engines share, instead of calendar
+    * functions whose Sunday-origin differs between them. Money stays
+    * DECIMAL through the window sum (order-free exactness, the
+    * [[rollingRevenue]] rule); one double division by 7 and the
+    * group means are the only FP steps, both 6-rounded. The global
+    * window is bounded by DATE CARDINALITY (~2,400 rows), never row
+    * volume.
+    */
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .as("ydec"))
+      .withColumn("day_no", datediff(col("d"), lit("1970-01-01")))
+    val w = Window.orderBy(col("day_no")).rangeBetween(-3, 3)
+    val tw = daily
+      .withColumn("trend",
+        when(count(col("ydec")).over(w) === 7,
+          sum(col("ydec")).over(w).cast(DoubleType) / 7))
+      .withColumn("dow", pmod(col("day_no"), lit(7)))
+      .withColumn("y", col("ydec").cast(DoubleType))
+    val season = tw.where(col("trend").isNotNull)
+      .groupBy(col("dow"))
+      .agg(avg(col("y") - col("trend")).as("seas"))
+    tw.join(broadcast(season), Seq("dow"), "left")
+      .select(col("d").cast("string").as("d"), col("y"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seas"), 6).as("seasonal"),
+        round(col("y") - col("trend") - col("seas"), 6).as("resid"))
+      .orderBy("d")
+  }
+
+  private val seasonalDecomposeOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ydec
+      |  FROM orders GROUP BY 1
+      |), dd AS (
+      |  SELECT *, datediff('day', DATE '1970-01-01', d) AS day_no
+      |  FROM daily
+      |), tw AS (
+      |  SELECT *, CAST(ydec AS DOUBLE) AS y,
+      |    CASE WHEN count(*) OVER win = 7
+      |      THEN CAST(sum(ydec) OVER win AS DOUBLE) / 7 END AS trend
+      |  FROM dd
+      |  WINDOW win AS (ORDER BY day_no
+      |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), s AS (
+      |  SELECT day_no % 7 AS dow, avg(y - trend) AS seas
+      |  FROM tw WHERE trend IS NOT NULL GROUP BY 1
+      |)
+      |SELECT CAST(tw.d AS VARCHAR) AS d, tw.y,
+      |  round(tw.trend, 6) AS trend, round(s.seas, 6) AS seasonal,
+      |  round(tw.y - tw.trend - s.seas, 6) AS resid
+      |FROM tw LEFT JOIN s ON s.dow = tw.day_no % 7
+      |ORDER BY 1""".stripMargin
+
   private def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
     // daily revenue stays DECIMAL through the window sum: window
     // implementations sum in engine-specific orders (sliding vs
@@ -3330,6 +3391,10 @@ object SparkEntry {
     "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
     "cube_revenue"   -> ((s, dir) => cubeRevenue(s, dir)),
     "rolling_revenue" -> ((s, dir) => rollingRevenue(s, dir)),
+    // time-series decomposition: 7-day centered trend + day-of-week
+    // seasonal + residual over the daily revenue series (date-
+    // cardinality-bounded window; decimal-exact money)
+    "seasonal_decompose" -> ((s, dir) => seasonalDecompose(s, dir)),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
     // distributed global ranking (Ranking.globalRowNumber) driving a
@@ -4369,6 +4434,7 @@ object SparkEntry {
     "rollup_revenue" -> rollupRevenueOracle,
     "cube_revenue" -> cubeRevenueOracle,
     "rolling_revenue" -> rollingRevenueOracle,
+    "seasonal_decompose" -> seasonalDecomposeOracle,
     "quality_deciles" -> qualityDecilesOracle,
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
