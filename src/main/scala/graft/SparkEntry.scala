@@ -1009,6 +1009,60 @@ object SparkEntry {
       |FROM tw LEFT JOIN s ON s.dow = tw.day_no % 7
       |ORDER BY 1""".stripMargin
 
+  /** CUSUM changepoint scan over the daily revenue series: the
+    * running sum of (y − ȳ) peaks in magnitude at the most likely
+    * level-shift boundary (classic Page/Pettitt shape). The mean uses
+    * the exact decimal total; the cusum is an ORDERED prefix sum —
+    * sequential in both engines, so the doubles agree to the ulp and
+    * 6-rounding pins them. Output: the top-5 |cusum| days. Bounded by
+    * date cardinality, never row volume.
+    */
+  private def changepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .as("ydec"))
+    val tot = daily.agg(
+      sum(col("ydec")).as("tdec"), count(lit(1)).as("n"))
+    val wc = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev",
+        col("ydec").cast(DoubleType) -
+          col("tdec").cast(DoubleType) / col("n"))
+      .withColumn("cusum", sum(col("dev")).over(wc))
+      .orderBy(abs(col("cusum")).desc, col("d"))
+      .limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(abs(col("cusum")).desc,
+          col("d"))))
+      .select(col("rank"), col("d").cast("string").as("d"),
+        round(col("cusum"), 6).as("cusum"))
+      .orderBy("rank")
+  }
+
+  private val changepointCusumOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ydec
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(ydec) AS tdec, count(*) AS n FROM daily
+      |), c AS (
+      |  SELECT d, sum(CAST(ydec AS DOUBLE) -
+      |      CAST(tdec AS DOUBLE) / n) OVER
+      |    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cusum
+      |  FROM daily, tot
+      |), r AS (
+      |  SELECT d, cusum, row_number() OVER
+      |    (ORDER BY abs(cusum) DESC, d) AS rank
+      |  FROM c
+      |)
+      |SELECT CAST(rank AS INT) AS rank, CAST(d AS VARCHAR) AS d,
+      |  round(cusum, 6) AS cusum
+      |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   private def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
     // daily revenue stays DECIMAL through the window sum: window
     // implementations sum in engine-specific orders (sliding vs
@@ -3395,6 +3449,9 @@ object SparkEntry {
     // seasonal + residual over the daily revenue series (date-
     // cardinality-bounded window; decimal-exact money)
     "seasonal_decompose" -> ((s, dir) => seasonalDecompose(s, dir)),
+    // time-series changepoint scan: peak |CUSUM| days of the daily
+    // revenue series (level-shift boundaries)
+    "changepoint_cusum" -> ((s, dir) => changepointCusum(s, dir)),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
     // distributed global ranking (Ranking.globalRowNumber) driving a
@@ -4435,6 +4492,7 @@ object SparkEntry {
     "cube_revenue" -> cubeRevenueOracle,
     "rolling_revenue" -> rollingRevenueOracle,
     "seasonal_decompose" -> seasonalDecomposeOracle,
+    "changepoint_cusum" -> changepointCusumOracle,
     "quality_deciles" -> qualityDecilesOracle,
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
