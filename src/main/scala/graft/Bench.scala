@@ -121,7 +121,7 @@ object Bench {
       "minhash_eval", "decontaminate_semantic", "embed_variance",
       "embed_pca_contract", "embed_abtt_contract", "ann_recall_eval",
       "text_hash_embed", "knn_text_hash", "contamination_by_source",
-      "seasonal_decompose", "changepoint_cusum",
+      "seasonal_decompose", "changepoint_cusum", "event_pmi",
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",

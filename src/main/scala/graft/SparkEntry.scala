@@ -3452,6 +3452,33 @@ object SparkEntry {
     // time-series changepoint scan: peak |CUSUM| days of the daily
     // revenue series (level-shift boundaries)
     "changepoint_cusum" -> ((s, dir) => changepointCusum(s, dir)),
+    // association mining: PMI between event types over shared users
+    // (which behaviors co-occur beyond chance). Per-user distinct
+    // type sets keep the pair join bounded by |types|² per user —
+    // never event-volume quadratic; totals ride one broadcast row
+    "event_pmi" -> ((s, dir) => {
+      val ut = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val perType = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(perType
+          .select(col("event_type").as("type_a"),
+            col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(perType
+          .select(col("event_type").as("type_b"),
+            col("n_t").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          round(log(col("n_ab").cast("double") * col("n_users") /
+            (col("n_a") * col("n_b"))), 6).as("pmi"))
+        .orderBy("type_a", "type_b")
+    }),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
     // distributed global ranking (Ranking.globalRowNumber) driving a
@@ -4493,6 +4520,21 @@ object SparkEntry {
     "rolling_revenue" -> rollingRevenueOracle,
     "seasonal_decompose" -> seasonalDecomposeOracle,
     "changepoint_cusum" -> changepointCusumOracle,
+    "event_pmi" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "pt AS (SELECT event_type, count(*) AS n_t FROM ut " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS n_ab FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_ab, " +
+        "round(ln(CAST(n_ab AS DOUBLE) * n_users / " +
+        "(pa.n_t * pb.n_t)), 6) AS pmi " +
+        "FROM p JOIN pt pa ON pa.event_type = p.type_a " +
+        "JOIN pt pb ON pb.event_type = p.type_b CROSS JOIN tot " +
+        "ORDER BY 1, 2"),
     "quality_deciles" -> qualityDecilesOracle,
     "vocab_coverage" -> vocabCoverageOracle,
     "unigram_logprob" -> unigramLogprobOracle,
