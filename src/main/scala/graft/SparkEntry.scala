@@ -2818,6 +2818,40 @@ object SparkEntry {
           decSum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    // write-audit-publish over branch refs: readers follow the
+    // movable `main` ref; a new snapshot commits UNREFERENCED
+    // (staged), a declarative quality audit runs against it, and only
+    // a passing audit moves `main` — failed stages stay invisible to
+    // readers forever (the spec drives that path). The oracle pins
+    // what a reader of `main` sees after a passing publish
+    "table_wap_publish" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_wap_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val v0 = graft.sources.VersionedTable.commit(
+        orders.where(col("o_orderkey") % 2 === 0), root, "seed")
+      graft.sources.VersionedTable.createRef(s, root, "main", v0,
+        movable = true)
+      val v1 = graft.sources.VersionedTable.commit(orders, root,
+        "staged-full")
+      val staged = graft.sources.VersionedTable.readVersion(s, root, v1)
+      val audit = staged.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey").isNull.cast("long")).as("null_keys"))
+        .head()
+      val mainRows = graft.sources.VersionedTable
+        .readRef(s, root, "main").count()
+      if (audit.getLong(1) == 0L && audit.getLong(0) > mainRows)
+        graft.sources.VersionedTable.moveRef(s, root, "main", v1)
+      graft.sources.VersionedTable.readRef(s, root, "main")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // maintenance OPTIMIZE: a deliberately fragmented commit (32
     // small files — the shape an incremental writer leaves), a
     // copy-on-write delete, then bin-packing compaction; the oracle
@@ -4876,6 +4910,10 @@ object SparkEntry {
     // COMMITTED snapshots read back by version id — the oracle is
     // identical because the versioned reads must be byte-faithful
     "table_time_travel" -> cdcDiffOracle,
+    "table_wap_publish" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders GROUP BY 1 ORDER BY 1"),
     "table_ref_read" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +

@@ -664,4 +664,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.listRefs(spark, root) ==
       Seq(("main", v3, true)))
   }
+
+  test("write-audit-publish: a staged commit that fails its audit " +
+      "never reaches readers of the main ref") {
+    val root = freshRoot("wap")
+    val good = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v0 = VersionedTable.commit(good, root, "seed")
+    VersionedTable.createRef(spark, root, "main", v0, movable = true)
+    // stage a bad snapshot (a NULL key) — versioned, but unreferenced
+    val bad = Seq((Some(1L), "a"), (None, "oops"), (Some(3L), "c"))
+      .toDF("k", "v")
+    val v1 = VersionedTable.commit(bad, root, "staged")
+    val staged = VersionedTable.readVersion(spark, root, v1)
+    val nulls = staged.where(col("k").isNull).count()
+    if (nulls == 0L) VersionedTable.moveRef(spark, root, "main", v1)
+    // audit failed -> main still serves v0; the bad rows exist only
+    // behind an explicit version read
+    assert(VersionedTable.resolveRef(spark, root, "main") == v0)
+    assert(VersionedTable.readRef(spark, root, "main").count() == 2L)
+    assert(staged.count() == 3L)
+    // a passing re-stage publishes
+    val fixed = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = VersionedTable.commit(fixed, root, "restaged")
+    if (VersionedTable.readVersion(spark, root, v2)
+        .where(col("k").isNull).count() == 0L)
+      VersionedTable.moveRef(spark, root, "main", v2)
+    assert(VersionedTable.resolveRef(spark, root, "main") == v2)
+    assert(VersionedTable.readRef(spark, root, "main").count() == 3L)
+  }
 }
