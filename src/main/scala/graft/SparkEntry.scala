@@ -844,6 +844,235 @@ object SparkEntry {
       "JOIN customer ON c_custkey = o_custkey " +
       "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
 
+  /** Q12 shape (shipping-priority classification, adapted — this
+    * schema has no l_shipmode/commitdate): per line status, how many
+    * 1996-shipped lineitems belong to high-priority vs low-priority
+    * orders. Both sides are fact-sized at scale, so the orderkey join
+    * is a plain shuffled hash join — but the lineitem side is
+    * date-filtered and projected to two columns BEFORE the exchange,
+    * and the conditional counts are map-side partial aggregates.
+    * Reference shape: TPC-H 2.18 Q12.
+    */
+  private def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    tbl(s, dir, "lineitem")
+      .where(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select("l_orderkey", "l_linestatus")
+      .join(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_cnt"),
+        sum(when(high, 0L).otherwise(1L)).as("low_cnt"))
+      .orderBy("l_linestatus")
+  }
+
+  private val tpchQ12Oracle: String =
+    "SELECT l_linestatus, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+      "THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** Q13 shape (customer order-count distribution): LEFT OUTER join
+    * so zero-order customers survive with c_count = 0, then a second
+    * aggregation over the first's output. Q13's join-condition filter
+    * (`AND o_comment NOT LIKE ...` in the reference; a priority class
+    * here) is pushed into the orders scan before the join — equivalent
+    * for an outer join's null-extension semantics and prunes the
+    * shuffle. The second groupBy's input is ≤ |customer| rows and its
+    * key domain is tiny (distinct counts), so it collapses into a
+    * near-free final exchange. Reference shape: TPC-H 2.18 Q13.
+    */
+  private def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .where(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    tbl(s, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val tpchQ13Oracle: String =
+    "WITH oc AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "AND o_orderpriority <> '5-LOW' GROUP BY 1) " +
+      "SELECT c_count, count(*) AS custdist FROM oc " +
+      "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+
+  /** Q17 shape (small-quantity-order revenue): the correlated
+    * `l_quantity < 0.2 * avg(l_quantity per part)` subquery becomes
+    * one per-part aggregate JOINED BACK to the same filtered fact
+    * slice. The brand filter runs FIRST (broadcast part-key semi
+    * shape), so the avg aggregate only ever sees the brand's
+    * lineitems, and its result — bounded by the brand's part count —
+    * rides back in as a broadcast. l_quantity is integral, so the
+    * double avg is order-independent (exact integer sums < 2^53) and
+    * the 0.2·avg threshold compares identically in both engines.
+    * Reference shape: TPC-H 2.18 Q17.
+    */
+  private def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val brandLi = tbl(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(tbl(s, dir, "part")
+          .where(col("p_brand") === "Brand#1").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val avgq = brandLi.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandLi.join(broadcast(avgq), col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(decSum(col("l_extendedprice"), 2) / lit(7.0), 6)
+        .as("avg_yearly"))
+  }
+
+  private val tpchQ17Oracle: String =
+    "WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand = 'Brand#1'), " +
+      "a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty " +
+      "FROM bl GROUP BY 1) " +
+      "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+      "AS DOUBLE) / 7.0, 6) AS avg_yearly " +
+      "FROM bl JOIN a ON pk = l_partkey " +
+      "WHERE l_quantity < 0.2 * avg_qty"
+
+  /** Q19 shape (disjunctive predicate revenue): three
+    * brand/size/quantity conjunctions OR-ed together. The disjunction
+    * cannot push down as-is, so its UNION BOUNDS do: the part side
+    * pre-filters to the three brands, the lineitem side to the
+    * quantity hull [1,30] — both reach the parquet scan as
+    * `PushedFilters` — and the exact OR evaluates only on join
+    * survivors. Part rides in as a broadcast. Reference shape:
+    * TPC-H 2.18 Q19.
+    */
+  private def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part")
+      .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = tbl(s, dir, "lineitem")
+      .where(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(cond)
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("revenue"))
+  }
+
+  private val tpchQ19Oracle: String =
+    "SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE " +
+      "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 1 AND 11) OR " +
+      "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity BETWEEN 10 AND 20) OR " +
+      "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
+      "AND l_quantity BETWEEN 20 AND 30)"
+
+  /** Q21 shape (suppliers who kept orders waiting, adapted — "late"
+    * is shipping >60 days after the order date since this schema has
+    * no commit/receipt dates): finished orders served by ≥2 distinct
+    * suppliers where EXACTLY ONE supplier shipped late. The
+    * reference's EXISTS (another supplier) / NOT EXISTS (another
+    * late supplier) pair collapses into ONE per-order aggregate —
+    * n_supp ≥ 2 ∧ n_late = 1, with max(late supplier) well-defined
+    * because the filter pins n_late to one — replacing two extra
+    * fact-fact joins with a single shuffle, the scale-right plan.
+    * Reference shape: TPC-H 2.18 Q21.
+    */
+  private def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(tbl(s, dir, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("blame"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("blame"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(tbl(s, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("blame") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val tpchQ21Oracle: String =
+    "WITH j AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_orderstatus = 'F'), " +
+      "agg AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, " +
+      "count(DISTINCT CASE WHEN l_shipdate > o_orderdate + " +
+      "INTERVAL 60 DAY THEN l_suppkey END) AS n_late, " +
+      "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+      "THEN l_suppkey END) AS blame FROM j GROUP BY 1) " +
+      "SELECT s_suppkey, s_name, count(*) AS numwait " +
+      "FROM agg JOIN supplier ON s_suppkey = blame " +
+      "WHERE n_supp >= 2 AND n_late = 1 " +
+      "GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20"
+
+  /** Q22 shape (dormant high-balance customers, adapted — no phone
+    * country codes here, and every customer has SOME order, so
+    * "never ordered" becomes "no order since 2000-01-01"): customers
+    * whose balance beats the positive-balance average and who have no
+    * recent order, rolled up per market segment. The average is
+    * computed as exact-decimal sum ÷ count (one tiny broadcast row —
+    * double division is then order-independent so both engines agree
+    * bit-for-bit), and the recency check is a LEFT ANTI join against
+    * the date-filtered orders projection. Reference shape:
+    * TPC-H 2.18 Q22.
+    */
+  private def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val avgbal = c.where(col("c_acctbal") > 0)
+      .agg((decSum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+    val recent = tbl(s, dir, "orders")
+      .where(col("o_orderdate") >= "2000-01-01")
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgbal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        decSum(col("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val tpchQ22Oracle: String =
+    "WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) " +
+      "AS DOUBLE) / count(*) AS avg_bal FROM customer " +
+      "WHERE c_acctbal > 0) " +
+      "SELECT c_mktsegment, count(*) AS n_cust, " +
+      "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS total_bal FROM customer, ab " +
+      "WHERE c_acctbal > avg_bal AND NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderdate >= '2000-01-01') " +
+      "GROUP BY 1 ORDER BY 1"
+
   private val tpchQ3Oracle: String =
     "SELECT l_orderkey, o_orderdate, " +
       "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
@@ -3414,6 +3643,12 @@ object SparkEntry {
     "tpch_q8" -> ((s, dir) => tpchQ8(s, dir)),
     "tpch_q14" -> ((s, dir) => tpchQ14(s, dir)),
     "tpch_q15" -> ((s, dir) => tpchQ15(s, dir)),
+    "tpch_q12" -> ((s, dir) => tpchQ12(s, dir)),
+    "tpch_q13" -> ((s, dir) => tpchQ13(s, dir)),
+    "tpch_q17" -> ((s, dir) => tpchQ17(s, dir)),
+    "tpch_q19" -> ((s, dir) => tpchQ19(s, dir)),
+    "tpch_q21" -> ((s, dir) => tpchQ21(s, dir)),
+    "tpch_q22" -> ((s, dir) => tpchQ22(s, dir)),
     // Q4 shape: date-windowed EXISTS semi-join + agg (adapted to this
     // schema's columns: flagged lineitems stand in for late deliveries)
     "tpch_q4" -> ((s, dir) => {
@@ -3512,6 +3747,31 @@ object SparkEntry {
           round(log(col("n_ab").cast("double") * col("n_users") /
             (col("n_a") * col("n_b"))), 6).as("pmi"))
         .orderBy("type_a", "type_b")
+    }),
+    // sequence mining: first-order Markov transition matrix over each
+    // user's time-ordered event stream — which behavior follows
+    // which, and with what probability. The lead() window is
+    // partitioned per user (state bounded by one user's events, never
+    // corpus-sized); transition counts map-side combine on a 5×5 key
+    // domain and the per-source totals ride back as one broadcast
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+      val cnt = pairs
+        .groupBy(col("event_type").as("src"),
+          col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      cnt.join(broadcast(cnt.groupBy(col("src"))
+          .agg(sum(col("n")).as("n_src"))), Seq("src"))
+        .select(col("src"), col("dst"), col("n"),
+          round(col("n").cast("double") /
+            col("n_src").cast("double"), 6).as("p"))
+        .orderBy("src", "dst")
     }),
     "pivot_status"   -> ((s, dir) => pivotStatus(s, dir)),
     "window_top_orders" -> ((s, dir) => windowTopOrders(s, dir)),
@@ -4549,6 +4809,23 @@ object SparkEntry {
     "tpch_q8" -> tpchQ8Oracle,
     "tpch_q14" -> tpchQ14Oracle,
     "tpch_q15" -> tpchQ15Oracle,
+    "tpch_q12" -> tpchQ12Oracle,
+    "tpch_q13" -> tpchQ13Oracle,
+    "tpch_q17" -> tpchQ17Oracle,
+    "tpch_q19" -> tpchQ19Oracle,
+    "tpch_q21" -> tpchQ21Oracle,
+    "tpch_q22" -> tpchQ22Oracle,
+    "event_transitions" ->
+      ("WITH seq AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS next_type FROM events), " +
+        "c AS (SELECT event_type AS src, next_type AS dst, " +
+        "count(*) AS n FROM seq WHERE next_type IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT src, sum(n) AS n_src FROM c GROUP BY 1) " +
+        "SELECT c.src, c.dst, c.n, round(CAST(c.n AS DOUBLE) / " +
+        "CAST(n_src AS DOUBLE), 6) AS p " +
+        "FROM c JOIN t ON c.src = t.src ORDER BY 1, 2"),
     "rollup_revenue" -> rollupRevenueOracle,
     "cube_revenue" -> cubeRevenueOracle,
     "rolling_revenue" -> rollingRevenueOracle,
