@@ -3081,6 +3081,36 @@ object SparkEntry {
           decSum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    // multi-writer optimistic append (commitAppendRetry): four
+    // appenders race the Iceberg-style manifest-create loop on one
+    // table — every delta must land exactly once whatever the
+    // interleaving, so the committed union is schedule-independent
+    // and the oracle replays it off the raw table
+    "table_append_race" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_race_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(
+        orders.where(col("o_orderkey") % 4 === 0), root, "seed")
+      val threads = (1 to 3).map { r =>
+        new Thread(() => {
+          graft.sources.VersionedTable.commitAppendRetry(
+            orders.where(col("o_orderkey") % 4 === r), root,
+            tag = s"writer-$r")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(graft.sources.VersionedTable
+        .versions(s, root).size == 4, "an appender lost its commit")
+      graft.sources.VersionedTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // maintenance OPTIMIZE: a deliberately fragmented commit (32
     // small files — the shape an incremental writer leaves), a
     // copy-on-write delete, then bin-packing compaction; the oracle
@@ -4242,6 +4272,11 @@ object SparkEntry {
     // collapse/diversity diagnostic per shard)
     "embed_group_stats" -> ((s, dir) => Similarity.groupMomentStats(
       tbl(s, dir, "embeddings"), "label", "embedding", dim = 64)),
+    // embedding ops — outlier screen: distance-to-label-centroid
+    // z-score; the curation pass that surfaces mis-embedded /
+    // mislabeled vectors before ANN-index or contrastive work
+    "embed_outliers" -> ((s, dir) => Similarity.embeddingOutliers(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")),
     // embedding ops — all-but-the-top correction: mean + top-2 PC
     // projections removed distributively (model ships as plan
     // literals; the correction is zip_with arithmetic, zero shuffle);
@@ -4970,6 +5005,25 @@ object SparkEntry {
         "round(sqrt(sum(am * am)), 6) AS mean_norm, " +
         "round(sum(aq - am * am), 6) AS cov_trace " +
         "FROM m GROUP BY 1 ORDER BY 1"),
+    "embed_outliers" ->
+      ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "c AS (SELECT label, t.i AS i, sum(vec[t.i]) AS s, " +
+        "count(*) AS cnt FROM v, " +
+        "unnest(generate_series(1, len(vec))) AS t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT label, list(s / cnt ORDER BY i) AS mu " +
+        "FROM c GROUP BY 1), " +
+        "dist AS (SELECT vec_id, v.label, " +
+        "sqrt(list_sum(list_transform(list_zip(vec, mu), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist " +
+        "FROM v JOIN cent ON v.label = cent.label), " +
+        "stats AS (SELECT label, avg(dist) AS m, " +
+        "sqrt(avg(dist * dist) - avg(dist) * avg(dist)) AS sd " +
+        "FROM dist GROUP BY 1) " +
+        "SELECT dist.label AS grp, vec_id, round(dist, 6) AS dist, " +
+        "round((dist - m) / sd, 6) AS z " +
+        "FROM dist JOIN stats ON dist.label = stats.label " +
+        "WHERE (dist - m) / sd > 2.0 ORDER BY 1, 2"),
     "decontaminate_semantic" ->
       ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
@@ -5188,6 +5242,12 @@ object SparkEntry {
     // identical because the versioned reads must be byte-faithful
     "table_time_travel" -> cdcDiffOracle,
     "table_wap_publish" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders GROUP BY 1 ORDER BY 1"),
+    // the four residue classes union back to the whole table — any
+    // append interleaving must reproduce it exactly
+    "table_append_race" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_price FROM orders GROUP BY 1 ORDER BY 1"),

@@ -1020,6 +1020,46 @@ object Similarity {
     * swap the scorer for [[knnPq]]'s ADC shortlist and band-filter the
     * rerank instead — the band logic is one `where` either way.
     */
+  /** Embedding outlier report — vectors far from their group's
+    * centroid, the curation screen for mis-embedded / mislabeled /
+    * junk documents before they poison contrastive training or ANN
+    * index quality. Distance z-score per group: centroid from
+    * per-dimension sums (ONE posexplode aggregation whose key domain
+    * is |groups|×dim — map-side combinable, never data-sized state),
+    * centroids and the per-group distance moments ride back as
+    * broadcasts, and the filter is a pure projection — no window and
+    * no sort anywhere. Rounding at 6 decimals absorbs cross-engine
+    * double-summation noise (the repo-wide discipline).
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, zThreshold: Double = 2.0): DataFrame = {
+    val v = df.select(col(idCol).as("vec_id"),
+      col(groupCol).as("grp"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cent = v.select(col("grp"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy(col("grp"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), (col("s") / col("cnt"))
+          .as("mu")))), e => e("mu")).as("mu"))
+    val dist = v.join(broadcast(cent), Seq("grp"))
+      .select(col("grp"), col("vec_id"),
+        sqrt(aggregate(zip_with(col("vec"), col("mu"),
+          (x, m) => (x - m) * (x - m)),
+          lit(0.0), (acc, d) => acc + d)).as("dist"))
+    val stats = dist.groupBy(col("grp"))
+      .agg(avg(col("dist")).as("mdist"),
+        sqrt(avg(col("dist") * col("dist")) -
+          avg(col("dist")) * avg(col("dist"))).as("sd"))
+    dist.join(broadcast(stats), Seq("grp"))
+      .withColumn("z", (col("dist") - col("mdist")) / col("sd"))
+      .where(col("z") > zThreshold)
+      .select(col("grp"), col("vec_id"),
+        round(col("dist"), 6).as("dist"), round(col("z"), 6).as("z"))
+      .orderBy("grp", "vec_id")
+  }
+
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int, k: Int, simLo: Double, simHi: Double)
       : DataFrame = {

@@ -136,8 +136,25 @@ object VersionedTable {
       s"""{"version":$version,"path":"${js(pathField)}","tag":"${js(tag)}"}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
-    val out = f.create(p, false) // no overwrite: a version is immutable
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    val uri = f.makeQualified(p).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // Hadoop's LOCAL create(overwrite=false) is exists-then-create —
+      // a TOCTOU window where two racing publishers both "win" and one
+      // commit silently vanishes (caught by the table_append_race
+      // contract). O_CREAT|O_EXCL via CREATE_NEW is the kernel-atomic
+      // claim; exactly one racer succeeds, the loser gets
+      // FileAlreadyExistsException and [[commitAppendRetry]] re-resolves.
+      val local = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.write(local, manifest.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } else {
+      // HDFS create(overwrite=false) IS atomic; object stores need a
+      // conditional-put LogStore here, same as Delta's commit service
+      val out = f.create(p, false) // no overwrite: versions are immutable
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Fast APPEND: write ONLY `delta` as this version's data directory
@@ -170,6 +187,47 @@ object VersionedTable {
     delta.write.mode("overwrite").parquet(dataDir)
     publish(spark, root, next, tag, dirs = prev :+ s"v$next")
     next
+  }
+
+  /** MULTI-writer fast append — the Iceberg-style optimistic commit
+    * protocol [[commitAppend]]'s single-writer contract points to.
+    * The delta is written ONCE to a collision-free directory
+    * (`a<uuid>`, a name no concurrent writer can compute), then only
+    * the tiny manifest create runs the race: on losing the
+    * no-overwrite publish the writer re-resolves the NEW latest
+    * snapshot and re-publishes its already-written directory on top
+    * of it. Contention costs one manifest-file create per retry — the
+    * data write never repeats, no byte moves — and any interleaving
+    * of N appenders yields a chain containing every delta exactly
+    * once. A writer that crashes pre-publish orphans its `a` dir;
+    * [[vacuum]] sweeps unreferenced append dirs like any other
+    * unreachable data.
+    */
+  def commitAppendRetry(delta: DataFrame, root: String,
+      tag: String = "", maxAttempts: Int = 20): Long = {
+    val spark = delta.sparkSession
+    val dirName =
+      "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+    delta.write.mode("overwrite").parquet(s"$root/$dirName")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prevV = latestVersion(spark, root)
+      val prev = prevV.map(v => resolveDirs(spark, root, v))
+        .getOrElse(Nil)
+      val next = prevV.map(_ + 1).getOrElse(0L)
+      try {
+        publish(spark, root, next, tag, dirs = prev :+ dirName)
+        return next
+      } catch {
+        // the no-overwrite create lost to a concurrent publisher:
+        // someone else owns v<next> now — re-resolve and go again
+        case _: java.io.IOException if attempt < maxAttempts => ()
+      }
+    }
+    sys.error(s"commitAppendRetry: lost the publish race " +
+      s"$maxAttempts times at $root; delta parked at $dirName " +
+      "(vacuum reclaims it)")
   }
 
   /** The ordered data directories (relative to root) snapshot
@@ -827,6 +885,13 @@ object VersionedTable {
         .filter { p =>
           val n = p.getName
           (n.startsWith("v") && n.drop(1).toLongOption.isDefined &&
+            !liveDirs.contains(n)) ||
+          // optimistic-append dirs (a<32-hex>, commitAppendRetry):
+          // swept when no retained manifest references them — expired
+          // chains and crashed-pre-publish orphans alike
+          (n.length == 33 && n.startsWith("a") &&
+            n.drop(1).forall(c => ('0' to '9').contains(c) ||
+              ('a' to 'f').contains(c)) &&
             !liveDirs.contains(n)) ||
           (n.startsWith("_graft_stats_v") &&
             n.stripPrefix("_graft_stats_v").toLongOption

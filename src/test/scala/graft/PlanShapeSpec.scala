@@ -71,4 +71,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "dedup_exact must not join")
   }
+
+  test("tpch_q19: the disjunction's union bounds push to BOTH scans " +
+      "and part stays the broadcast side") {
+    val p = planOf("tpch_q19")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), "part join lost broadcast")
+    // lineitem scan carries the quantity hull, part scan the brand IN
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "quantity hull not pushed to the lineitem scan")
+    assert(p.contains("In(p_brand"), "brand list not pushed to part")
+  }
+
+  test("tpch_q21: the exists/not-exists reformulation joins the fact " +
+      "tables ONCE — no second lineitem scan, no cartesian") {
+    val p = planOf("tpch_q21")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // reference Q21 touches lineitem three times (l1, l2, l3); the
+    // per-order aggregate form scans it exactly once
+    assert(count(p, "lineitem.parquet") == 1,
+      s"lineitem scanned more than once:\n${p.take(800)}")
+  }
+
+  test("tpch_q13: the priority filter is pushed into the orders scan " +
+      "below the outer join") {
+    val p = planOf("tpch_q13")
+    assert(p.contains("o_orderpriority"), "filter lost")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("event_transitions: the lead() window is partitioned per user " +
+      "(no global sort over the event stream)") {
+    val p = planOf("event_transitions")
+    // a Window with an empty partition spec plans a single-partition
+    // Exchange; the per-user spec must hashpartition on user_id
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not user-partitioned:\n${p.take(600)}")
+    assert(!p.contains("SinglePartition"),
+      "event stream collapsed to one partition")
+  }
 }

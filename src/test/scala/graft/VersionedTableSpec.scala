@@ -692,4 +692,53 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.resolveRef(spark, root, "main") == v2)
     assert(VersionedTable.readRef(spark, root, "main").count() == 3L)
   }
+
+  test("optimistic append: concurrent appenders all land, every delta " +
+      "exactly once, whatever the interleaving") {
+    val root = freshRoot("optappend")
+    VersionedTable.commit(Seq((0L, "seed")).toDF("k", "v"), root)
+    val perWriter = 4
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        for (i <- 1 to perWriter) {
+          val k = (w * 100 + i).toLong
+          VersionedTable.commitAppendRetry(
+            Seq((k, s"w$w-$i")).toDF("k", "v"), root, tag = s"w$w")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // one version per successful append, no lost or doubled delta
+    assert(VersionedTable.versions(spark, root).size == 1 + 2 * perWriter)
+    val keys = VersionedTable.read(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq
+    val expect = (0L +: (1 to perWriter).flatMap(i =>
+      Seq(100L + i, 200L + i)).map(_.toLong)).sorted
+    assert(keys == expect, s"chain lost or doubled rows: $keys")
+  }
+
+  test("optimistic append interleaves with plain commits and rewrites; " +
+      "vacuum sweeps a crashed appender's orphan dir but never a " +
+      "referenced one") {
+    val root = freshRoot("optvacuum")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.commitAppendRetry(
+      Seq((2L, "b")).toDF("k", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    // crashed writer: data written, publish never ran
+    val orphan = s"$root/a" + "0" * 32
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(orphan)
+    // advance twice so retention can expire the append chain
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    val last = VersionedTable.commitAppendRetry(
+      Seq((4L, "d")).toDF("k", "v"), root)
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    val left = new java.io.File(root).listFiles.map(_.getName).toSet
+    assert(!left.contains("a" + "0" * 32), "orphan append dir survived")
+    // the retained chain (v2 + live append dir) still reads intact
+    assert(VersionedTable.readVersion(spark, root, last)
+      .select("k").as[Long].collect().toSet == Set(3L, 4L))
+    // expired append deltas are gone from disk
+    assert(VersionedTable.read(spark, root).count() == 2L)
+  }
 }
