@@ -1165,6 +1165,36 @@ object SparkEntry {
       "ORDER BY gid, l_returnflag ASC NULLS FIRST, " +
       "l_linestatus ASC NULLS FIRST"
 
+  /** Explicit GROUPING SETS — two NON-hierarchical slices
+    * ((status), (priority)) in one scan, the shape neither ROLLUP nor
+    * CUBE expresses (rollup nests, cube takes every subset; this takes
+    * exactly the two named ones). Catalyst plans one Expand over the
+    * set list, so the input is read once however many sets are asked
+    * for; grouping_id keys which slice a row belongs to.
+    */
+  private def groupingSetsRevenue(s: SparkSession,
+      dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 2).as("sum_price"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val groupingSetsRevenueOracle: String =
+    "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) " +
+      "AS gid, o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_price FROM orders " +
+      "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
+      "ORDER BY gid, o_orderstatus ASC NULLS FIRST, " +
+      "o_orderpriority ASC NULLS FIRST"
+
   /** Time-series range frame: 7-day rolling revenue over the DAILY
     * order aggregate (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on
     * epoch days — a calendar window, not a row window, so gaps in the
@@ -3743,6 +3773,7 @@ object SparkEntry {
       .orderBy("source", "rank")),
     "rollup_revenue" -> ((s, dir) => rollupRevenue(s, dir)),
     "cube_revenue"   -> ((s, dir) => cubeRevenue(s, dir)),
+    "groupingsets_revenue" -> ((s, dir) => groupingSetsRevenue(s, dir)),
     "rolling_revenue" -> ((s, dir) => rollingRevenue(s, dir)),
     // time-series decomposition: 7-day centered trend + day-of-week
     // seasonal + residual over the daily revenue series (date-
@@ -4703,6 +4734,12 @@ object SparkEntry {
     // the batch recompute (monoid merge ⇒ batch-boundary-independent)
     "streaming_ivm" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamingIvm(s, dir)),
+    // streaming ingestion into the snapshot table: each micro-batch
+    // is one optimistic fast-append tagged with its batch id (replays
+    // detected via history, skipped); the committed table must equal
+    // the batch replay of the raw log whatever the batch boundaries
+    "stream_table_ingest" -> ((s, dir) =>
+      graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)),
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
     // streaming drift monitor: hourly event-type mix PSI-scored
     // against the full-corpus reference — windowed counts accumulate
@@ -4863,6 +4900,7 @@ object SparkEntry {
         "FROM c JOIN t ON c.src = t.src ORDER BY 1, 2"),
     "rollup_revenue" -> rollupRevenueOracle,
     "cube_revenue" -> cubeRevenueOracle,
+    "groupingsets_revenue" -> groupingSetsRevenueOracle,
     "rolling_revenue" -> rollingRevenueOracle,
     "seasonal_decompose" -> seasonalDecomposeOracle,
     "changepoint_cusum" -> changepointCusumOracle,
@@ -6215,6 +6253,10 @@ object SparkEntry {
         "CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt " +
         "WHEN tu - bt <= ft - tu THEN bt ELSE ft END AS matched_ts " +
         "FROM m ORDER BY event_id"),
+    "stream_table_ingest" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
     "streaming_ivm" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, " +

@@ -116,4 +116,73 @@ object StreamingIvm {
           col("n_exact") <= 0.05).cast("int").as("within_5pct"))
       .orderBy("event_type")
   }
+
+  /** Streaming ingestion INTO the snapshot table layer: every arriving
+    * micro-batch lands as one optimistic fast append
+    * ([[VersionedTable.commitAppendRetry]] — per-batch cost is the
+    * delta write plus one atomic manifest create, no byte of history
+    * rewritten), TAGGED with its batch id so an at-least-once restart
+    * is detectable: a replayed id is found in [[VersionedTable
+    * .history]] and skipped instead of double-appended. Readers
+    * time-travel any prefix of the ingest; the final table must equal
+    * the batch replay of the raw log whatever the micro-batch
+    * boundaries — which is what the contract oracle pins.
+    */
+  def runStreamingTableIngest(spark: SparkSession, dir: String,
+      cut: String = "2024-01-16"): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val staged = Paths.get(
+      s"${graft.config.Scratch.runDir}/ingest_stream_$tag")
+    val tableRoot = s"${graft.config.Scratch.runDir}/ingest_table_$tag"
+    if (Files.exists(staged)) {
+      Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    locally {
+      val ev = graft.sources.EventsSource.read(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val t = col("ts")
+      ev.where(t < cut).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staged/b0")
+      ev.where(t >= cut).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staged/b1")
+      val files = Seq("b0", "b1").flatMap { b =>
+        Files.list(Paths.get(s"$staged/$b")).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet"))
+      }
+      files.zipWithIndex.foreach { case (f, i) =>
+        Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Seq("b0", "b1").foreach { b =>
+        Files.walk(Paths.get(s"$staged/$b"))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    VersionedTable.destroy(spark, tableRoot)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val seen = VersionedTable.history(spark, tableRoot)
+          .exists(_._2 == s"batch-$id")
+        if (!seen) {
+          VersionedTable.commitAppendRetry(batch, tableRoot,
+            tag = s"batch-$id")
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    VersionedTable.read(spark, tableRoot)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
 }

