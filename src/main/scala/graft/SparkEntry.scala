@@ -4735,9 +4735,10 @@ object SparkEntry {
     "streaming_ivm" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamingIvm(s, dir)),
     // streaming ingestion into the snapshot table: each micro-batch
-    // is one optimistic fast-append tagged with its batch id (replays
-    // detected via history, skipped); the committed table must equal
-    // the batch replay of the raw log whatever the batch boundaries
+    // is one optimistic fast-append tagged with its batch id (a
+    // replayed id is at or below the newest tag — skipped in one
+    // manifest read); the committed table must equal the batch
+    // replay of the raw log whatever the batch boundaries
     "stream_table_ingest" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)),
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
@@ -5061,7 +5062,7 @@ object SparkEntry {
         "SELECT dist.label AS grp, vec_id, round(dist, 6) AS dist, " +
         "round((dist - m) / sd, 6) AS z " +
         "FROM dist JOIN stats ON dist.label = stats.label " +
-        "WHERE (dist - m) / sd > 2.0 ORDER BY 1, 2"),
+        "WHERE sd > 0 AND (dist - m) / sd > 2.0 ORDER BY 1, 2"),
     "decontaminate_semantic" ->
       ("WITH v AS (SELECT vec_id, label, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +

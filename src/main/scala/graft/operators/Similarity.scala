@@ -1054,7 +1054,10 @@ object Similarity {
           avg(col("dist")) * avg(col("dist"))).as("sd"))
     dist.join(broadcast(stats), Seq("grp"))
       .withColumn("z", (col("dist") - col("mdist")) / col("sd"))
-      .where(col("z") > zThreshold)
+      // sd == 0 (singleton group / all-equal distances) makes z NaN,
+      // and Spark orders NaN ABOVE every number — a degenerate group
+      // must yield no outliers, not a page of NaN rows
+      .where(col("sd") > 0 && col("z") > zThreshold)
       .select(col("grp"), col("vec_id"),
         round(col("dist"), 6).as("dist"), round(col("z"), 6).as("z"))
       .orderBy("grp", "vec_id")

@@ -141,13 +141,21 @@ object VersionedTable {
       // Hadoop's LOCAL create(overwrite=false) is exists-then-create —
       // a TOCTOU window where two racing publishers both "win" and one
       // commit silently vanishes (caught by the table_append_race
-      // contract). O_CREAT|O_EXCL via CREATE_NEW is the kernel-atomic
-      // claim; exactly one racer succeeds, the loser gets
-      // FileAlreadyExistsException and [[commitAppendRetry]] re-resolves.
+      // contract). And a plain exclusive create is only NAME-atomic:
+      // the empty file is visible before its bytes land, so a
+      // concurrent reader could resolve a half-written manifest. So:
+      // write the full content to a sibling temp (its name doesn't end
+      // in .json, invisible to version listing), then CLAIM the
+      // manifest name with a hard link — link(2) is kernel-atomic,
+      // fails EEXIST for every racer but one, and the name appears
+      // only with its complete content behind it.
       val local = java.nio.file.Paths.get(uri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      java.nio.file.Files.write(local, manifest.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      val tmp = local.resolveSibling(local.getFileName.toString +
+        ".tmp-" + java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.write(tmp, manifest.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(local, tmp)
+      finally { java.nio.file.Files.deleteIfExists(tmp); () }
       ()
     } else {
       // HDFS create(overwrite=false) IS atomic; object stores need a
@@ -220,9 +228,12 @@ object VersionedTable {
         publish(spark, root, next, tag, dirs = prev :+ dirName)
         return next
       } catch {
-        // the no-overwrite create lost to a concurrent publisher:
-        // someone else owns v<next> now — re-resolve and go again
-        case _: java.io.IOException if attempt < maxAttempts => ()
+        // the exclusive claim lost to a concurrent publisher: someone
+        // else owns v<next> now — re-resolve and go again. ONLY the
+        // already-exists loss retries; disk-full/permission errors
+        // propagate immediately instead of spinning 20 times
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
       }
     }
     sys.error(s"commitAppendRetry: lost the publish race " +
@@ -236,9 +247,19 @@ object VersionedTable {
   def resolveDirs(spark: SparkSession, root: String,
       version: Long): Seq[String] = {
     val raw = readManifest(spark, root, version)
-    """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-      .map(_.group(1)).getOrElse(s"v$version")
+    // a manifest without a parseable path field is CORRUPT, never a
+    // guessable default: an append version's real dirs are the whole
+    // prior chain, so falling back to Seq("v<version>") would turn a
+    // truncated file into silent data loss (and vacuum would then
+    // delete the "unreferenced" real dirs). Fail loudly instead.
+    val dirs = """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1))
+      .getOrElse(sys.error(
+        s"corrupt manifest for version $version at $root: $raw"))
       .split(',').toSeq.filter(_.nonEmpty)
+    if (dirs.isEmpty) sys.error(
+      s"corrupt manifest for version $version at $root: empty path")
+    dirs
   }
 
   /** Read the newest committed snapshot. */
@@ -856,7 +877,8 @@ object VersionedTable {
     * across the retained window, and versions a named ref points at
     * ([[createRef]]) are retained regardless of age.
     */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
+      orphanGraceMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
@@ -871,28 +893,37 @@ object VersionedTable {
     // in any manifest store
     val liveDirs = keep.toSeq.flatMap(v => resolveDirs(spark, root, v))
       .toSet
-    versions.filterNot(keep).foreach { v =>
+    val expired = versions.filterNot(keep)
+    // dirs an EXPIRED manifest referenced are provably dead the moment
+    // their last manifest goes — deletable regardless of age
+    val expiredDirs = expired.flatMap(v => resolveDirs(spark, root, v))
+      .toSet -- liveDirs
+    expired.foreach { v =>
       f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
     }
-    // every data dir outside the LIVE set goes — expired versions'
-    // unreferenced dirs and orphans alike (a crashed commit's dir no
-    // manifest ever named); stats sidecars ride with their version
+    // a dir NO manifest ever named is ambiguous: a crashed commit's
+    // orphan — or an IN-FLIGHT writer's data, written but not yet
+    // published (commit and commitAppendRetry both write data first).
+    // Only age disambiguates, exactly like Delta/Iceberg VACUUM
+    // retention: sweep unreferenced dirs older than `orphanGraceMs`,
+    // leave anything younger for the next cycle
+    val now = System.currentTimeMillis()
     val rootPath = new Path(root)
     if (f.exists(rootPath)) {
       f.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
-        .map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          (n.startsWith("v") && n.drop(1).toLongOption.isDefined &&
-            !liveDirs.contains(n)) ||
-          // optimistic-append dirs (a<32-hex>, commitAppendRetry):
-          // swept when no retained manifest references them — expired
-          // chains and crashed-pre-publish orphans alike
-          (n.length == 33 && n.startsWith("a") &&
-            n.drop(1).forall(c => ('0' to '9').contains(c) ||
-              ('a' to 'f').contains(c)) &&
-            !liveDirs.contains(n)) ||
+        .filter { st =>
+          val n = st.getPath.getName
+          val isData =
+            (n.startsWith("v") && n.drop(1).toLongOption.isDefined) ||
+            // optimistic-append dirs (a<32-hex>, commitAppendRetry)
+            (n.length == 33 && n.startsWith("a") &&
+              n.drop(1).forall(c => ('0' to '9').contains(c) ||
+                ('a' to 'f').contains(c)))
+          val deadData = isData && !liveDirs.contains(n) &&
+            (expiredDirs.contains(n) ||
+              now - st.getModificationTime > orphanGraceMs)
+          deadData ||
           (n.startsWith("_graft_stats_v") &&
             n.stripPrefix("_graft_stats_v").toLongOption
               .exists(v => !keep.contains(v))) ||
@@ -900,7 +931,7 @@ object VersionedTable {
             n.stripPrefix("_graft_bloom_v").toLongOption
               .exists(v => !keep.contains(v)))
         }
-        .foreach(p => f.delete(p, true))
+        .foreach(st => f.delete(st.getPath, true))
     }
   }
 

@@ -48,6 +48,44 @@ object StreamingIvm {
     }
   }
 
+  /** Stage the events log as TWO "arriving" files split at `cut`
+    * (one per half, flattened to part0/part1 at the staging root), so
+    * `maxFilesPerTrigger=1` replays it as exactly two micro-batches.
+    * Restages from scratch every call — a stale layout must never
+    * leak across code versions. Shared by the IVM and table-ingest
+    * sinks; every directory stream is closed (walk/list hold an open
+    * directory handle otherwise).
+    */
+  private def stageTwoBatches(spark: SparkSession, dir: String,
+      staged: java.nio.file.Path, cut: String,
+      cols: Seq[String] = Nil): Unit = {
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+      finally s.close()
+    }
+    if (Files.exists(staged)) rmTree(staged)
+    val ev0 = graft.sources.EventsSource.read(spark, dir)
+    val ev = if (cols.isEmpty) ev0
+      else ev0.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val t = col("ts")
+    ev.where(t < cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/b0")
+    ev.where(t >= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/b1")
+    val files = Seq("b0", "b1").flatMap { b =>
+      val s = Files.list(Paths.get(s"$staged/$b"))
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally s.close()
+    }
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+  }
+
   /** Replay the events log as a TWO-micro-batch file stream (split at
     * `cut`, one file per half, maxFilesPerTrigger=1), maintain the
     * per-event-type state across batches, and return the finalized
@@ -63,35 +101,8 @@ object StreamingIvm {
 
     // stage the two "arriving" batch files deterministically — ts
     // already NORMALIZED to TimestampType so the stream schema is the
-    // staged files' own schema regardless of the source generation;
-    // always restage so a stale layout can't leak across code versions
-    if (Files.exists(staged)) {
-      Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    locally {
-      val ev = graft.sources.EventsSource.read(spark, dir)
-      val t = col("ts")
-      ev.where(t < cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staged/b0")
-      ev.where(t >= cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staged/b1")
-      val files = Seq("b0", "b1").flatMap { b =>
-        val d = Paths.get(s"$staged/$b")
-        val fs = Files.list(d).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet"))
-        fs
-      }
-      files.zipWithIndex.foreach { case (f, i) =>
-        Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-      Seq("b0", "b1").foreach { b =>
-        val d = Paths.get(s"$staged/$b")
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-    }
+    // staged files' own schema regardless of the source generation
+    stageTwoBatches(spark, dir, staged, cut)
     // fresh state per run (reruns must not double-count)
     VersionedTable.destroy(spark, stateRoot)
 
@@ -117,16 +128,33 @@ object StreamingIvm {
       .orderBy("event_type")
   }
 
+  /** Append one micro-batch to the versioned table at `tableRoot` as
+    * an optimistic fast append tagged with its batch id. Idempotent
+    * under at-least-once replay the same way [[foldBatch]] is: the
+    * sink is the table's only writer, ids are monotone, so a batch at
+    * or below the last committed tag is already appended and skips —
+    * ONE newest-manifest read per batch, never a full history scan.
+    */
+  private[graft] def ingestBatch(spark: SparkSession, tableRoot: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val replayed = VersionedTable.latestTag(spark, tableRoot)
+      .flatMap(_.toLongOption).exists(_ >= batchId)
+    if (!replayed) {
+      VersionedTable.commitAppendRetry(batch, tableRoot,
+        tag = batchId.toString)
+      ()
+    }
+  }
+
   /** Streaming ingestion INTO the snapshot table layer: every arriving
     * micro-batch lands as one optimistic fast append
     * ([[VersionedTable.commitAppendRetry]] — per-batch cost is the
     * delta write plus one atomic manifest create, no byte of history
     * rewritten), TAGGED with its batch id so an at-least-once restart
-    * is detectable: a replayed id is found in [[VersionedTable
-    * .history]] and skipped instead of double-appended. Readers
-    * time-travel any prefix of the ingest; the final table must equal
-    * the batch replay of the raw log whatever the micro-batch
-    * boundaries — which is what the contract oracle pins.
+    * is detectable and skipped ([[ingestBatch]]). Readers time-travel
+    * any prefix of the ingest; the final table must equal the batch
+    * replay of the raw log whatever the micro-batch boundaries —
+    * which is what the contract oracle pins.
     */
   def runStreamingTableIngest(spark: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
@@ -134,48 +162,15 @@ object StreamingIvm {
     val staged = Paths.get(
       s"${graft.config.Scratch.runDir}/ingest_stream_$tag")
     val tableRoot = s"${graft.config.Scratch.runDir}/ingest_table_$tag"
-    if (Files.exists(staged)) {
-      Files.walk(staged).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    locally {
-      val ev = graft.sources.EventsSource.read(spark, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val t = col("ts")
-      ev.where(t < cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staged/b0")
-      ev.where(t >= cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$staged/b1")
-      val files = Seq("b0", "b1").flatMap { b =>
-        Files.list(Paths.get(s"$staged/$b")).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet"))
-      }
-      files.zipWithIndex.foreach { case (f, i) =>
-        Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-      Seq("b0", "b1").foreach { b =>
-        Files.walk(Paths.get(s"$staged/$b"))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-    }
+    stageTwoBatches(spark, dir, staged, cut,
+      cols = Seq("event_id", "ts", "user_id", "event_type", "value"))
     VersionedTable.destroy(spark, tableRoot)
     val stream = spark.readStream
       .schema(spark.read.parquet(staged.toString).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val seen = VersionedTable.history(spark, tableRoot)
-          .exists(_._2 == s"batch-$id")
-        if (!seen) {
-          VersionedTable.commitAppendRetry(batch, tableRoot,
-            tag = s"batch-$id")
-          ()
-        }
-      }
+      .foreachBatch(ingestBatch(spark, tableRoot) _)
       .start()
     try q.processAllAvailable() finally q.stop()
     VersionedTable.read(spark, tableRoot)

@@ -98,11 +98,16 @@ class VersionedTableSpec extends AnyFunSuite {
     // a crashed commit leaves an orphan dir
     Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$root/v99")
     VersionedTable.vacuum(spark, root, keepLast = 2)
-    // v0/v1 and the orphan are gone; v2 and v3 remain readable
+    // v0/v1 (expired-manifest dirs, provably dead) are gone at once;
+    // the FRESH orphan is age-guarded — it could be an in-flight
+    // writer's data — and survives until the grace window passes
     assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
     intercept[Exception] { VersionedTable.readVersion(spark, root, 0L) }
-    assert(!new java.io.File(s"$root/v99").exists)
     assert(!new java.io.File(s"$root/v0").exists)
+    assert(new java.io.File(s"$root/v99").exists,
+      "fresh orphan swept inside the grace window")
+    VersionedTable.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/v99").exists)
     assert(VersionedTable.readVersion(spark, root, 2L).collect()
       .map(_.getLong(0)).toSeq == Seq(3L))
     assert(VersionedTable.read(spark, root).collect()
@@ -730,19 +735,18 @@ class VersionedTableSpec extends AnyFunSuite {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val root = s"${graft.config.Scratch.runDir}/ingest_table_$tag"
     val hist = VersionedTable.history(spark, root)
-    assert(hist.map(_._2) == Seq("batch-0", "batch-1"),
-      s"expected one tagged append per micro-batch: $hist")
-    // at-least-once replay: a batch whose id is already in history
-    // must be skipped, not double-appended (the foreachBatch guard)
-    val replayed = hist.exists(_._2 == "batch-1")
-    if (replayed) {
-      val before = VersionedTable.versions(spark, root).size
-      // same guard expression the sink runs
-      if (!VersionedTable.history(spark, root).exists(_._2 == "batch-1"))
-        VersionedTable.commitAppendRetry(
-          Seq((1L, "x")).toDF("k", "v"), root, tag = "batch-1")
-      assert(VersionedTable.versions(spark, root).size == before)
-    }
+    assert(hist.map(_._2) == Seq("0", "1"),
+      s"expected one batch-id-tagged append per micro-batch: $hist")
+    // at-least-once replay THROUGH THE REAL SINK: re-delivering an
+    // already-committed batch id must be a no-op, the next id appends
+    val before = VersionedTable.versions(spark, root).size
+    val replay = VersionedTable.read(spark, root).limit(1)
+    StreamingIvm.ingestBatch(spark, root)(replay, 1L)
+    assert(VersionedTable.versions(spark, root).size == before,
+      "replayed batch id was double-appended")
+    StreamingIvm.ingestBatch(spark, root)(replay, 2L)
+    assert(VersionedTable.versions(spark, root).size == before + 1,
+      "fresh batch id failed to append")
   }
 
   test("optimistic append interleaves with plain commits and rewrites; " +
@@ -760,7 +764,13 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
     val last = VersionedTable.commitAppendRetry(
       Seq((4L, "d")).toDF("k", "v"), root)
+    // default grace: a FRESH unreferenced dir is indistinguishable
+    // from an in-flight writer's data — the sweep must leave it
     VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(new java.io.File(orphan).exists,
+      "fresh orphan swept inside the grace window")
+    // grace elapsed (0 for the test): provably-dead orphan goes
+    VersionedTable.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
     val left = new java.io.File(root).listFiles.map(_.getName).toSet
     assert(!left.contains("a" + "0" * 32), "orphan append dir survived")
     // the retained chain (v2 + live append dir) still reads intact
