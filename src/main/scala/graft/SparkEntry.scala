@@ -3805,8 +3805,12 @@ object SparkEntry {
             col("n_t").as("n_b"))), Seq("type_b"))
         .crossJoin(broadcast(totals))
         .select(col("type_a"), col("type_b"), col("n_ab"),
+          // both products in DOUBLE: n_a*n_b as long*long would wrap
+          // silently past ~3e9 distinct users per type (ANSI off) —
+          // counts this size are exact in double (< 2^53) and the
+          // oracle's HUGEINT product divides to the same double
           round(log(col("n_ab").cast("double") * col("n_users") /
-            (col("n_a") * col("n_b"))), 6).as("pmi"))
+            (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
         .orderBy("type_a", "type_b")
     }),
     // sequence mining: first-order Markov transition matrix over each
@@ -4315,11 +4319,16 @@ object SparkEntry {
     // to ~0 and the leading eigenvalue strictly reduced
     "embed_abtt_contract" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val top = Similarity.pcaTopComponent(emb, "embedding")
-      val corrected = Similarity.abttCorrect(emb, "vec_id",
-        "embedding", numComponents = 2)
-      val (n2, mean2, _) = Similarity.momentsOf(corrected, "corrected")
-      val ctop = Similarity.pcaTopComponent(corrected, "corrected")
+      // ONE moments pass serves both the reference eigenvalue and the
+      // correction model; one more over the corrected vectors serves
+      // both post-checks — two data passes total, not four
+      val (n1, mean1, cov1) = Similarity.momentsOf(emb, "embedding")
+      val top = Similarity.pcaTopKFromCov(n1, cov1, 1).head
+      val corrected = Similarity.abttCorrectFromMoments(emb, "vec_id",
+        "embedding", mean1, cov1, numComponents = 2)
+      val (n2, mean2, cov2) = Similarity.momentsOf(corrected,
+        "corrected")
+      val ctop = Similarity.pcaTopKFromCov(n2, cov2, 1).head
       import s.implicits._
       Seq((n2,
         if (mean2.forall(m => math.abs(m) < 1e-9)) 1 else 0,
@@ -6309,3 +6318,4 @@ object SparkEntry {
     // oracle-backed summary_*_contract pair above).
   )
 }
+

@@ -557,6 +557,11 @@ object Dedup {
     var frozen: Option[DataFrame] = None
     var converged = false
     var round = 0
+    // alternation index for the CHECK-path ping-pong. Keyed by check
+    // COUNT, not round: with an even checkEvery every check lands on
+    // the same round%2 parity, and a materialize would overwrite the
+    // very cc_frozen_/cc_edges_ parquet it is reading
+    var checkIdx = 0
     while (!converged && round < maxRounds) {
       round += 1
       // one-hop: min label among self and neighbors
@@ -575,6 +580,7 @@ object Dedup {
             .as("label"))
       labels = materialize(doubled, s"cc_labels_${round % 2}")
       if (round % checkEvery == 0 || round == maxRounds) {
+        checkIdx += 1
         val edgeLabels = edges
           .join(labels.select(col("id").as("src"),
             col("label").as("__ls")), Seq("src"))
@@ -587,25 +593,25 @@ object Dedup {
         val moving = materialize(edgeLabels
           .where(col("__ls") =!= col("__ld"))
           .select(explode(array(col("__ls"), col("__ld"))).as("label"))
-          .distinct(), s"cc_moving_${round % 2}")
+          .distinct(), s"cc_moving_${checkIdx % 2}")
         converged = moving.isEmpty
         if (!converged) {
           val fin = labels.join(moving, Seq("label"), "left_anti")
           frozen = Some(frozen match {
             case Some(d) => materialize(d.unionByName(fin),
-              s"cc_frozen_${round % 2}")
-            case None => materialize(fin, s"cc_frozen_${round % 2}")
+              s"cc_frozen_${checkIdx % 2}")
+            case None => materialize(fin, s"cc_frozen_${checkIdx % 2}")
           })
           labels = materialize(
             labels.join(moving, Seq("label"), "left_semi"),
-            s"cc_labels_live_${round % 2}")
+            s"cc_labels_live_${checkIdx % 2}")
           // a consistent edge carries its group's label on both ends,
           // an inconsistent edge has both ends marked moving — so
           // src-label membership alone decides edge liveness
           edges = materialize(edgeLabels
             .join(moving.select(col("label").as("__ls")), Seq("__ls"),
               "left_semi")
-            .select(col("src"), col("dst")), s"cc_edges_${round % 2}")
+            .select(col("src"), col("dst")), s"cc_edges_${checkIdx % 2}")
         }
       }
     }
@@ -837,27 +843,33 @@ object Dedup {
     * width (kept as the string here so a SQL oracle can replay the
     * operator bit-for-bit).
     */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 10): DataFrame = {
+  /** Chunk-family scaffolding, shared by [[chunkDedup]],
+    * [[boilerplateChunkFilter]] and [[intraDocChunkDedup]]: split each
+    * document into fixed-size token chunks as an ordered
+    * (chunk_idx, chunk) struct array — one projection, no shuffle.
+    */
+  private def chunkify(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
     val toks = split(col(textCol), " ")
-    val chunked = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       transform(
         sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
         i => struct(i.as("chunk_idx"), concat_ws(" ",
           slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
         .as("__chunks"))
+  }
+
+  /** The family's shared tail: reassemble the kept (id, chunk_idx,
+    * chunk) rows in original order and emit the
+    * (id, n_chunks, n_kept, text_clean) shape — rows stable, a
+    * fully-dropped document survives with `text_clean = ""`.
+    */
+  private def reassembleKept(chunked: DataFrame, kept: DataFrame,
+      idCol: String): DataFrame = {
     val perDoc = chunked.select(col("id"),
       size(col("__chunks")).cast("long").as("n_chunks"))
-    val exploded = chunked
-      .select(col("id"), explode(col("__chunks")).as("c"))
-      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk").as("chunk"))
-    val firsts = exploded.groupBy(col("chunk"))
-      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
-      .select(col("f.id").as("id"), col("f.chunk_idx").as("chunk_idx"),
-        col("chunk"))
-    val reassembled = firsts.groupBy(col("id"))
+    val reassembled = kept.groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
@@ -866,6 +878,20 @@ object Dedup {
       .select(col("id").as(idCol), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 10): DataFrame = {
+    val chunked = chunkify(df, idCol, textCol, chunkSize)
+    val exploded = chunked
+      .select(col("id"), explode(col("__chunks")).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+    val firsts = exploded.groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
+      .select(col("f.id").as("id"), col("f.chunk_idx").as("chunk_idx"),
+        col("chunk"))
+    reassembleKept(chunked, firsts, idCol)
   }
 
   /** CCNet-style boilerplate removal by CORPUS FREQUENCY: split each
@@ -895,35 +921,18 @@ object Dedup {
     */
   def boilerplateChunkFilter(df: DataFrame, idCol: String,
       textCol: String, chunkSize: Int = 10, maxDocs: Long = 2L): DataFrame = {
-    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
     require(maxDocs >= 1, s"maxDocs must be at least 1: $maxDocs")
-    val toks = split(col(textCol), " ")
-    val chunked = df.select(col(idCol).as("id"),
-      transform(
-        sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
-        i => struct(i.as("chunk_idx"), concat_ws(" ",
-          slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
-        .as("__chunks"))
-    val perDoc = chunked.select(col("id"),
-      size(col("__chunks")).cast("long").as("n_chunks"))
+    val chunked = chunkify(df, idCol, textCol, chunkSize)
     val exploded = chunked
       .select(col("id"), explode(col("__chunks")).as("c"))
       .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk").as("chunk"), xxhash64(col("c.chunk")).as("__ch"))
     val freq = exploded.select(col("__ch"), col("id")).distinct()
       .groupBy(col("__ch")).agg(count(lit(1)).as("__n_docs"))
-    val reassembled = exploded
+    val kept = exploded
       .join(freq, Seq("__ch"))
       .where(col("__n_docs") <= maxDocs)
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
-          c => c.getField("chunk"))).as("text_clean"))
-    perDoc.join(reassembled, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    reassembleKept(chunked, kept, idCol)
   }
 
   /** WITHIN-document repetition removal, completing the chunk-dedup
@@ -946,29 +955,12 @@ object Dedup {
     */
   def intraDocChunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 10): DataFrame = {
-    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
-    val toks = split(col(textCol), " ")
-    val chunked = df.select(col(idCol).as("id"),
-      transform(
-        sequence(lit(0), floor((size(toks) - 1) / chunkSize).cast("int")),
-        i => struct(i.as("chunk_idx"), concat_ws(" ",
-          slice(toks, i * chunkSize + 1, lit(chunkSize))).as("chunk")))
-        .as("__chunks"))
-    val perDoc = chunked.select(col("id"),
-      size(col("__chunks")).cast("long").as("n_chunks"))
+    val chunked = chunkify(df, idCol, textCol, chunkSize)
     val firsts = chunked
       .select(col("id"), explode(col("__chunks")).as("c"))
       .groupBy(col("id"), col("c.chunk").as("chunk"))
       .agg(min(col("c.chunk_idx")).as("chunk_idx"))
-    val reassembled = firsts.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
-          c => c.getField("chunk"))).as("text_clean"))
-    perDoc.join(reassembled, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    reassembleKept(chunked, firsts, idCol)
   }
 
   /** Soft dedup: instead of DROPPING duplicates, weight each copy by

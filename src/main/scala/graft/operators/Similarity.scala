@@ -395,8 +395,20 @@ object Similarity {
   def pcaTopK(df: DataFrame, vecCol: String, k: Int,
       tol: Double = 1e-9, maxIters: Int = 20000): Seq[PcaTop] = {
     val (n, _, cov) = momentsOf(df, vecCol)
-    val d = cov.length
+    pcaTopKFromCov(n, cov, k, tol, maxIters)
+  }
+
+  /** [[pcaTopK]] over an ALREADY-computed covariance — lets a caller
+    * that needs the moments anyway (a contract that also measures the
+    * mean, an ABTT correction) pay the data pass once and share it.
+    * Deflation runs on a private copy, so the caller's matrix
+    * survives for reuse.
+    */
+  def pcaTopKFromCov(n: Long, cov0: Array[Array[Double]], k: Int,
+      tol: Double = 1e-9, maxIters: Int = 20000): Seq[PcaTop] = {
+    val d = cov0.length
     require(k >= 1 && k <= d, s"need 1 <= k <= $d components")
+    val cov = cov0.map(_.clone())
     val trace = (0 until d).map(i => cov(i)(i)).sum
     (0 until k).map { _ =>
       val (lambda, v, residual) = powerIterate(cov, tol, maxIters)
@@ -532,8 +544,21 @@ object Similarity {
       numComponents: Int = 1, tol: Double = 1e-9,
       maxIters: Int = 20000): DataFrame = {
     val (_, mean, cov) = momentsOf(df, vecCol)
+    abttCorrectFromMoments(df, idCol, vecCol, mean, cov,
+      numComponents, tol, maxIters)
+  }
+
+  /** [[abttCorrect]] from an ALREADY-computed moments pass — the
+    * one-data-pass path for callers that need the moments themselves
+    * (the pcaTopKFromCov pairing). Deflates a private copy of the
+    * covariance, so the caller's matrix survives.
+    */
+  def abttCorrectFromMoments(df: DataFrame, idCol: String,
+      vecCol: String, mean: Array[Double],
+      cov0: Array[Array[Double]], numComponents: Int,
+      tol: Double = 1e-9, maxIters: Int = 20000): DataFrame = {
+    val cov = cov0.map(_.clone())
     val comps = {
-      // deflate off a private copy: momentsOf already returned ours
       val d = cov.length
       (0 until numComponents).map { _ =>
         val (lambda, v, _) = powerIterate(cov, tol, maxIters)

@@ -316,8 +316,8 @@ object VersionedTable {
     val cur = read(spark, root)
     val kept = cur.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    commit(kept.unionByName(updates.select(cur.columns.map(col): _*)),
-      root, tag)
+    commit(kept.unionByName(
+      updates.select(cur.columns.toIndexedSeq.map(col): _*)), root, tag)
   }
 
   /** (version, tag) pairs of every commit, oldest first — the
@@ -372,13 +372,38 @@ object VersionedTable {
   }
 
   private def writeRefFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
-      name: String, version: Long, movable: Boolean): Unit = {
-    // create(overwrite=false) is the publish point, same as a manifest
-    val out = f.create(p, false)
-    try out.write(
-      (s"""{"name":"$name","version":$version,""" +
-        s""""movable":$movable}""").getBytes("UTF-8"))
-    finally out.close()
+      name: String, version: Long, movable: Boolean,
+      replace: Boolean = false): Unit = {
+    val bytes = (s"""{"name":"$name","version":$version,""" +
+      s""""movable":$movable}""").getBytes("UTF-8")
+    val uri = f.makeQualified(p).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // full content staged in a temp sibling, then an ATOMIC name
+      // operation — readers see the old ref or the new ref, never a
+      // missing or half-written one. Claim (`replace=false`, tag
+      // semantics) hard-links like a manifest publish; re-point
+      // (`replace=true`, branch move) is a rename(2), which swaps the
+      // file in place
+      val local = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      val tmp = local.resolveSibling(local.getFileName.toString +
+        ".tmp-" + java.util.UUID.randomUUID().toString)
+      java.nio.file.Files.write(tmp, bytes)
+      if (replace) {
+        java.nio.file.Files.move(tmp, local,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      } else {
+        try java.nio.file.Files.createLink(local, tmp)
+        finally { java.nio.file.Files.deleteIfExists(tmp); () }
+      }
+    } else {
+      // non-local: create(overwrite) is the publish point, same caveat
+      // as manifests (object stores want a conditional put here)
+      val out = f.create(p, replace)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** Create ref `name` at committed `version`. Immutable by default
@@ -395,8 +420,11 @@ object VersionedTable {
   }
 
   /** Re-point movable ref `name` at `version`. Refuses on a tag —
-    * immutability is the point of tagging. Delete-then-create, not
-    * atomic: single-writer per table, the [[commitAppend]] contract.
+    * immutability is the point of tagging. The swap is an atomic
+    * rename on local filesystems, so readers following the branch
+    * (the write-audit-publish pattern) see the old head or the new
+    * head, never a missing ref mid-move. Writers stay single-per-ref,
+    * the [[commitAppend]] contract.
     */
   def moveRef(spark: SparkSession, root: String, name: String,
       version: Long): Unit = {
@@ -405,10 +433,8 @@ object VersionedTable {
       "a movable ref (branch) for a head that moves")
     require(manifestVersions(spark, root).contains(version),
       s"cannot ref uncommitted version $version at $root")
-    val f = fs(spark, root)
-    val p = refPath(root, name)
-    f.delete(p, false)
-    writeRefFile(f, p, name, version, movable = true)
+    writeRefFile(fs(spark, root), refPath(root, name), name, version,
+      movable = true, replace = true)
   }
 
   private def refTarget(spark: SparkSession, root: String,
@@ -562,7 +588,6 @@ object VersionedTable {
     if (!f.exists(new Path(bd))) return all
     val blooms = spark.read.parquet(bd)
     if (!blooms.columns.contains(s"bf_$colName")) return all
-    def norm(p: String) = new Path(p).toUri.getPath
     // probe hashes come from Spark's own xxhash64 over one literal
     // row, so build-side and probe-side hashing can never diverge
     // (might_contain demands a CONSTANT filter, so admission runs
@@ -573,19 +598,15 @@ object VersionedTable {
       .head().toSeq.map(_.asInstanceOf[Long])
     val verdicts = blooms
       .select(col("path"), col(s"bf_$colName").as("bf")).collect()
-    val keptNorm = verdicts.filter { r =>
-      r.isNullAt(1) || { // a NULL filter (empty file group) keeps
-        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        hashes.exists(bf.mightContainLong)
+      .toSeq.map { r =>
+        val keep = r.isNullAt(1) || { // NULL filter (empty group) keeps
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          hashes.exists(bf.mightContainLong)
+        }
+        (r.getString(0), keep)
       }
-    }.map(r => norm(r.getString(0))).toSet
-    val covered = verdicts.map(r => norm(r.getString(0))).toSet
-    // subset of the authoritative listing, exactly as [[prunedPaths]]
-    all.filter { p =>
-      val n = norm(p)
-      keptNorm.contains(n) || !covered.contains(n)
-    }
+    conservativeSubset(all, verdicts)
   }
 
   /** Point lookup through the Bloom sidecar: open ONLY the files that
@@ -666,7 +687,43 @@ object VersionedTable {
     * and left to [[readPruned]]'s exact row filter.
     */
   def prunedPaths(spark: SparkSession, root: String, version: Long,
-      preds: Seq[(String, Double, Double)]): Seq[String] = {
+      preds: Seq[(String, Double, Double)]): Seq[String] =
+    statsPrunedPaths(spark, root, version,
+      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) },
+      c => s"mn_$c", c => s"mx_$c")
+
+  /** Scheme-less path form shared by every sidecar comparison:
+    * input_file_name() URIs ("file:///x") and Hadoop Path strings
+    * ("file:/x") differ textually.
+    */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** The conservative tail every sidecar variant shares: return a
+    * SUBSET of the authoritative listing `all` — a file is kept when
+    * its sidecar verdict admits it OR the sidecar never mentions it
+    * (appended without stats). A sidecar path that normalizes
+    * differently from its listing form can never add or double-count
+    * a physical file; pruning only ever REMOVES provably-disjoint
+    * ones.
+    */
+  private def conservativeSubset(all: Seq[String],
+      verdicts: Seq[(String, Boolean)]): Seq[String] = {
+    val covered = verdicts.map(v => normPath(v._1)).toSet
+    val kept = verdicts.filter(_._2).map(v => normPath(v._1)).toSet
+    all.filter { p =>
+      val n = normPath(p)
+      kept.contains(n) || !covered.contains(n)
+    }
+  }
+
+  /** Range-intersection pruning over the stats sidecar, shared by the
+    * numeric (`mn_`/`mx_`) and lexicographic (`smn_`/`smx_`) column
+    * families. Falls back to ALL files when the snapshot has no
+    * sidecar or no predicate column was collected.
+    */
+  private def statsPrunedPaths(spark: SparkSession, root: String,
+      version: Long, preds: Seq[(String, Any, Any)],
+      mn: String => String, mx: String => String): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val sd = statsDir(root, version)
     val f = fs(spark, root)
@@ -674,33 +731,20 @@ object VersionedTable {
     if (!f.exists(new Path(sd))) return all
     val stats = spark.read.parquet(sd)
     val usable = preds.filter { case (c, _, _) =>
-      stats.columns.contains(s"mn_$c") }
+      stats.columns.contains(mn(c)) }
     if (usable.isEmpty) return all
-    // input_file_name() URIs ("file:///x") and Hadoop Path strings
-    // ("file:/x") differ textually — compare by the scheme-less path
-    def norm(p: String) = new Path(p).toUri.getPath
     // a null min/max (all-null chunk, or a half-null stat a cast
     // produced) must keep the file: coalesce the verdict to TRUE so
     // pruning only ever removes provably-disjoint files
     val keep = usable.map { case (c, lo, hi) =>
       coalesce(
-        !(col(s"mx_$c") < lo || col(s"mn_$c") > hi) ||
-          col(s"mn_$c").isNull,
+        !(col(mx(c)) < lit(lo) || col(mn(c)) > lit(hi)) ||
+          col(mn(c)).isNull,
         lit(true))
     }.reduce(_ && _)
     val verdicts = stats.select(col("path"), keep.as("keep")).collect()
-    val covered = verdicts.map(r => norm(r.getString(0))).toSet
-    val keptNorm = verdicts.filter(_.getBoolean(1))
-      .map(r => norm(r.getString(0))).toSet
-    // Return a SUBSET of the authoritative directory listing, never a
-    // concatenation with sidecar-recorded strings: each physical file
-    // appears at most once even if a sidecar path normalizes
-    // differently from its listing form, and files the sidecar does
-    // not mention (appended without stats) stay conservatively kept.
-    all.filter { p =>
-      val n = norm(p)
-      keptNorm.contains(n) || !covered.contains(n)
-    }
+      .toSeq.map(r => (r.getString(0), r.getBoolean(1)))
+    conservativeSubset(all, verdicts)
   }
 
   /** Lexicographic twin of [[prunedPaths]] over the string stats
@@ -711,32 +755,10 @@ object VersionedTable {
     * conservative fallbacks as the numeric form.
     */
   def prunedPathsString(spark: SparkSession, root: String, version: Long,
-      preds: Seq[(String, String, String)]): Seq[String] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val sd = statsDir(root, version)
-    val f = fs(spark, root)
-    val all = dataPaths(spark, root, version)
-    if (!f.exists(new Path(sd))) return all
-    val stats = spark.read.parquet(sd)
-    val usable = preds.filter { case (c, _, _) =>
-      stats.columns.contains(s"smn_$c") }
-    if (usable.isEmpty) return all
-    def norm(p: String) = new Path(p).toUri.getPath
-    val keep = usable.map { case (c, lo, hi) =>
-      coalesce(
-        !(col(s"smx_$c") < lo || col(s"smn_$c") > hi) ||
-          col(s"smn_$c").isNull,
-        lit(true))
-    }.reduce(_ && _)
-    val verdicts = stats.select(col("path"), keep.as("keep")).collect()
-    val covered = verdicts.map(r => norm(r.getString(0))).toSet
-    val keptNorm = verdicts.filter(_.getBoolean(1))
-      .map(r => norm(r.getString(0))).toSet
-    all.filter { p =>
-      val n = norm(p)
-      keptNorm.contains(n) || !covered.contains(n)
-    }
-  }
+      preds: Seq[(String, String, String)]): Seq[String] =
+    statsPrunedPaths(spark, root, version,
+      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) },
+      c => s"smn_$c", c => s"smx_$c")
 
   /** Range scan through the STRING stats: open only the files whose
     * lexicographic [smn, smx] admits every predicate, then apply the
@@ -942,3 +964,4 @@ object VersionedTable {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 }
+

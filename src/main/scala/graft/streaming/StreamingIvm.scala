@@ -181,3 +181,4 @@ object StreamingIvm {
       .orderBy("event_type")
   }
 }
+

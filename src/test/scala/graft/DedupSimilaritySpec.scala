@@ -216,6 +216,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
         checkpointDir = Some(dir)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == expected)
+    // EVEN checkEvery regression: consecutive checks land on the same
+    // round%2 parity, so a parity-keyed materialize path would
+    // overwrite the cc_frozen_/cc_edges_ parquet it is reading (the
+    // check-count ping-pong is what keeps read and write apart)
+    val dir2 = graft.config.Scratch.runDir + "/cc_freeze_even_test"
+    val got3 = Dedup.duplicateClusters(pairs, checkEvery = 2,
+        checkpointDir = Some(dir2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == expected)
   }
 
   private lazy val vecs = {
