@@ -130,7 +130,7 @@ object Bench {
       "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q12", "tpch_q13",
       "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
       "event_transitions", "embed_outliers", "table_append_race",
-      "stream_table_ingest", "embed_group_stats",
+      "stream_table_ingest", "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",

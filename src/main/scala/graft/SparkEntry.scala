@@ -3141,6 +3141,32 @@ object SparkEntry {
           decSum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    // merge-on-read delete lifecycle: base commit → O(keys) sidecar
+    // delete (no data rewritten) → fast append of NEW keys (sidecar
+    // carried forward) → fold back to copy-on-write — the final read
+    // must equal the logical replay at every step, and the oracle
+    // pins the end state
+    "table_mor_delete" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_mor_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(orders, root, "base")
+      graft.sources.VersionedTable.deleteWhereMor(s, root,
+        col("o_orderkey") % 7 === 0, Seq("o_orderkey"), "mor-erase")
+      graft.sources.VersionedTable.commitAppendRetry(
+        orders.where(col("o_orderkey") % 7 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+        root, "delta")
+      graft.sources.VersionedTable.compactDeletes(s, root)
+      graft.sources.VersionedTable.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // maintenance OPTIMIZE: a deliberately fragmented commit (32
     // small files — the shape an incremental writer leaves), a
     // copy-on-write delete, then bin-packing compaction; the oracle
@@ -5293,6 +5319,17 @@ object SparkEntry {
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_price FROM orders GROUP BY 1 ORDER BY 1"),
+    "table_mor_delete" ->
+      ("WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders), " +
+        "kept AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0), " +
+        "delta AS (SELECT o_orderkey + 10000000 AS o_orderkey, " +
+        "o_totalprice, o_orderstatus FROM base " +
+        "WHERE o_orderkey % 7 = 1), " +
+        "allr AS (SELECT * FROM kept UNION ALL SELECT * FROM delta) " +
+        "SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM allr GROUP BY 1 ORDER BY 1"),
     // the four residue classes union back to the whole table — any
     // append interleaving must reproduce it exactly
     "table_append_race" ->

@@ -189,10 +189,12 @@ object VersionedTable {
   def commitAppend(delta: DataFrame, root: String,
       tag: String = ""): Long = {
     val spark = delta.sparkSession
-    val prev = latestVersion(spark, root)
-      .map(v => resolveDirs(spark, root, v)).getOrElse(Nil)
+    val prevV = latestVersion(spark, root)
+    val prev = prevV.map(v => resolveDirs(spark, root, v))
+      .getOrElse(Nil)
     val (next, dataDir) = nextVersionDir(spark, root)
     delta.write.mode("overwrite").parquet(dataDir)
+    carryDeletes(spark, root, prevV, next)
     publish(spark, root, next, tag, dirs = prev :+ s"v$next")
     next
   }
@@ -224,6 +226,7 @@ object VersionedTable {
       val prev = prevV.map(v => resolveDirs(spark, root, v))
         .getOrElse(Nil)
       val next = prevV.map(_ + 1).getOrElse(0L)
+      carryDeletes(spark, root, prevV, next)
       try {
         publish(spark, root, next, tag, dirs = prev :+ dirName)
         return next
@@ -271,12 +274,108 @@ object VersionedTable {
 
   /** Time travel: read snapshot `version` exactly as committed (all
     * of its data directories — one for a rewrite, several after
-    * appends).
+    * appends), minus the version's merge-on-read delete keys if
+    * [[deleteWhereMor]] ever ran (the sidecar anti-join is the read
+    * half of MoR; a version without a sidecar pays nothing).
     */
   def readVersion(spark: SparkSession, root: String,
       version: Long): DataFrame =
-    spark.read.parquet(
-      resolveDirs(spark, root, version).map(d => s"$root/$d"): _*)
+    applyDeletes(spark, root, version,
+      spark.read.parquet(
+        resolveDirs(spark, root, version).map(d => s"$root/$d"): _*))
+
+  private def deletesDir(root: String, version: Long): String =
+    s"$root/_graft_deletes_v$version"
+
+  /** The read half of merge-on-read: anti-join `df` against the
+    * version's delete-key sidecar (its columns ARE the delete key).
+    * Sidecar-less versions — every table that never ran
+    * [[deleteWhereMor]] — return `df` untouched with one existence
+    * check.
+    */
+  private def applyDeletes(spark: SparkSession, root: String,
+      version: Long, df: DataFrame): DataFrame = {
+    val dd = deletesDir(root, version)
+    if (!fs(spark, root).exists(new Path(dd))) df
+    else {
+      val dels = spark.read.parquet(dd)
+      df.join(dels, dels.columns.toIndexedSeq, "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ delete — the O(deleted keys) sibling of the
+    * copy-on-write [[deleteWhere]]: instead of rewriting every
+    * surviving file (write cost O(table)), commit a new version whose
+    * DATA DIRECTORIES are unchanged and whose delete-key sidecar
+    * (`_graft_deletes_v<N>/`, cumulative, key-count-sized) grows by
+    * the matched keys; every read path anti-joins it at scan time.
+    * This is the high-churn/GDPR-stream shape — deletes land in
+    * metadata time, and [[compactDeletes]] (or any rewrite commit)
+    * folds the table back to a clean copy-on-write snapshot when the
+    * sidecar or the read-side anti-join grows annoying. Appends
+    * carry the sidecar forward; a plain [[commit]] REPLACES content
+    * wholesale and so drops it, exactly like every rewrite. Returns
+    * the new version id. Re-inserting a deleted key requires a
+    * rewrite commit first — equality deletes are global per version,
+    * the documented MoR restriction.
+    */
+  def deleteWhereMor(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, keyCols: Seq[String],
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "deleteWhereMor needs delete-key columns")
+    val prevV = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    // readVersion is already minus prior deletes, so re-matching an
+    // already-deleted key is a no-op, never a duplicate sidecar row
+    val newDels = readVersion(spark, root, prevV)
+      .where(predicate)
+      .select(keyCols.map(col): _*).distinct()
+    val f = fs(spark, root)
+    val prior =
+      if (f.exists(new Path(deletesDir(root, prevV))))
+        Some(spark.read.parquet(deletesDir(root, prevV)))
+      else None
+    prior.foreach { p =>
+      require(p.columns.sorted.sameElements(
+        newDels.columns.sorted),
+        s"delete key ${keyCols.mkString(",")} differs from the " +
+          s"table's existing sidecar key ${p.columns.mkString(",")}")
+    }
+    val merged = prior.map(_.unionByName(newDels).distinct())
+      .getOrElse(newDels)
+    val next = prevV + 1
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(deletesDir(root, next))
+    publish(spark, root, next, tag,
+      dirs = resolveDirs(spark, root, prevV))
+    next
+  }
+
+  /** Fold merge-on-read deletes back into data: commit the logical
+    * (post-delete) content as a clean rewrite — no sidecar, no read-
+    * side anti-join, old versions time-travelable until [[vacuum]].
+    */
+  def compactDeletes(spark: SparkSession, root: String,
+      tag: String = "mor-compact"): Long =
+    commit(read(spark, root), root, tag)
+
+  /** Carry the previous version's delete sidecar onto `next` — the
+    * append-path obligation: an append changes no existing byte, so
+    * the deletes that applied to the previous snapshot must keep
+    * applying. File-count-sized copy. Racing appenders at the same
+    * `next` carry the SAME prior sidecar (both re-resolved the same
+    * head), so overwrite-mode double-writes are value-identical.
+    */
+  private def carryDeletes(spark: SparkSession, root: String,
+      prevV: Option[Long], next: Long): Unit =
+    prevV.foreach { v =>
+      val src = deletesDir(root, v)
+      if (fs(spark, root).exists(new Path(src))) {
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite")
+          .parquet(deletesDir(root, next))
+      }
+    }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
     * schemas across its data directories — columns a pre-evolution
@@ -291,8 +390,9 @@ object VersionedTable {
   def readMerged(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    spark.read.option("mergeSchema", "true").parquet(
-      resolveDirs(spark, root, v).map(d => s"$root/$d"): _*)
+    applyDeletes(spark, root, v,
+      spark.read.option("mergeSchema", "true").parquet(
+        resolveDirs(spark, root, v).map(d => s"$root/$d"): _*))
   }
 
   /** Copy-on-write DELETE: commit a snapshot without the matching
@@ -622,8 +722,9 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val paths = bloomPrunedPaths(spark, root, version, colName, values)
     if (paths.isEmpty) readVersion(spark, root, version).where(lit(false))
-    else spark.read.parquet(paths: _*)
-      .where(col(colName).isin(values: _*))
+    else applyDeletes(spark, root, version,
+      spark.read.parquet(paths: _*)
+        .where(col(colName).isin(values: _*)))
   }
 
   /** Fast APPEND with data skipping intact: stats for the DELTA files
@@ -662,6 +763,7 @@ object VersionedTable {
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(root, next))
+    carryDeletes(spark, root, prevV, next)
     publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next")
     next
   }
@@ -773,7 +875,8 @@ object VersionedTable {
     val base =
       if (paths.isEmpty)
         readVersion(spark, root, version).where(lit(false))
-      else spark.read.parquet(paths: _*)
+      else applyDeletes(spark, root, version,
+        spark.read.parquet(paths: _*))
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.where(col(c).cast("string").between(lo, hi))
     }
@@ -814,7 +917,8 @@ object VersionedTable {
     val base =
       if (paths.isEmpty)
         readVersion(spark, root, version).where(lit(false))
-      else spark.read.parquet(paths: _*)
+      else applyDeletes(spark, root, version,
+        spark.read.parquet(paths: _*))
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.where(col(c).cast("double").between(lo, hi))
     }
@@ -951,6 +1055,9 @@ object VersionedTable {
               .exists(v => !keep.contains(v))) ||
           (n.startsWith("_graft_bloom_v") &&
             n.stripPrefix("_graft_bloom_v").toLongOption
+              .exists(v => !keep.contains(v))) ||
+          (n.startsWith("_graft_deletes_v") &&
+            n.stripPrefix("_graft_deletes_v").toLongOption
               .exists(v => !keep.contains(v)))
         }
         .foreach(st => f.delete(st.getPath, true))

@@ -698,6 +698,46 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readRef(spark, root, "main").count() == 3L)
   }
 
+  test("merge-on-read delete: sidecar-only commit, reads and time " +
+      "travel honor it, appends carry it forward, a rewrite folds it, " +
+      "vacuum sweeps expired sidecars") {
+    val root = freshRoot("mor")
+    def keys: Set[Long] = VersionedTable.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val v0 = VersionedTable.commit(base, root)
+    val v1 = VersionedTable.deleteWhereMor(spark, root,
+      col("k") % 2 === 0, Seq("k"))
+    assert(keys == Set(1L, 3L))
+    // the delete wrote NO data: v1 resolves v0's directories verbatim
+    assert(new java.io.File(s"$root/_graft_deletes_v$v1").exists)
+    assert(!new java.io.File(s"$root/v$v1").exists)
+    // time travel: the pre-delete snapshot is intact
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 4L)
+    // appends carry the sidecar — deleted keys stay deleted
+    VersionedTable.commitAppendRetry(
+      Seq((5L, "e")).toDF("k", "v"), root)
+    assert(keys == Set(1L, 3L, 5L))
+    // a second MoR delete accumulates into the key set
+    val v3 = VersionedTable.deleteWhereMor(spark, root,
+      col("k") === 3, Seq("k"))
+    assert(keys == Set(1L, 5L))
+    // key-shape mismatch is refused, never silently mixed
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteWhereMor(spark, root, col("k") === 1,
+        Seq("k", "v"))
+    }
+    // folding back to copy-on-write: same content, no sidecar
+    val v4 = VersionedTable.compactDeletes(spark, root)
+    assert(keys == Set(1L, 5L))
+    assert(!new java.io.File(s"$root/_graft_deletes_v$v4").exists)
+    // retention sweeps the expired versions' sidecars with them
+    VersionedTable.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/_graft_deletes_v$v3").exists)
+    assert(keys == Set(1L, 5L))
+  }
+
   test("optimistic append: concurrent appenders all land, every delta " +
       "exactly once, whatever the interleaving") {
     val root = freshRoot("optappend")
