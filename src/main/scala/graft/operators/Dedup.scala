@@ -640,20 +640,28 @@ object Dedup {
     * mostly-new batches — the common ingestion case — almost nothing
     * shuffles. The Bloom binary rides into the new side as a literal
     * (Spark's own runtime-filter mechanism inlines the same binary as
-    * a subquery result); size it via `expectedSeen` — 1e6 items ≈
-    * 1.2 MB at the default 3% fpp, and at extreme corpus sizes cap
-    * the bits and let the fpp rise: false positives only add
-    * anti-join traffic, never errors.
+    * a subquery result). `expectedSeen` sizes the filter; the default
+    * 0 means ADAPTIVE — one cheap `count()` of the seen side (a
+    * parquet metadata read when nothing upstream filters it) sizes
+    * the filter to the corpus, so a growing seen set never silently
+    * saturates a fixed-size filter into fpp decay (the r9 scale-smoke
+    * regression: a 1e6-item constant at a 10x corpus drove the 10x
+    * ratio to 4.25 as every row fell through to the anti-join).
+    * Spark still clamps at its runtime-filter ceilings (4e6 items /
+    * 8 MB bits by default) — past those the fpp rises gracefully:
+    * false positives only add anti-join traffic, never errors.
     */
   def incrementalNew(newDf: DataFrame, seenDf: DataFrame,
-      textCol: String, expectedSeen: Long = 1000000L): DataFrame = {
+      textCol: String, expectedSeen: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
+    val sized = if (expectedSeen > 0) expectedSeen
+      else math.max(1024L, seenDf.count())
     val bloomCol = ColumnBridge.column(
       new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(textCol))), expectedSeen)
+        ColumnBridge.expression(xxhash64(col(textCol))), sized)
         .toAggregateExpression())
     val bloomBytes = seenDf.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
     // empty seen corpus: the aggregate evals to NULL and might_contain

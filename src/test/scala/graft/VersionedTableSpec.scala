@@ -710,8 +710,10 @@ class VersionedTableSpec extends AnyFunSuite {
     val v1 = VersionedTable.deleteWhereMor(spark, root,
       col("k") % 2 === 0, Seq("k"))
     assert(keys == Set(1L, 3L))
-    // the delete wrote NO data: v1 resolves v0's directories verbatim
-    assert(new java.io.File(s"$root/_graft_deletes_v$v1").exists)
+    // the delete wrote NO data: v1 resolves v0's directories verbatim,
+    // and its manifest records a collision-free delete-sidecar dir
+    val v1Side = VersionedTable.deleteSidecar(spark, root, v1)
+    assert(v1Side.exists(d => new java.io.File(s"$root/$d").exists))
     assert(!new java.io.File(s"$root/v$v1").exists)
     // time travel: the pre-delete snapshot is intact
     assert(VersionedTable.readVersion(spark, root, v0).count() == 4L)
@@ -729,13 +731,44 @@ class VersionedTableSpec extends AnyFunSuite {
         Seq("k", "v"))
     }
     // folding back to copy-on-write: same content, no sidecar
+    val v3Side = VersionedTable.deleteSidecar(spark, root, v3)
+    assert(v3Side.isDefined)
     val v4 = VersionedTable.compactDeletes(spark, root)
     assert(keys == Set(1L, 5L))
-    assert(!new java.io.File(s"$root/_graft_deletes_v$v4").exists)
+    assert(VersionedTable.deleteSidecar(spark, root, v4).isEmpty)
     // retention sweeps the expired versions' sidecars with them
     VersionedTable.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
-    assert(!new java.io.File(s"$root/_graft_deletes_v$v3").exists)
+    assert(v3Side.exists(d => !new java.io.File(s"$root/$d").exists))
     assert(keys == Set(1L, 5L))
+  }
+
+  test("MoR sidecars are manifest-bound: an orphan delete dir a " +
+      "crashed deleter left is invisible to readers and appends, and " +
+      "vacuum reclaims it by its intent marker") {
+    val root = freshRoot("morOrphan")
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    VersionedTable.commit(base, root)
+    // simulate a deleter that crashed between sidecar write and
+    // publish: an unreferenced _graft_del_* dir plus its intent marker
+    val orphan = "_graft_del_deadbeefdeadbeefdeadbeefdeadbeef"
+    Seq(1L).toDF("k").coalesce(1).write.parquet(s"$root/$orphan")
+    new java.io.File(s"$root/_graft_intent_$orphan").createNewFile()
+    // no reader resolves it: content intact, no delete applied
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    // a subsequent append carries NO deletes (prev manifest has none)
+    val v1 = VersionedTable.commitAppend(Seq((3L, "c")).toDF("k", "v"),
+      root)
+    assert(VersionedTable.deleteSidecar(spark, root, v1).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    // vacuum with the marker young: in-flight, left alone
+    VersionedTable.vacuum(spark, root, keepLast = 2,
+      orphanGraceMs = 3600000L)
+    assert(new java.io.File(s"$root/$orphan").exists)
+    // marker old: crashed — dir and marker reclaimed together
+    VersionedTable.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/$orphan").exists)
+    assert(!new java.io.File(s"$root/_graft_intent_$orphan").exists)
+    assert(VersionedTable.read(spark, root).count() == 3L)
   }
 
   test("optimistic append: concurrent appenders all land, every delta " +
