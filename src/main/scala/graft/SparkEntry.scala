@@ -164,7 +164,11 @@ object SparkEntry {
     * semantics field-for-field (see whiteRRabbit.R:313-423).
     */
   private def summaryOracle(table: String,
-      exclude: Set[String] = Set.empty): String = {
+      exclude: Set[String] = Set.empty, from: String = ""): String = {
+    // `from` substitutes a subquery for the bare table scan (the
+    // profile-over-snapshot contract profiles a FILTERED snapshot);
+    // column metadata still comes from the named table
+    val src = if (from.nonEmpty) from else table
     val parts = tables(table).filterNot(c => exclude(c._1))
       .map { case (c, k) =>
       k match {
@@ -183,17 +187,17 @@ object SparkEntry {
             s"round(quantile_cont($d,0.25),4) AS q1_val, " +
             s"round(quantile_cont($d,0.75),4) AS q3_val, " +
             s"round(quantile_cont($d,0.75) - quantile_cont($d,0.25),4) AS iqr_val, " +
-            s"$nullTs FROM $table"
+            s"$nullTs FROM $src"
         case Str =>
           s"SELECT '$c', 'character', count(*), count(nullif($c,'')), " +
             s"count(*) - count($c), count(*) FILTER (WHERE $c = ''), " +
-            s"count(DISTINCT nullif($c,'')), $nullStats, $nullTs FROM $table"
+            s"count(DISTINCT nullif($c,'')), $nullStats, $nullTs FROM $src"
         case Ts =>
           s"SELECT '$c', 'POSIXct, POSIXt', count(*), count($c), " +
             s"count(*) - count($c), CAST(0 AS BIGINT), count(DISTINCT $c), " +
             s"$nullStats, epoch_us(min($c)), epoch_us(max($c)), " +
             s"CAST(floor(quantile_cont(epoch_us($c),0.5)) AS BIGINT) " +
-            s"FROM $table"
+            s"FROM $src"
       }
     }
     parts.mkString("", " UNION ALL ", " ORDER BY column_name")
@@ -3627,6 +3631,27 @@ object SparkEntry {
         shape(graft.sources.VersionedTable.read(s, root)),
         shape(o.where(col("o_orderstatus") =!= "F")))
     }),
+    // profile-over-snapshot: the reference's column-summary report
+    // runs against a PRUNED snapshot read — the scan-report surface
+    // closing the loop with the table layer. Stats skip the
+    // out-of-range files, Profile.summarize sees only the needle
+    // range, and the result is self-verified against the same
+    // profile computed straight off the source table.
+    "table_profile_snapshot" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_profile_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+      val v = graft.sources.VersionedTable.commitWithStats(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsCols = Seq("o_orderkey"), tag = "clustered")
+      val in = col("o_orderkey").cast("double").between(1000d, 8000d)
+      selfVerified(s, "table_profile_snapshot", root,
+        roundedSummary(graft.sources.VersionedTable.readPruned(
+          s, root, v, "o_orderkey", 1000d, 8000d)),
+        roundedSummary(o.where(in)))
+    }),
     // training-data export: seeded deterministic epoch shuffle —
     // MINSTD permutation key, one exchange on the shard + per-shard
     // sort; byte-identical re-runs are the contract
@@ -5223,8 +5248,8 @@ object SparkEntry {
         "p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist " +
         "FROM v JOIN cent ON v.label = cent.label), " +
         "stats AS (SELECT label, avg(dist) AS m, " +
-        "sqrt(avg(dist * dist) - avg(dist) * avg(dist)) AS sd " +
-        "FROM dist GROUP BY 1) " +
+        "sqrt(greatest(0.0, avg(dist * dist) - avg(dist) * avg(dist))) " +
+        "AS sd FROM dist GROUP BY 1) " +
         "SELECT dist.label AS grp, vec_id, round(dist, 6) AS dist, " +
         "round((dist - m) / sd, 6) AS z " +
         "FROM dist JOIN stats ON dist.label = stats.label " +
@@ -5587,6 +5612,11 @@ object SparkEntry {
         "FROM orders WHERE o_orderpriority " +
         "BETWEEN '1-URGENT' AND '2-HIGH' " +
         "GROUP BY 1 ORDER BY 1"),
+    // the pruned-snapshot profile equals the profile of the plain
+    // filtered table — pruning is invisible to the report
+    "table_profile_snapshot" -> summaryOracle("orders",
+      from = "(SELECT * FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 8000)"),
     // vacuum keeps only the newest snapshot; its read is exactly the
     // copy-on-write delete's logical content
     "table_vacuum" ->

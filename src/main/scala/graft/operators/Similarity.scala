@@ -1073,10 +1073,16 @@ object Similarity {
         sqrt(aggregate(zip_with(col("vec"), col("mu"),
           (x, m) => (x - m) * (x - m)),
           lit(0.0), (acc, d) => acc + d)).as("dist"))
+    // the variance term avg(d^2)-avg(d)^2 can go slightly NEGATIVE in
+    // floating point when all distances are near-equal; sqrt would
+    // then yield NaN, and Spark's NaN-largest ordering makes
+    // NaN > 0 TRUE — the degenerate group would emit every row as an
+    // "outlier" with z = NaN. Clamp at zero so sd is 0 there and the
+    // sd > 0 guard below actually guards.
     val stats = dist.groupBy(col("grp"))
       .agg(avg(col("dist")).as("mdist"),
-        sqrt(avg(col("dist") * col("dist")) -
-          avg(col("dist")) * avg(col("dist"))).as("sd"))
+        sqrt(greatest(lit(0.0), avg(col("dist") * col("dist")) -
+          avg(col("dist")) * avg(col("dist")))).as("sd"))
     dist.join(broadcast(stats), Seq("grp"))
       .withColumn("z", (col("dist") - col("mdist")) / col("sd"))
       // sd == 0 (singleton group / all-equal distances) makes z NaN,

@@ -1017,6 +1017,88 @@ object VersionedTable {
       if (tag.nonEmpty) tag else s"compact-v$v")
   }
 
+  /** CLUSTERING-preserving OPTIMIZE: [[compact]]'s round-robin
+    * exchange bin-packs perfectly but destroys any range/Z clustering
+    * the snapshot carried — after it, every file spans the whole
+    * domain and [[readPruned]] stops skipping (r9 verdict gap).
+    * This variant re-sorts into `ceil(bytes / targetBytes)` files by
+    * range on `sortCols` AND re-collects the stats sidecar, so data
+    * skipping survives the rewrite: the stats columns default to
+    * whatever the prior version's sidecar covered (numeric `mn_`/
+    * string `smn_` families both), falling back to numeric stats on
+    * `sortCols` for a previously stats-less table. Range exchange +
+    * per-partition sort is the same one-shuffle cost as the
+    * round-robin rewrite. Returns the new version id.
+    */
+  def compactSorted(spark: SparkSession, root: String,
+      sortCols: Seq[String], targetBytes: Long = 128L << 20,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "compactSorted needs sort columns")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val bytes = dataBytes(spark, root, v)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val sorted = readVersion(spark, root, v)
+      .repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val f = fs(spark, root)
+    val (numCols, strCols) =
+      if (f.exists(new Path(statsDir(root, v)))) {
+        val cols = spark.read.parquet(statsDir(root, v)).columns
+        (cols.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq,
+          cols.filter(_.startsWith("smn_")).map(_.stripPrefix("smn_"))
+            .toSeq)
+      } else (sortCols, Nil)
+    commitWithStats(sorted, root, statsCols = numCols,
+      tag = if (tag.nonEmpty) tag else s"compact-sorted-v$v",
+      stringStatsCols = strCols)
+  }
+
+  /** Z-ORDER-preserving OPTIMIZE for a snapshot whose data skipping
+    * lives on MULTIPLE dimensions ([[compactSorted]]'s lexicographic
+    * sort only clusters its leading column): recompute the Morton
+    * code over `dimCols` — bounds re-derived from one bounded agg of
+    * the current snapshot, the same writer-supplied-edges rule the
+    * original Z write used — range-cluster on the code into
+    * `ceil(bytes / targetBytes)` files, and re-collect min/max stats
+    * on every dimension, so conjunctive [[readPruned]] keeps skipping
+    * on either/both dims after the rewrite. One shuffle, same cost
+    * shape as [[compact]]. An empty snapshot (nothing to cluster)
+    * falls back to plain bin-packing. Returns the new version id.
+    */
+  def compactZOrder(spark: SparkSession, root: String,
+      dimCols: Seq[String], targetBytes: Long = 128L << 20,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(dimCols.size >= 2,
+      s"Z-order needs at least two dimensions: $dimCols")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val cur = readVersion(spark, root, v)
+    val bAggs = dimCols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val bRow = cur.agg(bAggs.head, bAggs.tail: _*).head()
+    if (bRow.isNullAt(0))
+      return compact(spark, root, targetBytes,
+        if (tag.nonEmpty) tag else s"compact-z-v$v")
+    val dims = dimCols.zipWithIndex.map { case (c, i) =>
+      (col(c), bRow.getDouble(2 * i), bRow.getDouble(2 * i + 1))
+    }
+    val bytes = dataBytes(spark, root, v)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val zc = graft.operators.ZOrder.mortonCodeN(dims,
+      bits = math.min(16, 62 / dims.size))
+    val packed = cur.withColumn("__graft_zc", zc)
+      .repartitionByRange(nFiles, col("__graft_zc"))
+      .sortWithinPartitions("__graft_zc")
+      .drop("__graft_zc")
+    commitWithStats(packed, root, statsCols = dimCols,
+      tag = if (tag.nonEmpty) tag else s"compact-z-v$v")
+  }
+
   /** Total parquet bytes of snapshot `version` across ALL of its
     * manifest-addressed directories — the footer-level stat OPTIMIZE
     * planning reads.

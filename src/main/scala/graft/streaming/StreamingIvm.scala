@@ -128,30 +128,49 @@ object StreamingIvm {
       .orderBy("event_type")
   }
 
-  /** Append one micro-batch to the versioned table at `tableRoot` as
-    * an optimistic fast append tagged with its batch id. Idempotent
-    * under at-least-once replay the same way [[foldBatch]] is: the
-    * sink is the table's only writer, ids are monotone, so a batch at
-    * or below the last committed tag is already appended and skips —
-    * ONE newest-manifest read per batch, never a full history scan.
+  /** A stateful ingest SINK for the versioned table at `tableRoot`:
+    * each delivered micro-batch lands as an optimistic fast append
+    * tagged with its batch id, idempotent under at-least-once replay
+    * the same way [[foldBatch]] is (ids are monotone, a batch at or
+    * below the last committed tag is already appended and skips).
+    * The sink is the table's ONLY writer — the streaming contract —
+    * so the last committed tag is CACHED in the sink after the first
+    * manifest read: replay detection then costs zero I/O per batch
+    * instead of a root listing + manifest read (the per-batch
+    * metadata constant r9 flagged at 10x). A restarted query builds
+    * a fresh sink whose first batch re-seeds the cache from the
+    * newest manifest, which is exactly the recovery read Delta-style
+    * idempotent sinks do.
     */
-  private[graft] def ingestBatch(spark: SparkSession, tableRoot: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val replayed = VersionedTable.latestTag(spark, tableRoot)
-      .flatMap(_.toLongOption).exists(_ >= batchId)
-    if (!replayed) {
-      VersionedTable.commitAppendRetry(batch, tableRoot,
-        tag = batchId.toString)
-      ()
+  private[graft] def ingestSink(spark: SparkSession, tableRoot: String)
+      : (DataFrame, Long) => Unit = {
+    var lastSeen: Option[Long] = None
+    (batch: DataFrame, batchId: Long) => {
+      val last = lastSeen.orElse(
+        VersionedTable.latestTag(spark, tableRoot).flatMap(_.toLongOption))
+      if (last.exists(_ >= batchId)) lastSeen = last
+      else {
+        VersionedTable.commitAppendRetry(batch, tableRoot,
+          tag = batchId.toString)
+        lastSeen = Some(batchId)
+      }
     }
   }
+
+  /** One-shot form of [[ingestSink]] (fresh cache, so the replay
+    * check always consults the newest manifest) — the direct-call
+    * surface the replay spec exercises.
+    */
+  private[graft] def ingestBatch(spark: SparkSession, tableRoot: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    ingestSink(spark, tableRoot)(batch, batchId)
 
   /** Streaming ingestion INTO the snapshot table layer: every arriving
     * micro-batch lands as one optimistic fast append
     * ([[VersionedTable.commitAppendRetry]] — per-batch cost is the
     * delta write plus one atomic manifest create, no byte of history
     * rewritten), TAGGED with its batch id so an at-least-once restart
-    * is detectable and skipped ([[ingestBatch]]). Readers time-travel
+    * is detectable and skipped ([[ingestSink]]). Readers time-travel
     * any prefix of the ingest; the final table must equal the batch
     * replay of the raw log whatever the micro-batch boundaries —
     * which is what the contract oracle pins.
@@ -170,7 +189,7 @@ object StreamingIvm {
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
     val q = stream.writeStream
-      .foreachBatch(ingestBatch(spark, tableRoot) _)
+      .foreachBatch(ingestSink(spark, tableRoot))
       .start()
     try q.processAllAvailable() finally q.stop()
     VersionedTable.read(spark, tableRoot)

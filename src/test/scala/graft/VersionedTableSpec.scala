@@ -338,6 +338,34 @@ class VersionedTableSpec extends AnyFunSuite {
       "vacuum must expire the stats sidecar")
   }
 
+  test("compactSorted preserves clustering AND stats: file skipping " +
+      "still works after the rewrite, where round-robin compact " +
+      "would have destroyed it") {
+    val root = freshRoot("compactsorted")
+    val base = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+    VersionedTable.commitWithStats(
+      base.repartitionByRange(16, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    // bin-pack 16 clustered files down to fewer, keeping the k sort
+    val bytes = VersionedTable.dataBytes(spark, root, 0L)
+    val v1 = VersionedTable.compactSorted(spark, root, Seq("k"),
+      targetBytes = bytes / 8 + 1)
+    val all = VersionedTable.dataFileCount(spark, root, v1)
+    assert(all < 16 && all > 1, s"expected a real bin-pack, got $all")
+    // content identical
+    assert(VersionedTable.readVersion(spark, root, v1)
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 8000L))
+    // and the needle still skips files through the REBUILT sidecar
+    val picked = VersionedTable.prunedPaths(spark, root, v1,
+      "k", 2100d, 2900d)
+    assert(picked.size < all,
+      s"compacted table lost data skipping: ${picked.size} of $all")
+    val got = VersionedTable.readPruned(spark, root, v1, "k",
+      2100d, 2900d).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (2100L to 2900L))
+  }
+
   test("append chains keep data skipping: delta stats merge into the " +
       "sidecar and uncovered files are conservatively read") {
     val root = freshRoot("appendstats")
@@ -441,6 +469,38 @@ class VersionedTableSpec extends AnyFunSuite {
     val want = pts.where(col("x").between(100, 160) &&
       col("y").between(100, 160)).count()
     assert(got == want, s"conjunction pruned scan lost rows: $got/$want")
+  }
+
+  test("compactZOrder re-clusters and re-collects stats: both-dim " +
+      "skipping survives the bin-pack, content identical") {
+    import graft.operators.ZOrder
+    val root = freshRoot("compactz")
+    val pts = spark.range(0, 40000).select(
+      pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000L)).cast("double").as("y"))
+    val z = pts.withColumn("zc",
+        ZOrder.mortonCode(col("x"), col("y"), 0.0, 1000.0, 0.0, 1000.0))
+      .repartitionByRange(16, col("zc")).sortWithinPartitions("zc")
+      .drop("zc")
+    VersionedTable.commitWithStats(z, root, statsCols = Seq("x", "y"))
+    val bytes = VersionedTable.dataBytes(spark, root, 0L)
+    val v1 = VersionedTable.compactZOrder(spark, root, Seq("x", "y"),
+      targetBytes = bytes / 8 + 1)
+    val all = VersionedTable.dataFileCount(spark, root, v1)
+    assert(all < 16 && all > 1, s"expected a real bin-pack, got $all")
+    // the rewritten layout still skips on either dim and on both
+    val onX = VersionedTable.prunedPaths(spark, root, v1,
+      Seq(("x", 100d, 160d)))
+    val onY = VersionedTable.prunedPaths(spark, root, v1,
+      Seq(("y", 100d, 160d)))
+    assert(onX.size < all, s"x-band must still skip: ${onX.size} of $all")
+    assert(onY.size < all, s"y-band must still skip: ${onY.size} of $all")
+    // and no row is lost vs the exact filter
+    val got = VersionedTable.readPruned(spark, root, v1, Seq(
+      ("x", 100d, 160d), ("y", 100d, 160d))).count()
+    val want = pts.where(col("x").between(100, 160) &&
+      col("y").between(100, 160)).count()
+    assert(got == want, s"compacted Z scan lost rows: $got/$want")
   }
 
   test("path resolution is duplicate-proof: a sidecar whose recorded " +
