@@ -110,7 +110,8 @@ object Bench {
       "text_novelty", "corr_matrix",
       "chunk_documents", "split_leakage_safe", "cdc_diff",
       "nb_quality_score", "table_changes", "table_compaction",
-      "epoch_shuffle", "table_pruned_scan", "bm25_search",
+      "epoch_shuffle", "table_pruned_scan", "table_profile_snapshot",
+      "table_compact_zorder", "bm25_search",
       "hybrid_search", "knn_ivf_incremental", "image_dhash",
       "image_neardup", "audio_fingerprint", "sessionize_native",
       "knn_filtered", "knn_sq8", "budget_select", "quarantine_route",
@@ -127,10 +128,12 @@ object Bench {
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
       "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8",
-      "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q12", "tpch_q13",
+      "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q12",
+      "tpch_q12_bucketed", "tpch_q13",
       "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
       "event_transitions", "embed_outliers", "table_append_race",
-      "stream_table_ingest", "table_mor_delete", "embed_group_stats",
+      "stream_table_ingest", "stream_gdpr_erasure", "table_mor_delete",
+      "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",

@@ -3631,6 +3631,42 @@ object SparkEntry {
         shape(graft.sources.VersionedTable.read(s, root)),
         shape(o.where(col("o_orderstatus") =!= "F")))
     }),
+    // clustered OPTIMIZE: Z-commit, then compactZOrder re-bin-packs
+    // WITHOUT losing the layout — the conjunction range scan after
+    // the rewrite still prunes through the REBUILT stats sidecar and
+    // must lose no rows (r9 gap: round-robin compact destroyed the
+    // clustering and with it every later skip)
+    "table_compact_zorder" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_compactz_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val b = li.agg(max(col("l_orderkey")).cast("double"),
+        max(col("l_partkey")).cast("double")).head()
+      val z = li.withColumn("zc", operators.ZOrder.mortonCode(
+          col("l_orderkey"), col("l_partkey"),
+          0d, b.getDouble(0), 0d, b.getDouble(1)))
+        .repartitionByRange(16, col("zc"))
+        .sortWithinPartitions("zc").drop("zc")
+      graft.sources.VersionedTable.commitWithStats(z, root,
+        statsCols = Seq("l_orderkey", "l_partkey"), tag = "zorder")
+      val v = graft.sources.VersionedTable.compactZOrder(s, root,
+        Seq("l_orderkey", "l_partkey"),
+        targetBytes = graft.sources.VersionedTable.dataBytes(s, root, 0L)
+          / 4 + 1)
+      def shape(d: DataFrame) = d
+        .where(col("l_orderkey").cast("double").between(1000d, 4000d) &&
+          col("l_partkey").cast("double").between(1d, 100d))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_partkey")
+      selfVerified(s, "table_compact_zorder", root,
+        shape(graft.sources.VersionedTable.readPruned(s, root, v, Seq(
+          ("l_orderkey", 1000d, 4000d), ("l_partkey", 1d, 100d)))),
+        shape(li))
+    }),
     // profile-over-snapshot: the reference's column-summary report
     // runs against a PRUNED snapshot read — the scan-report surface
     // closing the loop with the table layer. Stats skip the
@@ -3852,7 +3888,10 @@ object SparkEntry {
     // is paid once per dataset and reused across sessions via the
     // persisted spec + source fingerprint, exactly like
     // `bucketed_join`; at 100 TB this is the difference between
-    // shuffling 100 TB per query and once per ingest.
+    // shuffling 100 TB per query and once per ingest. Bucket count
+    // bounds the co-located join's parallelism (no exchange = no
+    // repartition), so it is sized to the executor-core budget (32
+    // here; thousands on a real cluster), not minimized.
     "tpch_q12_bucketed" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val base = graft.config.Scratch.runDir + s"/bucketed_q12_$tag"
@@ -3864,13 +3903,13 @@ object SparkEntry {
           s"$base/lineitem", liFp))
         BucketedTable.writeVersioned(tbl(s, dir, "lineitem")
             .select("l_orderkey", "l_linestatus", "l_shipdate"),
-          s"graft_b12_li_$tag", s"$base/lineitem", "l_orderkey", 8,
+          s"graft_b12_li_$tag", s"$base/lineitem", "l_orderkey", 32,
           liFp)
       if (!BucketedTable.registerVersioned(s, s"graft_b12_ord_$tag",
           s"$base/orders", ordFp))
         BucketedTable.writeVersioned(tbl(s, dir, "orders")
             .select("o_orderkey", "o_orderpriority"),
-          s"graft_b12_ord_$tag", s"$base/orders", "o_orderkey", 8,
+          s"graft_b12_ord_$tag", s"$base/orders", "o_orderkey", 32,
           ordFp)
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       s.table(s"graft_b12_li_$tag")
@@ -4930,6 +4969,24 @@ object SparkEntry {
     // replay of the raw log whatever the batch boundaries
     "stream_table_ingest" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)),
+    // streaming GDPR erasure: a stream of delete-key requests lands
+    // as one merge-on-read commit per micro-batch (O(keys) sidecar,
+    // no data rewritten; batch-id-tag idempotent); the surviving
+    // content must equal the plain anti-filter whatever the batch
+    // boundaries — self-verified against the source before returning
+    "stream_gdpr_erasure" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/erase_table_$tag"
+      val res = graft.streaming.StreamingIvm.runStreamingGdprErasure(s, dir)
+      val expected = tbl(s, dir, "orders")
+        .where(!(col("o_orderkey") % 7 === 0 ||
+          col("o_orderkey") % 11 === 0))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("o_orderstatus")
+      selfVerified(s, "stream_gdpr_erasure", root, res, expected)
+    }),
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
     // streaming drift monitor: hourly event-type mix PSI-scored
     // against the full-corpus reference — windowed counts accumulate
@@ -5611,6 +5668,15 @@ object SparkEntry {
         "AS DECIMAL(28,2)) AS sum_price " +
         "FROM orders WHERE o_orderpriority " +
         "BETWEEN '1-URGENT' AND '2-HIGH' " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the rewritten (compacted) Z layout answers exactly the plain
+    // two-predicate filter — compaction is invisible to the scan
+    "table_compact_zorder" ->
+      ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4000 " +
+        "AND l_partkey BETWEEN 1 AND 100 " +
         "GROUP BY 1 ORDER BY 1"),
     // the pruned-snapshot profile equals the profile of the plain
     // filtered table — pruning is invisible to the report
@@ -6465,6 +6531,14 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // the streamed MoR erasure equals the plain anti-filter of the
+    // source, whatever the micro-batch boundaries
+    "stream_gdpr_erasure" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,2)) AS sum_price FROM orders " +
+        "WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0) " +
+        "GROUP BY 1 ORDER BY 1"),
     "streaming_ivm" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, " +

@@ -124,9 +124,9 @@ object VersionedTable {
       dirName: String): Unit = {
     val f = fs(spark, root)
     val p = new Path(root, s"$IntentPrefix$dirName")
-    // create-if-absent; two racers at the same v<next> share one
-    // marker, and the publish winner clears it (the loser's data dir
-    // was overwritten by the winner anyway under single-writer misuse)
+    // overwrite-mode create: two racers at the same v<next> share one
+    // marker (the later touch refreshes its mtime, which re-arms the
+    // grace window — desirable), and the publish winner clears it
     try { val out = f.create(p, true); out.close() }
     catch { case _: java.io.IOException => () }
   }
@@ -399,13 +399,34 @@ object VersionedTable {
     val newDels = readVersion(spark, root, prevV)
       .where(predicate)
       .select(keyCols.map(col): _*).distinct()
+    commitDeleteSet(spark, root, prevV, newDels, tag)
+  }
+
+  /** MERGE-ON-READ delete by explicit KEY SET — the delete-request-
+    * stream shape ([[deleteWhereMor]]'s predicate form derives its
+    * keys from a scan; a GDPR erasure stream already HAS them).
+    * `keys`' columns are the delete key; rows never present in the
+    * table are harmless (the anti-join simply never matches them) but
+    * are still recorded, exactly like an equality-delete file naming
+    * an absent key in Iceberg. Same O(keys) metadata-time commit.
+    */
+  def deleteKeysMor(spark: SparkSession, root: String,
+      keys: DataFrame, tag: String = ""): Long = {
+    require(keys.columns.nonEmpty, "deleteKeysMor needs key columns")
+    val prevV = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    commitDeleteSet(spark, root, prevV, keys.distinct(), tag)
+  }
+
+  private def commitDeleteSet(spark: SparkSession, root: String,
+      prevV: Long, newDels: DataFrame, tag: String): Long = {
     val prior = resolveDeletes(spark, root, prevV)
       .map(d => spark.read.parquet(s"$root/$d"))
     prior.foreach { p =>
       require(p.columns.sorted.sameElements(
         newDels.columns.sorted),
-        s"delete key ${keyCols.mkString(",")} differs from the " +
-          s"table's existing sidecar key ${p.columns.mkString(",")}")
+        s"delete key ${newDels.columns.mkString(",")} differs from " +
+          s"the table's existing sidecar key ${p.columns.mkString(",")}")
     }
     val merged = prior.map(_.unionByName(newDels).distinct())
       .getOrElse(newDels)

@@ -165,6 +165,88 @@ object StreamingIvm {
       batch: DataFrame, batchId: Long): Unit =
     ingestSink(spark, tableRoot)(batch, batchId)
 
+  /** Erasure sink: each micro-batch of delete-key requests lands as
+    * ONE merge-on-read delete commit ([[VersionedTable.deleteKeysMor]]
+    * — O(keys) sidecar write, no data byte touched), tagged with the
+    * batch id and guarded by the same single-writer tag cache as
+    * [[ingestSink]], so an at-least-once replay of a request batch
+    * never commits a second version. This is the GDPR-stream shape:
+    * deletion requests take effect in metadata time and
+    * `compactDeletes` folds them into data on the operator's schedule.
+    */
+  private[graft] def erasureSink(spark: SparkSession, tableRoot: String)
+      : (DataFrame, Long) => Unit = {
+    var lastSeen: Option[Long] = None
+    (batch: DataFrame, batchId: Long) => {
+      val last = lastSeen.orElse(
+        VersionedTable.latestTag(spark, tableRoot).flatMap(_.toLongOption))
+      if (last.exists(_ >= batchId)) lastSeen = last
+      else {
+        VersionedTable.deleteKeysMor(spark, tableRoot, batch,
+          tag = batchId.toString)
+        lastSeen = Some(batchId)
+      }
+    }
+  }
+
+  /** Streaming GDPR erasure end-to-end: commit a base snapshot of
+    * orders, then replay a stream of delete-key requests (two
+    * micro-batches: the %7 keys, then the %11 keys) through
+    * [[erasureSink]] — one merge-on-read commit per batch — and
+    * return the surviving content aggregated by status. The result
+    * must equal the plain anti-filter of the source whatever the
+    * batch boundaries; base tag "base" (not a number) so batch id 0
+    * is never mistaken for already-committed.
+    */
+  def runStreamingGdprErasure(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val staged = Paths.get(
+      s"${graft.config.Scratch.runDir}/erase_stream_$tag")
+    val tableRoot = s"${graft.config.Scratch.runDir}/erase_table_$tag"
+    VersionedTable.destroy(spark, tableRoot)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+        finally s.close()
+      }
+    rmTree(staged)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    VersionedTable.commit(o, tableRoot, tag = "base")
+    // two deterministic delete-request batches staged as one file each
+    Seq(7L -> "b0", 11L -> "b1").foreach { case (m, b) =>
+      o.where(col("o_orderkey") % m === 0).select(col("o_orderkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/$b")
+    }
+    val files = Seq("b0", "b1").flatMap { b =>
+      val s = Files.list(Paths.get(s"$staged/$b"))
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally s.close()
+    }
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = stream.writeStream
+      .foreachBatch(erasureSink(spark, tableRoot))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    VersionedTable.read(spark, tableRoot)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Streaming ingestion INTO the snapshot table layer: every arriving
     * micro-batch lands as one optimistic fast append
     * ([[VersionedTable.commitAppendRetry]] — per-batch cost is the

@@ -882,6 +882,38 @@ class VersionedTableSpec extends AnyFunSuite {
       "fresh batch id failed to append")
   }
 
+  test("streaming GDPR erasure: one MoR commit per request batch, " +
+      "replayed batch ids skipped, survivors equal the anti-filter") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingIvm.runStreamingGdprErasure(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .where(!(col("o_orderkey") % 7 === 0 ||
+        col("o_orderkey") % 11 === 0))
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val root = s"${graft.config.Scratch.runDir}/erase_table_$tag"
+    // base commit + one MoR delete version per micro-batch, in order
+    assert(VersionedTable.history(spark, root).map(_._2) ==
+      Seq("base", "0", "1"))
+    // no data byte was rewritten: only v0 holds data
+    assert(VersionedTable.resolveDirs(spark, root, 2L) == Seq("v0"))
+    // at-least-once replay through the real sink: an already-
+    // committed batch id is a no-op, a fresh one commits
+    val before = VersionedTable.versions(spark, root).size
+    import spark.implicits._
+    val sink = StreamingIvm.erasureSink(spark, root)
+    sink(Seq(21L).toDF("o_orderkey"), 1L)
+    assert(VersionedTable.versions(spark, root).size == before,
+      "replayed erasure batch committed a duplicate version")
+    sink(Seq(3L).toDF("o_orderkey"), 2L)
+    assert(VersionedTable.versions(spark, root).size == before + 1)
+    assert(VersionedTable.read(spark, root)
+      .where(col("o_orderkey") === 3L).count() == 0L)
+  }
+
   test("optimistic append interleaves with plain commits and rewrites; " +
       "vacuum sweeps a crashed appender's orphan dir but never a " +
       "referenced one") {
