@@ -28,7 +28,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full toString (class + message) and the stack head: a red
+        // row must carry evidence — getMessage alone can be null, and
+        // the r8/r9 driver-only flake taught that a silent failure
+        // mode here is unfalsifiable post-hoc
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(6).foreach(t =>
+          System.err.println(s"[verify]   at $t"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

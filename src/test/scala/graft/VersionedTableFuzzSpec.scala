@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.VersionedTable
 
 /** Model-based fuzz of the snapshot store: a seeded random sequence of
-  * commit / append / deleteWhere / upsert / compact / rollback /
+  * commit / append (single-writer AND optimistic) / deleteWhere /
+  * deleteWhereMor / compactDeletes / upsert / compact / rollback /
   * vacuum ops runs against both the real table and an in-memory
   * multiset model; after every op the latest snapshot must equal the
   * model, and every still-retained historical version must equal the
@@ -50,14 +51,19 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
       def latest = live.max
 
       for (step <- 1 to 30) {
-        rnd.nextInt(7) match {
+        rnd.nextInt(9) match {
           case 0 => // rewrite commit
             val rows = fresh(rnd.nextInt(15) + 1)
             val v = VersionedTable.commit(df(rows), root)
             model(v) = rows; live += v
-          case 1 => // fast append
+          case 1 => // fast append — alternating the single-writer and
+            // the optimistic protocol so the manifest-carried delete
+            // reference is fuzzed under both
             val delta = fresh(rnd.nextInt(10) + 1)
-            val v = VersionedTable.commitAppend(df(delta), root)
+            val v =
+              if (rnd.nextBoolean())
+                VersionedTable.commitAppend(df(delta), root)
+              else VersionedTable.commitAppendRetry(df(delta), root)
             // the version preceding v is always the live max at call
             // time: nextVersionDir allocates latestVersion + 1
             model(v) = model(v - 1) ++ delta
@@ -90,6 +96,16 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
             val keep = rnd.nextInt(3) + 1
             VersionedTable.vacuum(spark, root, keepLast = keep)
             live = live.toSeq.sorted.takeRight(keep).toSet
+          case 7 => // merge-on-read delete of a key residue (keys are
+            // globally unique, so key-level == row-level in the model)
+            val m = rnd.nextInt(5) + 2
+            val v = VersionedTable.deleteWhereMor(spark, root,
+              col("k") % m === 0, Seq("k"))
+            model(v) = model(v - 1).filterNot(_._1 % m == 0)
+            live += v
+          case 8 => // fold MoR deletes back to copy-on-write
+            val v = VersionedTable.compactDeletes(spark, root)
+            model(v) = model(v - 1); live += v
         }
         // latest snapshot always equals the model
         val got = readRows(root, latest).sorted
