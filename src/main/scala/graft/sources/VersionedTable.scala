@@ -169,9 +169,13 @@ object VersionedTable {
       (if (dirs.isEmpty) Seq(s"v$version") else dirs).mkString(",")
     val delField =
       if (deletes.isEmpty) "" else s""","deletes":"${js(deletes)}""""
+    // commit wall-clock recorded IN the manifest: time-based retention
+    // ([[vacuumOlderThan]]) and history audits must not depend on file
+    // mtimes, which object stores rewrite on copy/restore
     val manifest =
       s"""{"version":$version,"path":"${js(pathField)}",""" +
-        s""""tag":"${js(tag)}"$delField}"""
+        s""""tag":"${js(tag)}","ts":${System.currentTimeMillis()}""" +
+        s"""$delField}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val uri = f.makeQualified(p).toUri
@@ -495,6 +499,17 @@ object VersionedTable {
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
     commit(kept.unionByName(
       updates.select(cur.columns.toIndexedSeq.map(col): _*)), root, tag)
+  }
+
+  /** The wall-clock milliseconds recorded in `version`'s manifest at
+    * publish time (0 for a manifest written before timestamps were
+    * recorded) — the basis for [[vacuumOlderThan]] and history audits.
+    */
+  def commitTimeMs(spark: SparkSession, root: String,
+      version: Long): Long = {
+    val raw = readManifest(spark, root, version)
+    """"ts":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong).getOrElse(0L)
   }
 
   /** (version, tag) pairs of every commit, oldest first — the
@@ -1077,6 +1092,24 @@ object VersionedTable {
       stringStatsCols = strCols)
   }
 
+  /** OPTIMIZE policy hook for continuous writers: bin-pack ONLY when
+    * the newest snapshot is actually fragmented (file count above
+    * `maxFiles`), returning the new version id when a compaction ran.
+    * The check is one directory listing — an append loop calls this
+    * after every commit and pays nothing on a well-packed table,
+    * which is how streaming ingestion keeps the small-file problem
+    * bounded without a separate maintenance scheduler.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      maxFiles: Int = 64, targetBytes: Long = 128L << 20,
+      tag: String = ""): Option[Long] = {
+    require(maxFiles >= 1, s"maxFiles must be positive: $maxFiles")
+    latestVersion(spark, root).flatMap { v =>
+      if (dataFileCount(spark, root, v) <= maxFiles) None
+      else Some(compact(spark, root, targetBytes, tag))
+    }
+  }
+
   /** Z-ORDER-preserving OPTIMIZE for a snapshot whose data skipping
     * lives on MULTIPLE dimensions ([[compactSorted]]'s lexicographic
     * sort only clusters its leading column): recompute the Morton
@@ -1178,13 +1211,36 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
       orphanGraceMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must retain at least the latest version")
+    val versions = manifestVersions(spark, root)
+    vacuumKeeping(spark, root, versions.takeRight(keepLast).toSet,
+      orphanGraceMs)
+  }
+
+  /** TIME-based retention — `expire snapshots older than` semantics:
+    * versions whose manifest-recorded commit time ([[commitTimeMs]])
+    * is before `cutoffMs` expire; the newest version always survives
+    * (a table never loses its head to a aggressive cutoff), as do
+    * ref-pinned versions, exactly like [[vacuum]]. Timestamps come
+    * from the manifests, never file mtimes.
+    */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+      cutoffMs: Long, orphanGraceMs: Long = 3600000L): Unit = {
+    val versions = manifestVersions(spark, root)
+    val fresh = versions
+      .filter(v => commitTimeMs(spark, root, v) >= cutoffMs).toSet
+    vacuumKeeping(spark, root, fresh ++ versions.lastOption,
+      orphanGraceMs)
+  }
+
+  private def vacuumKeeping(spark: SparkSession, root: String,
+      baseKeep: Set[Long], orphanGraceMs: Long): Unit = {
     val f = fs(spark, root)
     val versions = manifestVersions(spark, root)
     val maxCommitted = versions.lastOption.getOrElse(-1L)
     // named refs pin their targets: a tagged training snapshot must
     // survive retention until the ref itself is dropped
     val pinned = listRefs(spark, root).map(_._2).toSet
-    val keep = versions.takeRight(keepLast).toSet ++
+    val keep = baseKeep.filter(versions.contains) ++
       pinned.filter(versions.contains)
     // a retained APPEND manifest may reference directories created by
     // expired versions — liveness is per-DIRECTORY, the union of the

@@ -299,6 +299,15 @@ class VersionedTableSpec extends AnyFunSuite {
     val files2 = VersionedTable.dataFileCount(spark, root, v2)
     assert(files2 >= 4 && files2 <= 6,
       s"quarter-target should yield ~5 files: $files2")
+    // policy hook: a well-packed table is a no-op (no new version),
+    // a fragmented one compacts
+    assert(VersionedTable.compactIfFragmented(spark, root,
+      maxFiles = 64, targetBytes = 1L << 30).isEmpty)
+    assert(VersionedTable.versions(spark, root).last == v2)
+    val v3 = VersionedTable.compactIfFragmented(spark, root,
+      maxFiles = files2 - 1, targetBytes = 1L << 30)
+    assert(v3.contains(v2 + 1), s"fragmented table must compact: $v3")
+    assert(VersionedTable.dataFileCount(spark, root, v3.get) == 1)
   }
 
   test("min/max stats sidecar prunes a clustered range scan to the " +
@@ -880,6 +889,34 @@ class VersionedTableSpec extends AnyFunSuite {
     StreamingIvm.ingestBatch(spark, root)(replay, 2L)
     assert(VersionedTable.versions(spark, root).size == before + 1,
       "fresh batch id failed to append")
+  }
+
+  test("time-based retention: manifests record commit time, " +
+      "vacuumOlderThan expires by it, the head and ref-pins survive " +
+      "any cutoff") {
+    val root = freshRoot("timevac")
+    val v0 = VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    Thread.sleep(15)
+    val v1 = VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    Thread.sleep(15)
+    val v2 = VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    val t = (0L to 2L).map(VersionedTable.commitTimeMs(spark, root, _))
+    assert(t(0) > 0 && t(0) < t(1) && t(1) < t(2),
+      s"commit times must be recorded and increasing: $t")
+    // pin v0 with a tag: it must survive any cutoff
+    VersionedTable.createRef(spark, root, "keeper", v0)
+    VersionedTable.vacuumOlderThan(spark, root, cutoffMs = t(2))
+    assert(VersionedTable.versions(spark, root).toSet == Set(v0, v2),
+      "expected the pinned v0 and the fresh head v2 to survive")
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 1L)
+    // drop the pin; a far-future cutoff still retains the head
+    VersionedTable.dropRef(spark, root, "keeper")
+    VersionedTable.vacuumOlderThan(spark, root,
+      cutoffMs = t(2) + 3600000L)
+    assert(VersionedTable.versions(spark, root) == Seq(v2),
+      "the newest version must never expire")
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    assert(v1 >= 0) // silence unused warning; v1 expired above
   }
 
   test("streaming GDPR erasure: one MoR commit per request batch, " +
