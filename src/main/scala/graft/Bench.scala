@@ -127,13 +127,13 @@ object Bench {
       "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
-      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8",
+      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8", "tpch_q9",
       "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q12",
       "tpch_q12_bucketed", "tpch_q13",
       "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
       "event_transitions", "embed_outliers", "table_append_race",
-      "stream_table_ingest", "stream_gdpr_erasure", "table_mor_delete",
-      "embed_group_stats",
+      "stream_table_ingest", "stream_gdpr_erasure", "stream_dedup_ingest",
+      "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",

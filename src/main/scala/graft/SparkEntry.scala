@@ -937,6 +937,49 @@ object SparkEntry {
       .orderBy("l_linestatus")
   }
 
+  /** Q9 shape (product-type profit rollup, adapted — this schema has
+    * no partsupp, so profit omits the supply-cost term): revenue of
+    * 'red'-named parts by supplier nation × order year. The classic
+    * many-dimension fact rollup: part/supplier/nation broadcast
+    * around the lineitem scan, ONE fact-fact shuffle (orders, for the
+    * year), map-side partial aggregation. Reference shape: TPC-H 2.18
+    * Q9.
+    */
+  private def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(tbl(s, dir, "part")
+        .where(col("p_name").contains("red")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4).as("profit"))
+      .select(col("n_name").as("nation"), col("o_year"), col("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val tpchQ9Oracle: String =
+    "SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+      "AS DECIMAL(18,4))) AS DOUBLE) AS profit " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE p_name LIKE '%red%' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2 DESC"
+
   private val tpchQ12Oracle: String =
     "SELECT l_linestatus, " +
       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
@@ -3880,6 +3923,7 @@ object SparkEntry {
     "tpch_q8" -> ((s, dir) => tpchQ8(s, dir)),
     "tpch_q14" -> ((s, dir) => tpchQ14(s, dir)),
     "tpch_q15" -> ((s, dir) => tpchQ15(s, dir)),
+    "tpch_q9" -> ((s, dir) => tpchQ9(s, dir)),
     "tpch_q12" -> ((s, dir) => tpchQ12(s, dir)),
     // Q12 through the bucketed layout: BOTH fact sides are pre-
     // bucketed on the orderkey at write time, so the fact-fact join —
@@ -4969,6 +5013,35 @@ object SparkEntry {
     // replay of the raw log whatever the batch boundaries
     "stream_table_ingest" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)),
+    // streaming dedup-gated ingestion: the continuously-admitting
+    // deduplicated corpus loop — intra-batch keep-first, then the
+    // Bloom-prefiltered gate against table content, then fast-append;
+    // admitted set = "earliest batch wins, min id within batch wins",
+    // independent of batch internals (self-verified + oracle-pinned)
+    "stream_dedup_ingest" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/dedup_table_$tag"
+      val res = graft.streaming.StreamingIvm.runStreamingDedupIngest(s, dir)
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      // replay the staged stream (incl. the planted duplicates), then
+      // min(struct(batch, id)) per content = the survivor rule, with
+      // no window: earliest batch first, then smallest id
+      val streamRows = docs
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") < 250, 0).otherwise(1).as("bt"))
+        .unionByName(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit(1).as("bt")))
+        .unionByName(docs.where(col("doc_id").between(250, 259))
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            lit(1).as("bt")))
+      val expected = streamRows
+        .groupBy(col("text"))
+        .agg(min(struct(col("bt"), col("doc_id"))).as("s"))
+        .select(col("s.doc_id").as("doc_id"))
+        .orderBy("doc_id")
+      selfVerified(s, "stream_dedup_ingest", root, res, expected)
+    }),
     // streaming GDPR erasure: a stream of delete-key requests lands
     // as one merge-on-read commit per micro-batch (O(keys) sidecar,
     // no data rewritten; batch-id-tag idempotent); the surviving
@@ -5128,6 +5201,7 @@ object SparkEntry {
     "tpch_q8" -> tpchQ8Oracle,
     "tpch_q14" -> tpchQ14Oracle,
     "tpch_q15" -> tpchQ15Oracle,
+    "tpch_q9" -> tpchQ9Oracle,
     "tpch_q12" -> tpchQ12Oracle,
     // the bucketed twin must answer exactly what the shuffled join does
     "tpch_q12_bucketed" -> tpchQ12Oracle,
@@ -6531,6 +6605,21 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // the streamed dedup gate admits exactly: earliest batch holding
+    // the content, smallest doc_id within that batch
+    "stream_dedup_ingest" ->
+      ("WITH b AS (SELECT doc_id, text, " +
+        "CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS bt " +
+        "FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents " +
+        "WHERE doc_id < 50 " +
+        "UNION ALL SELECT doc_id + 2000000, text, 1 FROM documents " +
+        "WHERE doc_id BETWEEN 250 AND 259), " +
+        "k AS (SELECT doc_id, bt, " +
+        "min(bt) OVER (PARTITION BY text) AS mbt, " +
+        "min(doc_id) OVER (PARTITION BY text, bt) AS mid FROM b) " +
+        "SELECT doc_id FROM k WHERE bt = mbt AND doc_id = mid " +
+        "ORDER BY doc_id"),
     // the streamed MoR erasure equals the plain anti-filter of the
     // source, whatever the micro-batch boundaries
     "stream_gdpr_erasure" ->

@@ -302,8 +302,11 @@ object VersionedTable {
     * `version` comprises.
     */
   def resolveDirs(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    dirsOf(readManifest(spark, root, version), root, version)
+
+  private def dirsOf(raw: String, root: String,
       version: Long): Seq[String] = {
-    val raw = readManifest(spark, root, version)
     // a manifest without a parseable path field is CORRUPT, never a
     // guessable default: an append version's real dirs are the whole
     // prior chain, so falling back to Seq("v<version>") would turn a
@@ -330,13 +333,17 @@ object VersionedTable {
     * of its data directories — one for a rewrite, several after
     * appends), minus the version's merge-on-read delete keys if
     * [[deleteWhereMor]] ever ran (the sidecar anti-join is the read
-    * half of MoR; a version without a sidecar pays nothing).
+    * half of MoR; a version without a sidecar pays nothing). The
+    * manifest is fetched ONCE for both the path list and the delete
+    * reference — each manifest read is an object-store GET at scale.
     */
   def readVersion(spark: SparkSession, root: String,
-      version: Long): DataFrame =
-    applyDeletes(spark, root, version,
+      version: Long): DataFrame = {
+    val raw = readManifest(spark, root, version)
+    applyDeleteDirs(spark, root, deletesOf(raw, root, version),
       spark.read.parquet(
-        resolveDirs(spark, root, version).map(d => s"$root/$d"): _*))
+        dirsOf(raw, root, version).map(d => s"$root/$d"): _*))
+  }
 
   private val DeletesPrefix = "_graft_del_"
 
@@ -353,21 +360,28 @@ object VersionedTable {
     resolveDeletes(spark, root, version)
 
   private def resolveDeletes(spark: SparkSession, root: String,
-      version: Long): Option[String] = {
-    val raw = readManifest(spark, root, version)
+      version: Long): Option[String] =
+    deletesOf(readManifest(spark, root, version), root, version)
+
+  private def deletesOf(raw: String, root: String,
+      version: Long): Option[String] =
     """"deletes":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .map(_.group(1)).filter(_.nonEmpty)
-  }
 
   /** The read half of merge-on-read: anti-join `df` against the
     * version's manifest-recorded delete-key sidecar (its columns ARE
     * the delete key). Sidecar-less versions — every table that never
     * ran [[deleteWhereMor]] — return `df` untouched with one manifest
-    * field check (already read for [[resolveDirs]], metadata-sized).
+    * field check.
     */
   private def applyDeletes(spark: SparkSession, root: String,
       version: Long, df: DataFrame): DataFrame =
-    resolveDeletes(spark, root, version) match {
+    applyDeleteDirs(spark, root,
+      resolveDeletes(spark, root, version), df)
+
+  private def applyDeleteDirs(spark: SparkSession, root: String,
+      deletes: Option[String], df: DataFrame): DataFrame =
+    deletes match {
       case None => df
       case Some(d) =>
         val dels = spark.read.parquet(s"$root/$d")
@@ -471,9 +485,10 @@ object VersionedTable {
   def readMerged(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
-    applyDeletes(spark, root, v,
+    val raw = readManifest(spark, root, v)
+    applyDeleteDirs(spark, root, deletesOf(raw, root, v),
       spark.read.option("mergeSchema", "true").parquet(
-        resolveDirs(spark, root, v).map(d => s"$root/$d"): _*))
+        dirsOf(raw, root, v).map(d => s"$root/$d"): _*))
   }
 
   /** Copy-on-write DELETE: commit a snapshot without the matching

@@ -189,6 +189,110 @@ object StreamingIvm {
     }
   }
 
+  /** Dedup-gated ingest sink: each micro-batch is first deduplicated
+    * WITHIN itself (min-id survivor per content hash — a map-side-
+    * combinable groupBy + semi join, no window), then gated against
+    * the table's current content through the Bloom-prefiltered
+    * [[graft.operators.Dedup.incrementalNew]] (definitely-new rows
+    * never shuffle; only might-contain rows pay the exact anti-join),
+    * and only the survivors fast-append. Batch-id tags + the cached
+    * single-writer check make replays exactly-once, like
+    * [[ingestSink]]. This is the continuously-admitting deduplicated
+    * corpus loop — the every-batch shape of a training-data pipeline.
+    */
+  private[graft] def dedupIngestSink(spark: SparkSession,
+      tableRoot: String): (DataFrame, Long) => Unit = {
+    var lastSeen: Option[Long] = None
+    (batch: DataFrame, batchId: Long) => {
+      val last = lastSeen.orElse(
+        VersionedTable.latestTag(spark, tableRoot).flatMap(_.toLongOption))
+      if (last.exists(_ >= batchId)) lastSeen = last
+      else {
+        val firstIds = batch
+          .groupBy(sha2(col("text"), 256).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val intra = batch.join(firstIds.select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val fresh = graft.operators.Dedup.incrementalNew(intra,
+          VersionedTable.read(spark, tableRoot), "text")
+        VersionedTable.commitAppend(fresh, tableRoot,
+          tag = batchId.toString)
+        lastSeen = Some(batchId)
+      }
+    }
+  }
+
+  /** Streaming dedup-gated ingestion end-to-end: replay the documents
+    * table as two micro-batches (doc_id halves) through
+    * [[dedupIngestSink]] into an initially-empty snapshot table. The
+    * admitted set must be exactly "earliest batch containing the
+    * content wins; smallest id within that batch wins" — independent
+    * of HOW the batches' internals were ordered, which is what the
+    * contract oracle pins. Batch order is forced deterministic by
+    * staged-file modification times (the file source processes in
+    * mtime order).
+    */
+  def runStreamingDedupIngest(spark: SparkSession, dir: String,
+      cut: Long = 250L): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val staged = Paths.get(
+      s"${graft.config.Scratch.runDir}/dedup_stream_$tag")
+    val tableRoot = s"${graft.config.Scratch.runDir}/dedup_table_$tag"
+    VersionedTable.destroy(spark, tableRoot)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+        finally s.close()
+      }
+    rmTree(staged)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // empty seed commit: the sink's first read sees the schema, no rows
+    VersionedTable.commit(docs.limit(0), tableRoot, tag = "base")
+    // the second batch carries PLANTED duplicates (the corpus itself
+    // may be dup-free at small SF): re-sends of first-batch content
+    // under fresh ids (cross-batch dups the table gate must reject)
+    // and double-sends of its own content (intra-batch dups the
+    // keep-first rule must collapse) — without them the contract
+    // would pass vacuously on a broken gate
+    val b0 = docs.where(col("doc_id") < cut)
+    val b1 = docs.where(col("doc_id") >= cut)
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id").between(cut, cut + 9))
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Seq(b0 -> "b0", b1 -> "b1").foreach { case (d, b) =>
+      d.coalesce(1).write.mode("overwrite").parquet(s"$staged/$b")
+    }
+    val files = Seq("b0", "b1").flatMap { b =>
+      val s = Files.list(Paths.get(s"$staged/$b"))
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally s.close()
+    }
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = staged.resolve(s"part$i.parquet")
+      Files.move(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
+      // batch ORDER is part of the contract (earliest batch wins):
+      // pin it via mtime instead of trusting write-timing luck
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      ()
+    }
+    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = stream.writeStream
+      .foreachBatch(dedupIngestSink(spark, tableRoot))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    VersionedTable.read(spark, tableRoot)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Streaming GDPR erasure end-to-end: commit a base snapshot of
     * orders, then replay a stream of delete-key requests (two
     * micro-batches: the %7 keys, then the %11 keys) through

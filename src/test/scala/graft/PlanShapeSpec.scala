@@ -30,6 +30,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected >=6 broadcast joins:\n${p.take(800)}")
   }
 
+  test("tpch_q9: part/supplier/nation broadcast around the lineitem " +
+      "scan; no cartesian; the part filter prunes before the join") {
+    val p = planOf("tpch_q9")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"expected >=3 broadcast joins:\n${p.take(800)}")
+    // the 'red' name filter must reach the part scan, not the join
+    assert(p.contains("PushedFilters") && p.contains("p_name"),
+      "part name filter not pushed to the scan")
+  }
+
   test("tpch_q12_bucketed: the fact-fact orderkey join is co-located " +
       "— zero Exchange below the join") {
     // at test scale the tiny orders side would broadcast, hiding the

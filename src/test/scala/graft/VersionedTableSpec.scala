@@ -919,6 +919,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v1 >= 0) // silence unused warning; v1 expired above
   }
 
+  test("streaming dedup-gated ingest: planted cross-batch and " +
+      "intra-batch duplicates are rejected, one tagged append per " +
+      "batch, admitted set equals the survivor rule") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingIvm.runStreamingDedupIngest(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // replay the staged stream: source + planted dup rows
+    val streamRows = docs
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") < 250, 0).otherwise(1).as("bt"))
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(1).as("bt")))
+      .unionByName(docs.where(col("doc_id").between(250, 259))
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          lit(1).as("bt")))
+    val want = streamRows
+      .groupBy(col("text"))
+      .agg(min(struct(col("bt"), col("doc_id"))).as("s"))
+      .select(col("s.doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == want)
+    // the gate did real work: fewer admitted than sent
+    assert(got.size < streamRows.count(),
+      "planted duplicates were not rejected")
+    // none of the planted duplicate ids survived
+    assert(!got.exists(_ >= 1000000L),
+      s"planted dup ids admitted: ${got.filter(_ >= 1000000L).take(5)}")
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val root = s"${graft.config.Scratch.runDir}/dedup_table_$tag"
+    assert(VersionedTable.history(spark, root).map(_._2) ==
+      Seq("base", "0", "1"))
+  }
+
   test("streaming GDPR erasure: one MoR commit per request batch, " +
       "replayed batch ids skipped, survivors equal the anti-filter") {
     val dir = "/root/testdata/sf0.001"
