@@ -5011,8 +5011,20 @@ object SparkEntry {
     // replayed id is at or below the newest tag — skipped in one
     // manifest read); the committed table must equal the batch
     // replay of the raw log whatever the batch boundaries
-    "stream_table_ingest" -> ((s, dir) =>
-      graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)),
+    "stream_table_ingest" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/ingest_table_$tag"
+      val res = graft.streaming.StreamingIvm.runStreamingTableIngest(s, dir)
+      // table-backed scratch contract: self-verify against the batch
+      // replay of the raw log, like the rest of the table family
+      val expected = graft.sources.EventsSource.read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+      selfVerified(s, "stream_table_ingest", root, res, expected)
+    }),
     // streaming dedup-gated ingestion: the continuously-admitting
     // deduplicated corpus loop — intra-batch keep-first, then the
     // Bloom-prefiltered gate against table content, then fast-append;
