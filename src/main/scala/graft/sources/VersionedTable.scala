@@ -1094,17 +1094,12 @@ object VersionedTable {
     val sorted = readVersion(spark, root, v)
       .repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    val f = fs(spark, root)
-    val (numCols, strCols) =
-      if (f.exists(new Path(statsDir(root, v)))) {
-        val cols = spark.read.parquet(statsDir(root, v)).columns
-        (cols.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq,
-          cols.filter(_.startsWith("smn_")).map(_.stripPrefix("smn_"))
-            .toSeq)
-      } else (sortCols, Nil)
+    val (priorNum, priorStr) = priorStatsCols(spark, root, v)
+    val numCols = if (priorNum.isEmpty && priorStr.isEmpty) sortCols
+      else priorNum
     commitWithStats(sorted, root, statsCols = numCols,
       tag = if (tag.nonEmpty) tag else s"compact-sorted-v$v",
-      stringStatsCols = strCols)
+      stringStatsCols = priorStr)
   }
 
   /** OPTIMIZE policy hook for continuous writers: bin-pack ONLY when
@@ -1113,7 +1108,11 @@ object VersionedTable {
     * The check is one directory listing — an append loop calls this
     * after every commit and pays nothing on a well-packed table,
     * which is how streaming ingestion keeps the small-file problem
-    * bounded without a separate maintenance scheduler.
+    * bounded without a separate maintenance scheduler. A table whose
+    * snapshot carries a stats sidecar rewrites through
+    * [[compactSorted]] on the sidecar's own columns — the policy hook
+    * must never be the path that silently destroys data skipping
+    * (round-robin only for tables that never had any).
     */
   def compactIfFragmented(spark: SparkSession, root: String,
       maxFiles: Int = 64, targetBytes: Long = 128L << 20,
@@ -1121,7 +1120,13 @@ object VersionedTable {
     require(maxFiles >= 1, s"maxFiles must be positive: $maxFiles")
     latestVersion(spark, root).flatMap { v =>
       if (dataFileCount(spark, root, v) <= maxFiles) None
-      else Some(compact(spark, root, targetBytes, tag))
+      else {
+        val (priorNum, priorStr) = priorStatsCols(spark, root, v)
+        val sortCols = priorNum ++ priorStr
+        if (sortCols.nonEmpty)
+          Some(compactSorted(spark, root, sortCols, targetBytes, tag))
+        else Some(compact(spark, root, targetBytes, tag))
+      }
     }
   }
 
@@ -1150,8 +1155,17 @@ object VersionedTable {
     val bAggs = dimCols.flatMap(c => Seq(min(col(c).cast("double")),
       max(col(c).cast("double"))))
     val bRow = cur.agg(bAggs.head, bAggs.tail: _*).head()
-    if (bRow.isNullAt(0))
-      return compact(spark, root, targetBytes,
+    // a dimension with no span — empty snapshot, all-null column, or
+    // a single distinct value — cannot be Z-coded (the Morton scale
+    // needs hi > lo); fall back to the lexicographic sort-preserving
+    // rewrite, which handles every degenerate shape and still
+    // re-collects the full prior sidecar coverage
+    val degenerate = dimCols.indices.exists { i =>
+      bRow.isNullAt(2 * i) || bRow.isNullAt(2 * i + 1) ||
+        !(bRow.getDouble(2 * i) < bRow.getDouble(2 * i + 1))
+    }
+    if (degenerate)
+      return compactSorted(spark, root, dimCols, targetBytes,
         if (tag.nonEmpty) tag else s"compact-z-v$v")
     val dims = dimCols.zipWithIndex.map { case (c, i) =>
       (col(c), bRow.getDouble(2 * i), bRow.getDouble(2 * i + 1))
@@ -1164,8 +1178,29 @@ object VersionedTable {
       .repartitionByRange(nFiles, col("__graft_zc"))
       .sortWithinPartitions("__graft_zc")
       .drop("__graft_zc")
-    commitWithStats(packed, root, statsCols = dimCols,
-      tag = if (tag.nonEmpty) tag else s"compact-z-v$v")
+    // stats coverage is the UNION of the Z dimensions and whatever
+    // the prior sidecar covered (numeric and string families both) —
+    // a rewrite must never silently shrink data-skipping coverage
+    val (priorNum, priorStr) = priorStatsCols(spark, root, v)
+    commitWithStats(packed, root,
+      statsCols = (dimCols ++ priorNum).distinct,
+      tag = if (tag.nonEmpty) tag else s"compact-z-v$v",
+      stringStatsCols = priorStr)
+  }
+
+  /** The (numeric, string) stats-column families snapshot `version`'s
+    * sidecar covers — empty when it has none.
+    */
+  private def priorStatsCols(spark: SparkSession, root: String,
+      version: Long): (Seq[String], Seq[String]) = {
+    val sd = statsDir(root, version)
+    if (!fs(spark, root).exists(new Path(sd))) (Nil, Nil)
+    else {
+      val cols = spark.read.parquet(sd).columns
+      (cols.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq,
+        cols.filter(_.startsWith("smn_")).map(_.stripPrefix("smn_"))
+          .toSeq)
+    }
   }
 
   /** Total parquet bytes of snapshot `version` across ALL of its
@@ -1226,31 +1261,39 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
       orphanGraceMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must retain at least the latest version")
+    // ONE listing feeds both the keep-set computation and the sweep:
+    // a second listing would open a TOCTOU window where a version
+    // committed in between is seen by the sweep but absent from the
+    // keep set — and destroyed as "expired"
     val versions = manifestVersions(spark, root)
-    vacuumKeeping(spark, root, versions.takeRight(keepLast).toSet,
-      orphanGraceMs)
+    vacuumKeeping(spark, root, versions,
+      versions.takeRight(keepLast).toSet, orphanGraceMs)
   }
 
   /** TIME-based retention — `expire snapshots older than` semantics:
     * versions whose manifest-recorded commit time ([[commitTimeMs]])
     * is before `cutoffMs` expire; the newest version always survives
-    * (a table never loses its head to a aggressive cutoff), as do
-    * ref-pinned versions, exactly like [[vacuum]]. Timestamps come
-    * from the manifests, never file mtimes.
+    * (a table never loses its head to an aggressive cutoff), as do
+    * ref-pinned versions and versions whose manifest PREDATES
+    * timestamp recording (unknown age is conservatively kept — a
+    * pre-upgrade snapshot must not read as infinitely old).
+    * Timestamps come from the manifests, never file mtimes.
     */
   def vacuumOlderThan(spark: SparkSession, root: String,
       cutoffMs: Long, orphanGraceMs: Long = 3600000L): Unit = {
     val versions = manifestVersions(spark, root)
-    val fresh = versions
-      .filter(v => commitTimeMs(spark, root, v) >= cutoffMs).toSet
-    vacuumKeeping(spark, root, fresh ++ versions.lastOption,
-      orphanGraceMs)
+    val fresh = versions.filter { v =>
+      val t = commitTimeMs(spark, root, v)
+      t == 0L || t >= cutoffMs
+    }.toSet
+    vacuumKeeping(spark, root, versions,
+      fresh ++ versions.lastOption, orphanGraceMs)
   }
 
   private def vacuumKeeping(spark: SparkSession, root: String,
-      baseKeep: Set[Long], orphanGraceMs: Long): Unit = {
+      versions: Seq[Long], baseKeep: Set[Long],
+      orphanGraceMs: Long): Unit = {
     val f = fs(spark, root)
-    val versions = manifestVersions(spark, root)
     val maxCommitted = versions.lastOption.getOrElse(-1L)
     // named refs pin their targets: a tagged training snapshot must
     // survive retention until the ref itself is dropped

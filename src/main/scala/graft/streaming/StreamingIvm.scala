@@ -56,34 +56,50 @@ object StreamingIvm {
     * sinks; every directory stream is closed (walk/list hold an open
     * directory handle otherwise).
     */
-  private def stageTwoBatches(spark: SparkSession, dir: String,
-      staged: java.nio.file.Path, cut: String,
-      cols: Seq[String] = Nil): Unit = {
-    def rmTree(p: java.nio.file.Path): Unit = {
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(q => Files.delete(q))
       finally s.close()
     }
-    if (Files.exists(staged)) rmTree(staged)
-    val ev0 = graft.sources.EventsSource.read(spark, dir)
-    val ev = if (cols.isEmpty) ev0
-      else ev0.select(cols.map(org.apache.spark.sql.functions.col): _*)
-    val t = col("ts")
-    ev.where(t < cut).coalesce(1)
-      .write.mode("overwrite").parquet(s"$staged/b0")
-    ev.where(t >= cut).coalesce(1)
-      .write.mode("overwrite").parquet(s"$staged/b1")
-    val files = Seq("b0", "b1").flatMap { b =>
-      val s = Files.list(Paths.get(s"$staged/$b"))
+
+  /** Stage `parts` as one parquet file each under `staged`
+    * (part0.parquet, part1.parquet, ...) with PINNED ascending
+    * modification times — the file stream source processes files in
+    * mtime order, and batch ORDER is part of every replay contract
+    * here, so it must never ride on write-timing luck. Shared by the
+    * IVM, table-ingest, erasure, and dedup-ingest stagers.
+    */
+  private def stageOrderedParts(staged: java.nio.file.Path,
+      parts: Seq[DataFrame]): Unit = {
+    rmTree(staged)
+    parts.zipWithIndex.foreach { case (d, i) =>
+      d.coalesce(1).write.mode("overwrite").parquet(s"$staged/b$i")
+    }
+    val files = parts.indices.flatMap { i =>
+      val s = Files.list(Paths.get(s"$staged/b$i"))
       try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
       finally s.close()
     }
     files.zipWithIndex.foreach { case (f, i) =>
-      Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val dst = staged.resolve(s"part$i.parquet")
+      Files.move(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      ()
     }
-    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+    parts.indices.foreach(i => rmTree(Paths.get(s"$staged/b$i")))
+  }
+
+  private def stageTwoBatches(spark: SparkSession, dir: String,
+      staged: java.nio.file.Path, cut: String,
+      cols: Seq[String] = Nil): Unit = {
+    val ev0 = graft.sources.EventsSource.read(spark, dir)
+    val ev = if (cols.isEmpty) ev0
+      else ev0.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val t = col("ts")
+    stageOrderedParts(staged, Seq(ev.where(t < cut), ev.where(t >= cut)))
   }
 
   /** Replay the events log as a TWO-micro-batch file stream (split at
@@ -199,24 +215,46 @@ object StreamingIvm {
     * single-writer check make replays exactly-once, like
     * [[ingestSink]]. This is the continuously-admitting deduplicated
     * corpus loop — the every-batch shape of a training-data pipeline.
+    * Honest per-batch cost: building the Bloom re-scans the table
+    * (inherent — the filter must cover all admitted content, and a
+    * restart loses any cached one); what the sink DOES avoid is the
+    * counting scan (its running admitted count sizes the filter) and
+    * any metadata I/O for replay detection. For a corpus where even
+    * one scan per batch is too much, the filter would move into the
+    * table as a commit-maintained sidecar — the same shape as the
+    * stats sidecars.
     */
   private[graft] def dedupIngestSink(spark: SparkSession,
       tableRoot: String): (DataFrame, Long) => Unit = {
     var lastSeen: Option[Long] = None
+    var seenCount: Long = -1L // -1 = unseeded; first batch scans once
     (batch: DataFrame, batchId: Long) => {
       val last = lastSeen.orElse(
         VersionedTable.latestTag(spark, tableRoot).flatMap(_.toLongOption))
       if (last.exists(_ >= batchId)) lastSeen = last
       else {
-        val firstIds = batch
-          .groupBy(sha2(col("text"), 256).as("__h"))
+        // intra-batch survivor directly from ONE aggregate: min id
+        // per content. (A join-back on the id alone would re-admit a
+        // same-id row with DIFFERENT content, and a literally
+        // double-delivered row would survive a semi-join twice —
+        // at-least-once delivery makes both real inputs.)
+        val intra = batch
+          .groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id"))
-        val intra = batch.join(firstIds.select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val fresh = graft.operators.Dedup.incrementalNew(intra,
-          VersionedTable.read(spark, tableRoot), "text")
-        VersionedTable.commitAppend(fresh, tableRoot,
+          .select(col("doc_id"), col("text"))
+        val seen = VersionedTable.read(spark, tableRoot)
+        // the sink owns the table (single-writer), so its running
+        // admitted count sizes the Bloom without re-counting the
+        // corpus every batch; the first batch seeds it with one scan
+        if (seenCount < 0) seenCount = seen.count()
+        val fresh = graft.operators.Dedup.incrementalNew(intra, seen,
+          "text", expectedSeen = math.max(1024L, seenCount))
+        val admitted = fresh.persist()
+        val nAdmitted = admitted.count()
+        VersionedTable.commitAppend(admitted, tableRoot,
           tag = batchId.toString)
+        admitted.unpersist()
+        seenCount += nAdmitted
         lastSeen = Some(batchId)
       }
     }
@@ -239,14 +277,6 @@ object StreamingIvm {
       s"${graft.config.Scratch.runDir}/dedup_stream_$tag")
     val tableRoot = s"${graft.config.Scratch.runDir}/dedup_table_$tag"
     VersionedTable.destroy(spark, tableRoot)
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-        finally s.close()
-      }
-    rmTree(staged)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     // empty seed commit: the sink's first read sees the schema, no rows
@@ -263,24 +293,7 @@ object StreamingIvm {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .unionByName(docs.where(col("doc_id").between(cut, cut + 9))
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-    Seq(b0 -> "b0", b1 -> "b1").foreach { case (d, b) =>
-      d.coalesce(1).write.mode("overwrite").parquet(s"$staged/$b")
-    }
-    val files = Seq("b0", "b1").flatMap { b =>
-      val s = Files.list(Paths.get(s"$staged/$b"))
-      try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
-      finally s.close()
-    }
-    files.zipWithIndex.foreach { case (f, i) =>
-      val dst = staged.resolve(s"part$i.parquet")
-      Files.move(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
-      // batch ORDER is part of the contract (earliest batch wins):
-      // pin it via mtime instead of trusting write-timing luck
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-      ()
-    }
-    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+    stageOrderedParts(staged, Seq(b0, b1))
     val stream = spark.readStream
       .schema(spark.read.parquet(staged.toString).schema)
       .option("maxFilesPerTrigger", 1)
@@ -309,33 +322,13 @@ object StreamingIvm {
       s"${graft.config.Scratch.runDir}/erase_stream_$tag")
     val tableRoot = s"${graft.config.Scratch.runDir}/erase_table_$tag"
     VersionedTable.destroy(spark, tableRoot)
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-        finally s.close()
-      }
-    rmTree(staged)
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"))
     VersionedTable.commit(o, tableRoot, tag = "base")
     // two deterministic delete-request batches staged as one file each
-    Seq(7L -> "b0", 11L -> "b1").foreach { case (m, b) =>
-      o.where(col("o_orderkey") % m === 0).select(col("o_orderkey"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staged/$b")
-    }
-    val files = Seq("b0", "b1").flatMap { b =>
-      val s = Files.list(Paths.get(s"$staged/$b"))
-      try s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
-      finally s.close()
-    }
-    files.zipWithIndex.foreach { case (f, i) =>
-      Files.move(Paths.get(f), staged.resolve(s"part$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    Seq("b0", "b1").foreach(b => rmTree(Paths.get(s"$staged/$b")))
+    stageOrderedParts(staged, Seq(7L, 11L).map(m =>
+      o.where(col("o_orderkey") % m === 0).select(col("o_orderkey"))))
     val stream = spark.readStream
       .schema(spark.read.parquet(staged.toString).schema)
       .option("maxFilesPerTrigger", 1)

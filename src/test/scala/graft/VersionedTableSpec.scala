@@ -512,6 +512,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got == want, s"compacted Z scan lost rows: $got/$want")
   }
 
+  test("compactZOrder degenerate dims fall back to the sorted " +
+      "rewrite; compactIfFragmented on a stats-bearing table keeps " +
+      "skipping alive") {
+    val root = freshRoot("compactzdegen")
+    // constant second dimension: no Z span — must not crash, must
+    // still rewrite with stats coverage intact
+    val base = spark.range(0, 4000)
+      .select(col("id").as("k"), lit(7L).as("c"))
+    VersionedTable.commitWithStats(
+      base.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k", "c"))
+    val v1 = VersionedTable.compactZOrder(spark, root, Seq("k", "c"),
+      targetBytes = VersionedTable.dataBytes(spark, root, 0L) / 4 + 1)
+    assert(VersionedTable.readVersion(spark, root, v1).count() == 4000L)
+    val all = VersionedTable.dataFileCount(spark, root, v1)
+    val picked = VersionedTable.prunedPaths(spark, root, v1,
+      "k", 100d, 400d)
+    assert(picked.size < all,
+      s"degenerate-dim fallback lost skipping: ${picked.size} of $all")
+    // the policy hook must take the clustering-preserving path when a
+    // sidecar exists: fragment the table, trip the threshold, and the
+    // new version must still prune
+    VersionedTable.commitWithStats(
+      base.repartition(16), root, statsCols = Seq("k"))
+    val v3 = VersionedTable.compactIfFragmented(spark, root,
+      maxFiles = 4,
+      targetBytes = VersionedTable.dataBytes(spark, root, v1) / 4 + 1)
+    assert(v3.isDefined)
+    val all3 = VersionedTable.dataFileCount(spark, root, v3.get)
+    val picked3 = VersionedTable.prunedPaths(spark, root, v3.get,
+      "k", 100d, 400d)
+    assert(picked3.size < all3,
+      s"policy-hook compaction destroyed skipping: ${picked3.size}/$all3")
+  }
+
   test("path resolution is duplicate-proof: a sidecar whose recorded " +
       "paths normalize differently (or point nowhere) can never " +
       "double-read or ghost-read a file") {
@@ -917,6 +952,21 @@ class VersionedTableSpec extends AnyFunSuite {
       "the newest version must never expire")
     assert(VersionedTable.read(spark, root).count() == 1L)
     assert(v1 >= 0) // silence unused warning; v1 expired above
+    // a PRE-UPGRADE manifest (no ts field) has unknown age: it must
+    // be kept conservatively, never treated as infinitely old
+    val v3 = VersionedTable.commit(Seq((4L, "d")).toDF("k", "v"), root)
+    val v4 = VersionedTable.commit(Seq((5L, "e")).toDF("k", "v"), root)
+    val m3 = java.nio.file.Paths.get(root, s"_graft_manifest_v$v3.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m3),
+      "UTF-8").replaceAll(""","ts":\d+""", "")
+    java.nio.file.Files.write(m3, stripped.getBytes("UTF-8"))
+    assert(VersionedTable.commitTimeMs(spark, root, v3) == 0L)
+    VersionedTable.vacuumOlderThan(spark, root,
+      cutoffMs = System.currentTimeMillis() + 3600000L)
+    val left = VersionedTable.versions(spark, root).toSet
+    assert(left.contains(v3), "unknown-age version was expired")
+    assert(left.contains(v4), "head was expired")
+    assert(!left.contains(v2), "stale timestamped version survived")
   }
 
   test("streaming dedup-gated ingest: planted cross-batch and " +
@@ -952,6 +1002,30 @@ class VersionedTableSpec extends AnyFunSuite {
     val root = s"${graft.config.Scratch.runDir}/dedup_table_$tag"
     assert(VersionedTable.history(spark, root).map(_._2) ==
       Seq("base", "0", "1"))
+  }
+
+  test("dedup ingest sink: duplicate ids and double-delivered rows " +
+      "inside ONE batch cannot smuggle duplicate content") {
+    val root = freshRoot("dedupsinkdup")
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    VersionedTable.commit(empty, root, tag = "base")
+    val sink = StreamingIvm.dedupIngestSink(spark, root)
+    // (1,'a') delivered twice; id 7 appears with TWO different texts,
+    // one of which duplicates id 3's content
+    sink(Seq((1L, "a"), (1L, "a"), (3L, "B"), (7L, "B"), (7L, "A"))
+      .toDF("doc_id", "text"), 0L)
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (3L, "B"), (7L, "A")),
+      s"intra-batch dedup admitted duplicates: $got")
+    // a later batch re-sending admitted content is fully rejected
+    sink(Seq((9L, "a"), (10L, "B"), (11L, "C")).toDF("doc_id", "text"),
+      1L)
+    val got2 = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == got + ((11L, "C")),
+      s"cross-batch gate leaked: $got2")
   }
 
   test("streaming GDPR erasure: one MoR commit per request batch, " +
