@@ -349,9 +349,13 @@ object TextMetrics {
       .agg(count(lit(1)).as("k"))
     val toksAll = df.select(explode(tokenizer(col(textCol))).as("t"))
     val uni = toksAll.groupBy(col("t")).agg(count(lit(1)).as("cu"))
-    val total = toksAll.agg(count(lit(1)).as("__n"))
-    val big = bi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
+    // corpus totals reduce the ALREADY-aggregated frames (per-doc
+    // bigrams, vocabulary counts) instead of the raw exploded
+    // streams — the DSIR lesson: shuffles carry distinct entries,
+    // not occurrences
+    val total = uni.agg(sum(col("cu")).as("__n"))
+    val big = biDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("cb"))
     val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__n"))
     biDoc.join(big, Seq("w1", "w2"))
