@@ -1084,22 +1084,39 @@ object VersionedTable {
   def compactSorted(spark: SparkSession, root: String,
       sortCols: Seq[String], targetBytes: Long = 128L << 20,
       tag: String = ""): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    compactSortedResolved(spark, root, v, sortCols, targetBytes, tag,
+      priorStatsCols(spark, root, v))
+  }
+
+  private def compactSortedResolved(spark: SparkSession, root: String,
+      v: Long, sortCols: Seq[String], targetBytes: Long, tag: String,
+      prior: (Seq[String], Seq[String])): Long = {
     import org.apache.spark.sql.functions.col
     require(sortCols.nonEmpty, "compactSorted needs sort columns")
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
     val bytes = dataBytes(spark, root, v)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val sorted = readVersion(spark, root, v)
       .repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    val (priorNum, priorStr) = priorStatsCols(spark, root, v)
-    val numCols = if (priorNum.isEmpty && priorStr.isEmpty) sortCols
-      else priorNum
-    commitWithStats(sorted, root, statsCols = numCols,
+    // stats coverage = the REQUESTED clustering columns (split into
+    // the numeric/string families by their actual type — a string
+    // sort key needs lexicographic stats to prune at all) unioned
+    // with whatever the prior sidecar covered: a rewrite must never
+    // shrink skip coverage, and the columns it just clustered on
+    // must actually gain it
+    val (priorNum, priorStr) = prior
+    val isStringCol: Map[String, Boolean] = sorted.schema.fields
+      .map(f => f.name ->
+        (f.dataType == org.apache.spark.sql.types.StringType)).toMap
+    val (sortStr, sortNum) =
+      sortCols.partition(c => isStringCol.getOrElse(c, false))
+    commitWithStats(sorted, root,
+      statsCols = (sortNum ++ priorNum).distinct,
       tag = if (tag.nonEmpty) tag else s"compact-sorted-v$v",
-      stringStatsCols = priorStr)
+      stringStatsCols = (sortStr ++ priorStr).distinct)
   }
 
   /** OPTIMIZE policy hook for continuous writers: bin-pack ONLY when
@@ -1121,11 +1138,23 @@ object VersionedTable {
     latestVersion(spark, root).flatMap { v =>
       if (dataFileCount(spark, root, v) <= maxFiles) None
       else {
-        val (priorNum, priorStr) = priorStatsCols(spark, root, v)
-        val sortCols = priorNum ++ priorStr
-        if (sortCols.nonEmpty)
-          Some(compactSorted(spark, root, sortCols, targetBytes, tag))
-        else Some(compact(spark, root, targetBytes, tag))
+        val prior @ (priorNum, priorStr) = priorStatsCols(spark, root, v)
+        // two or more numeric stats dimensions = a multi-dim skipping
+        // layout: a lexicographic re-sort would cluster the leading
+        // column only and leave every file spanning the others' full
+        // domains, so route through the Z rewrite (its degenerate
+        // fallback still lands on the sorted path when a dim has no
+        // span); one covered column re-sorts lexicographically; no
+        // sidecar at all bin-packs round-robin
+        if (priorNum.size >= 2)
+          Some(compactZOrder(spark, root, priorNum, targetBytes, tag))
+        else {
+          val sortCols = (priorNum ++ priorStr).distinct
+          if (sortCols.nonEmpty)
+            Some(compactSortedResolved(spark, root, v, sortCols,
+              targetBytes, tag, prior))
+          else Some(compact(spark, root, targetBytes, tag))
+        }
       }
     }
   }

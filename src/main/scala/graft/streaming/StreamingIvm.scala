@@ -48,13 +48,8 @@ object StreamingIvm {
     }
   }
 
-  /** Stage the events log as TWO "arriving" files split at `cut`
-    * (one per half, flattened to part0/part1 at the staging root), so
-    * `maxFilesPerTrigger=1` replays it as exactly two micro-batches.
-    * Restages from scratch every call — a stale layout must never
-    * leak across code versions. Shared by the IVM and table-ingest
-    * sinks; every directory stream is closed (walk/list hold an open
-    * directory handle otherwise).
+  /** Recursive delete; every directory stream is closed (walk/list
+    * hold an open directory handle otherwise).
     */
   private def rmTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -92,6 +87,13 @@ object StreamingIvm {
     parts.indices.foreach(i => rmTree(Paths.get(s"$staged/b$i")))
   }
 
+  /** Stage the events log as TWO "arriving" files split at `cut`
+    * (one per half, via [[stageOrderedParts]]), so
+    * `maxFilesPerTrigger=1` replays it as exactly two micro-batches.
+    * Restages from scratch every call — a stale layout must never
+    * leak across code versions. Shared by the IVM and table-ingest
+    * pipelines.
+    */
   private def stageTwoBatches(spark: SparkSession, dir: String,
       staged: java.nio.file.Path, cut: String,
       cols: Seq[String] = Nil): Unit = {

@@ -545,6 +545,24 @@ class VersionedTableSpec extends AnyFunSuite {
       "k", 100d, 400d)
     assert(picked3.size < all3,
       s"policy-hook compaction destroyed skipping: ${picked3.size}/$all3")
+    // a TWO-dimension sidecar must route through the Z rewrite: after
+    // the hook, a needle on the SECOND dimension alone still skips
+    // (a lexicographic re-sort would leave every file spanning y)
+    val root2 = freshRoot("policyz")
+    val pts = spark.range(0, 40000).select(
+      pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000L)).cast("double").as("y"))
+    VersionedTable.commitWithStats(pts.repartition(16), root2,
+      statsCols = Seq("x", "y"))
+    val vz = VersionedTable.compactIfFragmented(spark, root2,
+      maxFiles = 4,
+      targetBytes = VersionedTable.dataBytes(spark, root2, 0L) / 8 + 1)
+    assert(vz.isDefined)
+    val allZ = VersionedTable.dataFileCount(spark, root2, vz.get)
+    val onY = VersionedTable.prunedPaths(spark, root2, vz.get,
+      Seq(("y", 100d, 160d)))
+    assert(onY.size < allZ,
+      s"policy hook lost second-dim skipping: ${onY.size} of $allZ")
   }
 
   test("path resolution is duplicate-proof: a sidecar whose recorded " +
