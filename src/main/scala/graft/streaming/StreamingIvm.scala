@@ -252,12 +252,13 @@ object StreamingIvm {
         val fresh = graft.operators.Dedup.incrementalNew(intra, seen,
           "text", expectedSeen = math.max(1024L, seenCount))
         val admitted = fresh.persist()
-        val nAdmitted = admitted.count()
-        VersionedTable.commitAppend(admitted, tableRoot,
-          tag = batchId.toString)
-        admitted.unpersist()
-        seenCount += nAdmitted
-        lastSeen = Some(batchId)
+        try {
+          val nAdmitted = admitted.count()
+          VersionedTable.commitAppend(admitted, tableRoot,
+            tag = batchId.toString)
+          seenCount += nAdmitted
+          lastSeen = Some(batchId)
+        } finally { admitted.unpersist(); () }
       }
     }
   }
