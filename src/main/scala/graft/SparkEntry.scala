@@ -131,6 +131,11 @@ object SparkEntry {
               "UTF-8")).getOrElse("<unreadable>")}\n"
       }
       if (rootF.exists) walk(rootF, "  ") else diag ++= "  <root gone>\n"
+      diag ++= "fsck: " + scala.util.Try(
+        graft.sources.VersionedTable.fsck(s, root) match {
+          case Nil => "healthy"
+          case is => is.mkString("; ")
+        }).getOrElse("<fsck failed>") + "\n"
       // per-file row counts of every data/sidecar parquet file
       if (rootF.exists) Option(rootF.listFiles()).toSeq.flatten
         .filter(_.isDirectory).sortBy(_.getName).foreach { d =>

@@ -1417,6 +1417,58 @@ object VersionedTable {
     }
   }
 
+  /** Table integrity check — the `fsck` a post-mortem starts from:
+    * every committed version's manifest must parse, every data
+    * directory it names must exist and hold parquet files, and a
+    * recorded delete sidecar must exist and be readable; version-
+    * numbered stats/bloom sidecars bound to versions that are not
+    * committed are reported as orphans (informational — readers
+    * never resolve them). Metadata-sized (listings + footers, no
+    * data scan). Returns human-readable findings; empty = healthy.
+    */
+  def fsck(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val issues = Seq.newBuilder[String]
+    if (!f.exists(new Path(root))) return Seq(s"table root missing: $root")
+    val versions = manifestVersions(spark, root)
+    versions.foreach { v =>
+      try {
+        val raw = readManifest(spark, root, v)
+        dirsOf(raw, root, v).foreach { d =>
+          val p = new Path(root, d)
+          if (!f.exists(p))
+            issues += s"v$v references missing data dir $d"
+          else if (!f.listStatus(p).exists(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet")))
+            issues += s"v$v data dir $d holds no parquet files"
+        }
+        deletesOf(raw, root, v).foreach { d =>
+          if (!f.exists(new Path(root, d)))
+            issues += s"v$v references missing delete sidecar $d"
+          else scala.util.Try(spark.read.parquet(s"$root/$d").schema)
+            .failed.foreach(e =>
+              issues += s"v$v delete sidecar $d unreadable: ${e.getMessage}")
+        }
+      } catch { case e: Throwable =>
+        issues += s"v$v manifest corrupt: ${e.getMessage}"
+      }
+    }
+    val committed = versions.toSet
+    f.listStatus(new Path(root)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).foreach { n =>
+        Seq("_graft_stats_v", "_graft_bloom_v").foreach { pre =>
+          n.stripPrefix(pre) match {
+            case s if n.startsWith(pre) => s.toLongOption.foreach { v =>
+              if (!committed.contains(v))
+                issues += s"orphan sidecar $n (version $v not committed)"
+            }
+            case _ => ()
+          }
+        }
+      }
+    issues.result()
+  }
+
   /** Drop everything under `root` — test/scratch hygiene helper. */
   def destroy(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)

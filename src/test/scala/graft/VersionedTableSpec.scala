@@ -944,6 +944,31 @@ class VersionedTableSpec extends AnyFunSuite {
       "fresh batch id failed to append")
   }
 
+  test("fsck: healthy tables report nothing; missing data dirs, " +
+      "missing delete sidecars, and orphan sidecars are named") {
+    val root = freshRoot("fsck")
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    VersionedTable.commit(base, root)
+    VersionedTable.deleteWhereMor(spark, root, col("k") === 1, Seq("k"))
+    assert(VersionedTable.fsck(spark, root).isEmpty)
+    // orphan stats sidecar bound to an uncommitted version
+    new java.io.File(s"$root/_graft_stats_v99").mkdirs()
+    val withOrphan = VersionedTable.fsck(spark, root)
+    assert(withOrphan.exists(_.contains("orphan sidecar")), withOrphan)
+    // delete the sidecar dir the manifest references
+    val side = VersionedTable.deleteSidecar(spark, root, 1L).get
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/$side"))
+    val broken = VersionedTable.fsck(spark, root)
+    assert(broken.exists(_.contains("missing delete sidecar")), broken)
+    // and a vanished data dir
+    rm(new java.io.File(s"$root/v0"))
+    val worse = VersionedTable.fsck(spark, root)
+    assert(worse.exists(_.contains("missing data dir")), worse)
+  }
+
   test("time-based retention: manifests record commit time, " +
       "vacuumOlderThan expires by it, the head and ref-pins survive " +
       "any cutoff") {
