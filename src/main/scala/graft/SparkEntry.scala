@@ -109,7 +109,33 @@ object SparkEntry {
         .sorted.toSeq
     val gc = canon(got)
     val wc = canon(want)
-    if (gc != wc) {
+    // exact match is the fast path; on mismatch, re-try with numeric
+    // tolerance on floating cells before declaring divergence — the
+    // two sides aggregate over different partitionings, so a double
+    // sitting exactly on a rounding boundary must not hard-fail the
+    // query as a spurious corruption alarm (round-10 advice). Rows
+    // align on their non-floating cells (the contract queries that
+    // carry floats are keyed by string/integer columns).
+    def tolerantEqual: Boolean = got.length == want.length && {
+      def key(r: org.apache.spark.sql.Row): String =
+        r.toSeq.filterNot(v =>
+          v.isInstanceOf[Double] || v.isInstanceOf[Float])
+          .map(String.valueOf).mkString("")
+      val gs = got.sortBy(key)
+      val ws = want.sortBy(key)
+      gs.zip(ws).forall { case (g, w) =>
+        g.length == w.length && g.toSeq.zip(w.toSeq).forall {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            (a.isNaN && b.isNaN) || math.abs(a - b) <=
+              1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+          case (a: java.lang.Float, b: java.lang.Float) =>
+            (a.isNaN && b.isNaN) || math.abs(a - b) <=
+              1e-4 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+          case (a, b) => String.valueOf(a) == String.valueOf(b)
+        }
+      }
+    }
+    if (gc != wc && !tolerantEqual) {
       val diag = new StringBuilder()
       diag ++= s"[self-verify] $name DIVERGED: table-layer result " +
         s"${got.length} rows vs source-derived ${want.length} rows\n"
@@ -3537,7 +3563,8 @@ object SparkEntry {
         .where(col("l_orderkey").cast("double").between(1000d, 2000d))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
         .orderBy("l_orderkey")
       // pruning must lose no rows: the pruned-scan answer is checked
       // row-for-row against the same aggregate straight off the
@@ -3574,7 +3601,8 @@ object SparkEntry {
           col("l_partkey").cast("double").between(1d, 100d))
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
         .orderBy("l_partkey")
       selfVerified(s, "table_pruned_scan2", root,
         shape(graft.sources.VersionedTable.readPruned(s, root, v, Seq(
@@ -3646,7 +3674,8 @@ object SparkEntry {
           .between("1-URGENT", "2-HIGH"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
       selfVerified(s, "table_pruned_string", root,
         shape(graft.sources.VersionedTable.readPrunedString(s, root, v,
@@ -3671,7 +3700,8 @@ object SparkEntry {
       def shape(d: DataFrame) = d
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
       // the post-vacuum read must be exactly the CoW delete's logical
       // content — checked against the source before returning
@@ -3708,12 +3738,50 @@ object SparkEntry {
           col("l_partkey").cast("double").between(1d, 100d))
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
         .orderBy("l_partkey")
       selfVerified(s, "table_compact_zorder", root,
         shape(graft.sources.VersionedTable.readPruned(s, root, v, Seq(
           ("l_orderkey", 1000d, 4000d), ("l_partkey", 1d, 100d)))),
         shape(li))
+    }),
+    // sequence-scoped MoR deletes: erase a key set, then RE-REGISTER a
+    // subset through a later append — the re-inserted rows must be
+    // visible (the erasure's seq precedes the delta's), the
+    // never-re-registered erasures must stay gone, and no pre-erasure
+    // copy may resurface. This is the GDPR re-registration path the
+    // round-10 advice flagged: without scoping, the append was
+    // silently anti-joined away until a rewrite.
+    "table_mor_reinsert" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_reinsert_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(o, root, tag = "base")
+      graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+        tag = "erase")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000d).as("o_totalprice")),
+        root, tag = "reregister")
+      def shape(d: DataFrame) = d
+        .groupBy(when(col("o_orderkey") % 14 === 0, "reinserted")
+          .when(col("o_orderkey") % 7 === 0, "erased")
+          .otherwise("kept").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("grp")
+      selfVerified(s, "table_mor_reinsert", root,
+        shape(graft.sources.VersionedTable.read(s, root)),
+        shape(o.where(col("o_orderkey") % 7 =!= 0)
+          .unionByName(o.where(col("o_orderkey") % 14 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") + 1000d).as("o_totalprice")))))
     }),
     // profile-over-snapshot: the reference's column-summary report
     // runs against a PRUNED snapshot read — the scan-report surface
@@ -5073,7 +5141,8 @@ object SparkEntry {
           col("o_orderkey") % 11 === 0))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
       selfVerified(s, "stream_gdpr_erasure", root, res, expected)
     }),
@@ -5722,7 +5791,7 @@ object SparkEntry {
     "table_pruned_scan" ->
       ("SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_qty " +
+        "AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
         "GROUP BY 1 ORDER BY 1"),
     // conjunction pruning on the Z-ordered pair must lose no rows
@@ -5730,7 +5799,7 @@ object SparkEntry {
     "table_pruned_scan2" ->
       ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_qty " +
+        "AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4000 " +
         "AND l_partkey BETWEEN 1 AND 100 " +
         "GROUP BY 1 ORDER BY 1"),
@@ -5756,7 +5825,7 @@ object SparkEntry {
     "table_pruned_string" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_price " +
+        "AS DOUBLE) AS sum_price " +
         "FROM orders WHERE o_orderpriority " +
         "BETWEEN '1-URGENT' AND '2-HIGH' " +
         "GROUP BY 1 ORDER BY 1"),
@@ -5765,7 +5834,7 @@ object SparkEntry {
     "table_compact_zorder" ->
       ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_qty " +
+        "AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4000 " +
         "AND l_partkey BETWEEN 1 AND 100 " +
         "GROUP BY 1 ORDER BY 1"),
@@ -5774,12 +5843,27 @@ object SparkEntry {
     "table_profile_snapshot" -> summaryOracle("orders",
       from = "(SELECT * FROM orders " +
         "WHERE o_orderkey BETWEEN 1000 AND 8000)"),
+    // sequence-scoped erasure: re-registered keys are visible with
+    // their NEW rows, unre-registered erasures stay gone, no
+    // pre-erasure copy resurfaces — exactly the filtered-union below
+    "table_mor_reinsert" ->
+      ("SELECT CASE WHEN o_orderkey % 14 = 0 THEN 'reinserted' " +
+        "WHEN o_orderkey % 7 = 0 THEN 'erased' ELSE 'kept' END AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_price FROM (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 14 = 0) " +
+        "GROUP BY 1 ORDER BY 1"),
     // vacuum keeps only the newest snapshot; its read is exactly the
     // copy-on-write delete's logical content
     "table_vacuum" ->
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_price " +
+        "AS DOUBLE) AS sum_price " +
         "FROM orders WHERE o_orderstatus <> 'F' " +
         "GROUP BY 1 ORDER BY 1"),
     // epoch shuffle: the MINSTD chain in plain BIGINT arithmetic —
@@ -6642,7 +6726,7 @@ object SparkEntry {
     "stream_gdpr_erasure" ->
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,2)) AS sum_price FROM orders " +
+        "AS DOUBLE) AS sum_price FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0) " +
         "GROUP BY 1 ORDER BY 1"),
     "streaming_ivm" ->

@@ -25,8 +25,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // No DECIMAL output columns, ever: the driver's hash normalizes
+        // the Spark side and the DuckDB side through different numeric
+        // representations, and str(Decimal("8.00")) vs str(8.0) flips
+        // the hash exactly when a value's cents end in zero — the
+        // r8-r10 "driver-only" table-family reds were all this. Sum as
+        // decimal for exactness, then cast the OUTPUT to double.
+        val decs = df.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        require(decs.isEmpty, s"query $name emits DECIMAL column(s) " +
+          s"${decs.map(_.name).mkString(",")}: hash-unstable under the " +
+          "driver's float normalization; cast the output to double")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         // full toString (class + message) and the stack head: a red
         // row must carry evidence — getMessage alone can be null, and

@@ -657,13 +657,25 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-    val sized = if (expectedSeen > 0) expectedSeen
-      else math.max(1024L, seenDf.count())
+    // adaptive sizing needs the seen side TWICE eagerly (count, then
+    // the Bloom aggregate) — persist the 8-byte hash projection
+    // around that pair so an expensive upstream computation is not
+    // evaluated twice for the default (round-10 advice); both uses
+    // are eager, so the cache is dropped before returning and the
+    // lazy anti-join below re-derives the seen side exactly once at
+    // execution, same as the fixed-size path
+    val hashes = seenDf.select(xxhash64(col(textCol)).as("__h64"))
+    val adaptive = expectedSeen <= 0
+    val hsrc = if (adaptive) hashes.persist() else hashes
+    val sized = if (adaptive) math.max(1024L, hsrc.count())
+      else expectedSeen
     val bloomCol = ColumnBridge.column(
       new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(textCol))), sized)
+        ColumnBridge.expression(col("__h64")), sized)
         .toAggregateExpression())
-    val bloomBytes = seenDf.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val bloomBytes =
+      try hsrc.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+      finally if (adaptive) { hsrc.unpersist(); () }
     // empty seen corpus: the aggregate evals to NULL and might_contain
     // would go NULL too, silently dropping every row — everything is
     // new, return the batch as-is

@@ -158,15 +158,27 @@ object VersionedTable {
     */
   def publish(spark: SparkSession, root: String, version: Long,
       tag: String = "", dirs: Seq[String] = Nil,
-      deletes: String = ""): Unit = {
+      deletes: String = "", dirSeqs: Seq[Long] = Nil): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val pathField =
-      (if (dirs.isEmpty) Seq(s"v$version") else dirs).mkString(",")
+    val dirList = if (dirs.isEmpty) Seq(s"v$version") else dirs
+    val pathField = dirList.mkString(",")
+    // per-directory commit sequence numbers, parallel to the path
+    // list — the scope carrier for merge-on-read deletes (a delete
+    // applies only to directories whose seq PRECEDES the delete's
+    // commit, the Iceberg equality-delete rule). Absent in
+    // pre-scoping manifests; readers default those dirs to seq 0
+    // (every delete applies — the old global behavior).
+    val seqList =
+      if (dirSeqs.isEmpty) Seq.fill(dirList.length)(version)
+      else dirSeqs
+    require(seqList.length == dirList.length,
+      s"dirSeqs length ${seqList.length} != dirs length ${dirList.length}")
+    val seqField = s""","dirSeqs":"${seqList.mkString(",")}""""
     val delField =
       if (deletes.isEmpty) "" else s""","deletes":"${js(deletes)}""""
     // commit wall-clock recorded IN the manifest: time-based retention
@@ -175,7 +187,7 @@ object VersionedTable {
     val manifest =
       s"""{"version":$version,"path":"${js(pathField)}",""" +
         s""""tag":"${js(tag)}","ts":${System.currentTimeMillis()}""" +
-        s"""$delField}"""
+        s"""$seqField$delField}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val uri = f.makeQualified(p).toUri
@@ -234,15 +246,20 @@ object VersionedTable {
     val prevV = latestVersion(spark, root)
     val prev = prevV.map(v => resolveDirs(spark, root, v))
       .getOrElse(Nil)
+    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
+      .getOrElse(Nil)
     val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
     delta.write.mode("overwrite").parquet(dataDir)
     // an append changes no existing byte, so the previous snapshot's
     // delete set keeps applying — carried by NAME in the manifest
-    // (zero-copy, and no shared sidecar path two writers could race on)
+    // (zero-copy, and no shared sidecar path two writers could race
+    // on). The NEW delta dir gets seq `next`, ABOVE every carried
+    // delete's seq: prior erasures never anti-join freshly appended
+    // rows, so a re-inserted key is visible again immediately.
     publish(spark, root, next, tag, dirs = prev :+ s"v$next",
-      deletes = dels.getOrElse(""))
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
     clearIntent(spark, root, s"v$next")
     next
   }
@@ -274,6 +291,8 @@ object VersionedTable {
       val prevV = latestVersion(spark, root)
       val prev = prevV.map(v => resolveDirs(spark, root, v))
         .getOrElse(Nil)
+      val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
+        .getOrElse(Nil)
       val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
       val next = prevV.map(_ + 1).getOrElse(0L)
       try {
@@ -281,7 +300,7 @@ object VersionedTable {
         // reference in the manifest, so a losing attempt rewrites no
         // sidecar and can never clobber a concurrent MoR delete's
         publish(spark, root, next, tag, dirs = prev :+ dirName,
-          deletes = dels.getOrElse(""))
+          deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
         clearIntent(spark, root, dirName)
         return next
       } catch {
@@ -322,6 +341,24 @@ object VersionedTable {
     dirs
   }
 
+  /** The per-directory commit sequence numbers parallel to
+    * [[resolveDirs]]' list. A manifest written before delete scoping
+    * reports seq 0 for every dir — so every delete sidecar (whose
+    * keys then carry seq +inf) applies globally, the pre-scoping
+    * behavior.
+    */
+  def resolveDirSeqs(spark: SparkSession, root: String,
+      version: Long): Seq[Long] = {
+    val raw = readManifest(spark, root, version)
+    dirSeqsOf(raw, dirsOf(raw, root, version).length)
+  }
+
+  private def dirSeqsOf(raw: String, nDirs: Int): Seq[Long] =
+    """"dirSeqs":"([0-9,]*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1).split(',').toSeq.filter(_.nonEmpty).map(_.toLong))
+      .filter(_.length == nDirs)
+      .getOrElse(Seq.fill(nDirs)(0L))
+
   /** Read the newest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(
@@ -340,9 +377,8 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String,
       version: Long): DataFrame = {
     val raw = readManifest(spark, root, version)
-    applyDeleteDirs(spark, root, deletesOf(raw, root, version),
-      spark.read.parquet(
-        dirsOf(raw, root, version).map(d => s"$root/$d"): _*))
+    readScoped(spark, root, raw, version, onlyPaths = None,
+      mergeSchema = false)
   }
 
   private val DeletesPrefix = "_graft_del_"
@@ -368,25 +404,61 @@ object VersionedTable {
     """"deletes":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .map(_.group(1)).filter(_.nonEmpty)
 
-  /** The read half of merge-on-read: anti-join `df` against the
-    * version's manifest-recorded delete-key sidecar (its columns ARE
-    * the delete key). Sidecar-less versions — every table that never
-    * ran [[deleteWhereMor]] — return `df` untouched with one manifest
-    * field check.
+  /** The per-sidecar-row delete-sequence column: the version at which
+    * each key was deleted. A delete applies only to data directories
+    * whose commit seq is strictly BELOW it (Iceberg's equality-delete
+    * sequencing) — so a key re-inserted by a later append is visible
+    * again, instead of being silently anti-joined away until
+    * [[compactDeletes]] (round-10 advice). Sidecars written before
+    * scoping lack the column; readers treat their keys as seq +inf
+    * (apply to everything — the old global behavior).
     */
-  private def applyDeletes(spark: SparkSession, root: String,
-      version: Long, df: DataFrame): DataFrame =
-    applyDeleteDirs(spark, root,
-      resolveDeletes(spark, root, version), df)
+  private val DelSeqCol = "_graft_delseq"
 
-  private def applyDeleteDirs(spark: SparkSession, root: String,
-      deletes: Option[String], df: DataFrame): DataFrame =
-    deletes match {
-      case None => df
-      case Some(d) =>
-        val dels = spark.read.parquet(s"$root/$d")
-        df.join(dels, dels.columns.toIndexedSeq, "left_anti")
+  /** Assemble a snapshot read: the manifest's data directories (or
+    * the pruned `onlyPaths` file subset), anti-joined against the
+    * delete sidecar with SEQUENCE SCOPING — each directory only sees
+    * the delete keys committed after it. The sidecar-less fast path
+    * (every table that never ran a MoR delete) is a single multi-path
+    * parquet scan, unchanged.
+    */
+  private def readScoped(spark: SparkSession, root: String, raw: String,
+      version: Long, onlyPaths: Option[Seq[String]],
+      mergeSchema: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = dirsOf(raw, root, version)
+    val seqs = dirSeqsOf(raw, dirs.length)
+    def reader = {
+      val r = spark.read
+      if (mergeSchema) r.option("mergeSchema", "true") else r
     }
+    // (path, owning-dir seq): pruned file subsets resolve their dir by
+    // parent name; a path outside any manifest dir (impossible by
+    // construction) conservatively gets seq 0 = every delete applies
+    val files: Seq[(String, Long)] = onlyPaths match {
+      case Some(ps) =>
+        val seqByDir = dirs.zip(seqs).toMap
+        ps.map(p => (p,
+          seqByDir.getOrElse(new Path(p).getParent.getName, 0L)))
+      case None => dirs.zip(seqs).map { case (d, s) => (s"$root/$d", s) }
+    }
+    deletesOf(raw, root, version) match {
+      case None => reader.parquet(files.map(_._1): _*)
+      case Some(d) =>
+        val delsRaw = spark.read.parquet(s"$root/$d")
+        val hasSeq = delsRaw.columns.contains(DelSeqCol)
+        val keyCols = delsRaw.columns.filterNot(_ == DelSeqCol).toIndexedSeq
+        files.groupBy(_._2).toSeq.sortBy(_._1).map { case (s, fs0) =>
+          val df = reader.parquet(fs0.map(_._1): _*)
+          val applicable =
+            if (!hasSeq) delsRaw
+            else delsRaw.where(col(DelSeqCol) > s)
+              .select(keyCols.map(col): _*).distinct()
+          df.join(applicable, keyCols, "left_anti")
+        }.reduce((a, b) =>
+          a.unionByName(b, allowMissingColumns = mergeSchema))
+    }
+  }
 
   /** MERGE-ON-READ delete — the O(deleted keys) sibling of the
     * copy-on-write [[deleteWhere]]: instead of rewriting every
@@ -401,9 +473,11 @@ object VersionedTable {
     * sidecar or the read-side anti-join grows annoying. Appends
     * carry the sidecar forward; a plain [[commit]] REPLACES content
     * wholesale and so drops it, exactly like every rewrite. Returns
-    * the new version id. Re-inserting a deleted key requires a
-    * rewrite commit first — equality deletes are global per version,
-    * the documented MoR restriction.
+    * the new version id. Deletes are SEQUENCE-SCOPED (each key
+    * anti-joins only directories committed before its delete, the
+    * Iceberg equality-delete rule), so re-inserting an erased key via
+    * a later append works without a rewrite — the re-registered rows
+    * are visible immediately.
     */
   def deleteWhereMor(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, keyCols: Seq[String],
@@ -437,31 +511,64 @@ object VersionedTable {
   }
 
   private def commitDeleteSet(spark: SparkSession, root: String,
-      prevV: Long, newDels: DataFrame, tag: String): Long = {
-    val prior = resolveDeletes(spark, root, prevV)
-      .map(d => spark.read.parquet(s"$root/$d"))
-    prior.foreach { p =>
-      require(p.columns.sorted.sameElements(
-        newDels.columns.sorted),
-        s"delete key ${newDels.columns.mkString(",")} differs from " +
-          s"the table's existing sidecar key ${p.columns.mkString(",")}")
+      prevV: Long, newDels: DataFrame, tag: String,
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // optimistic commit, mirroring [[commitAppendRetry]]: a concurrent
+    // appender winning our version makes the exclusive manifest create
+    // fail — re-resolve the NEW latest snapshot and re-merge against
+    // its (possibly changed) prior sidecar. Each attempt recomputes
+    // the merged key set and writes a FRESH collision-free sidecar dir
+    // (key-count-sized, so the rewrite is metadata-cost); a losing
+    // attempt's sidecar is orphaned and swept by vacuum via its intent
+    // marker. (Pre-retry, the loser threw FileAlreadyExists and the
+    // erasure was lost until redelivery — round-10 advice.)
+    var attemptV = prevV
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prior = resolveDeletes(spark, root, attemptV)
+        .map(d => spark.read.parquet(s"$root/$d"))
+      prior.foreach { p =>
+        val pKey = p.columns.filterNot(_ == DelSeqCol).sorted
+        require(pKey.sameElements(newDels.columns.sorted),
+          s"delete key ${newDels.columns.mkString(",")} differs from " +
+            s"the table's existing sidecar key ${pKey.mkString(",")}")
+      }
+      val next = attemptV + 1
+      // new keys are sequenced AT THIS COMMIT: they anti-join only
+      // directories committed before `next`. Prior keys keep their own
+      // seq (normalized to +inf for a pre-scoping sidecar, preserving
+      // its global reach).
+      val tagged = newDels.withColumn(DelSeqCol, lit(next))
+      val merged = prior.map { p =>
+        val normalized =
+          if (p.columns.contains(DelSeqCol)) p
+          else p.withColumn(DelSeqCol, lit(Long.MaxValue))
+        normalized.unionByName(tagged).distinct()
+      }.getOrElse(tagged)
+      val delDir = DeletesPrefix +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      writeIntent(spark, root, delDir)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$delDir")
+      try {
+        publish(spark, root, next, tag,
+          dirs = resolveDirs(spark, root, attemptV), deletes = delDir,
+          dirSeqs = resolveDirSeqs(spark, root, attemptV))
+        clearIntent(spark, root, delDir)
+        return next
+      } catch {
+        // lost the exclusive claim to a concurrent publisher — only
+        // the already-exists loss retries; other errors propagate
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attemptV = latestVersion(spark, root).getOrElse(attemptV)
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attemptV = latestVersion(spark, root).getOrElse(attemptV)
+      }
     }
-    val merged = prior.map(_.unionByName(newDels).distinct())
-      .getOrElse(newDels)
-    // fresh collision-free sidecar dir, bound to the commit by the
-    // MANIFEST, not by naming convention: a crash between this write
-    // and publish orphans a dir no reader resolves (vacuum sweeps it
-    // by its intent marker), and no concurrent writer shares the path
-    val delDir = DeletesPrefix +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    writeIntent(spark, root, delDir)
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/$delDir")
-    val next = prevV + 1
-    publish(spark, root, next, tag,
-      dirs = resolveDirs(spark, root, prevV), deletes = delDir)
-    clearIntent(spark, root, delDir)
-    next
+    sys.error(s"commitDeleteSet: lost the publish race " +
+      s"$maxAttempts times at $root")
   }
 
   /** Fold merge-on-read deletes back into data: commit the logical
@@ -486,9 +593,7 @@ object VersionedTable {
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
     val raw = readManifest(spark, root, v)
-    applyDeleteDirs(spark, root, deletesOf(raw, root, v),
-      spark.read.option("mergeSchema", "true").parquet(
-        dirsOf(raw, root, v).map(d => s"$root/$d"): _*))
+    readScoped(spark, root, raw, v, onlyPaths = None, mergeSchema = true)
   }
 
   /** Copy-on-write DELETE: commit a snapshot without the matching
@@ -837,9 +942,9 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val paths = bloomPrunedPaths(spark, root, version, colName, values)
     if (paths.isEmpty) readVersion(spark, root, version).where(lit(false))
-    else applyDeletes(spark, root, version,
-      spark.read.parquet(paths: _*)
-        .where(col(colName).isin(values: _*)))
+    else readScoped(spark, root, readManifest(spark, root, version),
+      version, onlyPaths = Some(paths), mergeSchema = false)
+      .where(col(colName).isin(values: _*))
   }
 
   /** Fast APPEND with data skipping intact: stats for the DELTA files
@@ -856,6 +961,8 @@ object VersionedTable {
     val spark = delta.sparkSession
     val prevV = latestVersion(spark, root)
     val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
+      .getOrElse(Nil)
+    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
       .getOrElse(Nil)
     val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
@@ -882,7 +989,7 @@ object VersionedTable {
     merged.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(root, next))
     publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
-      deletes = dels.getOrElse(""))
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
     clearIntent(spark, root, s"v$next")
     clearIntent(spark, root, s"_graft_stats_v$next")
     next
@@ -995,8 +1102,8 @@ object VersionedTable {
     val base =
       if (paths.isEmpty)
         readVersion(spark, root, version).where(lit(false))
-      else applyDeletes(spark, root, version,
-        spark.read.parquet(paths: _*))
+      else readScoped(spark, root, readManifest(spark, root, version),
+        version, onlyPaths = Some(paths), mergeSchema = false)
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.where(col(c).cast("string").between(lo, hi))
     }
@@ -1037,8 +1144,8 @@ object VersionedTable {
     val base =
       if (paths.isEmpty)
         readVersion(spark, root, version).where(lit(false))
-      else applyDeletes(spark, root, version,
-        spark.read.parquet(paths: _*))
+      else readScoped(spark, root, readManifest(spark, root, version),
+        version, onlyPaths = Some(paths), mergeSchema = false)
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.where(col(c).cast("double").between(lo, hi))
     }

@@ -343,7 +343,8 @@ object StreamingIvm {
     VersionedTable.read(spark, tableRoot)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
       .orderBy("o_orderstatus")
   }
 

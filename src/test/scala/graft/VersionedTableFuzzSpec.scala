@@ -51,7 +51,7 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
       def latest = live.max
 
       for (step <- 1 to 30) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // rewrite commit
             val rows = fresh(rnd.nextInt(15) + 1)
             val v = VersionedTable.commit(df(rows), root)
@@ -106,6 +106,20 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
           case 8 => // fold MoR deletes back to copy-on-write
             val v = VersionedTable.compactDeletes(spark, root)
             model(v) = model(v - 1); live += v
+          case 9 => // RE-INSERT: append a delta re-using keys that are
+            // no longer visible (commonly MoR-erased ones) — sequence
+            // scoping must surface them again exactly like fresh keys,
+            // not anti-join them against a delete that precedes them
+            val curKeys = model(latest).map(_._1).toSet
+            val gone = (0L until nextKey).filterNot(curKeys)
+            val reKeys = rnd.shuffle(gone).take(math.min(3, gone.size))
+            val delta = reKeys.map(k => (k, 777L)) ++ fresh(1)
+            val v =
+              if (rnd.nextBoolean())
+                VersionedTable.commitAppend(df(delta), root)
+              else VersionedTable.commitAppendRetry(df(delta), root)
+            model(v) = model(v - 1) ++ delta
+            live += v
         }
         // latest snapshot always equals the model
         val got = readRows(root, latest).sorted

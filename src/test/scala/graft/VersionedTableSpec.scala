@@ -864,6 +864,91 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(keys == Set(1L, 5L))
   }
 
+  test("sequence-scoped MoR deletes: a later append re-inserts an " +
+      "erased key (visible exactly once), older copies stay erased, " +
+      "time travel and the CoW fold agree") {
+    val root = freshRoot("morReinsert")
+    def cur = VersionedTable.read(spark, root)
+    def keys: Set[Long] = cur.select("k").as[Long].collect().toSet
+    val v0 = VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      root)
+    val v1 = VersionedTable.deleteKeysMor(spark, root,
+      Seq(2L, 4L).toDF("k"))
+    assert(keys == Set(1L, 3L))
+    // re-registering key 2 through a LATER append: the erasure's seq
+    // precedes the delta's, so the new row is visible — while the v0
+    // copy of key 2 stays anti-joined (count 3, not 4, and the
+    // surviving row carries the NEW value)
+    VersionedTable.commitAppend(Seq((2L, "b2")).toDF("k", "v"), root)
+    assert(keys == Set(1L, 2L, 3L) && cur.count() == 3L)
+    assert(cur.where(col("k") === 2).select("v").as[String]
+      .collect().toSeq == Seq("b2"))
+    // the optimistic append path scopes identically
+    VersionedTable.commitAppendRetry(Seq((4L, "d2")).toDF("k", "v"),
+      root)
+    assert(keys == Set(1L, 2L, 3L, 4L) && cur.count() == 4L)
+    // time travel to the erasure version: both keys still erased there
+    assert(VersionedTable.readVersion(spark, root, v1)
+      .select("k").as[Long].collect().toSet == Set(1L, 3L))
+    // a SECOND erasure of key 2 sequences above the re-insert and
+    // removes it again; key 4's re-inserted copy is untouched
+    VersionedTable.deleteKeysMor(spark, root, Seq(2L).toDF("k"))
+    assert(keys == Set(1L, 3L, 4L) && cur.count() == 3L)
+    // folding to copy-on-write preserves exactly the scoped content
+    VersionedTable.compactDeletes(spark, root)
+    assert(keys == Set(1L, 3L, 4L) && cur.count() == 3L)
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 4L)
+  }
+
+  test("scoped deletes through the pruned-scan path: a stats-pruned " +
+      "range read sees the re-inserted key, not the erased original") {
+    val root = freshRoot("morPruned")
+    val base = (1L to 100L).map(k => (k, s"r$k")).toDF("k", "v")
+    val v0 = VersionedTable.commitWithStats(
+      base.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    VersionedTable.deleteKeysMor(spark, root, Seq(10L, 20L).toDF("k"))
+    VersionedTable.commitAppendWithStats(
+      Seq((10L, "r10-new")).toDF("k", "v"), root, statsCols = Seq("k"))
+    val v = VersionedTable.latestVersion(spark, root).get
+    val got = VersionedTable.readPruned(spark, root, v, "k", 1d, 25d)
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    val want = ((1L to 25L).filterNot(Set(10L, 20L))
+      .map(k => (k, s"r$k")) :+ (10L, "r10-new")).sorted
+    assert(got == want)
+  }
+
+  test("concurrent erasure and optimistic append both land: the " +
+      "delete commit retries past the version race instead of " +
+      "throwing FileAlreadyExists") {
+    val root = freshRoot("morRace")
+    VersionedTable.commit(
+      (1L to 10L).map(k => (k, s"r$k")).toDF("k", "v"), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.deleteKeysMor(spark, root,
+          Seq(1L, 2L).toDF("k")); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }),
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.commitAppendRetry(
+          Seq((100L, "new")).toDF("k", "v"), root); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // whichever order the two commits landed in, the erasure applies
+    // to the pre-existing rows and the appended row survives
+    assert(VersionedTable.read(spark, root)
+      .select("k").as[Long].collect().toSet ==
+      ((3L to 10L).toSet + 100L))
+  }
+
   test("MoR sidecars are manifest-bound: an orphan delete dir a " +
       "crashed deleter left is invisible to readers and appends, and " +
       "vacuum reclaims it by its intent marker") {
