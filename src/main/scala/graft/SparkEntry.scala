@@ -3746,6 +3746,39 @@ object SparkEntry {
           ("l_orderkey", 1000d, 4000d), ("l_partkey", 1d, 100d)))),
         shape(li))
     }),
+    // automatic data skipping: readWhere extracts the per-column
+    // bounds from an ARBITRARY Column predicate (range on the
+    // clustered key, equality on the priority string, an uncovered
+    // numeric conjunct that only row-filters) and prunes through the
+    // stats sidecars with no caller-side knowledge of which columns
+    // carry stats — the scan-planning step Delta/Iceberg run on every
+    // filtered read; the oracle pins that pruning loses no rows
+    "table_read_where" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_readwhere_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.sources.VersionedTable.commitWithStats(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsCols = Seq("o_orderkey"),
+        stringStatsCols = Seq("o_orderpriority"), tag = "clustered")
+      val pred = col("o_orderkey") >= 2000L &&
+        col("o_orderkey") <= 6000L &&
+        col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 1000d
+      def shape(d: DataFrame) = d
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+      selfVerified(s, "table_read_where", root,
+        shape(graft.sources.VersionedTable.readWhere(s, root, pred)),
+        shape(o.where(pred)))
+    }),
     // sequence-scoped MoR deletes: erase a key set, then RE-REGISTER a
     // subset through a later append — the re-inserted rows must be
     // visible (the erasure's seq precedes the delta's), the
@@ -5843,6 +5876,14 @@ object SparkEntry {
     "table_profile_snapshot" -> summaryOracle("orders",
       from = "(SELECT * FROM orders " +
         "WHERE o_orderkey BETWEEN 1000 AND 8000)"),
+    // automatic predicate pushdown loses no rows vs the plain filter
+    "table_read_where" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_price FROM orders " +
+        "WHERE o_orderkey BETWEEN 2000 AND 6000 " +
+        "AND o_orderpriority = '1-URGENT' AND o_totalprice > 1000 " +
+        "GROUP BY 1 ORDER BY 1"),
     // sequence-scoped erasure: re-registered keys are visible with
     // their NEW rows, unre-registered erasures stay gone, no
     // pre-erasure copy resurfaces — exactly the filtered-union below

@@ -118,8 +118,16 @@ object TextMetrics {
     * bucket.
     */
   def lengthHistogram(df: DataFrame, textCol: String): DataFrame = {
-    val n = size(TextFunctions.tokens(col(textCol)))
-    df.select(length(bin(n.cast("long"))).as("bucket"), n.as("n"))
+    // whitespace-token count == spaces + 1 (split-on-" " semantics,
+    // empty fields included), computed ARITHMETICALLY: translate+length
+    // touch the text once with zero per-row allocations, where
+    // size(split(lower(text))) materialized a lowercased copy plus the
+    // whole token array just to count it — on a corpus-wide scan the
+    // histogram's only real cost is this projection (its x10 smoke
+    // ratio was the suite's worst at 7.26 before the rewrite)
+    val n = (length(col(textCol)) -
+      length(translate(col(textCol), " ", "")) + 1).cast("long")
+    df.select(length(bin(n)).as("bucket"), n.as("n"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
       .withColumn("lo_tokens",

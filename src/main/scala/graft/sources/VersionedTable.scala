@@ -1151,6 +1151,57 @@ object VersionedTable {
     }
   }
 
+  /** The data files of snapshot `version` that might satisfy `pred` —
+    * AUTOMATIC data skipping from an arbitrary predicate, the scan-
+    * planning step Delta/Iceberg run on every filtered read. The
+    * predicate's conjunct tree is walked for per-column bounds
+    * (`>`, `>=`, `<`, `<=`, `===`, `isin`, attribute on either side,
+    * casts stripped); numeric bounds prune through the `mn_`/`mx_`
+    * stats, string bounds through the lexicographic `smn_`/`smx_`
+    * family, and equality/IN probes additionally consult the Bloom
+    * sidecar when one covers the column. Every verdict path is
+    * conservative — an unparseable conjunct (an OR, a UDF, an
+    * arithmetic rewrite) simply contributes no pruning, strict bounds
+    * widen to closed ones, and the final set is the INTERSECTION of
+    * per-sidecar admissions, each of which only ever removes
+    * provably-disjoint files. Row-level exactness always comes from
+    * re-applying the full predicate after the scan ([[readWhere]]).
+    */
+  def prunedPathsWhere(spark: SparkSession, root: String, version: Long,
+      pred: org.apache.spark.sql.Column): Seq[String] = {
+    val b = org.apache.spark.sql.graft.PredicateBounds.extract(pred)
+    var paths = dataPaths(spark, root, version)
+    if (b.numeric.nonEmpty)
+      paths = paths.intersect(prunedPaths(spark, root, version, b.numeric))
+    if (b.strings.nonEmpty)
+      paths = paths.intersect(
+        prunedPathsString(spark, root, version, b.strings))
+    b.probes.foreach { case (c, vs) =>
+      paths = paths.intersect(
+        bloomPrunedPaths(spark, root, version, c, vs))
+    }
+    paths
+  }
+
+  /** Filtered read with AUTOMATIC data skipping: prune files through
+    * every sidecar [[prunedPathsWhere]] can apply to `pred`, then
+    * apply the FULL predicate exactly — semantically identical to
+    * `read(spark, root).where(pred)` on any table, and file-skipping
+    * on a clustered one, with no caller-side knowledge of which
+    * columns carry stats. This is the read path a 100 TB needle query
+    * should default to.
+    */
+  def readWhere(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val paths = prunedPathsWhere(spark, root, v, pred)
+    if (paths.isEmpty) readVersion(spark, root, v).where(lit(false))
+    else readScoped(spark, root, readManifest(spark, root, v), v,
+      onlyPaths = Some(paths), mergeSchema = false).where(pred)
+  }
+
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into
     * `ceil(bytes / targetBytes)` files and commit the rewrite as a
     * NEW version — content-identical (the spec and the

@@ -13,6 +13,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The unified-Column node tree (`org.apache.spark.sql.internal`) —
+    * what `col("k") >= lit(5)` actually builds in Spark 4; predicate
+    * introspection (VersionedTable.readWhere) walks this, since the
+    * catalyst conversion happens only at analysis time.
+    */
+  def node(c: Column): org.apache.spark.sql.internal.ColumnNode = c.node
+
   /** Register a Catalyst expression builder as a session SQL function
     * (sessionState is private[sql], hence this bridge).
     */

@@ -864,6 +864,67 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(keys == Set(1L, 5L))
   }
 
+  test("readWhere: automatic data skipping from an arbitrary Column " +
+      "predicate — numeric ranges, string equality, bloom IN-probes; " +
+      "unparseable conjuncts fall back to the row filter") {
+    val root = freshRoot("readWhere")
+    val src = (1L to 1000L)
+      .map(k => (k, if (k <= 500) "alpha" else "beta", k * 2))
+      .toDF("k", "cat", "v")
+    val v = VersionedTable.commitWithStats(
+      src.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"), stringStatsCols = Seq("cat"))
+    val all = VersionedTable.dataFileCount(spark, root, v)
+    assert(all >= 8)
+    def check(pred: org.apache.spark.sql.Column,
+        expectPrune: Boolean): Unit = {
+      val paths = VersionedTable.prunedPathsWhere(spark, root, v, pred)
+      if (expectPrune) assert(paths.size < all,
+        s"expected pruning for $pred: ${paths.size} of $all files")
+      else assert(paths.size == all)
+      val got = VersionedTable.readWhere(spark, root, pred)
+        .select("k", "cat", "v").as[(Long, String, Long)]
+        .collect().toSeq.sorted
+      val want = src.where(pred)
+        .select("k", "cat", "v").as[(Long, String, Long)]
+        .collect().toSeq.sorted
+      assert(got == want, s"readWhere diverged for $pred")
+    }
+    // closed range on the clustered numeric column prunes; the
+    // uncovered column's conjunct only row-filters
+    check(col("k") >= 100L && col("k") < 200L && col("v") % 3 === 0,
+      expectPrune = true)
+    // literal-on-left forms normalize identically
+    check(lit(950L) <= col("k"), expectPrune = true)
+    // string equality prunes through the lexicographic sidecar
+    check(col("cat") === "alpha" && col("k") =!= 17L,
+      expectPrune = true)
+    // an IN list prunes by its min/max envelope
+    check(col("k").isin(5L, 9L, 23L), expectPrune = true)
+    // an OR is not a conjunct tree readWhere can scope — full scan,
+    // exact rows
+    check(col("k") === 5L || col("cat") === "beta",
+      expectPrune = false)
+    // one-sided STRING bound: the "" lower bound is sound, the
+    // unbounded side prunes nothing; rows stay exact
+    check(col("cat") < "b", expectPrune = true)
+
+    // hash-partitioned key + bloom sidecar: an isin probe skips the
+    // files whose filter proves none of the keys
+    val root2 = freshRoot("readWhereBloom")
+    val v2 = VersionedTable.commitWithBloom(
+      src.repartition(8, col("k")), root2, bloomCols = Seq("k"),
+      expectedItemsPerFile = 1000L)
+    val all2 = VersionedTable.dataFileCount(spark, root2, v2)
+    val paths2 = VersionedTable.prunedPathsWhere(spark, root2, v2,
+      col("k").isin(7L, 900L))
+    assert(paths2.size < all2,
+      s"bloom probe should skip files: ${paths2.size} of $all2")
+    assert(VersionedTable.readWhere(spark, root2,
+      col("k").isin(7L, 900L)).select("k").as[Long]
+      .collect().toSeq.sorted == Seq(7L, 900L))
+  }
+
   test("sequence-scoped MoR deletes: a later append re-inserts an " +
       "erased key (visible exactly once), older copies stay erased, " +
       "time travel and the CoW fold agree") {
