@@ -120,6 +120,9 @@ object PredicateBounds {
             cmp("=", f.arguments(0), f.arguments(1))
           case "in" if f.arguments.nonEmpty =>
             inList(f.arguments.head, f.arguments.tail)
+          case "between" if f.arguments.length == 3 =>
+            cmp(">=", f.arguments(0), f.arguments(1))
+            cmp("<=", f.arguments(0), f.arguments(2))
           case _ => ()
         }
       case _ => () // unparseable conjunct: no bound, still row-filtered

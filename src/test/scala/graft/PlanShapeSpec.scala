@@ -131,6 +131,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("readWhere: the residual predicate reaches the file-pruned " +
+      "parquet scan as pushed filters (file-level skip AND row-group " +
+      "skip compose)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = graft.config.Scratch.runDir + "/plan_readwhere"
+    graft.sources.VersionedTable.destroy(spark, root)
+    val df = (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+    graft.sources.VersionedTable.commitWithStats(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    val p = graft.sources.VersionedTable
+      .readWhere(spark, root, col("k") >= 100L && col("k") <= 200L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(k,100)") ||
+      p.contains("k >= 100") || p.contains("(k,100)"),
+      s"range filter not pushed into the scan:\n${p.take(600)}")
+  }
+
   test("event_transitions: the lead() window is partitioned per user " +
       "(no global sort over the event stream)") {
     val p = planOf("event_transitions")

@@ -908,6 +908,8 @@ class VersionedTableSpec extends AnyFunSuite {
     // one-sided STRING bound: the "" lower bound is sound, the
     // unbounded side prunes nothing; rows stay exact
     check(col("cat") < "b", expectPrune = true)
+    // between sugar parses to the same closed range
+    check(col("k").between(300L, 350L), expectPrune = true)
 
     // hash-partitioned key + bloom sidecar: an isin probe skips the
     // files whose filter proves none of the keys
