@@ -995,6 +995,62 @@ object VersionedTable {
     next
   }
 
+  /** Fast APPEND with point-lookup skipping intact — the Bloom twin
+    * of [[commitAppendWithStats]]: the delta files' filters are one
+    * aggregation over the just-written delta, and the new sidecar is
+    * the previous version's rows plus those — so a key-indexed table
+    * absorbing streaming batches keeps [[readPointLookup]] opening
+    * O(|probed keys|) files across the whole append chain instead of
+    * decaying to every-delta-file reads (uncovered files are always
+    * conservatively read). Per-commit cost stays delta-sized.
+    */
+  def commitAppendWithBloom(delta: DataFrame, root: String,
+      bloomCols: Seq[String], expectedItemsPerFile: Long = 1000000L,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(bloomCols.nonEmpty,
+      "commitAppendWithBloom needs at least one column")
+    val spark = delta.sparkSession
+    val prevV = latestVersion(spark, root)
+    val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
+      .getOrElse(Nil)
+    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
+      .getOrElse(Nil)
+    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
+    val (next, dataDir) = nextVersionDir(spark, root)
+    writeIntent(spark, root, s"v$next")
+    writeIntent(spark, root, s"_graft_bloom_v$next")
+    delta.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val aggs = bloomCols.map { c =>
+      ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col(c))),
+          expectedItemsPerFile).toAggregateExpression()).as(s"bf_$c")
+    }
+    val deltaBlooms = written
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+    val f = fs(spark, root)
+    val prior = prevV.filter(v =>
+        f.exists(new Path(bloomDir(root, v))))
+      .map(v => spark.read.parquet(bloomDir(root, v)))
+    val merged = prior match {
+      case Some(p) if p.columns.sorted.sameElements(
+        deltaBlooms.columns.sorted) => p.unionByName(deltaBlooms)
+      case _ => deltaBlooms
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(bloomDir(root, next))
+    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+    clearIntent(spark, root, s"v$next")
+    clearIntent(spark, root, s"_graft_bloom_v$next")
+    next
+  }
+
   /** The data files of snapshot `version` whose [min, max] range on
     * `colName` intersects [lo, hi] — resolved from the stats sidecar
     * alone (no data I/O). Falls back to ALL files when the snapshot

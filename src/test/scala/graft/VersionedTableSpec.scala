@@ -864,6 +864,34 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(keys == Set(1L, 5L))
   }
 
+  test("bloom coverage survives append chains: commitAppendWithBloom " +
+      "merges delta filters into the sidecar, so point lookups keep " +
+      "skipping files across the whole chain") {
+    val root = freshRoot("bloomAppend")
+    val base = (1L to 800L).map(k => (k, s"r$k")).toDF("k", "v")
+    VersionedTable.commitWithBloom(base.repartition(8, col("k")),
+      root, bloomCols = Seq("k"), expectedItemsPerFile = 1000L)
+    val delta = (1001L to 1200L).map(k => (k, s"d$k")).toDF("k", "v")
+    val v1 = VersionedTable.commitAppendWithBloom(
+      delta.repartition(4, col("k")), root, bloomCols = Seq("k"),
+      expectedItemsPerFile = 1000L)
+    val all = VersionedTable.dataFileCount(spark, root, v1)
+    assert(all >= 12)
+    // one base key + one delta key: admission must skip most files on
+    // BOTH sides of the chain
+    val paths = VersionedTable.bloomPrunedPaths(spark, root, v1, "k",
+      Seq(7L, 1100L))
+    assert(paths.size < all / 2,
+      s"bloom chain should skip files: ${paths.size} of $all")
+    assert(VersionedTable.readPointLookup(spark, root, v1, "k",
+      Seq(7L, 1100L)).select("k", "v").as[(Long, String)]
+      .collect().toSeq.sorted == Seq((7L, "r7"), (1100L, "d1100")))
+    // readWhere routes the same probes through the merged sidecar
+    assert(VersionedTable.readWhere(spark, root,
+      col("k").isin(7L, 1100L)).select("k").as[Long]
+      .collect().toSeq.sorted == Seq(7L, 1100L))
+  }
+
   test("readWhere: automatic data skipping from an arbitrary Column " +
       "predicate — numeric ranges, string equality, bloom IN-probes; " +
       "unparseable conjuncts fall back to the row filter") {
