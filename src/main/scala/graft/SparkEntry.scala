@@ -5179,6 +5179,34 @@ object SparkEntry {
         .orderBy("o_orderstatus")
       selfVerified(s, "stream_gdpr_erasure", root, res, expected)
     }),
+    // the full GDPR lifecycle on ONE table through the streaming
+    // sinks: ingest stream, erasure stream (MoR sidecars in metadata
+    // time), then a re-registration stream for a subset of the erased
+    // keys — sequence scoping must surface the re-registered rows,
+    // keep the unregistered erasures gone, and resurface no
+    // pre-erasure copy, with each stream idempotent in its own tag
+    // namespace. The round-10 advice named exactly this combination
+    // load-bearing.
+    "stream_erase_reingest" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/reingest_table_$tag"
+      val res = graft.streaming.StreamingIvm.runStreamingEraseReingest(s, dir)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def shape(d: DataFrame) = d
+        .groupBy(when(col("o_orderkey") % 14 === 0, "reinserted")
+          .when(col("o_orderkey") % 7 === 0, "erased")
+          .otherwise("kept").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("grp")
+      selfVerified(s, "stream_erase_reingest", root, res,
+        shape(o.where(col("o_orderkey") % 7 =!= 0)
+          .unionByName(o.where(col("o_orderkey") % 14 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") + 1000d).as("o_totalprice")))))
+    }),
     "streaming_profile" -> ((s, dir) => streamingProfileQuery(s, dir)),
     // streaming drift monitor: hourly event-type mix PSI-scored
     // against the full-corpus reference — windowed counts accumulate
@@ -6769,6 +6797,20 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
         "AS DOUBLE) AS sum_price FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0) " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the streamed lifecycle equals the same filtered union the batch
+    // reinsert contract pins, whatever the micro-batch boundaries
+    "stream_erase_reingest" ->
+      ("SELECT CASE WHEN o_orderkey % 14 = 0 THEN 'reinserted' " +
+        "WHEN o_orderkey % 7 = 0 THEN 'erased' ELSE 'kept' END AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_price FROM (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 14 = 0) " +
         "GROUP BY 1 ORDER BY 1"),
     "streaming_ivm" ->
       ("SELECT event_type, count(*) AS n, " +

@@ -1093,6 +1093,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(keys == expect, s"chain lost or doubled rows: $keys")
   }
 
+  test("per-stream tag namespaces: a restarted sink skips its own " +
+      "committed batches even when another stream's commit holds the " +
+      "newest tag, and new batch ids still land") {
+    val root = freshRoot("nsIdem")
+    def keys: Set[Long] = VersionedTable.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    val in1 = StreamingIvm.ingestSink(spark, root, "ingest1")
+    in1(Seq((1L, "a")).toDF("k", "v"), 0L)
+    in1(Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(keys == Set(1L, 2L))
+    // a foreign stream's erasure commit becomes the table's NEWEST tag
+    StreamingIvm.erasureSink(spark, root, "erase1")(Seq(1L).toDF("k"), 0L)
+    assert(keys == Set(2L))
+    // RESTARTED ingest stream: the fresh sink seeds from its OWN tag
+    // namespace in the history (a newest-tag-only seed would read the
+    // erasure's tag, parse nothing, and re-append both batches)
+    val in1b = StreamingIvm.ingestSink(spark, root, "ingest1")
+    in1b(Seq((1L, "a")).toDF("k", "v"), 0L)
+    in1b(Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(keys == Set(2L), "replayed batches must not re-commit")
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    // ...but a batch beyond the high water mark lands normally
+    in1b(Seq((3L, "c")).toDF("k", "v"), 2L)
+    assert(keys == Set(2L, 3L))
+    // the erasure stream's restart skips its own committed request too
+    StreamingIvm.erasureSink(spark, root, "erase1")(Seq(2L).toDF("k"), 0L)
+    assert(keys == Set(2L, 3L), "replayed erasure must not re-commit")
+  }
+
   test("streaming table ingest: each micro-batch is one tagged " +
       "append, a replayed batch id is skipped, and the table equals " +
       "the batch replay") {
