@@ -120,6 +120,7 @@ object Bench {
       "dsir_select", "table_bloom_lookup", "table_schema_evolution",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
+      "table_read_where_time",
       "minhash_eval", "decontaminate_semantic", "embed_variance",
       "embed_pca_contract", "embed_abtt_contract", "ann_recall_eval",
       "text_hash_embed", "knn_text_hash", "contamination_by_source",

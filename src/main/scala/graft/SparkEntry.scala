@@ -3779,6 +3779,32 @@ object SparkEntry {
         shape(graft.sources.VersionedTable.readWhere(s, root, pred)),
         shape(o.where(pred)))
     }),
+    // TEMPORAL predicate pushdown: a time-clustered event table prunes
+    // a string-literal date range through the double-cast ts stats —
+    // the dominant needle shape on event logs at 100 TB (the bound
+    // extractor resolves the column's type from the snapshot schema
+    // and maps the literal onto the stats scale); the oracle pins no
+    // row loss
+    "table_read_where_time" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_rwtime_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val e = tbl(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      graft.sources.VersionedTable.commitWithStats(
+        e.repartitionByRange(8, col("ts")).sortWithinPartitions("ts"),
+        root, statsCols = Seq("ts"), tag = "timeclustered")
+      val pred = col("ts") >= "2024-01-16" && col("ts") < "2024-01-21"
+      def shape(d: DataFrame) = d
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+      selfVerified(s, "table_read_where_time", root,
+        shape(graft.sources.VersionedTable.readWhere(s, root, pred)),
+        shape(e.where(pred)))
+    }),
     // sequence-scoped MoR deletes: erase a key set, then RE-REGISTER a
     // subset through a later append — the re-inserted rows must be
     // visible (the erasure's seq precedes the delta's), the
@@ -5911,6 +5937,14 @@ object SparkEntry {
         "AS DOUBLE) AS sum_price FROM orders " +
         "WHERE o_orderkey BETWEEN 2000 AND 6000 " +
         "AND o_orderpriority = '1-URGENT' AND o_totalprice > 1000 " +
+        "GROUP BY 1 ORDER BY 1"),
+    // temporal pushdown loses no rows vs the plain time-range filter
+    "table_read_where_time" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_value FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-16' " +
+        "AND ts < TIMESTAMP '2024-01-21' " +
         "GROUP BY 1 ORDER BY 1"),
     // sequence-scoped erasure: re-registered keys are visible with
     // their NEW rows, unre-registered erasures stay gone, no

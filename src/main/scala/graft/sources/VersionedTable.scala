@@ -1225,7 +1225,13 @@ object VersionedTable {
     */
   def prunedPathsWhere(spark: SparkSession, root: String, version: Long,
       pred: org.apache.spark.sql.Column): Seq[String] = {
-    val b = org.apache.spark.sql.graft.PredicateBounds.extract(pred)
+    // the snapshot schema (footer-level, no job) lets the extractor
+    // map TEMPORAL literals — `col("ts") >= "2024-01-16"` — onto the
+    // double-cast stats scale of the column's actual type
+    val schema = scala.util.Try(
+      readVersion(spark, root, version).schema).toOption
+    val b = org.apache.spark.sql.graft.PredicateBounds.extract(pred,
+      c => schema.flatMap(_.fields.find(_.name == c).map(_.dataType)))
     var paths = dataPaths(spark, root, version)
     if (b.numeric.nonEmpty)
       paths = paths.intersect(prunedPaths(spark, root, version, b.numeric))
@@ -1248,14 +1254,23 @@ object VersionedTable {
     * should default to.
     */
   def readWhere(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    readWhereVersion(spark, root,
+      latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root")), pred)
+
+  /** Time travel composed with automatic data skipping: the filtered
+    * read of snapshot `version`, pruned through whatever sidecars that
+    * version carries.
+    */
+  def readWhereVersion(spark: SparkSession, root: String, version: Long,
       pred: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    val paths = prunedPathsWhere(spark, root, v, pred)
-    if (paths.isEmpty) readVersion(spark, root, v).where(lit(false))
-    else readScoped(spark, root, readManifest(spark, root, v), v,
-      onlyPaths = Some(paths), mergeSchema = false).where(pred)
+    val paths = prunedPathsWhere(spark, root, version, pred)
+    if (paths.isEmpty)
+      readVersion(spark, root, version).where(lit(false))
+    else readScoped(spark, root, readManifest(spark, root, version),
+      version, onlyPaths = Some(paths), mergeSchema = false).where(pred)
   }
 
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into

@@ -32,7 +32,56 @@ object PredicateBounds {
       strings: Seq[(String, String, String)],
       probes: Seq[(String, Seq[Any])])
 
-  def extract(pred: Column): Bounds = {
+  /** UTC epoch value of a temporal literal on the same scale the
+    * stats sidecar stores for the column's type: SECONDS for
+    * timestamp columns (Spark's `cast(ts as double)`), DAYS for date
+    * columns. String literals parse as ISO date / datetime (the
+    * session timezone is pinned UTC throughout the engine). Returns
+    * None — no bound, never a wrong one — for any literal that
+    * cannot be mapped onto the column's scale.
+    */
+  private def temporalVal(v: Any,
+      colDt: org.apache.spark.sql.types.DataType): Option[Double] = {
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType,
+      TimestampType}
+    def secs(i: Instant): Double =
+      i.getEpochSecond.toDouble + i.getNano / 1e9
+    val instant: Option[Instant] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant)
+      case i: Instant => Some(i)
+      case dt: LocalDateTime => Some(dt.toInstant(ZoneOffset.UTC))
+      case d: java.sql.Date =>
+        Some(d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant)
+      case d: LocalDate => Some(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+      case s: String =>
+        scala.util.Try(LocalDate.parse(s)
+            .atStartOfDay(ZoneOffset.UTC).toInstant).toOption
+          .orElse(scala.util.Try(LocalDateTime
+            .parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+            .toOption)
+      case _ => None
+    }
+    colDt match {
+      case TimestampType | TimestampNTZType => instant.map(secs)
+      case DateType => instant.map(i =>
+        LocalDate.ofInstant(i, ZoneOffset.UTC).toEpochDay.toDouble)
+      case _ => None
+    }
+  }
+
+  def extract(pred: Column): Bounds = extract(pred, _ => None)
+
+  /** Type-aware form: `colType` resolves a column name to its
+    * snapshot data type, enabling TEMPORAL bounds — a predicate like
+    * `col("ts") >= "2024-01-16"` prunes a time-clustered table
+    * through the double-cast stats (the dominant access pattern on
+    * event logs at scale). Without a resolvable type, temporal
+    * literals contribute no bound.
+    */
+  def extract(pred: Column,
+      colType: String => Option[org.apache.spark.sql.types.DataType])
+      : Bounds = {
     def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
       case f: NFn if f.functionName.equalsIgnoreCase("and") &&
           f.arguments.length == 2 =>
@@ -71,21 +120,47 @@ object PredicateBounds {
       case _ => None
     }
 
+    def litValue(n: ColumnNode): Option[Any] = n match {
+      case l: NLit => Option(l.value)
+      case _ => None
+    }
+    def isTemporal(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.DateType
+    // per-column literal interpretation: a TEMPORAL column maps
+    // temporal/string literals onto its stats scale (and accepts no
+    // bare-number literal — seconds vs days is the column's business);
+    // every other column takes numeric and string literals as-is
+    def boundsVal(c: String,
+        l: ColumnNode): (Option[Double], Option[String]) =
+      colType(c) match {
+        case Some(t) if isTemporal(t) =>
+          (litValue(l).flatMap(temporalVal(_, t)), None)
+        case _ => (numVal(l), strVal(l))
+      }
     val numB = Seq.newBuilder[(String, Double, Double)]
     val strB = Seq.newBuilder[(String, String, String)]
     val probeB = Seq.newBuilder[(String, Seq[Any])]
     val inf = Double.PositiveInfinity
-    def cmpAttr(op: String, c: String, l: ColumnNode): Unit = op match {
-      case ">" | ">=" =>
-        numVal(l).foreach(v => numB += ((c, v, inf)))
-      case "<" | "<=" =>
-        numVal(l).foreach(v => numB += ((c, -inf, v)))
-        strVal(l).foreach(v => strB += ((c, "", v)))
-      case "=" =>
-        numVal(l).foreach(v => numB += ((c, v, v)))
-        strVal(l).foreach(v => strB += ((c, v, v)))
-        probeVal(l).foreach(v => probeB += ((c, Seq(v))))
-      case _ => ()
+    def cmpAttr(op: String, c: String, l: ColumnNode): Unit = {
+      val (nv, sv) = boundsVal(c, l)
+      op match {
+        case ">" | ">=" =>
+          nv.foreach(v => numB += ((c, v, inf)))
+        case "<" | "<=" =>
+          nv.foreach(v => numB += ((c, -inf, v)))
+          sv.foreach(v => strB += ((c, "", v)))
+        case "=" =>
+          nv.foreach(v => numB += ((c, v, v)))
+          sv.foreach(v => strB += ((c, v, v)))
+          // Bloom probes hash the RAW column value — only literal
+          // kinds that round-trip through lit() identically qualify,
+          // which excludes temporal columns
+          if (colType(c).forall(t => !isTemporal(t)))
+            probeVal(l).foreach(v => probeB += ((c, Seq(v))))
+        case _ => ()
+      }
     }
     // attribute on either side of the comparison — the op flips
     def cmp(op: String, l: ColumnNode, r: ColumnNode): Unit =
@@ -103,12 +178,15 @@ object PredicateBounds {
     def inList(a: ColumnNode, vs: Seq[ColumnNode]): Unit =
       attrName(a).foreach { c =>
         if (vs.nonEmpty) {
-          val nums = vs.flatMap(numVal)
+          val pairs = vs.map(boundsVal(c, _))
+          val nums = pairs.flatMap(_._1)
           if (nums.length == vs.length) numB += ((c, nums.min, nums.max))
-          val strs = vs.flatMap(strVal)
+          val strs = pairs.flatMap(_._2)
           if (strs.length == vs.length) strB += ((c, strs.min, strs.max))
-          val probes = vs.flatMap(probeVal)
-          if (probes.length == vs.length) probeB += ((c, probes))
+          if (colType(c).forall(t => !isTemporal(t))) {
+            val probes = vs.flatMap(probeVal)
+            if (probes.length == vs.length) probeB += ((c, probes))
+          }
         }
       }
     conjuncts(ColumnBridge.node(pred)).foreach {

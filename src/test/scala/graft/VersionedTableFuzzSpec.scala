@@ -126,6 +126,18 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
         assert(got == model(latest).sorted,
           s"seed $seed step $step: latest diverged " +
             s"(${got.size} vs ${model(latest).size} rows)")
+        // the predicate-pushdown read agrees with the model filter on
+        // a random key range, whatever mix of appends/deletes/
+        // compactions produced the snapshot (stats sidecars may or may
+        // not exist — pruning must never change the answer)
+        val lo = rnd.nextLong(math.max(1L, nextKey))
+        val hi = lo + rnd.nextLong(20L)
+        val gotW = VersionedTable.readWhere(spark, root,
+            col("k") >= lo && col("k") <= hi)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(gotW == model(latest)
+            .filter(r => r._1 >= lo && r._1 <= hi).sorted,
+          s"seed $seed step $step: readWhere [$lo,$hi] diverged")
         // one random retained historical version equals its memory
         val probe = rnd.shuffle(live.toSeq).head
         assert(readRows(root, probe).sorted == model(probe).sorted,

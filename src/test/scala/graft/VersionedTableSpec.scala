@@ -939,6 +939,42 @@ class VersionedTableSpec extends AnyFunSuite {
     // between sugar parses to the same closed range
     check(col("k").between(300L, 350L), expectPrune = true)
 
+    // time travel composes with pushdown: a later CoW delete does not
+    // leak into the pinned version's filtered read
+    val vDel = VersionedTable.deleteWhere(spark, root, col("k") <= 150L)
+    assert(VersionedTable.readWhereVersion(spark, root, v,
+      col("k") >= 100L && col("k") < 200L).count() == 100L)
+    assert(VersionedTable.readWhereVersion(spark, root, vDel,
+      col("k") >= 100L && col("k") < 200L).count() == 49L)
+
+    // TEMPORAL predicate pruning: a time-clustered table with stats on
+    // its timestamp column prunes a string-literal date range — the
+    // event-log access pattern — and a timestamp literal agrees
+    val rootT = freshRoot("readWhereTime")
+    val ev = (0 until 960).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant
+        .parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600L)))
+    }.toDF("id", "ts")
+    val vT = VersionedTable.commitWithStats(
+      ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts"),
+      rootT, statsCols = Seq("ts"))
+    val allT = VersionedTable.dataFileCount(spark, rootT, vT)
+    val predT = col("ts") >= "2024-01-10" && col("ts") < "2024-01-12"
+    assert(VersionedTable.prunedPathsWhere(spark, rootT, vT, predT)
+      .size < allT, "temporal range should prune files")
+    val gotT = VersionedTable.readWhere(spark, rootT, predT)
+      .select("id").as[Long].collect().toSeq.sorted
+    val wantT = ev.where(predT).select("id").as[Long]
+      .collect().toSeq.sorted
+    assert(gotT == wantT && gotT.nonEmpty)
+    // explicit timestamp literal takes the same path
+    val predT2 = col("ts") >=
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    assert(VersionedTable.prunedPathsWhere(spark, rootT, vT, predT2)
+      .size < allT)
+    assert(VersionedTable.readWhere(spark, rootT, predT2).count() ==
+      ev.where(predT2).count())
+
     // hash-partitioned key + bloom sidecar: an isin probe skips the
     // files whose filter proves none of the keys
     val root2 = freshRoot("readWhereBloom")
