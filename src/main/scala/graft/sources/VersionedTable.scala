@@ -448,15 +448,45 @@ object VersionedTable {
         val delsRaw = spark.read.parquet(s"$root/$d")
         val hasSeq = delsRaw.columns.contains(DelSeqCol)
         val keyCols = delsRaw.columns.filterNot(_ == DelSeqCol).toIndexedSeq
-        files.groupBy(_._2).toSeq.sortBy(_._1).map { case (s, fs0) =>
-          val df = reader.parquet(fs0.map(_._1): _*)
-          val applicable =
-            if (!hasSeq) delsRaw
-            else delsRaw.where(col(DelSeqCol) > s)
-              .select(keyCols.map(col): _*).distinct()
-          df.join(applicable, keyCols, "left_anti")
-        }.reduce((a, b) =>
-          a.unionByName(b, allowMissingColumns = mergeSchema))
+        val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+          delsRaw.schema.fields.map(f => f.name -> f.dataType).toMap
+        // groups are keyed by the APPLICABLE DELETE SET, not the raw
+        // dir seq: a 100-append chain with one erasure would otherwise
+        // plan 100 scans + anti-joins + a 100-way union, when only
+        // "before the delete" vs "after it" differ semantically. The
+        // sidecar's distinct delete seqs (bounded by delete COMMITS,
+        // not keys) bucket every dir seq into at most |deletes|+1
+        // groups; all dirs in a bucket anti-join one shared key set.
+        val delSeqs: Seq[Long] =
+          if (!hasSeq) Nil
+          else delsRaw.select(col(DelSeqCol)).distinct()
+            .collect().map(_.getLong(0)).toSeq.sorted
+        def bucketOf(s: Long): Int = delSeqs.count(_ > s)
+        // a group whose scan lacks a delete-key column (pre-evolution
+        // dirs when the key arrived with a later append) anti-joins on
+        // a typed NULL — the join never matches, rows are kept, same
+        // as the old single merged-schema scan
+        def withKeys(df: DataFrame): DataFrame =
+          keyCols.foldLeft(df) { (d, k) =>
+            if (d.columns.contains(k)) d
+            else d.withColumn(k,
+              org.apache.spark.sql.functions.lit(null).cast(keyTypes(k)))
+          }
+        files.groupBy(f => bucketOf(f._2)).toSeq.sortBy(_._1)
+          .map { case (bucket, fs0) =>
+            val df = withKeys(reader.parquet(fs0.map(_._1): _*))
+            val applicable =
+              if (!hasSeq) delsRaw
+              else {
+                // every dir in the bucket has the same applicable set:
+                // the delete seqs strictly above any of its dir seqs
+                val minSeq = fs0.map(_._2).min
+                delsRaw.where(col(DelSeqCol) > minSeq)
+                  .select(keyCols.map(col): _*).distinct()
+              }
+            df.join(applicable, keyCols, "left_anti")
+          }.reduce((a, b) =>
+            a.unionByName(b, allowMissingColumns = mergeSchema))
     }
   }
 
@@ -947,6 +977,48 @@ object VersionedTable {
       .where(col(colName).isin(values: _*))
   }
 
+  /** Shared skeleton of the sidecar-merging fast appends: write the
+    * delta, build its per-file sidecar rows with `deltaSidecar`, merge
+    * them into the previous version's sidecar (schema-matched, else
+    * the delta's rows stand alone and prior files are conservatively
+    * uncovered), and publish with the delete set carried and the new
+    * dir sequenced above it. One implementation so a manifest-protocol
+    * change can never silently apply to one append flavor and not the
+    * other.
+    */
+  private def commitAppendWithSidecar(delta: DataFrame, root: String,
+      tag: String, sidecarOf: Long => String,
+      deltaSidecar: DataFrame => DataFrame): Long = {
+    val spark = delta.sparkSession
+    val prevV = latestVersion(spark, root)
+    val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
+      .getOrElse(Nil)
+    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
+      .getOrElse(Nil)
+    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
+    val (next, dataDir) = nextVersionDir(spark, root)
+    val sidecarName = new Path(sidecarOf(next)).getName
+    writeIntent(spark, root, s"v$next")
+    writeIntent(spark, root, sidecarName)
+    delta.write.mode("overwrite").parquet(dataDir)
+    val written = spark.read.parquet(dataDir)
+    val deltaRows = deltaSidecar(written)
+    val f = fs(spark, root)
+    val prior = prevV.filter(v => f.exists(new Path(sidecarOf(v))))
+      .map(v => spark.read.parquet(sidecarOf(v)))
+    val merged = prior match {
+      case Some(p) if p.columns.sorted.sameElements(
+        deltaRows.columns.sorted) => p.unionByName(deltaRows)
+      case _ => deltaRows
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(sidecarOf(next))
+    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+    clearIntent(spark, root, s"v$next")
+    clearIntent(spark, root, sidecarName)
+    next
+  }
+
   /** Fast APPEND with data skipping intact: stats for the DELTA files
     * are one aggregation over the just-written delta, and the new
     * sidecar is the previous version's sidecar plus those rows — so
@@ -958,41 +1030,17 @@ object VersionedTable {
   def commitAppendWithStats(delta: DataFrame, root: String,
       statsCols: Seq[String], tag: String = ""): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val spark = delta.sparkSession
-    val prevV = latestVersion(spark, root)
-    val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
-      .getOrElse(Nil)
-    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
-      .getOrElse(Nil)
-    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
-    val (next, dataDir) = nextVersionDir(spark, root)
-    writeIntent(spark, root, s"v$next")
-    writeIntent(spark, root, s"_graft_stats_v$next")
-    delta.write.mode("overwrite").parquet(dataDir)
-    val written = spark.read.parquet(dataDir)
-    val aggs = statsCols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))
-    }
-    val deltaStats = written
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
-    val f = fs(spark, root)
-    val prior = prevV.filter(v =>
-        f.exists(new Path(statsDir(root, v))))
-      .map(v => spark.read.parquet(statsDir(root, v)))
-    val merged = prior match {
-      case Some(p) if p.columns.sorted.sameElements(
-        deltaStats.columns.sorted) => p.unionByName(deltaStats)
-      case _ => deltaStats
-    }
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(statsDir(root, next))
-    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
-      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
-    clearIntent(spark, root, s"v$next")
-    clearIntent(spark, root, s"_graft_stats_v$next")
-    next
+    require(statsCols.nonEmpty,
+      "commitAppendWithStats needs at least one stats column")
+    commitAppendWithSidecar(delta, root, tag, statsDir(root, _),
+      written => {
+        val aggs = statsCols.flatMap { c =>
+          Seq(min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c"))
+        }
+        written.groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*)
+      })
   }
 
   /** Fast APPEND with point-lookup skipping intact — the Bloom twin
@@ -1012,43 +1060,17 @@ object VersionedTable {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(bloomCols.nonEmpty,
       "commitAppendWithBloom needs at least one column")
-    val spark = delta.sparkSession
-    val prevV = latestVersion(spark, root)
-    val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
-      .getOrElse(Nil)
-    val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
-      .getOrElse(Nil)
-    val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
-    val (next, dataDir) = nextVersionDir(spark, root)
-    writeIntent(spark, root, s"v$next")
-    writeIntent(spark, root, s"_graft_bloom_v$next")
-    delta.write.mode("overwrite").parquet(dataDir)
-    val written = spark.read.parquet(dataDir)
-    val aggs = bloomCols.map { c =>
-      ColumnBridge.column(
-        new BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col(c))),
-          expectedItemsPerFile).toAggregateExpression()).as(s"bf_$c")
-    }
-    val deltaBlooms = written
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
-    val f = fs(spark, root)
-    val prior = prevV.filter(v =>
-        f.exists(new Path(bloomDir(root, v))))
-      .map(v => spark.read.parquet(bloomDir(root, v)))
-    val merged = prior match {
-      case Some(p) if p.columns.sorted.sameElements(
-        deltaBlooms.columns.sorted) => p.unionByName(deltaBlooms)
-      case _ => deltaBlooms
-    }
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(bloomDir(root, next))
-    publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
-      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
-    clearIntent(spark, root, s"v$next")
-    clearIntent(spark, root, s"_graft_bloom_v$next")
-    next
+    commitAppendWithSidecar(delta, root, tag, bloomDir(root, _),
+      written => {
+        val aggs = bloomCols.map { c =>
+          ColumnBridge.column(
+            new BloomFilterAggregate(
+              ColumnBridge.expression(xxhash64(col(c))),
+              expectedItemsPerFile).toAggregateExpression()).as(s"bf_$c")
+        }
+        written.groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*)
+      })
   }
 
   /** The data files of snapshot `version` whose [min, max] range on
@@ -1225,11 +1247,16 @@ object VersionedTable {
     */
   def prunedPathsWhere(spark: SparkSession, root: String, version: Long,
       pred: org.apache.spark.sql.Column): Seq[String] = {
-    // the snapshot schema (footer-level, no job) lets the extractor
-    // map TEMPORAL literals — `col("ts") >= "2024-01-16"` — onto the
-    // double-cast stats scale of the column's actual type
-    val schema = scala.util.Try(
-      readVersion(spark, root, version).schema).toOption
+    // the snapshot schema lets the extractor map TEMPORAL literals —
+    // `col("ts") >= "2024-01-16"` — onto the double-cast stats scale
+    // of the column's actual type, and gates Bloom probes on exact
+    // type agreement. One footer of the newest data dir suffices (a
+    // column absent there — pre-evolution reads — just yields no
+    // bound, which is conservative); assembling the full scoped read
+    // here would scan every footer plus the delete sidecar per call.
+    val schema = scala.util.Try(spark.read.parquet(
+      s"$root/${resolveDirs(spark, root, version).last}").schema)
+      .toOption
     val b = org.apache.spark.sql.graft.PredicateBounds.extract(pred,
       c => schema.flatMap(_.fields.find(_.name == c).map(_.dataType)))
     var paths = dataPaths(spark, root, version)

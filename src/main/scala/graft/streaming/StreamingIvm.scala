@@ -180,8 +180,12 @@ object StreamingIvm {
       else if (t.startsWith(streamId + "-"))
         t.stripPrefix(streamId + "-").toLongOption
       else None
-    scala.util.Try(VersionedTable.history(spark, tableRoot))
-      .getOrElse(Nil).flatMap { case (_, t) => parse(t) }
+    // NOT error-swallowed: history() returns Nil for a fresh (not yet
+    // committed) table, and a transient read failure must fail the
+    // batch loudly so the stream retries — a silently-lost high water
+    // mark would re-append already-committed batches
+    VersionedTable.history(spark, tableRoot)
+      .flatMap { case (_, t) => parse(t) }
       .maxOption
   }
 

@@ -90,13 +90,22 @@ object PredicateBounds {
     }
     def attrName(n: ColumnNode): Option[String] = n match {
       case a: NAttr => a.nameParts.lastOption
-      case c: NCast => attrName(c.child)
+      // a cast is stripped ONLY when it is the identity on the stats
+      // scale: numeric stats are collected as cast-to-double, so
+      // `col(c).cast("double") >= L` compares exactly the stored
+      // scale. Any OTHER cast (date-truncation of a timestamp, a
+      // narrowing int cast) is monotone but NOT the stats scale —
+      // mapping its literal onto the raw column's stats would prune
+      // files whose rows match the predicate (silent row loss), so
+      // those conjuncts contribute no bound.
+      case c: NCast
+          if c.dataType == org.apache.spark.sql.types.DoubleType =>
+        attrName(c.child)
       case _ => None
     }
     def numVal(n: ColumnNode): Option[Double] = n match {
       case l: NLit => l.value match {
         case v: Number => Some(v.doubleValue)
-        case v: java.math.BigDecimal => Some(v.doubleValue)
         case _ => None
       }
       case _ => None
@@ -108,16 +117,28 @@ object PredicateBounds {
       }
       case _ => None
     }
-    // raw JVM probe value for the Bloom sidecar — restricted to the
-    // types `commitWithBloom` hashes losslessly through lit()
-    def probeVal(n: ColumnNode): Option[Any] = n match {
-      case l: NLit => l.value match {
-        case v: java.lang.Long => Some(v)
-        case v: java.lang.Integer => Some(v.longValue: java.lang.Long)
-        case v: String => Some(v)
+    // raw JVM probe value for the Bloom sidecar. xxhash64 hashes by
+    // the COLUMN's physical type (hashInt vs hashLong vs UTF8), so a
+    // probe literal must re-materialize through lit() as exactly the
+    // column's type — an Int literal probed as Long against an
+    // IntegerType column hashes differently and would prune files
+    // that contain the key. Unknown column type = no probe.
+    def probeVal(n: ColumnNode,
+        colDt: Option[org.apache.spark.sql.types.DataType])
+        : Option[Any] = {
+      import org.apache.spark.sql.types.{IntegerType, LongType,
+        StringType}
+      n match {
+        case l: NLit => (l.value, colDt) match {
+          case (v: java.lang.Long, Some(LongType)) => Some(v)
+          case (v: java.lang.Integer, Some(LongType)) =>
+            Some(v.longValue: java.lang.Long)
+          case (v: java.lang.Integer, Some(IntegerType)) => Some(v)
+          case (v: String, Some(StringType)) => Some(v)
+          case _ => None
+        }
         case _ => None
       }
-      case _ => None
     }
 
     def litValue(n: ColumnNode): Option[Any] = n match {
@@ -154,11 +175,7 @@ object PredicateBounds {
         case "=" =>
           nv.foreach(v => numB += ((c, v, v)))
           sv.foreach(v => strB += ((c, v, v)))
-          // Bloom probes hash the RAW column value — only literal
-          // kinds that round-trip through lit() identically qualify,
-          // which excludes temporal columns
-          if (colType(c).forall(t => !isTemporal(t)))
-            probeVal(l).foreach(v => probeB += ((c, Seq(v))))
+          probeVal(l, colType(c)).foreach(v => probeB += ((c, Seq(v))))
         case _ => ()
       }
     }
@@ -183,10 +200,8 @@ object PredicateBounds {
           if (nums.length == vs.length) numB += ((c, nums.min, nums.max))
           val strs = pairs.flatMap(_._2)
           if (strs.length == vs.length) strB += ((c, strs.min, strs.max))
-          if (colType(c).forall(t => !isTemporal(t))) {
-            val probes = vs.flatMap(probeVal)
-            if (probes.length == vs.length) probeB += ((c, probes))
-          }
+          val probes = vs.flatMap(probeVal(_, colType(c)))
+          if (probes.length == vs.length) probeB += ((c, probes))
         }
       }
     conjuncts(ColumnBridge.node(pred)).foreach {

@@ -1046,6 +1046,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("MoR delete keyed on an EVOLVED column: pre-evolution dirs " +
+      "lack the key and anti-join on typed NULL (rows kept), the " +
+      "evolved dir filters normally") {
+    val root = freshRoot("morEvolveKey")
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, tag = "base")
+    VersionedTable.commitAppend(
+      Seq((3L, "c", "t1"), (4L, "d", "t2")).toDF("k", "v", "tenant"),
+      root, tag = "evolved")
+    VersionedTable.deleteKeysMor(spark, root, Seq("t1").toDF("tenant"))
+    val got = VersionedTable.readMerged(spark, root)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L),
+      "pre-evolution rows must survive a delete keyed on the new column")
+  }
+
   test("concurrent erasure and optimistic append both land: the " +
       "delete commit retries past the version race instead of " +
       "throwing FileAlreadyExists") {
