@@ -260,6 +260,7 @@ object VersionedTable {
     // rows, so a re-inserted key is visible again immediately.
     publish(spark, root, next, tag, dirs = prev :+ s"v$next",
       deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+    prevV.foreach(carrySidecars(spark, root, _, next))
     clearIntent(spark, root, s"v$next")
     next
   }
@@ -301,6 +302,7 @@ object VersionedTable {
         // sidecar and can never clobber a concurrent MoR delete's
         publish(spark, root, next, tag, dirs = prev :+ dirName,
           deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+        prevV.foreach(carrySidecars(spark, root, _, next))
         clearIntent(spark, root, dirName)
         return next
       } catch {
@@ -586,6 +588,9 @@ object VersionedTable {
         publish(spark, root, next, tag,
           dirs = resolveDirs(spark, root, attemptV), deletes = delDir,
           dirSeqs = resolveDirSeqs(spark, root, attemptV))
+        // the delete touched no data file: the prior stats/bloom
+        // sidecars describe the new version's files verbatim
+        carrySidecars(spark, root, attemptV, next)
         clearIntent(spark, root, delDir)
         return next
       } catch {
@@ -602,12 +607,28 @@ object VersionedTable {
   }
 
   /** Fold merge-on-read deletes back into data: commit the logical
-    * (post-delete) content as a clean rewrite — no sidecar, no read-
-    * side anti-join, old versions time-travelable until [[vacuum]].
+    * (post-delete) content as a clean rewrite — no delete sidecar, no
+    * read-side anti-join, old versions time-travelable until
+    * [[vacuum]]. A table whose snapshot carries a STATS sidecar folds
+    * through the clustering-preserving rewrites ([[compactZOrder]] /
+    * [[compactSorted]], both of which read post-delete content), so
+    * the fold can never silently turn data skipping off — the same
+    * rule [[compactIfFragmented]] follows; stats-less tables take the
+    * plain rewrite.
     */
   def compactDeletes(spark: SparkSession, root: String,
-      tag: String = "mor-compact"): Long =
-    commit(read(spark, root), root, tag)
+      tag: String = "mor-compact",
+      targetBytes: Long = 128L << 20): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val prior @ (priorNum, priorStr) = priorStatsCols(spark, root, v)
+    if (priorNum.size >= 2)
+      compactZOrder(spark, root, priorNum, targetBytes, tag)
+    else if (priorNum.nonEmpty || priorStr.nonEmpty)
+      compactSortedResolved(spark, root, v,
+        (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
+    else commit(read(spark, root), root, tag)
+  }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
     * schemas across its data directories — columns a pre-evolution
@@ -875,6 +896,32 @@ object VersionedTable {
   private def bloomDir(root: String, version: Long): String =
     s"$root/_graft_bloom_v$version"
 
+  /** Carry the previous version's stats/bloom sidecars forward to a
+    * new version that REWROTE NO DATA FILE (MoR delete commits, plain
+    * appends): the sidecars describe files, not versions, so the
+    * prior rows stay exactly valid — files the new version adds are
+    * simply uncovered (conservatively read), and deletes only remove
+    * rows, so stats pruning stays sound. Without the carry, any
+    * sidecar-less commit silently turned data skipping OFF for every
+    * later read (sidecar resolution is by version-bound name). The
+    * copy is file-count-sized — metadata cost, run after the publish
+    * point so a crash mid-copy just leaves a conservatively
+    * sidecar-less (never wrong) version.
+    */
+  private def carrySidecars(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Unit = {
+    val f = fs(spark, root)
+    Seq(statsDir(root, _: Long), bloomDir(root, _: Long)).foreach { d =>
+      val src = new Path(d(fromV))
+      val dst = new Path(d(toV))
+      if (f.exists(src) && !f.exists(dst)) {
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+          false, spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+    }
+  }
+
   /** Commit `df` WITH a per-file Bloom-filter sidecar on `bloomCols`
     * — the point-lookup data-skipping min/max stats cannot give: a
     * hash-distributed key column has every file spanning the whole
@@ -1014,6 +1061,10 @@ object VersionedTable {
     merged.coalesce(1).write.mode("overwrite").parquet(sidecarOf(next))
     publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
       deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+    // carry whatever OTHER sidecar family the prior version had (a
+    // stats-merging append on a bloom-indexed table must not drop the
+    // blooms); the just-written merged sidecar is never overwritten
+    prevV.foreach(carrySidecars(spark, root, _, next))
     clearIntent(spark, root, s"v$next")
     clearIntent(spark, root, sidecarName)
     next

@@ -1046,6 +1046,61 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sidecars survive data-preserving commits: a MoR delete and a " +
+      "plain append carry the stats forward (old files keep pruning, " +
+      "the uncovered delta is conservatively read)") {
+    val root = freshRoot("carryStats")
+    val src = (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+    val v0 = VersionedTable.commitWithStats(
+      src.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    val all0 = VersionedTable.dataFileCount(spark, root, v0)
+    // MoR delete: no data rewritten, skipping must survive
+    val v1 = VersionedTable.deleteKeysMor(spark, root, Seq(15L).toDF("k"))
+    val p1 = VersionedTable.prunedPathsWhere(spark, root, v1,
+      col("k") >= 10L && col("k") <= 20L)
+    assert(p1.size < all0, s"delete dropped skipping: ${p1.size}/$all0")
+    assert(VersionedTable.readWhere(spark, root,
+      col("k") >= 10L && col("k") <= 20L).count() == 10L)
+    // plain append: prior files keep their stats, the delta is
+    // uncovered and always read
+    val v2 = VersionedTable.commitAppend(
+      Seq((2000L, 0L)).toDF("k", "v"), root)
+    val all2 = VersionedTable.dataFileCount(spark, root, v2)
+    val p2 = VersionedTable.prunedPathsWhere(spark, root, v2,
+      col("k") >= 10L && col("k") <= 20L)
+    assert(p2.size < all2, s"append dropped skipping: ${p2.size}/$all2")
+    assert(VersionedTable.readWhere(spark, root,
+      col("k") >= 10L && col("k") <= 20L).count() == 10L)
+    assert(VersionedTable.readWhere(spark, root,
+      col("k") === 2000L).count() == 1L)
+  }
+
+  test("compactDeletes preserves data skipping: folding MoR deletes " +
+      "on a stats-clustered table re-collects the sidecar, and the " +
+      "pruned scan still skips files afterward") {
+    val root = freshRoot("morFoldStats")
+    val src = (1L to 1000L).map(k => (k, k * 3)).toDF("k", "v")
+    VersionedTable.commitWithStats(
+      src.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    VersionedTable.deleteKeysMor(spark, root,
+      Seq(100L, 500L, 900L).toDF("k"))
+    val v = VersionedTable.compactDeletes(spark, root,
+      targetBytes = VersionedTable.dataBytes(spark, root, 1L) / 4 + 1)
+    // fold is clean: no sidecar, content = post-delete
+    assert(VersionedTable.deleteSidecar(spark, root, v).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 997L)
+    // skipping survived: a needle range opens fewer files than all
+    val all = VersionedTable.dataFileCount(spark, root, v)
+    val paths = VersionedTable.prunedPathsWhere(spark, root, v,
+      col("k") >= 10L && col("k") <= 20L)
+    assert(paths.size < all,
+      s"fold dropped skipping: ${paths.size} of $all files")
+    assert(VersionedTable.readWhere(spark, root,
+      col("k") >= 10L && col("k") <= 20L).count() == 11L)
+  }
+
   test("MoR delete keyed on an EVOLVED column: pre-evolution dirs " +
       "lack the key and anti-join on typed NULL (rows kept), the " +
       "evolved dir filters normally") {
