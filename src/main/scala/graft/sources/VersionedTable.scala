@@ -915,9 +915,16 @@ object VersionedTable {
       val src = new Path(d(fromV))
       val dst = new Path(d(toV))
       if (f.exists(src) && !f.exists(dst)) {
-        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+        // stage + rename: a reader resolving the new version's sidecar
+        // mid-copy must see the complete dir or none (missing = the
+        // conservative read-everything path), never a half-written
+        // parquet file. The tmp name has no sidecar prefix, so vacuum's
+        // version-bound sweep never mistakes it for a live one.
+        val tmp = new Path(root, "_graft_tmpcarry_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, tmp,
           false, spark.sparkContext.hadoopConfiguration)
-        ()
+        if (!f.rename(tmp, dst)) { f.delete(tmp, true); () }
       }
     }
   }
@@ -1694,6 +1701,10 @@ object VersionedTable {
         else if (n.startsWith(DeletesPrefix))
           !liveDels.contains(n) &&
             (expiredDels.contains(n) || orphanDead(n, st))
+        else if (n.startsWith("_graft_tmpcarry_"))
+          // a sidecar-carry staging dir a crashed copier left — no
+          // reader ever resolves it, reclaim after the grace window
+          orphanDead(n, st)
         else sidecarV.exists { v =>
           // a version-numbered sidecar above the committed ceiling is
           // an in-flight commitWithStats/Bloom — orphan rules apply;
