@@ -133,7 +133,8 @@ object Bench {
       "tpch_q12_bucketed", "tpch_q13",
       "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
       "event_transitions", "embed_outliers", "table_append_race",
-      "stream_table_ingest", "stream_gdpr_erasure", "stream_dedup_ingest",
+      "stream_table_ingest", "stream_gdpr_erasure",
+      "stream_erase_reingest", "stream_dedup_ingest",
       "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",

@@ -117,10 +117,16 @@ object SparkEntry {
     // align on their non-floating cells (the contract queries that
     // carry floats are keyed by string/integer columns).
     def tolerantEqual: Boolean = got.length == want.length && {
-      def key(r: org.apache.spark.sql.Row): String =
-        r.toSeq.filterNot(v =>
-          v.isInstanceOf[Double] || v.isInstanceOf[Float])
-          .map(String.valueOf).mkString("")
+      // key cells join on an explicit non-printable separator (no
+      // bare mkString — ("a","bc") vs ("ab","c") must not collide);
+      // the full-row canon is the deterministic tiebreak for rows
+      // that differ only in their floating cells, which would
+      // otherwise pair arbitrarily and report spurious divergence
+      def key(r: org.apache.spark.sql.Row): (String, String) =
+        (r.toSeq.filterNot(v =>
+            v.isInstanceOf[Double] || v.isInstanceOf[Float])
+           .map(String.valueOf).mkString("\u0001"),
+         r.toSeq.map(String.valueOf).mkString("\u0001"))
       val gs = got.sortBy(key)
       val ws = want.sortBy(key)
       gs.zip(ws).forall { case (g, w) =>

@@ -147,20 +147,30 @@ object Profile {
   /** Exact distinct counts AND exact type-7 quantiles from ONE melt +
     * histogram job: columns melt to (colIdx, value) pairs, a
     * distributed hash aggregation builds each column's value histogram
-    * (value → multiplicity), a per-column window accumulates rank
-    * ranges, and the quantile values are picked by rank and
-    * interpolated driver-side with the same lower+(higher-lower)·frac
-    * formula Spark's exact `percentile` uses — identical results with
-    * NO per-group value buffering: the heaviest structure anywhere is
-    * one histogram row per distinct value, map-side combined.
-    *
-    * Scale note: the rank window sorts one column's histogram within
-    * one partition — bounded by the column's DISTINCT count, not its
-    * row count. A continuous column at extreme scale still bounds it at
-    * n; exact single-group quantiles inherently need an ordered pass,
-    * which is why [[summarizeApprox]] (sketches) is the 100 TB default.
+    * (value → multiplicity), a range-partitioned prefix sum
+    * ([[Ranking.prefixSums]]) accumulates rank ranges, and the
+    * quantile values are picked by rank and interpolated driver-side
+    * with the same lower+(higher-lower)·frac formula Spark's exact
+    * `percentile` uses — identical results with NO per-group value
+    * buffering and NO per-column window partition: the heaviest
+    * structure anywhere is one histogram row per distinct value,
+    * map-side combined, and rank partitioning follows the range
+    * sampler, so a single continuous column's histogram spreads over
+    * the whole cluster instead of piling one executor. (Exactness
+    * still costs a sorted pass over distinct values, which is why
+    * [[summarizeApprox]] (sketches) stays the recommended 100 TB
+    * default.)
     */
-  private def histogramStats(df: DataFrame): Map[Int, HistStats] = {
+  private def histogramStats(df: DataFrame): Map[Int, HistStats] =
+    histogramStatsOf(df, histogramRanked(df))
+
+  /** The melt → histogram → rank-range frame feeding
+    * [[histogramStats]], exposed (`private[graft]`) so the plan-shape
+    * suite can pin its scale property: NO window partitioned by the
+    * melt key — rank ranges come from the range-partitioned prefix
+    * sum, never a per-column single-partition sort.
+    */
+  private[graft] def histogramRanked(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fields = df.schema.fields
     val nullS = lit(null).cast(StringType)
@@ -197,16 +207,41 @@ object Profile {
       .where(col("vs").isNotNull || col("vn").isNotNull)
       .groupBy("i", "vs", "vn")
       .agg(count(lit(1)).as("cnt"))
-    // rank range [lo, hi) of each histogram row within its column
-    // (a column's rows are either all string or all numeric, so the
-    // null-first vn ordering never interleaves)
-    val wOrd = Window.partitionBy("i").orderBy("vn")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("i")
-    val ranked = hist
-      .withColumn("hi", sum("cnt").over(wOrd))
+    // rank range [lo, hi) of each histogram row within its column —
+    // computed WITHOUT a per-column window partition. (The previous
+    // Window.partitionBy("i").orderBy("vn") shape put one column's
+    // ENTIRE histogram in one partition: parallelism capped at
+    // #columns and partition size at the column's distinct count — the
+    // one plan that wouldn't survive a continuous column at 100 TB.)
+    // The distributed form is the engine's own range-partition prefix
+    // sum (Ranking.prefixSums): a GLOBAL inclusive running count
+    // ordered by (i, vn, vs) — columns are contiguous in that order,
+    // and (i, vs, vn) is the histogram's grouping key so the order is
+    // total — minus each column's starting offset, computed from ONE
+    // row per column and broadcast. Partition sizes now follow the
+    // range sampler, never a single column's distinct count. A vn tie
+    // under distinct vs (integral identity past 2^53) only reorders
+    // equal-rank values, exactly as before.
+    val nPart = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val global = Ranking.prefixSums(hist,
+      Seq(col("i"), col("vn"), col("vs")), Seq("cnt" -> "hig"), nPart)
+    // one row per COLUMN: its total count and its starting offset in
+    // the global (i, vn, vs) order; the offset window runs over
+    // #columns rows, bounded by the schema, never by data
+    val colTotals = hist.groupBy("i")
+      .agg(sum("cnt").as("n"))
+      .withColumn("base", coalesce(
+        sum(col("n")).over(Window.orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    global.join(broadcast(colTotals), Seq("i"))
+      .withColumn("hi", col("hig") - col("base"))
       .withColumn("lo", col("hi") - col("cnt"))
-      .withColumn("n", sum("cnt").over(wAll))
+  }
+
+  private def histogramStatsOf(df: DataFrame,
+      ranked: DataFrame): Map[Int, HistStats] = {
+    val fields = df.schema.fields
     val aggs = Seq(count(lit(1)).as("dist"), first(col("n")).as("n")) ++
       Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75").flatMap { case (p, s) =>
         val h = (col("n") - lit(1L)).cast(DoubleType) * lit(p)

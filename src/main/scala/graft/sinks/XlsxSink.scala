@@ -136,11 +136,29 @@ object XlsxSink {
     * Scala's shortest round-trip toString so a reader recovers the
     * exact bits.
     */
+  /** Hard cap on rows collected per sheet. The workbook sheets this
+    * sink exists for are REPORT-sized by construction (summary sheets
+    * are column-count rows; frequency sheets are bounded by
+    * `maxDistinctValues`), so the cap exists to fail LOUDLY — not
+    * OOM the driver — if a caller ever routes an unbounded frame at
+    * it. xlsx itself caps a sheet at 1,048,576 rows; we stop far
+    * below, where a driver collect is still obviously sane.
+    */
+  val MaxSheetRows: Int = 200000
+
   private def render(df: DataFrame): (Seq[String], Seq[Seq[String]],
       Seq[Boolean]) = {
     val schema = df.schema
     val numeric = schema.fields.map(f => isNumType(f.dataType)).toSeq
-    val rows = df.collect().toSeq.map { r =>
+    // limit(cap+1) bounds the collect ITSELF — a runaway frame moves
+    // cap+1 rows, not the whole table, before the require rejects it
+    val collected = df.limit(MaxSheetRows + 1).collect().toSeq
+    require(collected.length <= MaxSheetRows,
+      s"xlsx sheet exceeds $MaxSheetRows rows — this sink renders " +
+        "driver-side and is for report-sized frames only; aggregate " +
+        "or cap the frame (the reference's sheets are bounded by " +
+        "maxDistinctValues) before writing it to a workbook")
+    val rows = collected.map { r =>
       schema.fields.indices.map { i =>
         if (r.isNullAt(i)) null else r.get(i).toString
       }

@@ -474,21 +474,41 @@ object VersionedTable {
             else d.withColumn(k,
               org.apache.spark.sql.functions.lit(null).cast(keyTypes(k)))
           }
-        files.groupBy(f => bucketOf(f._2)).toSeq.sortBy(_._1)
-          .map { case (bucket, fs0) =>
-            val df = withKeys(reader.parquet(fs0.map(_._1): _*))
-            val applicable =
-              if (!hasSeq) delsRaw
-              else {
-                // every dir in the bucket has the same applicable set:
-                // the delete seqs strictly above any of its dir seqs
-                val minSeq = fs0.map(_._2).min
-                delsRaw.where(col(DelSeqCol) > minSeq)
-                  .select(keyCols.map(col): _*).distinct()
-              }
-            df.join(applicable, keyCols, "left_anti")
-          }.reduce((a, b) =>
-            a.unionByName(b, allowMissingColumns = mergeSchema))
+        val buckets =
+          files.groupBy(f => bucketOf(f._2)).toSeq.sortBy(_._1)
+            .map { case (bucket, fs0) =>
+              val df = withKeys(reader.parquet(fs0.map(_._1): _*))
+              val applicable =
+                if (!hasSeq) delsRaw
+                else {
+                  // every dir in the bucket has the same applicable set:
+                  // the delete seqs strictly above any of its dir seqs
+                  val minSeq = fs0.map(_._2).min
+                  delsRaw.where(col(DelSeqCol) > minSeq)
+                    .select(keyCols.map(col): _*).distinct()
+                }
+              df.join(applicable, keyCols, "left_anti")
+            }
+        if (mergeSchema)
+          buckets.reduce(_.unionByName(_, allowMissingColumns = true))
+        else {
+          // a NON-merge read resolves ONE schema for the whole scan —
+          // exactly what the pre-bucketing single multi-path scan did.
+          // When a MoR delete interleaves schema-evolving appends the
+          // buckets land with drifted schemas; project each onto the
+          // scan schema (absent columns read as typed NULLs, drifted
+          // types cast, extra delete-key fills dropped) instead of
+          // throwing in a strict unionByName.
+          val scanSchema = reader.parquet(files.map(_._1): _*).schema
+          buckets.map { d =>
+            val have = d.columns.toSet
+            d.select(scanSchema.fields.toIndexedSeq.map { f =>
+              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }: _*)
+          }.reduce(_.unionByName(_))
+        }
     }
   }
 
@@ -672,6 +692,83 @@ object VersionedTable {
       updates.select(cur.columns.toIndexedSeq.map(col): _*)), root, tag)
   }
 
+  /** `MERGE INTO` — the three-branch writer verb every Delta/Iceberg
+    * deployment leans on, composed over the machinery [[upsert]] and
+    * the MoR deletes already share. Semantics per SOURCE row, joined
+    * to the current snapshot on `keyCols`:
+    *
+    *   - satisfies `deleteIf`:  WHEN MATCHED DELETE — the target row
+    *     is removed; an unmatched delete request is a no-op (never an
+    *     insert), the CDC-apply rule;
+    *   - otherwise, matched:    WHEN MATCHED UPDATE SET * (all target
+    *     columns take the source row's values) when `updateMatched`,
+    *     else the target row is kept unchanged;
+    *   - otherwise, unmatched:  WHEN NOT MATCHED INSERT * when
+    *     `insertUnmatched`, else dropped.
+    *
+    * Target rows never touched by any source key pass through as-is.
+    * Source columns absent from the target schema are ignored (an
+    * `op` marker column feeding `deleteIf` rides along for free);
+    * target columns absent from the source read as typed NULLs.
+    *
+    * Plan shape: ONE key-shuffled full-outer join classifies every
+    * row — no second pass, no driver loop — and AQE broadcasts a
+    * small source side on its own. Like every `commit`, the result is
+    * a copy-on-write snapshot: the right verb for batch CDC folds.
+    * (A key-count-sized delete against a huge table wants
+    * [[deleteKeysMor]]'s metadata-time path instead; the two compose —
+    * merge for the upsert batch, MoR for the erasure stream.)
+    *
+    * The caller must provide at most ONE source row per key (the
+    * standard MERGE ambiguity rule; with duplicates the surviving
+    * value is nondeterministic, exactly as a multi-match MERGE is
+    * undefined in SQL). Re-running the same merge is idempotent:
+    * updates rewrite identical values, deletes stop matching, inserts
+    * become same-valued updates. Returns the new version id.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String],
+      deleteIf: Option[org.apache.spark.sql.Column] = None,
+      updateMatched: Boolean = true, insertUnmatched: Boolean = true,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keyCols.nonEmpty, "merge needs at least one join key")
+    val cur = read(spark, root)
+    val cols = cur.columns.toIndexedSeq
+    require(keyCols.forall(cols.contains),
+      s"merge keys ${keyCols.mkString(",")} must exist in the target")
+    val tgtType: Map[String, org.apache.spark.sql.types.DataType] =
+      cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(keyCols.forall(source.columns.contains),
+      s"merge source must carry the key columns ${keyCols.mkString(",")}")
+    // classify each source row once (delete request vs upsert), then
+    // project onto the target schema — absent columns become typed
+    // NULLs (only ever read if a caller updates/inserts from a
+    // key-only source), extra columns drop here
+    val marked = source.withColumn("__graft_s_del",
+      deleteIf.getOrElse(lit(false)))
+    val s = marked.select(cols.map { c =>
+      (if (marked.columns.contains(c)) col(c).cast(tgtType(c))
+       else lit(null).cast(tgtType(c))).as(s"__graft_s_$c")
+    } :+ col("__graft_s_del") :+ lit(true).as("__graft_s_p"): _*)
+    val t = cur.withColumn("__graft_t_p", lit(true))
+    val joined = t.join(s,
+      keyCols.map(k => col(k) === col(s"__graft_s_$k")).reduce(_ && _),
+      "full_outer")
+    val tP = coalesce(col("__graft_t_p"), lit(false))
+    val sP = coalesce(col("__graft_s_p"), lit(false))
+    val sDel = coalesce(col("__graft_s_del"), lit(false))
+    val keep = when(tP && sP, !sDel)
+      .when(tP, lit(true))
+      .otherwise(lit(insertUnmatched) && !sDel)
+    val useSrc = when(tP && sP, lit(updateMatched) && !sDel)
+      .otherwise(!tP)
+    val out = joined.where(keep).select(cols.map { c =>
+      when(useSrc, col(s"__graft_s_$c")).otherwise(col(c)).as(c)
+    }: _*)
+    commit(out, root, if (tag.nonEmpty) tag else "merge")
+  }
+
   /** The wall-clock milliseconds recorded in `version`'s manifest at
     * publish time (0 for a manifest written before timestamps were
     * recorded) — the basis for [[vacuumOlderThan]] and history audits.
@@ -841,6 +938,49 @@ object VersionedTable {
   /** Time travel by name: read the snapshot ref `name` pins. */
   def readRef(spark: SparkSession, root: String, name: String): DataFrame =
     readVersion(spark, root, resolveRef(spark, root, name))
+
+  // Per-stream high-water marks — `_graft_hwm_<streamId>.json`, one
+  // tiny root file per streaming sink recording the newest batch id
+  // that sink has committed. Commit-tag parsing alone is NOT durable
+  // for replay detection: tags live in manifests, and [[vacuum]] may
+  // expire the manifest holding a stream's newest namespaced tag while
+  // ANOTHER stream's commit is the table head — a restarted sink would
+  // then seed below its true mark and re-commit a replayed batch. The
+  // hwm file survives every retention sweep (vacuum deletes manifests,
+  // dead dirs, intent markers and `.tmp-` litter — never `_graft_hwm_`
+  // files), so the seed is max(hwm file, retained-tag parse): written
+  // AFTER the commit, it can only lag by the one batch a crash
+  // interleaves, and that batch's tag is by definition in the newest
+  // manifest, which vacuum always retains.
+
+  private val HwmPrefix = "_graft_hwm_"
+
+  private def hwmPath(root: String, streamId: String): Path = {
+    val name = if (streamId.isEmpty) "default" else streamId
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"stream id must be [A-Za-z0-9._-]+ starting alphanumeric: $name")
+    new Path(root, s"$HwmPrefix$name.json")
+  }
+
+  /** Durably record `batchId` as stream `streamId`'s newest committed
+    * batch (atomic replace, monotone by the single-writer-per-stream
+    * contract). Call AFTER the batch's commit publishes.
+    */
+  def writeStreamHighWater(spark: SparkSession, root: String,
+      streamId: String, batchId: Long): Unit =
+    writeRefFile(fs(spark, root), hwmPath(root, streamId),
+      if (streamId.isEmpty) "default" else streamId, batchId,
+      movable = true, replace = true)
+
+  /** The durably recorded high-water batch id for `streamId`, if any. */
+  def readStreamHighWater(spark: SparkSession, root: String,
+      streamId: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = hwmPath(root, streamId)
+    if (!f.exists(p)) None
+    else """"version":(-?\d+)""".r
+      .findFirstMatchIn(readSmallFile(f, p)).map(_.group(1).toLong)
+  }
 
   /** Commit `df` WITH per-file min/max statistics for `statsCols`
     * (numeric/date/timestamp — values stored as doubles) — the

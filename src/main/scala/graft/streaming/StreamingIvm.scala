@@ -183,11 +183,23 @@ object StreamingIvm {
     // NOT error-swallowed: history() returns Nil for a fresh (not yet
     // committed) table, and a transient read failure must fail the
     // batch loudly so the stream retries — a silently-lost high water
-    // mark would re-append already-committed batches
-    VersionedTable.history(spark, tableRoot)
-      .flatMap { case (_, t) => parse(t) }
+    // mark would re-append already-committed batches.
+    // The seed is the MAX of the tag parse and the durable per-stream
+    // hwm file: tags alone are vacuum-fragile (a retention sweep can
+    // expire the manifest holding this stream's newest namespaced tag
+    // while another stream's commit is the table head), and the hwm
+    // file alone can lag by the one batch a crash interleaves between
+    // commit and hwm write — together they cover both windows.
+    (VersionedTable.history(spark, tableRoot)
+       .flatMap { case (_, t) => parse(t) } ++
+      VersionedTable.readStreamHighWater(spark, tableRoot, streamId))
       .maxOption
   }
+
+  private def recordHighWater(spark: SparkSession, tableRoot: String,
+      streamId: String, batchId: Long): Unit =
+    VersionedTable.writeStreamHighWater(spark, tableRoot, streamId,
+      batchId)
 
   private[graft] def ingestSink(spark: SparkSession, tableRoot: String,
       streamId: String = ""): (DataFrame, Long) => Unit = {
@@ -202,6 +214,7 @@ object StreamingIvm {
       else {
         VersionedTable.commitAppendRetry(batch, tableRoot,
           tag = tagOf(streamId, batchId))
+        recordHighWater(spark, tableRoot, streamId, batchId)
         lastSeen = Some(batchId)
       }
     }
@@ -237,6 +250,7 @@ object StreamingIvm {
       else {
         VersionedTable.deleteKeysMor(spark, tableRoot, batch,
           tag = tagOf(streamId, batchId))
+        recordHighWater(spark, tableRoot, streamId, batchId)
         lastSeen = Some(batchId)
       }
     }

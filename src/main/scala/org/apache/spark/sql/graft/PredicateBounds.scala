@@ -152,13 +152,21 @@ object PredicateBounds {
     // per-column literal interpretation: a TEMPORAL column maps
     // temporal/string literals onto its stats scale (and accepts no
     // bare-number literal — seconds vs days is the column's business);
-    // every other column takes numeric and string literals as-is
+    // a STRING column takes both (Spark compares str-vs-num on the
+    // double scale, which is exactly the numeric stats scale). Any
+    // other/unknown column type takes numeric literals only: a string
+    // literal against a numeric column (`col(n) <= "10"`) is compared
+    // NUMERICALLY by Spark but the smn_/smx_ sidecar is
+    // lexicographic — pruning through it would silently drop matching
+    // files, so those conjuncts contribute no string bound.
     def boundsVal(c: String,
         l: ColumnNode): (Option[Double], Option[String]) =
       colType(c) match {
         case Some(t) if isTemporal(t) =>
           (litValue(l).flatMap(temporalVal(_, t)), None)
-        case _ => (numVal(l), strVal(l))
+        case Some(org.apache.spark.sql.types.StringType) =>
+          (numVal(l), strVal(l))
+        case _ => (numVal(l), None)
       }
     val numB = Seq.newBuilder[(String, Double, Double)]
     val strB = Seq.newBuilder[(String, String, String)]

@@ -161,4 +161,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "event stream collapsed to one partition")
   }
+
+  test("profile exact quantiles: rank ranges come from the " +
+      "range-partitioned prefix sum — no window partitioned by the " +
+      "melt key (the per-column single-partition histogram sort)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = graft.operators.Profile.histogramRanked(df)
+      .queryExecution.executedPlan.toString
+    // the old shape planned `Window [...], [i#N], [vn#M ASC ...]` — one
+    // partition per COLUMN, sized by the column's distinct count; the
+    // windows that remain partition by __graft_pid (range buckets) or
+    // run over partition-count/column-count rows only
+    assert("""\], \[i#\d+\], \[vn#""".r.findFirstIn(p).isEmpty,
+      s"per-column window partition re-entered the exact profile:\n$p")
+    assert(p.contains("__graft_pid"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-column offset join must broadcast its one-row-per-column side")
+  }
 }

@@ -1445,4 +1445,84 @@ class VersionedTableSpec extends AnyFunSuite {
     // expired append deltas are gone from disk
     assert(VersionedTable.read(spark, root).count() == 2L)
   }
+  test("string literal against a NUMERIC column contributes no " +
+      "lexicographic bound: Spark compares numerically, smn_/smx_ " +
+      "sorts lexically — pruning through it would drop matching rows") {
+    val root = freshRoot("strOnNum")
+    val d = Seq(2L, 10L, 300L, 4000L).toDF("n")
+    // the numeric column deliberately carries STRING stats too — the
+    // commitWithStats surface allows it, and "10" < "2" lexically, so
+    // an unsound lexical bound would prune the file holding n=2
+    val v = VersionedTable.commitWithStats(
+      d.repartitionByRange(4, col("n")).sortWithinPartitions("n"),
+      root, statsCols = Nil, stringStatsCols = Seq("n"))
+    val all = VersionedTable.dataFileCount(spark, root, v)
+    assert(all >= 3)
+    val pred = col("n") <= "10"
+    // no string bound extracted for a LongType column: full listing
+    assert(VersionedTable.prunedPathsWhere(spark, root, v, pred)
+      .size == all)
+    val got = VersionedTable.readWhere(spark, root, pred)
+      .select("n").as[Long].collect().toSet
+    val want = d.where(pred).select("n").as[Long].collect().toSet
+    assert(got == want, s"readWhere $got diverged from filter $want")
+    // a string column keeps its lexicographic pruning (unchanged path)
+    val rootS = freshRoot("strOnStr")
+    val ds = Seq("apple", "banana", "cherry", "date").toDF("s")
+    val vS = VersionedTable.commitWithStats(
+      ds.repartitionByRange(4, col("s")).sortWithinPartitions("s"),
+      rootS, statsCols = Nil, stringStatsCols = Seq("s"))
+    val allS = VersionedTable.dataFileCount(spark, rootS, vS)
+    assert(VersionedTable.prunedPathsWhere(spark, rootS, vS,
+      col("s") === "banana").size < allS)
+  }
+
+  test("non-merge reads survive a MoR delete interleaving " +
+      "schema-evolving appends: drifted buckets project onto one scan " +
+      "schema (typed-NULL fill) instead of throwing in unionByName") {
+    val root = freshRoot("morDriftRead")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root, tag = "base")
+    // the MoR delete lands BETWEEN the two differently-shaped appends,
+    // so readScoped buckets the dirs with drifted schemas
+    VersionedTable.deleteKeysMor(spark, root, Seq(1L).toDF("k"))
+    VersionedTable.commitAppend(
+      Seq((3L, "c", "t1")).toDF("k", "v", "tenant"), root,
+      tag = "evolved")
+    val got = VersionedTable.read(spark, root)
+    assert(got.select("k").as[Long].collect().toSet == Set(2L, 3L))
+    // time travel and the merged read agree on survivors
+    assert(VersionedTable.readMerged(spark, root)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L))
+    assert(VersionedTable.readMerged(spark, root)
+      .columns.contains("tenant"))
+  }
+
+  test("stream high-water marks survive vacuum: a restarted namespaced " +
+      "sink must not replay a batch whose tag-holding manifest was " +
+      "expired by retention while another stream's commit is the head") {
+    val root = freshRoot("hwmVacuum")
+    val ing = StreamingIvm.ingestSink(spark, root, streamId = "ing")
+    ing(Seq((1L, "a")).toDF("k", "v"), 0L)
+    ing(Seq((2L, "b")).toDF("k", "v"), 1L)
+    val er = StreamingIvm.erasureSink(spark, root, streamId = "er")
+    er(Seq(1L).toDF("k"), 0L)
+    // retention keeps only the erasure head: the ingest stream's
+    // newest tag ("ing-1") leaves the retained history entirely
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(!VersionedTable.history(spark, root).exists(_._2 == "ing-1"),
+      "precondition: the ingest tag must be vacuumed away")
+    val before = VersionedTable.latestVersion(spark, root).get
+    // a restarted ingest sink gets batch 1 redelivered: the durable
+    // hwm file (not the vacuumed tag) must make it a no-op
+    val ing2 = StreamingIvm.ingestSink(spark, root, streamId = "ing")
+    ing2(Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(VersionedTable.latestVersion(spark, root).get == before,
+      "replayed batch must not re-commit after vacuum")
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    // a genuinely new batch still lands
+    ing2(Seq((3L, "c")).toDF("k", "v"), 2L)
+    assert(VersionedTable.read(spark, root)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L))
+  }
 }

@@ -85,4 +85,16 @@ class XlsxSinkSpec extends AnyFunSuite {
       assert(styles.contains("<b/>"))
     } finally z.close()
   }
+  test("an unbounded frame fails loudly at the documented cap instead " +
+      "of collecting the table onto the driver") {
+    val big = spark.range(XlsxSink.MaxSheetRows + 1L).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      XlsxSink.write(tmp("oversize.xlsx"), Seq("big" -> big))
+    }
+    assert(ex.getMessage.contains("report-sized"))
+    // at the cap exactly, the sink still renders
+    val ok = spark.range(3L).toDF("id")
+    XlsxSink.write(tmp("undersize.xlsx"), Seq("ok" -> ok))
+    assert(XlsxSink.readSheet(tmp("undersize.xlsx"), "ok")._2.length == 3)
+  }
 }
