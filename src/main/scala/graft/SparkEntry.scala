@@ -3171,6 +3171,44 @@ object SparkEntry {
         Seq("o_orderkey"), tag = "merge")
       graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey")
     }),
+    // full MERGE INTO on the versioned table: the even-keyed half of
+    // the revised snapshot is the source batch, its mod-9 keys marked
+    // as delete requests through an `op` column the deleteIf branch
+    // reads (and the target schema never sees). One full-outer key
+    // join classifies matched-update / matched-delete /
+    // not-matched-insert; unmatched deletes are no-ops. The merge is
+    // run TWICE — idempotence under at-least-once redelivery is part
+    // of the pinned contract — and the committed bytes are
+    // self-verified against the source-derived expectation before the
+    // oracle replays the same branches as SQL set operations.
+    "table_merge" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_merge_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      val src = nw.where(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+        .withColumn("op", when(col("o_orderkey") % 9 === 0, lit("D"))
+          .otherwise(lit("U")))
+      graft.sources.VersionedTable.merge(s, root, src,
+        Seq("o_orderkey"), deleteIf = Some(col("op") === "D"),
+        tag = "merge")
+      graft.sources.VersionedTable.merge(s, root, src,
+        Seq("o_orderkey"), deleteIf = Some(col("op") === "D"),
+        tag = "merge-replay")
+      // source-derived expectation: untouched target rows plus every
+      // non-delete source row (update if matched, insert if not)
+      val kept = old.select(cols.map(col): _*).join(
+        src.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      val expect = kept.unionByName(
+        src.where(col("op") =!= "D").select(cols.map(col): _*))
+      selfVerified(s, "table_merge", root,
+        graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey"),
+        expect.orderBy("o_orderkey"))
+    }),
     // CDC: insert/update/delete classification between two snapshots
     // (both derived deterministically from orders so the oracle can
     // rebuild them); one full-outer sort-merge join, unchanged keys
@@ -6076,6 +6114,22 @@ object SparkEntry {
         "SELECT * FROM o WHERE o_orderkey NOT IN " +
         "(SELECT o_orderkey FROM upd) " +
         "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey"),
+    "table_merge" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "src AS (SELECT *, CASE WHEN o_orderkey % 9 = 0 THEN 'D' " +
+        "ELSE 'U' END AS op FROM nn WHERE o_orderkey % 2 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM o " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM src WHERE op <> 'D') ORDER BY o_orderkey"),
     "window_percentiles" ->
       ("SELECT c_mktsegment, c_custkey, " +
         "round(percent_rank() OVER w, 9) AS pct_rank, " +

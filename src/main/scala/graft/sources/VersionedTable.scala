@@ -730,7 +730,19 @@ object VersionedTable {
       keyCols: Seq[String],
       deleteIf: Option[org.apache.spark.sql.Column] = None,
       updateMatched: Boolean = true, insertUnmatched: Boolean = true,
-      tag: String = ""): Long = {
+      tag: String = ""): Long =
+    commit(mergeFrame(spark, root, source, keyCols, deleteIf,
+      updateMatched, insertUnmatched), root,
+      if (tag.nonEmpty) tag else "merge")
+
+  /** The planned (uncommitted) result frame of [[merge]], exposed
+    * `private[graft]` so the plan-shape suite can pin the one-shuffle
+    * property without committing.
+    */
+  private[graft] def mergeFrame(spark: SparkSession, root: String,
+      source: DataFrame, keyCols: Seq[String],
+      deleteIf: Option[org.apache.spark.sql.Column],
+      updateMatched: Boolean, insertUnmatched: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(keyCols.nonEmpty, "merge needs at least one join key")
     val cur = read(spark, root)
@@ -763,10 +775,9 @@ object VersionedTable {
       .otherwise(lit(insertUnmatched) && !sDel)
     val useSrc = when(tP && sP, lit(updateMatched) && !sDel)
       .otherwise(!tP)
-    val out = joined.where(keep).select(cols.map { c =>
+    joined.where(keep).select(cols.map { c =>
       when(useSrc, col(s"__graft_s_$c")).otherwise(col(c)).as(c)
     }: _*)
-    commit(out, root, if (tag.nonEmpty) tag else "merge")
   }
 
   /** The wall-clock milliseconds recorded in `version`'s manifest at

@@ -1525,4 +1525,62 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, root)
       .select("k").as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("MERGE INTO: matched-update, matched-delete, not-matched-insert " +
+      "in one commit; unmatched deletes are no-ops; re-running the " +
+      "same merge is idempotent; the plan shuffles each side once") {
+    val root = freshRoot("merge")
+    VersionedTable.commit(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+    ).toDF("k", "v", "x"), root, tag = "base")
+    val src = Seq(
+      (2L, "B", 21.0, "U"),   // matched -> update
+      (3L, "-", 0.0, "D"),    // matched -> delete
+      (4L, "d", 40.0, "U"),   // not matched -> insert
+      (9L, "-", 0.0, "D")     // not matched delete -> no-op
+    ).toDF("k", "v", "x", "op")
+    def run(tag: String) = VersionedTable.merge(spark, root, src,
+      Seq("k"), deleteIf = Some(col("op") === "D"), tag = tag)
+    run("m1")
+    def state = VersionedTable.read(spark, root)
+      .select("k", "v", "x").as[(Long, String, Double)]
+      .collect().toSet
+    val want = Set((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0))
+    assert(state == want)
+    // idempotence: replaying the identical batch changes nothing
+    run("m2")
+    assert(state == want)
+    // branch toggles: update-only merge never inserts; insert-only
+    // merge never updates
+    val root2 = freshRoot("mergeToggles")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root2)
+    VersionedTable.merge(spark, root2,
+      Seq((1L, "A"), (2L, "b")).toDF("k", "v"), Seq("k"),
+      insertUnmatched = false)
+    assert(VersionedTable.read(spark, root2)
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "A")))
+    VersionedTable.merge(spark, root2,
+      Seq((1L, "Z"), (2L, "b")).toDF("k", "v"), Seq("k"),
+      updateMatched = false)
+    assert(VersionedTable.read(spark, root2)
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "b")))
+    // plan shape: with broadcast disabled (the 100 TB case — both
+    // sides fact-sized) the classification is ONE full-outer
+    // sort-merge join, one key shuffle per side, nothing downstream
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = VersionedTable.mergeFrame(spark, root, src, Seq("k"),
+        Some(col("op") === "D"), true, true)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+        s"expected a full-outer sort-merge join:\n${p.take(600)}")
+      val shuffles = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(shuffles <= 2, s"merge plan grew extra shuffles ($shuffles):\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
