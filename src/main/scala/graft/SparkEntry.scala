@@ -3696,6 +3696,66 @@ object SparkEntry {
       graft.sources.VersionedTable.readMerged(s, root)
         .orderBy("o_orderkey")
     }),
+    // NON-additive schema evolution: rename / type-widen / drop / add
+    // as METADATA-ONLY commits over the manifest's field-ID mapping
+    // (physical names immutable, widen = read-time cast, drop =
+    // tombstone, re-add can never resurrect), then an append under
+    // the evolved schema; the read unifies old-narrow and new-wide
+    // directories under the logical schema. The oracle replays the
+    // whole lifecycle as casts + a NULL-filled union.
+    "table_schema_evolution2" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_evolve2_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey").cast("int"),
+            col("o_totalprice"), col("o_orderstatus")),
+        root, tag = "base")
+      graft.sources.VersionedTable.renameColumn(s, root,
+        "o_orderstatus", "status")
+      graft.sources.VersionedTable.widenColumn(s, root,
+        "o_custkey", "BIGINT")
+      graft.sources.VersionedTable.dropColumn(s, root, "o_totalprice")
+      graft.sources.VersionedTable.addColumn(s, root,
+        "priority", "STRING")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority")),
+        root, tag = "evolved-delta")
+      graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+    // a RENAMED column keeps its data-skipping sidecar (stats key by
+    // the immutable physical name; pruning translates through the
+    // mapping) — readWhere on the new logical name must equal the
+    // plain filter row-for-row; the file-skip evidence is spec-side
+    "table_evolve_prune" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_evoprune_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commitWithStats(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsCols = Seq("o_orderkey"), tag = "clustered")
+      graft.sources.VersionedTable.renameColumn(s, root,
+        "o_orderkey", "order_id")
+      def shape(d: DataFrame) = d
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+      selfVerified(s, "table_evolve_prune", root,
+        shape(graft.sources.VersionedTable.readWhere(s, root,
+          col("order_id").between(2000L, 6000L))),
+        shape(o.where(col("o_orderkey").between(2000L, 6000L))))
+    }),
     // lexicographic data skipping: range-cluster on a CATEGORY column
     // (cast-to-double stats are blind to strings), commit with string
     // min/max, prune a two-priority range through the sidecar —
@@ -5951,6 +6011,27 @@ object SparkEntry {
         "SELECT o_orderkey, o_totalprice, o_orderpriority " +
         "FROM orders WHERE o_orderkey % 2 = 1) " +
         "ORDER BY o_orderkey"),
+    // rename = alias, widen = cast, drop = projection, add = NULL
+    // fill on pre-add rows — the metadata-only lifecycle replayed as
+    // plain relational algebra
+    "table_schema_evolution2" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, " +
+        "o_orderstatus AS status, CAST(NULL AS VARCHAR) AS priority " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, " +
+        "o_orderstatus AS status, o_orderpriority AS priority " +
+        "FROM orders WHERE o_orderkey % 2 = 1) " +
+        "ORDER BY o_orderkey"),
+    // pruning through a renamed column's retained sidecar loses no
+    // rows vs the plain key-range filter
+    "table_evolve_prune" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_price " +
+        "FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000 " +
+        "GROUP BY 1 ORDER BY 1"),
     // lexicographic pruning loses no rows vs the plain string range
     // (both engines compare strings in binary order)
     "table_pruned_string" ->

@@ -97,10 +97,15 @@ object VersionedTable {
     */
   def commit(df: DataFrame, root: String, tag: String = ""): Long = {
     val spark = df.sparkSession
+    // a rewrite on an evolved table re-baselines the field mapping
+    // (physical names snap back to the logical names just written);
+    // a never-evolved table publishes mapping-less, as always
+    val prevFields = latestVersion(spark, root)
+      .flatMap(v => resolveFields(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
     df.write.mode("overwrite").parquet(dataDir)
-    publish(spark, root, next, tag)
+    publish(spark, root, next, tag, fields = rebaseline(df, prevFields))
     clearIntent(spark, root, s"v$next")
     next
   }
@@ -158,7 +163,8 @@ object VersionedTable {
     */
   def publish(spark: SparkSession, root: String, version: Long,
       tag: String = "", dirs: Seq[String] = Nil,
-      deletes: String = "", dirSeqs: Seq[Long] = Nil): Unit = {
+      deletes: String = "", dirSeqs: Seq[Long] = Nil,
+      fields: String = ""): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -181,13 +187,18 @@ object VersionedTable {
     val seqField = s""","dirSeqs":"${seqList.mkString(",")}""""
     val delField =
       if (deletes.isEmpty) "" else s""","deletes":"${js(deletes)}""""
+    // field-ID schema mapping (non-additive evolution) — absent on a
+    // table that never evolved, carried verbatim by appends/deletes,
+    // re-baselined by rewrites
+    val fieldsField =
+      if (fields.isEmpty) "" else s""","fields":"${js(fields)}""""
     // commit wall-clock recorded IN the manifest: time-based retention
     // ([[vacuumOlderThan]]) and history audits must not depend on file
     // mtimes, which object stores rewrite on copy/restore
     val manifest =
       s"""{"version":$version,"path":"${js(pathField)}",""" +
         s""""tag":"${js(tag)}","ts":${System.currentTimeMillis()}""" +
-        s"""$seqField$delField}"""
+        s"""$seqField$delField$fieldsField}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val uri = f.makeQualified(p).toUri
@@ -249,9 +260,15 @@ object VersionedTable {
     val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
       .getOrElse(Nil)
     val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
+    // an evolved table's delta arrives under LOGICAL names and is
+    // written under the immutable PHYSICAL layout (never-seen columns
+    // extend the mapping with fresh field ids); a mapping-less table
+    // writes the delta verbatim
+    val prevFields = prevV.flatMap(v => resolveFields(spark, root, v))
+    val (physDelta, fieldsS, _) = physicalizeDelta(delta, prevFields)
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
-    delta.write.mode("overwrite").parquet(dataDir)
+    physDelta.write.mode("overwrite").parquet(dataDir)
     // an append changes no existing byte, so the previous snapshot's
     // delete set keeps applying — carried by NAME in the manifest
     // (zero-copy, and no shared sidecar path two writers could race
@@ -259,7 +276,8 @@ object VersionedTable {
     // delete's seq: prior erasures never anti-join freshly appended
     // rows, so a re-inserted key is visible again immediately.
     publish(spark, root, next, tag, dirs = prev :+ s"v$next",
-      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next,
+      fields = fieldsS)
     prevV.foreach(carrySidecars(spark, root, _, next))
     clearIntent(spark, root, s"v$next")
     next
@@ -282,10 +300,18 @@ object VersionedTable {
   def commitAppendRetry(delta: DataFrame, root: String,
       tag: String = "", maxAttempts: Int = 20): Long = {
     val spark = delta.sparkSession
+    // the physical layout is resolved ONCE, before the data write —
+    // schema evolution is an administrative operation; running it
+    // concurrently with optimistic appenders is outside the contract
+    // (the data bytes cannot be re-laid-out in a metadata retry)
+    val entryFields = latestVersion(spark, root)
+      .flatMap(v => resolveFields(spark, root, v))
+    val (physDelta, entryFieldsS, _) =
+      physicalizeDelta(delta, entryFields)
     val dirName =
       "a" + java.util.UUID.randomUUID().toString.replace("-", "")
     writeIntent(spark, root, dirName)
-    delta.write.mode("overwrite").parquet(s"$root/$dirName")
+    physDelta.write.mode("overwrite").parquet(s"$root/$dirName")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -295,13 +321,21 @@ object VersionedTable {
       val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
         .getOrElse(Nil)
       val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
+      // carry the mapping: ours if this delta extended it, else the
+      // current head's verbatim (a concurrent appender may have won)
+      val headFieldsS = prevV
+        .map(v => fieldsStrOf(readManifest(spark, root, v)))
+        .getOrElse("")
+      val fieldsS =
+        if (entryFieldsS.nonEmpty) entryFieldsS else headFieldsS
       val next = prevV.map(_ + 1).getOrElse(0L)
       try {
         // the retry loop is PURE metadata: the delete carry is a name
         // reference in the manifest, so a losing attempt rewrites no
         // sidecar and can never clobber a concurrent MoR delete's
         publish(spark, root, next, tag, dirs = prev :+ dirName,
-          deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+          deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next,
+          fields = fieldsS)
         prevV.foreach(carrySidecars(spark, root, _, next))
         clearIntent(spark, root, dirName)
         return next
@@ -360,6 +394,330 @@ object VersionedTable {
       .map(_.group(1).split(',').toSeq.filter(_.nonEmpty).map(_.toLong))
       .filter(_.length == nDirs)
       .getOrElse(Seq.fill(nDirs)(0L))
+
+  // -------------------------------------------------------------------
+  // Field-ID schema mapping — NON-ADDITIVE schema evolution (rename /
+  // drop / type-widen / add) as pure metadata commits, the Iceberg
+  // field-id model re-expressed through Delta-style column mapping:
+  //
+  //   - every logical column carries a STABLE field id, its current
+  //     LOGICAL name (what readers see), its immutable PHYSICAL name
+  //     (what parquet files store — assigned at first write, never
+  //     changed), and its current logical TYPE;
+  //   - RENAME changes only the logical name: zero data movement, and
+  //     because stats/Bloom sidecars are keyed by physical column name
+  //     the renamed column KEEPS its data-skipping coverage;
+  //   - WIDEN changes only the logical type: old directories keep the
+  //     narrow physical type and cast up at read; appended deltas write
+  //     the wide type — per-directory footer grouping reconciles them
+  //     (parquet's own mergeSchema refuses conflicting types);
+  //   - DROP tombstones the field (logical name cleared, id and
+  //     physical name stay RESERVED), so re-adding the same name mints
+  //     a fresh id + fresh physical name and can never resurrect the
+  //     dropped column's bytes — the Iceberg re-add rule;
+  //   - each manifest carries ITS OWN mapping, so time travel reads an
+  //     old snapshot under the old names/types, exactly as committed.
+  //
+  // Appends carry the mapping verbatim (extending it with fresh ids
+  // for never-seen delta columns); MoR deletes carry it verbatim;
+  // rewrites ([[commit]]/[[commitWithStats]]/[[commitWithBloom]])
+  // re-baseline it — physical snaps back to logical for the content
+  // just written under logical names. A table that never evolved has
+  // no mapping and takes none of these code paths.
+  // -------------------------------------------------------------------
+
+  /** One logical column of an evolved table — see the section comment
+    * for the id/name/physical/dtype contract. A tombstone (dropped
+    * field) has an empty logical `name`.
+    */
+  case class FieldSpec(id: Int, name: String, physical: String,
+      dtype: org.apache.spark.sql.types.DataType)
+
+  // `;` separates fields, `:` separates components — both are illegal
+  // in the identifier-restricted names and absent from every supported
+  // (flat) type's SQL form, including DECIMAL(p,s)
+  private def fieldsStr(fs0: Seq[FieldSpec]): String =
+    fs0.map(f => s"${f.id}:${f.name}:${f.physical}:${f.dtype.sql}")
+      .mkString(";")
+
+  private def fieldsOf(raw: String): Option[Seq[FieldSpec]] =
+    """"fields":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(';').toIndexedSeq.map { s =>
+        val parts = s.split(":", 4)
+        require(parts.length == 4, s"malformed field entry: $s")
+        FieldSpec(parts(0).toInt, parts(1), parts(2),
+          org.apache.spark.sql.types.DataType.fromDDL(parts(3)))
+      })
+
+  private def fieldsStrOf(raw: String): String =
+    """"fields":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).getOrElse("")
+
+  private def resolveFields(spark: SparkSession, root: String,
+      version: Long): Option[Seq[FieldSpec]] =
+    fieldsOf(readManifest(spark, root, version))
+
+  /** The field mapping snapshot `version` carries, if the table has
+    * evolved — (id, logicalName, physicalName, typeDDL), tombstones
+    * included with an empty logical name. Introspection surface for
+    * audits and the fsck report.
+    */
+  def tableFields(spark: SparkSession, root: String,
+      version: Long): Option[Seq[(Int, String, String, String)]] =
+    resolveFields(spark, root, version)
+      .map(_.map(f => (f.id, f.name, f.physical, f.dtype.sql)))
+
+  private def requireFieldName(n: String): Unit =
+    require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"evolvable column names must be identifiers ([A-Za-z0-9_]): $n")
+
+  private def requireFlatType(
+      dt: org.apache.spark.sql.types.DataType, n: String): Unit =
+    require(!dt.sql.exists(c => c == ':' || c == ';'),
+      s"schema evolution supports flat column types only: $n is ${dt.sql}")
+
+  /** The current mapping, synthesizing one from the plain-read schema
+    * the first time a never-evolved table evolves (id = ordinal+1,
+    * physical = logical — exactly what its files store).
+    */
+  private def fieldsOrSynthesized(spark: SparkSession, root: String,
+      version: Long): Seq[FieldSpec] =
+    resolveFields(spark, root, version).getOrElse {
+      readVersion(spark, root, version).schema.fields.toIndexedSeq
+        .zipWithIndex.map { case (f, i) =>
+          requireFieldName(f.name)
+          requireFlatType(f.dataType, f.name)
+          FieldSpec(i + 1, f.name, f.name, f.dataType)
+        }
+    }
+
+  private def validateFields(fs0: Seq[FieldSpec]): Unit = {
+    val live = fs0.filter(_.name.nonEmpty)
+    require(live.nonEmpty, "a table must keep at least one column")
+    require(fs0.map(_.id).distinct.size == fs0.size,
+      s"field ids must be unique: ${fs0.map(_.id).mkString(",")}")
+    require(live.map(_.name).distinct.size == live.size,
+      s"logical names must be unique: ${live.map(_.name).mkString(",")}")
+    require(fs0.map(_.physical).distinct.size == fs0.size,
+      s"physical names must be unique: ${fs0.map(_.physical).mkString(",")}")
+  }
+
+  /** Metadata-only commit: same data directories, sequences and delete
+    * sidecar as the current snapshot, new field mapping. The whole
+    * evolution cost is one manifest file.
+    */
+  private def commitFieldsChange(spark: SparkSession, root: String,
+      fields: Seq[FieldSpec], tag: String): Long = {
+    validateFields(fields)
+    val prevV = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val next = prevV + 1
+    publish(spark, root, next, tag,
+      dirs = resolveDirs(spark, root, prevV),
+      deletes = resolveDeletes(spark, root, prevV).getOrElse(""),
+      dirSeqs = resolveDirSeqs(spark, root, prevV),
+      fields = fieldsStr(fields))
+    // no data file changed: prior stats/bloom sidecars (keyed by
+    // physical column names, which evolution never touches) stay
+    // exactly valid
+    carrySidecars(spark, root, prevV, next)
+    next
+  }
+
+  /** RENAME COLUMN — metadata-only: the physical name (and therefore
+    * every data file and every stats/Bloom sidecar entry) is
+    * untouched; only the logical name readers see changes. Returns the
+    * new version id.
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String, tag: String = ""): Long = {
+    requireFieldName(to)
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val fs0 = fieldsOrSynthesized(spark, root, v)
+    require(fs0.exists(f => f.name == from),
+      s"no column $from to rename at $root")
+    require(!fs0.exists(f => f.name == to),
+      s"column $to already exists at $root")
+    commitFieldsChange(spark, root,
+      fs0.map(f => if (f.name == from) f.copy(name = to) else f),
+      if (tag.nonEmpty) tag else s"rename-$from-to-$to")
+  }
+
+  /** DROP COLUMN — metadata-only tombstone: the field's id and
+    * physical name stay reserved in the mapping, so a later
+    * [[addColumn]] of the same name mints a fresh id and a fresh
+    * physical name and can NEVER resurrect the dropped bytes (the
+    * Iceberg re-add rule); the bytes themselves go when their
+    * directories are rewritten or vacuumed. Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      tag: String = ""): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val fs0 = fieldsOrSynthesized(spark, root, v)
+    require(fs0.exists(f => f.name == name),
+      s"no column $name to drop at $root")
+    commitFieldsChange(spark, root,
+      fs0.map(f => if (f.name == name) f.copy(name = "") else f),
+      if (tag.nonEmpty) tag else s"drop-$name")
+  }
+
+  /** Type-WIDEN a column — metadata-only: old directories keep their
+    * narrow physical type and cast up at read time; new appends write
+    * the wide type. Only provably lossless widenings are allowed
+    * (integral up-casts, integral/float → double, decimal precision/
+    * scale growth) — anything else needs a rewrite, by design.
+    * Returns the new version id.
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      toType: String, tag: String = ""): Long = {
+    val to = org.apache.spark.sql.types.DataType.fromDDL(toType)
+    requireFlatType(to, name)
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val fs0 = fieldsOrSynthesized(spark, root, v)
+    val f = fs0.find(_.name == name).getOrElse(
+      sys.error(s"no column $name to widen at $root"))
+    require(canWiden(f.dtype, to),
+      s"cannot widen $name from ${f.dtype.sql} to ${to.sql} — only " +
+        "lossless widenings (integral up, integral/float to double, " +
+        "decimal growth) are metadata-only")
+    commitFieldsChange(spark, root,
+      fs0.map(g => if (g.name == name) g.copy(dtype = to) else g),
+      if (tag.nonEmpty) tag else s"widen-$name")
+  }
+
+  /** ADD COLUMN — metadata-only: existing directories simply lack the
+    * new physical column and read as typed NULLs; the first append
+    * that carries the column writes it for real. The physical name is
+    * the logical name unless ANY field (tombstones included) ever used
+    * it — then a fresh `name_<id>` keeps re-adds from resurrecting
+    * dropped data. Returns the new version id.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dtypeDDL: String, tag: String = ""): Long = {
+    requireFieldName(name)
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(dtypeDDL)
+    requireFlatType(dt, name)
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    val fs0 = fieldsOrSynthesized(spark, root, v)
+    require(!fs0.exists(f => f.name == name),
+      s"column $name already exists at $root")
+    val id = fs0.map(_.id).max + 1
+    val phys =
+      if (!fs0.exists(_.physical == name)) name else s"${name}_$id"
+    commitFieldsChange(spark, root, fs0 :+ FieldSpec(id, name, phys, dt),
+      if (tag.nonEmpty) tag else s"add-$name")
+  }
+
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    // max decimal digits an integral type needs, for int -> decimal
+    def digits(d: DataType): Option[Int] = d match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a, b) if rank(a).isDefined && rank(b).isDefined =>
+        rank(a).get <= rank(b).get
+      case (a, DoubleType) => rank(a).isDefined || a == FloatType
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
+      case (a, b: DecimalType) =>
+        digits(a).exists(d => b.precision - b.scale >= d)
+      case _ => false
+    }
+  }
+
+  /** Rename a logical-schema delta onto the table's physical layout
+    * (casting each column to its logical type, so widened columns
+    * append wide), extending the mapping with fresh ids for columns it
+    * has never seen — additive evolution folded into the append.
+    * Returns (physical delta, mapping serialization to publish, the
+    * logical→physical name function for sidecar builders). A
+    * mapping-less table passes through untouched.
+    */
+  private def physicalizeDelta(delta: DataFrame,
+      mapping: Option[Seq[FieldSpec]])
+      : (DataFrame, String, String => String) = {
+    import org.apache.spark.sql.functions.col
+    mapping match {
+      case None => (delta, "", identity)
+      case Some(fs0) =>
+        val byName = fs0.filter(_.name.nonEmpty)
+          .map(f => f.name -> f).toMap
+        var nextId = fs0.map(_.id).max
+        val added = delta.columns.toIndexedSeq
+          .filterNot(byName.contains).map { c =>
+            requireFieldName(c)
+            val dt = delta.schema(c).dataType
+            requireFlatType(dt, c)
+            nextId += 1
+            val phys =
+              if (!fs0.exists(_.physical == c)) c else s"${c}_$nextId"
+            FieldSpec(nextId, c, phys, dt)
+          }
+        val all = fs0 ++ added
+        val liveByName = all.filter(_.name.nonEmpty)
+          .map(f => f.name -> f).toMap
+        val cols = delta.columns.toIndexedSeq.map { c =>
+          val f = liveByName(c)
+          col(c).cast(f.dtype).as(f.physical)
+        }
+        (delta.select(cols: _*), fieldsStr(all),
+          c => liveByName.get(c).map(_.physical).getOrElse(c))
+    }
+  }
+
+  /** Re-baseline the mapping across a REWRITE: the new snapshot's data
+    * is written under the DataFrame's own (logical) column names, so
+    * surviving fields snap physical back to logical and take the
+    * written type; brand-new columns mint fresh ids; fields the
+    * rewrite no longer carries tombstone — ids stay reserved (their
+    * old physical names point at nothing anymore, so the reservation
+    * placeholder is synthetic). A never-evolved table stays
+    * mapping-less.
+    */
+  private def rebaseline(df: DataFrame,
+      prev: Option[Seq[FieldSpec]]): String =
+    prev match {
+      case None => ""
+      case Some(fs0) =>
+        val byName = fs0.filter(_.name.nonEmpty)
+          .map(f => f.name -> f).toMap
+        var nextId = fs0.map(_.id).max
+        val fields = df.schema.fields.toIndexedSeq.map { sf =>
+          requireFlatType(sf.dataType, sf.name)
+          byName.get(sf.name) match {
+            case Some(f) =>
+              f.copy(physical = sf.name, dtype = sf.dataType)
+            case None =>
+              requireFieldName(sf.name)
+              nextId += 1
+              FieldSpec(nextId, sf.name, sf.name, sf.dataType)
+          }
+        }
+        val tomb = fs0
+          .filterNot(f => f.name.nonEmpty && df.columns.contains(f.name))
+          .map(f => f.copy(name = "", physical = s"__tomb_${f.id}"))
+        fieldsStr(fields ++ tomb)
+    }
 
   /** Read the newest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -427,25 +785,67 @@ object VersionedTable {
   private def readScoped(spark: SparkSession, root: String, raw: String,
       version: Long, onlyPaths: Option[Seq[String]],
       mergeSchema: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val dirs = dirsOf(raw, root, version)
     val seqs = dirSeqsOf(raw, dirs.length)
+    // an EVOLVED table's schema is DEFINED by its manifest mapping:
+    // every read projects physical columns onto the logical fields, so
+    // the merge/non-merge distinction collapses (parquet's own
+    // mergeSchema would refuse the conflicting physical types a widen
+    // legitimately leaves behind)
+    val mapping: Option[Seq[FieldSpec]] =
+      fieldsOf(raw).map(_.filter(_.name.nonEmpty))
     def reader = {
       val r = spark.read
-      if (mergeSchema) r.option("mergeSchema", "true") else r
+      if (mergeSchema && mapping.isEmpty)
+        r.option("mergeSchema", "true")
+      else r
     }
-    // (path, owning-dir seq): pruned file subsets resolve their dir by
-    // parent name; a path outside any manifest dir (impossible by
-    // construction) conservatively gets seq 0 = every delete applies
-    val files: Seq[(String, Long)] = onlyPaths match {
+    // (path, owning-dir seq, owning-dir name): pruned file subsets
+    // resolve their dir by parent name; a path outside any manifest
+    // dir (impossible by construction) conservatively gets seq 0 =
+    // every delete applies
+    val files: Seq[(String, Long, String)] = onlyPaths match {
       case Some(ps) =>
         val seqByDir = dirs.zip(seqs).toMap
-        ps.map(p => (p,
-          seqByDir.getOrElse(new Path(p).getParent.getName, 0L)))
-      case None => dirs.zip(seqs).map { case (d, s) => (s"$root/$d", s) }
+        ps.map { p =>
+          val d = new Path(p).getParent.getName
+          (p, seqByDir.getOrElse(d, 0L), d)
+        }
+      case None =>
+        dirs.zip(seqs).map { case (d, s) => (s"$root/$d", s, d) }
+    }
+    // under a mapping, files group by their DIRECTORY's footer schema
+    // (one footer read per directory — metadata-sized, never per-file):
+    // each group scans once under its own physical schema, projects to
+    // logical, and groups union by name. Directories sharing a schema
+    // share a scan, so the plan has one scan per DISTINCT schema, not
+    // per directory.
+    val dirSchemaKey: Map[String, String] = mapping match {
+      case None => Map.empty
+      case Some(_) => files.map(_._3).distinct.map { d =>
+        d -> spark.read.parquet(s"$root/$d").schema.fields
+          .map(f => s"${f.name}:${f.dataType.sql}").mkString(";")
+      }.toMap
+    }
+    def schemaKey(f: (String, Long, String)): String =
+      dirSchemaKey.getOrElse(f._3, "")
+    def toLogical(df: DataFrame): DataFrame = mapping match {
+      case None => df
+      case Some(live) =>
+        val have = df.columns.toSet
+        df.select(live.map { f =>
+          (if (have(f.physical)) col(f.physical).cast(f.dtype)
+           else lit(null).cast(f.dtype)).as(f.name)
+        }: _*)
     }
     deletesOf(raw, root, version) match {
-      case None => reader.parquet(files.map(_._1): _*)
+      case None =>
+        if (mapping.isEmpty) reader.parquet(files.map(_._1): _*)
+        else files.groupBy(schemaKey).toSeq.sortBy(_._1)
+          .map { case (_, fs0) =>
+            toLogical(reader.parquet(fs0.map(_._1): _*))
+          }.reduce(_.unionByName(_))
       case Some(d) =>
         val delsRaw = spark.read.parquet(s"$root/$d")
         val hasSeq = delsRaw.columns.contains(DelSeqCol)
@@ -459,6 +859,8 @@ object VersionedTable {
         // sidecar's distinct delete seqs (bounded by delete COMMITS,
         // not keys) bucket every dir seq into at most |deletes|+1
         // groups; all dirs in a bucket anti-join one shared key set.
+        // (On an evolved table the key extends by footer schema, so a
+        // widened/renamed chain still scans once per distinct schema.)
         val delSeqs: Seq[Long] =
           if (!hasSeq) Nil
           else delsRaw.select(col(DelSeqCol)).distinct()
@@ -467,16 +869,18 @@ object VersionedTable {
         // a group whose scan lacks a delete-key column (pre-evolution
         // dirs when the key arrived with a later append) anti-joins on
         // a typed NULL — the join never matches, rows are kept, same
-        // as the old single merged-schema scan
+        // as the old single merged-schema scan. Delete-sidecar keys
+        // are PHYSICAL column names (commitDeleteSet physicalizes), so
+        // the anti-join runs before the logical projection.
         def withKeys(df: DataFrame): DataFrame =
           keyCols.foldLeft(df) { (d, k) =>
             if (d.columns.contains(k)) d
-            else d.withColumn(k,
-              org.apache.spark.sql.functions.lit(null).cast(keyTypes(k)))
+            else d.withColumn(k, lit(null).cast(keyTypes(k)))
           }
         val buckets =
-          files.groupBy(f => bucketOf(f._2)).toSeq.sortBy(_._1)
-            .map { case (bucket, fs0) =>
+          files.groupBy(f => (bucketOf(f._2), schemaKey(f)))
+            .toSeq.sortBy(_._1)
+            .map { case (_, fs0) =>
               val df = withKeys(reader.parquet(fs0.map(_._1): _*))
               val applicable =
                 if (!hasSeq) delsRaw
@@ -487,9 +891,11 @@ object VersionedTable {
                   delsRaw.where(col(DelSeqCol) > minSeq)
                     .select(keyCols.map(col): _*).distinct()
                 }
-              df.join(applicable, keyCols, "left_anti")
+              toLogical(df.join(applicable, keyCols, "left_anti"))
             }
-        if (mergeSchema)
+        if (mapping.isDefined)
+          buckets.reduce(_.unionByName(_)) // all logical already
+        else if (mergeSchema)
           buckets.reduce(_.unionByName(_, allowMissingColumns = true))
         else {
           // a NON-merge read resolves ONE schema for the whole scan —
@@ -504,8 +910,7 @@ object VersionedTable {
             val have = d.columns.toSet
             d.select(scanSchema.fields.toIndexedSeq.map { f =>
               if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-              else org.apache.spark.sql.functions.lit(null)
-                .cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
             }: _*)
           }.reduce(_.unionByName(_))
         }
@@ -579,12 +984,30 @@ object VersionedTable {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      // delete keys arrive under LOGICAL names; the sidecar stores
+      // PHYSICAL names (immutable, so a later rename can never detach
+      // deletes from their column) at the logical (widest) type — the
+      // read-side anti-join runs on physical frames before the
+      // logical projection
+      val attemptFields = resolveFields(spark, root, attemptV)
+        .map(_.filter(_.name.nonEmpty))
+      val physDels = attemptFields match {
+        case None => newDels
+        case Some(live) =>
+          val byName = live.map(f => f.name -> f).toMap
+          newDels.select(newDels.columns.toIndexedSeq.map { c =>
+            byName.get(c) match {
+              case Some(f) => col(c).cast(f.dtype).as(f.physical)
+              case None => col(c)
+            }
+          }: _*)
+      }
       val prior = resolveDeletes(spark, root, attemptV)
         .map(d => spark.read.parquet(s"$root/$d"))
       prior.foreach { p =>
         val pKey = p.columns.filterNot(_ == DelSeqCol).sorted
-        require(pKey.sameElements(newDels.columns.sorted),
-          s"delete key ${newDels.columns.mkString(",")} differs from " +
+        require(pKey.sameElements(physDels.columns.sorted),
+          s"delete key ${physDels.columns.mkString(",")} differs from " +
             s"the table's existing sidecar key ${pKey.mkString(",")}")
       }
       val next = attemptV + 1
@@ -592,7 +1015,7 @@ object VersionedTable {
       // directories committed before `next`. Prior keys keep their own
       // seq (normalized to +inf for a pre-scoping sidecar, preserving
       // its global reach).
-      val tagged = newDels.withColumn(DelSeqCol, lit(next))
+      val tagged = physDels.withColumn(DelSeqCol, lit(next))
       val merged = prior.map { p =>
         val normalized =
           if (p.columns.contains(DelSeqCol)) p
@@ -607,7 +1030,8 @@ object VersionedTable {
       try {
         publish(spark, root, next, tag,
           dirs = resolveDirs(spark, root, attemptV), deletes = delDir,
-          dirSeqs = resolveDirSeqs(spark, root, attemptV))
+          dirSeqs = resolveDirSeqs(spark, root, attemptV),
+          fields = fieldsStrOf(readManifest(spark, root, attemptV)))
         // the delete touched no data file: the prior stats/bloom
         // sidecars describe the new version's files verbatim
         carrySidecars(spark, root, attemptV, next)
@@ -1015,6 +1439,12 @@ object VersionedTable {
     require(statsCols.nonEmpty || stringStatsCols.nonEmpty,
       "commitWithStats needs at least one stats column")
     val spark = df.sparkSession
+    // a stats commit is a REWRITE: the mapping (if any) re-baselines
+    // to the logical names just written, so the sidecar's column
+    // names are simultaneously logical and physical — consistent with
+    // pruning's physical-name resolution
+    val prevFields = latestVersion(spark, root)
+      .flatMap(v => resolveFields(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
     writeIntent(spark, root, s"_graft_stats_v$next")
@@ -1035,7 +1465,7 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(root, next))
-    publish(spark, root, next, tag)
+    publish(spark, root, next, tag, fields = rebaseline(df, prevFields))
     clearIntent(spark, root, s"v$next")
     clearIntent(spark, root, s"_graft_stats_v$next")
     next
@@ -1103,6 +1533,8 @@ object VersionedTable {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(bloomCols.nonEmpty, "commitWithBloom needs at least one column")
     val spark = df.sparkSession
+    val prevFields = latestVersion(spark, root)
+      .flatMap(v => resolveFields(spark, root, v))
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
     writeIntent(spark, root, s"_graft_bloom_v$next")
@@ -1118,7 +1550,7 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(bloomDir(root, next))
-    publish(spark, root, next, tag)
+    publish(spark, root, next, tag, fields = rebaseline(df, prevFields))
     clearIntent(spark, root, s"v$next")
     clearIntent(spark, root, s"_graft_bloom_v$next")
     next
@@ -1142,7 +1574,8 @@ object VersionedTable {
     val all = dataPaths(spark, root, version)
     if (!f.exists(new Path(bd))) return all
     val blooms = spark.read.parquet(bd)
-    if (!blooms.columns.contains(s"bf_$colName")) return all
+    val physCol = physNameOf(spark, root, version)(colName)
+    if (!blooms.columns.contains(s"bf_$physCol")) return all
     // probe hashes come from Spark's own xxhash64 over one literal
     // row, so build-side and probe-side hashing can never diverge
     // (might_contain demands a CONSTANT filter, so admission runs
@@ -1152,7 +1585,7 @@ object VersionedTable {
       .select(values.map(v => xxhash64(lit(v))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
     val verdicts = blooms
-      .select(col("path"), col(s"bf_$colName").as("bf")).collect()
+      .select(col("path"), col(s"bf_$physCol").as("bf")).collect()
       .toSeq.map { r =>
         val keep = r.isNullAt(1) || { // NULL filter (empty group) keeps
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -1193,7 +1626,7 @@ object VersionedTable {
     */
   private def commitAppendWithSidecar(delta: DataFrame, root: String,
       tag: String, sidecarOf: Long => String,
-      deltaSidecar: DataFrame => DataFrame): Long = {
+      deltaSidecar: (DataFrame, String => String) => DataFrame): Long = {
     val spark = delta.sparkSession
     val prevV = latestVersion(spark, root)
     val prevDirs = prevV.map(v => resolveDirs(spark, root, v))
@@ -1201,13 +1634,19 @@ object VersionedTable {
     val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
       .getOrElse(Nil)
     val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
+    // evolved tables: the delta lands under physical names, and the
+    // sidecar builder receives the logical→physical map so its stats
+    // columns key by PHYSICAL name (what pruning resolves through)
+    val prevFields = prevV.flatMap(v => resolveFields(spark, root, v))
+    val (physDelta, fieldsS, physFn) =
+      physicalizeDelta(delta, prevFields)
     val (next, dataDir) = nextVersionDir(spark, root)
     val sidecarName = new Path(sidecarOf(next)).getName
     writeIntent(spark, root, s"v$next")
     writeIntent(spark, root, sidecarName)
-    delta.write.mode("overwrite").parquet(dataDir)
+    physDelta.write.mode("overwrite").parquet(dataDir)
     val written = spark.read.parquet(dataDir)
-    val deltaRows = deltaSidecar(written)
+    val deltaRows = deltaSidecar(written, physFn)
     val f = fs(spark, root)
     val prior = prevV.filter(v => f.exists(new Path(sidecarOf(v))))
       .map(v => spark.read.parquet(sidecarOf(v)))
@@ -1218,7 +1657,8 @@ object VersionedTable {
     }
     merged.coalesce(1).write.mode("overwrite").parquet(sidecarOf(next))
     publish(spark, root, next, tag, dirs = prevDirs :+ s"v$next",
-      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next)
+      deletes = dels.getOrElse(""), dirSeqs = prevSeqs :+ next,
+      fields = fieldsS)
     // carry whatever OTHER sidecar family the prior version had (a
     // stats-merging append on a bloom-indexed table must not drop the
     // blooms); the just-written merged sidecar is never overwritten
@@ -1242,10 +1682,11 @@ object VersionedTable {
     require(statsCols.nonEmpty,
       "commitAppendWithStats needs at least one stats column")
     commitAppendWithSidecar(delta, root, tag, statsDir(root, _),
-      written => {
+      (written, phys) => {
         val aggs = statsCols.flatMap { c =>
-          Seq(min(col(c).cast("double")).as(s"mn_$c"),
-            max(col(c).cast("double")).as(s"mx_$c"))
+          val p = phys(c)
+          Seq(min(col(p).cast("double")).as(s"mn_$p"),
+            max(col(p).cast("double")).as(s"mx_$p"))
         }
         written.groupBy(input_file_name().as("path"))
           .agg(aggs.head, aggs.tail: _*)
@@ -1270,12 +1711,13 @@ object VersionedTable {
     require(bloomCols.nonEmpty,
       "commitAppendWithBloom needs at least one column")
     commitAppendWithSidecar(delta, root, tag, bloomDir(root, _),
-      written => {
+      (written, phys) => {
         val aggs = bloomCols.map { c =>
+          val p = phys(c)
           ColumnBridge.column(
             new BloomFilterAggregate(
-              ColumnBridge.expression(xxhash64(col(c))),
-              expectedItemsPerFile).toAggregateExpression()).as(s"bf_$c")
+              ColumnBridge.expression(xxhash64(col(p))),
+              expectedItemsPerFile).toAggregateExpression()).as(s"bf_$p")
         }
         written.groupBy(input_file_name().as("path"))
           .agg(aggs.head, aggs.tail: _*)
@@ -1303,10 +1745,12 @@ object VersionedTable {
     * and left to [[readPruned]]'s exact row filter.
     */
   def prunedPaths(spark: SparkSession, root: String, version: Long,
-      preds: Seq[(String, Double, Double)]): Seq[String] =
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    val phys = physNameOf(spark, root, version)
     statsPrunedPaths(spark, root, version,
-      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) },
+      preds.map { case (c, lo, hi) => (phys(c), lo: Any, hi: Any) },
       c => s"mn_$c", c => s"mx_$c")
+  }
 
   /** Scheme-less path form shared by every sidecar comparison:
     * input_file_name() URIs ("file:///x") and Hadoop Path strings
@@ -1371,10 +1815,12 @@ object VersionedTable {
     * conservative fallbacks as the numeric form.
     */
   def prunedPathsString(spark: SparkSession, root: String, version: Long,
-      preds: Seq[(String, String, String)]): Seq[String] =
+      preds: Seq[(String, String, String)]): Seq[String] = {
+    val phys = physNameOf(spark, root, version)
     statsPrunedPaths(spark, root, version,
-      preds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) },
+      preds.map { case (c, lo, hi) => (phys(c), lo: Any, hi: Any) },
       c => s"smn_$c", c => s"smx_$c")
+  }
 
   /** Range scan through the STRING stats: open only the files whose
     * lexicographic [smn, smx] admits every predicate, then apply the
@@ -1459,15 +1905,26 @@ object VersionedTable {
     // the snapshot schema lets the extractor map TEMPORAL literals —
     // `col("ts") >= "2024-01-16"` — onto the double-cast stats scale
     // of the column's actual type, and gates Bloom probes on exact
-    // type agreement. One footer of the newest data dir suffices (a
-    // column absent there — pre-evolution reads — just yields no
-    // bound, which is conservative); assembling the full scoped read
-    // here would scan every footer plus the delete sidecar per call.
-    val schema = scala.util.Try(spark.read.parquet(
-      s"$root/${resolveDirs(spark, root, version).last}").schema)
-      .toOption
+    // type agreement. An evolved table resolves types through its
+    // field mapping (predicates name LOGICAL columns); otherwise one
+    // footer of the newest data dir suffices (a column absent there —
+    // pre-evolution reads — just yields no bound, which is
+    // conservative); assembling the full scoped read here would scan
+    // every footer plus the delete sidecar per call.
+    val colType: String => Option[org.apache.spark.sql.types.DataType] =
+      resolveFields(spark, root, version) match {
+        case Some(fs0) =>
+          val m = fs0.filter(_.name.nonEmpty)
+            .map(f => f.name -> f.dtype).toMap
+          c => m.get(c)
+        case None =>
+          val schema = scala.util.Try(spark.read.parquet(
+            s"$root/${resolveDirs(spark, root, version).last}").schema)
+            .toOption
+          c => schema.flatMap(_.fields.find(_.name == c).map(_.dataType))
+      }
     val b = org.apache.spark.sql.graft.PredicateBounds.extract(pred,
-      c => schema.flatMap(_.fields.find(_.name == c).map(_.dataType)))
+      colType)
     var paths = dataPaths(spark, root, version)
     if (b.numeric.nonEmpty)
       paths = paths.intersect(prunedPaths(spark, root, version, b.numeric))
@@ -1683,19 +2140,46 @@ object VersionedTable {
   }
 
   /** The (numeric, string) stats-column families snapshot `version`'s
-    * sidecar covers — empty when it has none.
+    * sidecar covers, as LOGICAL column names — empty when it has
+    * none. Sidecars key by physical name; mapping them back means the
+    * compaction/fold paths that reuse prior coverage keep working
+    * after a rename, and stats on a since-DROPPED column simply fall
+    * out of coverage.
     */
   private def priorStatsCols(spark: SparkSession, root: String,
       version: Long): (Seq[String], Seq[String]) = {
     val sd = statsDir(root, version)
     if (!fs(spark, root).exists(new Path(sd))) (Nil, Nil)
     else {
+      val toLogical: String => Option[String] =
+        resolveFields(spark, root, version) match {
+          case Some(fs0) =>
+            val m = fs0.filter(_.name.nonEmpty)
+              .map(f => f.physical -> f.name).toMap
+            c => m.get(c)
+          case None => c => Some(c)
+        }
       val cols = spark.read.parquet(sd).columns
-      (cols.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq,
+      (cols.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_"))
+        .flatMap(toLogical(_)).toSeq,
         cols.filter(_.startsWith("smn_")).map(_.stripPrefix("smn_"))
-          .toSeq)
+          .flatMap(toLogical(_)).toSeq)
     }
   }
+
+  /** The logical→physical name map of snapshot `version` (identity on
+    * a never-evolved table) — how pruning entry points key into the
+    * physically-named stats/Bloom sidecars.
+    */
+  private def physNameOf(spark: SparkSession, root: String,
+      version: Long): String => String =
+    resolveFields(spark, root, version) match {
+      case Some(fs0) =>
+        val m = fs0.filter(_.name.nonEmpty)
+          .map(f => f.name -> f.physical).toMap
+        c => m.getOrElse(c, c)
+      case None => identity
+    }
 
   /** Total parquet bytes of snapshot `version` across ALL of its
     * manifest-addressed directories — the footer-level stat OPTIMIZE
@@ -1917,6 +2401,27 @@ object VersionedTable {
           else scala.util.Try(spark.read.parquet(s"$root/$d").schema)
             .failed.foreach(e =>
               issues += s"v$v delete sidecar $d unreadable: ${e.getMessage}")
+        }
+        // field mapping (schema evolution) integrity: parseable, ids
+        // unique, live logical names unique, physical names unique,
+        // at least one live field
+        scala.util.Try(fieldsOf(raw)) match {
+          case scala.util.Failure(e) =>
+            issues += s"v$v field mapping unparseable: ${e.getMessage}"
+          case scala.util.Success(fo) => fo.foreach { fs0 =>
+            val live = fs0.filter(_.name.nonEmpty)
+            if (fs0.map(_.id).distinct.size != fs0.size)
+              issues += s"v$v field ids not unique: " +
+                fs0.map(_.id).mkString(",")
+            if (live.map(_.name).distinct.size != live.size)
+              issues += s"v$v logical field names not unique: " +
+                live.map(_.name).mkString(",")
+            if (fs0.map(_.physical).distinct.size != fs0.size)
+              issues += s"v$v physical field names not unique: " +
+                fs0.map(_.physical).mkString(",")
+            if (live.isEmpty)
+              issues += s"v$v field mapping has no live fields"
+          }
         }
       } catch { case e: Throwable =>
         issues += s"v$v manifest corrupt: ${e.getMessage}"
