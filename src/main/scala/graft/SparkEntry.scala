@@ -3506,21 +3506,25 @@ object SparkEntry {
         .withColumn("is_cut", (col("hamming") > 16).cast("int"))
         .orderBy("doc_id", "fidx")
     }),
-    // image perceptual fingerprint: synthesized BMPs through the
-    // codec → 9×8 nearest-neighbor resize → 64-bit dHash; the oracle
-    // recomputes every bit from the text alone, so resize sampling,
-    // row order, and bit packing are all pinned
+    // image perceptual fingerprint over REAL PNG payloads: the
+    // fixture pixels ship through the adaptively-filtered zlib PNG
+    // container (hand-rolled codec — inflate, defilter, CRC), then
+    // decode → 9×8 nearest-neighbor resize → 64-bit dHash; the oracle
+    // recomputes every bit from the text alone, so the whole inflate/
+    // defilter/resize/bit-packing chain is pinned (the BMP container
+    // runs the same pipeline in multimodal_features/multimodal_meta)
     "image_dhash" -> ((s, dir) => Multimodal.imageDhashes(
-      Multimodal.synthesizeBmp(
+      Multimodal.synthesizePng(
         tbl(s, dir, "documents")
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text"))
       .orderBy("doc_id")),
     // image near-dup pairs: pigeonhole-blocked hamming ≤ 3 over the
-    // dHashes — candidates only from chunk-equal pairs; the oracle is
-    // the full n² hamming scan, so blocking completeness is pinned
+    // dHashes of PNG payloads — candidates only from chunk-equal
+    // pairs; the oracle is the full n² hamming scan, so blocking
+    // completeness is pinned
     "image_neardup" -> ((s, dir) => operators.Dedup.hammingPairs64(
-      Multimodal.imageDhashes(Multimodal.synthesizeBmp(
+      Multimodal.imageDhashes(Multimodal.synthesizePng(
         tbl(s, dir, "documents")
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text")),
@@ -5051,13 +5055,14 @@ object SparkEntry {
           .where(length(col("text")) === octet_length(col("text"))),
         "doc_id", "text"))
       .orderBy("doc_id")),
-    // resize composes through the codec twice: synthesize → encode →
-    // decode+nearest-neighbor-sample+re-encode → decode → stats; the
-    // oracle computes the sampled pixels straight from the text via
-    // the generation formula at positions (2x, floor(y*h/2))
+    // resize composes through the PNG codec twice: synthesize →
+    // deflate+filter encode → inflate+defilter decode + nearest-
+    // neighbor sample + re-encode (container-preserving) → decode →
+    // stats; the oracle computes the sampled pixels straight from the
+    // text via the generation formula at positions (2x, floor(y*h/2))
     "multimodal_resize" -> ((s, dir) => Multimodal.decodeImageStats(
       Multimodal.resizeTable(
-        Multimodal.synthesizeBmp(
+        Multimodal.synthesizePng(
           tbl(s, dir, "documents")
             .where(length(col("text")) === octet_length(col("text"))),
           "doc_id", "text"),

@@ -109,11 +109,45 @@ object Multimodal {
     (width, height, out)
   }
 
-  /** Deterministic BMP fixture synthesis from a text column: byte k
-    * of the UTF-8 text is pixel k's blue channel, green = (3·b+1) mod
-    * 256, red = k mod 256, and pad pixels completing the last row use
-    * b = (k·7) mod 256 — arithmetic simple enough that a SQL oracle
-    * recomputes the decoded statistics from the text alone. Empty
+  /** Container-sniffing decode: BMP by its `BM` magic, PNG by its
+    * 8-byte signature ([[PngCodec]] — zlib inflate, all five
+    * scanline filters, color types 0/2/3/4/6). Both normalize to the
+    * same (width, height, row-major top-down BGR) contract, so every
+    * downstream consumer — pixel stats, dHash, resize, features —
+    * works on either container without knowing which it got. This is
+    * the realistic web-corpus shape: a payload column mixing formats,
+    * dispatched per row inside the batched partition-local decode.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (PngCodec.isPng(bytes)) PngCodec.decodePng(bytes)
+    else decodeBmp(bytes)
+
+  /** The deterministic pixel rule both fixture synthesizers share:
+    * byte k of the UTF-8 text is pixel k's blue channel, green =
+    * (3·b+1) mod 256, red = k mod 256, and pad pixels completing the
+    * last row use b = (k·7) mod 256 — arithmetic simple enough that a
+    * SQL oracle recomputes the decoded statistics from the text
+    * alone, INDEPENDENT of the container the pixels ship in.
+    */
+  private def fixturePixels(text: String,
+      width: Int): (Array[Byte], Int) = {
+    val tb = text.getBytes("UTF-8")
+    val h = (tb.length + width - 1) / width
+    val npx = width * h
+    val bgr = new Array[Byte](npx * 3)
+    var k = 0
+    while (k < npx) {
+      val b = if (k < tb.length) tb(k) & 0xff else (k * 7) % 256
+      bgr(3 * k) = b.toByte
+      bgr(3 * k + 1) = ((3 * b + 1) % 256).toByte
+      bgr(3 * k + 2) = (k % 256).toByte
+      k += 1
+    }
+    (bgr, h)
+  }
+
+  /** Deterministic BMP fixture synthesis from a text column — see
+    * [[fixturePixels]] for the oracle-recomputable pixel rule. Empty
     * texts are dropped (a 0-row bitmap is not representable).
     */
   def synthesizeBmp(df: DataFrame, idCol: String, textCol: String,
@@ -126,19 +160,33 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val tb = text.getBytes("UTF-8")
-          val h = (tb.length + width - 1) / width
-          val npx = width * h
-          val bgr = new Array[Byte](npx * 3)
-          var k = 0
-          while (k < npx) {
-            val b = if (k < tb.length) tb(k) & 0xff else (k * 7) % 256
-            bgr(3 * k) = b.toByte
-            bgr(3 * k + 1) = ((3 * b + 1) % 256).toByte
-            bgr(3 * k + 2) = (k % 256).toByte
-            k += 1
-          }
+          val (bgr, h) = fixturePixels(text, width)
           (id, encodeBmp(bgr, width, h))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("content_hash", sha2(col("payload"), 256))
+  }
+
+  /** PNG twin of [[synthesizeBmp]]: the SAME pixels (so every oracle
+    * that recomputes decoded statistics from the text keeps matching
+    * verbatim), shipped through the adaptively-filtered zlib PNG
+    * container instead — the decode path then runs real inflate +
+    * defilter work per image.
+    */
+  def synthesizePng(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    require(width > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (bgr, h) = fixturePixels(text, width)
+          (id, PngCodec.encodePng(bgr, width, h))
         }
       }
       .toDF("doc_id", "payload")
@@ -148,14 +196,16 @@ object Multimodal {
 
   /** Nearest-neighbor image resize — the pre-embedding normalization
     * step every vision pipeline runs before the model: output pixel
-    * (x, y) samples source pixel (⌊x·W/w⌋, ⌊y·H/h⌋). Decodes,
-    * samples, re-encodes — so the result is again a valid BMP
-    * payload any downstream codec step accepts. Handles both down-
-    * and up-scaling (the index formula is direction-agnostic).
+    * (x, y) samples source pixel (⌊x·W/w⌋, ⌊y·H/h⌋). Decodes either
+    * container ([[decodeImage]]), samples, re-encodes in the SAME
+    * container it received — so the result stays a valid payload any
+    * downstream codec step accepts. Handles both down- and
+    * up-scaling (the index formula is direction-agnostic).
     */
   def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     require(outW > 0 && outH > 0)
-    val (w, h, px) = decodeBmp(bytes)
+    val isPng = PngCodec.isPng(bytes)
+    val (w, h, px) = decodeImage(bytes)
     val out = new Array[Byte](outW * outH * 3)
     var y = 0
     while (y < outH) {
@@ -171,7 +221,8 @@ object Multimodal {
       }
       y += 1
     }
-    encodeBmp(out, outW, outH)
+    if (isPng) PngCodec.encodePng(out, outW, outH)
+    else encodeBmp(out, outW, outH)
   }
 
   /** Batched partition-local resize of a payload table: same
@@ -233,7 +284,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, px) = decodeBmp(bytes)
+          val (w, h, px) = decodeImage(bytes)
           val npx = w * h
           var sb, sg, sr, wb, wg, wr = 0L
           var k = 0
@@ -268,7 +319,7 @@ object Multimodal {
     * distance — the image-side analogue of SimHash over text.
     */
   def dhash64(bytes: Array[Byte]): Long = {
-    val (w9, h8, px) = decodeBmp(resizeBmp(bytes, 9, 8))
+    val (w9, h8, px) = decodeImage(resizeBmp(bytes, 9, 8))
     require(w9 == 9 && h8 == 8, s"resize contract violated: $w9 x $h8")
     def lum(x: Int, y: Int): Int = {
       val i = 3 * (y * 9 + x)
@@ -481,7 +532,7 @@ object Multimodal {
         // a real implementation would hand `batch` to the codec /
         // accelerator in one call; the BMP parser maps it element-wise
         batch.map { case (id, bytes) =>
-          val (w, h, px) = decodeBmp(bytes)
+          val (w, h, px) = decodeImage(bytes)
           val npx = w * h
           val sums = new Array[Double](dim)
           val cnts = new Array[Int](dim)
