@@ -3700,6 +3700,37 @@ object SparkEntry {
       graft.sources.VersionedTable.readMerged(s, root)
         .orderBy("o_orderkey")
     }),
+    // SHALLOW CLONE: zero-copy clone of the committed source (the
+    // clone's manifest references the source's data dirs by absolute
+    // path — no byte moves), then the clone lives its own life: a
+    // local append and a MoR erasure land clone-side only. The read
+    // must see exactly source-content ∪ append − erasure, and the
+    // SOURCE must remain byte-identical (self-verified here; vacuum
+    // isolation is spec-side). Oracle: the composed lifecycle as one
+    // filter over the raw table.
+    "table_clone" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val src = graft.config.Scratch.runDir + s"/vt_clonesrc_$tag"
+      val dst = graft.config.Scratch.runDir + s"/vt_clonedst_$tag"
+      graft.sources.VersionedTable.destroy(s, src)
+      graft.sources.VersionedTable.destroy(s, dst)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), src, tag = "base")
+      graft.sources.VersionedTable.cloneShallow(s, src, dst)
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), dst, tag = "clone-delta")
+      graft.sources.VersionedTable.deleteKeysMor(s, dst,
+        o.where(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+        tag = "clone-erase")
+      // the source must be untouched by the clone's whole lifecycle
+      selfVerified(s, "table_clone_src", src,
+        graft.sources.VersionedTable.read(s, src).orderBy("o_orderkey"),
+        o.where(col("o_orderkey") % 2 === 0).orderBy("o_orderkey"))
+      graft.sources.VersionedTable.read(s, dst).orderBy("o_orderkey")
+    }),
     // NON-additive schema evolution: rename / type-widen / drop / add
     // as METADATA-ONLY commits over the manifest's field-ID mapping
     // (physical names immutable, widen = read-time cast, drop =
@@ -6016,6 +6047,11 @@ object SparkEntry {
         "SELECT o_orderkey, o_totalprice, o_orderpriority " +
         "FROM orders WHERE o_orderkey % 2 = 1) " +
         "ORDER BY o_orderkey"),
+    // clone ∪ append − erasure over the raw table (the even-keyed
+    // source half arrives through zero-copy absolute references)
+    "table_clone" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey"),
     // rename = alias, widen = cast, drop = projection, add = NULL
     // fill on pre-add rows — the metadata-only lifecycle replayed as
     // plain relational algebra

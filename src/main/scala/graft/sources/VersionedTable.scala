@@ -26,6 +26,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dir the old manifest names". The underscore prefix keeps manifests
   * invisible to parquet scans (the _SUCCESS convention).
   *
+  * On that protocol the full lakehouse verb set composes: fast and
+  * optimistic multi-writer appends, copy-on-write upsert/delete,
+  * three-branch [[merge]] (MERGE INTO), sequence-scoped merge-on-read
+  * deletes, stats/Bloom data-skipping sidecars with automatic
+  * predicate pruning ([[readWhere]]), clustering-preserving OPTIMIZE
+  * (sorted/Z-order/policy), named refs + write-audit-publish,
+  * NON-additive schema evolution over a field-ID mapping
+  * ([[renameColumn]]/[[dropColumn]]/[[widenColumn]]/[[addColumn]] —
+  * metadata-only), zero-copy [[cloneShallow]], retention vacuum with
+  * deterministic orphan reclamation, and [[fsck]].
+  *
   * Each manifest can carry a caller `tag`; [[latestTag]] lets an
   * at-least-once writer (Structured Streaming `foreachBatch`) make
   * its commits IDEMPOTENT by tagging each version with the batch id
@@ -60,6 +71,16 @@ object VersionedTable {
   /** All committed version ids, oldest first. */
   def versions(spark: SparkSession, root: String): Seq[Long] =
     manifestVersions(spark, root)
+
+  /** Resolve a manifest directory entry to a readable path. Entries
+    * are normally RELATIVE to the table root; a SHALLOW CLONE
+    * ([[cloneShallow]]) publishes ABSOLUTE entries pointing into the
+    * source table — those pass through untouched. Vacuum's sweep
+    * only ever deletes by LOCAL listing name, so foreign absolute
+    * entries are structurally un-deletable from the clone side.
+    */
+  private def dirPath(root: String, d: String): String =
+    if (new Path(d).isAbsolute) d else s"$root/$d"
 
   /** The newest committed version id, if any commit has published. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
@@ -801,19 +822,24 @@ object VersionedTable {
         r.option("mergeSchema", "true")
       else r
     }
-    // (path, owning-dir seq, owning-dir name): pruned file subsets
-    // resolve their dir by parent name; a path outside any manifest
-    // dir (impossible by construction) conservatively gets seq 0 =
-    // every delete applies
+    // (path, owning-dir seq, owning-dir entry): pruned file subsets
+    // resolve their dir by FULL parent path (never by name — a
+    // shallow-cloned manifest can hold a foreign absolute `v0` beside
+    // a local `v0`); a path outside any manifest dir (impossible by
+    // construction) conservatively gets seq 0 = every delete applies
     val files: Seq[(String, Long, String)] = onlyPaths match {
       case Some(ps) =>
-        val seqByDir = dirs.zip(seqs).toMap
+        val byParent: Map[String, (Long, String)] =
+          dirs.zip(seqs).map { case (d, s) =>
+            normPath(dirPath(root, d)) -> ((s, d))
+          }.toMap
         ps.map { p =>
-          val d = new Path(p).getParent.getName
-          (p, seqByDir.getOrElse(d, 0L), d)
+          val parent = normPath(new Path(p).getParent.toString)
+          val (s, d) = byParent.getOrElse(parent, (0L, parent))
+          (p, s, d)
         }
       case None =>
-        dirs.zip(seqs).map { case (d, s) => (s"$root/$d", s, d) }
+        dirs.zip(seqs).map { case (d, s) => (dirPath(root, d), s, d) }
     }
     // under a mapping, files group by their DIRECTORY's footer schema
     // (one footer read per directory — metadata-sized, never per-file):
@@ -824,7 +850,7 @@ object VersionedTable {
     val dirSchemaKey: Map[String, String] = mapping match {
       case None => Map.empty
       case Some(_) => files.map(_._3).distinct.map { d =>
-        d -> spark.read.parquet(s"$root/$d").schema.fields
+        d -> spark.read.parquet(dirPath(root, d)).schema.fields
           .map(f => s"${f.name}:${f.dataType.sql}").mkString(";")
       }.toMap
     }
@@ -847,7 +873,7 @@ object VersionedTable {
             toLogical(reader.parquet(fs0.map(_._1): _*))
           }.reduce(_.unionByName(_))
       case Some(d) =>
-        val delsRaw = spark.read.parquet(s"$root/$d")
+        val delsRaw = spark.read.parquet(dirPath(root, d))
         val hasSeq = delsRaw.columns.contains(DelSeqCol)
         val keyCols = delsRaw.columns.filterNot(_ == DelSeqCol).toIndexedSeq
         val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
@@ -1003,7 +1029,7 @@ object VersionedTable {
           }: _*)
       }
       val prior = resolveDeletes(spark, root, attemptV)
-        .map(d => spark.read.parquet(s"$root/$d"))
+        .map(d => spark.read.parquet(dirPath(root, d)))
       prior.foreach { p =>
         val pKey = p.columns.filterNot(_ == DelSeqCol).sorted
         require(pKey.sameElements(physDels.columns.sorted),
@@ -1373,6 +1399,68 @@ object VersionedTable {
   /** Time travel by name: read the snapshot ref `name` pins. */
   def readRef(spark: SparkSession, root: String, name: String): DataFrame =
     readVersion(spark, root, resolveRef(spark, root, name))
+
+  /** SHALLOW CLONE: publish `targetRoot` v0 as a zero-copy view of a
+    * source snapshot — the manifest references the source's data
+    * directories (and delete sidecar) by ABSOLUTE path, no byte
+    * moves; dir sequences and the field mapping carry verbatim, and
+    * the source's stats/Bloom sidecars copy across (file-count-sized
+    * metadata) so data skipping works on the clone from commit one.
+    * The clone then lives its own life: appends land locally beside
+    * the foreign references, deletes/evolution are clone-only, and
+    * the first REWRITE (compact/commit) localizes everything. This is
+    * the cheap-dev-copy / experiment-branch verb (`CREATE TABLE ...
+    * SHALLOW CLONE` in Delta, snapshot-ref tables in Iceberg).
+    *
+    * Lifecycle contract, both directions:
+    *   - vacuum at the CLONE can never delete source bytes — its
+    *     sweep deletes by local listing name only, and foreign
+    *     absolute entries are never local names;
+    *   - vacuum at the SOURCE does not know about clones: expiring
+    *     the cloned-from version orphans the clone (fsck at the clone
+    *     reports the missing dirs loudly). Pin the source version
+    *     with a named ref ([[createRef]]) for as long as clones of it
+    *     live — same rule as Delta shallow clones.
+    * Returns the clone's version id (always 0).
+    */
+  def cloneShallow(spark: SparkSession, sourceRoot: String,
+      targetRoot: String, sourceVersion: Long = -1L,
+      tag: String = ""): Long = {
+    require(latestVersion(spark, targetRoot).isEmpty,
+      s"cloneShallow target must be empty: $targetRoot already has " +
+        "committed versions")
+    val srcV =
+      if (sourceVersion >= 0) sourceVersion
+      else latestVersion(spark, sourceRoot).getOrElse(
+        sys.error(s"no committed version at $sourceRoot"))
+    val raw = readManifest(spark, sourceRoot, srcV)
+    val f = fs(spark, sourceRoot)
+    def abs(d: String): String =
+      f.makeQualified(new Path(dirPath(sourceRoot, d))).toString
+    val dirs = dirsOf(raw, sourceRoot, srcV).map(abs)
+    val seqs = dirSeqsOf(raw, dirs.length)
+    val dels = deletesOf(raw, sourceRoot, srcV).map(abs)
+    publish(spark, targetRoot, 0L,
+      if (tag.nonEmpty) tag else s"clone-of-$sourceRoot@v$srcV",
+      dirs = dirs, deletes = dels.getOrElse(""), dirSeqs = seqs,
+      fields = fieldsStrOf(raw))
+    // sidecars resolve by version-bound LOCAL name, so the clone gets
+    // its own copy (post-publish: a crash mid-copy leaves a
+    // conservatively sidecar-less clone, never a wrong one)
+    val tf = fs(spark, targetRoot)
+    Seq(statsDir _, bloomDir _).foreach { dirOf =>
+      val src = new Path(dirOf(sourceRoot, srcV))
+      val dst = new Path(dirOf(targetRoot, 0L))
+      if (f.exists(src) && !tf.exists(dst)) {
+        val tmp = new Path(targetRoot, "_graft_tmpcarry_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        org.apache.hadoop.fs.FileUtil.copy(f, src, tf, tmp,
+          false, spark.sparkContext.hadoopConfiguration)
+        if (!tf.rename(tmp, dst)) { tf.delete(tmp, true); () }
+      }
+    }
+    0L
+  }
 
   // Per-stream high-water marks — `_graft_hwm_<streamId>.json`, one
   // tiny root file per streaming sink recording the newest batch id
@@ -1846,7 +1934,7 @@ object VersionedTable {
       version: Long): Seq[String] = {
     val f = fs(spark, root)
     resolveDirs(spark, root, version).flatMap { d =>
-      f.listStatus(new Path(root, d)).toSeq.filter(s => s.isFile &&
+      f.listStatus(new Path(dirPath(root, d))).toSeq.filter(s => s.isFile &&
           s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
     }
@@ -1918,8 +2006,8 @@ object VersionedTable {
             .map(f => f.name -> f.dtype).toMap
           c => m.get(c)
         case None =>
-          val schema = scala.util.Try(spark.read.parquet(
-            s"$root/${resolveDirs(spark, root, version).last}").schema)
+          val schema = scala.util.Try(spark.read.parquet(dirPath(root,
+            resolveDirs(spark, root, version).last)).schema)
             .toOption
           c => schema.flatMap(_.fields.find(_.name == c).map(_.dataType))
       }
@@ -2188,7 +2276,7 @@ object VersionedTable {
   def dataBytes(spark: SparkSession, root: String, version: Long): Long = {
     val f = fs(spark, root)
     resolveDirs(spark, root, version).map { d =>
-      val dir = new Path(root, d)
+      val dir = new Path(dirPath(root, d))
       if (!f.exists(dir)) 0L
       else f.listStatus(dir).toSeq.filter(_.isFile)
         .filter(_.getPath.getName.endsWith(".parquet"))
@@ -2203,7 +2291,7 @@ object VersionedTable {
       version: Long): Int = {
     val f = fs(spark, root)
     resolveDirs(spark, root, version).map { d =>
-      val dir = new Path(root, d)
+      val dir = new Path(dirPath(root, d))
       if (!f.exists(dir)) 0
       else f.listStatus(dir).count(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet"))
@@ -2388,7 +2476,7 @@ object VersionedTable {
       try {
         val raw = readManifest(spark, root, v)
         dirsOf(raw, root, v).foreach { d =>
-          val p = new Path(root, d)
+          val p = new Path(dirPath(root, d))
           if (!f.exists(p))
             issues += s"v$v references missing data dir $d"
           else if (!f.listStatus(p).exists(s => s.isFile &&
@@ -2396,9 +2484,9 @@ object VersionedTable {
             issues += s"v$v data dir $d holds no parquet files"
         }
         deletesOf(raw, root, v).foreach { d =>
-          if (!f.exists(new Path(root, d)))
+          if (!f.exists(new Path(dirPath(root, d))))
             issues += s"v$v references missing delete sidecar $d"
-          else scala.util.Try(spark.read.parquet(s"$root/$d").schema)
+          else scala.util.Try(spark.read.parquet(dirPath(root, d)).schema)
             .failed.foreach(e =>
               issues += s"v$v delete sidecar $d unreadable: ${e.getMessage}")
         }

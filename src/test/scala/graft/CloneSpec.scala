@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** SHALLOW CLONE: zero-copy table clones through absolute manifest
+  * references. The properties that make the verb safe at scale:
+  * no byte moves at clone time, full read/skip fidelity from commit
+  * one, complete divergence isolation afterwards (appends, MoR
+  * deletes, evolution), and the one-way vacuum contract — the clone
+  * can never delete source bytes.
+  */
+class CloneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${graft.config.Scratch.runDir}/clonespec_$name"
+    VersionedTable.destroy(spark, root)
+    root
+  }
+
+  private def rows(root: String): Set[(Long, Long)] =
+    VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("clone is zero-copy and content-identical: no data directory " +
+      "lands under the target root, reads agree, fsck healthy") {
+    val src = freshRoot("src1")
+    val dst = freshRoot("dst1")
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    VersionedTable.commit(df.repartition(4), src)
+    VersionedTable.cloneShallow(spark, src, dst)
+    assert(rows(dst) == rows(src))
+    // zero-copy: the target root holds NO vN data dirs of its own
+    val local = new java.io.File(dst).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    assert(local.isEmpty, s"clone copied data dirs: ${local.toSeq}")
+    assert(VersionedTable.fsck(spark, dst).isEmpty)
+    // refuses a second clone into the now-non-empty target
+    intercept[Exception] { VersionedTable.cloneShallow(spark, src, dst) }
+  }
+
+  test("divergence isolation: appends, MoR deletes and renames at " +
+      "the clone never touch the source; source writes never show " +
+      "at the clone") {
+    val src = freshRoot("src2")
+    val dst = freshRoot("dst2")
+    VersionedTable.commit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), src)
+    VersionedTable.cloneShallow(spark, src, dst)
+    // clone-side life: append + MoR delete + rename
+    VersionedTable.commitAppend(Seq((9L, 90L)).toDF("k", "v"), dst)
+    VersionedTable.deleteKeysMor(spark, dst, Seq(2L).toDF("k"))
+    VersionedTable.renameColumn(spark, dst, "v", "val")
+    assert(VersionedTable.read(spark, dst).columns.toSeq ==
+      Seq("k", "val"))
+    assert(rows(dst) == Set((1L, 10L), (3L, 30L), (9L, 90L)))
+    // source is untouched by all of it
+    assert(VersionedTable.read(spark, src).columns.toSeq ==
+      Seq("k", "v"))
+    assert(rows(src) == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // source-side writes after the clone never show at the clone
+    VersionedTable.commitAppend(Seq((7L, 70L)).toDF("k", "v"), src)
+    assert(!rows(dst).contains((7L, 70L)))
+  }
+
+  test("vacuum at the clone never deletes source bytes; the first " +
+      "rewrite localizes the clone") {
+    val src = freshRoot("src3")
+    val dst = freshRoot("dst3")
+    VersionedTable.commit(
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), src)
+    VersionedTable.cloneShallow(spark, src, dst)
+    VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), dst)
+    // rewrite localizes: all content lands under the target root
+    VersionedTable.compact(spark, dst)
+    // vacuum away the clone's foreign-referencing history
+    VersionedTable.vacuum(spark, dst, keepLast = 1, orphanGraceMs = 0L)
+    assert(rows(dst) == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // the source's bytes survived the clone's whole lifecycle
+    assert(rows(src) == Set((1L, 1L), (2L, 2L)))
+    assert(VersionedTable.fsck(spark, src).isEmpty)
+  }
+
+  test("clone carries data skipping and the field mapping: pruning " +
+      "fires on the clone's first version, evolved schemas read " +
+      "logically") {
+    val src = freshRoot("src4")
+    val dst = freshRoot("dst4")
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    VersionedTable.commitWithStats(
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      src, statsCols = Seq("k"))
+    VersionedTable.renameColumn(spark, src, "k", "doc_id")
+    VersionedTable.cloneShallow(spark, src, dst)
+    assert(VersionedTable.read(spark, dst).columns.toSeq ==
+      Seq("doc_id", "v"))
+    val all = VersionedTable.dataFileCount(spark, dst, 0L)
+    val pruned = VersionedTable.prunedPaths(spark, dst, 0L,
+      "doc_id", 100.0, 199.0)
+    assert(all == 8 && pruned.size < all && pruned.nonEmpty,
+      s"clone lost skipping: ${pruned.size} of $all")
+    assert(VersionedTable.readWhere(spark, dst,
+      col("doc_id").between(100L, 199L)).count() == 100L)
+  }
+
+  test("cloning an older version pins that snapshot, not the head") {
+    val src = freshRoot("src5")
+    val dst = freshRoot("dst5")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), src)
+    VersionedTable.commit(Seq((2L, 2L)).toDF("k", "v"), src)
+    VersionedTable.cloneShallow(spark, src, dst, sourceVersion = 0L)
+    assert(rows(dst) == Set((1L, 1L)))
+  }
+
+  test("clone of a MoR-deleted snapshot sees post-delete content and " +
+      "sequence scoping survives (clone-side re-insert stays visible)") {
+    val src = freshRoot("src6")
+    val dst = freshRoot("dst6")
+    VersionedTable.commit(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v"), src)
+    VersionedTable.deleteKeysMor(spark, src, Seq(2L).toDF("k"))
+    VersionedTable.cloneShallow(spark, src, dst)
+    assert(rows(dst) == Set((1L, 1L), (3L, 3L)))
+    VersionedTable.commitAppend(Seq((2L, 22L)).toDF("k", "v"), dst)
+    assert(rows(dst) == Set((1L, 1L), (3L, 3L), (2L, 22L)))
+  }
+}

@@ -226,6 +226,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .dataType == LongType)
   }
 
+  test("plan shape: an evolved append chain scans once per DISTINCT " +
+      "physical schema, never once per directory") {
+    val root = freshRoot("planshape")
+    VersionedTable.commit(Seq((1, 1L)).toDF("k", "v"), root)
+    // three more narrow appends — same physical schema as the base
+    (2 to 4).foreach(i =>
+      VersionedTable.commitAppend(Seq((i, i.toLong)).toDF("k", "v"),
+        root))
+    VersionedTable.widenColumn(spark, root, "k", "BIGINT")
+    // one wide append — the second (and last) distinct schema
+    VersionedTable.commitAppend(
+      Seq((9000000000L, 9L)).toDF("k", "v"), root)
+    val plan = VersionedTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 2,
+      s"expected 2 scans (narrow group + wide group), got $scans:\n" +
+        plan.take(1200))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L),
+      (9000000000L, 9L)))
+  }
+
   test("merged and plain reads agree on an evolved table (the " +
       "mapping IS the schema) and string types survive the round") {
     val root = freshRoot("agree")
