@@ -119,7 +119,7 @@ object Bench {
       "dedup_boilerplate", "dedup_intradoc", "dedup_soft_weights",
       "dsir_select", "table_bloom_lookup", "table_schema_evolution",
       "table_schema_evolution2", "table_evolve_prune", "table_merge",
-      "table_clone",
+      "table_clone", "table_sql_read",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",

@@ -3700,6 +3700,35 @@ object SparkEntry {
       graft.sources.VersionedTable.readMerged(s, root)
         .orderBy("o_orderkey")
     }),
+    // SQL surface: the versioned table (after a MoR erasure AND a
+    // metadata-only rename) reads through spark.read.format("graft")
+    // into a temp view, and plain spark.sql answers over it — time
+    // travel, delete anti-joins, and the field mapping all compose
+    // under Catalyst with pushed filters translated onto the sidecar
+    // pruning path. Oracle replays erasure+rename as a filter+alias.
+    "table_sql_read" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sql_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(o, root, tag = "base")
+      graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        tag = "erase")
+      graft.sources.VersionedTable.renameColumn(s, root,
+        "o_totalprice", "price")
+      s.read.format("graft").load(root)
+        .createOrReplaceTempView("graft_orders_sql")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+           FROM graft_orders_sql
+           WHERE o_orderkey BETWEEN 1000 AND 9000
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
     // SHALLOW CLONE: zero-copy clone of the committed source (the
     // clone's manifest references the source's data dirs by absolute
     // path — no byte moves), then the clone lives its own life: a
@@ -6047,6 +6076,15 @@ object SparkEntry {
         "SELECT o_orderkey, o_totalprice, o_orderpriority " +
         "FROM orders WHERE o_orderkey % 2 = 1) " +
         "ORDER BY o_orderkey"),
+    // SQL over the graft source: MoR erasure = key filter, rename =
+    // alias; the aggregate replays over the raw table
+    "table_sql_read" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 9000 " +
+        "AND o_orderkey % 7 <> 0 " +
+        "GROUP BY 1 ORDER BY 1"),
     // clone ∪ append − erasure over the raw table (the even-keyed
     // source half arrives through zero-copy absolute references)
     "table_clone" ->

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL surface for the versioned table layer: `spark.read.format
+  * ("graft").load(root)` (short name registered via the standard
+  * `DataSourceRegister` service file) plans a snapshot read through
+  * [[VersionedTable]], so time travel, named refs, merge-on-read
+  * deletes, schema evolution and shallow clones all compose with
+  * temp views and `spark.sql` — and `df.write.format("graft")`
+  * commits through the manifest-last protocol.
+  *
+  * Read options: `versionAsOf` (snapshot id), `refAsOf` (named
+  * tag/branch); default is the newest committed version.
+  * Write modes: Overwrite = [[VersionedTable.commit]] (rewrite
+  * snapshot), Append = [[VersionedTable.commitAppend]] (fast append,
+  * first commit on an empty table), ErrorIfExists / Ignore with their
+  * standard meanings. A `tag` option threads the idempotence handle.
+  *
+  * Scan planning is the V1 `PrunedFilteredScan` contract, DELEGATED
+  * to the engine: pushed filters translate (exactly or wider — an
+  * untranslatable conjunct simply drops out, which only ever widens)
+  * onto a `Column` predicate for [[VersionedTable.readWhereVersion]],
+  * so the stats/Bloom sidecars prune FILES before the scan and
+  * Catalyst pushes the row-level filters + column projection into the
+  * underlying parquet scan as usual; every filter is also reported
+  * unhandled, so Spark re-applies them above — correctness never
+  * depends on the translation. The returned RDD is the inner plan's
+  * own distributed scan (`needConversion = false`, no driver
+  * materialization, no row-conversion pass).
+  */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    p.getOrElse("path", sys.error(
+      "graft source needs a table root: .load(root) or option(\"path\", root)"))
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    val version = p.get("versionasof").map(_.toLong)
+      .orElse(p.get("refasof")
+        .map(r => VersionedTable.resolveRef(spark, root, r)))
+      .getOrElse(VersionedTable.latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root")))
+    require(VersionedTable.versions(spark, root).contains(version),
+      s"no committed version $version at $root")
+    GraftRelation(sqlContext, root, version)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    val tag = p.getOrElse("tag", "")
+    val exists = VersionedTable.latestVersion(spark, root).isDefined
+    mode match {
+      case SaveMode.Overwrite => VersionedTable.commit(data, root, tag)
+      case SaveMode.Append =>
+        if (exists) VersionedTable.commitAppend(data, root, tag)
+        else VersionedTable.commit(data, root, tag)
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"graft table already exists at $root " +
+          "(SaveMode.ErrorIfExists)")
+        VersionedTable.commit(data, root, tag)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.commit(data, root, tag)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** One committed snapshot as a Spark relation — see
+  * [[GraftDataSource]] for the planning contract.
+  */
+case class GraftRelation(sqlContext: SQLContext, root: String,
+    version: Long) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    VersionedTable.readVersion(spark, root, version).schema
+
+  // buildScan returns the inner plan's InternalRow RDD directly —
+  // the documented V1 contract when needConversion is false
+  override def needConversion: Boolean = false
+
+  // every filter is ALSO evaluated by Spark above this relation:
+  // the translation below only ever prunes files/rows that provably
+  // cannot match, so reporting all filters unhandled costs one
+  // cheap re-check per row and removes the translation from the
+  // correctness trust base entirely
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  /** Exact-or-skip translation of a V1 Filter to a Column predicate.
+    * None = untranslatable: the conjunct drops out of the pushed
+    * predicate (wider scan — safe, Spark re-applies it). AND may
+    * keep one translatable side (wider); OR/NOT must translate
+    * exactly or not at all (partial OR/NOT would NARROW the scan).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (one, other) => one.orElse(other) // partial AND = wider
+    }
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) }
+      yield a || b
+    case Not(c) => exactColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** Like [[toColumn]] but refuses the partial-AND widening — the
+    * form NOT requires (NOT of a widened predicate would narrow).
+    */
+  private def exactColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) => for { a <- exactColumn(l); b <- exactColumn(r) }
+      yield a && b
+    case Or(l, r) => for { a <- exactColumn(l); b <- exactColumn(r) }
+      yield a || b
+    case Not(c) => exactColumn(c).map(!_)
+    case other => toColumn(other)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+    val base = pred match {
+      case Some(p) =>
+        VersionedTable.readWhereVersion(spark, root, version, p)
+      case None => VersionedTable.readVersion(spark, root, version)
+    }
+    // column pruning: the projection lands inside the inner plan, so
+    // Catalyst narrows the parquet ReadSchema as usual; an empty
+    // projection (COUNT(*)) selects no columns, rows stay countable
+    val projected = base.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** The SQL surface of the versioned table layer: format("graft")
+  * reads (latest / versionAsOf / refAsOf) must agree with the engine
+  * API byte-for-byte, the full semantic stack (MoR deletes, schema
+  * evolution, clones) must survive the trip through temp views and
+  * spark.sql, pushed-filter translation must never change an answer
+  * (it is only ever a widener), and the write path must drive the
+  * manifest-last commit protocol under every SaveMode.
+  */
+class GraftDataSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${graft.config.Scratch.runDir}/dsspec_$name"
+    VersionedTable.destroy(spark, root)
+    root
+  }
+
+  test("format(\"graft\") resolves by short name and reads the " +
+      "latest snapshot; versionAsOf and refAsOf time-travel") {
+    val root = freshRoot("read")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.createRef(spark, root, "pinned", 0L)
+    VersionedTable.commit(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(spark.read.format("graft").load(root)) ==
+      Set((2L, "b"), (3L, "c")))
+    assert(rows(spark.read.format("graft")
+      .option("versionAsOf", "0").load(root)) == Set((1L, "a")))
+    assert(rows(spark.read.format("graft")
+      .option("refAsOf", "pinned").load(root)) == Set((1L, "a")))
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "9").load(root)
+    }
+  }
+
+  test("the full semantic stack survives SQL: MoR delete + rename + " +
+      "append read through a temp view with filters and aggregates") {
+    val root = freshRoot("sql")
+    VersionedTable.commit(
+      (0L until 100L).map(k => (k, k % 7)).toDF("k", "v"), root)
+    VersionedTable.deleteKeysMor(spark, root,
+      (0L until 100L by 10L).toDF("k"))
+    VersionedTable.renameColumn(spark, root, "v", "grp")
+    VersionedTable.commitAppend(
+      Seq((200L, 3L)).toDF("k", "grp"), root)
+    spark.read.format("graft").load(root)
+      .createOrReplaceTempView("graft_sql_t")
+    val got = spark.sql(
+      """SELECT grp, COUNT(*) AS n FROM graft_sql_t
+         WHERE k >= 10 AND k <= 300 GROUP BY grp ORDER BY grp""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // model: keys 10..99 minus multiples of 10, plus 200
+    val model = ((10L until 100L).filterNot(_ % 10 == 0)
+      .map(k => k % 7) :+ 3L)
+      .groupBy(identity).toSeq.map { case (g, xs) => (g, xs.size.toLong) }
+      .sortBy(_._1)
+    assert(got == model)
+  }
+
+  test("pushed-filter translation never changes an answer: OR / NOT " +
+      "/ IN / startsWith / null checks through the source equal the " +
+      "same predicates on the engine read; COUNT(*) plans (empty " +
+      "projection)") {
+    val root = freshRoot("filters")
+    val df = (0L until 500L)
+      .map(k => (k, if (k % 11 == 0) null else s"name_$k", k % 13))
+      .toDF("k", "name", "v")
+    VersionedTable.commitWithStats(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, statsCols = Seq("k"))
+    val src = spark.read.format("graft").load(root)
+    val eng = VersionedTable.read(spark, root)
+    val preds = Seq(
+      col("k") > 100L && col("k") <= 200L,
+      col("k") === 42L || col("v") === 7L,
+      !(col("v") === 3L),
+      col("k").isin(5L, 50L, 500L),
+      col("name").startsWith("name_1") && col("k") < 150L,
+      col("name").isNull,
+      col("name").isNotNull && col("k").between(90L, 110L))
+    for (p <- preds) {
+      val a = src.where(p).collect().map(_.toString).sorted.toSeq
+      val b = eng.where(p).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"source diverged for $p")
+    }
+    assert(src.count() == 500L)
+    assert(spark.read.format("graft").load(root)
+      .where(col("k") < 10L).count() == 10L)
+  }
+
+  test("write path drives the commit protocol: ErrorIfExists, " +
+      "Overwrite, Append (fast append), Ignore, and the tag option") {
+    val root = freshRoot("write")
+    Seq((1L, "a")).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.ErrorIfExists).option("tag", "first").save(root)
+    assert(VersionedTable.latestTag(spark, root).contains("first"))
+    intercept[Exception] {
+      Seq((9L, "x")).toDF("k", "v").write.format("graft")
+        .mode(SaveMode.ErrorIfExists).save(root)
+    }
+    Seq((2L, "b")).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(spark.read.format("graft").load(root).count() == 2L)
+    // the append was a FAST append: two dirs in the snapshot
+    assert(VersionedTable.resolveDirs(spark, root,
+      VersionedTable.latestVersion(spark, root).get).size == 2)
+    Seq((7L, "z")).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("graft").load(root)
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    Seq((8L, "q")).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Ignore).save(root)
+    assert(spark.read.format("graft").load(root)
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // history: every mode that wrote shows as one committed version
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
+
+  test("a shallow clone reads through SQL like any table") {
+    val src = freshRoot("clsrc")
+    val dst = freshRoot("cldst")
+    VersionedTable.commit(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), src)
+    VersionedTable.cloneShallow(spark, src, dst)
+    spark.read.format("graft").load(dst)
+      .createOrReplaceTempView("graft_clone_t")
+    assert(spark.sql("SELECT SUM(v) AS s FROM graft_clone_t")
+      .head().getLong(0) == 3L)
+  }
+}
