@@ -5312,6 +5312,13 @@ object SparkEntry {
     // replayed id is at or below the newest tag — skipped in one
     // manifest read); the committed table must equal the batch
     // replay of the raw log whatever the batch boundaries
+    // table-to-table streaming: a graft table READ AS A STREAM
+    // (version-id offsets, per-version delta reads) tails into a
+    // second graft table through the exactly-once ingest sink — the
+    // bronze→silver pipeline shape with both ends on the snapshot
+    // layer; a third source append lands while the query runs
+    "stream_from_table" -> ((s, dir) =>
+      graft.streaming.StreamingIvm.runStreamFromTable(s, dir)),
     "stream_table_ingest" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val root = graft.config.Scratch.runDir + s"/ingest_table_$tag"
@@ -7026,6 +7033,12 @@ object SparkEntry {
         "WHEN tu - bt <= ft - tu THEN bt ELSE ft END AS matched_ts " +
         "FROM m ORDER BY event_id"),
     "stream_table_ingest" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // whatever the micro-batch boundaries, tailing the source table
+    // into the sink lands the whole log exactly once
+    "stream_from_table" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),

@@ -34,9 +34,39 @@ import org.apache.spark.sql.types.StructType
   * materialization, no row-conversion pass).
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming source (spark.readStream.format("graft")) ----
+  // options: startingVersion (default 0 = full initial snapshot,
+  // N > 0 = tail new rows from version N on), ignoreDeletes (a MoR
+  // delete mid-stream then streams nothing instead of failing)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession,
+        rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = rootOf(parameters)
+    val startingVersion = p.get("startingversion").map(_.toLong)
+      .getOrElse(0L)
+    require(startingVersion >= 0,
+      s"startingVersion must be >= 0: $startingVersion")
+    val ignoreDeletes = p.get("ignoredeletes").exists(_.toBoolean)
+    new GraftStreamSource(sqlContext, root, startingVersion,
+      ignoreDeletes, schema.getOrElse(
+        VersionedTable.read(sqlContext.sparkSession, root).schema))
+  }
 
   private def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** A graft versioned table as a Structured Streaming SOURCE — the
+  * read half of the lakehouse streaming story ([[GraftDataSource]]'s
+  * `foreachBatch`-driven ingest being the write half): `spark
+  * .readStream.format("graft").load(root)` emits the table's rows as
+  * they are committed, offsets are VERSION IDS (one `LongOffset` per
+  * snapshot, checkpoint-recoverable via the engine's serialized-
+  * offset path), and each micro-batch reads exactly the delta
+  * directories the covered versions appended — never a snapshot-sized
+  * rescan, which is what makes tailing a 100 TB table cheap.
+  *
+  * Semantics (Delta streaming-source rules):
+  *   - the FIRST batch is the full snapshot of the table as of the
+  *     stream's start (or of `startingVersion`'s predecessor-free
+  *     delta chain when the option names a later version — "new rows
+  *     only" tailing);
+  *   - subsequent batches are [[VersionedTable.appendDelta]] ranges:
+  *     a REWRITE in range fails the stream loudly (its rows are not
+  *     expressible as an append), a merge-on-read DELETE fails unless
+  *     `ignoreDeletes` (deletions then simply don't stream);
+  *   - metadata-only commits (schema evolution, refs) advance the
+  *     offset with zero rows, and deltas project through the newest
+  *     field mapping onto the stream's declared schema;
+  *   - vacuum expiring a checkpointed offset's manifest fails the
+  *     restart loudly (pin retention to the streaming restart window,
+  *     the same contract the high-water-mark files document).
+  */
+class GraftStreamSource(sqlContext: SQLContext, root: String,
+    startingVersion: Long, ignoreDeletes: Boolean,
+    override val schema: StructType) extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  // an offset arrives either as our own LongOffset or as the
+  // engine's checkpoint-recovered SerializedOffset (json = the long)
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  /** The newest committed version — nothing to emit until the table
+    * has one at or above `startingVersion`.
+    */
+  override def getOffset: Option[Offset] =
+    VersionedTable.latestVersion(spark, root)
+      .filter(_ >= startingVersion).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start.map(versionOf) match {
+      // steady state: exactly the rows versions (startV, endV] added
+      case Some(startV) =>
+        VersionedTable.appendDelta(spark, root, startV, endV,
+          ignoreDeletes)
+      // first batch, tailing from a named later version: the chain
+      // from startingVersion's PREDECESSOR — new rows only
+      case None if startingVersion > 0 =>
+        VersionedTable.appendDelta(spark, root, startingVersion - 1,
+          endV, ignoreDeletes)
+      // first batch, default: the full initial snapshot (deletes
+      // applied, mapping applied), exactly what a late-joining
+      // consumer must see
+      case None => VersionedTable.readVersion(spark, root, endV)
+    }
+    org.apache.spark.sql.graft.StreamBridge.asStreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftStreamSource[$root, startingVersion=$startingVersion]"
+}

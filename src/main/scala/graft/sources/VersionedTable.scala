@@ -2054,6 +2054,79 @@ object VersionedTable {
       version, onlyPaths = Some(paths), mergeSchema = false).where(pred)
   }
 
+  /** The APPEND DELTA between two committed versions: exactly the
+    * rows versions `(fromVersion, toVersion]` appended — the
+    * micro-batch read of [[GraftStreamSource]] (a graft table as a
+    * Structured Streaming source, the Delta streaming-source
+    * semantics). Cost is the delta dirs' scan alone: version
+    * resolution is two manifest reads, nothing snapshot-sized.
+    *
+    * Append-only contract, enforced loudly: a REWRITE in the range
+    * (commit/compact/upsert/merge — the directory chain is no longer
+    * a prefix extension) throws, because its rows are not expressible
+    * as an append; a merge-on-read DELETE in the range throws unless
+    * `ignoreDeletes` (an insert stream cannot retract — with the
+    * flag, deletions simply don't stream, exactly Delta's
+    * `ignoreDeletes`). Metadata-only commits (schema evolution, refs)
+    * contribute no rows; the delta projects through `toVersion`'s
+    * field mapping, so it arrives under the CURRENT logical schema.
+    */
+  def appendDelta(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, ignoreDeletes: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"appendDelta range is backwards: $fromVersion > $toVersion")
+    val toRaw = readManifest(spark, root, toVersion)
+    val toDirs = dirsOf(toRaw, root, toVersion)
+    val fromRaw = readManifest(spark, root, fromVersion)
+    val fromDirs = dirsOf(fromRaw, root, fromVersion)
+    require(toDirs.startsWith(fromDirs),
+      s"versions ${fromVersion + 1}..$toVersion at $root are not " +
+        "append-only: a rewrite (commit/compact/upsert/merge) broke " +
+        "the directory chain — an append stream cannot express it; " +
+        "restart from a newer startingVersion")
+    require(ignoreDeletes ||
+      deletesOf(toRaw, root, toVersion) ==
+        deletesOf(fromRaw, root, fromVersion),
+      s"a merge-on-read delete landed in versions ${fromVersion + 1}" +
+        s"..$toVersion at $root; an append stream cannot retract " +
+        "rows — set ignoreDeletes to stream inserts only")
+    val newDirs = toDirs.drop(fromDirs.length)
+    if (newDirs.isEmpty)
+      readVersion(spark, root, toVersion).where(lit(false))
+    else readDirsLogical(spark, root, newDirs,
+      fieldsOf(toRaw).map(_.filter(_.name.nonEmpty)))
+  }
+
+  /** Scan a set of data directories and project onto the logical
+    * schema when a field mapping applies — the no-delete half of
+    * [[readScoped]]'s machinery, shared with the streaming delta
+    * read: one scan per DISTINCT footer schema, never per directory.
+    */
+  private def readDirsLogical(spark: SparkSession, root: String,
+      dirs: Seq[String], mapping: Option[Seq[FieldSpec]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    mapping match {
+      case None => spark.read.parquet(dirs.map(dirPath(root, _)): _*)
+      case Some(live) =>
+        def toLogical(df: DataFrame): DataFrame = {
+          val have = df.columns.toSet
+          df.select(live.map { f =>
+            (if (have(f.physical)) col(f.physical).cast(f.dtype)
+             else lit(null).cast(f.dtype)).as(f.name)
+          }: _*)
+        }
+        dirs.groupBy(d => spark.read.parquet(dirPath(root, d)).schema
+            .fields.map(f => s"${f.name}:${f.dataType.sql}")
+            .mkString(";"))
+          .toSeq.sortBy(_._1)
+          .map { case (_, ds) =>
+            toLogical(spark.read.parquet(ds.map(dirPath(root, _)): _*))
+          }
+          .reduce(_.unionByName(_))
+    }
+  }
+
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into
     * `ceil(bytes / targetBytes)` files and commit the rewrite as a
     * NEW version — content-identical (the spec and the

@@ -468,6 +468,45 @@ object StreamingIvm {
     * replay of the raw log whatever the micro-batch boundaries —
     * which is what the contract oracle pins.
     */
+  /** Table-to-table streaming — the lakehouse pipeline shape (a
+    * bronze table TAILS into silver) with both ends on the snapshot
+    * layer: the SOURCE is a graft table read through the streaming
+    * source (`readStream.format("graft")` — version-id offsets, each
+    * micro-batch reads exactly the delta directories, never a
+    * snapshot rescan), the SINK the exactly-once tagged ingest. The
+    * source is seeded with a commit plus an append (initial snapshot
+    * AND a delta batch stream), and a third append lands WHILE the
+    * query runs — the sink table must equal the batch union whatever
+    * the micro-batch boundaries, which is what the oracle pins.
+    */
+  def runStreamFromTable(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val srcRoot = s"${graft.config.Scratch.runDir}/stream_fromtbl_src_$tag"
+    val dstRoot = s"${graft.config.Scratch.runDir}/stream_fromtbl_dst_$tag"
+    VersionedTable.destroy(spark, srcRoot)
+    VersionedTable.destroy(spark, dstRoot)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    def part(i: Int) =
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+    VersionedTable.commit(part(0), srcRoot, tag = "base")
+    VersionedTable.commitAppend(part(1), srcRoot, tag = "delta1")
+    val q = spark.readStream.format("graft").load(srcRoot)
+      .writeStream.foreachBatch(ingestSink(spark, dstRoot)).start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.commitAppend(part(2), srcRoot, tag = "delta2")
+      q.processAllAvailable()
+    } finally q.stop()
+    VersionedTable.read(spark, dstRoot)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def runStreamingTableIngest(spark: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)

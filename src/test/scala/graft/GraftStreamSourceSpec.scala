@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** The graft table as a Structured Streaming SOURCE: version-id
+  * offsets, initial-snapshot-then-deltas semantics, exactly-once per
+  * version (no duplicates across micro-batches), checkpoint recovery
+  * through the serialized-offset path, loud failure on non-append
+  * commits, ignoreDeletes, and startingVersion tailing.
+  */
+class GraftStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${graft.config.Scratch.runDir}/streamsrc_$name"
+    VersionedTable.destroy(spark, root)
+    root
+  }
+
+  private class Collector {
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      batches.synchronized {
+        batches += df.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+    def all: Seq[(Long, Long)] = batches.synchronized {
+      batches.flatten.toSeq
+    }
+  }
+
+  test("initial snapshot then per-version deltas, exactly once: " +
+      "appends landing while the stream runs arrive as new batches " +
+      "with no row ever repeated") {
+    val root = freshRoot("basic")
+    VersionedTable.commit(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    VersionedTable.deleteKeysMor(spark, root, Seq(2L).toDF("k"))
+    val c = new Collector
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot: post-delete content (the MoR anti-join
+      // applies to the first batch)
+      assert(c.all.toSet == Set((1L, 10L)))
+      VersionedTable.commitAppend(Seq((3L, 30L)).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((1L, 10L), (3L, 30L)))
+      VersionedTable.commitAppend(
+        Seq((4L, 40L), (5L, 50L)).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(c.all.toSet ==
+        Set((1L, 10L), (3L, 30L), (4L, 40L), (5L, 50L)))
+      // exactly once: flattened count equals distinct count
+      assert(c.all.size == c.all.toSet.size, s"duplicates: ${c.all}")
+    } finally q.stop()
+  }
+
+  test("a rewrite mid-stream fails loudly; a MoR delete fails unless " +
+      "ignoreDeletes, which streams inserts only") {
+    val root = freshRoot("guards")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    val c = new Collector
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.deleteKeysMor(spark, root, Seq(1L).toDF("k"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("merge-on-read delete") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("merge-on-read delete")), e.getMessage)
+    } finally q.stop()
+    // ignoreDeletes: the same table streams on, deletions just absent
+    val c2 = new Collector
+    val q2 = spark.readStream.format("graft")
+      .option("ignoreDeletes", "true").load(root)
+      .writeStream.foreachBatch(c2.sink _).start()
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.isEmpty) // initial snapshot is post-delete: empty
+      VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
+      q2.processAllAvailable()
+      assert(c2.all.toSet == Set((2L, 2L)))
+      // a rewrite is never expressible as an append — always fatal
+      VersionedTable.compact(spark, root)
+      VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+      val e2 = intercept[Exception] { q2.processAllAvailable() }
+      assert(e2.getMessage.contains("not") ||
+        Option(e2.getCause).exists(
+          _.getMessage.contains("append-only")), e2.getMessage)
+    } finally q2.stop()
+  }
+
+  test("startingVersion tails new rows only; checkpoint restart " +
+      "resumes from the recovered offset without re-emitting") {
+    val root = freshRoot("resume")
+    val ckpt = s"${graft.config.Scratch.runDir}/streamsrc_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(ckpt))
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
+    // tail from version 2: versions 0-1's rows never stream
+    VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+    val c = new Collector
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((3L, 3L)))
+    } finally q.stop()
+    // append while the stream is DOWN, restart on the checkpoint:
+    // only the new version arrives (serialized-offset recovery)
+    VersionedTable.commitAppend(Seq((4L, 4L)).toDF("k", "v"), root)
+    val c2 = new Collector
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(c2.sink _).start()
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.toSet == Set((4L, 4L)), s"got ${c2.all}")
+    } finally q2.stop()
+  }
+
+  test("deltas project through the field mapping: a stream over an " +
+      "evolved table emits logical names and widened types") {
+    val root = freshRoot("evolved")
+    VersionedTable.commit(Seq((1, 1L)).toDF("k", "v"), root)
+    VersionedTable.renameColumn(spark, root, "v", "val")
+    VersionedTable.widenColumn(spark, root, "k", "BIGINT")
+    val c = new Collector
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((1L, 1L)))
+      VersionedTable.commitAppend(
+        Seq((5000000000L, 5L)).toDF("k", "val"), root)
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((1L, 1L), (5000000000L, 5L)))
+    } finally q.stop()
+  }
+}
