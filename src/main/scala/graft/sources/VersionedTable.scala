@@ -116,7 +116,8 @@ object VersionedTable {
     * return its version id. Data directory first, manifest last —
     * the publish point is the manifest file's creation.
     */
-  def commit(df: DataFrame, root: String, tag: String = ""): Long = {
+  def commit(df: DataFrame, root: String, tag: String = "",
+      dataChange: Boolean = true): Long = {
     val spark = df.sparkSession
     // a rewrite on an evolved table re-baselines the field mapping
     // (physical names snap back to the logical names just written);
@@ -126,7 +127,8 @@ object VersionedTable {
     val (next, dataDir) = nextVersionDir(spark, root)
     writeIntent(spark, root, s"v$next")
     df.write.mode("overwrite").parquet(dataDir)
-    publish(spark, root, next, tag, fields = rebaseline(df, prevFields))
+    publish(spark, root, next, tag, fields = rebaseline(df, prevFields),
+      dataChange = dataChange)
     clearIntent(spark, root, s"v$next")
     next
   }
@@ -185,7 +187,7 @@ object VersionedTable {
   def publish(spark: SparkSession, root: String, version: Long,
       tag: String = "", dirs: Seq[String] = Nil,
       deletes: String = "", dirSeqs: Seq[Long] = Nil,
-      fields: String = ""): Unit = {
+      fields: String = "", dataChange: Boolean = true): Unit = {
     def js(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -213,13 +215,17 @@ object VersionedTable {
     // re-baselined by rewrites
     val fieldsField =
       if (fields.isEmpty) "" else s""","fields":"${js(fields)}""""
+    // dataChange=false marks a LOGICALLY-CONTENT-PRESERVING rewrite
+    // (OPTIMIZE/compaction/delete-fold): streaming readers REBASE on
+    // it instead of failing — the Delta OPTIMIZE rule. Absent = true.
+    val dcField = if (dataChange) "" else s""","dataChange":false"""
     // commit wall-clock recorded IN the manifest: time-based retention
     // ([[vacuumOlderThan]]) and history audits must not depend on file
     // mtimes, which object stores rewrite on copy/restore
     val manifest =
       s"""{"version":$version,"path":"${js(pathField)}",""" +
         s""""tag":"${js(tag)}","ts":${System.currentTimeMillis()}""" +
-        s"""$seqField$delField$fieldsField}"""
+        s"""$seqField$delField$fieldsField$dcField}"""
     val f = fs(spark, root)
     val p = new Path(root, s"$ManifestPrefix$version.json")
     val uri = f.makeQualified(p).toUri
@@ -1097,7 +1103,7 @@ object VersionedTable {
     else if (priorNum.nonEmpty || priorStr.nonEmpty)
       compactSortedResolved(spark, root, v,
         (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
-    else commit(read(spark, root), root, tag)
+    else commit(read(spark, root), root, tag, dataChange = false)
   }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
@@ -1522,7 +1528,8 @@ object VersionedTable {
     */
   def commitWithStats(df: DataFrame, root: String,
       statsCols: Seq[String], tag: String = "",
-      stringStatsCols: Seq[String] = Nil): Long = {
+      stringStatsCols: Seq[String] = Nil,
+      dataChange: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     require(statsCols.nonEmpty || stringStatsCols.nonEmpty,
       "commitWithStats needs at least one stats column")
@@ -1553,7 +1560,8 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(root, next))
-    publish(spark, root, next, tag, fields = rebaseline(df, prevFields))
+    publish(spark, root, next, tag, fields = rebaseline(df, prevFields),
+      dataChange = dataChange)
     clearIntent(spark, root, s"v$next")
     clearIntent(spark, root, s"_graft_stats_v$next")
     next
@@ -2076,27 +2084,52 @@ object VersionedTable {
     import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion,
       s"appendDelta range is backwards: $fromVersion > $toVersion")
-    val toRaw = readManifest(spark, root, toVersion)
-    val toDirs = dirsOf(toRaw, root, toVersion)
-    val fromRaw = readManifest(spark, root, fromVersion)
-    val fromDirs = dirsOf(fromRaw, root, fromVersion)
-    require(toDirs.startsWith(fromDirs),
-      s"versions ${fromVersion + 1}..$toVersion at $root are not " +
-        "append-only: a rewrite (commit/compact/upsert/merge) broke " +
-        "the directory chain — an append stream cannot express it; " +
-        "restart from a newer startingVersion")
-    require(ignoreDeletes ||
-      deletesOf(toRaw, root, toVersion) ==
-        deletesOf(fromRaw, root, fromVersion),
-      s"a merge-on-read delete landed in versions ${fromVersion + 1}" +
-        s"..$toVersion at $root; an append stream cannot retract " +
-        "rows — set ignoreDeletes to stream inserts only")
-    val newDirs = toDirs.drop(fromDirs.length)
-    if (newDirs.isEmpty)
+    // walk every version in (fromVersion, toVersion] — one manifest
+    // read each, metadata-sized. A version flagged dataChange=false
+    // (OPTIMIZE/compaction/delete-fold: logically content-preserving)
+    // REBASES the chain and contributes no rows — streams survive
+    // maintenance, the Delta OPTIMIZE rule; any OTHER chain break is
+    // a real rewrite and fails loudly. A vacuumed mid-range manifest
+    // also fails loudly (pin retention to restart windows).
+    var baseDirs = dirsOf(readManifest(spark, root, fromVersion), root,
+      fromVersion)
+    var baseDels = resolveDeletes(spark, root, fromVersion)
+    val newDirs = Seq.newBuilder[String]
+    var v = fromVersion + 1
+    var toRaw = ""
+    while (v <= toVersion) {
+      val raw = readManifest(spark, root, v)
+      if (v == toVersion) toRaw = raw
+      val dirs = dirsOf(raw, root, v)
+      val dels = deletesOf(raw, root, v)
+      if (!dataChangeOf(raw)) {
+        baseDirs = dirs
+        baseDels = dels
+      } else {
+        require(dirs.startsWith(baseDirs),
+          s"version $v at $root is not an append: a rewrite " +
+            "(commit/upsert/merge/rollback) broke the directory " +
+            "chain — an append stream cannot express it; restart " +
+            "from a newer startingVersion")
+        require(ignoreDeletes || dels == baseDels,
+          s"a merge-on-read delete landed at version $v of $root; " +
+            "an append stream cannot retract rows — set " +
+            "ignoreDeletes to stream inserts only")
+        newDirs ++= dirs.drop(baseDirs.length)
+        baseDirs = dirs
+        baseDels = dels
+      }
+      v += 1
+    }
+    val added = newDirs.result()
+    if (added.isEmpty)
       readVersion(spark, root, toVersion).where(lit(false))
-    else readDirsLogical(spark, root, newDirs,
+    else readDirsLogical(spark, root, added,
       fieldsOf(toRaw).map(_.filter(_.name.nonEmpty)))
   }
+
+  private def dataChangeOf(raw: String): Boolean =
+    !raw.contains(""""dataChange":false""")
 
   /** Scan a set of data directories and project onto the logical
     * schema when a field mapping applies — the no-delete half of
@@ -2147,8 +2180,9 @@ object VersionedTable {
       sys.error(s"no committed version at $root"))
     val bytes = dataBytes(spark, root, v)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // a compaction preserves logical content: streams rebase, not fail
     commit(readVersion(spark, root, v).repartition(nFiles), root,
-      if (tag.nonEmpty) tag else s"compact-v$v")
+      if (tag.nonEmpty) tag else s"compact-v$v", dataChange = false)
   }
 
   /** CLUSTERING-preserving OPTIMIZE: [[compact]]'s round-robin
@@ -2199,7 +2233,8 @@ object VersionedTable {
     commitWithStats(sorted, root,
       statsCols = (sortNum ++ priorNum).distinct,
       tag = if (tag.nonEmpty) tag else s"compact-sorted-v$v",
-      stringStatsCols = (sortStr ++ priorStr).distinct)
+      stringStatsCols = (sortStr ++ priorStr).distinct,
+      dataChange = false)
   }
 
   /** OPTIMIZE policy hook for continuous writers: bin-pack ONLY when
@@ -2297,7 +2332,8 @@ object VersionedTable {
     commitWithStats(packed, root,
       statsCols = (dimCols ++ priorNum).distinct,
       tag = if (tag.nonEmpty) tag else s"compact-z-v$v",
-      stringStatsCols = priorStr)
+      stringStatsCols = priorStr,
+      dataChange = false)
   }
 
   /** The (numeric, string) stats-column families snapshot `version`'s

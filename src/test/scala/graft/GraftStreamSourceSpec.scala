@@ -89,13 +89,66 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
       q2.processAllAvailable()
       assert(c2.all.toSet == Set((2L, 2L)))
-      // a rewrite is never expressible as an append — always fatal
-      VersionedTable.compact(spark, root)
+      // a CONTENT-CHANGING rewrite is never expressible as an
+      // append — always fatal (compaction is NOT: see the
+      // maintenance-transparency test)
+      VersionedTable.commit(Seq((9L, 9L)).toDF("k", "v"), root)
       VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
       val e2 = intercept[Exception] { q2.processAllAvailable() }
-      assert(e2.getMessage.contains("not") ||
+      assert(e2.getMessage.contains("not an append") ||
         Option(e2.getCause).exists(
-          _.getMessage.contains("append-only")), e2.getMessage)
+          _.getMessage.contains("not an append")), e2.getMessage)
+    } finally q2.stop()
+  }
+
+  test("maintenance transparency: compaction / sorted OPTIMIZE / " +
+      "delete-fold mid-stream REBASE the offset chain — the stream " +
+      "survives with no duplicate and no lost row (dataChange=false)") {
+    val root = freshRoot("optimize")
+    VersionedTable.commit(
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), root)
+    val c = new Collector
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((1L, 1L), (2L, 2L)))
+      // round 1: bin-pack compaction between two appends
+      VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+      VersionedTable.compact(spark, root)
+      VersionedTable.commitAppend(Seq((4L, 4L)).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(c.all.toSet ==
+        Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)), c.all)
+      // round 2: a MoR delete folded away by compactDeletes — the
+      // fold is content-preserving (rows already gone logically)
+      VersionedTable.deleteKeysMor(spark, root, Seq(1L).toDF("k"))
+      VersionedTable.compactDeletes(spark, root)
+      // the delete itself trips the no-retraction guard... unless the
+      // stream consumed it under ignoreDeletes; this stream did NOT,
+      // so crossing the delete version fails. Consume the guard:
+      VersionedTable.commitAppend(Seq((5L, 5L)).toDF("k", "v"), root)
+      intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+    // a fresh stream's initial snapshot is the CURRENT logical
+    // content — the MoR-erased (1,1) is gone, compactions and the
+    // fold are invisible, the post-fold append is present
+    val c2 = new Collector
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c2.sink _).start()
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.size == c2.all.toSet.size, s"duplicates: ${c2.all}")
+      assert(c2.all.toSet == Set((2L, 2L), (3L, 3L),
+        (4L, 4L), (5L, 5L)), c2.all)
+      // and maintenance keeps being invisible to the LIVE stream:
+      // another OPTIMIZE then an append delivers only the append
+      VersionedTable.compactSorted(spark, root, Seq("k"))
+      VersionedTable.commitAppend(Seq((6L, 6L)).toDF("k", "v"), root)
+      q2.processAllAvailable()
+      assert(c2.all.toSet == Set((2L, 2L), (3L, 3L), (4L, 4L),
+        (5L, 5L), (6L, 6L)), c2.all)
+      assert(c2.all.size == c2.all.toSet.size, s"duplicates: ${c2.all}")
     } finally q2.stop()
   }
 
