@@ -137,7 +137,7 @@ object Bench {
       "event_transitions", "embed_outliers", "table_append_race",
       "stream_table_ingest", "stream_gdpr_erasure",
       "stream_erase_reingest", "stream_dedup_ingest",
-      "stream_from_table",
+      "stream_from_table", "stream_cdf_replicate",
       "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",

@@ -5312,6 +5312,13 @@ object SparkEntry {
     // replayed id is at or below the newest tag — skipped in one
     // manifest read); the committed table must equal the batch
     // replay of the raw log whatever the batch boundaries
+    // change-data-feed replication: the mirror tails the source's
+    // CDF stream (inserts AND delete keys, _commit_version-ordered
+    // apply: appends land as fast appends, erasures as MoR deletes)
+    // while an append and an erasure hit the source mid-query — the
+    // mirror must equal the source's logical content
+    "stream_cdf_replicate" -> ((s, dir) =>
+      graft.streaming.StreamingIvm.runStreamCdfReplicate(s, dir)),
     // table-to-table streaming: a graft table READ AS A STREAM
     // (version-id offsets, per-version delta reads) tails into a
     // second graft table through the exactly-once ingest sink — the
@@ -7036,6 +7043,12 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // CDF replication: evens arrive as the initial snapshot, odds as
+    // an insert batch, the %6 keys as a delete batch — the mirror is
+    // one filter over the raw table
+    "stream_cdf_replicate" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 6 <> 0 ORDER BY o_orderkey"),
     // whatever the micro-batch boundaries, tailing the source table
     // into the sink lands the whole log exactly once
     "stream_from_table" ->

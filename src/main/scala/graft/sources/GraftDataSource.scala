@@ -44,12 +44,26 @@ class GraftDataSource extends RelationProvider
   // N > 0 = tail new rows from version N on), ignoreDeletes (a MoR
   // delete mid-stream then streams nothing instead of failing)
 
+  private def streamSchema(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      declared: Option[StructType]): StructType = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val base = declared.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession,
+        rootOf(parameters)).schema)
+    if (p.get("readchangefeed").exists(_.toBoolean))
+      StructType(base.fields.toIndexedSeq
+        :+ org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)
+        :+ org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    else base
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession,
-        rootOf(parameters)).schema))
+    (shortName(), streamSchema(sqlContext, parameters, schema))
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
@@ -63,9 +77,10 @@ class GraftDataSource extends RelationProvider
     require(startingVersion >= 0,
       s"startingVersion must be >= 0: $startingVersion")
     val ignoreDeletes = p.get("ignoredeletes").exists(_.toBoolean)
+    val changeFeed = p.get("readchangefeed").exists(_.toBoolean)
     new GraftStreamSource(sqlContext, root, startingVersion,
-      ignoreDeletes, schema.getOrElse(
-        VersionedTable.read(sqlContext.sparkSession, root).schema))
+      ignoreDeletes, changeFeed,
+      streamSchema(sqlContext, parameters, schema))
   }
 
   private def rootOf(parameters: Map[String, String]): String = {

@@ -29,10 +29,15 @@ import org.apache.spark.sql.types.StructType
   *     field mapping onto the stream's declared schema;
   *   - vacuum expiring a checkpointed offset's manifest fails the
   *     restart loudly (pin retention to the streaming restart window,
-  *     the same contract the high-water-mark files document).
+  *     the same contract the high-water-mark files document);
+  *   - `readChangeFeed` switches to the CHANGE DATA FEED
+  *     ([[VersionedTable.changeDelta]]): inserts AND merge-on-read
+  *     delete keys stream, each row tagged `_change_type` and
+  *     `_commit_version` — the CDC-replication shape.
   */
 class GraftStreamSource(sqlContext: SQLContext, root: String,
     startingVersion: Long, ignoreDeletes: Boolean,
+    changeFeed: Boolean,
     override val schema: StructType) extends Source {
 
   private def spark = sqlContext.sparkSession
@@ -52,21 +57,30 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
       .filter(_ >= startingVersion).map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = versionOf(end)
+    // the change feed ([[VersionedTable.changeDelta]]) emits inserts
+    // AND delete keys tagged _change_type/_commit_version; the plain
+    // feed emits appended rows only
+    def delta(fromV: Long): DataFrame =
+      if (changeFeed) VersionedTable.changeDelta(spark, root, fromV, endV)
+      else VersionedTable.appendDelta(spark, root, fromV, endV,
+        ignoreDeletes)
     val batch = start.map(versionOf) match {
-      // steady state: exactly the rows versions (startV, endV] added
-      case Some(startV) =>
-        VersionedTable.appendDelta(spark, root, startV, endV,
-          ignoreDeletes)
+      // steady state: exactly the changes versions (startV, endV] made
+      case Some(startV) => delta(startV)
       // first batch, tailing from a named later version: the chain
-      // from startingVersion's PREDECESSOR — new rows only
-      case None if startingVersion > 0 =>
-        VersionedTable.appendDelta(spark, root, startingVersion - 1,
-          endV, ignoreDeletes)
+      // from startingVersion's PREDECESSOR — new changes only
+      case None if startingVersion > 0 => delta(startingVersion - 1)
       // first batch, default: the full initial snapshot (deletes
       // applied, mapping applied), exactly what a late-joining
-      // consumer must see
-      case None => VersionedTable.readVersion(spark, root, endV)
+      // consumer must see — under the change feed, as inserts at endV
+      case None =>
+        val snap = VersionedTable.readVersion(spark, root, endV)
+        if (changeFeed)
+          snap.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(endV))
+        else snap
     }
     org.apache.spark.sql.graft.StreamBridge.asStreamingFrame(batch)
   }

@@ -507,6 +507,63 @@ object StreamingIvm {
       .orderBy("event_type")
   }
 
+  /** Change-data-feed REPLICATION between two graft tables: the
+    * mirror tails the source's CDF stream (`readChangeFeed` — inserts
+    * AND delete keys, each tagged `_commit_version`) and APPLIES each
+    * source commit in order: insert slices land as fast appends,
+    * delete slices as merge-on-read erasures. Nothing collects to the
+    * driver but the tiny distinct-version list; the slices themselves
+    * stay DataFrames all the way into the mirror's commits. An
+    * append + an erasure land on the source WHILE the stream runs;
+    * the mirror must equal the source's logical content — which is
+    * what the oracle pins.
+    */
+  def runStreamCdfReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val srcRoot = s"${graft.config.Scratch.runDir}/cdf_src_$tag"
+    val dstRoot = s"${graft.config.Scratch.runDir}/cdf_dst_$tag"
+    VersionedTable.destroy(spark, srcRoot)
+    VersionedTable.destroy(spark, dstRoot)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    VersionedTable.commit(
+      o.where(col("o_orderkey") % 2 === 0), srcRoot, tag = "base")
+    val applyFeed: (DataFrame, Long) => Unit = (batch, _) => {
+      batch.persist()
+      try {
+        val versions = batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val slice = batch.where(col("_commit_version") === v)
+          val dels = slice.where(col("_change_type") === "delete")
+            .select(col("o_orderkey"))
+          // a version is ONE commit: either an append or an erasure
+          if (!dels.isEmpty)
+            VersionedTable.deleteKeysMor(spark, dstRoot, dels,
+              tag = s"cdf-del-$v")
+          else VersionedTable.commitAppend(
+            slice.where(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version"),
+            dstRoot, tag = s"cdf-ins-$v")
+        }
+      } finally { batch.unpersist(); () }
+    }
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(srcRoot)
+      .writeStream.foreachBatch(applyFeed).start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), srcRoot, tag = "delta")
+      VersionedTable.deleteKeysMor(spark, srcRoot,
+        o.where(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+        tag = "erase")
+      q.processAllAvailable()
+    } finally q.stop()
+    VersionedTable.read(spark, dstRoot).orderBy("o_orderkey")
+  }
+
   def runStreamingTableIngest(spark: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)

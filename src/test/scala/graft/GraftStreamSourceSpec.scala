@@ -185,6 +185,48 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("change data feed: inserts AND delete keys stream with " +
+      "_change_type/_commit_version; maintenance stays invisible; a " +
+      "content rewrite still fails") {
+    val root = freshRoot("cdf")
+    VersionedTable.commit(
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), root)
+    val rows =
+      scala.collection.mutable.ArrayBuffer[(Long, Option[Long], String,
+        Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized {
+            rows ++= df.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              r.getString(2), r.getLong(3)))
+          }
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot: inserts at the start version
+      assert(rows.toSet == Set((1L, Some(1L), "insert", 0L),
+        (2L, Some(2L), "insert", 0L)))
+      VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+      VersionedTable.deleteKeysMor(spark, root, Seq(1L).toDF("k"))
+      VersionedTable.compact(spark, root) // invisible to the feed
+      VersionedTable.commitAppend(Seq((4L, 4L)).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(rows.toSet == Set(
+        (1L, Some(1L), "insert", 0L), (2L, Some(2L), "insert", 0L),
+        (3L, Some(3L), "insert", 1L),
+        (1L, None, "delete", 2L),
+        (4L, Some(4L), "insert", 4L)), rows.toSet)
+      assert(rows.size == rows.toSet.size, s"duplicates: $rows")
+      // a content-changing rewrite has no incremental diff
+      VersionedTable.commit(Seq((9L, 9L)).toDF("k", "v"), root)
+      intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   test("deltas project through the field mapping: a stream over an " +
       "evolved table emits logical names and widened types") {
     val root = freshRoot("evolved")
