@@ -196,9 +196,15 @@ object PngCodec {
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
-      require(n > 0 || inflater.finished() || !inflater.needsInput,
-        "truncated IDAT stream")
-      if (n == 0 && inflater.needsInput) sys.error("truncated IDAT stream")
+      // zero progress without completion is ALWAYS fatal: a truncated
+      // stream (needsInput) or an FDICT preset-dictionary header
+      // (needsDictionary) would otherwise spin this loop forever on
+      // an executor instead of failing the row loudly
+      if (n == 0 && !inflater.finished())
+        sys.error(
+          if (inflater.needsDictionary)
+            "preset-dictionary (FDICT) zlib streams unsupported"
+          else "truncated IDAT stream")
       off += n
     }
     inflater.end()

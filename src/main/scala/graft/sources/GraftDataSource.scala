@@ -135,6 +135,12 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
 
   private def spark = sqlContext.sparkSession
 
+  // V1 filters and required-column lists carry BARE attribute names:
+  // a column literally named "a.b" must quote, or col() would parse
+  // a struct access (the standard V1 connector escaping)
+  private def attr(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   override val schema: StructType =
     VersionedTable.readVersion(spark, root, version).schema
 
@@ -157,18 +163,18 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
     * exactly or not at all (partial OR/NOT would NARROW the scan).
     */
   private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
-    case StringContains(a, p) => Some(col(a).contains(p))
+    case EqualTo(a, v) => Some(attr(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(attr(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+    case LessThan(a, v) => Some(attr(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(attr(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(attr(a).isNull)
+    case IsNotNull(a) => Some(attr(a).isNotNull)
+    case StringStartsWith(a, p) => Some(attr(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(attr(a).endsWith(p))
+    case StringContains(a, p) => Some(attr(a).contains(p))
     case And(l, r) => (toColumn(l), toColumn(r)) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (one, other) => one.orElse(other) // partial AND = wider
@@ -202,7 +208,7 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
     // column pruning: the projection lands inside the inner plan, so
     // Catalyst narrows the parquet ReadSchema as usual; an empty
     // projection (COUNT(*)) selects no columns, rows stay countable
-    val projected = base.select(requiredColumns.toIndexedSeq.map(col): _*)
+    val projected = base.select(requiredColumns.toIndexedSeq.map(attr): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

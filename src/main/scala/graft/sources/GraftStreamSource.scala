@@ -82,7 +82,24 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
             .withColumn("_commit_version", lit(endV))
         else snap
     }
-    org.apache.spark.sql.graft.StreamBridge.asStreamingFrame(batch)
+    // the stream's schema is FIXED at start; a mid-stream evolution
+    // (rename/drop/add/widen) changes what the delta projects to, and
+    // feeding drifted rows into a plan bound to the declared schema
+    // would corrupt silently (positional rebind) or trip an opaque
+    // engine assertion — align by name when only the ORDER moved,
+    // fail with a restart hint on any name/type drift
+    val got = batch.schema
+    val byName = got.fields.map(f => f.name -> f.dataType).toMap
+    require(got.fields.length == schema.fields.length &&
+      schema.fields.forall(f => byName.get(f.name).contains(f.dataType)),
+      s"table schema changed mid-stream at $root: the stream declared " +
+        s"${schema.simpleString} but version $endV reads as " +
+        s"${got.simpleString} — restart the stream to adopt the new " +
+        "schema")
+    val aligned = batch.select(schema.fieldNames.toIndexedSeq
+      .map(n => org.apache.spark.sql.functions.col(
+        "`" + n.replace("`", "``") + "`")): _*)
+    org.apache.spark.sql.graft.StreamBridge.asStreamingFrame(aligned)
   }
 
   override def stop(): Unit = ()

@@ -333,6 +333,7 @@ object VersionedTable {
     // (the data bytes cannot be re-laid-out in a metadata retry)
     val entryFields = latestVersion(spark, root)
       .flatMap(v => resolveFields(spark, root, v))
+    val entryBaseFieldsS = entryFields.map(fieldsStr).getOrElse("")
     val (physDelta, entryFieldsS, _) =
       physicalizeDelta(delta, entryFields)
     val dirName =
@@ -348,13 +349,26 @@ object VersionedTable {
       val prevSeqs = prevV.map(v => resolveDirSeqs(spark, root, v))
         .getOrElse(Nil)
       val dels = prevV.flatMap(v => resolveDeletes(spark, root, v))
-      // carry the mapping: ours if this delta extended it, else the
-      // current head's verbatim (a concurrent appender may have won)
+      // carry the mapping: per attempt the HEAD may have moved. If it
+      // still carries the entry-time mapping, publish ours (possibly
+      // extended by this delta's new columns); if the head's mapping
+      // changed and OUR delta added nothing, carry the head's
+      // verbatim — republishing the entry-time mapping here would
+      // silently REVERT a concurrent winner's extension. Both moving
+      // at once (concurrent schema-extending appends) cannot be
+      // merged safely after our data already wrote entry-time
+      // physical names — fail loudly, the administrative-evolution
+      // contract.
       val headFieldsS = prevV
         .map(v => fieldsStrOf(readManifest(spark, root, v)))
         .getOrElse("")
       val fieldsS =
-        if (entryFieldsS.nonEmpty) entryFieldsS else headFieldsS
+        if (headFieldsS == entryBaseFieldsS) entryFieldsS
+        else if (entryFieldsS == entryBaseFieldsS) headFieldsS
+        else sys.error("commitAppendRetry: the field mapping moved " +
+          s"concurrently at $root while this delta extends it — " +
+          "serialize schema-extending appends (delta parked at " +
+          s"$dirName; vacuum reclaims it)")
       val next = prevV.map(_ + 1).getOrElse(0L)
       try {
         // the retry loop is PURE metadata: the delete carry is a name
@@ -417,7 +431,9 @@ object VersionedTable {
   }
 
   private def dirSeqsOf(raw: String, nDirs: Int): Seq[Long] =
-    """"dirSeqs":"([0-9,]*)"""".r.findFirstMatchIn(raw)
+    // the sign matters: a shallow clone REBASES carried seqs into
+    // (…, -1, 0], so the value class must admit negatives
+    """"dirSeqs":"([0-9,-]*)"""".r.findFirstMatchIn(raw)
       .map(_.group(1).split(',').toSeq.filter(_.nonEmpty).map(_.toLong))
       .filter(_.length == nDirs)
       .getOrElse(Seq.fill(nDirs)(0L))
@@ -519,6 +535,22 @@ object VersionedTable {
         }
     }
 
+  /** Project a physical scan onto the live logical fields: cast up,
+    * absent physical columns read as typed NULLs. ONE implementation
+    * shared by the delete-scoped read, the plain directory read and
+    * the streaming delta read, so the mapping semantics can never
+    * drift between paths.
+    */
+  private def projectLogical(live: Seq[FieldSpec])(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(live.map { f =>
+      (if (have(f.physical)) col(f.physical).cast(f.dtype)
+       else lit(null).cast(f.dtype)).as(f.name)
+    }: _*)
+  }
+
   private def validateFields(fs0: Seq[FieldSpec]): Unit = {
     val live = fs0.filter(_.name.nonEmpty)
     require(live.nonEmpty, "a table must keep at least one column")
@@ -594,9 +626,10 @@ object VersionedTable {
   /** Type-WIDEN a column — metadata-only: old directories keep their
     * narrow physical type and cast up at read time; new appends write
     * the wide type. Only provably lossless widenings are allowed
-    * (integral up-casts, integral/float → double, decimal precision/
-    * scale growth) — anything else needs a rewrite, by design.
-    * Returns the new version id.
+    * (integral up-casts, sub-long-integral/float → double, decimal
+    * precision/scale growth, integral → wide-enough decimal — long
+    * wants DECIMAL(19+,0), not double) — anything else needs a
+    * rewrite, by design. Returns the new version id.
     */
   def widenColumn(spark: SparkSession, root: String, name: String,
       toType: String, tag: String = ""): Long = {
@@ -662,7 +695,11 @@ object VersionedTable {
       case (a, b) if a == b => true
       case (a, b) if rank(a).isDefined && rank(b).isDefined =>
         rank(a).get <= rank(b).get
-      case (a, DoubleType) => rank(a).isDefined || a == FloatType
+      // double holds ints up to 2^53 exactly — LONG does not qualify
+      // (9007199254740993L would silently round); long widens via
+      // DECIMAL(19+,0) instead
+      case (a, DoubleType) =>
+        rank(a).exists(_ <= 3) || a == FloatType
       case (a: DecimalType, b: DecimalType) =>
         b.scale >= a.scale &&
           b.precision - b.scale >= a.precision - a.scale
@@ -864,12 +901,7 @@ object VersionedTable {
       dirSchemaKey.getOrElse(f._3, "")
     def toLogical(df: DataFrame): DataFrame = mapping match {
       case None => df
-      case Some(live) =>
-        val have = df.columns.toSet
-        df.select(live.map { f =>
-          (if (have(f.physical)) col(f.physical).cast(f.dtype)
-           else lit(null).cast(f.dtype)).as(f.name)
-        }: _*)
+      case Some(live) => projectLogical(live)(df)
     }
     deletesOf(raw, root, version) match {
       case None =>
@@ -1444,8 +1476,50 @@ object VersionedTable {
     def abs(d: String): String =
       f.makeQualified(new Path(dirPath(sourceRoot, d))).toString
     val dirs = dirsOf(raw, sourceRoot, srcV).map(abs)
-    val seqs = dirSeqsOf(raw, dirs.length)
-    val dels = deletesOf(raw, sourceRoot, srcV).map(abs)
+    val srcSeqs = dirSeqsOf(raw, dirs.length)
+    val srcDels = deletesOf(raw, sourceRoot, srcV).map(abs)
+    // REBASE the delete-scoping sequence scale: the clone's own
+    // commits number 1, 2, … while carried source seqs are arbitrary
+    // — carried verbatim, a source seq above a future clone version
+    // would let a CARRIED delete erase clone-side re-inserts, and a
+    // clone-side delete (seq 1) would skip most carried dirs. Mapping
+    // every carried seq value ORDER-PRESERVINGLY into (…, -1, 0]
+    // keeps the source's internal delete/dir relations exact while
+    // sorting strictly below every future clone seq (≥ 1).
+    val delSidecarSeqs: Seq[Long] = srcDels.toSeq.flatMap { d =>
+      val dels = spark.read.parquet(d)
+      if (!dels.columns.contains(DelSeqCol)) Nil
+      else dels.select(org.apache.spark.sql.functions.col(DelSeqCol))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
+    val allSeqs = (srcSeqs ++ delSidecarSeqs).distinct.sorted
+    val rebased: Map[Long, Long] =
+      allSeqs.zipWithIndex.map { case (s, i) =>
+        s -> (i.toLong - allSeqs.length + 1)
+      }.toMap
+    val seqs = srcSeqs.map(rebased)
+    // a carried delete sidecar re-writes (key-count-sized) with its
+    // seq column rebased onto the same scale; a pre-scoping sidecar
+    // (no seq column) carries by reference, keeping its global reach
+    val dels: Option[String] = srcDels.map { d =>
+      val sidecar = spark.read.parquet(d)
+      if (!sidecar.columns.contains(DelSeqCol)) d
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col,
+          element_at, lit, typedlit}
+        // codegen'd map lookup (|distinct seqs| entries — tiny); an
+        // unmapped value (impossible by construction) falls to 0 =
+        // applies to every carried dir, the conservative direction
+        val remap = coalesce(
+          element_at(typedlit(rebased), col(DelSeqCol)), lit(0L))
+        val delDir = DeletesPrefix +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        sidecar.withColumn(DelSeqCol, remap)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$targetRoot/$delDir")
+        delDir
+      }
+    }
     publish(spark, targetRoot, 0L,
       if (tag.nonEmpty) tag else s"clone-of-$sourceRoot@v$srcV",
       dirs = dirs, deletes = dels.getOrElse(""), dirSeqs = seqs,
@@ -2121,15 +2195,43 @@ object VersionedTable {
       }
       v += 1
     }
+    // an empty range (fromVersion == toVersion) never entered the walk
+    val toRawResolved =
+      if (toRaw.nonEmpty) toRaw
+      else readManifest(spark, root, toVersion)
     val added = newDirs.result()
     if (added.isEmpty)
-      readVersion(spark, root, toVersion).where(lit(false))
+      emptyFrame(spark,
+        logicalSchemaOf(spark, root, toRawResolved, toVersion))
     else readDirsLogical(spark, root, added,
-      fieldsOf(toRaw).map(_.filter(_.name.nonEmpty)))
+      fieldsOf(toRawResolved).map(_.filter(_.name.nonEmpty)))
   }
 
   private def dataChangeOf(raw: String): Boolean =
     !raw.contains(""""dataChange":false""")
+
+  /** The logical schema of a snapshot, METADATA-SIZED: straight from
+    * the manifest's field mapping when the table evolved, one footer
+    * of its last data directory otherwise — never the full scoped
+    * read plan (per-dir footers + delete-sidecar scan) that
+    * `readVersion(...).schema` would build. The per-batch cost driver
+    * for the streaming delta reads.
+    */
+  private def logicalSchemaOf(spark: SparkSession, root: String,
+      raw: String,
+      version: Long): org.apache.spark.sql.types.StructType =
+    fieldsOf(raw).map(_.filter(_.name.nonEmpty)) match {
+      case Some(live) => org.apache.spark.sql.types.StructType(
+        live.map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dtype)))
+      case None => spark.read.parquet(
+        dirPath(root, dirsOf(raw, root, version).last)).schema
+    }
+
+  private def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   /** The CHANGE DATA FEED between two committed versions — the
     * incremental diff [[changes]]' full-outer snapshot join derives
@@ -2154,7 +2256,7 @@ object VersionedTable {
       s"changeDelta range is backwards: $fromVersion > $toVersion")
     val toRaw = readManifest(spark, root, toVersion)
     val mapping = fieldsOf(toRaw).map(_.filter(_.name.nonEmpty))
-    val logicalSchema = readVersion(spark, root, toVersion).schema
+    val logicalSchema = logicalSchemaOf(spark, root, toRaw, toVersion)
     val physToLogical: Map[String, String] = mapping
       .map(_.map(f => f.physical -> f.name).toMap).getOrElse(Map.empty)
     // project any partial frame onto the logical schema + tags
@@ -2206,8 +2308,9 @@ object VersionedTable {
     }
     parts.result()
       .reduceOption(_.unionByName(_))
-      .getOrElse(shaped(readVersion(spark, root, toVersion),
-        "insert", toVersion).where(lit(false)))
+      .getOrElse(
+        shaped(emptyFrame(spark, logicalSchema), "insert", toVersion)
+          .where(lit(false)))
   }
 
   /** Scan a set of data directories and project onto the logical
@@ -2216,28 +2319,19 @@ object VersionedTable {
     * read: one scan per DISTINCT footer schema, never per directory.
     */
   private def readDirsLogical(spark: SparkSession, root: String,
-      dirs: Seq[String], mapping: Option[Seq[FieldSpec]]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      dirs: Seq[String], mapping: Option[Seq[FieldSpec]]): DataFrame =
     mapping match {
       case None => spark.read.parquet(dirs.map(dirPath(root, _)): _*)
       case Some(live) =>
-        def toLogical(df: DataFrame): DataFrame = {
-          val have = df.columns.toSet
-          df.select(live.map { f =>
-            (if (have(f.physical)) col(f.physical).cast(f.dtype)
-             else lit(null).cast(f.dtype)).as(f.name)
-          }: _*)
-        }
         dirs.groupBy(d => spark.read.parquet(dirPath(root, d)).schema
             .fields.map(f => s"${f.name}:${f.dataType.sql}")
             .mkString(";"))
           .toSeq.sortBy(_._1)
-          .map { case (_, ds) =>
-            toLogical(spark.read.parquet(ds.map(dirPath(root, _)): _*))
+          .map { case (_, ds) => projectLogical(live)(
+            spark.read.parquet(ds.map(dirPath(root, _)): _*))
           }
           .reduce(_.unionByName(_))
     }
-  }
 
   /** Bin-packing OPTIMIZE: rewrite the newest snapshot into
     * `ceil(bytes / targetBytes)` files and commit the rewrite as a

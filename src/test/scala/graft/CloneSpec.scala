@@ -110,6 +110,33 @@ class CloneSpec extends AnyFunSuite {
       col("doc_id").between(100L, 199L)).count() == 100L)
   }
 
+  test("sequence-scale rebase: carried deletes never erase clone-side " +
+      "re-inserts, and a clone-side delete reaches EVERY carried dir " +
+      "of a multi-append source") {
+    val src = freshRoot("src_seq")
+    val dst = freshRoot("dst_seq")
+    // source: an append CHAIN with a late MoR delete — dir seqs
+    // [0,1,2], delete seq 3, all far above the clone's own 1,2,…
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), src)
+    VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), src)
+    VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), src)
+    VersionedTable.deleteKeysMor(spark, src, Seq(2L).toDF("k"))
+    VersionedTable.cloneShallow(spark, src, dst)
+    assert(rows(dst) == Set((1L, 1L), (3L, 3L)))
+    // clone-side RE-INSERT of the erased key: without the rebase the
+    // carried delete (source seq 3) would anti-join the clone's
+    // seq-1 append away
+    VersionedTable.commitAppend(Seq((2L, 22L)).toDF("k", "v"), dst)
+    assert(rows(dst) == Set((1L, 1L), (3L, 3L), (2L, 22L)))
+    // clone-side DELETE must reach keys in EVERY carried dir — seqs
+    // 1 and 2 at the source, which a verbatim carry would leave
+    // above the clone delete's seq and silently skip
+    VersionedTable.deleteKeysMor(spark, dst, Seq(1L, 3L).toDF("k"))
+    assert(rows(dst) == Set((2L, 22L)))
+    // the source never noticed any of it
+    assert(rows(src) == Set((1L, 1L), (3L, 3L)))
+  }
+
   test("cloning an older version pins that snapshot, not the head") {
     val src = freshRoot("src5")
     val dst = freshRoot("dst5")

@@ -227,6 +227,26 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mid-stream schema evolution fails the stream loudly with a " +
+      "restart hint — never a silent positional rebind") {
+    val root = freshRoot("midevo")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    val c = new Collector
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.renameColumn(spark, root, "v", "val")
+      VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "val"), root)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("schema changed mid-stream")),
+        msgs(e).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("deltas project through the field mapping: a stream over an " +
       "evolved table emits logical names and widened types") {
     val root = freshRoot("evolved")

@@ -119,6 +119,36 @@ class PngCodecSpec extends AnyFunSuite {
     // not a PNG at all
     intercept[Exception] { PngCodec.decodePng("plain text".getBytes) }
     assert(!PngCodec.isPng("BMnope".getBytes))
+    // an FDICT (preset-dictionary) zlib stream must FAIL, not spin
+    // the inflate loop forever
+    val d = new java.util.zip.Deflater()
+    d.setDictionary("somedict".getBytes("US-ASCII"))
+    d.setInput(Array[Byte](0, 1, 2, 3)) // 1x1 RGB scanline
+    d.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) idat.write(buf, 0, d.deflate(buf))
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(body.length).array)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(body)
+      val c = new java.util.zip.CRC32()
+      c.update(tb); c.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(c.getValue.toInt).array)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(1).putInt(1)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val e = intercept[Exception] { PngCodec.decodePng(out.toByteArray) }
+    assert(e.getMessage.contains("FDICT") ||
+      e.getMessage.contains("truncated"), e.getMessage)
   }
 
   test("container equivalence: the same fixture pixels through BMP " +

@@ -66,6 +66,49 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[Exception] {
       VersionedTable.widenColumn(spark, root, "n", "INT")
     }
+    // long -> double is LOSSY above 2^53 and refused; the lossless
+    // route is DECIMAL(19+,0)
+    intercept[Exception] {
+      VersionedTable.widenColumn(spark, root, "n", "DOUBLE")
+    }
+    VersionedTable.widenColumn(spark, root, "n", "DECIMAL(19,0)")
+    val big = VersionedTable.read(spark, root)
+      .where(col("k") === 3).select("n").head().getDecimal(0)
+    assert(big.longValueExact() == 5000000000L)
+  }
+
+  test("concurrent optimistic appends never revert a mapping " +
+      "extension: the chain ends with every column and every row, " +
+      "whatever the interleaving") {
+    val root = freshRoot("race")
+    VersionedTable.commit(Seq((0L, "base")).toDF("k", "v"), root)
+    VersionedTable.renameColumn(spark, root, "v", "txt") // mapping on
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // A extends the mapping with a new column while B appends plain
+    // deltas through the same optimistic retry path
+    val a = Future {
+      VersionedTable.commitAppendRetry(
+        Seq((1L, "a", 7L)).toDF("k", "txt", "extra"), root)
+    }
+    val b = Future {
+      (2 to 4).foreach(i => VersionedTable.commitAppendRetry(
+        Seq((i.toLong, s"b$i")).toDF("k", "txt"), root))
+    }
+    Await.result(a, 60.seconds)
+    Await.result(b, 60.seconds)
+    val v = VersionedTable.latestVersion(spark, root).get
+    val fields = VersionedTable.tableFields(spark, root, v).get
+    assert(fields.exists(_._2 == "extra"),
+      s"a concurrent plain append reverted the mapping extension: " +
+        fields.mkString(","))
+    val got = VersionedTable.read(spark, root)
+      .select("k", "txt", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((0L, "base", -1L), (1L, "a", 7L),
+      (2L, "b2", -1L), (3L, "b3", -1L), (4L, "b4", -1L)))
   }
 
   test("drop then re-add the same name mints a fresh field id and " +
