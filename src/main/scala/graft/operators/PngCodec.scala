@@ -147,7 +147,9 @@ object PngCodec {
     while (!sawEnd) {
       require(pos + 8 <= bytes.length, "truncated chunk header")
       val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
-      require(len >= 0 && pos + 12 + len <= bytes.length,
+      // Long arithmetic: an adversarial len near Int.MaxValue would
+      // overflow the Int sum and slip past the bound
+      require(len >= 0 && pos.toLong + 12L + len <= bytes.length,
         s"truncated chunk body (len=$len at $pos)")
       val tag = new String(bytes, pos + 4, 4, "US-ASCII")
       val crc = java.nio.ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt

@@ -48,9 +48,13 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String],
       declared: Option[StructType]): StructType = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val base = declared.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession,
-        rootOf(parameters)).schema)
+    val base = declared.getOrElse {
+      val spark = sqlContext.sparkSession
+      val root = rootOf(parameters)
+      VersionedTable.snapshotSchema(spark, root,
+        VersionedTable.latestVersion(spark, root).getOrElse(
+          sys.error(s"no committed version at $root")))
+    }
     if (p.get("readchangefeed").exists(_.toBoolean))
       StructType(base.fields.toIndexedSeq
         :+ org.apache.spark.sql.types.StructField("_change_type",
@@ -78,9 +82,16 @@ class GraftDataSource extends RelationProvider
       s"startingVersion must be >= 0: $startingVersion")
     val ignoreDeletes = p.get("ignoredeletes").exists(_.toBoolean)
     val changeFeed = p.get("readchangefeed").exists(_.toBoolean)
+    val maxVersions = p.get("maxversionspertrigger").map(_.toLong)
+    maxVersions.foreach(n => require(n > 0,
+      s"maxVersionsPerTrigger must be > 0: $n"))
+    val pinOffsets = p.get("pinoffsets").exists(_.toBoolean)
     new GraftStreamSource(sqlContext, root, startingVersion,
       ignoreDeletes, changeFeed,
-      streamSchema(sqlContext, parameters, schema))
+      streamSchema(sqlContext, parameters, schema),
+      maxVersionsPerTrigger = maxVersions,
+      pinOffsets = pinOffsets,
+      metadataPath = metadataPath)
   }
 
   private def rootOf(parameters: Map[String, String]): String = {
@@ -141,8 +152,19 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
   private def attr(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  // metadata-sized: the manifest field mapping (or one footer of the
+  // last data dir), never the full scoped read plan readVersion
+  // assembles — this runs on every relation instantiation
   override val schema: StructType =
-    VersionedTable.readVersion(spark, root, version).schema
+    VersionedTable.snapshotSchema(spark, root, version)
+
+  // BaseRelation's default is spark.sql.defaultSizeInBytes
+  // (Long.MaxValue): any SQL join against a graft table would treat
+  // it as infinite and never broadcast it. The manifest-listed
+  // parquet byte sum is the honest, metadata-sized answer (if
+  // anything conservative: MoR deletes only shrink the live rows).
+  override lazy val sizeInBytes: Long =
+    VersionedTable.dataBytes(spark, root, version)
 
   // buildScan returns the inner plan's InternalRow RDD directly —
   // the documented V1 contract when needConversion is false

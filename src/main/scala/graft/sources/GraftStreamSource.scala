@@ -38,7 +38,10 @@ import org.apache.spark.sql.types.StructType
 class GraftStreamSource(sqlContext: SQLContext, root: String,
     startingVersion: Long, ignoreDeletes: Boolean,
     changeFeed: Boolean,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None,
+    pinOffsets: Boolean = false,
+    metadataPath: String = "") extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -49,16 +52,112 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
     case other => other.json.trim.toLong
   }
 
+  // ---- rate limiting (maxVersionsPerTrigger) ----
+  // The highest version this source has PLANNED into a batch so far.
+  // Durable as a tiny floor file beside the engine's own source
+  // metadata, so a RESTART against a 10,000-commit backlog still
+  // paces N versions per micro-batch instead of planning one giant
+  // batch (the floor only bounds batch SIZE — batch CONTENT always
+  // comes from the engine's checkpointed offsets, so an overshot
+  // floor after a crash merely makes one batch larger, never wrong).
+  private var lastPlanned: Option[Long] = None
+  private var floorSeeded = false
+
+  private def floorPath = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-rate-floor")
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seededPlanned(): Option[Long] = {
+    if (!floorSeeded) {
+      floorSeeded = true
+      if (lastPlanned.isEmpty && metadataPath.nonEmpty) {
+        val p = floorPath
+        val f = hadoopFs(p)
+        if (f.exists(p)) {
+          val in = f.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          lastPlanned = s.toLongOption
+        }
+      }
+    }
+    lastPlanned
+  }
+
+  private def persistFloor(v: Long): Unit = {
+    lastPlanned = Some(v)
+    if (metadataPath.nonEmpty) {
+      val p = floorPath
+      val out = hadoopFs(p).create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The newest committed version — nothing to emit until the table
-    * has one at or above `startingVersion`.
+    * has one at or above `startingVersion`. With
+    * `maxVersionsPerTrigger = N` the offered offset is capped at N
+    * versions past the last planned one, so a deep commit backlog
+    * (or a restart into one) drains as a sequence of bounded
+    * micro-batches; the default-start INITIAL SNAPSHOT stays one
+    * batch by construction (a snapshot is not expressible as version
+    * slices).
     */
-  override def getOffset: Option[Offset] =
-    VersionedTable.latestVersion(spark, root)
-      .filter(_ >= startingVersion).map(LongOffset(_))
+  override def getOffset: Option[Offset] = {
+    val latest = VersionedTable.latestVersion(spark, root)
+      .filter(_ >= startingVersion)
+    maxVersionsPerTrigger match {
+      case None => latest.map(LongOffset(_))
+      case Some(n) => latest.map { v =>
+        val end = seededPlanned() match {
+          case Some(b) => math.min(v, b + n)
+          case None if startingVersion > 0 =>
+            math.min(v, startingVersion - 1 + n)
+          case None => v
+        }
+        if (lastPlanned.forall(_ < end)) persistFloor(end)
+        LongOffset(end)
+      }
+    }
+  }
+
+  // ---- offset pinning (pinOffsets) ----
+  // A `stream_<id>` branch ref vacuum treats as a retention FLOOR:
+  // the whole version suffix from the pin on survives
+  // ([[VersionedTable.vacuum]]), so retention can never expire a
+  // manifest a restart still needs. The pin moves at batch PLAN time
+  // to the batch's start version (replaying THIS batch needs
+  // everything after it; the engine only tells a V1 source about
+  // durably committed offsets one batch late), and [[commit]]
+  // advances it. Forward-only: a replayed older batch never drags
+  // the pin back. The ref outlives the stream by design — a pin that
+  // vanished with the process would not protect a
+  // stopped-but-restartable stream; decommissioning a checkpoint
+  // means dropping its ref ([[VersionedTable.dropRef]]).
+  private val pinName = VersionedTable.streamPinName(
+    if (metadataPath.nonEmpty) metadataPath else root)
+
+  private def pinAt(v: Long): Unit = if (pinOffsets) {
+    val cur = scala.util.Try(
+      VersionedTable.resolveRef(spark, root, pinName)).toOption
+    if (cur.forall(_ < v)) {
+      if (cur.isDefined) VersionedTable.moveRef(spark, root, pinName, v)
+      else VersionedTable.createRef(spark, root, pinName, v,
+        movable = true)
+    }
+  }
+
+  /** Offsets up to `end` are durably committed — advance the pin. */
+  override def commit(end: Offset): Unit = pinAt(versionOf(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val endV = versionOf(end)
+    // pin BEFORE reading: replaying this batch after a crash needs
+    // every version from its start (the initial snapshot needs endV)
+    pinAt(start.map(versionOf).getOrElse(endV))
+    if (lastPlanned.forall(_ < endV)) lastPlanned = Some(endV)
     // the change feed ([[VersionedTable.changeDelta]]) emits inserts
     // AND delete keys tagged _change_type/_commit_version; the plain
     // feed emits appended rows only

@@ -105,12 +105,24 @@ object VersionedTable {
     * handle for at-least-once writers).
     */
   def latestTag(spark: SparkSession, root: String): Option[String] =
-    latestVersion(spark, root).map { v =>
-      val raw = readManifest(spark, root, v)
-      """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse("")
-    }
+    latestVersion(spark, root).map(tagOfVersion(spark, root, _))
+
+  private def tagOfVersion(spark: SparkSession, root: String,
+      version: Long): String = {
+    val raw = readManifest(spark, root, version)
+    """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
+  }
+
+  /** Every caller tag recorded across the table's committed versions
+    * — the idempotence ledger an at-least-once CDC applier consults
+    * once at start to skip already-applied source commits. Cost is
+    * one manifest read per retained version (metadata-sized).
+    */
+  def committedTags(spark: SparkSession, root: String): Set[String] =
+    versions(spark, root)
+      .map(tagOfVersion(spark, root, _)).filter(_.nonEmpty).toSet
 
   /** Commit `df` as the next snapshot of the table at `root` and
     * return its version id. Data directory first, manifest last —
@@ -567,7 +579,8 @@ object VersionedTable {
     * evolution cost is one manifest file.
     */
   private def commitFieldsChange(spark: SparkSession, root: String,
-      fields: Seq[FieldSpec], tag: String): Long = {
+      fields: Seq[FieldSpec], tag: String,
+      staleBloomPhys: Set[String] = Set.empty): Long = {
     validateFields(fields)
     val prevV = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root"))
@@ -577,10 +590,15 @@ object VersionedTable {
       deletes = resolveDeletes(spark, root, prevV).getOrElse(""),
       dirSeqs = resolveDirSeqs(spark, root, prevV),
       fields = fieldsStr(fields))
-    // no data file changed: prior stats/bloom sidecars (keyed by
-    // physical column names, which evolution never touches) stay
-    // exactly valid
-    carrySidecars(spark, root, prevV, next)
+    // no data file changed: prior STATS sidecars (keyed by physical
+    // names, min/max read back at double) stay exactly valid — but a
+    // type WIDEN invalidates that column's Bloom entries: the filter
+    // was built over xxhash64 of the NARROW physical values, while
+    // probes now hash literals at the widened logical type (an INT
+    // bloom never admits the LONG probe of the same key — silent row
+    // loss through readPointLookup/readWhere). The carry drops the
+    // widened field's bloom column; everything else copies verbatim.
+    carrySidecars(spark, root, prevV, next, staleBloomPhys)
     next
   }
 
@@ -646,7 +664,8 @@ object VersionedTable {
         "decimal growth) are metadata-only")
     commitFieldsChange(spark, root,
       fs0.map(g => if (g.name == name) g.copy(dtype = to) else g),
-      if (tag.nonEmpty) tag else s"widen-$name")
+      if (tag.nonEmpty) tag else s"widen-$name",
+      staleBloomPhys = Set(f.physical))
   }
 
   /** ADD COLUMN — metadata-only: existing directories simply lack the
@@ -742,6 +761,15 @@ object VersionedTable {
           .map(f => f.name -> f).toMap
         val cols = delta.columns.toIndexedSeq.map { c =>
           val f = liveByName(c)
+          // the cast below is non-ANSI: a delta column WIDER than the
+          // logical field (a LONG into an INT) would truncate/wrap
+          // silently. Only identical or losslessly-widenable delta
+          // types may append — the same rule widenColumn enforces.
+          val dt = delta.schema(c).dataType
+          require(canWiden(dt, f.dtype),
+            s"append column $c carries ${dt.sql} which cannot cast " +
+              s"losslessly to the table's ${f.dtype.sql} — widen the " +
+              "table first or rewrite the snapshot")
           col(c).cast(f.dtype).as(f.physical)
         }
         (delta.select(cols: _*), fieldsStr(all),
@@ -1428,6 +1456,21 @@ object VersionedTable {
       .map { n => val (v, mv) = refTarget(spark, root, n); (n, v, mv) }
   }
 
+  /** Streaming-offset pin refs: `stream_<id>` branch refs a
+    * `pinOffsets` stream moves at every committed offset. Vacuum
+    * retains the whole version SUFFIX from the oldest stream pin on —
+    * a restart replays every version after its checkpointed offset,
+    * so pinning the offset alone would not keep what the replay
+    * walks. The id is derived from the checkpoint's source metadata
+    * path, so a restart of the same checkpoint reuses its pin.
+    */
+  val StreamPinPrefix = "stream_"
+
+  def streamPinName(checkpointKey: String): String =
+    StreamPinPrefix + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpointKey)
+        .toLong & 0xffffffffL)
+
   /** Drop ref `name` (its target version becomes vacuumable again). */
   def dropRef(spark: SparkSession, root: String, name: String): Unit = {
     fs(spark, root).delete(refPath(root, name), false)
@@ -1660,11 +1703,13 @@ object VersionedTable {
     * sidecar-less (never wrong) version.
     */
   private def carrySidecars(spark: SparkSession, root: String,
-      fromV: Long, toV: Long): Unit = {
+      fromV: Long, toV: Long,
+      staleBloomPhys: Set[String] = Set.empty): Unit = {
     val f = fs(spark, root)
     Seq(statsDir(root, _: Long), bloomDir(root, _: Long)).foreach { d =>
       val src = new Path(d(fromV))
       val dst = new Path(d(toV))
+      val isBloom = d(toV) == bloomDir(root, toV)
       if (f.exists(src) && !f.exists(dst)) {
         // stage + rename: a reader resolving the new version's sidecar
         // mid-copy must see the complete dir or none (missing = the
@@ -1673,9 +1718,26 @@ object VersionedTable {
         // version-bound sweep never mistakes it for a live one.
         val tmp = new Path(root, "_graft_tmpcarry_" +
           java.util.UUID.randomUUID().toString.replace("-", ""))
-        org.apache.hadoop.fs.FileUtil.copy(f, src, f, tmp,
-          false, spark.sparkContext.hadoopConfiguration)
-        if (!f.rename(tmp, dst)) { f.delete(tmp, true); () }
+        if (isBloom && staleBloomPhys.nonEmpty) {
+          // a widened field's bloom was hashed over the narrow type —
+          // stale: stage a rewrite WITHOUT those columns (atomic via
+          // the same rename), or carry nothing when no valid bloom
+          // column survives (missing dir = conservative full read)
+          val prior = spark.read.parquet(src.toString)
+          val stale = staleBloomPhys.map(p => s"bf_$p")
+          val keep = prior.columns.toIndexedSeq.filterNot(stale)
+          if (keep.exists(_.startsWith("bf_"))) {
+            prior.select(keep.map(c =>
+                org.apache.spark.sql.functions.col(
+                  "`" + c.replace("`", "``") + "`")): _*)
+              .coalesce(1).write.parquet(tmp.toString)
+            if (!f.rename(tmp, dst)) { f.delete(tmp, true); () }
+          }
+        } else {
+          org.apache.hadoop.fs.FileUtil.copy(f, src, f, tmp,
+            false, spark.sparkContext.hadoopConfiguration)
+          if (!f.rename(tmp, dst)) { f.delete(tmp, true); () }
+        }
       }
     }
   }
@@ -2217,6 +2279,15 @@ object VersionedTable {
     * `readVersion(...).schema` would build. The per-batch cost driver
     * for the streaming delta reads.
     */
+  /** Public metadata-sized schema resolution for snapshot `version`
+    * — what [[GraftRelation]] and the streaming source bind to
+    * without ever assembling the full scoped read plan.
+    */
+  def snapshotSchema(spark: SparkSession, root: String,
+      version: Long): org.apache.spark.sql.types.StructType =
+    logicalSchemaOf(spark, root, readManifest(spark, root, version),
+      version)
+
   private def logicalSchemaOf(spark: SparkSession, root: String,
       raw: String,
       version: Long): org.apache.spark.sql.types.StructType =
@@ -2645,9 +2716,17 @@ object VersionedTable {
     val maxCommitted = versions.lastOption.getOrElse(-1L)
     // named refs pin their targets: a tagged training snapshot must
     // survive retention until the ref itself is dropped
-    val pinned = listRefs(spark, root).map(_._2).toSet
+    val refs = listRefs(spark, root)
+    val pinned = refs.map(_._2).toSet
+    // a stream_<id> ref is a STREAMING OFFSET pin: its restart
+    // replays every version AFTER the pinned one, so the whole
+    // suffix from the pin on is load-bearing, not just the target
+    val streamFloor = refs.collect {
+      case (n, v, _) if n.startsWith(StreamPinPrefix) => v
+    }.minOption
     val keep = baseKeep.filter(versions.contains) ++
-      pinned.filter(versions.contains)
+      pinned.filter(versions.contains) ++
+      streamFloor.map(fl => versions.filter(_ >= fl)).getOrElse(Nil)
     // a retained APPEND manifest may reference directories created by
     // expired versions — liveness is per-DIRECTORY, the union of the
     // retained manifests' path (and deletes) lists, exactly like

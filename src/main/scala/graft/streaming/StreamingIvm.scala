@@ -529,7 +529,15 @@ object StreamingIvm {
         col("o_orderstatus"))
     VersionedTable.commit(
       o.where(col("o_orderkey") % 2 === 0), srcRoot, tag = "base")
+    // exactly-once: an at-least-once micro-batch REPLAY re-delivers
+    // source versions the mirror already applied — gate each version
+    // on the mirror's committed-tag ledger (seeded once, maintained
+    // in the closure), the same idempotence shape as ingestSink's
+    // high-water mark
+    var applied: Set[String] = null
     val applyFeed: (DataFrame, Long) => Unit = (batch, _) => {
+      if (applied == null)
+        applied = VersionedTable.committedTags(spark, dstRoot)
       batch.persist()
       try {
         val versions = batch.select(col("_commit_version")).distinct()
@@ -539,13 +547,18 @@ object StreamingIvm {
           val dels = slice.where(col("_change_type") === "delete")
             .select(col("o_orderkey"))
           // a version is ONE commit: either an append or an erasure
-          if (!dels.isEmpty)
-            VersionedTable.deleteKeysMor(spark, dstRoot, dels,
-              tag = s"cdf-del-$v")
-          else VersionedTable.commitAppend(
-            slice.where(col("_change_type") === "insert")
-              .drop("_change_type", "_commit_version"),
-            dstRoot, tag = s"cdf-ins-$v")
+          val tagV =
+            if (!dels.isEmpty) s"cdf-del-$v" else s"cdf-ins-$v"
+          if (!applied(tagV)) {
+            if (!dels.isEmpty)
+              VersionedTable.deleteKeysMor(spark, dstRoot, dels,
+                tag = tagV)
+            else VersionedTable.commitAppend(
+              slice.where(col("_change_type") === "insert")
+                .drop("_change_type", "_commit_version"),
+              dstRoot, tag = tagV)
+            applied += tagV
+          }
         }
       } finally { batch.unpersist(); () }
     }

@@ -127,6 +127,34 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
   }
 
+  test("sizeInBytes is the manifest-listed byte sum, so a small graft " +
+      "table BROADCASTS in a SQL join instead of defaulting to " +
+      "infinitely-large (Long.MaxValue forces sort-merge)") {
+    val root = freshRoot("size")
+    VersionedTable.commit(
+      Seq((1L, "us"), (2L, "eu"), (3L, "ap")).toDF("id", "region"),
+      root)
+    val rel = spark.read.format("graft").load(root)
+    // honest, metadata-sized estimate: the actual parquet bytes
+    val expect = VersionedTable.dataBytes(spark, root, 0L)
+    assert(expect > 0L)
+    assert(rel.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(expect))
+    // the dim side of a SQL join auto-broadcasts under the default
+    // 10 MB threshold — the plan the engine's API path would pick
+    rel.createOrReplaceTempView("graft_dim")
+    spark.range(0L, 10000L)
+      .select((col("id") % 3 + 1).as("id"), col("id").as("x"))
+      .createOrReplaceTempView("size_fact")
+    val joined = spark.sql(
+      """SELECT g.region, COUNT(*) AS n FROM size_fact f
+        |JOIN graft_dim g ON f.id = g.id GROUP BY g.region""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join, got:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum == 10000L)
+  }
+
   test("a shallow clone reads through SQL like any table") {
     val src = freshRoot("clsrc")
     val dst = freshRoot("cldst")

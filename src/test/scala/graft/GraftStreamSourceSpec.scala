@@ -185,6 +185,124 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger paces a commit backlog into bounded " +
+      "micro-batches — live, and across a checkpoint restart") {
+    val root = freshRoot("ratelimit")
+    val ckpt = s"${graft.config.Scratch.runDir}/streamsrc_rl_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(ckpt))
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), root)
+    (1L to 3L).foreach(i => VersionedTable.commitAppend(
+      Seq((i, i)).toDF("k", "v"), root))
+    val c = new Collector
+    def start(col: Collector) = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(col.sink _).start()
+    val q = start(c)
+    try {
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+      // the 3-version backlog drained as THREE one-version batches,
+      // not one giant batch
+      assert(c.batches.count(_.nonEmpty) == 3, c.batches)
+      assert(c.batches.filter(_.nonEmpty).forall(_.size == 1))
+    } finally q.stop()
+    // a backlog accumulated while the stream was DOWN restarts paced:
+    // the durable rate floor seeds below the backlog, batches stay
+    // one version each
+    (4L to 6L).foreach(i => VersionedTable.commitAppend(
+      Seq((i, i)).toDF("k", "v"), root))
+    val c2 = new Collector
+    val q2 = start(c2)
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.toSet == Set((4L, 4L), (5L, 5L), (6L, 6L)))
+      assert(c2.batches.count(_.nonEmpty) == 3, c2.batches)
+    } finally q2.stop()
+  }
+
+  test("pinOffsets moves a stream_<id> branch ref with the committed " +
+      "offset, and vacuum retains the whole suffix a restart needs") {
+    val root = freshRoot("pin")
+    val ckpt = s"${graft.config.Scratch.runDir}/streamsrc_pin_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(ckpt))
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), root)
+    val c = new Collector
+    def start(col: Collector) = spark.readStream.format("graft")
+      .option("pinOffsets", "true").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(col.sink _).start()
+    val q = start(c)
+    try {
+      q.processAllAvailable()
+      assert(c.all.toSet == Set((0L, 0L)))
+    } finally q.stop()
+    // the pin landed as a movable stream_ ref at the committed offset
+    val pins = VersionedTable.listRefs(spark, root)
+      .filter(_._1.startsWith(VersionedTable.StreamPinPrefix))
+    assert(pins.nonEmpty && pins.forall(_._3), pins)
+    // five appends while the stream is down, then aggressive
+    // retention: without the pin, vacuum(keepLast=1) would expire
+    // the mid-backlog manifests the restart must walk
+    (1L to 5L).foreach(i => VersionedTable.commitAppend(
+      Seq((i, i)).toDF("k", "v"), root))
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    val c2 = new Collector
+    val q2 = start(c2)
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.toSet == (1L to 5L).map(i => (i, i)).toSet,
+        s"got ${c2.all}")
+    } finally q2.stop()
+    // decommissioning = dropping the ref; the suffix becomes
+    // vacuumable again
+    pins.foreach(p => VersionedTable.dropRef(spark, root, p._1))
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(VersionedTable.versions(spark, root).size == 1)
+  }
+
+  test("CDF over a shallow clone: carried pre-clone deletes never " +
+      "re-stream, clone-side inserts and deletes tag with the " +
+      "clone's own commit versions") {
+    val src = freshRoot("cdfclone_src")
+    val root = freshRoot("cdfclone_dst")
+    VersionedTable.commit(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v"), src)
+    // a pre-clone MoR delete: the clone carries this sidecar with a
+    // REBASED negative sequence — it must read as absent content,
+    // never as a delete CHANGE on the clone's feed
+    VersionedTable.deleteKeysMor(spark, src, Seq(2L).toDF("k"))
+    VersionedTable.cloneShallow(spark, src, root)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String,
+      Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized {
+            rows ++= df.collect().map(r =>
+              (r.getLong(0), r.getString(2), r.getLong(3)))
+          }
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot: live content only, as inserts at clone v0
+      assert(rows.toSet == Set((1L, "insert", 0L), (3L, "insert", 0L)),
+        rows.toSet)
+      VersionedTable.commitAppend(Seq((4L, 4L)).toDF("k", "v"), root)
+      VersionedTable.deleteKeysMor(spark, root, Seq(3L).toDF("k"))
+      q.processAllAvailable()
+      assert(rows.toSet == Set(
+        (1L, "insert", 0L), (3L, "insert", 0L),
+        (4L, "insert", 1L), (3L, "delete", 2L)), rows.toSet)
+      assert(rows.size == rows.toSet.size, s"duplicates: $rows")
+    } finally q.stop()
+  }
+
   test("change data feed: inserts AND delete keys stream with " +
       "_change_type/_commit_version; maintenance stays invisible; a " +
       "content rewrite still fails") {

@@ -294,6 +294,58 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       (9000000000L, 9L)))
   }
 
+  test("widening a bloom-covered column drops ITS stale bloom (narrow-" +
+      "type hashes would silently prune files that hold the key) but " +
+      "keeps other columns' blooms and the stats sidecar") {
+    val root = freshRoot("widenbloom")
+    val d = spark.range(0L, 2000L).toDF("u")
+      .select(col("u").cast("int").as("k"),
+        (col("u") * 10).as("other"), (col("u") % 7).as("grp"))
+      .repartition(8, col("k"))
+    val v0 = VersionedTable.commitWithBloom(d, root,
+      bloomCols = Seq("k", "other"), expectedItemsPerFile = 10000L)
+    val nFiles = VersionedTable.dataFileCount(spark, root, v0)
+    // pre-widen: the k bloom prunes
+    assert(VersionedTable.bloomPrunedPaths(spark, root, v0,
+      "k", Seq(1234)).size < nFiles)
+    val v1 = VersionedTable.widenColumn(spark, root, "k", "BIGINT")
+    // post-widen probes arrive as LONG literals: the carried INT-built
+    // bloom would reject every file containing 1234 — the carry must
+    // have dropped bf_k, so pruning falls back to the full listing
+    assert(VersionedTable.bloomPrunedPaths(spark, root, v1,
+      "k", Seq(1234L)).size == nFiles)
+    // and the POINT LOOKUP — the row-loss path the stale bloom would
+    // break — still finds the row
+    val got = VersionedTable.readPointLookup(spark, root, v1,
+      "k", Seq(1234L)).select("k", "other").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1234L, 12340L)))
+    // the untouched column's bloom survived the carry and still prunes
+    assert(VersionedTable.bloomPrunedPaths(spark, root, v1,
+      "other", Seq(12340L)).size < nFiles)
+  }
+
+  test("appending a delta WIDER than the logical field fails loudly " +
+      "instead of silently truncating through the physical cast") {
+    val root = freshRoot("widedelta")
+    VersionedTable.commit(
+      Seq((1, "a"), (2, "b")).toDF("n", "v"), root)
+    VersionedTable.renameColumn(spark, root, "v", "txt") // mapping on
+    // a LONG delta into the INT field would wrap 5e9 silently
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(
+        Seq((5000000000L, "c")).toDF("n", "txt"), root)
+    }
+    assert(ex.getMessage.contains("losslessly"))
+    // equal and narrower-than-logical deltas still append fine
+    VersionedTable.widenColumn(spark, root, "n", "BIGINT")
+    VersionedTable.commitAppend(
+      Seq((3, "c")).toDF("n", "txt"), root) // INT delta into BIGINT
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("merged and plain reads agree on an evolved table (the " +
       "mapping IS the schema) and string types survive the round") {
     val root = freshRoot("agree")
