@@ -279,40 +279,77 @@ object TextMetrics {
       .orderBy("source")
   }
 
+  /** The Zipf-head size for LM dictionary joins: the hottest `LmHeadK`
+    * dictionary entries broadcast (a bounded, few-MB frame whatever
+    * the corpus — top-K by count, NOT a frequency floor, because a
+    * floor's head grows linearly with corpus size while top-K is a
+    * constant); everything colder joins shuffle-keyed. The head IS
+    * the skew set — by Zipf the hottest tokens carry most occurrences
+    * AND all the reducer skew — so the tail join has no hot key on
+    * either side by construction.
+    */
+  private val LmHeadK = 65536
+
+  /** Two-path dictionary join (the `Skew.saltedJoin` insight applied
+    * to Zipf dictionaries): broadcast the top-`headK` hottest `dict`
+    * rows and join `facts` against them; anti-route the remaining
+    * facts to a plain shuffle join with the full dictionary (whose
+    * hot keys the anti-join just removed from BOTH sides). Replaces
+    * the unbounded full-vocabulary broadcast that could not hold a
+    * web-scale corpus's hundreds-of-millions-entry dictionary on an
+    * executor (VERDICT r12 #2). Deterministic head: (count DESC,
+    * keys ASC).
+    */
+  private def headTailJoin(facts: DataFrame, dict: DataFrame,
+      keys: Seq[String], countCol: String,
+      headK: Int = LmHeadK): DataFrame = {
+    val head = dict.orderBy(
+      col(countCol).desc +: keys.map(col(_).asc): _*).limit(headK)
+    val hot = facts.join(broadcast(head), keys)
+    val cold = facts
+      .join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
+      .join(dict, keys)
+    hot.unionByName(cold)
+  }
+
   /** Unigram language-model score — the perplexity proxy of CCNet-style
     * quality filtering: per document, the mean natural-log probability
     * of its tokens under the corpus's OWN unigram distribution. Docs
     * full of rare tokens (boilerplate ids, binary spew) score far more
     * negative than natural prose; threshold downstream.
     *
-    * Scale shape: the unigram table is a vocabulary-sized aggregation
-    * that broadcasts back onto the exploded token stream (the join key
-    * is the token, and hot tokens like "the" would skew a shuffle join
-    * badly — the broadcast sidesteps that entirely); the per-document
-    * mean is a document-keyed aggregation. One corpus scan for counts,
-    * one for scoring.
+    * Scale shape: tokens first collapse to DISTINCT (doc, token) rows
+    * with an occurrence count (map-side combine — repeated tokens add
+    * zero shuffle width), the vocabulary aggregates from those
+    * combined rows, and the dictionary joins back through
+    * [[headTailJoin]]: the bounded Zipf head broadcasts, the cold
+    * tail joins shuffle-keyed with no hot key on either side. No
+    * unbounded broadcast anywhere — the shape survives a
+    * hundreds-of-millions-token web-corpus vocabulary.
     *
     * Determinism across engines: each token's log-probability is
     * rounded at 9 decimals and summed as DECIMAL — exact and
     * order-independent, where a double sum would drift with partition
-    * order. The per-token `ln` of an identical double input is the
-    * only transcendental, the same contract the tf-idf score already
-    * relies on.
+    * order (k occurrences multiply the rounded term in exact decimal,
+    * digit-identical to summing k copies). The per-token `ln` of an
+    * identical double input is the only transcendental, the same
+    * contract the tf-idf score already relies on.
     */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String,
       tokenizer: Column => Column = TextFunctions.tokens): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokenizer(col(textCol))).as("t"))
-    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tokDoc = df.select(col(idCol).as("id"),
+        explode(tokenizer(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("k"))
+    val freq = tokDoc.groupBy(col("t")).agg(sum(col("k")).as("c"))
     val total = freq.agg(sum(col("c")).as("__n"))
     val lp = round(log(col("c").cast("double") / col("__n")), 9)
       .cast("decimal(20,9)")
-    toks.join(broadcast(freq), Seq("t"))
+    headTailJoin(tokDoc, freq, Seq("t"), "c")
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(lp).cast("double") / count(lit(1)), 6)
-          .as("avg_logprob"))
+      .agg(sum(col("k")).as("n_tokens"),
+        round(sum(col("k").cast("decimal(10,0)") * lp).cast("double") /
+          sum(col("k")), 6).as("avg_logprob"))
   }
 
   /** Per-document BIGRAM language-model score — the KenLM-shaped
@@ -328,8 +365,11 @@ object TextMetrics {
     * Scale shape: the bigram dictionary aggregates with map-side
     * combine and joins back SHUFFLE-keyed on (w1, w2) — a bigram
     * dictionary outgrows broadcast long before the corpus stops
-    * growing — while the two unigram sides and the 1-row total stay
-    * broadcast. The per-doc side collapses to DISTINCT (doc, w1, w2)
+    * growing — and the two unigram sides go through [[headTailJoin]]
+    * (bounded Zipf-head broadcast + skew-free shuffle tail; a web
+    * corpus's full vocabulary fits no executor). Only the 1-row
+    * total stays unconditionally broadcast. The per-doc side
+    * collapses to DISTINCT (doc, w1, w2)
     * rows with an occurrence count BEFORE that join (map-side
     * combine), so the dictionary join ships one row per distinct
     * per-doc bigram instead of one per occurrence — repeated pairs
@@ -366,11 +406,11 @@ object TextMetrics {
       .agg(sum(col("k")).as("cb"))
     val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__n"))
-    biDoc.join(big, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("t").as("w1"), col("cu").as("c1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("t").as("w2"), col("cu"))),
-        Seq("w2"))
+    val withDict = biDoc.join(big, Seq("w1", "w2"))
+    val withC1 = headTailJoin(withDict,
+      uni.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"), "c1")
+    headTailJoin(withC1,
+        uni.select(col("t").as("w2"), col("cu")), Seq("w2"), "cu")
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
       .agg(sum(col("k")).as("n_bigrams"),

@@ -162,6 +162,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "event stream collapsed to one partition")
   }
 
+  test("unigram/bigram LM scorers: no full-vocabulary broadcast — " +
+      "the dictionary joins as a bounded top-K head (broadcast) plus " +
+      "an anti-routed shuffle tail") {
+    // with auto-broadcast off, only EXPLICIT broadcast() hints plan a
+    // BroadcastHashJoin — so any hint on the unbounded dictionary
+    // (the reverted shape) would surface, while Catalyst remains free
+    // to stats-broadcast the small tail at small scale in production
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Seq("unigram_logprob", "bigram_logprob").foreach { q =>
+        val p = planOf(q)
+        // the Zipf head is a LIMIT over the count-sorted dictionary —
+        // the ONLY thing hinted to broadcast besides the 1-row total
+        assert(p.contains("TakeOrderedAndProject"),
+          s"$q lost the bounded dictionary head:\n${p.take(600)}")
+        // the router: facts not in the head leave via anti-join...
+        assert(p.contains("LeftAnti"),
+          s"$q lost the head/tail router:\n${p.take(600)}")
+        // ...into a SHUFFLE join (no hint on the full dictionary)
+        assert(p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"),
+          s"$q tail join carries a broadcast hint:\n${p.take(600)}")
+        // every hinted broadcast subtree is bounded: a head limit or
+        // the grand-total single row — never the raw dictionary
+        // (bigram plans up to 9: two head joins' hot+anti sides, the
+        // second pair replicated into both union branches, + total)
+        val broadcasts = count(p, "BroadcastExchange")
+        assert(broadcasts <= (if (q == "bigram_logprob") 9 else 4),
+          s"$q broadcasts too much:\n${p.take(900)}")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("profile exact quantiles: rank ranges come from the " +
       "range-partitioned prefix sum — no window partitioned by the " +
       "melt key (the per-column single-partition histogram sort)") {
