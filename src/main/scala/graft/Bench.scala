@@ -36,6 +36,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // 16MB input splits: test-scale files are 10-60MB, the 128MB
@@ -119,7 +120,7 @@ object Bench {
       "dedup_boilerplate", "dedup_intradoc", "dedup_soft_weights",
       "dsir_select", "table_bloom_lookup", "table_schema_evolution",
       "table_schema_evolution2", "table_evolve_prune", "table_merge",
-      "table_clone", "table_sql_read",
+      "table_clone", "table_sql_read", "table_sql_merge",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",

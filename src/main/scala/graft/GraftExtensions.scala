@@ -16,15 +16,23 @@ import graft.functions.GraftFunctions
   * Injects every native function from [[GraftFunctions.builders]]
   * into the session's function registry at build time, so SQL-only
   * users (JDBC, notebooks, Thrift server) can call `vector_dot`,
-  * `minhash_signature`, etc. without any Scala entry point. Built-in
-  * rules and strategies are deliberately NOT overridden: every graft
-  * operator plans through stock Catalyst, and the extension surface
-  * stays additive (functions only).
+  * `minhash_signature`, etc. without any Scala entry point — plus ONE
+  * resolution rule, [[org.apache.spark.sql.graft.GraftMergeRule]],
+  * which rewrites SQL `MERGE INTO` statements whose target is a
+  * graft table onto the engine's own merge verb (stock Spark rejects
+  * MERGE against V1 relations outright). Built-in rules and
+  * strategies are otherwise NOT overridden: every graft operator
+  * plans through stock Catalyst, and the extension surface stays
+  * additive (the merge rule only ever touches plans no stock rule
+  * could execute anyway).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectResolutionRule(
+      org.apache.spark.sql.graft.GraftMergeRule(_))
+  }
 }

@@ -3729,6 +3729,49 @@ object SparkEntry {
            WHERE o_orderkey BETWEEN 1000 AND 9000
            GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // SQL DDL surface: CREATE TABLE ... USING graft registers the
+    // table in the session catalog, INSERT INTO drives the optimistic
+    // fast append, and MERGE INTO (delete-first / UPDATE SET * /
+    // INSERT *) resolves through the injected GraftMergeRule onto the
+    // engine's one-join copy-on-write merge — the same statement a
+    // Delta/Iceberg user would run, replayed once to pin content
+    // idempotence. Oracle: the same CDC fold in plain SQL.
+    "table_sql_merge" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlmerge_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      val t = s"graft_sqlmerge_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      nw.where(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+        .withColumn("op", when(col("o_orderkey") % 9 === 0, lit("D"))
+          .otherwise(lit("U")))
+        .createOrReplaceTempView(s"${t}_src")
+      val mergeSql =
+        s"""MERGE INTO $t t USING ${t}_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      s.sql(mergeSql).collect()
+      s.sql(mergeSql).collect() // replay: content-idempotent
+      val kept = old.select(cols.map(col): _*).join(
+        s.table(s"${t}_src").select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      val expect = kept.unionByName(
+        s.table(s"${t}_src").where(col("op") =!= "D")
+          .select(cols.map(col): _*))
+      val got = selfVerified(s, "table_sql_merge", root,
+        s.sql(s"SELECT * FROM $t ORDER BY o_orderkey"),
+        expect.orderBy("o_orderkey"))
+      s.sql(s"DROP TABLE $t")
+      got
+    }),
     // SHALLOW CLONE: zero-copy clone of the committed source (the
     // clone's manifest references the source's data dirs by absolute
     // path — no byte moves), then the clone lives its own life: a
@@ -6289,6 +6332,23 @@ object SparkEntry {
         "(SELECT o_orderkey FROM upd) " +
         "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey"),
     "table_merge" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "src AS (SELECT *, CASE WHEN o_orderkey % 9 = 0 THEN 'D' " +
+        "ELSE 'U' END AS op FROM nn WHERE o_orderkey % 2 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM o " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM src WHERE op <> 'D') ORDER BY o_orderkey"),
+    // the SQL-driven merge commits the same CDC fold — same oracle
+    "table_sql_merge" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderkey % 10 <> 0), " +
         "nn AS (SELECT o_orderkey, " +

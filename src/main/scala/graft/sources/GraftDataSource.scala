@@ -105,14 +105,22 @@ class GraftDataSource extends RelationProvider
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
-    val version = p.get("versionasof").map(_.toLong)
+    // an explicit versionAsOf/refAsOf PINS the relation to that
+    // snapshot; otherwise the relation tracks the table HEAD at scan
+    // time — a `CREATE TABLE ... USING graft` relation is cached by
+    // the session catalog across statements, and a head-tracking
+    // relation is what makes INSERT-then-SELECT see the insert (a
+    // creation-time pin would silently serve stale reads forever)
+    val pinned = p.get("versionasof").map(_.toLong)
       .orElse(p.get("refasof")
         .map(r => VersionedTable.resolveRef(spark, root, r)))
-      .getOrElse(VersionedTable.latestVersion(spark, root).getOrElse(
-        sys.error(s"no committed version at $root")))
-    require(VersionedTable.versions(spark, root).contains(version),
-      s"no committed version $version at $root")
-    GraftRelation(sqlContext, root, version)
+    pinned.foreach(v =>
+      require(VersionedTable.versions(spark, root).contains(v),
+        s"no committed version $v at $root"))
+    require(pinned.isDefined ||
+      VersionedTable.latestVersion(spark, root).isDefined,
+      s"no committed version at $root")
+    GraftRelation(sqlContext, root, pinned)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -142,9 +150,34 @@ class GraftDataSource extends RelationProvider
   * [[GraftDataSource]] for the planning contract.
   */
 case class GraftRelation(sqlContext: SQLContext, root: String,
-    version: Long) extends BaseRelation with PrunedFilteredScan {
+    pinnedVersion: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
+
+  /** The snapshot a SCAN binds to: the pinned version for
+    * versionAsOf/refAsOf relations, the CURRENT head otherwise —
+    * resolved per call, because the session catalog caches this
+    * relation across statements and a table read must see the data
+    * its own preceding INSERT committed.
+    */
+  private def version: Long = pinnedVersion.getOrElse(
+    VersionedTable.latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root")))
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on a catalog table created
+    * with `USING graft` — the V1 insert contract: append drives the
+    * manifest-last fast append, overwrite the copy-on-write rewrite.
+    * Inserts land on the table HEAD (the newest version), never on
+    * this relation's pinned snapshot — inserting "into the past"
+    * through a versionAsOf relation would silently fork history.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) VersionedTable.commit(data, root, tag = "sql-insert")
+    else VersionedTable.commitAppendRetry(data, root,
+      tag = "sql-insert")
+    ()
+  }
 
   // V1 filters and required-column lists carry BARE attribute names:
   // a column literally named "a.b" must quote, or col() would parse
@@ -163,7 +196,7 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
   // it as infinite and never broadcast it. The manifest-listed
   // parquet byte sum is the honest, metadata-sized answer (if
   // anything conservative: MoR deletes only shrink the live rows).
-  override lazy val sizeInBytes: Long =
+  override def sizeInBytes: Long =
     VersionedTable.dataBytes(spark, root, version)
 
   // buildScan returns the inner plan's InternalRow RDD directly —

@@ -1201,11 +1201,71 @@ object VersionedTable {
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], tag: String = ""): Long = {
     import org.apache.spark.sql.functions.col
-    val cur = read(spark, root)
-    val kept = cur.join(
-      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    commit(kept.unionByName(
-      updates.select(cur.columns.toIndexedSeq.map(col): _*)), root, tag)
+    rewriteRetry(spark, root, tag) { baseV =>
+      val cur = readVersion(spark, root, baseV)
+      val kept = cur.join(
+        updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      kept.unionByName(
+        updates.select(cur.columns.toIndexedSeq.map(col): _*))
+    }
+  }
+
+  /** Optimistic COPY-ON-WRITE rewrite commit — [[commitAppendRetry]]'s
+    * head re-resolution generalized to whole-snapshot rewrites
+    * ([[merge]], [[upsert]]). `plan(baseV)` computes the result frame
+    * FROM a pinned base snapshot; the data writes once per plan into a
+    * collision-free directory and only the manifest create runs the
+    * race. Losing it splits by what interleaved (the Delta
+    * write-conflict rules, independently applied):
+    *
+    *   - only `dataChange=false` commits (OPTIMIZE/compaction) landed
+    *     in between: our result is still the correct content — CHEAP
+    *     republish of the already-written directory on the new head;
+    *   - any data change (append, delete, another rewrite) landed: the
+    *     result is stale — RE-PLAN from the new head and rewrite, so a
+    *     concurrent append is folded in, never lost (serializable
+    *     outcome), up to `maxAttempts` full replans;
+    *   - attempts exhausted: fail loudly; the parked directories carry
+    *     intent markers, so vacuum reclaims them.
+    */
+  private def rewriteRetry(spark: SparkSession, root: String,
+      tag: String, maxAttempts: Int = 10)(
+      plan: Long => DataFrame): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val baseV = latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root"))
+      val df = plan(baseV)
+      val prevFields = resolveFields(spark, root, baseV)
+      val fieldsS = rebaseline(df, prevFields)
+      val dirName =
+        "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+      writeIntent(spark, root, dirName)
+      df.write.mode("overwrite").parquet(s"$root/$dirName")
+      var head = baseV
+      var republish = true
+      while (republish) {
+        val next = head + 1
+        try {
+          publish(spark, root, next, tag, dirs = Seq(dirName),
+            dirSeqs = Seq(next), fields = fieldsS)
+          clearIntent(spark, root, dirName)
+          return next
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            val newHead = latestVersion(spark, root).getOrElse(head)
+            val benign = newHead > head &&
+              ((head + 1) to newHead).forall(v =>
+                !dataChangeOf(readManifest(spark, root, v)))
+            if (benign) head = newHead
+            else republish = false // outer loop replans from new head
+        }
+      }
+    }
+    sys.error(s"rewrite commit lost the publish race $maxAttempts " +
+      s"times at $root (concurrent data changes on every attempt)")
   }
 
   /** `MERGE INTO` — the three-branch writer verb every Delta/Iceberg
@@ -1247,21 +1307,32 @@ object VersionedTable {
       deleteIf: Option[org.apache.spark.sql.Column] = None,
       updateMatched: Boolean = true, insertUnmatched: Boolean = true,
       tag: String = ""): Long =
-    commit(mergeFrame(spark, root, source, keyCols, deleteIf,
-      updateMatched, insertUnmatched), root,
-      if (tag.nonEmpty) tag else "merge")
+    rewriteRetry(spark, root, if (tag.nonEmpty) tag else "merge") {
+      baseV => mergeFrameAt(spark, root, baseV, source, keyCols,
+        deleteIf, updateMatched, insertUnmatched)
+    }
 
-  /** The planned (uncommitted) result frame of [[merge]], exposed
-    * `private[graft]` so the plan-shape suite can pin the one-shuffle
-    * property without committing.
+  /** The planned (uncommitted) result frame of [[merge]] against the
+    * LATEST snapshot, exposed `private[graft]` so the plan-shape
+    * suite can pin the one-shuffle property without committing.
     */
   private[graft] def mergeFrame(spark: SparkSession, root: String,
+      source: DataFrame, keyCols: Seq[String],
+      deleteIf: Option[org.apache.spark.sql.Column],
+      updateMatched: Boolean, insertUnmatched: Boolean): DataFrame =
+    mergeFrameAt(spark, root,
+      latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root")),
+      source, keyCols, deleteIf, updateMatched, insertUnmatched)
+
+  private def mergeFrameAt(spark: SparkSession, root: String,
+      baseV: Long,
       source: DataFrame, keyCols: Seq[String],
       deleteIf: Option[org.apache.spark.sql.Column],
       updateMatched: Boolean, insertUnmatched: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(keyCols.nonEmpty, "merge needs at least one join key")
-    val cur = read(spark, root)
+    val cur = readVersion(spark, root, baseV)
     val cols = cur.columns.toIndexedSeq
     require(keyCols.forall(cols.contains),
       s"merge keys ${keyCols.mkString(",")} must exist in the target")

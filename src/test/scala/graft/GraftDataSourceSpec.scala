@@ -155,6 +155,69 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(joined.collect().map(_.getLong(1)).sum == 10000L)
   }
 
+  test("SQL DDL parity: CREATE TABLE USING graft, INSERT INTO / " +
+      "INSERT OVERWRITE, and MERGE INTO drive the manifest-last " +
+      "protocol; unsupported merge shapes fail loudly") {
+    val root = freshRoot("ddl")
+    VersionedTable.commit(
+      Seq((1L, 10.0, "O"), (2L, 20.0, "O"), (3L, 30.0, "F"))
+        .toDF("k", "price", "status"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(
+      s"CREATE TABLE graft_ddl_t USING graft OPTIONS (path '$root')")
+    // catalog read resolves through the relation provider
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ddl_t")
+      .head().getLong(0) == 3L)
+    // INSERT INTO = fast append (a new version, no rewrite)
+    spark.sql("INSERT INTO graft_ddl_t VALUES (4, 40.0, 'O')")
+    assert(VersionedTable.latestVersion(spark, root).contains(1L))
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ddl_t")
+      .head().getLong(0) == 4L)
+    // MERGE INTO: delete-first, update-star, insert-star — the
+    // canonical CDC fold, driven entirely through SQL
+    Seq((2L, 99.0, "X", "d"), (3L, 33.0, "O", "u"), (9L, 90.0, "O", "i"))
+      .toDF("k", "price", "status", "op")
+      .createOrReplaceTempView("graft_ddl_src")
+    spark.sql(
+      """MERGE INTO graft_ddl_t t USING graft_ddl_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = spark.sql(
+      "SELECT k, price, status FROM graft_ddl_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, 10.0, "O"), (3L, 33.0, "O"),
+      (4L, 40.0, "O"), (9L, 90.0, "O")), got)
+    // re-running the same merge is idempotent on content
+    spark.sql(
+      """MERGE INTO graft_ddl_t t USING graft_ddl_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql("SELECT k, price, status FROM graft_ddl_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq == got)
+    // INSERT OVERWRITE = copy-on-write rewrite
+    spark.sql("INSERT OVERWRITE graft_ddl_t VALUES (7, 70.0, 'O')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ddl_t")
+      .head().getLong(0) == 1L)
+    // a shape the engine verb cannot express fails loudly, never
+    // silently drifts: per-column UPDATE SET is not SET *
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_ddl_t t USING graft_ddl_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET price = s.price * 2
+          |""".stripMargin).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("graft MERGE INTO supports")),
+      msgs(e).mkString(" | "))
+    spark.sql("DROP TABLE graft_ddl_t")
+  }
+
   test("a shallow clone reads through SQL like any table") {
     val src = freshRoot("clsrc")
     val dst = freshRoot("cldst")

@@ -1147,6 +1147,66 @@ class VersionedTableSpec extends AnyFunSuite {
       ((3L to 10L).toSet + 100L))
   }
 
+  test("concurrent MERGE and optimistic append both land: the loser " +
+      "replans from the new head (no lost update, no " +
+      "FileAlreadyExists), the serializable outcome either order") {
+    val root = freshRoot("mergeRace")
+    VersionedTable.commit(
+      (1L to 10L).map(k => (k, s"r$k")).toDF("k", "v"), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.merge(spark, root,
+          Seq((1L, "upd"), (200L, "ins")).toDF("k", "v"), Seq("k")); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }),
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.commitAppendRetry(
+          Seq((100L, "new")).toDF("k", "v"), root); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // whichever commit won, BOTH effects are present: the append is
+    // never lost under a merge rewrite (the replan folds it in) and
+    // the merge's update + insert both landed
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ((2L to 10L).map(k => (k, s"r$k")).toSet +
+      ((1L, "upd")) + ((200L, "ins")) + ((100L, "new"))), got)
+  }
+
+  test("concurrent UPSERT and optimistic append both land (the " +
+      "rewrite-retry path under upsert)") {
+    val root = freshRoot("upsertRace")
+    VersionedTable.commit(
+      (1L to 5L).map(k => (k, k * 10L)).toDF("k", "n"), root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.upsert(spark, root,
+          Seq((2L, 999L), (6L, 60L)).toDF("k", "n"), Seq("k")); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }),
+      new Thread(() => {
+        gate.await()
+        try { VersionedTable.commitAppendRetry(
+          Seq((50L, 500L)).toDF("k", "n"), root); () }
+        catch { case t: Throwable => errs.add(t); () }
+      }))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 999L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (50L, 500L)), got)
+  }
+
   test("MoR sidecars are manifest-bound: an orphan delete dir a " +
       "crashed deleter left is invisible to readers and appends, and " +
       "vacuum reclaims it by its intent marker") {
