@@ -121,6 +121,7 @@ object Bench {
       "dsir_select", "table_bloom_lookup", "table_schema_evolution",
       "table_schema_evolution2", "table_evolve_prune", "table_merge",
       "table_clone", "table_sql_read", "table_sql_merge",
+      "table_fast_count", "table_upsert_mor", "table_sql_dml",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",

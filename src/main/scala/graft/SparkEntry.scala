@@ -3171,6 +3171,39 @@ object SparkEntry {
         Seq("o_orderkey"), tag = "merge")
       graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey")
     }),
+    // MERGE-ON-READ upsert: ONE atomic commit carries the update
+    // batch's delta dir AND a delete sidecar of the matched keys
+    // (both sequenced at the commit, so the erasure scopes to
+    // pre-existing dirs only) — metadata-time updates on a huge
+    // table where the CoW upsert pays a full rewrite. Replayed once:
+    // the second commit's delete erases the first delta's rows and
+    // re-appends identical ones — content-idempotent. Self-verified
+    // against the CoW-upsert expectation; same oracle as
+    // table_upsert.
+    "table_upsert_mor" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_upsertmor_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val (old, nw) = cdcSnapshots(s, dir)
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      val v0 = graft.sources.VersionedTable.commit(
+        old.select(cols.map(col): _*), root, tag = "base")
+      val before = graft.sources.VersionedTable.dataBytes(s, root, v0)
+      val ups = nw.where(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+      graft.sources.VersionedTable.upsertMor(s, root, ups,
+        Seq("o_orderkey"), tag = "mor-upsert")
+      graft.sources.VersionedTable.upsertMor(s, root, ups,
+        Seq("o_orderkey"), tag = "mor-upsert-replay")
+      // the MoR promise: the base commit's bytes were never rewritten
+      require(graft.sources.VersionedTable.dataBytes(s, root, v0) ==
+        before, "upsertMor rewrote base data bytes")
+      val kept = old.select(cols.map(col): _*).join(
+        ups.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      selfVerified(s, "table_upsert_mor", root,
+        graft.sources.VersionedTable.read(s, root).orderBy("o_orderkey"),
+        kept.unionByName(ups).orderBy("o_orderkey"))
+    }),
     // full MERGE INTO on the versioned table: the even-keyed half of
     // the revised snapshot is the source batch, its mod-9 keys marked
     // as delete requests through an `op` column the deleteIf branch
@@ -3771,6 +3804,53 @@ object SparkEntry {
         expect.orderBy("o_orderkey"))
       s.sql(s"DROP TABLE $t")
       got
+    }),
+    // SQL UPDATE + DELETE statements over a catalog graft table —
+    // both copy-on-write rewrites under the optimistic retry, with
+    // standard SQL semantics (assignment casts, NULL-keeps-row).
+    // Oracle: the same mutations as CASE/filter expressions.
+    "table_sql_dml" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqldml_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(o, root, tag = "base")
+      val t = s"graft_sqldml_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      s.sql(s"UPDATE $t SET o_totalprice = o_totalprice * 2, " +
+        "o_orderstatus = 'U' WHERE o_orderkey % 3 = 0").collect()
+      s.sql(s"DELETE FROM $t WHERE o_orderkey % 7 = 0").collect()
+      // the table stays registered (re-created fresh next run): the
+      // result is read lazily by the caller, never via the driver
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+    // Metadata-time COUNT(*): parquet footers carry per-file row
+    // counts, so a delete-free snapshot counts in a footer-only job
+    // (zero data pages — the aggregate-pushdown answer at 100 TB);
+    // a snapshot with MoR deletes falls back to the scoped anti-join
+    // count, column-pruned to the delete key. Oracle: both counts in
+    // plain SQL.
+    "table_fast_count" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_fastcount_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      val v1 = graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      val nAll = graft.sources.VersionedTable.fastCount(s, root, v1)
+      val v2 = graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        tag = "erase")
+      val nAfter = graft.sources.VersionedTable.fastCount(s, root, v2)
+      import s.implicits._
+      Seq(("after_delete", nAfter), ("all", nAll))
+        .toDF("phase", "cnt").orderBy("phase")
     }),
     // SHALLOW CLONE: zero-copy clone of the committed source (the
     // clone's manifest references the source's data dirs by absolute
@@ -6331,6 +6411,21 @@ object SparkEntry {
         "SELECT * FROM o WHERE o_orderkey NOT IN " +
         "(SELECT o_orderkey FROM upd) " +
         "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey"),
+    // the MoR upsert must equal the CoW upsert — same oracle
+    "table_upsert_mor" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "nn AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "upd AS (SELECT * FROM nn WHERE o_orderkey % 2 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT * FROM o WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM upd) " +
+        "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey"),
     "table_merge" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderkey % 10 <> 0), " +
@@ -6347,6 +6442,18 @@ object SparkEntry {
         "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src) " +
         "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus " +
         "FROM src WHERE op <> 'D') ORDER BY o_orderkey"),
+    "table_sql_dml" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'U' " +
+        "ELSE o_orderstatus END AS o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
+    "table_fast_count" ->
+      ("SELECT * FROM (" +
+        "SELECT 'after_delete' AS phase, COUNT(*) AS cnt FROM orders " +
+        "WHERE o_orderkey % 5 <> 0 " +
+        "UNION ALL SELECT 'all', COUNT(*) FROM orders) ORDER BY phase"),
     // the SQL-driven merge commits the same CDC fold — same oracle
     "table_sql_merge" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +

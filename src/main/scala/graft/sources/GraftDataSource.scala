@@ -85,11 +85,15 @@ class GraftDataSource extends RelationProvider
     val maxVersions = p.get("maxversionspertrigger").map(_.toLong)
     maxVersions.foreach(n => require(n > 0,
       s"maxVersionsPerTrigger must be > 0: $n"))
+    val maxBytes = p.get("maxbytespertrigger").map(_.toLong)
+    maxBytes.foreach(n => require(n > 0,
+      s"maxBytesPerTrigger must be > 0: $n"))
     val pinOffsets = p.get("pinoffsets").exists(_.toBoolean)
     new GraftStreamSource(sqlContext, root, startingVersion,
       ignoreDeletes, changeFeed,
       streamSchema(sqlContext, parameters, schema),
       maxVersionsPerTrigger = maxVersions,
+      maxBytesPerTrigger = maxBytes,
       pinOffsets = pinOffsets,
       metadataPath = metadataPath)
   }

@@ -40,6 +40,7 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
     changeFeed: Boolean,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
     pinOffsets: Boolean = false,
     metadataPath: String = "") extends Source {
 
@@ -98,27 +99,44 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
   /** The newest committed version — nothing to emit until the table
     * has one at or above `startingVersion`. With
     * `maxVersionsPerTrigger = N` the offered offset is capped at N
-    * versions past the last planned one, so a deep commit backlog
-    * (or a restart into one) drains as a sequence of bounded
-    * micro-batches; the default-start INITIAL SNAPSHOT stays one
-    * batch by construction (a snapshot is not expressible as version
-    * slices).
+    * versions past the last planned one, and `maxBytesPerTrigger`
+    * additionally stops extending the batch once the versions'
+    * manifest-listed delta bytes reach the cap (always at least one
+    * version — progress over strictness, the Delta rule) — so a deep
+    * commit backlog (or a restart into one) drains as a sequence of
+    * bounded micro-batches. The default-start INITIAL SNAPSHOT stays
+    * one batch by construction (a snapshot is not expressible as
+    * version slices). The byte walk only lists the directories of
+    * versions entering THIS batch, never the whole backlog.
     */
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, root)
       .filter(_ >= startingVersion)
-    maxVersionsPerTrigger match {
-      case None => latest.map(LongOffset(_))
-      case Some(n) => latest.map { v =>
-        val end = seededPlanned() match {
-          case Some(b) => math.min(v, b + n)
-          case None if startingVersion > 0 =>
-            math.min(v, startingVersion - 1 + n)
-          case None => v
-        }
-        if (lastPlanned.forall(_ < end)) persistFloor(end)
-        LongOffset(end)
+    if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      return latest.map(LongOffset(_))
+    latest.map { v =>
+      val base = seededPlanned().orElse(
+        if (startingVersion > 0) Some(startingVersion - 1) else None)
+      val end = base match {
+        case None => v // initial snapshot: one batch by construction
+        case Some(b) if b >= v => v
+        case Some(b) =>
+          val capV = maxVersionsPerTrigger
+            .map(n => math.min(v, b + n)).getOrElse(v)
+          maxBytesPerTrigger match {
+            case None => capV
+            case Some(maxB) =>
+              var e = b + 1
+              var acc = VersionedTable.deltaBytes(spark, root, e)
+              while (e < capV && acc < maxB) {
+                e += 1
+                acc += VersionedTable.deltaBytes(spark, root, e)
+              }
+              e
+          }
       }
+      if (lastPlanned.forall(_ < end)) persistFloor(end)
+      LongOffset(end)
     }
   }
 

@@ -1191,7 +1191,44 @@ object VersionedTable {
     */
   def deleteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, tag: String = ""): Long =
-    commit(read(spark, root).where(!predicate), root, tag)
+    rewriteRetry(spark, root, tag) { baseV =>
+      // SQL DELETE semantics: remove rows where the predicate is
+      // TRUE; a NULL predicate KEEPS the row (a bare !p would drop
+      // NULL-evaluating rows too)
+      readVersion(spark, root, baseV).where(
+        !org.apache.spark.sql.functions.coalesce(predicate,
+          org.apache.spark.sql.functions.lit(false)))
+    }
+
+  /** SQL-UPDATE-shaped copy-on-write rewrite: rows matching `cond`
+    * (all rows when None) take the `sets` assignments — each cast to
+    * the column's existing type, the standard UPDATE coercion —
+    * everything else streams through untouched. One commit under the
+    * optimistic rewrite-retry. Returns the new version id.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      cond: Option[org.apache.spark.sql.Column],
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteRetry(spark, root, tag) { baseV =>
+      val cur = readVersion(spark, root, baseV)
+      val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+      val byCol = sets.toMap
+      sets.foreach { case (c, _) =>
+        require(types.contains(c), s"no column $c to update at $root")
+      }
+      val hit = coalesce(cond.getOrElse(lit(true)), lit(false))
+      cur.select(cur.columns.toIndexedSeq.map { c =>
+        byCol.get(c) match {
+          case Some(v) =>
+            when(hit, v.cast(types(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
     * the same key; unmatched keys append. One left-anti join on the
@@ -1208,6 +1245,118 @@ object VersionedTable {
       kept.unionByName(
         updates.select(cur.columns.toIndexedSeq.map(col): _*))
     }
+  }
+
+  /** MERGE-ON-READ upsert — the Iceberg equality-delete MERGE shape:
+    * ONE atomic commit whose manifest carries BOTH a new delta
+    * directory (the update/insert rows, sequenced at this commit) and
+    * a delete sidecar naming the update keys (also sequenced at this
+    * commit, so the erasure scopes to PRE-existing directories only —
+    * the fresh rows are above it by construction). Matched keys' old
+    * rows stop matching, new rows appear, unmatched keys simply
+    * append; readers never observe a half-applied state because the
+    * manifest create IS the publish point.
+    *
+    * This is the update verb for a 100 TB table taking a small CDC
+    * batch: cost is the delta write plus a key-count-sized sidecar —
+    * no existing byte rewritten, no existence check (the delete keys
+    * are BLIND equality deletes, the Iceberg rule: an unmatched key's
+    * delete never matches anything, and checking would cost a table
+    * scan) — where [[upsert]] pays a full copy-on-write snapshot.
+    * Consequence for the change feed: EVERY upsert key streams a
+    * delete and an insert at this version; consumers apply deletes
+    * before inserts within a commit (the standard CDC-apply order)
+    * and converge whether or not the key existed. Run
+    * [[compactDeletes]] on the operator's schedule to fold
+    * accumulated erasures. The publish race retries optimistically
+    * like every MoR writer. Returns the new version.
+    */
+  def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], tag: String = "",
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "upsertMor needs key columns")
+    require(keyCols.forall(updates.columns.contains),
+      s"updates must carry the key columns ${keyCols.mkString(",")}")
+    val entryFields = latestVersion(spark, root)
+      .flatMap(v => resolveFields(spark, root, v))
+    val entryBaseFieldsS = entryFields.map(fieldsStr).getOrElse("")
+    val (physDelta, entryFieldsS, _) =
+      physicalizeDelta(updates, entryFields)
+    // data writes ONCE into a collision-free dir; only metadata retries
+    val dirName =
+      "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+    writeIntent(spark, root, dirName)
+    physDelta.write.mode("overwrite").parquet(s"$root/$dirName")
+    val newKeys = updates.select(keyCols.map(col): _*).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prevV = latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root — " +
+          "upsertMor needs an existing table"))
+      // the mapping-carry rule of commitAppendRetry, verbatim
+      val headFieldsS = fieldsStrOf(readManifest(spark, root, prevV))
+      val fieldsS =
+        if (headFieldsS == entryBaseFieldsS) entryFieldsS
+        else if (entryFieldsS == entryBaseFieldsS) headFieldsS
+        else sys.error("upsertMor: the field mapping moved " +
+          s"concurrently at $root while this delta extends it — " +
+          "serialize schema-extending writers")
+      val next = prevV + 1
+      // per attempt: re-merge the delete sidecar against the current
+      // head (a concurrent eraser may have added keys), keys stored
+      // under PHYSICAL names at the logical type, sequenced at `next`
+      val attemptFields = resolveFields(spark, root, prevV)
+        .map(_.filter(_.name.nonEmpty))
+      val physKeys = attemptFields match {
+        case None => newKeys
+        case Some(live) =>
+          val byName = live.map(f => f.name -> f).toMap
+          newKeys.select(newKeys.columns.toIndexedSeq.map { c =>
+            byName.get(c) match {
+              case Some(f) => col(c).cast(f.dtype).as(f.physical)
+              case None => col(c)
+            }
+          }: _*)
+      }
+      val prior = resolveDeletes(spark, root, prevV)
+        .map(d => spark.read.parquet(dirPath(root, d)))
+      prior.foreach { p =>
+        val pKey = p.columns.filterNot(_ == DelSeqCol).sorted
+        require(pKey.sameElements(physKeys.columns.sorted),
+          s"upsert key ${physKeys.columns.mkString(",")} differs " +
+            s"from the table's delete-sidecar key ${pKey.mkString(",")}")
+      }
+      val tagged = physKeys.withColumn(DelSeqCol, lit(next))
+      val merged = prior.map { p =>
+        val normalized =
+          if (p.columns.contains(DelSeqCol)) p
+          else p.withColumn(DelSeqCol, lit(Long.MaxValue))
+        normalized.unionByName(tagged).distinct()
+      }.getOrElse(tagged)
+      val delDir = DeletesPrefix +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      writeIntent(spark, root, delDir)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$delDir")
+      try {
+        publish(spark, root, next, tag,
+          dirs = resolveDirs(spark, root, prevV) :+ dirName,
+          deletes = delDir,
+          dirSeqs = resolveDirSeqs(spark, root, prevV) :+ next,
+          fields = fieldsS)
+        carrySidecars(spark, root, prevV, next)
+        clearIntent(spark, root, delDir)
+        clearIntent(spark, root, dirName)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
+    }
+    sys.error(s"upsertMor: lost the publish race $maxAttempts times " +
+      s"at $root; delta parked at $dirName (vacuum reclaims it)")
   }
 
   /** Optimistic COPY-ON-WRITE rewrite commit — [[commitAppendRetry]]'s
@@ -2700,6 +2849,57 @@ object VersionedTable {
   def dataBytes(spark: SparkSession, root: String, version: Long): Long = {
     val f = fs(spark, root)
     resolveDirs(spark, root, version).map { d =>
+      val dir = new Path(dirPath(root, d))
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+  }
+
+  /** Exact row count of snapshot `version` in METADATA time when the
+    * snapshot carries no merge-on-read deletes: parquet footers
+    * record per-file row counts, so the count is a footer-only
+    * distributed job over the file list — zero data pages read, the
+    * aggregate-pushdown answer `SELECT COUNT(*)` wants on a 100 TB
+    * table (Spark's V1 path would still iterate every row of an
+    * empty projection). With MoR deletes in scope the exact count
+    * needs the sequence-scoped anti-join, so it falls back to the
+    * engine read's count — Catalyst prunes that scan to the delete
+    * key columns.
+    */
+  def fastCount(spark: SparkSession, root: String,
+      version: Long): Long = {
+    if (resolveDeletes(spark, root, version).isDefined)
+      return readVersion(spark, root, version).count()
+    val files = dataPaths(spark, root, version)
+    if (files.isEmpty) return 0L
+    val parts = math.max(1, math.min(files.size, 64))
+    spark.sparkContext.parallelize(files, parts).map { p =>
+      // a fresh Configuration per task (Hadoop's is not serializable);
+      // footer reads touch O(KB) per file whatever the file size
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.fold(0L)(_ + _)
+  }
+
+  /** Bytes the data directories of version `v` ADDED over its
+    * predecessor — the streaming rate limiter's pacing metric
+    * (metadata-sized: one listing per new directory). A version whose
+    * predecessor manifest is already vacuumed conservatively charges
+    * its full directory list.
+    */
+  def deltaBytes(spark: SparkSession, root: String, v: Long): Long = {
+    val f = fs(spark, root)
+    val cur = resolveDirs(spark, root, v)
+    val prev =
+      if (v == 0) Nil
+      else scala.util.Try(resolveDirs(spark, root, v - 1))
+        .getOrElse(Nil)
+    (cur.toSet -- prev).toSeq.map { d =>
       val dir = new Path(dirPath(root, d))
       if (!f.exists(dir)) 0L
       else f.listStatus(dir).toSeq.filter(_.isFile)

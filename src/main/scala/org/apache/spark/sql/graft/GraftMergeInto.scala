@@ -41,15 +41,47 @@ case class GraftMergeRule(spark: SparkSession)
     case other => other
   }
 
+  private def graftTarget(p: LogicalPlan): Option[GraftRelation] =
+    unwrap(p) match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        Some(lr.relation.asInstanceOf[GraftRelation])
+      case _ => None
+    }
+
+  /** Rewrites TARGET-column references by NAME: the command re-reads
+    * the table at execution time with fresh attribute ids, so the
+    * stored condition must re-resolve against that frame, not against
+    * this statement's analysis ids.
+    */
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(a.name)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved =>
-        unwrap(m.targetTable) match {
-          case lr: LogicalRelation
-              if lr.relation.isInstanceOf[GraftRelation] =>
-            translate(m, lr.relation.asInstanceOf[GraftRelation])
-          case _ => m
-        }
+        graftTarget(m.targetTable)
+          .map(translate(m, _)).getOrElse(m)
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        graftTarget(target).map { rel =>
+          GraftDeleteCommand(rel.root, Shielded(byName(condition)))
+            : LogicalPlan
+        }.getOrElse(d)
+      case u @ UpdateTable(target, assignments, condition)
+          if u.resolved =>
+        graftTarget(target).map { rel =>
+          val sets = assignments.map { a =>
+            a.key match {
+              case k: AttributeReference => k.name -> Shielded(byName(a.value))
+              case other => throw new UnsupportedOperationException(
+                s"graft UPDATE supports plain column assignments: $other")
+            }
+          }
+          GraftUpdateCommand(rel.root, sets,
+            condition.map(c => Shielded(byName(c)))): LogicalPlan
+        }.getOrElse(u)
     }
 
   private def fail(what: String): Nothing =
@@ -153,6 +185,52 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     Seq(Row(v))
   }
 
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}
+
+/** Holds a (possibly unresolved, name-rewritten) expression OUTSIDE
+  * the query-plan tree walk: `QueryPlan.expressions` scans every
+  * product field for `Expression`s, and a stored
+  * `UnresolvedAttribute` would pin the whole command un-resolved
+  * forever. The wrapper type is opaque to that scan; the command
+  * re-resolves the expression against its own freshly-read frame.
+  */
+case class Shielded(e: Expression)
+
+/** SQL `DELETE FROM <graft table> WHERE <cond>` — the engine's
+  * copy-on-write predicate delete under the optimistic rewrite-retry
+  * (key-scoped MoR erasure stays an API verb: SQL has no key-column
+  * clause). An absent WHERE deletes everything, per the standard.
+  */
+case class GraftDeleteCommand(root: String, cond: Shielded)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = VersionedTable.deleteWhere(session, root,
+      ColumnBridge.column(cond.e), tag = "sql-delete")
+    Seq(Row(v))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}
+
+/** SQL `UPDATE <graft table> SET c = expr [, ...] [WHERE cond]` — a
+  * copy-on-write rewrite: unmatched rows stream through untouched,
+  * matched rows take the assignments (cast to the column's own type,
+  * the standard UPDATE coercion), one commit under the optimistic
+  * rewrite-retry.
+  */
+case class GraftUpdateCommand(root: String,
+    sets: Seq[(String, Shielded)], cond: Option[Shielded])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = VersionedTable.updateWhere(session, root,
+      sets.map { case (c, s) => c -> ColumnBridge.column(s.e) },
+      cond.map(s => ColumnBridge.column(s.e)), tag = "sql-update")
+    Seq(Row(v))
+  }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())

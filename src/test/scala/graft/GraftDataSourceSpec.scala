@@ -218,6 +218,42 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_ddl_t")
   }
 
+  test("SQL UPDATE and DELETE statements drive copy-on-write rewrites " +
+      "with standard semantics (NULL WHERE keeps the row, assignments " +
+      "cast to the column's type, time travel keeps the old snapshot)") {
+    val root = freshRoot("dml")
+    VersionedTable.commit(
+      Seq((1L, 10.0, "O"), (2L, 20.0, "F"), (3L, 30.0, "O"))
+        .toDF("k", "price", "status"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_dml_t")
+    spark.sql(
+      s"CREATE TABLE graft_dml_t USING graft OPTIONS (path '$root')")
+    spark.sql(
+      "UPDATE graft_dml_t SET price = price * 2, status = 'X' " +
+        "WHERE k >= 2 AND status = 'O'").collect()
+    def rows() = spark.sql(
+      "SELECT k, price, status FROM graft_dml_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    assert(rows() == Seq((1L, 10.0, "O"), (2L, 20.0, "F"),
+      (3L, 60.0, "X")))
+    // the INT literal assignment casts to the column's DOUBLE
+    spark.sql("UPDATE graft_dml_t SET price = 5 WHERE k = 1").collect()
+    assert(rows().head == ((1L, 5.0, "O")))
+    spark.sql("DELETE FROM graft_dml_t WHERE status = 'X'").collect()
+    assert(rows() == Seq((1L, 5.0, "O"), (2L, 20.0, "F")))
+    // time travel: the pre-DML snapshot is intact
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(root).count() == 3L)
+    // NULL-evaluating WHERE keeps the row (SQL three-valued logic):
+    // nothing matches NULL = 'F', so nothing is deleted
+    spark.sql(
+      "DELETE FROM graft_dml_t WHERE CAST(NULL AS STRING) = status")
+      .collect()
+    assert(rows().size == 2)
+    spark.sql("DROP TABLE graft_dml_t")
+  }
+
   test("a shallow clone reads through SQL like any table") {
     val src = freshRoot("clsrc")
     val dst = freshRoot("cldst")

@@ -223,6 +223,32 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger extends a batch only until the versions' " +
+      "delta bytes reach the cap — a tiny cap yields one version per " +
+      "batch, a huge cap one batch for the whole backlog") {
+    val root = freshRoot("bytelimit")
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), root)
+    (1L to 3L).foreach(i => VersionedTable.commitAppend(
+      Seq((i, i)).toDF("k", "v"), root))
+    def run(cap: Long): Seq[Int] = {
+      val c = new Collector
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "1")
+        .option("maxBytesPerTrigger", cap.toString).load(root)
+        .writeStream.foreachBatch(c.sink _).start()
+      try {
+        q.processAllAvailable()
+        assert(c.all.toSet == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+        c.batches.filter(_.nonEmpty).map(_.size).toSeq
+      } finally q.stop()
+    }
+    // 1 byte: every version's delta alone exceeds the cap — three
+    // single-version batches (progress over strictness)
+    assert(run(1L) == Seq(1, 1, 1))
+    // 1 GB: the whole backlog fits one batch
+    assert(run(1L << 30) == Seq(3))
+  }
+
   test("pinOffsets moves a stream_<id> branch ref with the committed " +
       "offset, and vacuum retains the whole suffix a restart needs") {
     val root = freshRoot("pin")

@@ -1147,6 +1147,71 @@ class VersionedTableSpec extends AnyFunSuite {
       ((3L to 10L).toSet + 100L))
   }
 
+  test("upsertMor: ONE atomic commit updates matched keys and " +
+      "appends unmatched — no base byte rewritten, time travel " +
+      "intact, CDF emits delete+insert at the same version, and the " +
+      "updated rows survive their own commit's delete keys") {
+    val root = freshRoot("upsertmor")
+    val v0 = VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    val before = VersionedTable.dataBytes(spark, root, v0)
+    val v1 = VersionedTable.upsertMor(spark, root,
+      Seq((2L, "B2"), (5L, "e")).toDF("k", "v"), Seq("k"))
+    assert(v1 == v0 + 1, "one atomic commit, one version")
+    assert(VersionedTable.dataBytes(spark, root, v0) == before)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (5L, "e")))
+    // the pre-upsert snapshot still reads exactly as committed
+    assert(VersionedTable.readVersion(spark, root, v0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // CDF: every upsert key streams a delete AND an insert at ONE
+    // version — the delete is a BLIND equality delete (recorded
+    // without checking existence, the Iceberg O(keys) rule), so the
+    // unmatched key 5 carries one too; a consumer applying deletes
+    // before inserts within a version converges either way
+    val cdf = VersionedTable.changeDelta(spark, root, v0, v1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(cdf == Set((2L, "delete", v1), (5L, "delete", v1),
+      (2L, "insert", v1), (5L, "insert", v1)), cdf)
+    // a second upsert touching an already-MoR-updated key: the newer
+    // delete erases the v1 delta's row, the newest row wins
+    val v2 = VersionedTable.upsertMor(spark, root,
+      Seq((2L, "B3")).toDF("k", "v"), Seq("k"))
+    assert(VersionedTable.read(spark, root).where(col("k") === 2L)
+      .select("v").head().getString(0) == "B3")
+    // compaction folds the erasures away without changing content
+    VersionedTable.compactDeletes(spark, root)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B3"), (3L, "c"), (5L, "e")))
+    assert(VersionedTable.deleteSidecar(spark, root,
+      VersionedTable.latestVersion(spark, root).get).isEmpty)
+    // fastCount fallback stays exact under the MoR sidecar
+    assert(VersionedTable.fastCount(spark, root, v2) == 4L)
+  }
+
+  test("fastCount: footer-metadata row count equals the engine read " +
+      "on a delete-free snapshot, per version; the MoR-delete " +
+      "fallback stays exact") {
+    val root = freshRoot("fastcount")
+    val v0 = VersionedTable.commit(
+      (1L to 100L).map(k => (k, s"r$k")).toDF("k", "v")
+        .repartition(4), root)
+    val v1 = VersionedTable.commitAppend(
+      (101L to 130L).map(k => (k, s"r$k")).toDF("k", "v"), root)
+    assert(VersionedTable.fastCount(spark, root, v0) == 100L)
+    assert(VersionedTable.fastCount(spark, root, v1) == 130L)
+    // deletes in scope: falls back to the scoped anti-join count
+    val v2 = VersionedTable.deleteKeysMor(spark, root,
+      (1L to 10L).toDF("k"))
+    assert(VersionedTable.fastCount(spark, root, v2) == 120L)
+    assert(VersionedTable.fastCount(spark, root, v2) ==
+      VersionedTable.readVersion(spark, root, v2).count())
+  }
+
   test("concurrent MERGE and optimistic append both land: the loser " +
       "replans from the new head (no lost update, no " +
       "FileAlreadyExists), the serializable outcome either order") {
