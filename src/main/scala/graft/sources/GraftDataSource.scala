@@ -42,7 +42,12 @@ class GraftDataSource extends RelationProvider
   // ---- streaming source (spark.readStream.format("graft")) ----
   // options: startingVersion (default 0 = full initial snapshot,
   // N > 0 = tail new rows from version N on), ignoreDeletes (a MoR
-  // delete mid-stream then streams nothing instead of failing)
+  // delete mid-stream then streams nothing instead of failing),
+  // readChangeFeed (CDF rows tagged _change_type/_commit_version),
+  // maxVersionsPerTrigger / maxBytesPerTrigger (backlogs drain as
+  // bounded micro-batches; composes with Trigger.AvailableNow),
+  // pinOffsets (a stream_<id> branch ref moves with the committed
+  // offset; vacuum retains the whole suffix a restart needs)
 
   private def streamSchema(sqlContext: SQLContext,
       parameters: Map[String, String],

@@ -42,7 +42,11 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     pinOffsets: Boolean = false,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "") extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
 
@@ -109,13 +113,17 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
     * version slices). The byte walk only lists the directories of
     * versions entering THIS batch, never the whole backlog.
     */
-  override def getOffset: Option[Offset] = {
+  override def getOffset: Option[Offset] = nextOffset(None, None)
+
+  private def nextOffset(knownBase: Option[Long],
+      cap: Option[Long]): Option[LongOffset] = {
     val latest = VersionedTable.latestVersion(spark, root)
       .filter(_ >= startingVersion)
+      .map(v => cap.fold(v)(math.min(v, _)))
     if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
       return latest.map(LongOffset(_))
     latest.map { v =>
-      val base = seededPlanned().orElse(
+      val base = knownBase.orElse(seededPlanned()).orElse(
         if (startingVersion > 0) Some(startingVersion - 1) else None)
       val end = base match {
         case None => v // initial snapshot: one batch by construction
@@ -139,6 +147,41 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
       LongOffset(end)
     }
   }
+
+  // ---- admission control / Trigger.AvailableNow ----
+  // The engine drives a SupportsAdmissionControl source through
+  // latestOffset(start, limit) instead of getOffset — `start` is the
+  // previous batch's end, the exact pacing base (the durable floor
+  // file stays as the fallback for the null first call). Under
+  // Trigger.AvailableNow the run is additionally CAPPED at the head
+  // observed in prepareForTriggerAvailableNow, so the query drains
+  // the backlog in paced micro-batches and then stops on its own —
+  // without this, the engine falls back to one giant single batch.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = VersionedTable.latestVersion(spark, root)
+      .filter(_ >= startingVersion)
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable() // version/byte caps are applied internally
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextOffset(Option(start).map {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }, availableNowCap).orNull
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionedTable.latestVersion(spark, root)
+      .filter(_ >= startingVersion).map(LongOffset(_)).orNull
 
   // ---- offset pinning (pinOffsets) ----
   // A `stream_<id>` branch ref vacuum treats as a retention FLOOR:

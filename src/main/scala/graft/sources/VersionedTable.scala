@@ -1270,19 +1270,46 @@ object VersionedTable {
     * [[compactDeletes]] on the operator's schedule to fold
     * accumulated erasures. The publish race retries optimistically
     * like every MoR writer. Returns the new version.
+    *
+    * `deleteIf` makes it the full atomic CDC-apply verb (the
+    * [[merge]] branch semantics, merge-on-read): source rows
+    * satisfying it contribute ONLY their key to the sidecar —
+    * matched rows erase, unmatched delete requests no-op — while the
+    * rest upsert, all in the same single commit. Source columns
+    * absent from the target schema are ignored (the `op` marker
+    * feeding deleteIf rides along for free), absent target columns
+    * null-fill — the merge() source contract.
     */
   def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], tag: String = "",
+      deleteIf: Option[org.apache.spark.sql.Column] = None,
       maxAttempts: Int = 20): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(keyCols.nonEmpty, "upsertMor needs key columns")
     require(keyCols.forall(updates.columns.contains),
       s"updates must carry the key columns ${keyCols.mkString(",")}")
-    val entryFields = latestVersion(spark, root)
-      .flatMap(v => resolveFields(spark, root, v))
+    val entryV = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed version at $root — " +
+        "upsertMor needs an existing table"))
+    // the full atomic CDC-apply verb: source rows satisfying
+    // `deleteIf` contribute ONLY their key to the sidecar (a
+    // matched row is erased, an unmatched delete request no-ops),
+    // everything else upserts — one commit either way
+    val isDel = deleteIf.map(c => coalesce(c, lit(false)))
+    val upsertRows = isDel.map(d => updates.where(!d)).getOrElse(updates)
+    // the merge() source contract: columns absent from the target
+    // schema are ignored (an `op` marker feeding deleteIf rides for
+    // free), absent target columns null-fill; the physical cast below
+    // still validates losslessness on the survivors
+    val tgt = snapshotSchema(spark, root, entryV)
+    val payload = upsertRows.select(tgt.fields.toIndexedSeq.map { f =>
+      if (upsertRows.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val entryFields = resolveFields(spark, root, entryV)
     val entryBaseFieldsS = entryFields.map(fieldsStr).getOrElse("")
     val (physDelta, entryFieldsS, _) =
-      physicalizeDelta(updates, entryFields)
+      physicalizeDelta(payload, entryFields)
     // data writes ONCE into a collision-free dir; only metadata retries
     val dirName =
       "a" + java.util.UUID.randomUUID().toString.replace("-", "")

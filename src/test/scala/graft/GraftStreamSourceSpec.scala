@@ -249,6 +249,25 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(run(1L << 30) == Seq(3))
   }
 
+  test("Trigger.AvailableNow drains the whole backlog under " +
+      "maxVersionsPerTrigger pacing, then stops on its own") {
+    val root = freshRoot("availnow")
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), root)
+    (1L to 4L).foreach(i => VersionedTable.commitAppend(
+      Seq((i, i)).toDF("k", "v"), root))
+    val c = new Collector
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(c.sink _).start()
+    // AvailableNow terminates by itself once caught up
+    assert(q.awaitTermination(120000L), "query did not self-terminate")
+    assert(c.all.toSet == (1L to 4L).map(i => (i, i)).toSet, c.all)
+    assert(c.batches.count(_.nonEmpty) >= 2, s"pacing lost: ${c.batches}")
+  }
+
   test("pinOffsets moves a stream_<id> branch ref with the committed " +
       "offset, and vacuum retains the whole suffix a restart needs") {
     val root = freshRoot("pin")

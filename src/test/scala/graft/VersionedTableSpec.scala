@@ -1193,6 +1193,25 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.fastCount(spark, root, v2) == 4L)
   }
 
+  test("upsertMor deleteIf: one atomic commit applies a mixed CDC " +
+      "batch (delete / update / insert), the op marker never enters " +
+      "the schema, unmatched deletes no-op") {
+    val root = freshRoot("upsertmordel")
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    val batch = Seq((1L, "", "d"), (2L, "B2", "u"), (7L, "g", "i"),
+      (9L, "", "d")).toDF("k", "v", "op")
+    val v1 = VersionedTable.upsertMor(spark, root, batch, Seq("k"),
+      deleteIf = Some(col("op") === "d"))
+    assert(v1 == 1L, "one atomic commit")
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "B2"), (3L, "c"), (7L, "g")))
+    // the marker column never entered the table
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "v"))
+  }
+
   test("fastCount: footer-metadata row count equals the engine read " +
       "on a delete-free snapshot, per version; the MoR-delete " +
       "fallback stays exact") {
