@@ -340,7 +340,13 @@ object TextMetrics {
     val tokDoc = df.select(col(idCol).as("id"),
         explode(tokenizer(col(textCol))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("k"))
+    // the dictionary is referenced FOUR times downstream (head, head
+    // keys, tail, total); materialize it once — vocabulary-sized
+    // executor storage — instead of re-deriving it from the corpus
+    // per reference (at broadcast-friendly scales Catalyst inlines a
+    // separate corpus scan into each, and nothing reuses them)
     val freq = tokDoc.groupBy(col("t")).agg(sum(col("k")).as("c"))
+      .localCheckpoint(false)
     val total = freq.agg(sum(col("c")).as("__n"))
     val lp = round(log(col("c").cast("double") / col("__n")), 9)
       .cast("decimal(20,9)")
@@ -396,7 +402,10 @@ object TextMetrics {
     val biDoc = bi.groupBy(col("id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
     val toksAll = df.select(explode(tokenizer(col(textCol))).as("t"))
+    // referenced five times (two head/tail joins + the total):
+    // materialize the vocabulary once — see unigramLogprob
     val uni = toksAll.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
     // corpus totals reduce the ALREADY-aggregated frames (per-doc
     // bigrams, vocabulary counts) instead of the raw exploded
     // streams — the DSIR lesson: shuffles carry distinct entries,

@@ -168,7 +168,11 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
     * versionAsOf/refAsOf relations, the CURRENT head otherwise —
     * resolved per call, because the session catalog caches this
     * relation across statements and a table read must see the data
-    * its own preceding INSERT committed.
+    * its own preceding INSERT committed. Caveat (documented, the V1
+    * price of head-tracking without catalog invalidation hooks): two
+    * scans of the same head-tracking relation inside ONE statement
+    * can bind different snapshots if a writer commits between them;
+    * pin with versionAsOf for repeatable multi-scan reads.
     */
   private def version: Long = pinnedVersion.getOrElse(
     VersionedTable.latestVersion(spark, root).getOrElse(
@@ -196,8 +200,12 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
 
   // metadata-sized: the manifest field mapping (or one footer of the
   // last data dir), never the full scoped read plan readVersion
-  // assembles — this runs on every relation instantiation
-  override val schema: StructType =
+  // assembles. A DEF, not a creation-time val: a head-tracking
+  // relation cached by the catalog must declare the types the
+  // scan-time head actually emits (a post-widen INT declaration over
+  // LONG InternalRows with needConversion=false would be type
+  // corruption, not an error)
+  override def schema: StructType =
     VersionedTable.snapshotSchema(spark, root, version)
 
   // BaseRelation's default is spark.sql.defaultSizeInBytes
@@ -205,8 +213,20 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
   // it as infinite and never broadcast it. The manifest-listed
   // parquet byte sum is the honest, metadata-sized answer (if
   // anything conservative: MoR deletes only shrink the live rows).
-  override def sizeInBytes: Long =
-    VersionedTable.dataBytes(spark, root, version)
+  // Catalyst consults relation stats several times while planning
+  // one statement — memoize per resolved version so a many-directory
+  // table pays one listing per snapshot, not one per consultation.
+  @volatile private var sizeCache: Option[(Long, Long)] = None
+  override def sizeInBytes: Long = {
+    val v = version
+    sizeCache match {
+      case Some((cv, bytes)) if cv == v => bytes
+      case _ =>
+        val bytes = VersionedTable.dataBytes(spark, root, v)
+        sizeCache = Some((v, bytes))
+        bytes
+    }
+  }
 
   // buildScan returns the inner plan's InternalRow RDD directly —
   // the documented V1 contract when needConversion is false

@@ -216,8 +216,11 @@ class GraftStreamSource(sqlContext: SQLContext, root: String,
     import org.apache.spark.sql.functions.lit
     val endV = versionOf(end)
     // pin BEFORE reading: replaying this batch after a crash needs
-    // every version from its start (the initial snapshot needs endV)
-    pinAt(start.map(versionOf).getOrElse(endV))
+    // every version from its start — for a tail-mode first batch
+    // that is startingVersion-1 (the delta base actually walked),
+    // for a snapshot first batch endV
+    pinAt(start.map(versionOf).getOrElse(
+      if (startingVersion > 0) startingVersion - 1 else endV))
     if (lastPlanned.forall(_ < endV)) lastPlanned = Some(endV)
     // the change feed ([[VersionedTable.changeDelta]]) emits inserts
     // AND delete keys tagged _change_type/_commit_version; the plain

@@ -1212,6 +1212,11 @@ object VersionedTable {
       tag: String = ""): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    // SQL rejects UPDATE t SET c = 1, c = 2 as a duplicate
+    // assignment; silently letting the last one win would be a
+    // semantic drift from every engine
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"duplicate assignment targets: ${sets.map(_._1).mkString(",")}")
     rewriteRetry(spark, root, tag) { baseV =>
       val cur = readVersion(spark, root, baseV)
       val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1291,6 +1296,13 @@ object VersionedTable {
     val entryV = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed version at $root — " +
         "upsertMor needs an existing table"))
+    // a key column absent from the TARGET would publish a sidecar no
+    // read can anti-join — permanent unreadability, not a no-op; fail
+    // here like merge() does
+    require(keyCols.forall(snapshotSchema(spark, root, entryV)
+        .fieldNames.contains),
+      s"upsertMor keys ${keyCols.mkString(",")} must exist in the " +
+        s"target table at $root")
     // the full atomic CDC-apply verb: source rows satisfying
     // `deleteIf` contribute ONLY their key to the sidecar (a
     // matched row is erased, an unmatched delete request no-ops),
@@ -1713,10 +1725,16 @@ object VersionedTable {
     */
   val StreamPinPrefix = "stream_"
 
-  def streamPinName(checkpointKey: String): String =
-    StreamPinPrefix + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpointKey)
-        .toLong & 0xffffffffL)
+  def streamPinName(checkpointKey: String): String = {
+    // 128 bits of a cryptographic hash: two checkpoints on one table
+    // must never collide onto the same movable pin (a shared pin
+    // dragged forward by the faster stream would silently strip the
+    // slower one's retention protection — a 32-bit hash made that a
+    // real possibility at fleet scale)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointKey.getBytes("UTF-8"))
+    StreamPinPrefix + md.take(16).map(b => f"$b%02x").mkString
+  }
 
   /** Drop ref `name` (its target version becomes vacuumable again). */
   def dropRef(spark: SparkSession, root: String, name: String): Unit = {
@@ -2901,16 +2919,30 @@ object VersionedTable {
       return readVersion(spark, root, version).count()
     val files = dataPaths(spark, root, version)
     if (files.isEmpty) return 0L
+    // ship the SESSION's Hadoop settings (fs credentials, endpoints)
+    // as plain entries — Configuration itself is not serializable,
+    // and a bare `new Configuration()` on the executor would lose
+    // exactly the spark.hadoop.* settings object-store deployments
+    // need (read paths get them via Spark's own scans; this footer
+    // job must carry them itself)
+    val confEntries = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     val parts = math.max(1, math.min(files.size, 64))
-    spark.sparkContext.parallelize(files, parts).map { p =>
-      // a fresh Configuration per task (Hadoop's is not serializable);
-      // footer reads touch O(KB) per file whatever the file size
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(p), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.fold(0L)(_ + _)
+    spark.sparkContext.parallelize(files, parts)
+      .mapPartitions { ps =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        ps.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+      }.fold(0L)(_ + _)
   }
 
   /** Bytes the data directories of version `v` ADDED over its
