@@ -34,10 +34,33 @@ import org.apache.spark.sql.types.StructType
   * materialization, no row-conversion pass).
   */
 class GraftDataSource extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `CREATE TABLE t (cols…) USING graft OPTIONS (path …)` on a root
+    * with no committed version yet: commit an EMPTY v0 carrying the
+    * declared schema (one zero-row parquet + manifest — the table
+    * exists, INSERTs append onto it). On an existing table the
+    * declared schema is advisory; the manifest remains the source of
+    * truth (the standard external-table rule).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    if (VersionedTable.latestVersion(spark, root).isEmpty) {
+      VersionedTable.commit(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        root, tag = "create-table")
+      ()
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   // ---- streaming source (spark.readStream.format("graft")) ----
   // options: startingVersion (default 0 = full initial snapshot,
@@ -71,8 +94,16 @@ class GraftDataSource extends RelationProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    // validated HERE too: sourceSchema runs eagerly at load() while
+    // createSource runs on the stream thread — a bad option combo
+    // should fail in the caller's stack, not asynchronously
+    require(!(p.contains("startingtimestamp") &&
+        p.contains("startingversion")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     (shortName(), streamSchema(sqlContext, parameters, schema))
+  }
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
@@ -81,8 +112,30 @@ class GraftDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = rootOf(parameters)
-    val startingVersion = p.get("startingversion").map(_.toLong)
-      .getOrElse(0L)
+    // startingTimestamp (epoch millis, ISO date, or ISO date-time,
+    // UTC): tail from the FIRST commit at or after the instant — the
+    // Delta option, resolved against manifest-recorded commit times
+    // (never file mtimes). A future timestamp streams new commits
+    // only.
+    val startingTs = p.get("startingtimestamp").map { s =>
+      s.toLongOption.getOrElse {
+        val t = scala.util.Try(
+            java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+          .getOrElse(java.time.LocalDate.parse(s).atStartOfDay())
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
+    require(startingTs.isEmpty || !p.contains("startingversion"),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val spark0 = sqlContext.sparkSession
+    val startingVersion = startingTs match {
+      case Some(ts) =>
+        val vs = VersionedTable.versions(spark0, root)
+        vs.find(v =>
+            VersionedTable.commitTimeMs(spark0, root, v) >= ts)
+          .getOrElse(vs.lastOption.map(_ + 1).getOrElse(0L))
+      case None => p.get("startingversion").map(_.toLong).getOrElse(0L)
+    }
     require(startingVersion >= 0,
       s"startingVersion must be >= 0: $startingVersion")
     val ignoreDeletes = p.get("ignoredeletes").exists(_.toBoolean)

@@ -254,6 +254,23 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_dml_t")
   }
 
+  test("CREATE TABLE with an explicit schema on an empty root commits " +
+      "a zero-row v0; INSERT INTO then appends onto it") {
+    val root = freshRoot("create")
+    spark.sql("DROP TABLE IF EXISTS graft_create_t")
+    spark.sql("CREATE TABLE graft_create_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(VersionedTable.latestVersion(spark, root).contains(0L))
+    assert(spark.sql("SELECT COUNT(*) FROM graft_create_t")
+      .head().getLong(0) == 0L)
+    spark.sql("INSERT INTO graft_create_t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_create_t")
+      .head().getLong(0) == 2L)
+    assert(VersionedTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    spark.sql("DROP TABLE graft_create_t")
+  }
+
   test("a shallow clone reads through SQL like any table") {
     val src = freshRoot("clsrc")
     val dst = freshRoot("cldst")

@@ -249,6 +249,47 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(run(1L << 30) == Seq(3))
   }
 
+  test("startingTimestamp tails from the first commit at or after the " +
+      "instant (manifest commit times); a future timestamp streams " +
+      "new commits only") {
+    val root = freshRoot("startts")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), root)
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), root)
+    VersionedTable.commitAppend(Seq((3L, 3L)).toDF("k", "v"), root)
+    val c = new Collector
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", cut.toString).load(root)
+      .writeStream.foreachBatch(c.sink _).start()
+    try {
+      q.processAllAvailable()
+      // only the two post-cut commits stream; v0's row never does
+      assert(c.all.toSet == Set((2L, 2L), (3L, 3L)), c.all)
+    } finally q.stop()
+    // a timestamp beyond every commit: nothing until a NEW commit
+    val c2 = new Collector
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp",
+        (System.currentTimeMillis() + 3600000L).toString).load(root)
+      .writeStream.foreachBatch(c2.sink _).start()
+    try {
+      q2.processAllAvailable()
+      assert(c2.all.isEmpty, c2.all)
+      VersionedTable.commitAppend(Seq((9L, 9L)).toDF("k", "v"), root)
+      q2.processAllAvailable()
+      assert(c2.all.toSet == Set((9L, 9L)), c2.all)
+    } finally q2.stop()
+    // both options together are refused
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingTimestamp", "0")
+        .option("startingVersion", "1").load(root)
+        .writeStream.foreachBatch(c.sink _).start()
+    }
+  }
+
   test("Trigger.AvailableNow drains the whole backlog under " +
       "maxVersionsPerTrigger pacing, then stops on its own") {
     val root = freshRoot("availnow")

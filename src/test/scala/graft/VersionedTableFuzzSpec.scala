@@ -51,7 +51,7 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
       def latest = live.max
 
       for (step <- 1 to 30) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(13) match {
           case 0 => // rewrite commit
             val rows = fresh(rnd.nextInt(15) + 1)
             val v = VersionedTable.commit(df(rows), root)
@@ -120,7 +120,50 @@ class VersionedTableFuzzSpec extends AnyFunSuite {
               else VersionedTable.commitAppendRetry(df(delta), root)
             model(v) = model(v - 1) ++ delta
             live += v
+          case 10 => // MERGE-ON-READ upsert: one atomic commit of
+            // delta dir + blind delete sidecar — model identical to
+            // the CoW upsert's
+            val cur = model(latest)
+            val updKeys = rnd.shuffle(cur.map(_._1).distinct)
+              .take(rnd.nextInt(4))
+            val upd = updKeys.map(k => (k, 888L)) ++ fresh(2)
+            val v = VersionedTable.upsertMor(spark, root, df(upd),
+              Seq("k"))
+            model(v) = model(v - 1).filterNot(r =>
+              upd.map(_._1).contains(r._1)) ++ upd
+            live += v
+          case 11 => // full MERGE (CoW, optimistic retry): delete /
+            // update / insert branches from one source batch
+            val cur = model(latest).map(_._1).distinct
+            val shuffled = rnd.shuffle(cur)
+            val delKeys = shuffled.take(rnd.nextInt(3))
+            val updKeys = shuffled.drop(delKeys.size)
+              .take(rnd.nextInt(3))
+            val ins = fresh(1)
+            val src = delKeys.map(k => (k, 0L, "d")) ++
+              updKeys.map(k => (k, 555L, "u")) ++
+              ins.map { case (k, x) => (k, x, "i") }
+            val v = VersionedTable.merge(spark, root,
+              src.toDF("k", "v", "op"), Seq("k"),
+              deleteIf = Some(col("op") === "d"))
+            model(v) = model(v - 1)
+              .filterNot(r => delKeys.contains(r._1))
+              .filterNot(r => updKeys.contains(r._1)) ++
+              updKeys.map(k => (k, 555L)) ++ ins
+            live += v
+          case 12 => // SQL-shaped UPDATE: assignment over a residue
+            val m = rnd.nextInt(5) + 2
+            val v = VersionedTable.updateWhere(spark, root,
+              Seq("v" -> lit(444L)), Some(col("k") % m === 0))
+            model(v) = model(v - 1).map(r =>
+              if (r._1 % m == 0) (r._1, 444L) else r)
+            live += v
         }
+        // footer-metadata COUNT(*) (or its MoR fallback) always
+        // equals the model's cardinality
+        assert(VersionedTable.fastCount(spark, root, latest) ==
+          model(latest).size,
+          s"seed $seed step $step: fastCount diverged")
         // latest snapshot always equals the model
         val got = readRows(root, latest).sorted
         assert(got == model(latest).sorted,
