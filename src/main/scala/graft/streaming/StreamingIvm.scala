@@ -518,6 +518,50 @@ object StreamingIvm {
     * the mirror must equal the source's logical content — which is
     * what the oracle pins.
     */
+  /** A reusable CDF APPLIER for `foreachBatch` over a
+    * `readChangeFeed` stream: applies each source version's slice to
+    * the mirror in commit order — delete keys FIRST, then inserts
+    * (the documented within-version order; an upsertMor commit
+    * carries both, and applying inserts first would erase them with
+    * their own version's blind delete keys). Exactly-once under
+    * at-least-once replay: every applied half is gated on the
+    * mirror's committed-tag ledger (`cdf-del-<v>` / `cdf-ins-<v>`),
+    * seeded once from the manifests and maintained in the closure —
+    * the ingestSink idempotence shape. A crash between a version's
+    * delete and insert halves re-applies only the missing half.
+    */
+  private[graft] def cdfApplier(spark: SparkSession, dstRoot: String,
+      keyCols: Seq[String]): (DataFrame, Long) => Unit = {
+    var applied: Set[String] = null
+    (batch: DataFrame, _: Long) => {
+      if (applied == null)
+        applied = VersionedTable.committedTags(spark, dstRoot)
+      batch.persist()
+      try {
+        val versions = batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val slice = batch.where(col("_commit_version") === v)
+          val dels = slice.where(col("_change_type") === "delete")
+            .select(keyCols.map(col): _*)
+          val ins = slice.where(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val delTag = s"cdf-del-$v"
+          val insTag = s"cdf-ins-$v"
+          if (!applied(delTag) && !dels.isEmpty) {
+            VersionedTable.deleteKeysMor(spark, dstRoot, dels,
+              tag = delTag)
+            applied += delTag
+          }
+          if (!applied(insTag) && !ins.isEmpty) {
+            VersionedTable.commitAppend(ins, dstRoot, tag = insTag)
+            applied += insTag
+          }
+        }
+      } finally { batch.unpersist(); () }
+    }
+  }
+
   def runStreamCdfReplicate(spark: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val srcRoot = s"${graft.config.Scratch.runDir}/cdf_src_$tag"
@@ -534,34 +578,7 @@ object StreamingIvm {
     // on the mirror's committed-tag ledger (seeded once, maintained
     // in the closure), the same idempotence shape as ingestSink's
     // high-water mark
-    var applied: Set[String] = null
-    val applyFeed: (DataFrame, Long) => Unit = (batch, _) => {
-      if (applied == null)
-        applied = VersionedTable.committedTags(spark, dstRoot)
-      batch.persist()
-      try {
-        val versions = batch.select(col("_commit_version")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        versions.foreach { v =>
-          val slice = batch.where(col("_commit_version") === v)
-          val dels = slice.where(col("_change_type") === "delete")
-            .select(col("o_orderkey"))
-          // a version is ONE commit: either an append or an erasure
-          val tagV =
-            if (!dels.isEmpty) s"cdf-del-$v" else s"cdf-ins-$v"
-          if (!applied(tagV)) {
-            if (!dels.isEmpty)
-              VersionedTable.deleteKeysMor(spark, dstRoot, dels,
-                tag = tagV)
-            else VersionedTable.commitAppend(
-              slice.where(col("_change_type") === "insert")
-                .drop("_change_type", "_commit_version"),
-              dstRoot, tag = tagV)
-            applied += tagV
-          }
-        }
-      } finally { batch.unpersist(); () }
-    }
+    val applyFeed = cdfApplier(spark, dstRoot, Seq("o_orderkey"))
     val q = spark.readStream.format("graft")
       .option("readChangeFeed", "true").load(srcRoot)
       .writeStream.foreachBatch(applyFeed).start()

@@ -350,6 +350,36 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, root).size == 1)
   }
 
+  test("CDF replication applies a MIXED upsertMor version correctly: " +
+      "deletes before inserts within the version, mirror equals the " +
+      "source's logical content") {
+    val src = freshRoot("cdfmix_src")
+    val dst = freshRoot("cdfmix_dst")
+    VersionedTable.commit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), src)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.foreachBatch(
+        graft.streaming.StreamingIvm.cdfApplier(spark, dst,
+          Seq("k"))).start()
+    try {
+      q.processAllAvailable()
+      // ONE mixed commit: update k=2, insert k=9, delete-request k=3
+      // and the absent k=99 through deleteIf
+      VersionedTable.upsertMor(spark, src,
+        Seq((2L, 22L, "u"), (9L, 90L, "i"), (3L, 0L, "d"),
+          (99L, 0L, "d")).toDF("k", "v", "op"),
+        Seq("k"), deleteIf = Some(col("op") === "d"))
+      q.processAllAvailable()
+      val want = Set((1L, 10L), (2L, 22L), (9L, 90L))
+      assert(VersionedTable.read(spark, src).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+      assert(VersionedTable.read(spark, dst).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+        "mirror diverged from source after a mixed CDF version")
+    } finally q.stop()
+  }
+
   test("CDF over a shallow clone: carried pre-clone deletes never " +
       "re-stream, clone-side inserts and deletes tag with the " +
       "clone's own commit versions") {
