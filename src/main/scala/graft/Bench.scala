@@ -122,6 +122,7 @@ object Bench {
       "table_schema_evolution2", "table_evolve_prune", "table_merge",
       "table_clone", "table_sql_read", "table_sql_merge",
       "table_fast_count", "table_upsert_mor", "table_sql_dml",
+      "table_sql_ddl", "table_sql_time_travel",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",
@@ -139,7 +140,7 @@ object Bench {
       "event_transitions", "embed_outliers", "table_append_race",
       "stream_table_ingest", "stream_gdpr_erasure",
       "stream_erase_reingest", "stream_dedup_ingest",
-      "stream_from_table", "stream_cdf_replicate",
+      "stream_from_table", "stream_cdf_replicate", "stream_scd2",
       "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "bigram_logprob", "vocab_coverage",
@@ -189,7 +190,41 @@ object Bench {
           }
         }
       }
-    val flagged = smoke.collect { case (k, b, s) if s / b >= 10.0 =>
+    // Confirm-before-flag (VERDICT r13 #1): a >=10x first-pass ratio
+    // can be pure box noise — the r13 artifact of record carried
+    // dsir_select at 14.08 while three same-HEAD re-measurements said
+    // 1.5-1.9. A flag is an artifact-of-record claim, so it must be
+    // SELF-adjudicated before it is emitted: any candidate re-runs its
+    // interleaved (base, sf1) pairs in ISOLATION at the end of the
+    // sweep (no heavy neighbors sharing the JVM mid-measurement,
+    // extra reps), and only a CONFIRMING second measurement flags.
+    // Both ratios land in the JSON, so the artifact carries its own
+    // adjudication evidence either way.
+    val confirm: Map[String, Double] = smoke
+      .collect { case (k, b, s) if s / b >= 10.0 => k }
+      .flatMap { name =>
+        allQueries.get(name).flatMap { fn =>
+          try {
+            fn(spark, sfDir).count() // untimed warm-up pair
+            fn(spark, sf1Dir).count()
+            val pairs = Seq.fill(math.max(reps, 5)) {
+              val b = time(fn(spark, sfDir).count())
+              val s = time(fn(spark, sf1Dir).count())
+              (b, s)
+            }
+            Some(name ->
+              (median(pairs.map(_._2)) / median(pairs.map(_._1))))
+          } catch { case e: Throwable =>
+            // an unmeasurable confirmation keeps the flag: a query
+            // that crashes its re-run must not read as exonerated
+            System.err.println(s"[bench] confirm $name FAILED: $e")
+            Some(name -> Double.PositiveInfinity)
+          }
+        }
+      }.toMap
+    val flagged = smoke.collect {
+      case (k, b, s) if s / b >= 10.0 &&
+        confirm.getOrElse(k, Double.PositiveInfinity) >= 10.0 =>
       "\"" + k + "\""
     }.mkString("[", ",", "]")
     val sf1Section =
@@ -197,8 +232,14 @@ object Bench {
       else {
         val entries = smoke.map { case (k, b, s) =>
           val r = math.round(s / b * 100) / 100.0
+          val conf = confirm.get(k).map { c =>
+            val cr =
+              if (c.isInfinity) "\"unmeasurable\""
+              else (math.round(c * 100) / 100.0).toString
+            s""","confirm_ratio":$cr"""
+          }.getOrElse("")
           "\"" + k + "\":{\"sec\":" + s + ",\"base_sec\":" + b +
-            ",\"x10_ratio\":" + r + "}"
+            ",\"x10_ratio\":" + r + conf + "}"
         }.mkString("{", ",", "}")
         s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"queries":$entries,"flagged":$flagged}"""
       }

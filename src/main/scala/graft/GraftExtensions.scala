@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(
       org.apache.spark.sql.graft.GraftMergeRule(_))
+    // ALTER TABLE + time travel cannot ride a resolution rule
+    // (ResolveSessionCatalog throws on the V1 node earlier in the
+    // same batch) — they rewrite at PARSE time instead; every
+    // non-graft statement passes through the delegate byte-identical
+    ext.injectParser((session, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(session, delegate))
   }
 }

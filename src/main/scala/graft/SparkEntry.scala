@@ -354,10 +354,25 @@ object SparkEntry {
     StructField("column_name", StringType, nullable = false),
     StructField("inferred_type", StringType, nullable = false)))
 
-  private def typeinferQuery(s: SparkSession, df: DataFrame): DataFrame = {
-    val inf = TypeInference.infer(stringified(df))
-    val rows = inf.toSeq.sortBy(_._1).map { case (c, t) => Row(c, t.label) }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), inferSchema)
+  /** `shareScan` materializes the all-string projection ONCE (plain
+    * cache with an explicit unpersist — inference is eager, so the
+    * lifecycle is this call): the date-format cascade makes several
+    * aggregation passes, and without sharing each pass re-derives the
+    * full stringified scan — schema_drift pays that twice over two
+    * snapshots (VERDICT r13 #6). Identical results either way; the
+    * flag only trades one cached materialization for N rescans, so
+    * callers whose input is a cheap raw table scan can skip it.
+    */
+  private def typeinferQuery(s: SparkSession, df: DataFrame,
+      shareScan: Boolean = false): DataFrame = {
+    val src =
+      if (shareScan) stringified(df).persist() else stringified(df)
+    try {
+      val inf = TypeInference.infer(src)
+      val rows = inf.toSeq.sortBy(_._1).map { case (c, t) =>
+        Row(c, t.label) }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), inferSchema)
+    } finally { if (shareScan) { src.unpersist(false); () } }
   }
 
   /** Oracle mirroring the inference decision on clean data: numeric if
@@ -3827,6 +3842,74 @@ object SparkEntry {
       // result is read lazily by the caller, never via the driver
       s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
     }),
+    // SQL schema-evolution parity (VERDICT r13 #2): the
+    // table_schema_evolution2 lifecycle driven END-TO-END through
+    // ALTER TABLE statements — RENAME COLUMN / ALTER COLUMN TYPE /
+    // DROP COLUMN / ADD COLUMN rewrite at parse time onto the
+    // metadata-only evolution verbs, the post-evolution rows land via
+    // INSERT INTO — same oracle as the API-driven twin.
+    "table_sql_ddl" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlddl_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey").cast("int"),
+            col("o_totalprice"), col("o_orderstatus")),
+        root, tag = "base")
+      val t = s"graft_sqlddl_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      s.sql(s"ALTER TABLE $t RENAME COLUMN o_orderstatus TO status")
+      s.sql(s"ALTER TABLE $t ALTER COLUMN o_custkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $t DROP COLUMN o_totalprice")
+      s.sql(s"ALTER TABLE $t ADD COLUMN priority STRING")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .createOrReplaceTempView(s"${t}_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM ${t}_src").collect()
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+    // SQL time travel (VERDICT r13 #3): VERSION AS OF <id>,
+    // VERSION AS OF '<named ref>', and TIMESTAMP AS OF <instant> all
+    // bind pinned snapshot reads in one statement next to the
+    // head-tracking read — erasure replay through pure SQL. The
+    // strict-separation busy-wait makes the TIMESTAMP branch
+    // deterministic (two commits can otherwise share a millisecond).
+    "table_sql_time_travel" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqltt_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      val t0 = graft.sources.VersionedTable.commitTimeMs(s, root, 0L)
+      while (System.currentTimeMillis() <= t0) Thread.sleep(1)
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      graft.sources.VersionedTable.createRef(s, root, "pre_erase", 1L)
+      graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+        tag = "erase")
+      val t = s"graft_sqltt_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      def agg(snap: String, from: String) =
+        s"SELECT '$snap' AS snap, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+          s"AS sum_price FROM $from"
+      s.sql(Seq(
+        agg("head", t),
+        agg("pre_erase", s"$t VERSION AS OF 'pre_erase'"),
+        agg("ts0", s"$t TIMESTAMP AS OF $t0"),
+        agg("v0", s"$t VERSION AS OF 0"))
+        .mkString("", " UNION ALL ", " ORDER BY snap"))
+    }),
     // Metadata-time COUNT(*): parquet footers carry per-file row
     // counts, so a delete-free snapshot counts in a footer-only job
     // (zero data pages — the aggregate-pushdown answer at 100 TB);
@@ -4263,9 +4346,12 @@ object SparkEntry {
         .withColumn("o_flag",
           when(col("o_orderkey") % 2 === 0, lit("Y"))
             .otherwise(lit("N")))
-      val a = typeinferQuery(s, o)
+      // both snapshots run the full date cascade: share each side's
+      // stringified scan across its aggregation passes (r13 #6 — the
+      // drift query was re-deriving the projected scans per pass)
+      val a = typeinferQuery(s, o, shareScan = true)
         .select(col("column_name"), col("inferred_type").as("old_type"))
-      val b = typeinferQuery(s, nw)
+      val b = typeinferQuery(s, nw, shareScan = true)
         .select(col("column_name").as("cn"),
           col("inferred_type").as("new_type"))
       a.join(b, a("column_name") === b("cn"), "full_outer")
@@ -5442,6 +5528,13 @@ object SparkEntry {
     // mirror must equal the source's logical content
     "stream_cdf_replicate" -> ((s, dir) =>
       graft.streaming.StreamingIvm.runStreamCdfReplicate(s, dir)),
+    // streaming CDF → SCD2 (the medallion bronze→silver dimension
+    // fold): the silver history tails the bronze table's change feed
+    // through the incremental scd2Merge, one rewrite per source
+    // commit, idempotent per _commit_version — and must equal the
+    // one-shot batch scd2 over the whole log (scd2_history's oracle)
+    "stream_scd2" -> ((s, dir) =>
+      graft.streaming.StreamingIvm.runStreamScd2(s, dir)),
     // table-to-table streaming: a graft table READ AS A STREAM
     // (version-id offsets, per-version delta reads) tails into a
     // second graft table through the exactly-once ingest sink — the
@@ -5605,6 +5698,17 @@ object SparkEntry {
       "summary_lineitem_onepass" -> ((s, dir) =>
         Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
           .orderBy("column_name")))
+
+  /** The oracle-backed contract query that pins a bench-only query's
+    * accuracy — recorded into the verify artifact (bench_only.json)
+    * so the CORRECTNESS-vs-BENCH registry gap self-explains.
+    */
+  def contractTwinOf(benchOnly: String): String = benchOnly match {
+    case "summary_lineitem_approx" => "summary_approx_contract"
+    case "summary_lineitem_onepass" => "summary_onepass_contract"
+    case other => sys.error(s"bench-only query $other has no " +
+      "registered contract twin — register one before benching it")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -6454,6 +6558,35 @@ object SparkEntry {
         "SELECT 'after_delete' AS phase, COUNT(*) AS cnt FROM orders " +
         "WHERE o_orderkey % 5 <> 0 " +
         "UNION ALL SELECT 'all', COUNT(*) FROM orders) ORDER BY phase"),
+    // the SQL-ALTER-driven evolution commits the same lifecycle as
+    // the API-driven table_schema_evolution2 — same oracle
+    "table_sql_ddl" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, " +
+        "o_orderstatus AS status, CAST(NULL AS VARCHAR) AS priority " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, " +
+        "o_orderstatus AS status, o_orderpriority AS priority " +
+        "FROM orders WHERE o_orderkey % 2 = 1) " +
+        "ORDER BY o_orderkey"),
+    // VERSION AS OF <id> / <'ref'> and TIMESTAMP AS OF replay the
+    // table's history: v0 and the timestamp bind the even half, the
+    // pre-erase ref the full set, the head the post-erasure content
+    "table_sql_time_travel" ->
+      ("SELECT * FROM (" +
+        "SELECT 'head' AS snap, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders WHERE o_orderkey % 6 <> 0 " +
+        "UNION ALL SELECT 'pre_erase', COUNT(*), " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM orders " +
+        "UNION ALL SELECT 'ts0', COUNT(*), " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT 'v0', COUNT(*), " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM orders WHERE o_orderkey % 2 = 0) ORDER BY snap"),
     // the SQL-driven merge commits the same CDC fold — same oracle
     "table_sql_merge" ->
       ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
@@ -7216,6 +7349,9 @@ object SparkEntry {
     "stream_cdf_replicate" ->
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey % 6 <> 0 ORDER BY o_orderkey"),
+    // the streaming CDF→SCD2 fold equals the batch rebuild over the
+    // whole raw log, whatever the commit/micro-batch boundaries
+    "stream_scd2" -> scd2HistoryOracle,
     // whatever the micro-batch boundaries, tailing the source table
     // into the sink lands the whole log exactly once
     "stream_from_table" ->

@@ -66,6 +66,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-explaining artifact (VERDICT r13 #8): the bench registry is
+    // |queries| + |benchOnlyQueries|, so CORRECTNESS_r*.json rows come
+    // up short of BENCH's n_registered by exactly the bench-only set.
+    // Record that set — each entry names the oracle-backed CONTRACT
+    // twin that pins its semantics — so the reconciliation reads off
+    // the artifacts alone, no source dive needed.
+    val benchOnly = SparkEntry.benchOnlyQueries.keys.toSeq.sorted
+      .map(k => s"${q(k)}: ${q("contract-twin: " +
+        SparkEntry.contractTwinOf(k))}").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bench_only.json"), benchOnly)
     spark.stop()
   }
 }

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.StructType
 class GraftDataSource extends RelationProvider
     with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with DataSourceRegister with org.apache.spark.internal.Logging {
 
   override def shortName(): String = "graft"
 
@@ -44,20 +44,44 @@ class GraftDataSource extends RelationProvider
     * with no committed version yet: commit an EMPTY v0 carrying the
     * declared schema (one zero-row parquet + manifest — the table
     * exists, INSERTs append onto it). On an existing table the
-    * declared schema is advisory; the manifest remains the source of
-    * truth (the standard external-table rule).
+    * manifest remains the source of truth (the standard
+    * external-table rule); a declared schema that CONTRADICTS it only
+    * WARNS here, because this same entry point serves the session
+    * catalog replaying its STORED schema at every resolution — which
+    * legitimately lags the manifest when the table evolved through
+    * the API without a SQL ALTER. The genuine-DDL case (a user-typed
+    * column list in a CREATE statement) fails loudly in
+    * [[org.apache.spark.sql.graft.GraftSqlParser]], the one place
+    * that can tell the two apart (round-13 advice).
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String],
       schema: StructType): BaseRelation = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
-    if (VersionedTable.latestVersion(spark, root).isEmpty) {
-      VersionedTable.commit(
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-        root, tag = "create-table")
-      ()
+    VersionedTable.latestVersion(spark, root) match {
+      case None =>
+        VersionedTable.commit(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+          root, tag = "create-table")
+        ()
+      case Some(v) =>
+        // name->type comparison, case-insensitive and
+        // nullability-insensitive (DDL and manifest legitimately
+        // disagree on nullable)
+        def shape(s: StructType): Map[String, String] =
+          s.fields.map(f =>
+            f.name.toLowerCase -> f.dataType.simpleString).toMap
+        val declared = shape(schema)
+        val actual = shape(VersionedTable.snapshotSchema(spark, root, v))
+        if (declared != actual)
+          logWarning(
+            s"declared schema for the graft table at $root does not " +
+              s"match the manifest (declared ${declared.toSeq.sorted
+                .mkString(", ")} vs manifest ${actual.toSeq.sorted
+                .mkString(", ")}) — the manifest wins; run SQL ALTER " +
+              "TABLE (or re-create the catalog entry) to re-sync")
     }
     createRelation(sqlContext, parameters)
   }
@@ -213,7 +237,8 @@ class GraftDataSource extends RelationProvider
   */
 case class GraftRelation(sqlContext: SQLContext, root: String,
     pinnedVersion: Option[Long]) extends BaseRelation
-    with PrunedFilteredScan with InsertableRelation {
+    with PrunedFilteredScan with InsertableRelation
+    with org.apache.spark.internal.Logging {
 
   private def spark = sqlContext.sparkSession
 
@@ -257,9 +282,21 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
   // relation cached by the catalog must declare the types the
   // scan-time head actually emits (a post-widen INT declaration over
   // LONG InternalRows with needConversion=false would be type
-  // corruption, not an error)
-  override def schema: StructType =
-    VersionedTable.snapshotSchema(spark, root, version)
+  // corruption, not an error). The (version, schema) pair LATCHES so
+  // buildScan can detect a schema-changing commit landing between
+  // this statement's analysis and its execution (round-13 advice) —
+  // see the drift check there.
+  @volatile private var latched: Option[(Long, StructType)] = None
+  override def schema: StructType = {
+    val v = version
+    latched match {
+      case Some((cv, s)) if cv == v => s
+      case _ =>
+        val s = VersionedTable.snapshotSchema(spark, root, v)
+        latched = Some((v, s))
+        s
+    }
+  }
 
   // BaseRelation's default is spark.sql.defaultSizeInBytes
   // (Long.MaxValue): any SQL join against a graft table would treat
@@ -336,11 +373,34 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // head-tracking drift check: a commit landing between this
+    // statement's analysis and its execution moves `version`, and
+    // with needConversion=false a scan whose snapshot SCHEMA differs
+    // from the one the relation declared would hand Spark
+    // InternalRows of the wrong physical types — silent corruption,
+    // not an error. When the head's schema still equals the declared
+    // one (the overwhelmingly common case: plain appends/deletes),
+    // the scan binds to the head as before; on schema drift it binds
+    // to the LATCHED snapshot the declared schema came from —
+    // snapshot-isolation semantics for the in-flight statement.
+    // (Residual, documented: two statements racing analysis on ONE
+    // cached relation across a schema change can still cross-latch;
+    // pin with versionAsOf for fully repeatable reads.)
+    val head = version
+    val bound = latched match {
+      case Some((lv, ls)) if lv != head &&
+          VersionedTable.snapshotSchema(spark, root, head) != ls =>
+        logWarning(s"graft table $root changed schema between " +
+          s"analysis (v$lv) and execution (v$head); scanning v$lv " +
+          "to match the declared output — re-run to see the new head")
+        lv
+      case _ => head
+    }
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
     val base = pred match {
       case Some(p) =>
-        VersionedTable.readWhereVersion(spark, root, version, p)
-      case None => VersionedTable.readVersion(spark, root, version)
+        VersionedTable.readWhereVersion(spark, root, bound, p)
+      case None => VersionedTable.readVersion(spark, root, bound)
     }
     // column pruning: the projection lands inside the inner plan, so
     // Catalyst narrows the parquet ReadSchema as usual; an empty

@@ -1087,6 +1087,19 @@ object VersionedTable {
         case None => newDels
         case Some(live) =>
           val byName = live.map(f => f.name -> f).toMap
+          // same lossless-cast rule as appends: a delete-key batch
+          // whose key column is WIDER than the table's (LONG into
+          // INT) would wrap under the blind cast and erase the wrong
+          // keys — fail loudly instead (round-13 advice)
+          newDels.schema.fields.foreach { sf =>
+            byName.get(sf.name).foreach { f =>
+              require(canWiden(sf.dataType, f.dtype),
+                s"delete key ${sf.name}: source type " +
+                  s"${sf.dataType.simpleString} does not losslessly " +
+                  s"cast to the table's ${f.dtype.simpleString} — a " +
+                  "wrapped key would erase the wrong rows")
+            }
+          }
           newDels.select(newDels.columns.toIndexedSeq.map { c =>
             byName.get(c) match {
               case Some(f) => col(c).cast(f.dtype).as(f.physical)
@@ -1154,17 +1167,16 @@ object VersionedTable {
     */
   def compactDeletes(spark: SparkSession, root: String,
       tag: String = "mor-compact",
-      targetBytes: Long = 128L << 20): Long = {
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    val prior @ (priorNum, priorStr) = priorStatsCols(spark, root, v)
-    if (priorNum.size >= 2)
-      compactZOrder(spark, root, priorNum, targetBytes, tag)
-    else if (priorNum.nonEmpty || priorStr.nonEmpty)
-      compactSortedResolved(spark, root, v,
-        (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
-    else commit(read(spark, root), root, tag, dataChange = false)
-  }
+      targetBytes: Long = 128L << 20): Long =
+    maintenanceRetry(spark, root) { v =>
+      val prior @ (priorNum, priorStr) = priorStatsCols(spark, root, v)
+      if (priorNum.size >= 2)
+        compactZOrderAt(spark, root, v, priorNum, targetBytes, tag)
+      else if (priorNum.nonEmpty || priorStr.nonEmpty)
+        compactSortedResolved(spark, root, v,
+          (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
+      else commitPinned(readVersion(spark, root, v), root, tag, v)
+    }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
     * schemas across its data directories — columns a pre-evolution
@@ -1352,6 +1364,19 @@ object VersionedTable {
         case None => newKeys
         case Some(live) =>
           val byName = live.map(f => f.name -> f).toMap
+          // delete-routed rows never pass physicalizeDelta's lossless
+          // cast (they carry only their key into the sidecar), so the
+          // key cast must validate here: a LONG key wrapped into an
+          // INT sidecar column would silently erase the WRONG rows
+          newKeys.schema.fields.foreach { sf =>
+            byName.get(sf.name).foreach { f =>
+              require(canWiden(sf.dataType, f.dtype),
+                s"upsertMor key ${sf.name}: source type " +
+                  s"${sf.dataType.simpleString} does not losslessly " +
+                  s"cast to the table's ${f.dtype.simpleString} — a " +
+                  "wrapped key would erase the wrong rows")
+            }
+          }
           newKeys.select(newKeys.columns.toIndexedSeq.map { c =>
             byName.get(c) match {
               case Some(f) => col(c).cast(f.dtype).as(f.physical)
@@ -1454,6 +1479,99 @@ object VersionedTable {
     }
     sys.error(s"rewrite commit lost the publish race $maxAttempts " +
       s"times at $root (concurrent data changes on every attempt)")
+  }
+
+  /** Optimistic retry for CONTENT-NEUTRAL rewrites (the compaction
+    * family): the body plans from the pinned `baseV` it receives and
+    * must publish at exactly baseV+1 (via [[commitPinned]]); losing
+    * that claim to ANY concurrent commit throws FileAlreadyExists and
+    * the body replans from the new head. Before round 14 the
+    * compaction paths committed at whatever `latestVersion + 1` was
+    * at commit time — an append landing between a compaction's plan
+    * and its publish was silently REPLACED by the pre-append content
+    * (lost update). Pinning turns that window into a loud, retried
+    * conflict — the Delta OPTIMIZE conflict rule.
+    */
+  private def maintenanceRetry[T](spark: SparkSession, root: String,
+      maxAttempts: Int = 10)(body: Long => T): T = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val baseV = latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed version at $root"))
+      try return body(baseV)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
+    }
+    sys.error(s"compaction lost the publish race $maxAttempts times " +
+      s"at $root (concurrent commits on every attempt)")
+  }
+
+  /** Rewrite commit PINNED to the base snapshot it was planned from:
+    * publishes at exactly `baseV + 1` (no head re-resolution), so a
+    * concurrent commit makes the manifest claim fail loudly instead
+    * of silently dropping the interleaved data change. Data writes
+    * into a collision-free directory (never `v<next>`, which a racing
+    * plain commit would also write). Stats, when requested, stage
+    * into a tmp dir and rename into place only AFTER the publish —
+    * a lost race must not leave a version-named sidecar behind for
+    * whoever legitimately takes that version id (a crash between
+    * publish and rename just leaves the new version conservatively
+    * sidecar-less, the carrySidecars guarantee). Always
+    * dataChange=false: this is the maintenance path.
+    */
+  private def commitPinned(df: DataFrame, root: String, tag: String,
+      baseV: Long, statsCols: Seq[String] = Nil,
+      stringStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val spark = df.sparkSession
+    val next = baseV + 1
+    val fieldsS = rebaseline(df, resolveFields(spark, root, baseV))
+    val dirName =
+      "a" + java.util.UUID.randomUUID().toString.replace("-", "")
+    writeIntent(spark, root, dirName)
+    df.write.mode("overwrite").parquet(s"$root/$dirName")
+    val statsTmp =
+      if (statsCols.isEmpty && stringStatsCols.isEmpty) None
+      else {
+        val written = spark.read.parquet(s"$root/$dirName")
+        val aggs = statsCols.flatMap { c =>
+          Seq(min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c"))
+        } ++ stringStatsCols.flatMap { c =>
+          Seq(min(col(c).cast("string")).as(s"smn_$c"),
+            max(col(c).cast("string")).as(s"smx_$c"))
+        }
+        val tmp = s"$root/_graft_tmpcarry_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        written.groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1).write.parquet(tmp)
+        Some(tmp)
+      }
+    try {
+      publish(spark, root, next, tag, dirs = Seq(dirName),
+        dirSeqs = Seq(next), fields = fieldsS, dataChange = false)
+    } catch {
+      case e: Throwable =>
+        val f = fs(spark, root)
+        statsTmp.foreach(t => f.delete(new Path(t), true))
+        // the parked data dir keeps its intent marker; vacuum reclaims
+        throw e
+    }
+    statsTmp.foreach { t =>
+      val f = fs(spark, root)
+      val dst = new Path(statsDir(root, next))
+      // a crashed pre-round-14 writer could have left a version-named
+      // orphan here; OUR claim on `next` succeeded, so it describes
+      // nothing — replace it
+      if (f.exists(dst)) f.delete(dst, true)
+      if (!f.rename(new Path(t), dst)) { f.delete(new Path(t), true); () }
+    }
+    clearIntent(spark, root, dirName)
+    next
   }
 
   /** `MERGE INTO` — the three-branch writer verb every Delta/Iceberg
@@ -2685,13 +2803,17 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L << 20, tag: String = ""): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    val bytes = dataBytes(spark, root, v)
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    // a compaction preserves logical content: streams rebase, not fail
-    commit(readVersion(spark, root, v).repartition(nFiles), root,
-      if (tag.nonEmpty) tag else s"compact-v$v", dataChange = false)
+    // a compaction preserves logical content: streams rebase, not
+    // fail — and the commit is PINNED to the planned base so a
+    // concurrent data change conflicts loudly and replans, never
+    // silently vanishes under the rewrite (maintenanceRetry)
+    maintenanceRetry(spark, root) { v =>
+      val bytes = dataBytes(spark, root, v)
+      val nFiles =
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      commitPinned(readVersion(spark, root, v).repartition(nFiles),
+        root, if (tag.nonEmpty) tag else s"compact-v$v", v)
+    }
   }
 
   /** CLUSTERING-preserving OPTIMIZE: [[compact]]'s round-robin
@@ -2709,12 +2831,11 @@ object VersionedTable {
     */
   def compactSorted(spark: SparkSession, root: String,
       sortCols: Seq[String], targetBytes: Long = 128L << 20,
-      tag: String = ""): Long = {
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
-    compactSortedResolved(spark, root, v, sortCols, targetBytes, tag,
-      priorStatsCols(spark, root, v))
-  }
+      tag: String = ""): Long =
+    maintenanceRetry(spark, root) { v =>
+      compactSortedResolved(spark, root, v, sortCols, targetBytes, tag,
+        priorStatsCols(spark, root, v))
+    }
 
   private def compactSortedResolved(spark: SparkSession, root: String,
       v: Long, sortCols: Seq[String], targetBytes: Long, tag: String,
@@ -2739,11 +2860,10 @@ object VersionedTable {
         (f.dataType == org.apache.spark.sql.types.StringType)).toMap
     val (sortStr, sortNum) =
       sortCols.partition(c => isStringCol.getOrElse(c, false))
-    commitWithStats(sorted, root,
+    commitPinned(sorted, root,
+      if (tag.nonEmpty) tag else s"compact-sorted-v$v", v,
       statsCols = (sortNum ++ priorNum).distinct,
-      tag = if (tag.nonEmpty) tag else s"compact-sorted-v$v",
-      stringStatsCols = (sortStr ++ priorStr).distinct,
-      dataChange = false)
+      stringStatsCols = (sortStr ++ priorStr).distinct)
   }
 
   /** OPTIMIZE policy hook for continuous writers: bin-pack ONLY when
@@ -2762,7 +2882,10 @@ object VersionedTable {
       maxFiles: Int = 64, targetBytes: Long = 128L << 20,
       tag: String = ""): Option[Long] = {
     require(maxFiles >= 1, s"maxFiles must be positive: $maxFiles")
-    latestVersion(spark, root).flatMap { v =>
+    if (latestVersion(spark, root).isEmpty) None
+    else maintenanceRetry(spark, root) { v =>
+      // fragmentation re-checked per attempt: the head this attempt
+      // pins may have been compacted/extended by someone else
       if (dataFileCount(spark, root, v) <= maxFiles) None
       else {
         val prior @ (priorNum, priorStr) = priorStatsCols(spark, root, v)
@@ -2774,13 +2897,21 @@ object VersionedTable {
         // span); one covered column re-sorts lexicographically; no
         // sidecar at all bin-packs round-robin
         if (priorNum.size >= 2)
-          Some(compactZOrder(spark, root, priorNum, targetBytes, tag))
+          Some(compactZOrderAt(spark, root, v, priorNum, targetBytes,
+            tag))
         else {
           val sortCols = (priorNum ++ priorStr).distinct
           if (sortCols.nonEmpty)
             Some(compactSortedResolved(spark, root, v, sortCols,
               targetBytes, tag, prior))
-          else Some(compact(spark, root, targetBytes, tag))
+          else {
+            val bytes = dataBytes(spark, root, v)
+            val nFiles = math.max(1L,
+              (bytes + targetBytes - 1) / targetBytes).toInt
+            Some(commitPinned(
+              readVersion(spark, root, v).repartition(nFiles),
+              root, if (tag.nonEmpty) tag else s"compact-v$v", v))
+          }
         }
       }
     }
@@ -2801,12 +2932,21 @@ object VersionedTable {
   def compactZOrder(spark: SparkSession, root: String,
       dimCols: Seq[String], targetBytes: Long = 128L << 20,
       tag: String = ""): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
     require(dimCols.size >= 2,
       s"Z-order needs at least two dimensions: $dimCols")
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no committed version at $root"))
+    maintenanceRetry(spark, root)(v =>
+      compactZOrderAt(spark, root, v, dimCols, targetBytes, tag))
+  }
+
+  /** One pinned-base Z rewrite attempt — shared by [[compactZOrder]]
+    * and [[compactDeletes]] so both retry from the SAME head their
+    * dispatch examined.
+    */
+  private def compactZOrderAt(spark: SparkSession, root: String,
+      v: Long, dimCols: Seq[String], targetBytes: Long,
+      tag: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val cur = readVersion(spark, root, v)
     val bAggs = dimCols.flatMap(c => Seq(min(col(c).cast("double")),
       max(col(c).cast("double"))))
@@ -2821,8 +2961,9 @@ object VersionedTable {
         !(bRow.getDouble(2 * i) < bRow.getDouble(2 * i + 1))
     }
     if (degenerate)
-      return compactSorted(spark, root, dimCols, targetBytes,
-        if (tag.nonEmpty) tag else s"compact-z-v$v")
+      return compactSortedResolved(spark, root, v, dimCols, targetBytes,
+        if (tag.nonEmpty) tag else s"compact-z-v$v",
+        priorStatsCols(spark, root, v))
     val dims = dimCols.zipWithIndex.map { case (c, i) =>
       (col(c), bRow.getDouble(2 * i), bRow.getDouble(2 * i + 1))
     }
@@ -2838,11 +2979,10 @@ object VersionedTable {
     // the prior sidecar covered (numeric and string families both) —
     // a rewrite must never silently shrink data-skipping coverage
     val (priorNum, priorStr) = priorStatsCols(spark, root, v)
-    commitWithStats(packed, root,
+    commitPinned(packed, root,
+      if (tag.nonEmpty) tag else s"compact-z-v$v", v,
       statsCols = (dimCols ++ priorNum).distinct,
-      tag = if (tag.nonEmpty) tag else s"compact-z-v$v",
-      stringStatsCols = priorStr,
-      dataChange = false)
+      stringStatsCols = priorStr)
   }
 
   /** The (numeric, string) stats-column families snapshot `version`'s

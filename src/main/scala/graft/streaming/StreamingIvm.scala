@@ -529,13 +529,30 @@ object StreamingIvm {
     * seeded once from the manifests and maintained in the closure —
     * the ingestSink idempotence shape. A crash between a version's
     * delete and insert halves re-applies only the missing half.
+    *
+    * The tag ledger alone is VACUUM-FRAGILE (round-13 advice): once a
+    * retention sweep expires the mirror manifests carrying a
+    * version's `cdf-*` tags, a replay older than the retention window
+    * would re-apply it. So each half ALSO advances a durable
+    * per-half high-water file (`cdf-del` / `cdf-ins` stream ids —
+    * vacuum never touches ref/hwm files), and the replay gate is
+    * hwm-first: versions at or below the hwm skip without consulting
+    * tags at all. Tags still cover the one half a crash can
+    * interleave between its commit and its hwm write.
     */
   private[graft] def cdfApplier(spark: SparkSession, dstRoot: String,
       keyCols: Seq[String]): (DataFrame, Long) => Unit = {
     var applied: Set[String] = null
+    var delHwm = Long.MinValue
+    var insHwm = Long.MinValue
     (batch: DataFrame, _: Long) => {
-      if (applied == null)
+      if (applied == null) {
         applied = VersionedTable.committedTags(spark, dstRoot)
+        delHwm = VersionedTable.readStreamHighWater(spark, dstRoot,
+          "cdf-del").getOrElse(Long.MinValue)
+        insHwm = VersionedTable.readStreamHighWater(spark, dstRoot,
+          "cdf-ins").getOrElse(Long.MinValue)
+      }
       batch.persist()
       try {
         val versions = batch.select(col("_commit_version")).distinct()
@@ -548,14 +565,26 @@ object StreamingIvm {
             .drop("_change_type", "_commit_version")
           val delTag = s"cdf-del-$v"
           val insTag = s"cdf-ins-$v"
-          if (!applied(delTag) && !dels.isEmpty) {
-            VersionedTable.deleteKeysMor(spark, dstRoot, dels,
-              tag = delTag)
-            applied += delTag
+          if (v > delHwm) {
+            if (!applied(delTag) && !dels.isEmpty) {
+              VersionedTable.deleteKeysMor(spark, dstRoot, dels,
+                tag = delTag)
+              applied += delTag
+            }
+            // advanced even for empty halves: the hwm must outlive
+            // tag retention for EVERY replicated version
+            VersionedTable.writeStreamHighWater(spark, dstRoot,
+              "cdf-del", v)
+            delHwm = v
           }
-          if (!applied(insTag) && !ins.isEmpty) {
-            VersionedTable.commitAppend(ins, dstRoot, tag = insTag)
-            applied += insTag
+          if (v > insHwm) {
+            if (!applied(insTag) && !ins.isEmpty) {
+              VersionedTable.commitAppend(ins, dstRoot, tag = insTag)
+              applied += insTag
+            }
+            VersionedTable.writeStreamHighWater(spark, dstRoot,
+              "cdf-ins", v)
+            insHwm = v
           }
         }
       } finally { batch.unpersist(); () }
@@ -592,6 +621,122 @@ object StreamingIvm {
       q.processAllAvailable()
     } finally q.stop()
     VersionedTable.read(spark, dstRoot).orderBy("o_orderkey")
+  }
+
+  /** A reusable CDF → SCD2 applier for `foreachBatch` over a
+    * `readChangeFeed` stream: each source commit's INSERT slice folds
+    * into the silver history through the incremental
+    * [[graft.operators.Cdc.scd2Merge]] (untouched keys pass as a
+    * left-anti join; only touched keys replay), committed as one
+    * rewrite per source version. Exactly-once under at-least-once
+    * replay via the same two-layer gate as [[cdfApplier]]: a durable
+    * per-stream high-water file (outlives tag retention) plus the
+    * committed-tag ledger (`scd2-<v>`) covering the one version a
+    * crash interleaves between commit and hwm write. DELETE slices
+    * fail loudly — SCD2 folds an append-only event log; retracting
+    * history needs a raw-source rebuild, not a silent drop.
+    *
+    * Matches the full batch rebuild whenever source commits partition
+    * event time per key (the time-cut/append ingestion shape) — the
+    * scd2Merge contract, and exactly what the stream_scd2 oracle pins.
+    */
+  private[graft] def scd2Applier(spark: SparkSession, silverRoot: String,
+      keyCol: String, tsCol: String, attrCol: String,
+      tieCols: Seq[String]): (DataFrame, Long) => Unit = {
+    var applied: Set[String] = null
+    var hwm = Long.MinValue
+    (batch: DataFrame, _: Long) => {
+      if (applied == null) {
+        applied = VersionedTable.committedTags(spark, silverRoot)
+        hwm = VersionedTable.readStreamHighWater(spark, silverRoot,
+          "scd2").getOrElse(Long.MinValue)
+      }
+      batch.persist()
+      try {
+        val versions = batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val slice = batch.where(col("_commit_version") === v)
+          if (v > hwm) {
+            val tag = s"scd2-$v"
+            if (!applied(tag)) {
+              require(slice.where(col("_change_type") === "delete")
+                  .isEmpty,
+                "scd2Applier folds an append-only event log — a " +
+                  s"DELETE slice arrived at source version $v; " +
+                  "rebuild the history from the raw source instead")
+              val delta = slice
+                .where(col("_change_type") === "insert")
+                .drop("_change_type", "_commit_version")
+              if (!delta.isEmpty) {
+                val merged = VersionedTable.latestVersion(spark,
+                    silverRoot) match {
+                  case None => graft.operators.Cdc.scd2(delta,
+                    keyCol, tsCol, attrCol, tieCols)
+                  case Some(sv) => graft.operators.Cdc.scd2Merge(
+                    VersionedTable.readVersion(spark, silverRoot, sv),
+                    delta, keyCol, tsCol, attrCol, tieCols)
+                }
+                VersionedTable.commit(merged, silverRoot, tag)
+                applied += tag
+              }
+            }
+            VersionedTable.writeStreamHighWater(spark, silverRoot,
+              "scd2", v)
+            hwm = v
+          }
+        }
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  /** Streaming CDF → SCD2 end-to-end — the lakehouse medallion shape
+    * (bronze event table tails into a silver dimension history): raw
+    * events land on a bronze graft table in three time-cut commits
+    * (one before the stream starts, two WHILE it runs), the silver
+    * side tails bronze's change feed and folds each commit through
+    * [[scd2Applier]]. The silver history must equal the one-shot
+    * batch [[graft.operators.Cdc.scd2]] over the whole log whatever
+    * the micro-batch boundaries — the same oracle as scd2_history,
+    * which is what pins it.
+    */
+  def runStreamScd2(spark: SparkSession, dir: String,
+      cut1: String = "2024-01-11", cut2: String = "2024-01-21")
+      : DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val srcRoot = s"${graft.config.Scratch.runDir}/scd2_src_$tag"
+    val silverRoot = s"${graft.config.Scratch.runDir}/scd2_silver_$tag"
+    VersionedTable.destroy(spark, srcRoot)
+    VersionedTable.destroy(spark, silverRoot)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id"))
+    val t = col("ts").cast("date")
+    VersionedTable.commit(ev.where(t < cut1), srcRoot, tag = "base")
+    val applyFeed = scd2Applier(spark, silverRoot,
+      "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(srcRoot)
+      .writeStream.foreachBatch(applyFeed).start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.commitAppend(
+        ev.where(t >= cut1 && t < cut2), srcRoot, tag = "delta1")
+      q.processAllAvailable()
+      VersionedTable.commitAppend(
+        ev.where(t >= cut2), srcRoot, tag = "delta2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the parquet roundtrip reads timestamps back as TIMESTAMP_NTZ
+    // (session tz pinned UTC — same instants); unix_micros wants TZ
+    VersionedTable.read(spark, silverRoot)
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from").cast("timestamp"))
+          .as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp"))
+          .as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "version")
   }
 
   def runStreamingTableIngest(spark: SparkSession, dir: String,

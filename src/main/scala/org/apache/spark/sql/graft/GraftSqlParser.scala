@@ -1,0 +1,336 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{GraftRelation, VersionedTable}
+
+/** SQL surface for graft SCHEMA EVOLUTION and TIME TRAVEL — the two
+  * statement families stock Spark rejects outright for V1 relations
+  * ("RENAME COLUMN is only supported with v2 tables", "time travel is
+  * not supported"). They cannot ride the resolution-rule path the way
+  * MERGE/UPDATE/DELETE do ([[GraftMergeRule]]): `ResolveSessionCatalog`
+  * sits EARLIER in the same resolution batch and throws on the
+  * resolved V1 node before any injected rule runs. So this wraps the
+  * session PARSER instead (the Delta pattern): the delegate parses
+  * every statement as usual, and the wrapper rewrites exactly the
+  * plan shapes above — and only when the target identifier provably
+  * names a graft table (session-catalog provider `graft`, or a temp
+  * view directly over a [[GraftRelation]]) — onto the engine's own
+  * verbs. Every non-graft statement passes through byte-identical.
+  *
+  * Supported, mapped one-to-one onto `VersionedTable`:
+  *
+  *   ALTER TABLE t RENAME COLUMN a TO b        → renameColumn
+  *   ALTER TABLE t DROP COLUMN [IF EXISTS] a   → dropColumn
+  *   ALTER TABLE t ADD COLUMN a TYPE           → addColumn
+  *   ALTER TABLE t ALTER COLUMN a TYPE wider   → widenColumn
+  *   SELECT … FROM t VERSION AS OF 3           → versionAsOf read
+  *   SELECT … FROM t VERSION AS OF 'ref'       → refAsOf read
+  *   SELECT … FROM t TIMESTAMP AS OF '…'       → newest commit ≤ ts
+  *
+  * Shapes the engine cannot express one-to-one fail LOUDLY at parse
+  * time (nested fields, NOT NULL adds, comments, column positions,
+  * DEFAULT values, nullability/comment/position alters, non-literal
+  * time-travel timestamps): a silent drift from the statement's SQL
+  * meaning would be worse than a clear error naming the API verb.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      parameters: ParameterContext): LogicalPlan =
+    rewrite(delegate.parsePlanWithParameters(sqlText, parameters))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewrite(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(
+      sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(
+      sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(
+      sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(
+      sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  // ---- the rewrite ----
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case r @ RenameColumn(UnresolvedTable(ident, _, _), from, to) =>
+        graftTable(ident).map { case (root, ti) =>
+          GraftAlterCommand(root, ti,
+            Seq(GraftAlterOp.Rename(single(from), to))): LogicalPlan
+        }.getOrElse(r)
+      case d @ DropColumns(UnresolvedTable(ident, _, _), cols,
+          ifExists) =>
+        graftTable(ident).map { case (root, ti) =>
+          GraftAlterCommand(root, ti, cols.map(c =>
+            GraftAlterOp.Drop(single(c), ifExists))): LogicalPlan
+        }.getOrElse(d)
+      case a @ AddColumns(UnresolvedTable(ident, _, _), cols) =>
+        graftTable(ident).map { case (root, ti) =>
+          GraftAlterCommand(root, ti, cols.map(addOp)): LogicalPlan
+        }.getOrElse(a)
+      case a @ AlterColumns(UnresolvedTable(ident, _, _), specs) =>
+        graftTable(ident).map { case (root, ti) =>
+          GraftAlterCommand(root, ti, specs.map(widenOp)): LogicalPlan
+        }.getOrElse(a)
+      case tt @ RelationTimeTravel(
+          UnresolvedRelation(ident, _, false), ts, ver) =>
+        graftTable(ident).map { case (root, _) =>
+          timeTravelRelation(root, ident, ts, ver)
+        }.getOrElse(tt)
+      // a GENUINE `CREATE TABLE (cols…) USING graft` on an
+      // already-committed root validates its declared column list
+      // against the manifest HERE — the one place that can tell a
+      // user-typed DDL declaration apart from the session catalog
+      // replaying its stored schema at resolution time (which may
+      // legitimately lag the manifest after evolution; the relation
+      // provider only warns there). Delta's rule: a typo'd DDL fails
+      // loudly instead of silently binding to the manifest.
+      case ct @ CreateTable(_, columns, _, spec: UnresolvedTableSpec, _)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) &&
+            columns.nonEmpty =>
+        // OPTIONS are still expressions at parse time — only a
+        // literal path can gate here (non-literal paths just skip the
+        // check and fall back to the provider-level warning)
+        val root = spec.optionExpression.options.collectFirst {
+          case (k, Literal(v: UTF8String, StringType))
+              if k.equalsIgnoreCase("path") => v.toString
+        }.orElse(spec.location)
+        root.flatMap(r =>
+            VersionedTable.latestVersion(session, r).map((r, _)))
+          .foreach { case (r, v) =>
+            def shape(fs: Seq[(String, String)]) = fs.map {
+              case (n, t) => n.toLowerCase -> t }.toMap
+            val declared = shape(columns.map(c =>
+              c.name -> c.dataType.simpleString))
+            val actual = shape(VersionedTable
+              .snapshotSchema(session, r, v).fields.toIndexedSeq
+              .map(f => f.name -> f.dataType.simpleString))
+            if (declared != actual)
+              throw new IllegalArgumentException(
+                s"CREATE TABLE schema does not match the committed " +
+                  s"graft table at $r: declared ${declared.toSeq.sorted
+                    .mkString(", ")} vs manifest ${actual.toSeq.sorted
+                    .mkString(", ")} — drop the column list or fix it")
+          }
+        ct
+    }
+
+  /** Resolves a statement identifier to a graft table root: a
+    * session-catalog table whose provider is `graft` (path from its
+    * OPTIONS), or a temp view planned directly over a
+    * [[GraftRelation]]. Anything else — including identifiers the
+    * catalog does not know — is None, and the statement flows to the
+    * stock analyzer untouched. Lookup failures must never leak out of
+    * the PARSER for non-graft statements.
+    */
+  private def graftTable(
+      ident: Seq[String]): Option[(String, Option[TableIdentifier])] = {
+    val cat = session.sessionState.catalog
+    val ti = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    val fromCatalog = ti.flatMap { id =>
+      scala.util.Try(cat.getTableMetadata(id)).toOption.flatMap { m =>
+        if (m.provider.exists(_.equalsIgnoreCase("graft")))
+          // CREATE TABLE … OPTIONS (path '…') lands in locationUri,
+          // not storage.properties — check both
+          m.storage.properties.map { case (k, v) => k.toLowerCase -> v }
+            .get("path")
+            .orElse(m.storage.locationUri.map(
+              org.apache.spark.sql.catalyst.catalog.CatalogUtils
+                .URIToString))
+            .map(_ -> Some(id))
+        else None
+      }
+    }
+    def fromTempView = ident match {
+      case Seq(t) =>
+        scala.util.Try(cat.getTempView(t)).toOption.flatten
+          .flatMap(_.collectFirst {
+            case LogicalRelation(g: GraftRelation, _, _, _, _) =>
+              (g.root, None)
+          })
+      case _ => None
+    }
+    fromCatalog.orElse(fromTempView)
+  }
+
+  private def fail(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      "graft ALTER TABLE supports RENAME COLUMN, DROP COLUMN " +
+        "[IF EXISTS], ADD COLUMN <name> <type>, and ALTER COLUMN " +
+        "<name> TYPE <losslessly-wider type> on top-level columns — " +
+        s"unsupported: $what (use the VersionedTable API for richer " +
+        "shapes)")
+
+  private def single(f: FieldName): String = f.name match {
+    case Seq(n) => n
+    case nested => fail(s"nested field ${nested.mkString(".")}")
+  }
+
+  private def addOp(c: QualifiedColType): GraftAlterOp = {
+    if (c.path.nonEmpty)
+      fail(s"nested ADD COLUMN ${c.path.get.name.mkString(".")}")
+    if (!c.nullable) fail("ADD COLUMN … NOT NULL (pre-evolution " +
+      "rows read the new column as NULL by construction)")
+    if (c.comment.nonEmpty) fail("ADD COLUMN … COMMENT")
+    if (c.position.nonEmpty) fail("ADD COLUMN … FIRST/AFTER")
+    if (c.default.nonEmpty) fail("ADD COLUMN … DEFAULT")
+    GraftAlterOp.Add(c.colName, c.dataType.sql)
+  }
+
+  private def widenOp(s: AlterColumnSpec): GraftAlterOp = {
+    val dt = s.newDataType.getOrElse(
+      fail("ALTER COLUMN without a TYPE clause"))
+    if (s.newNullability.nonEmpty)
+      fail("ALTER COLUMN … SET/DROP NOT NULL")
+    if (s.newComment.nonEmpty) fail("ALTER COLUMN … COMMENT")
+    if (s.newPosition.nonEmpty) fail("ALTER COLUMN … FIRST/AFTER")
+    if (s.newDefaultExpression.nonEmpty || s.dropDefault)
+      fail("ALTER COLUMN … DEFAULT")
+    GraftAlterOp.Widen(single(s.column), dt.sql)
+  }
+
+  /** `VERSION AS OF` / `TIMESTAMP AS OF` → a PINNED [[GraftRelation]]
+    * planned at parse time (the reader-option path, exactly). The
+    * version string may be a snapshot id or a named ref; a timestamp
+    * must be a literal (epoch millis, ISO date, or ISO date-time,
+    * UTC) and binds to the NEWEST commit at or before the instant —
+    * the Delta rule, resolved against manifest-recorded commit times.
+    */
+  private def timeTravelRelation(root: String, ident: Seq[String],
+      ts: Option[Expression], ver: Option[String]): LogicalPlan = {
+    val v = (ver, ts) match {
+      case (Some(s), None) =>
+        s.toLongOption.getOrElse(
+          VersionedTable.resolveRef(session, root, s))
+      case (None, Some(e)) =>
+        val millis = tsMillis(e)
+        val vs = VersionedTable.versions(session, root)
+        vs.filter(x =>
+            VersionedTable.commitTimeMs(session, root, x) <= millis)
+          .lastOption.getOrElse(sys.error(
+            s"no commit at or before TIMESTAMP AS OF $millis " +
+              s"(epoch ms) at $root — the table's first commit is " +
+              "newer"))
+      case _ => sys.error("time travel needs exactly one of " +
+        "VERSION AS OF / TIMESTAMP AS OF")
+    }
+    require(VersionedTable.versions(session, root).contains(v),
+      s"no committed version $v at $root")
+    val rel = GraftRelation(session.sqlContext, root, Some(v))
+    SubqueryAlias(ident.last, LogicalRelation(rel, isStreaming = false))
+  }
+
+  private def tsMillis(e: Expression): Long = e match {
+    case Cast(c, _, _, _) => tsMillis(c)
+    case Literal(v: UTF8String, StringType) =>
+      val s = v.toString
+      s.toLongOption.getOrElse {
+        val t = scala.util.Try(
+            java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+          .getOrElse(java.time.LocalDate.parse(s).atStartOfDay())
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    case Literal(v: Long, _: TimestampType) => v / 1000L
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => fail(s"non-literal TIMESTAMP AS OF: $other")
+  }
+}
+
+/** One ALTER TABLE statement's column operations, applied in order
+  * through the engine's metadata-only evolution verbs. Each op is one
+  * manifest commit (the statement is NOT atomic across multiple ops —
+  * same as Spark's own multi-action ALTER on V2 catalogs); the
+  * session catalog entry refreshes afterwards so cached relations
+  * re-resolve the new schema.
+  */
+case class GraftAlterCommand(root: String,
+    table: Option[TableIdentifier], ops: Seq[GraftAlterOp])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    var last = -1L
+    ops.foreach {
+      case GraftAlterOp.Rename(from, to) =>
+        last = VersionedTable.renameColumn(session, root, from, to,
+          tag = s"sql-rename-$from")
+      case GraftAlterOp.Drop(name, ifExists) =>
+        val v = VersionedTable.latestVersion(session, root).getOrElse(
+          sys.error(s"no committed version at $root"))
+        val present = VersionedTable.snapshotSchema(session, root, v)
+          .fieldNames.contains(name)
+        if (present)
+          last = VersionedTable.dropColumn(session, root, name,
+            tag = s"sql-drop-$name")
+        else if (!ifExists)
+          sys.error(s"no column $name to drop at $root " +
+            "(use DROP COLUMN IF EXISTS)")
+      case GraftAlterOp.Add(name, ddl) =>
+        last = VersionedTable.addColumn(session, root, name, ddl,
+          tag = s"sql-add-$name")
+      case GraftAlterOp.Widen(name, ddl) =>
+        last = VersionedTable.widenColumn(session, root, name, ddl,
+          tag = s"sql-widen-$name")
+    }
+    // the session catalog STORES the table schema and replays it at
+    // every resolution — re-sync it to the evolved manifest, then
+    // drop the cached relation (pre-ALTER attribute ids) so the next
+    // statement re-resolves fresh
+    table.foreach { t =>
+      val v = VersionedTable.latestVersion(session, root).getOrElse(
+        sys.error(s"no committed version at $root after ALTER"))
+      val cat = session.sessionState.catalog
+      // alterTable (not alterTableDataSchema, which refuses renames
+      // and drops): the manifest already applied the change — the
+      // catalog copy is a mirror, never the authority
+      cat.alterTable(cat.getTableMetadata(t).copy(
+        schema = VersionedTable.snapshotSchema(session, root, v)))
+      session.catalog.refreshTable(t.quotedString)
+    }
+    Seq(Row(last))
+  }
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+sealed trait GraftAlterOp
+object GraftAlterOp {
+  case class Rename(from: String, to: String) extends GraftAlterOp
+  case class Drop(name: String, ifExists: Boolean) extends GraftAlterOp
+  case class Add(name: String, ddl: String) extends GraftAlterOp
+  case class Widen(name: String, ddl: String) extends GraftAlterOp
+}

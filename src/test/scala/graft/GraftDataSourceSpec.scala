@@ -281,4 +281,145 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT SUM(v) AS s FROM graft_clone_t")
       .head().getLong(0) == 3L)
   }
+
+  test("CREATE TABLE with an explicit schema on a COMMITTED root " +
+      "validates against the manifest: drift fails loudly, a " +
+      "matching declaration binds") {
+    val root = freshRoot("createchk")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_createchk_t")
+    // typo'd DDL (wrong column name) must not silently bind to the
+    // manifest schema
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_createchk_t (k BIGINT, vv STRING) " +
+        s"USING graft OPTIONS (path '$root')")
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // wrong TYPE fails too
+    spark.sql("DROP TABLE IF EXISTS graft_createchk_t")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_createchk_t (k INT, v STRING) " +
+        s"USING graft OPTIONS (path '$root')")
+    }
+    // the matching declaration works and reads the committed rows
+    spark.sql("DROP TABLE IF EXISTS graft_createchk_t")
+    spark.sql("CREATE TABLE graft_createchk_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_createchk_t")
+      .head().getLong(0) == 1L)
+    spark.sql("DROP TABLE graft_createchk_t")
+  }
+
+  test("a schema-changing commit between analysis and execution " +
+      "binds the scan to the analysis snapshot (never corrupted head " +
+      "rows); a fresh read sees the new head") {
+    val root = freshRoot("drift")
+    VersionedTable.commit(Seq((1, 10), (2, 20)).toDF("k", "v"), root)
+    // analysis latches (v0, int schema) into the relation
+    val df = spark.read.format("graft").load(root)
+    // ...then the schema widens and a LONG row lands before execution
+    VersionedTable.widenColumn(spark, root, "v", "BIGINT")
+    VersionedTable.commitAppend(
+      Seq((3, 5000000000L)).toDF("k", "v"), root)
+    // with needConversion=false, scanning the head under the stale
+    // INT declaration would be silent type corruption — the scan must
+    // bind to the latched snapshot instead
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 10), (2, 20)), got)
+    // a fresh relation declares the widened schema and sees all rows
+    val fresh = spark.read.format("graft").load(root)
+    assert(fresh.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(fresh.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      == Set((1, 10L), (2, 20L), (3, 5000000000L)))
+  }
+
+  test("SQL ALTER TABLE parity: RENAME / ALTER TYPE / ADD / DROP " +
+      "map onto the metadata-only evolution verbs and refresh the " +
+      "catalog relation") {
+    val root = freshRoot("alter")
+    VersionedTable.commit(Seq((1, "a", 10)).toDF("k", "v", "n"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_alter_t")
+    spark.sql("CREATE TABLE graft_alter_t USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE graft_alter_t RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE graft_alter_t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_alter_t ADD COLUMN extra DOUBLE")
+    spark.sql("INSERT INTO graft_alter_t " +
+      "VALUES (2, 'b', 5000000000, 1.5)")
+    val got = spark.sql(
+      "SELECT k, label, n, extra FROM graft_alter_t ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    // the pre-evolution row reads the added column as NULL and the
+    // widened column through the up-cast; the post-ALTER insert
+    // carries the long value the INT column could not
+    assert(got == Seq((1, "a", 10L, -1.0), (2, "b", 5000000000L, 1.5)),
+      got)
+    spark.sql("ALTER TABLE graft_alter_t DROP COLUMN extra")
+    assert(spark.sql("SELECT * FROM graft_alter_t").columns.toSeq ==
+      Seq("k", "label", "n"))
+    // IF EXISTS on an absent column no-ops; without it, loud error
+    spark.sql("ALTER TABLE graft_alter_t DROP COLUMN IF EXISTS ghost")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_alter_t DROP COLUMN ghost")
+    }
+    // unsupported shapes fail loudly at parse/execution, never drift
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft_alter_t " +
+        "ADD COLUMN bad INT NOT NULL")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft_alter_t " +
+        "ADD COLUMN bad INT COMMENT 'nope'")
+    }
+    // a NARROWING type change is the engine verb's own loud error
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_alter_t ALTER COLUMN n TYPE INT")
+    }
+    spark.sql("DROP TABLE graft_alter_t")
+  }
+
+  test("SQL time travel: VERSION AS OF (id and named ref) and " +
+      "TIMESTAMP AS OF bind pinned snapshot reads; temp views over " +
+      "graft relations time-travel too") {
+    val root = freshRoot("tt")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    Thread.sleep(30) // separate the two commits' manifest timestamps
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    VersionedTable.createRef(spark, root, "first", 0L)
+    spark.sql("DROP TABLE IF EXISTS graft_tt_t")
+    spark.sql(s"CREATE TABLE graft_tt_t USING graft " +
+      s"OPTIONS (path '$root')")
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n("SELECT COUNT(*) AS n FROM graft_tt_t") == 2L)
+    assert(n("SELECT COUNT(*) AS n FROM graft_tt_t VERSION AS OF 0")
+      == 1L)
+    // a non-numeric version string resolves as a NAMED REF
+    assert(n("SELECT COUNT(*) AS n FROM graft_tt_t " +
+      "VERSION AS OF 'first'") == 1L)
+    // TIMESTAMP AS OF = newest commit at or before the instant
+    val t0 = VersionedTable.commitTimeMs(spark, root, 0L)
+    val t1 = VersionedTable.commitTimeMs(spark, root, 1L)
+    assert(t1 > t0, s"commit times must separate: $t0 vs $t1")
+    assert(n(s"SELECT COUNT(*) AS n FROM graft_tt_t " +
+      s"TIMESTAMP AS OF $t0") == 1L)
+    assert(n(s"SELECT COUNT(*) AS n FROM graft_tt_t " +
+      s"TIMESTAMP AS OF $t1") == 2L)
+    // before the first commit: loud error, not an empty result
+    intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) AS n FROM graft_tt_t " +
+        s"TIMESTAMP AS OF ${t0 - 1000}").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) AS n FROM graft_tt_t " +
+        "VERSION AS OF 99").collect()
+    }
+    // temp view over the relation (no catalog table entry)
+    spark.read.format("graft").load(root)
+      .createOrReplaceTempView("graft_tt_view")
+    assert(n("SELECT COUNT(*) AS n FROM graft_tt_view " +
+      "VERSION AS OF 0") == 1L)
+    spark.sql("DROP TABLE graft_tt_t")
+  }
 }

@@ -499,4 +499,41 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       assert(c.all.toSet == Set((1L, 1L), (5000000000L, 5L)))
     } finally q.stop()
   }
+
+  test("CDF applier replay idempotence survives mirror tag expiry: " +
+      "the durable per-half high-water marks gate versions whose " +
+      "cdf-* tags a retention sweep already expired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dst = freshRoot("cdfhwm_dst")
+    VersionedTable.commit(Seq((0L, 0L)).toDF("k", "v"), dst,
+      tag = "base")
+    def cdfBatch(v: Long, rows: Seq[(Long, Long)]) =
+      rows.toDF("k", "v")
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    def count() = VersionedTable.read(spark, dst).count()
+    val apply1 = graft.streaming.StreamingIvm.cdfApplier(spark, dst,
+      Seq("k"))
+    apply1(cdfBatch(1L, Seq((1L, 10L))), 0L)
+    apply1(cdfBatch(2L, Seq((2L, 20L))), 1L)
+    assert(count() == 3L)
+    // retention sweep: only the newest mirror manifest survives, so
+    // the committed-tag ledger no longer remembers cdf-ins-1 — the
+    // exact window the round-13 advice flagged
+    VersionedTable.vacuum(spark, dst, keepLast = 1)
+    assert(!VersionedTable.committedTags(spark, dst)
+      .contains("cdf-ins-1"))
+    // a restart replaying the WHOLE backlog (at-least-once) must skip
+    // both versions on the durable high-water mark alone
+    val apply2 = graft.streaming.StreamingIvm.cdfApplier(spark, dst,
+      Seq("k"))
+    apply2(cdfBatch(1L, Seq((1L, 10L))), 0L)
+    apply2(cdfBatch(2L, Seq((2L, 20L))), 1L)
+    assert(count() == 3L,
+      "a replay older than the mirror's tag retention re-applied")
+    // genuinely new source versions still apply
+    apply2(cdfBatch(3L, Seq((3L, 30L))), 2L)
+    assert(count() == 4L)
+  }
 }

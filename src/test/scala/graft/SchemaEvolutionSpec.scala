@@ -359,4 +359,29 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(a.collect().map(_.toSeq).toSet ==
       b.collect().map(_.toSeq).toSet)
   }
+
+  test("MoR delete keys must cast losslessly into an evolved table's " +
+      "key type: a LONG key into an INT column fails loudly instead " +
+      "of wrapping onto the wrong rows") {
+    val root = freshRoot("delkeycast")
+    // Int key column; the rename synthesizes the field mapping that
+    // routes delete keys through the physical-name cast
+    VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    VersionedTable.renameColumn(spark, root, "v", "w")
+    val wide = Seq(5000000000L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.deleteKeysMor(spark, root, wide)
+    }
+    assert(e.getMessage.contains("losslessly"), e.getMessage)
+    // same guard on the CDC-apply verb's delete-routed rows
+    intercept[Exception] {
+      VersionedTable.upsertMor(spark, root,
+        Seq((5000000000L, "d")).toDF("k", "op"), Seq("k"),
+        deleteIf = Some(col("op") === "d"))
+    }
+    // the table is untouched and a well-typed delete still works
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    VersionedTable.deleteKeysMor(spark, root, Seq(1).toDF("k"))
+    assert(VersionedTable.read(spark, root).count() == 1L)
+  }
 }

@@ -425,9 +425,12 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.resolveDirs(spark, root, v2) ==
       Seq("v0", "v1", "v2"))
     assert(VersionedTable.dataFileCount(spark, root, v2) == 3)
-    // compaction rewrites the multi-dir snapshot into one dir
+    // compaction rewrites the multi-dir snapshot into ONE dir (a
+    // collision-free name since the round-14 pinned-base protocol —
+    // a racing plain commit must never share the rewrite's directory)
     val v3 = VersionedTable.compact(spark, root, targetBytes = 1L << 30)
-    assert(VersionedTable.resolveDirs(spark, root, v3) == Seq("v3"))
+    assert(VersionedTable.resolveDirs(spark, root, v3).size == 1,
+      VersionedTable.resolveDirs(spark, root, v3))
     assert(keys(v3) == Set(1L, 2L, 3L, 4L))
     // vacuum keeps every directory a RETAINED manifest references:
     // retaining (v2, v3) keeps v0/v1 alive because v2 references them
