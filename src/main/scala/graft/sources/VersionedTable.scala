@@ -1175,7 +1175,16 @@ object VersionedTable {
       else if (priorNum.nonEmpty || priorStr.nonEmpty)
         compactSortedResolved(spark, root, v,
           (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
-      else commitPinned(readVersion(spark, root, v), root, tag, v)
+      else {
+        // stats-less tables bin-pack round-robin while folding: the
+        // fold rewrites every byte anyway, so leaving the append
+        // chain's fragmentation in place would waste the pass
+        val bytes = dataBytes(spark, root, v)
+        val nFiles =
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        commitPinned(readVersion(spark, root, v).repartition(nFiles),
+          root, tag, v)
+      }
     }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the

@@ -47,11 +47,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    try rewrite(delegate.parsePlan(sqlText))
+    catch {
+      // OPTIMIZE / VACUUM are not in stock Spark's grammar at all
+      // (Delta adds them through its own parser): a statement the
+      // delegate REJECTS gets one shot at the two maintenance forms
+      // before the original ParseException propagates — so no parse
+      // behavior is ever stolen from valid Spark SQL.
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        maintenanceStatement(sqlText).getOrElse(throw e)
+    }
 
   override def parsePlanWithParameters(sqlText: String,
       parameters: ParameterContext): LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, parameters))
+    try rewrite(delegate.parsePlanWithParameters(sqlText, parameters))
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        maintenanceStatement(sqlText).getOrElse(throw e)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
@@ -184,6 +197,44 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ => None
     }
     fromCatalog.orElse(fromTempView)
+  }
+
+  /** The two maintenance statements, Delta-shaped:
+    *
+    *   OPTIMIZE <table> [ZORDER BY (c1, c2, …)]
+    *   VACUUM <table> [RETAIN <n> VERSIONS]
+    *
+    * OPTIMIZE without dimensions routes through the policy dispatch
+    * ([[VersionedTable.compactDeletes]] — folds MoR deletes and
+    * preserves whatever clustering/stats the snapshot carried);
+    * ZORDER BY recomputes the multi-dimension layout. VACUUM's
+    * retention is VERSION-count based (the engine's own unit —
+    * explicit, unlike Delta's wall-clock hours; default keeps 2).
+    * Only fires for identifiers that provably name graft tables; any
+    * other statement re-raises the delegate's own ParseException.
+    */
+  private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
+    val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
+      """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
+    val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
+      """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""").r
+    def ident(raw: String): Seq[String] =
+      raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    sql match {
+      case opt(raw, dims) =>
+        graftTable(ident(raw)).map { case (root, _) =>
+          val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)
+          GraftOptimizeCommand(root, zdims)
+        }
+      case vac(raw, keep) =>
+        graftTable(ident(raw)).map { case (root, _) =>
+          GraftVacuumCommand(root,
+            Option(keep).map(_.toInt).getOrElse(2))
+        }
+      case _ => None
+    }
   }
 
   private def fail(what: String): Nothing =
@@ -325,6 +376,40 @@ case class GraftAlterCommand(root: String,
 
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `OPTIMIZE t [ZORDER BY (…)]` — the content-neutral rewrite under
+  * the round-14 pinned-base retry, so it is safe to run next to live
+  * writers. Returns the new version id.
+  */
+case class GraftOptimizeCommand(root: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderBy.nonEmpty)
+        VersionedTable.compactZOrder(session, root, zorderBy,
+          tag = "sql-optimize")
+      else VersionedTable.compactDeletes(session, root,
+        tag = "sql-optimize")
+    Seq(Row(v))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` — version-count retention (the
+  * engine's native unit; refs and streaming pins keep their targets
+  * alive regardless). Returns the retained version count.
+  */
+case class GraftVacuumCommand(root: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VersionedTable.vacuum(session, root, keepLast = keepLast)
+    Seq(Row(VersionedTable.versions(session, root).size.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("retained_versions", LongType,
+      nullable = false)())
 }
 
 sealed trait GraftAlterOp

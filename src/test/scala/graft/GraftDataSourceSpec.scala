@@ -422,4 +422,46 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "VERSION AS OF 0") == 1L)
     spark.sql("DROP TABLE graft_tt_t")
   }
+
+  test("SQL OPTIMIZE and VACUUM statements: bin-pack + MoR-delete " +
+      "fold, ZORDER BY form, version-count retention; non-graft " +
+      "targets keep the stock ParseException") {
+    val root = freshRoot("maint")
+    VersionedTable.commit(
+      (0L until 60L).map(k => (k, k % 5)).toDF("k", "v").coalesce(2),
+      root)
+    VersionedTable.commitAppend(
+      (60L until 120L).map(k => (k, k % 5)).toDF("k", "v").coalesce(2),
+      root)
+    VersionedTable.deleteKeysMor(spark, root,
+      (0L until 120L by 10L).toDF("k"))
+    spark.sql("DROP TABLE IF EXISTS graft_maint_t")
+    spark.sql("CREATE TABLE graft_maint_t USING graft " +
+      s"OPTIONS (path '$root')")
+    val before = spark.sql("SELECT * FROM graft_maint_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = spark.sql("OPTIMIZE graft_maint_t").head().getLong(0)
+    // the rewrite folded the sidecar into ONE packed directory and
+    // kept the logical content byte-for-byte
+    assert(VersionedTable.dataFileCount(spark, root, v) <
+      VersionedTable.dataFileCount(spark, root, v - 1))
+    assert(spark.sql("SELECT * FROM graft_maint_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // ZORDER BY form re-clusters on the named dimensions
+    spark.sql("OPTIMIZE graft_maint_t ZORDER BY (k, v)").collect()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_maint_t")
+      .head().getLong(0) == before.size.toLong)
+    // version-count retention; the head always survives
+    val kept = spark.sql("VACUUM graft_maint_t RETAIN 1 VERSIONS")
+      .head().getLong(0)
+    assert(kept == 1L, s"retained $kept")
+    assert(spark.sql("SELECT * FROM graft_maint_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // a statement stock Spark cannot parse and we do not own still
+    // fails with the stock error
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("OPTIMIZE not_a_graft_table")
+    }
+    spark.sql("DROP TABLE graft_maint_t")
+  }
 }
