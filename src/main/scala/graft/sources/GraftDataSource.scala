@@ -59,31 +59,33 @@ class GraftDataSource extends RelationProvider
       schema: StructType): BaseRelation = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
-    VersionedTable.latestVersion(spark, root) match {
-      case None =>
-        VersionedTable.commit(
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-          root, tag = "create-table")
-        ()
-      case Some(v) =>
-        // name->type comparison, case-insensitive and
-        // nullability-insensitive (DDL and manifest legitimately
-        // disagree on nullable)
-        def shape(s: StructType): Map[String, String] =
-          s.fields.map(f =>
-            f.name.toLowerCase -> f.dataType.simpleString).toMap
-        val declared = shape(schema)
-        val actual = shape(VersionedTable.snapshotSchema(spark, root, v))
-        if (declared != actual)
-          logWarning(
-            s"declared schema for the graft table at $root does not " +
-              s"match the manifest (declared ${declared.toSeq.sorted
-                .mkString(", ")} vs manifest ${actual.toSeq.sorted
-                .mkString(", ")}) — the manifest wins; run SQL ALTER " +
-              "TABLE (or re-create the catalog entry) to re-sync")
+    if (VersionedTable.latestVersion(spark, root).isEmpty) {
+      VersionedTable.commit(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        root, tag = "create-table")
+      ()
     }
-    createRelation(sqlContext, parameters)
+    // relation first, THEN the declared-schema compare against its
+    // own (already-latched) schema — a second snapshotSchema read
+    // here would double the metadata I/O every catalog resolution pays
+    val rel = createRelation(sqlContext, parameters)
+    // name->type comparison, case-insensitive and
+    // nullability-insensitive (DDL and manifest legitimately
+    // disagree on nullable)
+    def shape(s: StructType): Map[String, String] =
+      s.fields.map(f =>
+        f.name.toLowerCase -> f.dataType.simpleString).toMap
+    val declared = shape(schema)
+    val actual = shape(rel.schema)
+    if (declared != actual)
+      logWarning(
+        s"declared schema for the graft table at $root does not " +
+          s"match the manifest (declared ${declared.toSeq.sorted
+            .mkString(", ")} vs manifest ${actual.toSeq.sorted
+            .mkString(", ")}) — the manifest wins; run SQL ALTER " +
+          "TABLE (or re-create the catalog entry) to re-sync")
+    rel
   }
 
   // ---- streaming source (spark.readStream.format("graft")) ----
@@ -378,24 +380,31 @@ case class GraftRelation(sqlContext: SQLContext, root: String,
     // with needConversion=false a scan whose snapshot SCHEMA differs
     // from the one the relation declared would hand Spark
     // InternalRows of the wrong physical types — silent corruption,
-    // not an error. When the head's schema still equals the declared
-    // one (the overwhelmingly common case: plain appends/deletes),
-    // the scan binds to the head as before; on schema drift it binds
-    // to the LATCHED snapshot the declared schema came from —
-    // snapshot-isolation semantics for the in-flight statement.
-    // (Residual, documented: two statements racing analysis on ONE
-    // cached relation across a schema change can still cross-latch;
-    // pin with versionAsOf for fully repeatable reads.)
+    // not an error. When the head's schema still matches the declared
+    // one (the overwhelmingly common case: plain appends/deletes;
+    // compared nullability-insensitively, since footers from
+    // different writers legitimately disagree on nullable), the scan
+    // binds the head. On TRUE drift it FAILS LOUDLY: a session
+    // catalog or temp view caches this relation indefinitely, so
+    // silently pinning the analysis snapshot would hide every
+    // post-evolution row forever — a clear retry/refresh instruction
+    // beats both corruption and invisible staleness.
+    def shape(s: StructType) =
+      s.fields.toIndexedSeq.map(f =>
+        (f.name.toLowerCase, f.dataType.simpleString))
     val head = version
-    val bound = latched match {
+    latched match {
       case Some((lv, ls)) if lv != head &&
-          VersionedTable.snapshotSchema(spark, root, head) != ls =>
-        logWarning(s"graft table $root changed schema between " +
-          s"analysis (v$lv) and execution (v$head); scanning v$lv " +
-          "to match the declared output — re-run to see the new head")
-        lv
-      case _ => head
+          shape(VersionedTable.snapshotSchema(spark, root, head)) !=
+            shape(ls) =>
+        throw new IllegalStateException(
+          s"graft table $root changed schema between analysis " +
+            s"(v$lv) and execution (v$head): re-run the query, " +
+            "REFRESH TABLE / re-create the view, or pin with " +
+            "versionAsOf for repeatable reads")
+      case _ => ()
     }
+    val bound = head
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
     val base = pred match {
       case Some(p) =>

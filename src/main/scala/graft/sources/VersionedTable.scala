@@ -1175,16 +1175,11 @@ object VersionedTable {
       else if (priorNum.nonEmpty || priorStr.nonEmpty)
         compactSortedResolved(spark, root, v,
           (priorNum ++ priorStr).distinct, targetBytes, tag, prior)
-      else {
+      else
         // stats-less tables bin-pack round-robin while folding: the
         // fold rewrites every byte anyway, so leaving the append
         // chain's fragmentation in place would waste the pass
-        val bytes = dataBytes(spark, root, v)
-        val nFiles =
-          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        commitPinned(readVersion(spark, root, v).repartition(nFiles),
-          root, tag, v)
-      }
+        compactBinPackAt(spark, root, v, targetBytes, tag)
     }
 
   /** Schema-evolution read: the newest snapshot with the UNION of the
@@ -1531,10 +1526,44 @@ object VersionedTable {
     * sidecar-less, the carrySidecars guarantee). Always
     * dataChange=false: this is the maintenance path.
     */
+  /** The per-file min/max stats frame both stats-writing commit paths
+    * share: numeric families cast to double (`mn_`/`mx_`), string
+    * families keep native UTF8 binary order (`smn_`/`smx_` — the
+    * order parquet itself uses, so lexicographic range pruning is
+    * sound), one row per written file.
+    */
+  private def statsFrame(written: DataFrame, statsCols: Seq[String],
+      stringStatsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    } ++ stringStatsCols.flatMap { c =>
+      Seq(min(col(c).cast("string")).as(s"smn_$c"),
+        max(col(c).cast("string")).as(s"smx_$c"))
+    }
+    written.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One pinned-base round-robin bin-pack attempt: `ceil(bytes /
+    * targetBytes)` files, no clustering, delete sidecar folded —
+    * shared by [[compact]], [[compactDeletes]] and
+    * [[compactIfFragmented]] so the rounding/tag rules stay in one
+    * place.
+    */
+  private def compactBinPackAt(spark: SparkSession, root: String,
+      v: Long, targetBytes: Long, tag: String): Long = {
+    val bytes = dataBytes(spark, root, v)
+    val nFiles =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commitPinned(readVersion(spark, root, v).repartition(nFiles),
+      root, if (tag.nonEmpty) tag else s"compact-v$v", v)
+  }
+
   private def commitPinned(df: DataFrame, root: String, tag: String,
       baseV: Long, statsCols: Seq[String] = Nil,
       stringStatsCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val spark = df.sparkSession
     val next = baseV + 1
     val fieldsS = rebaseline(df, resolveFields(spark, root, baseV))
@@ -1545,18 +1574,10 @@ object VersionedTable {
     val statsTmp =
       if (statsCols.isEmpty && stringStatsCols.isEmpty) None
       else {
-        val written = spark.read.parquet(s"$root/$dirName")
-        val aggs = statsCols.flatMap { c =>
-          Seq(min(col(c).cast("double")).as(s"mn_$c"),
-            max(col(c).cast("double")).as(s"mx_$c"))
-        } ++ stringStatsCols.flatMap { c =>
-          Seq(min(col(c).cast("string")).as(s"smn_$c"),
-            max(col(c).cast("string")).as(s"smx_$c"))
-        }
         val tmp = s"$root/_graft_tmpcarry_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        written.groupBy(input_file_name().as("path"))
-          .agg(aggs.head, aggs.tail: _*)
+        statsFrame(spark.read.parquet(s"$root/$dirName"),
+          statsCols, stringStatsCols)
           .coalesce(1).write.parquet(tmp)
         Some(tmp)
       }
@@ -2053,20 +2074,7 @@ object VersionedTable {
     writeIntent(spark, root, s"v$next")
     writeIntent(spark, root, s"_graft_stats_v$next")
     df.write.mode("overwrite").parquet(dataDir)
-    val written = spark.read.parquet(dataDir)
-    // numeric stats cast to double (mn_/mx_); string stats keep their
-    // native UTF8 binary order (smn_/smx_) — the order parquet itself
-    // uses for string min/max, so lexicographic range pruning on a
-    // category / ISO-date / identifier-prefix column is sound
-    val aggs = statsCols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))
-    } ++ stringStatsCols.flatMap { c =>
-      Seq(min(col(c).cast("string")).as(s"smn_$c"),
-        max(col(c).cast("string")).as(s"smx_$c"))
-    }
-    written.groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
+    statsFrame(spark.read.parquet(dataDir), statsCols, stringStatsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(root, next))
     publish(spark, root, next, tag, fields = rebaseline(df, prevFields),
@@ -2816,13 +2824,8 @@ object VersionedTable {
     // fail — and the commit is PINNED to the planned base so a
     // concurrent data change conflicts loudly and replans, never
     // silently vanishes under the rewrite (maintenanceRetry)
-    maintenanceRetry(spark, root) { v =>
-      val bytes = dataBytes(spark, root, v)
-      val nFiles =
-        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      commitPinned(readVersion(spark, root, v).repartition(nFiles),
-        root, if (tag.nonEmpty) tag else s"compact-v$v", v)
-    }
+    maintenanceRetry(spark, root)(v =>
+      compactBinPackAt(spark, root, v, targetBytes, tag))
   }
 
   /** CLUSTERING-preserving OPTIMIZE: [[compact]]'s round-robin
@@ -2913,14 +2916,7 @@ object VersionedTable {
           if (sortCols.nonEmpty)
             Some(compactSortedResolved(spark, root, v, sortCols,
               targetBytes, tag, prior))
-          else {
-            val bytes = dataBytes(spark, root, v)
-            val nFiles = math.max(1L,
-              (bytes + targetBytes - 1) / targetBytes).toInt
-            Some(commitPinned(
-              readVersion(spark, root, v).repartition(nFiles),
-              root, if (tag.nonEmpty) tag else s"compact-v$v", v))
-          }
+          else Some(compactBinPackAt(spark, root, v, targetBytes, tag))
         }
       }
     }

@@ -316,7 +316,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
     case Literal(v: Long, _: TimestampType) => v / 1000L
     case Literal(v: Long, LongType) => v
-    case Literal(v: Int, _) => v.toLong
+    // DATE literals carry days-since-epoch as an Int — NOT millis
+    case Literal(v: Int, org.apache.spark.sql.types.DateType) =>
+      v.toLong * 86400000L
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+      v.toLong
     case other => fail(s"non-literal TIMESTAMP AS OF: $other")
   }
 }

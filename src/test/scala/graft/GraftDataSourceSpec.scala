@@ -311,8 +311,9 @@ class GraftDataSourceSpec extends AnyFunSuite {
   }
 
   test("a schema-changing commit between analysis and execution " +
-      "binds the scan to the analysis snapshot (never corrupted head " +
-      "rows); a fresh read sees the new head") {
+      "fails the scan loudly (never corrupted head rows, never " +
+      "silently-stale cached relations); a fresh read sees the new " +
+      "head, and plain appends never trip the check") {
     val root = freshRoot("drift")
     VersionedTable.commit(Seq((1, 10), (2, 20)).toDF("k", "v"), root)
     // analysis latches (v0, int schema) into the relation
@@ -322,16 +323,24 @@ class GraftDataSourceSpec extends AnyFunSuite {
     VersionedTable.commitAppend(
       Seq((3, 5000000000L)).toDF("k", "v"), root)
     // with needConversion=false, scanning the head under the stale
-    // INT declaration would be silent type corruption — the scan must
-    // bind to the latched snapshot instead
-    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(got == Set((1, 10), (2, 20)), got)
+    // INT declaration would be silent type corruption; and a session
+    // catalog / temp view caches this relation forever, so silently
+    // pinning the old snapshot would hide the new rows indefinitely —
+    // the scan must FAIL with a refresh instruction instead
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("changed schema"), e.getMessage)
     // a fresh relation declares the widened schema and sees all rows
     val fresh = spark.read.format("graft").load(root)
     assert(fresh.schema("v").dataType ==
       org.apache.spark.sql.types.LongType)
     assert(fresh.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
       == Set((1, 10L), (2, 20L), (3, 5000000000L)))
+    // schema-PRESERVING commits between analysis and execution bind
+    // the head as always (head-tracking is the point)
+    val again = spark.read.format("graft").load(root)
+    VersionedTable.commitAppend(Seq((4, 40L)).toDF("k", "v"), root)
+    assert(again.count() == 4L)
   }
 
   test("SQL ALTER TABLE parity: RENAME / ALTER TYPE / ADD / DROP " +
@@ -406,6 +415,10 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"TIMESTAMP AS OF $t0") == 1L)
     assert(n(s"SELECT COUNT(*) AS n FROM graft_tt_t " +
       s"TIMESTAMP AS OF $t1") == 2L)
+    // a DATE literal carries days-since-epoch, not millis — a
+    // far-future date binds the head, never a nonsense 1970 instant
+    assert(n("SELECT COUNT(*) AS n FROM graft_tt_t " +
+      "TIMESTAMP AS OF DATE '2100-01-01'") == 2L)
     // before the first commit: loud error, not an empty result
     intercept[Exception] {
       spark.sql(s"SELECT COUNT(*) AS n FROM graft_tt_t " +
