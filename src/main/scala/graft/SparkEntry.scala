@@ -3904,6 +3904,55 @@ object SparkEntry {
              AS sum_price
          FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // SQL batch change-data-feed: the table_changes TVF (parse-time
+    // rewrite onto the delta-sized changeDelta read — insert rows and
+    // delete KEYS tagged _change_type/_commit_version, never a
+    // snapshot diff) replays the same lifecycle the oracle states in
+    // plain SQL.
+    "table_sql_changes" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlchanges_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+        tag = "erase")
+      s.sql("SELECT o_orderkey, o_totalprice, o_orderstatus, " +
+        "_change_type, _commit_version " +
+        s"FROM table_changes('$root', 0) " +
+        "ORDER BY _commit_version, o_orderkey")
+    }),
+    // DESCRIBE HISTORY: the commit audit (version, tag, data_change)
+    // of a fixed four-commit lifecycle — deterministic by
+    // construction, so the oracle is a VALUES literal (the wall-clock
+    // commit_ts_ms column is projected out).
+    "table_sql_history" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlhist_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      graft.sources.VersionedTable.deleteKeysMor(s, root,
+        o.where(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+        tag = "erase")
+      val t = s"graft_sqlhist_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      s.sql(s"OPTIMIZE $t").collect()
+      s.sql(s"DESCRIBE HISTORY $t")
+        .select(col("version"), col("tag"), col("data_change"))
+        .orderBy("version")
+    }),
     // SQL time travel (VERDICT r13 #3): VERSION AS OF <id>,
     // VERSION AS OF '<named ref>', and TIMESTAMP AS OF <instant> all
     // bind pinned snapshot reads in one statement next to the
@@ -6607,6 +6656,25 @@ object SparkEntry {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_price FROM orders WHERE o_orderkey % 7 <> 0 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the TVF's CDF equals the lifecycle stated directly: v1's odd
+    // inserts, v2's delete keys (key populated, other columns NULL)
+    "table_sql_changes" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, " +
+        "'insert' AS _change_type, CAST(1 AS BIGINT) " +
+        "AS _commit_version FROM orders WHERE o_orderkey % 2 = 1 " +
+        "UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS VARCHAR), 'delete', CAST(2 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 6 = 0) " +
+        "ORDER BY _commit_version, o_orderkey"),
+    // the four-commit audit, stated as a literal
+    "table_sql_history" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), 'base', true), " +
+        "(CAST(1 AS BIGINT), 'delta', true), " +
+        "(CAST(2 AS BIGINT), 'erase', true), " +
+        "(CAST(3 AS BIGINT), 'sql-optimize', false)) " +
+        "t(version, tag, data_change) ORDER BY version"),
     // VERSION AS OF <id> / <'ref'> and TIMESTAMP AS OF replay the
     // table's history: v0 and the timestamp bind the even half, the
     // pre-erase ref the full set, the head the post-erasure content

@@ -1717,6 +1717,23 @@ object VersionedTable {
   /** (version, tag) pairs of every commit, oldest first — the
     * audit-log view a `DESCRIBE HISTORY` gives.
     */
+  /** [[history]] with the audit fields a `DESCRIBE HISTORY` consumer
+    * wants: (version, tag, manifest-recorded commit millis,
+    * dataChange) — one metadata-sized manifest read per retained
+    * version, newest last.
+    */
+  def historyDetail(spark: SparkSession,
+      root: String): Seq[(Long, String, Long, Boolean)] =
+    manifestVersions(spark, root).map { v =>
+      val raw = readManifest(spark, root, v)
+      val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse("")
+      val ts = """"ts":(\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong).getOrElse(0L)
+      (v, tag, ts, dataChangeOf(raw))
+    }
+
   def history(spark: SparkSession, root: String): Seq[(Long, String)] =
     manifestVersions(spark, root).map { v =>
       val raw = readManifest(spark, root, v)

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -92,7 +92,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // ---- the rewrite ----
 
   private def rewrite(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
+    describeHistory(plan).getOrElse(plan.transformUp {
       case r @ RenameColumn(UnresolvedTable(ident, _, _), from, to) =>
         graftTable(ident).map { case (root, ti) =>
           GraftAlterCommand(root, ti,
@@ -117,6 +117,45 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         graftTable(ident).map { case (root, _) =>
           timeTravelRelation(root, ident, ts, ver)
         }.getOrElse(tt)
+      // table_changes('<table or root>', from [, to]) — the Delta
+      // change-data-feed TABLE-VALUED FUNCTION, batch form: rewrites
+      // at parse time onto the engine's delta-sized CDF read
+      // ([[VersionedTable.changeDelta]] — never the full snapshot
+      // diff), spliced in as an already-analyzed subtree. `to`
+      // defaults to the table head. Stock Spark has no such TVF, so
+      // nothing is stolen: an unresolved name would have failed.
+      case tvf @ UnresolvedTableValuedFunction(Seq(fn), args, _)
+          if fn.equalsIgnoreCase("table_changes") =>
+        val lits = args.map {
+          case Literal(v: UTF8String, StringType) => v.toString
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => fail(s"table_changes takes literal arguments " +
+            s"(table, fromVersion [, toVersion]), got: $other")
+        }
+        val resolved = lits match {
+          case Seq(t: String, from: Long) => Some((t, from, None))
+          case Seq(t: String, from: Long, to: Long) =>
+            Some((t, from, Some(to)))
+          case _ => None
+        }
+        resolved.flatMap { case (t, from, to) =>
+          // a catalog table / temp view name, or a raw table root
+          graftTable(t.split('.').toIndexedSeq).map(_._1)
+            .orElse(
+              if (VersionedTable.latestVersion(session, t).isDefined)
+                Some(t)
+              else None)
+            .map { root =>
+              val end = to.getOrElse(
+                VersionedTable.latestVersion(session, root).getOrElse(
+                  sys.error(s"no committed version at $root")))
+              val df = VersionedTable.changeDelta(session, root,
+                from, end)
+              SubqueryAlias("table_changes",
+                df.queryExecution.analyzed): LogicalPlan
+            }
+        }.getOrElse(tvf)
       // a GENUINE `CREATE TABLE (cols…) USING graft` on an
       // already-committed root validates its declared column list
       // against the manifest HERE — the one place that can tell a
@@ -153,7 +192,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                     .mkString(", ")} — drop the column list or fix it")
           }
         ct
-    }
+    })
 
   /** Resolves a statement identifier to a graft table root: a
     * session-catalog table whose provider is `graft` (path from its
@@ -236,6 +275,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ => None
     }
   }
+
+  /** `DESCRIBE HISTORY t` never reaches the ParseException fallback:
+    * stock Spark PARSES it as "describe column t of table HISTORY"
+    * (DescribeColumn over UnresolvedTableOrView(["HISTORY"])). That
+    * statement can only fail at analysis for everyone else, so
+    * rewriting exactly the history-table + graft-column shape steals
+    * nothing that would have worked.
+    */
+  private def describeHistory(p: LogicalPlan): Option[LogicalPlan] =
+    p match {
+      case DescribeColumn(
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView(Seq(h), _, _),
+          colExpr: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute, _, _)
+          if h.equalsIgnoreCase("history") =>
+        graftTable(colExpr.nameParts)
+          .map { case (root, _) => GraftHistoryCommand(root) }
+      case _ => None
+    }
 
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(
@@ -414,6 +473,27 @@ case class GraftVacuumCommand(root: String, keepLast: Int)
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("retained_versions", LongType,
       nullable = false)())
+}
+
+/** `DESCRIBE HISTORY t` — the commit audit every lakehouse CLI leans
+  * on: one row per RETAINED version (vacuum-expired versions are
+  * gone, by design), columns (version, tag, commit_ts_ms,
+  * data_change), newest last. Metadata-sized: one manifest read per
+  * version, no data I/O.
+  */
+case class GraftHistoryCommand(root: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] =
+    VersionedTable.historyDetail(session, root).map {
+      case (v, tag, ts, dc) => Row(v, tag, ts, dc)
+    }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("tag", StringType, nullable = false)(),
+      AttributeReference("commit_ts_ms", LongType, nullable = false)(),
+      AttributeReference("data_change",
+        org.apache.spark.sql.types.BooleanType, nullable = false)())
 }
 
 sealed trait GraftAlterOp

@@ -477,4 +477,56 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE graft_maint_t")
   }
+
+  test("SQL table_changes TVF and DESCRIBE HISTORY: batch CDF rows " +
+      "in commit order, commit audit with data_change flags; unknown " +
+      "names keep the stock errors") {
+    val root = freshRoot("cdfsql")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root, tag = "base")
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("k", "v"), root,
+      tag = "delta")
+    VersionedTable.deleteKeysMor(spark, root, Seq(2L).toDF("k"),
+      tag = "erase")
+    spark.sql("DROP TABLE IF EXISTS graft_cdfsql_t")
+    spark.sql("CREATE TABLE graft_cdfsql_t USING graft " +
+      s"OPTIONS (path '$root')")
+    // by catalog name, from = 0 (to defaults to the head)
+    val byName = spark.sql(
+      "SELECT k, _change_type, _commit_version " +
+        "FROM table_changes('graft_cdfsql_t', 0) " +
+        "ORDER BY _commit_version, k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(byName == Seq((3L, "insert", 1L), (2L, "delete", 2L)),
+      byName)
+    // by raw root path with an explicit to-version
+    val byPath = spark.sql(
+      s"SELECT k, _change_type FROM table_changes('$root', 0, 1) " +
+        "ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(byPath == Seq((3L, "insert")), byPath)
+    // DESCRIBE HISTORY: one row per retained version, audit columns
+    spark.sql("OPTIMIZE graft_cdfsql_t").collect()
+    val hist = spark.sql("DESCRIBE HISTORY graft_cdfsql_t")
+      .select("version", "tag", "data_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(hist == Seq((0L, "base", true), (1L, "delta", true),
+      (2L, "erase", true), (3L, "sql-optimize", false)), hist)
+    // commit timestamps are present and monotone nondecreasing
+    val ts = spark.sql("DESCRIBE HISTORY graft_cdfsql_t")
+      .select("commit_ts_ms").collect().map(_.getLong(0)).toSeq
+    assert(ts.forall(_ > 0) && ts == ts.sorted, ts)
+    // unknown targets keep stock behavior
+    intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('no_such_table', 0)")
+        .collect()
+    }
+    // stock Spark parses DESCRIBE HISTORY t as "describe column t of
+    // table HISTORY" — for a non-graft target the stock analysis
+    // error (table HISTORY not found) surfaces untouched
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DESCRIBE HISTORY no_such_table").collect()
+    }
+    spark.sql("DROP TABLE graft_cdfsql_t")
+  }
 }
