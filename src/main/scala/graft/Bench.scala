@@ -123,7 +123,7 @@ object Bench {
       "table_clone", "table_sql_read", "table_sql_merge",
       "table_fast_count", "table_upsert_mor", "table_sql_dml",
       "table_sql_ddl", "table_sql_time_travel", "table_sql_maintenance",
-      "table_sql_changes", "table_sql_history",
+      "table_sql_changes", "table_sql_history", "table_sql_restore",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",

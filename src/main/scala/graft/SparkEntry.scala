@@ -3904,6 +3904,32 @@ object SparkEntry {
              AS sum_price
          FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // SQL RESTORE: roll-forward to a pinned version — the old content
+    // commits as the NEWEST version; the undone version stays
+    // time-travelable (pinned by the second branch of the union).
+    "table_sql_restore" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlrestore_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      val t = s"graft_sqlrestore_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      s.sql(s"RESTORE TABLE $t TO VERSION AS OF 0").collect()
+      def agg(snap: String, from: String) =
+        s"SELECT '$snap' AS snap, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+          s"AS sum_price FROM $from"
+      s.sql(Seq(
+        agg("restored_head", t),
+        agg("undone", s"$t VERSION AS OF 1"))
+        .mkString("", " UNION ALL ", " ORDER BY snap"))
+    }),
     // SQL batch change-data-feed: the table_changes TVF (parse-time
     // rewrite onto the delta-sized changeDelta read — insert rows and
     // delete KEYS tagged _change_type/_commit_version, never a
@@ -6656,6 +6682,16 @@ object SparkEntry {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_price FROM orders WHERE o_orderkey % 7 <> 0 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // RESTORE rolls forward to the even half; the undone full set
+    // stays readable at its version
+    "table_sql_restore" ->
+      ("SELECT * FROM (" +
+        "SELECT 'restored_head' AS snap, CAST(COUNT(*) AS BIGINT) " +
+        "AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT 'undone', COUNT(*), " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM orders) ORDER BY snap"),
     // the TVF's CDF equals the lifecycle stated directly: v1's odd
     // inserts, v2's delete keys (key populated, other columns NULL)
     "table_sql_changes" ->

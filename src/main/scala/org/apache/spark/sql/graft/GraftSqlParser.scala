@@ -257,9 +257,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""").r
+    val restore = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
+      """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
     def ident(raw: String): Seq[String] =
       raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
     sql match {
+      case restore(raw, v) =>
+        graftTable(ident(raw)).map { case (root, _) =>
+          GraftRestoreCommand(root, v.toLong)
+        }
       case opt(raw, dims) =>
         graftTable(ident(raw)).map { case (root, _) =>
           val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
@@ -473,6 +479,20 @@ case class GraftVacuumCommand(root: String, keepLast: Int)
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("retained_versions", LongType,
       nullable = false)())
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` — roll-FORWARD: the old
+  * snapshot's content commits as the NEWEST version (history is never
+  * rewritten, the standard RESTORE semantics; the undone versions
+  * stay time-travelable until vacuum). Returns the new version id.
+  */
+case class GraftRestoreCommand(root: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.rollback(session, root, toVersion,
+      tag = s"sql-restore-v$toVersion")))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
 /** `DESCRIBE HISTORY t` — the commit audit every lakehouse CLI leans

@@ -529,4 +529,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE graft_cdfsql_t")
   }
+
+  test("SQL RESTORE TABLE ... TO VERSION AS OF rolls FORWARD: old " +
+      "content becomes the newest version, history intact") {
+    val root = freshRoot("restore")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_restore_t")
+    spark.sql("CREATE TABLE graft_restore_t USING graft " +
+      s"OPTIONS (path '$root')")
+    val v = spark.sql(
+      "RESTORE TABLE graft_restore_t TO VERSION AS OF 0")
+      .head().getLong(0)
+    assert(v == 2L)
+    assert(spark.sql("SELECT k FROM graft_restore_t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // roll-forward, never rewrite: the undone version time-travels
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_restore_t VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // the bare (no TABLE keyword) form works too
+    spark.sql("RESTORE graft_restore_t TO VERSION AS OF 1").collect()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_restore_t")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE graft_restore_t")
+  }
 }
