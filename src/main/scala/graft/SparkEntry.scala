@@ -6692,13 +6692,17 @@ object SparkEntry {
         "UNION ALL SELECT 'undone', COUNT(*), " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
         "FROM orders) ORDER BY snap"),
-    // the TVF's CDF equals the lifecycle stated directly: v1's odd
+    // the TVF's CDF equals the lifecycle stated directly: v0's even
+    // initial inserts (from is INCLUSIVE, Delta semantics), v1's odd
     // inserts, v2's delete keys (key populated, other columns NULL)
     "table_sql_changes" ->
       ("SELECT * FROM (" +
         "SELECT o_orderkey, o_totalprice, o_orderstatus, " +
-        "'insert' AS _change_type, CAST(1 AS BIGINT) " +
-        "AS _commit_version FROM orders WHERE o_orderkey % 2 = 1 " +
+        "'insert' AS _change_type, CAST(0 AS BIGINT) " +
+        "AS _commit_version FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus, " +
+        "'insert', CAST(1 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 2 = 1 " +
         "UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), " +
         "CAST(NULL AS VARCHAR), 'delete', CAST(2 AS BIGINT) " +
         "FROM orders WHERE o_orderkey % 6 = 0) " +

@@ -1561,9 +1561,13 @@ object VersionedTable {
       root, if (tag.nonEmpty) tag else s"compact-v$v", v)
   }
 
+  // dataChange defaults false (the compaction family); [[rollback]]
+  // pins with dataChange=true — a restore CHANGES logical content,
+  // streams must not silently rebase over it
   private def commitPinned(df: DataFrame, root: String, tag: String,
       baseV: Long, statsCols: Seq[String] = Nil,
-      stringStatsCols: Seq[String] = Nil): Long = {
+      stringStatsCols: Seq[String] = Nil,
+      dataChange: Boolean = false): Long = {
     val spark = df.sparkSession
     val next = baseV + 1
     val fieldsS = rebaseline(df, resolveFields(spark, root, baseV))
@@ -1583,7 +1587,7 @@ object VersionedTable {
       }
     try {
       publish(spark, root, next, tag, dirs = Seq(dirName),
-        dirSeqs = Seq(next), fields = fieldsS, dataChange = false)
+        dirSeqs = Seq(next), fields = fieldsS, dataChange = dataChange)
     } catch {
       case e: Throwable =>
         val f = fs(spark, root)
@@ -1714,13 +1718,11 @@ object VersionedTable {
       .map(_.group(1).toLong).getOrElse(0L)
   }
 
-  /** (version, tag) pairs of every commit, oldest first — the
-    * audit-log view a `DESCRIBE HISTORY` gives.
-    */
-  /** [[history]] with the audit fields a `DESCRIBE HISTORY` consumer
-    * wants: (version, tag, manifest-recorded commit millis,
-    * dataChange) — one metadata-sized manifest read per retained
-    * version, newest last.
+  /** The full commit audit a `DESCRIBE HISTORY` consumer wants:
+    * (version, tag, manifest-recorded commit millis, dataChange) —
+    * one metadata-sized manifest read per retained version, oldest
+    * first. The ONE manifest-parsing site for these fields;
+    * [[history]] is its two-field projection.
     */
   def historyDetail(spark: SparkSession,
       root: String): Seq[(Long, String, Long, Boolean)] =
@@ -1734,23 +1736,24 @@ object VersionedTable {
       (v, tag, ts, dataChangeOf(raw))
     }
 
+  /** (version, tag) pairs of every commit, oldest first. */
   def history(spark: SparkSession, root: String): Seq[(Long, String)] =
-    manifestVersions(spark, root).map { v =>
-      val raw = readManifest(spark, root, v)
-      val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse("")
-      (v, tag)
-    }
+    historyDetail(spark, root).map { case (v, tag, _, _) => (v, tag) }
 
   /** Restore an old snapshot by COMMITTING its data as the newest
     * version (roll-forward, never history rewrite — the standard
-    * `RESTORE TABLE` semantics). Returns the new version id.
+    * `RESTORE TABLE` semantics). Pinned-base under the optimistic
+    * retry: the restored content is a pure function of `toVersion`,
+    * so a lost race just re-claims the next head — safe next to live
+    * writers, and dataChange=true so streams fail loudly instead of
+    * rebasing over the content change. Returns the new version id.
     */
   def rollback(spark: SparkSession, root: String,
       toVersion: Long, tag: String = ""): Long =
-    commit(readVersion(spark, root, toVersion), root,
-      if (tag.nonEmpty) tag else s"rollback-to-v$toVersion")
+    maintenanceRetry(spark, root)(v =>
+      commitPinned(readVersion(spark, root, toVersion), root,
+        if (tag.nonEmpty) tag else s"rollback-to-v$toVersion", v,
+        dataChange = true))
 
   // -------------------------------------------------------------------
   // Named refs — Iceberg-style tags and branches over version ids.

@@ -121,37 +121,76 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // change-data-feed TABLE-VALUED FUNCTION, batch form: rewrites
       // at parse time onto the engine's delta-sized CDF read
       // ([[VersionedTable.changeDelta]] — never the full snapshot
-      // diff), spliced in as an already-analyzed subtree. `to`
-      // defaults to the table head. Stock Spark has no such TVF, so
-      // nothing is stolen: an unresolved name would have failed.
+      // diff), spliced in as an already-analyzed subtree. `from` is
+      // INCLUSIVE and `to` defaults to the table head (both the Delta
+      // contract); version 0's initial inserts arrive as an
+      // insert-tagged snapshot slice. Any shape this rewrite cannot
+      // bind — non-literal args, an identifier that is not provably a
+      // graft table — passes through UNTOUCHED, so a user-defined TVF
+      // of the same name (or a typo) gets the stock resolution error,
+      // never a graft one.
       case tvf @ UnresolvedTableValuedFunction(Seq(fn), args, _)
           if fn.equalsIgnoreCase("table_changes") =>
         val lits = args.map {
-          case Literal(v: UTF8String, StringType) => v.toString
-          case Literal(v: Int, _) => v.toLong
-          case Literal(v: Long, _) => v
-          case other => fail(s"table_changes takes literal arguments " +
-            s"(table, fromVersion [, toVersion]), got: $other")
+          case Literal(v: UTF8String, StringType) => Some(v.toString)
+          case Literal(v: Int, _) => Some(v.toLong)
+          case Literal(v: Long, _) => Some(v.toLong)
+          case _ => None
         }
         val resolved = lits match {
-          case Seq(t: String, from: Long) => Some((t, from, None))
-          case Seq(t: String, from: Long, to: Long) =>
+          case Seq(Some(t: String), Some(from: Long)) =>
+            Some((t, from, None))
+          case Seq(Some(t: String), Some(from: Long), Some(to: Long)) =>
             Some((t, from, Some(to)))
           case _ => None
         }
         resolved.flatMap { case (t, from, to) =>
-          // a catalog table / temp view name, or a raw table root
+          // a catalog table / temp view name, or a raw table root —
+          // both probes Try-guarded: lookup failures must never leak
+          // out of the PARSER for statements we do not own
           graftTable(t.split('.').toIndexedSeq).map(_._1)
             .orElse(
-              if (VersionedTable.latestVersion(session, t).isDefined)
-                Some(t)
+              if (scala.util.Try(
+                  VersionedTable.latestVersion(session, t))
+                  .toOption.flatten.isDefined) Some(t)
               else None)
             .map { root =>
               val end = to.getOrElse(
                 VersionedTable.latestVersion(session, root).getOrElse(
                   sys.error(s"no committed version at $root")))
-              val df = VersionedTable.changeDelta(session, root,
-                from, end)
+              require(from >= 0 && from <= end,
+                s"table_changes range [$from, $end] is invalid for " +
+                  s"$root (head is $end)")
+              val tail =
+                if (from > 0)
+                  Some(VersionedTable.changeDelta(session, root,
+                    from - 1, end))
+                else if (end > 0)
+                  Some(VersionedTable.changeDelta(session, root,
+                    0, end))
+                else None
+              // from = 0 includes the initial commit: v0's content as
+              // insert-tagged rows, projected onto the CDF schema
+              // (name-matched, cast, null-filled — the same shaping
+              // rule changeDelta applies to its own slices)
+              val df = (from, tail) match {
+                case (0, maybeTail) =>
+                  import org.apache.spark.sql.functions.{col, lit}
+                  val base = VersionedTable
+                    .readVersion(session, root, 0L)
+                    .withColumn("_change_type", lit("insert"))
+                    .withColumn("_commit_version", lit(0L))
+                  maybeTail.map { cd =>
+                    val have = base.columns.toSet
+                    base.select(cd.schema.fields.toIndexedSeq.map { f =>
+                      (if (have(f.name)) col(f.name).cast(f.dataType)
+                       else lit(null).cast(f.dataType)).as(f.name)
+                    }: _*).unionByName(cd)
+                  }.getOrElse(base)
+                case (_, Some(cd)) => cd
+                case _ => sys.error("unreachable: from > 0 implies " +
+                  "a change delta")
+              }
               SubqueryAlias("table_changes",
                 df.queryExecution.analyzed): LogicalPlan
             }
@@ -285,9 +324,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `DESCRIBE HISTORY t` never reaches the ParseException fallback:
     * stock Spark PARSES it as "describe column t of table HISTORY"
     * (DescribeColumn over UnresolvedTableOrView(["HISTORY"])). That
-    * statement can only fail at analysis for everyone else, so
-    * rewriting exactly the history-table + graft-column shape steals
-    * nothing that would have worked.
+    * statement can only fail at analysis UNLESS a table or view
+    * literally named `history` exists — so the rewrite requires BOTH
+    * that no such relation resolves (the stock statement would have
+    * worked; it keeps its meaning) AND that the "column" provably
+    * names a graft table.
     */
   private def describeHistory(p: LogicalPlan): Option[LogicalPlan] =
     p match {
@@ -296,11 +337,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             .UnresolvedTableOrView(Seq(h), _, _),
           colExpr: org.apache.spark.sql.catalyst.analysis
             .UnresolvedAttribute, _, _)
-          if h.equalsIgnoreCase("history") =>
+          if h.equalsIgnoreCase("history") && !relationExists(h) =>
         graftTable(colExpr.nameParts)
           .map { case (root, _) => GraftHistoryCommand(root) }
       case _ => None
     }
+
+  private def relationExists(name: String): Boolean =
+    scala.util.Try {
+      val cat = session.sessionState.catalog
+      cat.tableExists(TableIdentifier(name)) ||
+        cat.getTempView(name).isDefined ||
+        cat.getGlobalTempView(name).isDefined
+    }.getOrElse(false)
 
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(

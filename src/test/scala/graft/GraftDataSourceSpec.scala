@@ -491,17 +491,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_cdfsql_t")
     spark.sql("CREATE TABLE graft_cdfsql_t USING graft " +
       s"OPTIONS (path '$root')")
-    // by catalog name, from = 0 (to defaults to the head)
+    // by catalog name, from = 0 INCLUSIVE (the Delta contract): the
+    // initial commit arrives as insert-tagged rows at version 0
     val byName = spark.sql(
       "SELECT k, _change_type, _commit_version " +
         "FROM table_changes('graft_cdfsql_t', 0) " +
         "ORDER BY _commit_version, k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    assert(byName == Seq((3L, "insert", 1L), (2L, "delete", 2L)),
-      byName)
-    // by raw root path with an explicit to-version
+    assert(byName == Seq((1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "insert", 1L), (2L, "delete", 2L)), byName)
+    // by raw root path with an explicit to-version; from = 1 keeps
+    // its own changes (inclusive) and drops v0's
     val byPath = spark.sql(
-      s"SELECT k, _change_type FROM table_changes('$root', 0, 1) " +
+      s"SELECT k, _change_type FROM table_changes('$root', 1, 1) " +
         "ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(byPath == Seq((3L, "insert")), byPath)
