@@ -76,6 +76,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("c_acctbal"), "customer scan not column-pruned")
   }
 
+  test("broadcast gate (VERDICT r14 #1): sf-linear dimension tables " +
+      "broadcast under the gate, and the hint drops above it") {
+    // Arm 1: bench scale is far under the 64 MB gate — the flagship
+    // joins must still plan the dimension side as a broadcast (the
+    // fast plan the gate is not allowed to cost us at small scale).
+    for (q <- Seq("tpch_q5", "tpch_q7")) {
+      val p = planOf(q)
+      assert(count(p, "BroadcastHashJoin") >= 2,
+        s"$q lost its under-gate broadcasts:\n${p.take(800)}")
+    }
+    // Arm 2: shrink the gate below every table — bcastDim must return
+    // the frame UNHINTED. Auto-broadcast is disabled so stats can't
+    // re-broadcast the toy-scale side: the customer join has to
+    // degrade to a shuffle join, exactly the plan that survives when
+    // customer is 100 TB-scale and a forced broadcast would OOM.
+    System.setProperty("graft.broadcast.gate.bytes", "1")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("tpch_q3")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"gate did not drop the hint:\n${p.take(800)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join above the gate:\n${p.take(800)}")
+    } finally {
+      System.clearProperty("graft.broadcast.gate.bytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("knn_ivf and decontaminate_semantic: the only cross joins are " +
       "against explicit broadcasts (centroids / benchmark)") {
     for (q <- Seq("knn_ivf", "decontaminate_semantic")) {
