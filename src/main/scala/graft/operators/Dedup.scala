@@ -133,16 +133,57 @@ object Dedup {
     // candidates via groupBy + in-bucket pair expansion rather than a
     // bucket self-join: a self-join re-executes the whole signature
     // lineage for each side, doubling the expensive part. Buckets are
-    // LSH-sized (near-dups only), so the collect_list stays small; a
-    // pathological hot bucket would surface here and should be salted.
-    buckets
+    // LSH-sized (near-dups only), so the collect_list stays small.
+    val bucketed = buckets
       .groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)
+    // Hot-bucket salting (VERDICT r14 #2): a degenerate corpus
+    // (thousands of identical / near-empty docs sharing a band hash)
+    // lands one quadratic task on the expansion above. Buckets over
+    // the cap are split into ceil(n/cap) salt cells by id hash;
+    // within-cell pairs expand per cell task, and cross-cell pairs
+    // come from ONE extra self-join of the per-cell aggregates (both
+    // join sides share an identical exchange subtree, so the upstream
+    // computes once). Every task's pair fan-out is then O(cap²)
+    // instead of O(hot-bucket²).
+    val cap = maxLshBucket
+    val smallPairs = bucketed.where(size(col("ids")) <= cap)
       .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val cells = bucketed.where(size(col("ids")) > cap)
+      .select(col("band"), col("bh"),
+        ceil(size(col("ids")).cast("double") / cap).cast("int").as("nc"),
+        explode(col("ids")).as("id"))
+      .withColumn("cell", pmod(xxhash64(col("id")), col("nc")).cast("int"))
+      .groupBy("band", "bh", "cell")
+      .agg(collect_list(col("id")).as("cids"))
+    val withinPairs = cells
+      .where(size(col("cids")) > 1)
+      .select(explode(pairsOf(array_sort(col("cids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val crossPairs = cells
+      .select(col("band"), col("bh"), col("cell").as("ca"),
+        col("cids").as("ia"))
+      .join(cells.select(col("band"), col("bh"), col("cell").as("cb"),
+        col("cids").as("ib")), Seq("band", "bh"))
+      .where(col("ca") < col("cb"))
+      .select(explode(flatten(transform(col("ia"), x =>
+        transform(col("ib"), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    smallPairs.union(withinPairs).union(crossPairs).distinct()
   }
+
+  /** In-bucket pair-expansion cap for [[minhashCandidates]]: buckets
+    * with more ids than this are salted into cells so no single task
+    * expands a quadratic hot bucket. Overridable (system property) so
+    * the spec can force the salted path on a small corpus and prove
+    * it pair-identical to the direct expansion.
+    */
+  private[graft] def maxLshBucket: Int =
+    sys.props.get("graft.lsh.bucket.cap").map(_.toInt).getOrElse(1024)
 
   /** Measure, don't guess: precision/recall of the MinHash-LSH
     * candidate stage against EXACT ground truth, on an evaluation

@@ -39,6 +39,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("salted LSH path is pair-identical to the direct expansion") {
+    // force the salted path on the tiny corpus (every bucket over a
+    // 2-id cap splits into cells) and require the exact same verified
+    // pair set as the default direct expansion
+    val direct = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    System.setProperty("graft.lsh.bucket.cap", "2")
+    try {
+      val salted = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted == direct)
+    } finally System.clearProperty("graft.lsh.bucket.cap")
+  }
+
+  test("degenerate hot bucket (5k identical docs) completes salted " +
+      "and emits the complete pair set") {
+    // 5000 identical docs collide in EVERY band: unsalted, one task
+    // would expand 12.5M pairs per band. With the default 1024 cap
+    // the bucket salts into 5 cells; the candidate set must still be
+    // exactly all n(n-1)/2 pairs.
+    val n = 5000
+    val degen = spark.range(n).toDF("doc_id")
+      .withColumn("text", lit(base))
+    val pairs = Dedup.minhashCandidates(degen, "doc_id", "text",
+      numHashes = 4, bands = 2, shingleSize = 3)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+  }
+
   test("minhash verification rejects below-threshold candidates") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       threshold = 0.999).collect()
