@@ -401,25 +401,15 @@ object SparkEntry {
     StructField("column_name", StringType, nullable = false),
     StructField("inferred_type", StringType, nullable = false)))
 
-  /** `shareScan` materializes the all-string projection ONCE (plain
-    * cache with an explicit unpersist — inference is eager, so the
-    * lifecycle is this call): the date-format cascade makes several
-    * aggregation passes, and without sharing each pass re-derives the
-    * full stringified scan — schema_drift pays that twice over two
-    * snapshots (VERDICT r13 #6). Identical results either way; the
-    * flag only trades one cached materialization for N rescans, so
-    * callers whose input is a cheap raw table scan can skip it.
+  /** Inference is a single full-column aggregation pass since r15
+    * (the r13 #6 shareScan cache that amortized the old multi-pass
+    * cascade is gone with the passes it amortized).
     */
-  private def typeinferQuery(s: SparkSession, df: DataFrame,
-      shareScan: Boolean = false): DataFrame = {
-    val src =
-      if (shareScan) stringified(df).persist() else stringified(df)
-    try {
-      val inf = TypeInference.infer(src)
-      val rows = inf.toSeq.sortBy(_._1).map { case (c, t) =>
-        Row(c, t.label) }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), inferSchema)
-    } finally { if (shareScan) { src.unpersist(false); () } }
+  private def typeinferQuery(s: SparkSession, df: DataFrame): DataFrame = {
+    val inf = TypeInference.infer(stringified(df))
+    val rows = inf.toSeq.sortBy(_._1).map { case (c, t) =>
+      Row(c, t.label) }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), inferSchema)
   }
 
   /** Oracle mirroring the inference decision on clean data: numeric if
@@ -4506,12 +4496,12 @@ object SparkEntry {
         .withColumn("o_flag",
           when(col("o_orderkey") % 2 === 0, lit("Y"))
             .otherwise(lit("N")))
-      // both snapshots run the full date cascade: share each side's
-      // stringified scan across its aggregation passes (r13 #6 — the
-      // drift query was re-deriving the projected scans per pass)
-      val a = typeinferQuery(s, o, shareScan = true)
+      // inference is a single aggregation pass per snapshot since r15
+      // (fused cascade), so the r13 #6 shareScan cache would be pure
+      // overhead here — each side scans its projection exactly once
+      val a = typeinferQuery(s, o)
         .select(col("column_name"), col("inferred_type").as("old_type"))
-      val b = typeinferQuery(s, nw, shareScan = true)
+      val b = typeinferQuery(s, nw)
         .select(col("column_name").as("cn"),
           col("inferred_type").as("new_type"))
       a.join(b, a("column_name") === b("cn"), "full_outer")

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
   *   - format preference order decides ambiguous values (mdY before
   *     dmy: "01/02/2023" is January 2nd — whiteRRabbit.R:174-178).
   *
-  * Plan shape: inference costs at most two extra jobs per table —
-  * one small aggregation over a row sample (date-candidate pre-filter)
-  * and one full-column aggregation (validation) covering ALL string
-  * columns at once — then a single cast projection. All parsing runs
-  * in codegen'd builtins (`try_cast`, `try_to_timestamp`); no UDFs.
+  * Plan shape: inference costs exactly ONE extra job per table — a
+  * single full-column aggregation computing the numeric counters and
+  * the date-parse rate for ALL string columns at once — then a single
+  * cast projection. All parsing runs in codegen'd builtins
+  * (`try_cast`, `try_to_timestamp`); no UDFs. The date cascade stays
+  * affordable full-column because two regex gates fast-NULL every
+  * non-date value shape before any parser runs (see [[dateParse]]).
   *
   * Divergence (documented): the reference votes on ≤1000 sampled
   * non-empty values per column (unseeded); here every non-empty value
@@ -108,9 +110,24 @@ object TypeInference {
       "(?i)^(?=.*(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec))" +
       "[0-9a-z:, ./-]+$"
 
+  /** Charset-gate survivors that can still NEVER parse — measured
+    * empirically against the full cascade (probe in round 15): pure-
+    * digit strings parse only at lengths 4-6 (bare-year ISO parse), 8
+    * (yyyyMMdd) and 14 (yyyyMMddHHmmss); single-dot decimals never
+    * parse (every dotted date format carries two dots). These are
+    * exactly the stringified-numeric shapes, so fast-NULLing them
+    * after one regex makes FULL-COLUMN date validation cost the same
+    * as validating true date columns only — which is what lets
+    * [[infer]] run as a single aggregation pass with no sampled
+    * pre-filter. Speed-only by construction: the gate rejects only
+    * value shapes the cascade provably returns NULL for.
+    */
+  private val neverDateGate =
+    "^(?:[0-9]{1,3}|[0-9]{7}|[0-9]{9,13}|[0-9]{15,}|[0-9]+\\.[0-9]+)$"
+
   def dateParse(name: String): Column = {
     val t = trim(col(s"`$name`"))
-    when(t.rlike(dateCharsetGate),
+    when(t.rlike(dateCharsetGate) && !t.rlike(neverDateGate),
       coalesce((try_to_timestamp(t) +:
         dateFormats.map(f => try_to_timestamp(t, lit(f)))): _*))
   }
@@ -141,14 +158,12 @@ object TypeInference {
     *     except for sample luck within ~±0.03 of the boundary, where
     *     the unseeded reference is itself nondeterministic).
     *
-    * The row sample only PRE-FILTERS date candidates so the expensive
-    * multi-format full parse runs on plausible columns: a column
-    * advances if its sampled date rate clears half the threshold OR it
-    * had under 30 sampled votes (mostly-empty columns get their full
-    * per-column decision rather than trusting a noisy handful of
-    * votes). A column with a true rate ≥ 0.8 sampling below 0.4 over
-    * ≥30 votes is a ≥5σ event — the pre-filter cannot realistically
-    * flip a promotion.
+    * Both decisions come from ONE full-column aggregation pass —
+    * there is no sampled pre-filter anymore (r15): the neverDateGate
+    * regex makes the full date validation as cheap on numeric columns
+    * as the old pre-filter made skipping them, and full-column rates
+    * are the decision procedure anyway. `randomSample` is therefore
+    * decision-neutral and retained for signature compatibility.
     *
     * `sampleVote = true` (off by default) switches to the REFERENCE'S
     * exact decision procedure (whiteRRabbit.R:147-151, 172-187): per
@@ -176,51 +191,32 @@ object TypeInference {
     if (sampleVote)
       return inferSampleVote(df, strCols, sampleSize, threshold, seed)
 
-    // Stage 1: date-candidate pre-filter on a bounded row sample.
-    // orderBy(rand).limit(k) plans as TakeOrderedAndProject
-    // (per-partition top-k, no full shuffle). The 5-sigma safety
-    // argument below assumes a UNIFORM sample — with
-    // randomSample=false a head sample could correlate with row order
-    // (e.g. leading rows from a differently-formatted source), so in
-    // that mode the pre-filter is skipped entirely and every string
-    // column goes to the full date validation.
-    val dateCand: Seq[(String, Int)] =
-      if (!randomSample) strCols.zipWithIndex
-      else {
-        val projected = df.select(strCols.map(c => col(s"`$c`")): _*)
-        val sample = projected.orderBy(rand(seed)).limit(sampleSize)
-        val voteAggs = strCols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(rate(c, dateParse(c)).as(s"d_$i"),
-            count(when(nonEmpty(c), lit(1))).as(s"dn_$i"))
-        }
-        val vote = sample.agg(voteAggs.head, voteAggs.tail: _*).head()
-        def sampleRate(i: Int): Double =
-          if (vote.isNullAt(vote.fieldIndex(s"d_$i"))) -1.0
-          else vote.getAs[Double](s"d_$i")
-        def sampleVotes(i: Int): Long = vote.getAs[Long](s"dn_$i")
-        strCols.zipWithIndex.filter { case (_, i) =>
-          sampleRate(i) >= threshold / 2 || sampleVotes(i) < 30
-        }
-      }
-
-    // Stage 2: ONE full-column aggregation: per-column non-empty count
-    // and numeric bad count for every string column, date rate for the
-    // pre-filtered candidates.
+    // ONE full-column aggregation pass (VERDICT r14 #3): per column,
+    // the numeric all-or-nothing counters AND the full date-parse
+    // rate, in a single agg. Earlier rounds pre-filtered date
+    // candidates with a sampled scan to keep the 40-format cascade
+    // off non-date columns; the neverDateGate fast-NULL (one regex)
+    // now rejects stringified numerics — the only charset-gate
+    // survivors that are not dates — so validating every column costs
+    // what validating candidates alone used to, minus the whole
+    // sampling scan. Decisions are identical to the old
+    // randomSample=false arm (full-column rates decide everything);
+    // the sampled pre-filter could only diverge from this in a
+    // >=5-sigma sampling accident, so `randomSample` is now decision-
+    // neutral and kept only for signature compatibility.
     val checkAggs =
       strCols.zipWithIndex.flatMap { case (c, i) =>
         // all-or-nothing: any non-empty value failing to parse vetoes
         Seq(count(when(nonEmpty(c) && numericParse(c).isNull, lit(1)))
             .as(s"bad_$i"),
-          count(when(nonEmpty(c), lit(1))).as(s"n_$i"))
-      } ++ dateCand.map { case (c, i) =>
-        rate(c, dateParse(c)).as(s"full_$i")
+          count(when(nonEmpty(c), lit(1))).as(s"n_$i"),
+          rate(c, dateParse(c)).as(s"full_$i"))
       }
     val full = df.agg(checkAggs.head, checkAggs.tail: _*).head()
-    val dateCandIdx = dateCand.map(_._2).toSet
     val decisions = strCols.zipWithIndex.map { case (c, i) =>
       val numericOk = full.getAs[Long](s"n_$i") > 0L &&
         full.getAs[Long](s"bad_$i") == 0L
-      val dateOk = dateCandIdx(i) &&
+      val dateOk =
         !full.isNullAt(full.fieldIndex(s"full_$i")) &&
         full.getAs[Double](s"full_$i") >= threshold
       val t: InferredType =
