@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(
       org.apache.spark.sql.graft.GraftMergeRule(_))
+    // analysis-time resolution of the table_changes TVF placeholder
+    // (the parser stays thin — round-14 advice): catalog binding,
+    // head-version resolution and the delta-sized CDF read plan all
+    // happen here, never in the parser
+    ext.injectResolutionRule(
+      org.apache.spark.sql.graft.GraftTableChangesRule(_))
     // ALTER TABLE + time travel cannot ride a resolution rule
     // (ResolveSessionCatalog throws on the V1 node earlier in the
     // same batch) — they rewrite at PARSE time instead; every

@@ -1024,6 +1024,72 @@ object Dedup {
     reassembleKept(chunked, firsts, idCol)
   }
 
+  /** SUBSTRING-level exact dedup — the Lee-et-al. "repeated ≥k-token
+    * span" mode (Deduplicating Training Data Makes Language Models
+    * Better, 2022), the one standard training-data dedup the chunk
+    * family cannot express: [[chunkDedup]]'s fixed windows miss a
+    * repeated span that straddles a chunk boundary, while EVERY
+    * k-token duplicated span covers at least one SLIDING window.
+    * Every k-token window of every document keys by content; a window
+    * whose content appeared EARLIER in corpus order — (id, pos)
+    * lexicographic, the deterministic stand-in for the paper's
+    * suffix-array order — is a duplicated-window candidate, and
+    * overlapping/adjacent candidates merge into maximal token spans.
+    *
+    * Output: one row per maximal duplicated span, the REMOVAL
+    * candidates — (idCol, span_start, span_end), 0-based inclusive
+    * token positions. The first (corpus-order) occurrence of each
+    * content survives unspanned, so applying the candidates never
+    * deletes all copies.
+    *
+    * Scale shape: the paper's suffix array is a global sort the
+    * cluster cannot shard cheaply; rolling k-token windows find the
+    * same ≥k-token repeats with one shuffle. Windows shuffle as
+    * (id, pos, xxhash64(window)) — 8-byte content keys, never the
+    * k-token strings ([[boilerplateChunkFilter]]'s trick; a 64-bit
+    * collision mis-flagging a window moves a span boundary with
+    * p ≈ n²/2⁶⁵, and the SQL oracle keys by CONTENT, so the gate
+    * itself would catch one). The rank window partitions by content
+    * hash (duplicate-group sized); the island merge partitions by
+    * document id (document-sized). Nothing is corpus-quadratic, and
+    * the k× token blowup carries only fixed-width rows.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"window size must be positive: $k")
+    val toks = split(col(textCol), " ")
+    val wins = df
+      .select(col(idCol).as("id"), toks.as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => struct(i.cast("long").as("pos"),
+          xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))
+            .as("h")))).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val byContent = Window.partitionBy("h")
+      .orderBy(col("id"), col("pos"))
+    val dups = wins
+      .withColumn("__rn", row_number().over(byContent))
+      .where(col("__rn") > 1)
+      .select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + (k - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // gaps-and-islands: a candidate window STARTS a new span exactly
+    // when it neither overlaps nor abuts the furthest end so far
+    val islands = dups
+      .withColumn("__brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1)
+          .otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(byDoc))
+    islands.groupBy(col("id"), col("__g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Soft dedup: instead of DROPPING duplicates, weight each copy by
     * the inverse of its exact-content multiplicity, so one epoch over
     * the weighted corpus trains on each distinct content exactly once

@@ -2708,6 +2708,19 @@ object VersionedTable {
     logicalSchemaOf(spark, root, readManifest(spark, root, version),
       version)
 
+  /** Snapshot `version`'s (logical name → physical name) field pairs
+    * — None for a never-evolved table (no mapping recorded: logical
+    * names ARE the physical names), dropped columns (empty logical
+    * name) excluded. Metadata-sized: one manifest read. The physical
+    * name is the field's immutable identity across renames, so
+    * composing two versions' mappings through it aligns their logical
+    * schemas (the CDF v0-slice rename fix, round-14 advice).
+    */
+  def fieldMapping(spark: SparkSession, root: String,
+      version: Long): Option[Seq[(String, String)]] =
+    resolveFields(spark, root, version)
+      .map(_.filter(_.name.nonEmpty).map(f => f.name -> f.physical))
+
   private def logicalSchemaOf(spark: SparkSession, root: String,
       raw: String,
       version: Long): org.apache.spark.sql.types.StructType =

@@ -118,17 +118,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           timeTravelRelation(root, ident, ts, ver)
         }.getOrElse(tt)
       // table_changes('<table or root>', from [, to]) — the Delta
-      // change-data-feed TABLE-VALUED FUNCTION, batch form: rewrites
-      // at parse time onto the engine's delta-sized CDF read
-      // ([[VersionedTable.changeDelta]] — never the full snapshot
-      // diff), spliced in as an already-analyzed subtree. `from` is
-      // INCLUSIVE and `to` defaults to the table head (both the Delta
-      // contract); version 0's initial inserts arrive as an
-      // insert-tagged snapshot slice. Any shape this rewrite cannot
-      // bind — non-literal args, an identifier that is not provably a
-      // graft table — passes through UNTOUCHED, so a user-defined TVF
-      // of the same name (or a typo) gets the stock resolution error,
-      // never a graft one.
+      // change-data-feed TABLE-VALUED FUNCTION, batch form. The
+      // PARSER stays THIN here (round-14 advice): it only captures
+      // the literal arguments into an unresolved placeholder node;
+      // catalog lookups, filesystem probes, head-version binding and
+      // the delta-sized read plan all happen in
+      // [[GraftTableChangesRule]] at ANALYSIS time — so a statement
+      // parsed now and executed later binds the head THEN, and I/O
+      // or range errors surface as analysis errors, never parse
+      // errors. Any shape the rule cannot bind restores the ORIGINAL
+      // node, so a user-defined TVF of the same name (or a typo)
+      // resolves — or errors — exactly as stock. Non-literal args
+      // never leave the stock path at all.
       case tvf @ UnresolvedTableValuedFunction(Seq(fn), args, _)
           if fn.equalsIgnoreCase("table_changes") =>
         val lits = args.map {
@@ -137,64 +138,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case Literal(v: Long, _) => Some(v.toLong)
           case _ => None
         }
-        val resolved = lits match {
+        lits match {
           case Seq(Some(t: String), Some(from: Long)) =>
-            Some((t, from, None))
+            UnresolvedTableChanges(t, from, None, tvf)
           case Seq(Some(t: String), Some(from: Long), Some(to: Long)) =>
-            Some((t, from, Some(to)))
-          case _ => None
+            UnresolvedTableChanges(t, from, Some(to), tvf)
+          case _ => tvf
         }
-        resolved.flatMap { case (t, from, to) =>
-          // a catalog table / temp view name, or a raw table root —
-          // both probes Try-guarded: lookup failures must never leak
-          // out of the PARSER for statements we do not own
-          graftTable(t.split('.').toIndexedSeq).map(_._1)
-            .orElse(
-              if (scala.util.Try(
-                  VersionedTable.latestVersion(session, t))
-                  .toOption.flatten.isDefined) Some(t)
-              else None)
-            .map { root =>
-              val end = to.getOrElse(
-                VersionedTable.latestVersion(session, root).getOrElse(
-                  sys.error(s"no committed version at $root")))
-              require(from >= 0 && from <= end,
-                s"table_changes range [$from, $end] is invalid for " +
-                  s"$root (head is $end)")
-              val tail =
-                if (from > 0)
-                  Some(VersionedTable.changeDelta(session, root,
-                    from - 1, end))
-                else if (end > 0)
-                  Some(VersionedTable.changeDelta(session, root,
-                    0, end))
-                else None
-              // from = 0 includes the initial commit: v0's content as
-              // insert-tagged rows, projected onto the CDF schema
-              // (name-matched, cast, null-filled — the same shaping
-              // rule changeDelta applies to its own slices)
-              val df = (from, tail) match {
-                case (0, maybeTail) =>
-                  import org.apache.spark.sql.functions.{col, lit}
-                  val base = VersionedTable
-                    .readVersion(session, root, 0L)
-                    .withColumn("_change_type", lit("insert"))
-                    .withColumn("_commit_version", lit(0L))
-                  maybeTail.map { cd =>
-                    val have = base.columns.toSet
-                    base.select(cd.schema.fields.toIndexedSeq.map { f =>
-                      (if (have(f.name)) col(f.name).cast(f.dataType)
-                       else lit(null).cast(f.dataType)).as(f.name)
-                    }: _*).unionByName(cd)
-                  }.getOrElse(base)
-                case (_, Some(cd)) => cd
-                case _ => sys.error("unreachable: from > 0 implies " +
-                  "a change delta")
-              }
-              SubqueryAlias("table_changes",
-                df.queryExecution.analyzed): LogicalPlan
-            }
-        }.getOrElse(tvf)
       // a GENUINE `CREATE TABLE (cols…) USING graft` on an
       // already-committed root validates its declared column list
       // against the manifest HERE — the one place that can tell a
@@ -233,54 +183,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         ct
     })
 
-  /** Resolves a statement identifier to a graft table root: a
-    * session-catalog table whose provider is `graft` (path from its
-    * OPTIONS), or a temp view planned directly over a
-    * [[GraftRelation]]. Anything else — including identifiers the
-    * catalog does not know — is None, and the statement flows to the
-    * stock analyzer untouched. Lookup failures must never leak out of
-    * the PARSER for non-graft statements.
+  /** Resolves a statement identifier to a graft table root —
+    * delegates to [[GraftSqlParser.graftTable]] (shared with the
+    * analysis-time [[GraftTableChangesRule]]). Lookup failures must
+    * never leak out of the PARSER for non-graft statements.
     */
   private def graftTable(
-      ident: Seq[String]): Option[(String, Option[TableIdentifier])] = {
-    val cat = session.sessionState.catalog
-    val ti = ident match {
-      case Seq(t) => Some(TableIdentifier(t))
-      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
-      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
-        Some(TableIdentifier(t, Some(db)))
-      case _ => None
-    }
-    val fromCatalog = ti.flatMap { id =>
-      scala.util.Try(cat.getTableMetadata(id)).toOption.flatMap { m =>
-        if (m.provider.exists(_.equalsIgnoreCase("graft")))
-          // CREATE TABLE … OPTIONS (path '…') lands in locationUri,
-          // not storage.properties — check both
-          m.storage.properties.map { case (k, v) => k.toLowerCase -> v }
-            .get("path")
-            .orElse(m.storage.locationUri.map(
-              org.apache.spark.sql.catalyst.catalog.CatalogUtils
-                .URIToString))
-            .map(_ -> Some(id))
-        else None
-      }
-    }
-    def fromTempView = ident match {
-      case Seq(t) =>
-        scala.util.Try(cat.getTempView(t)).toOption.flatten
-          .flatMap(_.collectFirst {
-            case LogicalRelation(g: GraftRelation, _, _, _, _) =>
-              (g.root, None)
-          })
-      case _ => None
-    }
-    fromCatalog.orElse(fromTempView)
-  }
+      ident: Seq[String]): Option[(String, Option[TableIdentifier])] =
+    GraftSqlParser.graftTable(session, ident)
 
-  /** The two maintenance statements, Delta-shaped:
+  /** The maintenance statements, Delta-shaped:
     *
     *   OPTIMIZE <table> [ZORDER BY (c1, c2, …)]
     *   VACUUM <table> [RETAIN <n> VERSIONS]
+    *   RESTORE [TABLE] <table> TO VERSION AS OF <n>
+    *   RESTORE [TABLE] <table> TO TIMESTAMP AS OF '<ts>'
+    *   CREATE TABLE <t> SHALLOW CLONE <src> [VERSION AS OF <n>]
+    *     [LOCATION '<root>']
     *
     * OPTIMIZE without dimensions routes through the policy dispatch
     * ([[VersionedTable.compactDeletes]] — folds MoR deletes and
@@ -288,8 +207,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * ZORDER BY recomputes the multi-dimension layout. VACUUM's
     * retention is VERSION-count based (the engine's own unit —
     * explicit, unlike Delta's wall-clock hours; default keeps 2).
-    * Only fires for identifiers that provably name graft tables; any
-    * other statement re-raises the delegate's own ParseException.
+    * RESTORE's timestamp binds to the newest commit at or before the
+    * instant — resolved at EXECUTION time in the command (session
+    * time zone), never in the parser. SHALLOW CLONE resolves BOTH
+    * identifiers at execution time for the same reason (the target
+    * does not exist yet, and the statement is unparseable by stock
+    * Spark, so claiming every CREATE…SHALLOW CLONE is safe — a bad
+    * identifier fails with a clear execution error instead of the
+    * stock ParseException). The other forms only fire for
+    * identifiers that provably name graft tables; any other
+    * statement re-raises the delegate's own ParseException.
     */
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
     val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
@@ -298,13 +225,31 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""").r
     val restore = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+    val restoreTs = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+    val clone = ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+|'[^']+')\s+""" +
+      """SHALLOW\s+CLONE\s+([\w.`]+|'[^']+')\s*""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""" +
+      """(?:LOCATION\s+'([^']+)'\s*)?;?\s*$""").r
+    // a backquoted name may CONTAIN dots (`a.b` is ONE identifier
+    // part) — split through the delegate's own multipart-identifier
+    // grammar, never a manual '.' split (round-14 advice)
     def ident(raw: String): Seq[String] =
-      raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+      scala.util.Try(delegate.parseMultipartIdentifier(raw))
+        .getOrElse(raw.split('.').toSeq
+          .map(_.stripPrefix("`").stripSuffix("`")))
     sql match {
       case restore(raw, v) =>
         graftTable(ident(raw)).map { case (root, _) =>
-          GraftRestoreCommand(root, v.toLong)
+          GraftRestoreCommand(root, Some(v.toLong), None)
         }
+      case restoreTs(raw, ts) =>
+        graftTable(ident(raw)).map { case (root, _) =>
+          GraftRestoreCommand(root, None, Some(ts))
+        }
+      case clone(tgtRaw, srcRaw, ver, loc) =>
+        Some(GraftCloneCommand(tgtRaw.trim, srcRaw.trim,
+          Option(ver).map(_.toLong), Option(loc)))
       case opt(raw, dims) =>
         graftTable(ident(raw)).map { case (root, _) =>
           val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
@@ -421,21 +366,207 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def tsMillis(e: Expression): Long = e match {
     case Cast(c, _, _, _) => tsMillis(c)
     case Literal(v: UTF8String, StringType) =>
-      val s = v.toString
-      s.toLongOption.getOrElse {
-        val t = scala.util.Try(
-            java.time.LocalDateTime.parse(s.replace(' ', 'T')))
-          .getOrElse(java.time.LocalDate.parse(s).atStartOfDay())
-        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      }
+      GraftSqlParser.literalTsMillis(session, v.toString)
     case Literal(v: Long, _: TimestampType) => v / 1000L
     case Literal(v: Long, LongType) => v
-    // DATE literals carry days-since-epoch as an Int — NOT millis
+    // DATE literals carry days-since-epoch as an Int — NOT millis;
+    // the day starts in the SESSION time zone (the Delta rule)
     case Literal(v: Int, org.apache.spark.sql.types.DateType) =>
-      v.toLong * 86400000L
+      java.time.LocalDate.ofEpochDay(v.toLong)
+        .atStartOfDay(GraftSqlParser.sessionZone(session))
+        .toInstant.toEpochMilli
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
       v.toLong
     case other => fail(s"non-literal TIMESTAMP AS OF: $other")
+  }
+}
+
+object GraftSqlParser {
+
+  def sessionZone(session: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(
+      session.sessionState.conf.sessionLocalTimeZone)
+
+  /** A date / date-time string literal resolved to epoch millis in
+    * the SESSION time zone (`spark.sql.session.timeZone`) — the rule
+    * Delta applies to time-travel timestamps, so the same statement
+    * binds the same snapshot a Delta user would expect (round-14
+    * advice: the old fixed-UTC parse silently diverged on non-UTC
+    * sessions). A bare integer string stays epoch millis.
+    */
+  def literalTsMillis(session: SparkSession, s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = scala.util.Try(
+          java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+        .getOrElse(java.time.LocalDate.parse(s).atStartOfDay())
+      t.atZone(sessionZone(session)).toInstant.toEpochMilli
+    }
+
+  /** Resolves a statement identifier to a graft table root: a
+    * session-catalog table whose provider is `graft` (path from its
+    * OPTIONS), or a temp view planned directly over a
+    * [[GraftRelation]]. Anything else — including identifiers the
+    * catalog does not know — is None (every lookup Try-guarded), and
+    * the statement flows to the stock analyzer untouched. Shared by
+    * the parser's maintenance/ALTER arms and the analysis-time
+    * [[GraftTableChangesRule]].
+    */
+  def graftTable(session: SparkSession,
+      ident: Seq[String]): Option[(String, Option[TableIdentifier])] = {
+    val cat = session.sessionState.catalog
+    val ti = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    val fromCatalog = ti.flatMap { id =>
+      scala.util.Try(cat.getTableMetadata(id)).toOption.flatMap { m =>
+        if (m.provider.exists(_.equalsIgnoreCase("graft")))
+          // CREATE TABLE … OPTIONS (path '…') lands in locationUri,
+          // not storage.properties — check both
+          m.storage.properties.map { case (k, v) => k.toLowerCase -> v }
+            .get("path")
+            .orElse(m.storage.locationUri.map(
+              org.apache.spark.sql.catalyst.catalog.CatalogUtils
+                .URIToString))
+            .map(_ -> Some(id))
+        else None
+      }
+    }
+    def fromTempView = ident match {
+      case Seq(t) =>
+        scala.util.Try(cat.getTempView(t)).toOption.flatten
+          .flatMap(_.collectFirst {
+            case LogicalRelation(g: GraftRelation, _, _, _, _) =>
+              (g.root, None)
+          })
+      case _ => None
+    }
+    fromCatalog.orElse(fromTempView)
+  }
+
+  /** A table reference that may be a catalog/temp-view identifier OR
+    * a raw table-root path (quoted or bare) — the execution-time
+    * resolution the SHALLOW CLONE and table_changes sources share.
+    */
+  def resolveTableOrRoot(session: SparkSession,
+      raw: String): Option[String] = {
+    val unquoted =
+      if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+        raw.substring(1, raw.length - 1)
+      else raw
+    graftTable(session,
+        unquoted.split('.').toIndexedSeq
+          .map(_.stripPrefix("`").stripSuffix("`")))
+      .map(_._1)
+      .orElse(
+        if (scala.util.Try(
+            VersionedTable.latestVersion(session, unquoted))
+            .toOption.flatten.isDefined) Some(unquoted)
+        else None)
+  }
+}
+
+/** The thin parse-time placeholder for `table_changes(t, from[, to])`
+  * — carries only the statement's literal arguments plus the original
+  * TVF node for exact fall-back. All resolution (catalog lookup,
+  * head-version binding, the delta-sized read plan) happens in
+  * [[GraftTableChangesRule]] at analysis time.
+  */
+case class UnresolvedTableChanges(tableArg: String, fromVersion: Long,
+    toVersion: Option[Long],
+    original: UnresolvedTableValuedFunction)
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+}
+
+/** Analysis-time resolution of [[UnresolvedTableChanges]] (round-14
+  * advice: keep the parser thin). Binds the identifier — catalog
+  * table, temp view, or raw root path — and splices in the engine's
+  * delta-sized CDF read ([[VersionedTable.changeDelta]], never a full
+  * snapshot diff) as an already-analyzed subtree. `from` is INCLUSIVE
+  * and `to` defaults to the table head, both the Delta contract;
+  * version 0's initial commit arrives as an insert-tagged snapshot
+  * slice whose columns are first RENAMED onto the head manifest's
+  * logical names through the shared physical field ids
+  * ([[VersionedTable.fieldMapping]]) — so a column renamed after v0
+  * carries its values in the feed instead of null-filling (round-14
+  * advice, the medium finding). An identifier that binds to nothing
+  * restores the ORIGINAL TVF node: a user-defined function named
+  * table_changes resolves as stock, a typo gets the stock error.
+  */
+case class GraftTableChangesRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u: UnresolvedTableChanges =>
+        GraftSqlParser.resolveTableOrRoot(spark, u.tableArg)
+          .map(build(u, _)).getOrElse(u.original)
+    }
+
+  private def build(u: UnresolvedTableChanges,
+      root: String): LogicalPlan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val session = spark
+    val from = u.fromVersion
+    val end = u.toVersion.getOrElse(
+      VersionedTable.latestVersion(session, root).getOrElse(
+        sys.error(s"no committed version at $root")))
+    require(from >= 0 && from <= end,
+      s"table_changes range [$from, $end] is invalid for " +
+        s"$root (head is $end)")
+    val tail =
+      if (from > 0)
+        Some(VersionedTable.changeDelta(session, root, from - 1, end))
+      else if (end > 0)
+        Some(VersionedTable.changeDelta(session, root, 0, end))
+      else None
+    // from = 0 includes the initial commit: v0's content (deletes
+    // applied — a cloned table's v0 may carry a sidecar) as
+    // insert-tagged rows, renamed v0-logical → head-logical through
+    // the shared physical ids, then projected onto the CDF schema
+    // (name-matched, cast, null-filled — the same shaping rule
+    // changeDelta applies to its own slices)
+    val df = (from, tail) match {
+      case (0, maybeTail) =>
+        val v0 = VersionedTable.readVersion(session, root, 0L)
+        val renames: Map[String, String] =
+          VersionedTable.fieldMapping(session, root, end) match {
+            case Some(fh) =>
+              val physToHead = fh.map { case (n, p) => p -> n }.toMap
+              VersionedTable.fieldMapping(session, root, 0L) match {
+                case Some(f0) => f0.flatMap { case (n0, p) =>
+                    physToHead.get(p).map(n0 -> _)
+                  }.toMap
+                // a never-evolved v0 manifest records no mapping: its
+                // logical names ARE the physical names, so the head
+                // mapping applies to them directly
+                case None => physToHead
+              }
+            case None => Map.empty
+          }
+        val base = v0
+          .select(v0.columns.toIndexedSeq.map(c =>
+            col(c).as(renames.getOrElse(c, c))): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+        maybeTail.map { cd =>
+          val have = base.columns.toSet
+          base.select(cd.schema.fields.toIndexedSeq.map { f =>
+            (if (have(f.name)) col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*).unionByName(cd)
+        }.getOrElse(base)
+      case (_, Some(cd)) => cd
+      case _ => sys.error("unreachable: from > 0 implies " +
+        "a change delta")
+    }
+    SubqueryAlias("table_changes", df.queryExecution.analyzed)
   }
 }
 
@@ -530,18 +661,90 @@ case class GraftVacuumCommand(root: String, keepLast: Int)
       nullable = false)())
 }
 
-/** `RESTORE [TABLE] t TO VERSION AS OF n` — roll-FORWARD: the old
-  * snapshot's content commits as the NEWEST version (history is never
-  * rewritten, the standard RESTORE semantics; the undone versions
-  * stay time-travelable until vacuum). Returns the new version id.
+/** `RESTORE [TABLE] t TO VERSION AS OF n` /
+  * `… TO TIMESTAMP AS OF '<ts>'` — roll-FORWARD: the old snapshot's
+  * content commits as the NEWEST version (history is never rewritten,
+  * the standard RESTORE semantics; the undone versions stay
+  * time-travelable until vacuum). A timestamp binds to the newest
+  * commit at or before the instant (the same rule reads apply),
+  * resolved at EXECUTION time in the session time zone — the command
+  * re-reads the manifest timeline when it RUNS, so a cached plan
+  * never pins a stale head. Returns the new version id.
   */
-case class GraftRestoreCommand(root: String, toVersion: Long)
+case class GraftRestoreCommand(root: String, toVersion: Option[Long],
+    toTimestamp: Option[String])
     extends LeafRunnableCommand {
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(VersionedTable.rollback(session, root, toVersion,
-      tag = s"sql-restore-v$toVersion")))
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = (toVersion, toTimestamp) match {
+      case (Some(x), None) => x
+      case (None, Some(s)) =>
+        val millis = GraftSqlParser.literalTsMillis(session, s)
+        VersionedTable.versions(session, root)
+          .filter(x =>
+            VersionedTable.commitTimeMs(session, root, x) <= millis)
+          .lastOption.getOrElse(sys.error(
+            s"no commit at or before TIMESTAMP AS OF $millis " +
+              s"(epoch ms) at $root — the table's first commit is " +
+              "newer"))
+      case _ => sys.error("RESTORE needs exactly one of " +
+        "VERSION AS OF / TIMESTAMP AS OF")
+    }
+    Seq(Row(VersionedTable.rollback(session, root, v,
+      tag = s"sql-restore-v$v")))
+  }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `CREATE TABLE t SHALLOW CLONE src [VERSION AS OF n]
+  * [LOCATION '<root>']` — the zero-copy clone
+  * ([[VersionedTable.cloneShallow]]: manifest-only, absolute
+  * directory references, delete-scoping rebased) surfaced as SQL.
+  * Both identifiers resolve at EXECUTION time: the source may be a
+  * catalog table, a graft temp view, or a raw root path (quoted);
+  * the target is either a quoted raw path, or a catalog name — which
+  * needs LOCATION, since graft tables are path-rooted — registered
+  * with the session catalog after the clone commits, so it is
+  * immediately queryable. Returns (version, target_root).
+  */
+case class GraftCloneCommand(targetRaw: String, sourceRaw: String,
+    sourceVersion: Option[Long], location: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcRoot = GraftSqlParser.resolveTableOrRoot(session, sourceRaw)
+      .getOrElse(sys.error(s"SHALLOW CLONE source $sourceRaw is not " +
+        "a graft table (catalog name, temp view, or committed root " +
+        "path)"))
+    val quotedTarget = targetRaw.startsWith("'") &&
+      targetRaw.endsWith("'") && targetRaw.length >= 2
+    val tgtRoot =
+      if (quotedTarget) {
+        require(location.isEmpty, "SHALLOW CLONE: give the target as " +
+          "a path OR a catalog name with LOCATION, not both")
+        targetRaw.substring(1, targetRaw.length - 1)
+      } else location.getOrElse(sys.error(
+        "CREATE TABLE <name> SHALLOW CLONE needs LOCATION '<root>' " +
+          "(graft tables are path-rooted) — or give the target as a " +
+          "quoted path"))
+    val v = VersionedTable.cloneShallow(session, srcRoot, tgtRoot,
+      sourceVersion.getOrElse(-1L), tag = "sql-shallow-clone")
+    if (!quotedTarget) {
+      // register the catalog entry through the stock CREATE TABLE
+      // path (the graft provider binds the just-committed manifest)
+      val name = targetRaw.split('.').toIndexedSeq
+        .map(p => "`" + p.stripPrefix("`").stripSuffix("`") + "`")
+        .mkString(".")
+      session.sql(s"CREATE TABLE $name USING graft " +
+        s"OPTIONS (path '$tgtRoot')")
+      ()
+    }
+    Seq(Row(v, tgtRoot))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("target_root", StringType,
+        nullable = false)())
 }
 
 /** `DESCRIBE HISTORY t` — the commit audit every lakehouse CLI leans

@@ -707,4 +707,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((0L, 100L, 1.0), (1L, 101L, 0.707107)))
   }
+
+  test("substring dedup finds planted cross-doc spans: maximal " +
+      "merged intervals, first corpus-order occurrence unspanned, " +
+      "chunk-boundary straddlers caught") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val span = words("dup", 12) // a 12-token span shared across docs
+    val planted = Seq(
+      // doc 0: the span at positions 5..16 — the FIRST occurrence
+      (0L, words("a", 5) + " " + span + " " + words("b", 4)),
+      // doc 1: the same span at 3..14 (straddles any fixed 10-token
+      // chunk boundary) → one maximal span, 3 windows merged
+      (1L, words("c", 3) + " " + span + " " + words("d", 6)),
+      // doc 2: TWO copies back-to-back at 0..23 → windows overlap
+      // and abut into ONE maximal span
+      (2L, span + " " + span + " " + words("e", 3)),
+      // doc 3: all-unique tokens → no candidates at all
+      (3L, words("f", 20))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(planted, "doc_id", "text", k = 10)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: dup windows start at 3,4,5 (12-token span → 3 k=10
+    // windows), merged span = [3, 14]. doc 2: dup windows at
+    // 0,1,2 (first copy, repeating doc 0's) and 12,13,14 (second
+    // copy); pos 12 ABUTS the running end 11, so all six merge into
+    // ONE maximal island [0, 23]. docs 0 (first corpus-order
+    // occurrence) and 3 (all-unique) carry no spans — applying the
+    // candidates never deletes all copies.
+    assert(got == Seq((1L, 3L, 14L), (2L, 0L, 23L)), got)
+  }
 }

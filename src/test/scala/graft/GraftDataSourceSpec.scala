@@ -556,4 +556,122 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
     spark.sql("DROP TABLE graft_restore_t")
   }
+
+  test("SQL RESTORE ... TO TIMESTAMP AS OF binds the newest commit " +
+      "at or before the instant, resolved at execution time") {
+    val root = freshRoot("restorets")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    val t0 = VersionedTable.commitTimeMs(spark, root, 0L)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_restorets_t")
+    spark.sql("CREATE TABLE graft_restorets_t USING graft " +
+      s"OPTIONS (path '$root')")
+    // epoch-millis literal pinned exactly at v0's commit instant
+    val v = spark.sql("RESTORE TABLE graft_restorets_t " +
+      s"TO TIMESTAMP AS OF '$t0'").head().getLong(0)
+    assert(v == 2L)
+    assert(spark.sql("SELECT k FROM graft_restorets_t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // an instant before the first commit fails loudly
+    intercept[Exception] {
+      spark.sql("RESTORE graft_restorets_t TO TIMESTAMP AS OF " +
+        s"'${t0 - 100000}'").collect()
+    }
+    // a date-time literal resolves in the SESSION time zone: far
+    // future binds the newest version (idempotent restore-to-self)
+    spark.sql("RESTORE graft_restorets_t TO TIMESTAMP AS OF " +
+      "'2099-01-01 00:00:00'").collect()
+    assert(spark.sql("SELECT k FROM graft_restorets_t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql("DROP TABLE graft_restorets_t")
+  }
+
+  test("SQL CREATE TABLE ... SHALLOW CLONE: zero-copy clone via " +
+      "catalog name + LOCATION or raw paths; source untouched") {
+    val src = freshRoot("clonesql_src")
+    val dst = freshRoot("clonesql_dst")
+    val dst2 = freshRoot("clonesql_dst2")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      src, tag = "base")
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("k", "v"), src)
+    spark.sql("DROP TABLE IF EXISTS graft_clonesql_src")
+    spark.sql("DROP TABLE IF EXISTS graft_clonesql_t")
+    spark.sql("CREATE TABLE graft_clonesql_src USING graft " +
+      s"OPTIONS (path '$src')")
+    // catalog-name target: registered and immediately queryable
+    val row = spark.sql("CREATE TABLE graft_clonesql_t SHALLOW CLONE " +
+      s"graft_clonesql_src LOCATION '$dst'").head()
+    assert(row.getLong(0) == 0L && row.getString(1) == dst)
+    assert(spark.sql("SELECT k FROM graft_clonesql_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // clone-side writes never touch the source
+    spark.sql("INSERT INTO graft_clonesql_t VALUES (9, 'z')")
+    assert(VersionedTable.read(spark, src).count() == 3L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_clonesql_t")
+      .head().getLong(0) == 4L)
+    // raw-path form with a version pin
+    spark.sql(s"CREATE TABLE '$dst2' SHALLOW CLONE '$src' " +
+      "VERSION AS OF 0").collect()
+    assert(VersionedTable.read(spark, dst2).count() == 2L)
+    // a non-graft source fails with a clear execution error
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '${dst2}_x' SHALLOW CLONE not_a_table")
+        .collect()
+    }
+    assert(e.getMessage.contains("not a graft table"), e.getMessage)
+    spark.sql("DROP TABLE graft_clonesql_t")
+    spark.sql("DROP TABLE graft_clonesql_src")
+  }
+
+  test("SQL CTAS: CREATE TABLE ... USING graft AS SELECT commits v0 " +
+      "through the manifest-last protocol and round-trips") {
+    val root = freshRoot("ctas")
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_t")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft_ctas_t USING graft " +
+      s"OPTIONS (path '$root') AS SELECT * FROM ctas_src WHERE k <> 2")
+    assert(spark.sql("SELECT k, v FROM graft_ctas_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // the CTAS wrote a real manifest: the engine API reads it too,
+    // and the lifecycle continues (INSERT appends as v1)
+    assert(VersionedTable.latestVersion(spark, root).contains(0L))
+    spark.sql("INSERT INTO graft_ctas_t VALUES (4, 'd')")
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_ctas_t VERSION AS OF 0")
+      .head().getLong(0) == 2L)
+    // CTAS onto an already-committed root fails loudly (the stock
+    // ErrorIfExists path hits the engine's existence check)
+    spark.sql("DROP TABLE graft_ctas_t")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ctas_t USING graft " +
+        s"OPTIONS (path '$root') AS SELECT * FROM ctas_src")
+    }
+  }
+
+  test("table_changes(t, 0) after RENAME COLUMN carries v0 values " +
+      "under the head logical name (never null-filled)") {
+    val root = freshRoot("cdfrename")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root, tag = "base")
+    spark.sql("DROP TABLE IF EXISTS graft_cdfrename_t")
+    spark.sql("CREATE TABLE graft_cdfrename_t USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.sql(
+      "ALTER TABLE graft_cdfrename_t RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO graft_cdfrename_t VALUES (3, 'c')")
+    val rows = spark.sql(
+      "SELECT k, label, _change_type, _commit_version " +
+        "FROM table_changes('graft_cdfrename_t', 0) " +
+        "ORDER BY _commit_version, k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // v0's values arrive under the RENAMED name — the v0 slice reads
+    // through the head manifest's field mapping, not v0-local names
+    assert(rows == Seq((1L, "a", "insert", 0L),
+      (2L, "b", "insert", 0L), (3L, "c", "insert", 2L)), rows)
+    spark.sql("DROP TABLE graft_cdfrename_t")
+  }
 }
