@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Noise hardening (VERDICT r4 #1): single-run second-scale timings on
   * a shared box swing 3-19x run-to-run, which made BENCH_r04 tell a
   * false story. Each query is therefore run `reps` times (default 3)
-  * and the MEDIAN is reported; and the sf1 smoke section re-times the
+  * and the MEDIAN is reported; the HEADLINE total is the median of
+  * the `reps` whole-suite rep totals (VERDICT r14 #7 — the per-rep
+  * totals ride the JSON as `rep_totals`, so the artifact carries its
+  * own spread evidence); and the sf1 smoke section re-times the
   * sf0.1 base back-to-back with its sf1 twin — interleaved
   * (base, sf1, base, sf1, ...) — so each ratio compares two timings
   * that share warm-up/cache state instead of a cold base measured
@@ -83,7 +86,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, runs, true) => median(runs) }.sum
+    // Median-of-N headline (VERDICT r14 #7): the same-HEAD r14 driver
+    // bench and closing sweep differed 300 vs 239 s because the TOTAL
+    // was effectively single-run. Each query already runs `reps`
+    // times; summing rep i's timing across queries gives `reps`
+    // whole-suite totals, and the MEDIAN of those is the headline —
+    // one slow rep of any query (GC pause, box neighbor) moves one
+    // rep-total, not the artifact of record. The per-rep totals ride
+    // the JSON so the artifact carries its own spread evidence.
+    val repTotals = (0 until reps).map { i =>
+      results.collect { case (_, runs, true) => runs(i) }.sum
+    }
+    val total = median(repTotals)
+    val repTotalsJson = repTotals
+      .map(t => math.round(t * 1000) / 1000.0)
+      .mkString("[", ",", "]")
     // ONE authoritative count: every registered query must carry a
     // timing in this artifact. n_registered is the registry size
     // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
@@ -103,7 +120,8 @@ object Bench {
     // equally warm.
     val sf1Dir = "target/sf1"
     val sf1Queries = Seq("asof_last_order", "col_entropy", "data_split",
-      "decontaminate", "dedup_chunks", "dedup_clusters", "dedup_exact",
+      "decontaminate", "dedup_chunks", "dedup_substring",
+      "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
       "drift_ks_matrix", "hist_equidepth", "bpe_encode",
@@ -124,6 +142,7 @@ object Bench {
       "table_fast_count", "table_upsert_mor", "table_sql_dml",
       "table_sql_ddl", "table_sql_time_travel", "table_sql_maintenance",
       "table_sql_changes", "table_sql_history", "table_sql_restore",
+      "table_sql_ctas", "table_sql_clone",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",
@@ -245,7 +264,7 @@ object Bench {
         s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"queries":$entries,"flagged":$flagged}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
     // The full line above carries per-query detail but runs far past
     // the ~2,000-char stdout tail the round driver records, so for
     // five rounds BENCH_r{N}.json held a truncated fragment. This
@@ -257,7 +276,7 @@ object Bench {
         "\"" + k + "\":" + (math.round(r * 100) / 100.0)
       }.mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
     spark.stop()
     if (only.isEmpty && missing.nonEmpty) {
       System.err.println(s"[bench] registered queries without a " +

@@ -76,6 +76,12 @@ object Verify {
       .map(k => s"${q(k)}: ${q("contract-twin: " +
         SparkEntry.contractTwinOf(k))}").mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/bench_only.json"), benchOnly)
+    // the full registry manifest (VERDICT r14 #8): name → gate class
+    // for EVERY registered query — the same content as the committed
+    // QUERY_MANIFEST.json, so the round's artifacts reconcile against
+    // the repo file mechanically
+    Files.writeString(Paths.get(s"$outDir/query_manifest.json"),
+      QueryManifest.render)
     spark.stop()
   }
 }
