@@ -121,7 +121,7 @@ object Bench {
     val sf1Dir = "target/sf1"
     val sf1Queries = Seq("asof_last_order", "col_entropy", "data_split",
       "decontaminate", "dedup_chunks", "dedup_substring",
-      "dedup_clusters", "dedup_exact",
+      "dedup_substring_apply", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
       "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
       "drift_ks_matrix", "hist_equidepth", "bpe_encode",

@@ -5115,6 +5115,12 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) => Dedup.substringDedup(
       tbl(s, dir, "documents"), "doc_id", "text", k = 10)
       .orderBy("doc_id", "span_start")),
+    // the corpus edit those candidates imply: covered tokens dropped,
+    // survivors rejoin in order — rows stable, span-free docs pass
+    // through with n_removed = 0
+    "dedup_substring_apply" -> ((s, dir) => Dedup.substringDedupApply(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 10)
+      .orderBy("doc_id")),
     // within-doc repetition removal (looping-generation artifacts):
     // later repeats of a chunk inside the SAME doc are dropped, other
     // docs never influence the verdict; chunkSize=3 so the synthetic
@@ -7466,6 +7472,40 @@ object SparkEntry {
         "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
         "CAST(max(pos) + 9 AS BIGINT) AS span_end " +
         "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+    // same span derivation, then the edit: tokens covered by a span
+    // drop, survivors re-join in order; every doc keeps its row
+    "dedup_substring_apply" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents), " +
+        "w0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 10 + 2)) " +
+        "AS wp FROM d WHERE len(t) >= 10), " +
+        "wins AS (SELECT doc_id, wp - 1 AS pos, " +
+        "array_to_string(t[wp:wp+9], ' ') AS w FROM w0), " +
+        "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) " +
+        "AS rn FROM wins) WHERE rn > 1), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > " +
+        "coalesce(max(pos + 9) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk FROM dup), " +
+        "grp AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS g FROM isl), " +
+        "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e " +
+        "FROM grp GROUP BY doc_id, g), " +
+        "tok AS (SELECT doc_id, unnest(t) AS tok, " +
+        "generate_subscripts(t, 1) - 1 AS pos FROM d), " +
+        "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t " +
+        "WHERE NOT EXISTS (SELECT 1 FROM spans s " +
+        "WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)), " +
+        "per AS (SELECT doc_id, count(*) AS n_tokens FROM tok " +
+        "GROUP BY doc_id), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS text_clean FROM kept " +
+        "GROUP BY doc_id) " +
+        "SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(p.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) " +
+        "AS n_removed, coalesce(k.text_clean, '') AS text_clean " +
+        "FROM per p LEFT JOIN ka k USING (doc_id) ORDER BY p.doc_id"),
     // keep-first WITHIN each doc: the dedup_chunks replay with the
     // doc id added to the ranking partition (chunk size 3)
     "dedup_intradoc" ->

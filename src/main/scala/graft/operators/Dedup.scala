@@ -1090,6 +1090,44 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Applies [[substringDedup]]'s removal candidates: every token
+    * covered by a duplicated span is dropped, survivors rejoin in
+    * original order — the paper's actual corpus edit, completing the
+    * find/apply pair the way [[chunkDedup]] bundles both. Output:
+    * (idCol, n_tokens, n_removed, text_clean) — ROWS STABLE (every
+    * input document appears, span-free documents pass through with
+    * n_removed = 0), so the apply composes with downstream per-doc
+    * operators without an outer join.
+    *
+    * Scale shape: [[substringDedup]]'s two bounded shuffles plus ONE
+    * id-keyed left join of the span list (documents have FEW maximal
+    * spans by construction — overlaps merged — so the per-token
+    * `exists` over the collected span array is O(tokens × spans) with
+    * a small constant, all inside one codegen'd projection).
+    */
+  def substringDedupApply(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 10): DataFrame = {
+    val spans = substringDedup(df, idCol, textCol, k)
+    val spanSets = spans.groupBy(col(idCol).as("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val perDoc = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("__t"))
+    val indexed = transform(col("__t"),
+      (tok, i) => struct(i.cast("long").as("p"), tok.as("tok")))
+    val covered = (s: Column) => exists(
+      coalesce(col("__spans"), array()),
+      sp => s.getField("p").between(
+        sp.getField("span_start"), sp.getField("span_end")))
+    val kept = filter(indexed, s => !covered(s))
+    perDoc.join(spanSets, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", transform(kept, s => s.getField("tok")))
+          .as("text_clean"))
+  }
+
   /** Soft dedup: instead of DROPPING duplicates, weight each copy by
     * the inverse of its exact-content multiplicity, so one epoch over
     * the weighted corpus trains on each distinct content exactly once

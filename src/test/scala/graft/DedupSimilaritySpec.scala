@@ -737,5 +737,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // occurrence) and 3 (all-unique) carry no spans — applying the
     // candidates never deletes all copies.
     assert(got == Seq((1L, 3L, 14L), (2L, 0L, 23L)), got)
+    // the edit: covered tokens drop, survivors rejoin in order, every
+    // doc keeps its row (docs 0 and 3 pass through untouched)
+    val applied = Dedup.substringDedupApply(
+      planted, "doc_id", "text", k = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(applied == Seq(
+      (0L, 21L, 0L, words("a", 5) + " " + span + " " + words("b", 4)),
+      (1L, 21L, 12L, words("c", 3) + " " + words("d", 6)),
+      (2L, 27L, 24L, words("e", 3)),
+      (3L, 20L, 0L, words("f", 20))), applied)
   }
 }
