@@ -4036,6 +4036,72 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $t " +
         "ORDER BY o_orderkey")
     }),
+    // SQL CREATE OR REPLACE … AS SELECT: the replace is a VERSIONED
+    // Overwrite commit — the head carries the narrowed replacement,
+    // the replaced full content stays time-travelable at v0.
+    "table_sql_replace" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlreplace_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val t = s"graft_sqlreplace_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView(s"${t}_src")
+      s.sql(s"CREATE OR REPLACE TABLE $t USING graft " +
+        s"OPTIONS (path '$root') AS SELECT * FROM ${t}_src")
+      s.sql(s"CREATE OR REPLACE TABLE $t USING graft " +
+        s"OPTIONS (path '$root') AS SELECT o_orderkey, o_totalprice " +
+        s"FROM ${t}_src WHERE o_orderkey % 2 = 0")
+      def agg(snap: String, from: String) =
+        s"SELECT '$snap' AS snap, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+          s"AS sum_price FROM $from"
+      s.sql(Seq(
+        agg("replaced_head", t),
+        agg("original", s"$t VERSION AS OF 0"))
+        .mkString("", " UNION ALL ", " ORDER BY snap"))
+    }),
+    // SQL VACUUM … DRY RUN: the plan lists without removing (every
+    // version still readable after it), and the real sweep then
+    // removes EXACTLY the planned set — the row carries that
+    // adjudication plus the retained head's content aggregate.
+    "table_sql_vacuum_dry" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_sqlvacdry_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 2 === 0), root, tag = "base")
+      graft.sources.VersionedTable.commitAppend(
+        o.where(col("o_orderkey") % 2 === 1), root, tag = "delta")
+      graft.sources.VersionedTable.commit(
+        o.where(col("o_orderkey") % 3 === 0), root, tag = "rewrite")
+      val t = s"graft_sqlvacdry_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      val planned = s.sql(s"VACUUM $t RETAIN 1 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      // nothing removed: the dry run leaves every version readable
+      val stillReadable = graft.sources.VersionedTable
+        .versions(s, root) == Seq(0L, 1L, 2L) &&
+        graft.sources.VersionedTable.readVersion(s, root, 1L)
+          .count() > 0
+      val before = graft.sources.VersionedTable.fsListRootNames(s, root)
+      s.sql(s"VACUUM $t RETAIN 1 VERSIONS").collect()
+      val after = graft.sources.VersionedTable.fsListRootNames(s, root)
+      val matches = (before -- after) == planned
+      import s.implicits._
+      val verdictDf = Seq((planned.nonEmpty, stillReadable, matches,
+        graft.sources.VersionedTable.versions(s, root).size.toLong))
+        .toDF("planned_nonempty", "dry_run_left_all_readable",
+          "sweep_matches_plan", "n_versions_after")
+      verdictDf.crossJoin(
+        s.sql(s"SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice " +
+          s"AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM $t"))
+    }),
     // SQL batch change-data-feed: the table_changes TVF (parse-time
     // rewrite onto the delta-sized changeDelta read — insert rows and
     // delete KEYS tagged _change_type/_commit_version, never a
@@ -6847,6 +6913,26 @@ object SparkEntry {
     "table_sql_clone" ->
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey"),
+    // REPLACE head = the even 2-col narrowing; the replaced full
+    // content stays readable at v0
+    "table_sql_replace" ->
+      ("SELECT * FROM (" +
+        "SELECT 'original' AS snap, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders " +
+        "UNION ALL SELECT 'replaced_head', COUNT(*), " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM orders WHERE o_orderkey % 2 = 0) ORDER BY snap"),
+    // the dry run plans without removing, the sweep removes exactly
+    // the plan, and the retained head is the %3 rewrite
+    "table_sql_vacuum_dry" ->
+      ("SELECT true AS planned_nonempty, " +
+        "true AS dry_run_left_all_readable, " +
+        "true AS sweep_matches_plan, " +
+        "CAST(1 AS BIGINT) AS n_versions_after, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders WHERE o_orderkey % 3 = 0"),
     // the TVF's CDF equals the lifecycle stated directly: v0's even
     // initial inserts (from is INCLUSIVE, Delta semantics), v1's odd
     // inserts, v2's delete keys (key populated, other columns NULL)

@@ -3195,6 +3195,35 @@ object VersionedTable {
     val versions = manifestVersions(spark, root)
     vacuumKeeping(spark, root, versions,
       versions.takeRight(keepLast).toSet, orphanGraceMs)
+    ()
+  }
+
+  /** Root-directory listing, names only — the audit helper pairing
+    * with [[vacuumDryRun]] (diff a before/after listing against the
+    * dry run's plan). One filesystem listing, no manifest reads.
+    */
+  def fsListRootNames(spark: SparkSession,
+      root: String): Set[String] =
+    fs(spark, root).listStatus(new Path(root))
+      .map(_.getPath.getName).toSet
+
+  /** What [[vacuum]] WOULD remove right now, removing nothing — the
+    * Delta `VACUUM … DRY RUN` audit. Same keep-set computation, same
+    * ref pins and stream floors, same orphan grace rules; returns the
+    * root-relative names (manifests, data dirs, delete sidecars,
+    * stats/bloom sidecars, stale markers and tmp litter) the sweep
+    * would delete. A real vacuum between the dry run and a later real
+    * one can only SHRINK the list (new commits only grow the keep
+    * set for the same retention).
+    */
+  def vacuumDryRun(spark: SparkSession, root: String,
+      keepLast: Int = 2,
+      orphanGraceMs: Long = 3600000L): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val versions = manifestVersions(spark, root)
+    vacuumKeeping(spark, root, versions,
+      versions.takeRight(keepLast).toSet, orphanGraceMs,
+      dryRun = true)
   }
 
   /** TIME-based retention — `expire snapshots older than` semantics:
@@ -3215,11 +3244,18 @@ object VersionedTable {
     }.toSet
     vacuumKeeping(spark, root, versions,
       fresh ++ versions.lastOption, orphanGraceMs)
+    ()
   }
 
+  /** The one sweep implementation: computes the keep set, then either
+    * DELETES everything outside it (`dryRun = false`) or only REPORTS
+    * it (`dryRun = true`). Returns the root-relative names removed
+    * (or planned) — manifests first, then dirs/sidecars, then litter.
+    */
   private def vacuumKeeping(spark: SparkSession, root: String,
       versions: Seq[Long], baseKeep: Set[Long],
-      orphanGraceMs: Long): Unit = {
+      orphanGraceMs: Long, dryRun: Boolean = false): Seq[String] = {
+    val planned = Seq.newBuilder[String]
     val f = fs(spark, root)
     val maxCommitted = versions.lastOption.getOrElse(-1L)
     // named refs pin their targets: a tagged training snapshot must
@@ -3251,11 +3287,13 @@ object VersionedTable {
     val expiredDels = expired.flatMap(v =>
       resolveDeletes(spark, root, v)).toSet -- liveDels
     expired.foreach { v =>
-      f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
+      planned += s"$ManifestPrefix$v.json"
+      if (!dryRun)
+        f.delete(new Path(root, s"$ManifestPrefix$v.json"), false)
     }
     val now = System.currentTimeMillis()
     val rootPath = new Path(root)
-    if (!f.exists(rootPath)) return
+    if (!f.exists(rootPath)) return planned.result()
     val entries = f.listStatus(rootPath).toSeq
     // intent markers make the in-flight-vs-crashed call DETERMINISTIC:
     // every writer touches `_graft_intent_<dir>` before its data write
@@ -3305,11 +3343,12 @@ object VersionedTable {
             (v <= maxCommitted || orphanDead(n, st))
         }
       if (dead) {
-        f.delete(st.getPath, true)
+        if (!dryRun) { f.delete(st.getPath, true); () }
         removedDirs += n
       }
     }
     val removed = removedDirs.result().toSet
+    planned ++= removedDirs.result()
     // root-level litter: markers whose dir is gone (just reclaimed, or
     // a writer that crashed before any data landed), and *.tmp-* files
     // a crashed manifest/ref publish staged — both age-gated
@@ -3323,8 +3362,12 @@ object VersionedTable {
       }
       val staleTmp = n.startsWith("_graft_") && n.contains(".tmp-") &&
         now - st.getModificationTime > orphanGraceMs
-      if (staleMarker || staleTmp) { f.delete(st.getPath, false); () }
+      if (staleMarker || staleTmp) {
+        planned += n
+        if (!dryRun) { f.delete(st.getPath, false); () }
+      }
     }
+    planned.result()
   }
 
   /** Table integrity check — the `fsck` a post-mortem starts from:

@@ -181,6 +181,29 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                     .mkString(", ")} — drop the column list or fix it")
           }
         ct
+      // CREATE OR REPLACE TABLE … USING graft AS SELECT — stock Spark
+      // rejects RTAS outright for V1 session-catalog tables, so this
+      // maps it onto the engine's OWN replace semantics: an Overwrite
+      // commit (a NEW version — the replaced content stays
+      // time-travelable until vacuum, the graft analog of Delta's
+      // versioned REPLACE, never a drop+recreate). The parser only
+      // captures path + name + the UNTOUCHED query subtree (thin —
+      // no catalog I/O here); the command analyzes and runs the query
+      // at execution time.
+      case ReplaceTableAsSelect(
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedIdentifier(ident, _),
+          parts, query, spec: UnresolvedTableSpec, _, orCreate, _)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        if (parts.nonEmpty)
+          fail("CREATE OR REPLACE TABLE … PARTITIONED BY/CLUSTER BY")
+        val root = spec.optionExpression.options.collectFirst {
+          case (k, Literal(v: UTF8String, StringType))
+              if k.equalsIgnoreCase("path") => v.toString
+        }.orElse(spec.location).getOrElse(fail(
+          "CREATE OR REPLACE TABLE … USING graft needs " +
+            "OPTIONS (path '<root>') — graft tables are path-rooted"))
+        GraftReplaceTableCommand(root, ident, query, orCreate)
     })
 
   /** Resolves a statement identifier to a graft table root —
@@ -222,7 +245,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
       """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
-      """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""").r
+      """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*$""").r
     val restore = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
     val restoreTs = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)""" +
@@ -257,10 +280,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             .filter(_.nonEmpty)
           GraftOptimizeCommand(root, zdims)
         }
-      case vac(raw, keep) =>
+      case vac(raw, keep, dry) =>
         graftTable(ident(raw)).map { case (root, _) =>
-          GraftVacuumCommand(root,
-            Option(keep).map(_.toInt).getOrElse(2))
+          val keepLast = Option(keep).map(_.toInt).getOrElse(2)
+          if (dry != null) GraftVacuumDryRunCommand(root, keepLast)
+          else GraftVacuumCommand(root, keepLast)
         }
       case _ => None
     }
@@ -766,6 +790,77 @@ case class GraftHistoryCommand(root: String)
       AttributeReference("commit_ts_ms", LongType, nullable = false)(),
       AttributeReference("data_change",
         org.apache.spark.sql.types.BooleanType, nullable = false)())
+}
+
+/** `VACUUM t [RETAIN n VERSIONS] DRY RUN` — what the real sweep would
+  * remove right now, removing nothing (Delta's DRY RUN contract): one
+  * row per root-relative name, deterministic keep-set rules
+  * ([[VersionedTable.vacuumDryRun]] — same ref pins, stream floors
+  * and orphan grace as the live sweep).
+  */
+case class GraftVacuumDryRunCommand(root: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] =
+    VersionedTable.vacuumDryRun(session, root, keepLast = keepLast)
+      .sorted.map(Row(_))
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("would_remove", StringType,
+      nullable = false)())
+}
+
+/** `[CREATE OR] REPLACE TABLE t USING graft OPTIONS (path …) AS
+  * SELECT …` — the engine's replace semantics: the query's result
+  * commits as a NEW snapshot version over the same root (an Overwrite
+  * commit — the replaced content stays time-travelable until vacuum,
+  * never a drop+recreate), and the session-catalog entry re-syncs to
+  * the new schema so the next statement resolves it. Plain `REPLACE
+  * TABLE` (no OR CREATE) requires an existing committed table, the
+  * standard distinction. The query subtree analyzes and runs at
+  * EXECUTION time — a cached statement re-plans against then-current
+  * sources.
+  */
+case class GraftReplaceTableCommand(root: String, ident: Seq[String],
+    query: LogicalPlan, orCreate: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val exists =
+      VersionedTable.latestVersion(session, root).isDefined
+    if (!orCreate && !exists)
+      sys.error(s"REPLACE TABLE: no committed graft table at $root " +
+        "— use CREATE OR REPLACE TABLE to create one")
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      query)
+    val v = VersionedTable.commit(df, root, tag = "sql-replace-table")
+    // catalog entry: create if absent, re-sync the stored schema (it
+    // replays at every resolution) if present, then drop the cached
+    // pre-replace relation
+    val name = ident
+      .map(p => "`" + p.stripPrefix("`").stripSuffix("`") + "`")
+      .mkString(".")
+    val known = GraftSqlParser.graftTable(session, ident).isDefined
+    if (!known)
+      session.sql(s"CREATE TABLE $name USING graft " +
+        s"OPTIONS (path '$root')")
+    else {
+      val ti = ident match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => sys.error(s"unsupported table name: $name")
+      }
+      val cat = session.sessionState.catalog
+      if (cat.tableExists(ti)) {
+        cat.alterTable(cat.getTableMetadata(ti).copy(
+          schema = VersionedTable.snapshotSchema(session, root, v)))
+        session.catalog.refreshTable(ti.quotedString)
+      }
+    }
+    Seq(Row(v))
+  }
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
 sealed trait GraftAlterOp

@@ -651,6 +651,66 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL CREATE OR REPLACE TABLE ... AS SELECT commits a NEW " +
+      "version over the root; plain REPLACE requires existence") {
+    val root = freshRoot("rtas")
+    spark.sql("DROP TABLE IF EXISTS graft_rtas_t")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("rtas_src")
+    // plain REPLACE on nothing fails loudly
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_rtas_t USING graft " +
+        s"OPTIONS (path '$root') AS SELECT * FROM rtas_src")
+    }
+    assert(e.getMessage.contains("CREATE OR REPLACE"), e.getMessage)
+    // OR CREATE creates (v0) …
+    spark.sql("CREATE OR REPLACE TABLE graft_rtas_t USING graft " +
+      s"OPTIONS (path '$root') AS SELECT * FROM rtas_src")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_rtas_t")
+      .head().getLong(0) == 3L)
+    // … and replaces (v1, different schema), catalog re-synced
+    spark.sql("CREATE OR REPLACE TABLE graft_rtas_t USING graft " +
+      s"OPTIONS (path '$root') " +
+      "AS SELECT k, v AS label, k * 10 AS score FROM rtas_src " +
+      "WHERE k <> 2")
+    val rows = spark.sql(
+      "SELECT k, label, score FROM graft_rtas_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10L), (3L, "c", 30L)), rows)
+    // replace is a VERSIONED commit: the replaced content time-travels
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_rtas_t VERSION AS OF 0")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE graft_rtas_t")
+  }
+
+  test("SQL VACUUM ... DRY RUN lists exactly what the real sweep " +
+      "removes, and removes nothing itself") {
+    val root = freshRoot("vacdry")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    VersionedTable.commit(Seq((9L, "z")).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_vacdry_t")
+    spark.sql("CREATE TABLE graft_vacdry_t USING graft " +
+      s"OPTIONS (path '$root')")
+    val planned = spark.sql(
+      "VACUUM graft_vacdry_t RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(planned.nonEmpty)
+    // nothing was removed: every version still reads
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_vacdry_t VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    val before = VersionedTable.fsListRootNames(spark, root)
+    spark.sql("VACUUM graft_vacdry_t RETAIN 1 VERSIONS").collect()
+    val after = VersionedTable.fsListRootNames(spark, root)
+    // the real sweep removed exactly the dry run's plan
+    assert(before -- after == planned, (before -- after, planned))
+    assert(VersionedTable.versions(spark, root) == Seq(2L))
+    spark.sql("DROP TABLE graft_vacdry_t")
+  }
+
   test("table_changes(t, 0) after RENAME COLUMN carries v0 values " +
       "under the head logical name (never null-filled)") {
     val root = freshRoot("cdfrename")
