@@ -27,4 +27,16 @@ object ColumnBridge {
       name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Lift a logical plan into a DataFrame (`classic.Dataset.ofRows`
+    * is private[sql]) — used by commands that carry an unanalyzed
+    * query subtree to execution time, and by specs pinning
+    * parse-vs-analysis binding.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
 }

@@ -829,9 +829,7 @@ case class GraftReplaceTableCommand(root: String, ident: Seq[String],
     if (!orCreate && !exists)
       sys.error(s"REPLACE TABLE: no committed graft table at $root " +
         "— use CREATE OR REPLACE TABLE to create one")
-    val df = org.apache.spark.sql.classic.Dataset.ofRows(
-      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      query)
+    val df = ColumnBridge.ofRows(session, query)
     val v = VersionedTable.commit(df, root, tag = "sql-replace-table")
     // catalog entry: create if absent, re-sync the stored schema (it
     // replays at every resolution) if present, then drop the cached

@@ -651,6 +651,51 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes parses WITHOUT any I/O or binding: head " +
+      "resolution happens at analysis, so parse-then-execute-later " +
+      "binds the head THEN") {
+    // parsing must succeed even for a nonexistent target — the thin
+    // parser only captures literals; binding errors are ANALYSIS
+    // errors (stock behavior restored for unknown names)
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      "SELECT * FROM table_changes('definitely_no_such_table', 0)")
+    assert(parsed.collectFirst {
+      case u: org.apache.spark.sql.graft.UnresolvedTableChanges => u
+    }.isDefined, parsed)
+    // a statement parsed BEFORE a commit sees the commit when it
+    // finally analyzes/executes — the head is not frozen at parse
+    val root = freshRoot("cdflate")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root,
+      tag = "base")
+    val plan = spark.sessionState.sqlParser.parsePlan(
+      s"SELECT COUNT(*) AS n FROM table_changes('$root', 0)")
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    val n = org.apache.spark.sql.graft.ColumnBridge
+      .ofRows(spark, plan).head().getLong(0)
+    assert(n == 2L, s"late-bound table_changes saw $n rows")
+  }
+
+  test("backquoted identifiers containing dots resolve in " +
+      "maintenance statements (OPTIMIZE `a.b`)") {
+    val root = freshRoot("dotted")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root)
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("k", "v"), root)
+    // the session catalog forbids dots in PERSISTENT table names, but
+    // a temp view over a graft relation is the other resolution path
+    // and allows them — exactly where the old manual '.' split broke
+    spark.read.format("graft").load(root)
+      .createOrReplaceTempView("`weird.name`")
+    // the identifier must parse as ONE part through the delegate's
+    // multipart grammar — a manual '.' split mis-resolved it and
+    // re-raised the stock ParseException
+    val v = spark.sql("OPTIMIZE `weird.name`").head().getLong(0)
+    assert(v == 2L, s"OPTIMIZE committed version $v")
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    spark.catalog.dropTempView("weird.name")
+    ()
+  }
+
   test("SQL CREATE OR REPLACE TABLE ... AS SELECT commits a NEW " +
       "version over the root; plain REPLACE requires existence") {
     val root = freshRoot("rtas")
