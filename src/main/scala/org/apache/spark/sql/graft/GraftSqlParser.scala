@@ -246,6 +246,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*$""").r
+    // Delta's own retention unit: versions whose commit time is older
+    // than the horizon expire (the head always survives) — maps onto
+    // vacuumOlderThan's manifest-timestamp cutoff
+    val vacHours = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s+""" +
+      """RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""").r
     val restore = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
     val restoreTs = ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)""" +
@@ -280,6 +285,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             .filter(_.nonEmpty)
           GraftOptimizeCommand(root, zdims)
         }
+      case vacHours(raw, hours) =>
+        graftTable(ident(raw)).map { case (root, _) =>
+          GraftVacuumHoursCommand(root, hours.toLong)
+        }
       case vac(raw, keep, dry) =>
         graftTable(ident(raw)).map { case (root, _) =>
           val keepLast = Option(keep).map(_.toInt).getOrElse(2)
@@ -290,14 +299,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
-  /** `DESCRIBE HISTORY t` never reaches the ParseException fallback:
-    * stock Spark PARSES it as "describe column t of table HISTORY"
-    * (DescribeColumn over UnresolvedTableOrView(["HISTORY"])). That
-    * statement can only fail at analysis UNLESS a table or view
-    * literally named `history` exists — so the rewrite requires BOTH
-    * that no such relation resolves (the stock statement would have
-    * worked; it keeps its meaning) AND that the "column" provably
-    * names a graft table.
+  /** `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` never reach the
+    * ParseException fallback: stock Spark PARSES them as "describe
+    * column t of table HISTORY/DETAIL" (DescribeColumn over
+    * UnresolvedTableOrView). Those statements can only fail at
+    * analysis UNLESS a table or view literally named
+    * `history`/`detail` exists — so the rewrite requires BOTH that no
+    * such relation resolves (the stock statement would have worked;
+    * it keeps its meaning) AND that the "column" provably names a
+    * graft table.
     */
   private def describeHistory(p: LogicalPlan): Option[LogicalPlan] =
     p match {
@@ -309,6 +319,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if h.equalsIgnoreCase("history") && !relationExists(h) =>
         graftTable(colExpr.nameParts)
           .map { case (root, _) => GraftHistoryCommand(root) }
+      case DescribeColumn(
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView(Seq(h), _, _),
+          colExpr: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute, _, _)
+          if h.equalsIgnoreCase("detail") && !relationExists(h) =>
+        graftTable(colExpr.nameParts)
+          .map { case (root, _) => GraftDetailCommand(root) }
       case _ => None
     }
 
@@ -790,6 +808,50 @@ case class GraftHistoryCommand(root: String)
       AttributeReference("commit_ts_ms", LongType, nullable = false)(),
       AttributeReference("data_change",
         org.apache.spark.sql.types.BooleanType, nullable = false)())
+}
+
+/** `VACUUM t RETAIN n HOURS` — Delta's own retention unit: versions
+  * whose manifest-recorded commit time is older than `now − n hours`
+  * expire ([[VersionedTable.vacuumOlderThan]]); the head, ref-pinned
+  * versions and streaming floors always survive. Returns the retained
+  * version count.
+  */
+case class GraftVacuumHoursCommand(root: String, hours: Long)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VersionedTable.vacuumOlderThan(session, root,
+      cutoffMs = System.currentTimeMillis() - hours * 3600000L)
+    Seq(Row(VersionedTable.versions(session, root).size.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("retained_versions", LongType,
+      nullable = false)())
+}
+
+/** `DESCRIBE DETAIL t` — the table-level audit row Delta ships:
+  * format, location, head version, data file count, data bytes and
+  * retained version count. Listing-sized (manifest + directory
+  * listings, no footer or data reads).
+  */
+case class GraftDetailCommand(root: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = VersionedTable.latestVersion(session, root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    Seq(Row("graft", root, v,
+      VersionedTable.dataFileCount(session, root, v).toLong,
+      VersionedTable.dataBytes(session, root, v),
+      VersionedTable.versions(session, root).size.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("num_versions", LongType,
+        nullable = false)())
 }
 
 /** `VACUUM t [RETAIN n VERSIONS] DRY RUN` — what the real sweep would

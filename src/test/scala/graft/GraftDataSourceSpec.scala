@@ -696,6 +696,39 @@ class GraftDataSourceSpec extends AnyFunSuite {
     ()
   }
 
+  test("SQL VACUUM ... RETAIN n HOURS expires by commit age (head " +
+      "always survives); DESCRIBE DETAIL reports the table audit row") {
+    val root = freshRoot("vachours")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    val t1 = VersionedTable.commitTimeMs(spark, root, 1L)
+    // ms-fence: both commits must be strictly older than "now"
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    spark.sql("DROP TABLE IF EXISTS graft_vachours_t")
+    spark.sql("CREATE TABLE graft_vachours_t USING graft " +
+      s"OPTIONS (path '$root')")
+    // a 48h horizon keeps everything
+    assert(spark.sql("VACUUM graft_vachours_t RETAIN 48 HOURS")
+      .head().getLong(0) == 2L)
+    // DESCRIBE DETAIL: the audit row
+    val d = spark.sql("DESCRIBE DETAIL graft_vachours_t").head()
+    // the catalog may return the location as a qualified URI
+    assert(d.getString(0) == "graft" && d.getString(1).endsWith(root))
+    assert(d.getLong(2) == 1L && d.getLong(3) > 0L &&
+      d.getLong(4) > 0L && d.getLong(5) == 2L, d)
+    // a zero-hour horizon expires everything but the head
+    assert(spark.sql("VACUUM graft_vachours_t RETAIN 0 HOURS")
+      .head().getLong(0) == 1L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_vachours_t")
+      .head().getLong(0) == 2L)
+    // a non-graft DESCRIBE DETAIL target keeps the stock error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DESCRIBE DETAIL no_such_table").collect()
+    }
+    spark.sql("DROP TABLE graft_vachours_t")
+  }
+
   test("SQL CREATE OR REPLACE TABLE ... AS SELECT commits a NEW " +
       "version over the root; plain REPLACE requires existence") {
     val root = freshRoot("rtas")
