@@ -56,20 +56,28 @@ object SparkEntry {
     sys.props.get("graft.broadcast.gate.bytes").map(_.toLong)
       .getOrElse(64L << 20)
 
-  private val tblBytesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val tblBytesCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long), java.lang.Long]()
 
   /** Total on-disk bytes of `dir/name.parquet` (file or directory);
-    * 0 when absent. Cached per path — the bench loop re-plans the same
-    * tables hundreds of times and must not re-stat them.
+    * 0 when absent. Cached per (path, mtime) — the bench loop
+    * re-plans the same tables hundreds of times and must not re-walk
+    * them, but a long-lived session must also never gate a broadcast
+    * on STALE sizes (review r15): one cheap getFileStatus per call
+    * re-keys the cache, so a regenerated/grown table re-stats, and an
+    * absent path is never cached at all (it may appear later).
     */
   private[graft] def tblBytes(s: SparkSession, dir: String,
-      name: String): Long =
-    tblBytesCache.computeIfAbsent(s"$dir/$name.parquet", p => {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
-    })
+      name: String): Long = {
+    val p = s"$dir/$name.parquet"
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st =
+      try fs.getFileStatus(path)
+      catch { case _: java.io.FileNotFoundException => return 0L }
+    tblBytesCache.computeIfAbsent((p, st.getModificationTime),
+      _ => fs.getContentSummary(path).getLength)
+  }
 
   /** Broadcast-hint `df` — a projection/filter/aggregate whose row
     * bound is base table `name` — only when that base table is under

@@ -114,16 +114,27 @@ object TypeInference {
     * empirically against the full cascade (probe in round 15): pure-
     * digit strings parse only at lengths 4-6 (bare-year ISO parse), 8
     * (yyyyMMdd) and 14 (yyyyMMddHHmmss); single-dot decimals never
-    * parse (every dotted date format carries two dots). These are
-    * exactly the stringified-numeric shapes, so fast-NULLing them
-    * after one regex makes FULL-COLUMN date validation cost the same
-    * as validating true date columns only — which is what lets
-    * [[infer]] run as a single aggregation pass with no sampled
-    * pre-filter. Speed-only by construction: the gate rejects only
-    * value shapes the cascade provably returns NULL for.
+    * parse (every dotted date format carries two dots); and among
+    * separator-joined digit groups (no time part), FOUR or more
+    * groups can never parse (every separated date format has exactly
+    * three), nor can three groups whose MIDDLE group has ≥3 digits
+    * (the middle is strictly a ≤2-digit month or day in every
+    * format, and strict parsing never consumes a partial group).
+    * Together these fast-NULL stringified numerics, decimals, phone
+    * numbers, IPs and dotted version strings — the common charset-
+    * gate survivors that are not dates — so FULL-COLUMN date
+    * validation costs near what validating true date columns alone
+    * would, which is what lets [[infer]] run as a single aggregation
+    * pass with no sampled pre-filter. (NOT exhaustive: an adversarial
+    * column of date-SHAPED non-dates like '99-99-9999' still pays
+    * the cascade and still yields NULL — the gate only affects
+    * speed, never the decision; TypeInferenceSpec pins gated ==
+    * ungated over these shapes.)
     */
   private val neverDateGate =
-    "^(?:[0-9]{1,3}|[0-9]{7}|[0-9]{9,13}|[0-9]{15,}|[0-9]+\\.[0-9]+)$"
+    "^(?:[0-9]{1,3}|[0-9]{7}|[0-9]{9,13}|[0-9]{15,}|[0-9]+\\.[0-9]+" +
+      "|(?:[0-9]+[./-]){3,}[0-9]+" +
+      "|[0-9]+[./-][0-9]{3,}[./-][0-9]+)$"
 
   def dateParse(name: String): Column = {
     val t = trim(col(s"`$name`"))

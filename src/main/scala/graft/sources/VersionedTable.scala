@@ -1718,6 +1718,20 @@ object VersionedTable {
       .map(_.group(1).toLong).getOrElse(0L)
   }
 
+  /** The NEWEST committed version at or before the instant — the one
+    * Delta time-travel binding rule, shared by `TIMESTAMP AS OF`
+    * reads and `RESTORE … TO TIMESTAMP AS OF` (one implementation, so
+    * the two can never drift). Fails loudly when the table's first
+    * commit is newer than the instant.
+    */
+  def versionAtOrBefore(spark: SparkSession, root: String,
+      millis: Long): Long =
+    versions(spark, root)
+      .filter(v => commitTimeMs(spark, root, v) <= millis)
+      .lastOption.getOrElse(sys.error(
+        s"no commit at or before TIMESTAMP AS OF $millis (epoch ms) " +
+          s"at $root — the table's first commit is newer"))
+
   /** The full commit audit a `DESCRIBE HISTORY` consumer wants:
     * (version, tag, manifest-recorded commit millis, dataChange) —
     * one metadata-sized manifest read per retained version, oldest

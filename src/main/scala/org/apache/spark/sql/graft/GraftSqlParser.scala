@@ -195,14 +195,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             .UnresolvedIdentifier(ident, _),
           parts, query, spec: UnresolvedTableSpec, _, orCreate, _)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        def rtasFail(what: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft CREATE OR REPLACE TABLE … AS SELECT: $what")
         if (parts.nonEmpty)
-          fail("CREATE OR REPLACE TABLE … PARTITIONED BY/CLUSTER BY")
+          rtasFail("PARTITIONED BY / CLUSTER BY is unsupported")
         val root = spec.optionExpression.options.collectFirst {
           case (k, Literal(v: UTF8String, StringType))
               if k.equalsIgnoreCase("path") => v.toString
-        }.orElse(spec.location).getOrElse(fail(
-          "CREATE OR REPLACE TABLE … USING graft needs " +
-            "OPTIONS (path '<root>') — graft tables are path-rooted"))
+        }.orElse(spec.location).getOrElse(rtasFail(
+          "needs OPTIONS (path '<root>') — graft tables are " +
+            "path-rooted"))
         GraftReplaceTableCommand(root, ident, query, orCreate)
     })
 
@@ -377,9 +380,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `VERSION AS OF` / `TIMESTAMP AS OF` → a PINNED [[GraftRelation]]
     * planned at parse time (the reader-option path, exactly). The
     * version string may be a snapshot id or a named ref; a timestamp
-    * must be a literal (epoch millis, ISO date, or ISO date-time,
-    * UTC) and binds to the NEWEST commit at or before the instant —
-    * the Delta rule, resolved against manifest-recorded commit times.
+    * must be a literal (epoch millis, ISO date, or ISO date-time —
+    * date/date-time resolved in the SESSION time zone, the Delta
+    * rule) and binds to the NEWEST commit at or before the instant,
+    * resolved against manifest-recorded commit times.
     */
   private def timeTravelRelation(root: String, ident: Seq[String],
       ts: Option[Expression], ver: Option[String]): LogicalPlan = {
@@ -388,14 +392,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         s.toLongOption.getOrElse(
           VersionedTable.resolveRef(session, root, s))
       case (None, Some(e)) =>
-        val millis = tsMillis(e)
-        val vs = VersionedTable.versions(session, root)
-        vs.filter(x =>
-            VersionedTable.commitTimeMs(session, root, x) <= millis)
-          .lastOption.getOrElse(sys.error(
-            s"no commit at or before TIMESTAMP AS OF $millis " +
-              s"(epoch ms) at $root — the table's first commit is " +
-              "newer"))
+        VersionedTable.versionAtOrBefore(session, root, tsMillis(e))
       case _ => sys.error("time travel needs exactly one of " +
         "VERSION AS OF / TIMESTAMP AS OF")
     }
@@ -573,28 +570,31 @@ case class GraftTableChangesRule(spark: SparkSession)
     // insert-tagged rows, renamed v0-logical → head-logical through
     // the shared physical ids, then projected onto the CDF schema
     // (name-matched, cast, null-filled — the same shaping rule
-    // changeDelta applies to its own slices)
+    // changeDelta applies to its own slices). A v0 column whose
+    // physical id the head no longer maps (DROPPED — even if a
+    // same-named column was re-added later under a NEW field id) is
+    // EXCLUDED here, so the re-added column null-fills in the shaped
+    // projection instead of inheriting the dead column's values.
     val df = (from, tail) match {
       case (0, maybeTail) =>
         val v0 = VersionedTable.readVersion(session, root, 0L)
-        val renames: Map[String, String] =
+        val base0 =
           VersionedTable.fieldMapping(session, root, end) match {
             case Some(fh) =>
               val physToHead = fh.map { case (n, p) => p -> n }.toMap
-              VersionedTable.fieldMapping(session, root, 0L) match {
-                case Some(f0) => f0.flatMap { case (n0, p) =>
-                    physToHead.get(p).map(n0 -> _)
-                  }.toMap
-                // a never-evolved v0 manifest records no mapping: its
-                // logical names ARE the physical names, so the head
-                // mapping applies to them directly
-                case None => physToHead
-              }
-            case None => Map.empty
+              // a never-evolved v0 manifest records no mapping: its
+              // logical names ARE the physical names
+              val v0Phys: Map[String, String] =
+                VersionedTable.fieldMapping(session, root, 0L)
+                  .map(_.map(f => (f._1, f._2)).toMap)
+                  .getOrElse(v0.columns.map(c => c -> c).toMap)
+              v0.select(v0.columns.toIndexedSeq.flatMap { c =>
+                v0Phys.get(c).flatMap(physToHead.get)
+                  .map(h => col(c).as(h))
+              }: _*)
+            case None => v0
           }
-        val base = v0
-          .select(v0.columns.toIndexedSeq.map(c =>
-            col(c).as(renames.getOrElse(c, c))): _*)
+        val base = base0
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
         maybeTail.map { cd =>
@@ -720,14 +720,8 @@ case class GraftRestoreCommand(root: String, toVersion: Option[Long],
     val v = (toVersion, toTimestamp) match {
       case (Some(x), None) => x
       case (None, Some(s)) =>
-        val millis = GraftSqlParser.literalTsMillis(session, s)
-        VersionedTable.versions(session, root)
-          .filter(x =>
-            VersionedTable.commitTimeMs(session, root, x) <= millis)
-          .lastOption.getOrElse(sys.error(
-            s"no commit at or before TIMESTAMP AS OF $millis " +
-              s"(epoch ms) at $root — the table's first commit is " +
-              "newer"))
+        VersionedTable.versionAtOrBefore(session, root,
+          GraftSqlParser.literalTsMillis(session, s))
       case _ => sys.error("RESTORE needs exactly one of " +
         "VERSION AS OF / TIMESTAMP AS OF")
     }
@@ -772,10 +766,16 @@ case class GraftCloneCommand(targetRaw: String, sourceRaw: String,
       sourceVersion.getOrElse(-1L), tag = "sql-shallow-clone")
     if (!quotedTarget) {
       // register the catalog entry through the stock CREATE TABLE
-      // path (the graft provider binds the just-committed manifest)
-      val name = targetRaw.split('.').toIndexedSeq
-        .map(p => "`" + p.stripPrefix("`").stripSuffix("`") + "`")
-        .mkString(".")
+      // path (the graft provider binds the just-committed manifest).
+      // The raw name re-quotes through the session parser's multipart
+      // grammar — a manual '.' split would mangle backquoted names
+      // containing dots (the round-14-advice bug class).
+      val name = scala.util.Try(
+          session.sessionState.sqlParser
+            .parseMultipartIdentifier(targetRaw))
+        .getOrElse(targetRaw.split('.').toIndexedSeq
+          .map(_.stripPrefix("`").stripSuffix("`")))
+        .map(p => "`" + p + "`").mkString(".")
       session.sql(s"CREATE TABLE $name USING graft " +
         s"OPTIONS (path '$tgtRoot')")
       ()
@@ -886,35 +886,54 @@ case class GraftReplaceTableCommand(root: String, ident: Seq[String],
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
+    // ALL validation happens BEFORE the commit — a statement that is
+    // going to fail must not leave the table advanced a version.
     val exists =
       VersionedTable.latestVersion(session, root).isDefined
     if (!orCreate && !exists)
       sys.error(s"REPLACE TABLE: no committed graft table at $root " +
         "— use CREATE OR REPLACE TABLE to create one")
+    val name = ident
+      .map(p => "`" + p.stripPrefix("`").stripSuffix("`") + "`")
+      .mkString(".")
+    val ti = ident match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => sys.error(s"REPLACE TABLE: unsupported table name " +
+        s"$name (catalog.db.table at most, session catalog only)")
+    }
+    val cat = session.sessionState.catalog
+    val known = GraftSqlParser.graftTable(session, ident)
+    known match {
+      case Some((boundRoot, _)) =>
+        // the existing entry must point at THIS statement's root — a
+        // replace that commits to rootB while the name stays bound to
+        // rootA would be a silent no-op on the table
+        def norm(p: String) = p.stripPrefix("file:")
+        require(norm(boundRoot) == norm(root),
+          s"REPLACE TABLE: $name is bound to $boundRoot, not $root " +
+            "— DROP the table first to re-root it")
+      case None =>
+        // name taken by a NON-graft relation? fail before committing
+        if (scala.util.Try(cat.tableExists(ti)).getOrElse(false) ||
+            (ident.size == 1 && cat.getTempView(ti.table).isDefined))
+          sys.error(s"REPLACE TABLE: $name exists and is not a " +
+            "graft table")
+    }
     val df = ColumnBridge.ofRows(session, query)
     val v = VersionedTable.commit(df, root, tag = "sql-replace-table")
     // catalog entry: create if absent, re-sync the stored schema (it
     // replays at every resolution) if present, then drop the cached
     // pre-replace relation
-    val name = ident
-      .map(p => "`" + p.stripPrefix("`").stripSuffix("`") + "`")
-      .mkString(".")
-    val known = GraftSqlParser.graftTable(session, ident).isDefined
-    if (!known)
+    if (known.isEmpty)
       session.sql(s"CREATE TABLE $name USING graft " +
         s"OPTIONS (path '$root')")
-    else {
-      val ti = ident match {
-        case Seq(t) => TableIdentifier(t)
-        case Seq(db, t) => TableIdentifier(t, Some(db))
-        case _ => sys.error(s"unsupported table name: $name")
-      }
-      val cat = session.sessionState.catalog
-      if (cat.tableExists(ti)) {
-        cat.alterTable(cat.getTableMetadata(ti).copy(
-          schema = VersionedTable.snapshotSchema(session, root, v)))
-        session.catalog.refreshTable(ti.quotedString)
-      }
+    else if (cat.tableExists(ti)) {
+      cat.alterTable(cat.getTableMetadata(ti).copy(
+        schema = VersionedTable.snapshotSchema(session, root, v)))
+      session.catalog.refreshTable(ti.quotedString)
     }
     Seq(Row(v))
   }

@@ -789,6 +789,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_vacdry_t")
   }
 
+  test("table_changes(t, 0) after DROP + re-ADD of a column " +
+      "null-fills the re-added column for v0 rows (new field id — " +
+      "never the dropped column's values)") {
+    val root = freshRoot("cdfreadd")
+    VersionedTable.commit(Seq((1L, "old1"), (2L, "old2"))
+      .toDF("k", "v"), root, tag = "base")
+    spark.sql("DROP TABLE IF EXISTS graft_cdfreadd_t")
+    spark.sql("CREATE TABLE graft_cdfreadd_t USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE graft_cdfreadd_t DROP COLUMN v")
+    spark.sql("ALTER TABLE graft_cdfreadd_t ADD COLUMN v STRING")
+    spark.sql("INSERT INTO graft_cdfreadd_t VALUES (3, 'new3')")
+    val rows = spark.sql(
+      "SELECT k, v, _commit_version " +
+        "FROM table_changes('graft_cdfreadd_t', 0) " +
+        "ORDER BY _commit_version, k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2))).toSeq
+    // the re-added v is a NEW field id: v0 rows must read NULL, the
+    // dropped column's values must never leak into it
+    assert(rows == Seq((1L, null, 0L), (2L, null, 0L),
+      (3L, "new3", 3L)), rows)
+    spark.sql("DROP TABLE graft_cdfreadd_t")
+  }
+
+  test("CREATE OR REPLACE onto a name bound to a DIFFERENT root " +
+      "fails loudly BEFORE committing anywhere") {
+    val rootA = freshRoot("rtas_a")
+    val rootB = freshRoot("rtas_b")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), rootA)
+    spark.sql("DROP TABLE IF EXISTS graft_rtasbind_t")
+    spark.sql("CREATE TABLE graft_rtasbind_t USING graft " +
+      s"OPTIONS (path '$rootA')")
+    Seq((9L, "z")).toDF("k", "v").createOrReplaceTempView("rtasb_src")
+    val e = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE graft_rtasbind_t " +
+        s"USING graft OPTIONS (path '$rootB') " +
+        "AS SELECT * FROM rtasb_src")
+    }
+    assert(e.getMessage.contains("bound to"), e.getMessage)
+    // fail-BEFORE-commit: neither root advanced/was created
+    assert(VersionedTable.latestVersion(spark, rootB).isEmpty)
+    assert(VersionedTable.versions(spark, rootA) == Seq(0L))
+    spark.sql("DROP TABLE graft_rtasbind_t")
+  }
+
   test("table_changes(t, 0) after RENAME COLUMN carries v0 values " +
       "under the head logical name (never null-filled)") {
     val root = freshRoot("cdfrename")

@@ -170,4 +170,38 @@ class TypeInferenceSpec extends AnyFunSuite {
       voted("date95") == DatetimeT && voted("date50") == CharacterT &&
       voted("txt") == CharacterT && voted("sparse") == NumericT)
   }
+
+  test("the never-date fast gate is speed-only: gated parse equals " +
+      "the ungated cascade over adversarial near-date shapes") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, trim,
+      try_to_timestamp}
+    // phone numbers, IPs, versions, decimals, long digits, mixed
+    // separators, real dates in every family, date-shaped non-dates
+    val values = Seq(
+      "415-555-0123", "192.168.0.1", "1.2.3.4.5", "10-200-30",
+      "1-2-3-4", "1.2.3", "12345", "3.14", "007", "1234567",
+      "123456789012345", "12-345-67", "415-55-0123", "0-0-0",
+      "99-99-9999", "1/2", "may-fly",
+      "2024-08-15", "2024-08-15 10:00:00", "20240815", "8/15/2024",
+      "2024.8.5", "Aug 15, 2024", "20240815 101112",
+      "2024-08-15T10:11:12", "9999")
+    val df = values.toDF("v")
+    val ungated = coalesce((try_to_timestamp(trim(col("v"))) +:
+      TypeInference.dateFormats.map(f =>
+        try_to_timestamp(trim(col("v")), lit(f)))): _*)
+    val rows = df.select(col("v"),
+        TypeInference.dateParse("v").as("gated"),
+        ungated.as("raw")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.get(1) == r.get(2)),
+        s"gate changed the parse for '${r.getString(0)}': " +
+          s"gated=${r.get(1)} ungated=${r.get(2)}")
+    }
+    // and the gate actually fires on the never shapes (speed claim)
+    val neverShapes = Seq("415-555-0123", "192.168.0.1", "1.2.3.4.5",
+      "10-200-30", "3.14", "1234567")
+    rows.filter(r => neverShapes.contains(r.getString(0)))
+      .foreach(r => assert(r.isNullAt(1), r.getString(0)))
+  }
 }
