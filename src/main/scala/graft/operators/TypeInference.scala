@@ -136,11 +136,38 @@ object TypeInference {
       "|(?:[0-9]+[./-]){3,}[0-9]+" +
       "|[0-9]+[./-][0-9]{3,}[./-][0-9]+)$"
 
+  /** Pure-digit gate-survivors (lengths 4-6, 8, 14) can match ONLY
+    * the compact formats — bare-year ISO, yyyyMMdd, yyyyMMddHHmmss;
+    * every other format needs a separator. Routing them down a
+    * three-parser branch instead of the full cascade matters because
+    * a FAILED `try_to_timestamp(_, fmt)` costs an internal exception
+    * per row per format: an ID column of 8-digit keys ("10000001" —
+    * month 00, never a date) measured 24 s for one sf1 column through
+    * the full cascade and ~1 s through this branch. The two
+    * plausibility regexes (month 01-12, day 01-31, HH:mm:ss bounds)
+    * cut even those exceptions to zero for implausible values —
+    * decision-free by construction: they are supersets of what the
+    * parsers accept (Feb 31 still attempts and fails).
+    */
+  private val compactDateShape =
+    "^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"
+  private val compactTsShape =
+    "^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])" +
+      "([01][0-9]|2[0-3])[0-5][0-9][0-5][0-9]$"
+
   def dateParse(name: String): Column = {
     val t = trim(col(s"`$name`"))
     when(t.rlike(dateCharsetGate) && !t.rlike(neverDateGate),
-      coalesce((try_to_timestamp(t) +:
-        dateFormats.map(f => try_to_timestamp(t, lit(f)))): _*))
+      when(t.rlike("^[0-9]+$"),
+        coalesce(
+          try_to_timestamp(t),
+          when(t.rlike(compactDateShape),
+            try_to_timestamp(t, lit("yyyyMMdd"))),
+          when(t.rlike(compactTsShape),
+            try_to_timestamp(t, lit("yyyyMMddHHmmss")))))
+      .otherwise(
+        coalesce((try_to_timestamp(t) +:
+          dateFormats.map(f => try_to_timestamp(t, lit(f)))): _*)))
   }
 
   private def nonEmpty(name: String): Column =
