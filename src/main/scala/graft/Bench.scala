@@ -143,7 +143,7 @@ object Bench {
       "table_sql_ddl", "table_sql_time_travel", "table_sql_maintenance",
       "table_sql_changes", "table_sql_history", "table_sql_restore",
       "table_sql_ctas", "table_sql_clone", "table_sql_replace",
-      "table_sql_vacuum_dry",
+      "table_sql_vacuum_dry", "table_convert",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",

@@ -4044,6 +4044,35 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $t " +
         "ORDER BY o_orderkey")
     }),
+    // CONVERT TO GRAFT: zero-copy import of an existing parquet
+    // directory as v0 (manifest references it absolutely — no byte
+    // read or rewritten at import time), then the normal lifecycle
+    // (INSERT appends as v1) on top; the source dir must stay
+    // untouched through it all (selfVerified inline).
+    "table_convert" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val src = graft.config.Scratch.runDir + s"/vt_convsrc_$tag"
+      val root = graft.config.Scratch.runDir + s"/vt_convert_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      o.where(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(src)
+      val t = s"graft_convert_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CONVERT TO GRAFT parquet.`$src` LOCATION '$root' AS $t")
+        .collect()
+      o.where(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView(s"${t}_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM ${t}_src").collect()
+      // the import's whole lifecycle must leave the source untouched
+      selfVerified(s, "table_convert_src", src,
+        s.read.parquet(src).orderBy("o_orderkey"),
+        o.where(col("o_orderkey") % 2 === 0).orderBy("o_orderkey"))
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $t " +
+        "ORDER BY o_orderkey")
+    }),
     // SQL CREATE OR REPLACE … AS SELECT: the replace is a VERSIONED
     // Overwrite commit — the head carries the narrowed replacement,
     // the replaced full content stays time-travelable at v0.
@@ -6921,6 +6950,11 @@ object SparkEntry {
     "table_sql_clone" ->
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey"),
+    // the zero-copy import (even half referenced in place) plus the
+    // appended odd half = the whole table
+    "table_convert" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "ORDER BY o_orderkey"),
     // REPLACE head = the even 2-col narrowing; the replaced full
     // content stays readable at v0
     "table_sql_replace" ->

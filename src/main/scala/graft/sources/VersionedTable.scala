@@ -3212,6 +3212,47 @@ object VersionedTable {
     ()
   }
 
+  /** ZERO-COPY import of an existing flat parquet directory as
+    * version 0 — the CONVERT-TO-DELTA analog, and the migration path
+    * that matters at 100 TB: the manifest REFERENCES the source
+    * directory absolutely (the [[cloneShallow]] mechanism), no byte
+    * is read or rewritten, and the full lifecycle (appends, MoR
+    * deletes, evolution, time travel, streaming) continues on top.
+    * The imported directory carries commit seq 0, so every FUTURE
+    * merge-on-read delete (seq ≥ 1) scopes over it — exactly the
+    * rule a fresh commit's data follows. Vacuum structurally cannot
+    * delete the external source (the sweep only reclaims entries
+    * listed under the table root). Partitioned (nested) layouts fail
+    * loudly: directory-derived partition columns have no physical
+    * column in the footers, which would break the engine's
+    * field-identity rules — rewrite such sources through [[commit]].
+    */
+  def importParquet(spark: SparkSession, root: String,
+      sourceDir: String, tag: String = ""): Long = {
+    require(latestVersion(spark, root).isEmpty,
+      s"importParquet target must be empty: $root already has " +
+        "committed versions")
+    val sf = fs(spark, sourceDir)
+    val src = sf.makeQualified(new Path(sourceDir))
+    require(sf.exists(src),
+      s"importParquet source does not exist: $sourceDir")
+    val entries = sf.listStatus(src).toSeq
+    val files = entries.filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"importParquet source holds no top-level parquet files: " +
+        s"$sourceDir" + (if (entries.exists(_.isDirectory))
+          " (nested/partitioned layouts are unsupported — rewrite " +
+            "through commit)" else ""))
+    // footer sanity: unreadable/mixed footers must fail HERE, not at
+    // the first read of the imported table
+    spark.read.parquet(src.toString).schema
+    publish(spark, root, 0L,
+      if (tag.nonEmpty) tag else s"import-of-$sourceDir",
+      dirs = Seq(src.toString), dirSeqs = Seq(0L))
+    0L
+  }
+
   /** Root-directory listing, names only — the audit helper pairing
     * with [[vacuumDryRun]] (diff a before/after listing against the
     * dry run's plan). One filesystem listing, no manifest reads.

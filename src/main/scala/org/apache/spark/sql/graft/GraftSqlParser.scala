@@ -262,6 +262,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """SHALLOW\s+CLONE\s+([\w.`]+|'[^']+')\s*""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""" +
       """(?:LOCATION\s+'([^']+)'\s*)?;?\s*$""").r
+    // CONVERT TO DELTA's analog: zero-copy import of a flat parquet
+    // directory (manifest references it absolutely, no byte moves)
+    val convert = ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" +
+      """(?:parquet\s*\.\s*)?(?:`([^`]+)`|'([^']+)')\s+""" +
+      """LOCATION\s+'([^']+)'\s*(?:AS\s+([\w.`]+)\s*)?;?\s*$""").r
     // a backquoted name may CONTAIN dots (`a.b` is ONE identifier
     // part) — split through the delegate's own multipart-identifier
     // grammar, never a manual '.' split (round-14 advice)
@@ -281,6 +286,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case clone(tgtRaw, srcRaw, ver, loc) =>
         Some(GraftCloneCommand(tgtRaw.trim, srcRaw.trim,
           Option(ver).map(_.toLong), Option(loc)))
+      case convert(dirBt, dirQ, root, asName) =>
+        Some(GraftConvertCommand(
+          Option(dirBt).getOrElse(dirQ), root, Option(asName)))
       case opt(raw, dims) =>
         graftTable(ident(raw)).map { case (root, _) =>
           val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
@@ -808,6 +816,38 @@ case class GraftHistoryCommand(root: String)
       AttributeReference("commit_ts_ms", LongType, nullable = false)(),
       AttributeReference("data_change",
         org.apache.spark.sql.types.BooleanType, nullable = false)())
+}
+
+/** `CONVERT TO GRAFT parquet.`<dir>` LOCATION '<root>' [AS t]` — the
+  * CONVERT-TO-DELTA analog: imports an existing flat parquet
+  * directory as version 0 WITHOUT reading or rewriting a byte
+  * ([[VersionedTable.importParquet]] — the manifest references the
+  * directory absolutely), then optionally registers the catalog
+  * name. All resolution at execution time. Returns
+  * (version, table_root).
+  */
+case class GraftConvertCommand(sourceDir: String, root: String,
+    asName: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = VersionedTable.importParquet(session, root, sourceDir,
+      tag = "sql-convert")
+    asName.foreach { raw =>
+      val name = scala.util.Try(
+          session.sessionState.sqlParser.parseMultipartIdentifier(raw))
+        .getOrElse(raw.split('.').toIndexedSeq
+          .map(_.stripPrefix("`").stripSuffix("`")))
+        .map(p => "`" + p + "`").mkString(".")
+      session.sql(s"CREATE TABLE $name USING graft " +
+        s"OPTIONS (path '$root')")
+      ()
+    }
+    Seq(Row(v, root))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("table_root", StringType,
+        nullable = false)())
 }
 
 /** `VACUUM t RETAIN n HOURS` — Delta's own retention unit: versions

@@ -729,6 +729,46 @@ class GraftDataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_vachours_t")
   }
 
+  test("CONVERT TO GRAFT imports a parquet dir zero-copy: no bytes " +
+      "under the root, lifecycle continues, MoR deletes scope over " +
+      "the import, vacuum never touches the source") {
+    val srcDir = s"${graft.config.Scratch.runDir}/dsspec_convsrc"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val root = freshRoot("convert")
+    spark.sql("DROP TABLE IF EXISTS graft_convert_t")
+    val row = spark.sql(s"CONVERT TO GRAFT parquet.`$srcDir` " +
+      s"LOCATION '$root' AS graft_convert_t").head()
+    assert(row.getLong(0) == 0L && row.getString(1) == root)
+    assert(spark.sql("SELECT k FROM graft_convert_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ZERO-copy: the root holds only the manifest, no data bytes
+    assert(VersionedTable.fsListRootNames(spark, root)
+      .forall(n => !n.endsWith(".parquet") && !n.startsWith("v0")),
+      VersionedTable.fsListRootNames(spark, root))
+    // lifecycle continues: append + MoR delete of an IMPORTED row
+    // (the import's seq-0 directory scopes under the delete's seq 1)
+    spark.sql("INSERT INTO graft_convert_t VALUES (4, 'd')")
+    VersionedTable.deleteKeysMor(spark, root, Seq(2L).toDF("k"))
+    assert(spark.sql("SELECT k FROM graft_convert_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // vacuum structurally cannot reclaim the external source
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(spark.read.parquet(srcDir).count() == 3L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_convert_t")
+      .head().getLong(0) == 3L)
+    // a nested/partitioned source fails loudly
+    val partDir = s"${graft.config.Scratch.runDir}/dsspec_convpart"
+    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(partDir)
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT '$partDir' " +
+        s"LOCATION '${root}_p'").collect()
+    }
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+    spark.sql("DROP TABLE graft_convert_t")
+  }
+
   test("SQL CREATE OR REPLACE TABLE ... AS SELECT commits a NEW " +
       "version over the root; plain REPLACE requires existence") {
     val root = freshRoot("rtas")
