@@ -20,6 +20,18 @@ import org.apache.spark.sql.SparkSession
   * that share warm-up/cache state instead of a cold base measured
   * minutes earlier. Ratios >= 10 are surfaced in a `flagged` array so
   * the <10 smoke criterion is machine-checkable from the artifact.
+  *
+  * Wall-clock discipline (VERDICT r15 #1): the r15 driver bench was
+  * timeout-killed (rc 124) before printing, leaving the round with no
+  * perf artifact of record. Three changes keep the sweep inside the
+  * driver's clock: (a) the sub-second extra-reps stabilizer is gone
+  * (~400 executions/sweep the headline never read), (b) the sf1 smoke
+  * is CORE (worst ratios, watch items, new queries — every round,
+  * first) + a TAIL that alternates halves by round parity, and (c) a
+  * hard wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  * 2100 s) stops new smoke entries, recording every unstarted name in
+  * `smoke_skipped` — the artifact always completes and always says
+  * what it did not measure.
   */
 object Bench {
 
@@ -35,9 +47,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Wall-clock budget (VERDICT r15 #1): the r15 driver bench was
+    // killed at its timeout (rc 124) leaving NO artifact of record —
+    // a complete artifact with an honestly-recorded smoke shortfall
+    // beats a perfect sweep that never prints. The base suite always
+    // runs in full (the n_registered invariant needs every query
+    // timed); once `elapsedSec` passes the budget, no NEW smoke
+    // query starts and every unstarted name is recorded in
+    // `smoke_skipped` — nothing is dropped silently.
+    val budgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -66,17 +90,15 @@ object Bench {
 
     // a failed query must not pass off its (fast) failure time as a
     // result — record it by name so the JSON line surfaces breakage
+    // NOTE (VERDICT r15 #1): the former "+2 extra reps for sub-second
+    // queries" stabilizer is gone — at ~200 sub-second queries it was
+    // ~400 extra executions per sweep, a material slice of the wall
+    // time that killed the r15 driver bench, and the HEADLINE never
+    // read those runs anyway (rep totals use runs 0..reps-1).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs =
-        try {
-          val first = Seq.fill(reps)(time(fn(spark, sfDir).count()))
-          // sub-second queries are where run-to-run medians still
-          // swing (fixed costs dominate); two extra reps there cost
-          // almost nothing and stabilize exactly those entries
-          if (median(first) < 1.0)
-            first ++ Seq.fill(2)(time(fn(spark, sfDir).count()))
-          else first
-        } catch { case e: Throwable =>
+        try Seq.fill(reps)(time(fn(spark, sfDir).count()))
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e"); Seq.empty
         }
       (name, runs, runs.nonEmpty)
@@ -119,68 +141,106 @@ object Bench {
     // Base and scaled runs interleave so both sides of every ratio are
     // equally warm.
     val sf1Dir = "target/sf1"
-    val sf1Queries = Seq("asof_last_order", "col_entropy", "data_split",
-      "decontaminate", "dedup_chunks", "dedup_substring",
-      "dedup_substring_apply", "dedup_clusters", "dedup_exact",
+    // Sweep budget restructure (VERDICT r15 #1): an every-query-every-
+    // round smoke grew past the driver's wall clock. The smoke is now
+    // CORE + ROTATING TAIL: the core — every query whose r15 x10
+    // ratio was >=1.9, every historical flag/watch item, anything not
+    // yet bench-timed, and the freshly broadcast-gated q10/q18 — runs
+    // every round and runs FIRST (so a budget stop never costs the
+    // high-value ratios); the long tail of comfortable sub-1.9
+    // scalers alternates halves by round parity, so every query is
+    // still measured at least every OTHER round.
+    val sf1Core = Seq(
+      // not yet bench-timed / changed this round
+      "table_convert", "table_optimize_where", "tpch_q10", "tpch_q18",
+      // r15 worst ratios (>= 1.9)
+      "table_merge", "tpch_q12_bucketed", "corr_matrix",
+      "table_sql_merge", "table_upsert_mor", "cdc_diff",
+      "drift_ks_matrix", "tpch_q12", "table_clone",
+      "stream_table_ingest", "skew_salted_join", "tpch_q13",
+      "table_pruned_scan", "table_compact_zorder", "tpch_q9",
+      "table_changes", "bigram_logprob", "image_neardup",
+      "decontaminate", "text_novelty", "table_sql_clone",
+      "scd2_history", "dedup_substring", "dsir_select",
+      // historical flags / structurally load-sensitive watch items
+      "dedup_minhash", "minhash_eval", "typeinfer_roundtrip",
+      "summary_lineitem_approx", "summary_lineitem_onepass",
+      "dedup_substring_apply", "dedup_containment")
+    val sf1Tail = Seq("asof_last_order", "col_entropy", "data_split",
+      "dedup_chunks", "dedup_clusters", "dedup_exact",
       "dedup_incremental", "dedup_jaccard_block", "dedup_keep_best",
-      "dedup_minhash", "doc_length_hist", "drift_ks", "drift_psi",
-      "drift_ks_matrix", "hist_equidepth", "bpe_encode",
-      "multimodal_features", "multimodal_resize", "dedup_containment",
-      "text_novelty", "corr_matrix",
-      "chunk_documents", "split_leakage_safe", "cdc_diff",
-      "nb_quality_score", "table_changes", "table_compaction",
-      "epoch_shuffle", "table_pruned_scan", "table_profile_snapshot",
-      "table_compact_zorder", "bm25_search",
+      "doc_length_hist", "drift_ks", "drift_psi",
+      "hist_equidepth", "bpe_encode",
+      "multimodal_features", "multimodal_resize",
+      "chunk_documents", "split_leakage_safe",
+      "nb_quality_score", "table_compaction",
+      "epoch_shuffle", "table_profile_snapshot",
+      "bm25_search",
       "hybrid_search", "knn_ivf_incremental", "image_dhash",
-      "image_neardup", "audio_fingerprint", "sessionize_native",
+      "audio_fingerprint", "sessionize_native",
       "knn_filtered", "knn_sq8", "budget_select", "quarantine_route",
       "video_scenecut", "audio_neardup",
       "dedup_boilerplate", "dedup_intradoc", "dedup_soft_weights",
-      "dsir_select", "table_bloom_lookup", "table_schema_evolution",
-      "table_schema_evolution2", "table_evolve_prune", "table_merge",
-      "table_clone", "table_sql_read", "table_sql_merge",
-      "table_fast_count", "table_upsert_mor", "table_sql_dml",
+      "table_bloom_lookup", "table_schema_evolution",
+      "table_schema_evolution2", "table_evolve_prune",
+      "table_sql_read",
+      "table_fast_count", "table_sql_dml",
       "table_sql_ddl", "table_sql_time_travel", "table_sql_maintenance",
       "table_sql_changes", "table_sql_history", "table_sql_restore",
-      "table_sql_ctas", "table_sql_clone", "table_sql_replace",
-      "table_sql_vacuum_dry", "table_convert",
+      "table_sql_ctas", "table_sql_replace",
+      "table_sql_vacuum_dry",
       "table_pruned_string", "table_vacuum", "table_ref_read",
       "table_wap_publish", "table_read_where", "table_mor_reinsert",
       "table_read_where_time",
-      "minhash_eval", "decontaminate_semantic", "embed_variance",
+      "decontaminate_semantic", "embed_variance",
       "embed_pca_contract", "embed_abtt_contract", "ann_recall_eval",
       "text_hash_embed", "knn_text_hash", "contamination_by_source",
       "seasonal_decompose", "changepoint_cusum", "event_pmi",
-      "scd2_history", "ivm_merge", "knn_pq", "knn_ivfpq",
+      "ivm_merge", "knn_pq", "knn_ivfpq",
       "multimodal_audio", "hard_negatives", "bpe_roundtrip",
       "freq_approx_topk", "group_quantiles", "group_topk",
-      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8", "tpch_q9",
-      "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q12",
-      "tpch_q12_bucketed", "tpch_q13",
+      "keywords_tfidf", "quality_deciles", "tpch_q7", "tpch_q8",
+      "tpch_q14", "tpch_q15",
       "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
       "event_transitions", "embed_outliers", "table_append_race",
-      "stream_table_ingest", "stream_gdpr_erasure",
+      "stream_gdpr_erasure",
       "stream_erase_reingest", "stream_dedup_ingest",
       "stream_from_table", "stream_cdf_replicate", "stream_scd2",
       "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
-      "unigram_logprob", "bigram_logprob", "vocab_coverage",
+      "unigram_logprob", "vocab_coverage",
       "freq_lineitem", "pack_sequences", "pipeline_clean",
       "range_join_sessions", "rolling_revenue", "sample_exactk",
       "sample_weighted", "sessionize_batch",
-      "skew_salted_join", "summary_lineitem", "summary_lineitem_approx",
-      "summary_lineitem_onepass", "text_repetition",
-      "typeinfer_roundtrip")
+      "summary_lineitem", "text_repetition")
+    // Deterministic per-round rotation: the committed BENCH_r*.json
+    // count increments exactly once per round, so the tail alternates
+    // halves without any manual per-round edit. Overridable for
+    // focused runs; a listing failure degrades to half 0.
+    val rotation = sys.env.get("SPARK_GRAFT_SMOKE_ROTATION")
+      .map(_.toInt).getOrElse {
+        Option(new java.io.File(".").listFiles).map(
+          _.count(_.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0)
+      } % 2
+    val rotatedIn = sf1Tail.zipWithIndex
+      .collect { case (q, i) if i % 2 == rotation => q }
+    val rotatedOut = sf1Tail.filterNot(rotatedIn.contains)
+    val sf1Queries = sf1Core ++ rotatedIn
     // dev-only focused smoke runs (driver runs unfiltered)
     val onlySmoke = sys.env.get("SPARK_GRAFT_SMOKE_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
+    val smokeSkipped = scala.collection.mutable.ArrayBuffer[String]()
     val smoke =
       if (!new java.io.File(sf1Dir).isDirectory ||
           (only.isDefined && onlySmoke.isEmpty))
         Seq.empty[(String, Double, Double)]
       else sf1Queries.filter(n => onlySmoke.forall(_.contains(n)))
         .flatMap { name =>
-        allQueries.get(name).flatMap { fn =>
+        // budget check happens BEFORE each query starts — a started
+        // pair-set always finishes (partial timings would lie), and
+        // every unstarted name lands in smoke_skipped (no silent cap)
+        if (elapsedSec > budgetSec) { smokeSkipped += name; None }
+        else allQueries.get(name).flatMap { fn =>
           try {
             // the two approx-profile queries submit three concurrent
             // jobs each, which makes them the most load-sensitive
@@ -249,7 +309,7 @@ object Bench {
       "\"" + k + "\""
     }.mkString("[", ",", "]")
     val sf1Section =
-      if (smoke.isEmpty) ""
+      if (smoke.isEmpty && smokeSkipped.isEmpty) ""
       else {
         val entries = smoke.map { case (k, b, s) =>
           val r = math.round(s / b * 100) / 100.0
@@ -262,7 +322,11 @@ object Bench {
           "\"" + k + "\":{\"sec\":" + s + ",\"base_sec\":" + b +
             ",\"x10_ratio\":" + r + conf + "}"
         }.mkString("{", ",", "}")
-        s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"queries":$entries,"flagged":$flagged}"""
+        val skippedJson = smokeSkipped.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
+        val rotatedOutJson = rotatedOut.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
+        s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"rotation":$rotation,"queries":$entries,"flagged":$flagged,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
       }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
@@ -277,7 +341,8 @@ object Bench {
         "\"" + k + "\":" + (math.round(r * 100) / 100.0)
       }.mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"sf":"$sfDir"}""")
+    val wallR = math.round(elapsedSec * 10) / 10.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"n_smoke":${smoke.size},"n_smoke_skipped":${smokeSkipped.size},"smoke_rotation":$rotation,"wall_sec":$wallR,"sf":"$sfDir"}""")
     spark.stop()
     if (only.isEmpty && missing.nonEmpty) {
       System.err.println(s"[bench] registered queries without a " +

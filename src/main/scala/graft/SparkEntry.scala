@@ -57,15 +57,17 @@ object SparkEntry {
       .getOrElse(64L << 20)
 
   private val tblBytesCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long), java.lang.Long]()
+    .ConcurrentHashMap[String, (Long, Long)]()
 
   /** Total on-disk bytes of `dir/name.parquet` (file or directory);
-    * 0 when absent. Cached per (path, mtime) — the bench loop
+    * 0 when absent. Cached per path as (mtime, size) — the bench loop
     * re-plans the same tables hundreds of times and must not re-walk
     * them, but a long-lived session must also never gate a broadcast
     * on STALE sizes (review r15): one cheap getFileStatus per call
-    * re-keys the cache, so a regenerated/grown table re-stats, and an
-    * absent path is never cached at all (it may appear later).
+    * re-validates the mtime, a regenerated/grown table REPLACES its
+    * entry in place (one entry per path, no dead-key growth across
+    * regenerations — ADVICE r15), and an absent path is never cached
+    * at all (it may appear later).
     */
   private[graft] def tblBytes(s: SparkSession, dir: String,
       name: String): Long = {
@@ -75,8 +77,10 @@ object SparkEntry {
     val st =
       try fs.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => return 0L }
-    tblBytesCache.computeIfAbsent((p, st.getModificationTime),
-      _ => fs.getContentSummary(path).getLength)
+    val mtime = st.getModificationTime
+    tblBytesCache.compute(p, (_, cur) =>
+      if (cur != null && cur._1 == mtime) cur
+      else (mtime, fs.getContentSummary(path).getLength))._2
   }
 
   /** Broadcast-hint `df` — a projection/filter/aggregate whose row
@@ -946,7 +950,12 @@ object SparkEntry {
     * alone, and only the aggregated (≤ active-customer-count) result
     * joins the customer/nation dimensions — at 100 TB the dimensions
     * never see un-aggregated lineitem rows, and the aggregate side is
-    * the broadcast side.
+    * the broadcast side. `rev`'s cardinality is O(active customers) —
+    * sf-LINEAR, not fixed — so the hint rides the [[bcastDim]] gate
+    * keyed on the customer base table (VERDICT r15 #3): under the
+    * gate the small-scale plan keeps its broadcast, above it the hint
+    * drops and AQE picks the join strategy from runtime sizes instead
+    * of a forced 100 TB-scale broadcast OOM.
     */
   private def tpchQ10(s: SparkSession, dir: String): DataFrame = {
     val lo = lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
@@ -959,7 +968,8 @@ object SparkEntry {
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
         4).as("revenue"))
     tbl(s, dir, "customer")
-      .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+      .join(bcastDim(s, dir, "customer")(rev),
+        col("c_custkey") === col("o_custkey"))
       .join(broadcast(tbl(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"),
@@ -985,7 +995,12 @@ object SparkEntry {
     * find qualifying orders (HAVING over a decimal-exact sum), then
     * semi-join-style enrich only that tiny set with its order and
     * customer rows; the qualifying aggregate is the broadcast side
-    * both times.
+    * both times. Both `big` (keyed by orderkey) and `sel` (orders ⨝
+    * big) are O(orders) — sf-LINEAR — so both hints ride the
+    * [[bcastDim]] gate keyed on the orders base table (VERDICT r15
+    * #3): at 100 TB the hints drop and AQE sees the aggregates'
+    * runtime sizes (the HAVING filter usually keeps them tiny, and
+    * AQE re-broadcasts exactly when that holds).
     */
   private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
     val big = tbl(s, dir, "lineitem")
@@ -993,9 +1008,11 @@ object SparkEntry {
       .agg(decSum(col("l_quantity"), 2).as("sum_qty"))
       .where(col("sum_qty") > 250)
     val sel = tbl(s, dir, "orders")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(bcastDim(s, dir, "orders")(big),
+        col("o_orderkey") === col("l_orderkey"))
     tbl(s, dir, "customer")
-      .join(broadcast(sel), col("c_custkey") === col("o_custkey"))
+      .join(bcastDim(s, dir, "orders")(sel),
+        col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"),
@@ -3930,6 +3947,71 @@ object SparkEntry {
     // bin-packs the three-append fragmentation under the pinned-base
     // retry, VACUUM RETAIN 1 VERSIONS expires everything but the
     // optimized snapshot — the surviving content is plain SQL.
+    // Partition-scoped OPTIMIZE (VERDICT r15 #8): low keys land as a
+    // range-clustered stats commit, high keys as three stats-carrying
+    // appends; `OPTIMIZE … WHERE key above the split` must compact
+    // ONLY the append directories — the cold directory's bytes are
+    // byte-identical after (names + lengths), the scoped no-op arm
+    // publishes nothing — and the content aggregate equals the plain
+    // table (scoped maintenance is content-preserving by definition).
+    // The three booleans are selfVerified-style: computed and
+    // required in Scala, emitted as literals the oracle pins true.
+    "table_optimize_where" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val root = graft.config.Scratch.runDir + s"/vt_optwhere_$tag"
+      graft.sources.VersionedTable.destroy(s, root)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val mid = o.agg(
+        percentile_approx(col("o_orderkey"), lit(0.5), lit(10000)))
+        .head().get(0).toString.toDouble.toLong
+      graft.sources.VersionedTable.commitWithStats(
+        o.where(col("o_orderkey") <= mid)
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, Seq("o_orderkey"), tag = "cold")
+      for (i <- 0 until 3)
+        graft.sources.VersionedTable.commitAppendWithStats(
+          o.where(col("o_orderkey") > mid &&
+            col("o_orderkey") % 3 === i),
+          root, Seq("o_orderkey"), tag = s"hot$i")
+      def coldFiles(): Set[(String, Long)] =
+        new java.io.File(s"$root/v0").listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      val before = coldFiles()
+      val t = s"graft_optwhere_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+      // >= mid+1, not > mid: strict bounds widen to closed ones in
+      // the conservative extractor, and a closed [mid, inf) re-admits
+      // the cold file whose max IS mid
+      val r1 = s.sql(s"OPTIMIZE $t WHERE o_orderkey >= ${mid + 1}")
+        .collect()
+      val scopedRewrote = r1.head.getBoolean(1) &&
+        r1.head.getLong(0) == 4L
+      val coldUntouched = coldFiles() == before &&
+        (graft.sources.VersionedTable.resolveDirs(s, root, 4L) match {
+          case Seq("v0", a) => a.startsWith("a")
+          case _ => false
+        })
+      val r2 = s.sql(
+        s"OPTIMIZE $t WHERE o_orderkey > ${Long.MaxValue / 2}")
+        .collect()
+      val noopSkipped = !r2.head.getBoolean(1) &&
+        r2.head.getLong(0) == 4L
+      require(scopedRewrote && coldUntouched && noopSkipped,
+        s"table_optimize_where contract: scopedRewrote=$scopedRewrote" +
+          s" coldUntouched=$coldUntouched noopSkipped=$noopSkipped")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           $scopedRewrote AS scoped_rewrote,
+           $coldUntouched AS cold_files_untouched,
+           $noopSkipped AS noop_skipped
+         FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
     "table_sql_maintenance" -> ((s, dir) => {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val root = graft.config.Scratch.runDir + s"/vt_sqlmaint_$tag"
@@ -6920,6 +7002,14 @@ object SparkEntry {
         "FROM orders WHERE o_orderkey % 2 = 1) " +
         "ORDER BY o_orderkey"),
     // OPTIMIZE + VACUUM preserve exactly the post-erasure content
+    // scoped OPTIMIZE is content-preserving: the aggregate equals the
+    // plain table; the contract booleans were required in Scala
+    "table_optimize_where" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price, true AS scoped_rewrote, " +
+        "true AS cold_files_untouched, true AS noop_skipped " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "table_sql_maintenance" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +

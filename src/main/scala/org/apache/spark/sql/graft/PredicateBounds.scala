@@ -230,4 +230,89 @@ object PredicateBounds {
     }
     Bounds(numB.result(), strB.result(), probeB.result())
   }
+
+  /** Rebuild a PARSED catalyst predicate as a public-DSL Column so
+    * the bound walker above can introspect it — the SQL surface
+    * (`OPTIMIZE t WHERE <text>`) arrives as a catalyst AST, which
+    * wraps into a Column as an opaque node the walker cannot see
+    * through. Supported shapes mirror the walker exactly (AND,
+    * comparisons against literals in either order, IN over
+    * literals); every other conjunct converts to `lit(true)` — for
+    * the content-preserving maintenance verbs this feeds, a WIDER
+    * selection is always safe (more files rewritten, none missed),
+    * never wrong.
+    */
+  def fromCatalyst(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.functions.{col, lit}
+    def attr(x: ce.Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def litCol(x: ce.Expression): Option[Column] = x match {
+      case l: ce.Literal if l.value != null =>
+        import org.apache.spark.sql.types._
+        l.dataType match {
+          case _: IntegerType => Some(lit(l.value.asInstanceOf[Int]))
+          case _: LongType => Some(lit(l.value.asInstanceOf[Long]))
+          case _: DoubleType => Some(lit(l.value.asInstanceOf[Double]))
+          case _: FloatType => Some(lit(l.value.asInstanceOf[Float]))
+          case _: ShortType =>
+            Some(lit(l.value.asInstanceOf[Short].toInt))
+          case _: ByteType => Some(lit(l.value.asInstanceOf[Byte].toInt))
+          case _: DecimalType =>
+            Some(lit(l.value.asInstanceOf[Decimal].toJavaBigDecimal))
+          case _: StringType => Some(lit(l.value.toString))
+          // catalyst stores temporal literals on internal scales
+          // (days / micros); re-materialize as java.time values so
+          // lit() rebuilds the same typed literal temporalVal maps
+          // onto the stats scale
+          case _: DateType => Some(lit(
+            java.time.LocalDate.ofEpochDay(
+              l.value.asInstanceOf[Int].toLong)))
+          case _: TimestampNTZType =>
+            val us = l.value.asInstanceOf[Long]
+            Some(lit(java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)))
+          case _: TimestampType =>
+            val us = l.value.asInstanceOf[Long]
+            Some(lit(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L)))
+          case _: BooleanType =>
+            Some(lit(l.value.asInstanceOf[Boolean]))
+          case _ => None
+        }
+      case _ => None
+    }
+    def bin(a: ce.Expression, b: ce.Expression,
+        fwd: (Column, Column) => Column,
+        rev: (Column, Column) => Column): Column =
+      (attr(a), litCol(b), attr(b), litCol(a)) match {
+        case (Some(c), Some(l), _, _) => fwd(col(c), l)
+        case (_, _, Some(c), Some(l)) => rev(col(c), l)
+        case _ => lit(true)
+      }
+    def conv(x: ce.Expression): Column = x match {
+      case ce.And(a, b) => conv(a) && conv(b)
+      case ce.GreaterThan(a, b) => bin(a, b, _ > _, _ < _)
+      case ce.GreaterThanOrEqual(a, b) => bin(a, b, _ >= _, _ <= _)
+      case ce.LessThan(a, b) => bin(a, b, _ < _, _ > _)
+      case ce.LessThanOrEqual(a, b) => bin(a, b, _ <= _, _ >= _)
+      case ce.EqualTo(a, b) => bin(a, b, _ === _, _ === _)
+      case ce.In(a, vs) =>
+        (attr(a), vs.map(litCol)) match {
+          case (Some(c), ls) if ls.nonEmpty && ls.forall(_.isDefined) =>
+            col(c).isin(ls.flatten: _*)
+          case _ => lit(true)
+        }
+      case _ => lit(true)
+    }
+    conv(e)
+  }
 }

@@ -158,4 +158,50 @@ class CloneSpec extends AnyFunSuite {
     VersionedTable.commitAppend(Seq((2L, 22L)).toDF("k", "v"), dst)
     assert(rows(dst) == Set((1L, 1L), (3L, 3L), (2L, 22L)))
   }
+
+  test("validate-before-commit (ADVICE r15): SQL SHALLOW CLONE and " +
+      "CONVERT TO GRAFT with a taken catalog name fail WITHOUT " +
+      "committing, so a corrected retry succeeds") {
+    val src = freshRoot("src7")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("k", "v"), src)
+    spark.sql("DROP TABLE IF EXISTS clonespec_taken")
+    Seq((9L, 9L)).toDF("k", "v")
+      .createOrReplaceTempView("clonespec_taken")
+    try {
+      // CLONE to a name shadowed by a temp view: must error BEFORE
+      // cloneShallow commits anything to the target root
+      val dst = freshRoot("dst7")
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE clonespec_taken SHALLOW CLONE " +
+          s"'$src' LOCATION '$dst'").collect()
+      }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      assert(VersionedTable.latestVersion(spark, dst).isEmpty,
+        "failed CLONE left a committed target root")
+      // the retry under a free name uses the SAME root — it must be
+      // still-empty and succeed
+      spark.sql("DROP TABLE IF EXISTS clonespec_free")
+      spark.sql(s"CREATE TABLE clonespec_free SHALLOW CLONE '$src' " +
+        s"LOCATION '$dst'").collect()
+      assert(spark.table("clonespec_free").count() == 1L)
+      spark.sql("DROP TABLE clonespec_free")
+
+      // CONVERT with a taken AS name: same contract
+      val pq = s"${graft.config.Scratch.runDir}/clonespec_pq7"
+      Seq((5L, 5L)).toDF("k", "v").write.mode("overwrite").parquet(pq)
+      val cv = freshRoot("cv7")
+      val e2 = intercept[Exception] {
+        spark.sql(s"CONVERT TO GRAFT parquet.`$pq` LOCATION '$cv' " +
+          "AS clonespec_taken").collect()
+      }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      assert(VersionedTable.latestVersion(spark, cv).isEmpty,
+        "failed CONVERT left a committed target root")
+      spark.sql(s"CONVERT TO GRAFT parquet.`$pq` LOCATION '$cv' " +
+        "AS clonespec_free2").collect()
+      assert(spark.table("clonespec_free2").count() == 1L)
+      spark.sql("DROP TABLE clonespec_free2")
+    } finally
+      spark.catalog.dropTempView("clonespec_taken")
+  }
 }

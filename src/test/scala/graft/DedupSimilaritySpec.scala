@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, max, min, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Similarity}
@@ -749,5 +749,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, 21L, 12L, words("c", 3) + " " + words("d", 6)),
       (2L, 27L, 24L, words("e", 3)),
       (3L, 20L, 0L, words("f", 20))), applied)
+  }
+
+  test("substring dedup degenerate hot span (VERDICT r15 #6): one " +
+      "hyper-frequent k-token span serializes only span-frequency " +
+      "state and the edit keeps exactly the first copy") {
+    // 4000 docs all carrying the SAME 10-token span: every window of
+    // every doc lands in ONE Window.partitionBy("h") group — the
+    // documented worst case. The state is 4000 fixed-width rows (the
+    // span's frequency, NOT corpus bytes), far inside one task; the
+    // pick must keep doc 0 unspanned and fully span all 3999 others.
+    val n = 4000
+    val hotSpan = (0 until 10).map(i => s"hot$i").mkString(" ")
+    val degen = spark.range(n).toDF("doc_id")
+      .withColumn("text", lit(hotSpan))
+    val spans = Dedup.substringDedup(degen, "doc_id", "text", k = 10)
+    assert(spans.count() == (n - 1).toLong)
+    assert(spans.agg(min("doc_id"), max("span_start"), max("span_end"))
+      .collect().head.toSeq == Seq(1L, 0L, 9L))
+    val edited = Dedup.substringDedupApply(degen, "doc_id", "text",
+      k = 10)
+    // rows stable; total survivors = the one unspanned first copy
+    assert(edited.count() == n.toLong)
+    assert(edited.agg(sum(col("n_tokens") - col("n_removed")))
+      .collect().head.getLong(0) == 10L)
   }
 }

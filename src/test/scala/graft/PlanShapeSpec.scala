@@ -106,6 +106,45 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q10/q18 aggregate-side broadcast gate (VERDICT r15 #3): the " +
+      "sf-linear aggregates broadcast under the gate and the hint " +
+      "drops above it") {
+    // Arm 1: bench scale is far under the gate — the aggregate side
+    // (rev / big / sel) must still plan as the broadcast side.
+    for (q <- Seq("tpch_q10", "tpch_q18")) {
+      val p = planOf(q)
+      assert(count(p, "BroadcastHashJoin") >= 2,
+        s"$q lost its under-gate broadcasts:\n${p.take(800)}")
+    }
+    // Arm 2: shrink the gate below every table — the rev/big/sel
+    // hints must drop (their cardinality is O(customers)/O(orders),
+    // which at 100 TB would OOM a forced broadcast). Auto-broadcast
+    // is disabled so stats can't re-broadcast the toy-scale side.
+    System.setProperty("graft.broadcast.gate.bytes", "1")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // q10 keeps exactly ONE broadcast: nation is a fixed-cardinality
+      // table (25 rows at every sf) whose hard hint is gate-exempt.
+      val p10 = planOf("tpch_q10")
+      assert(count(p10, "BroadcastHashJoin") <= 1,
+        s"q10 gate did not drop the rev hint:\n${p10.take(800)}")
+      assert(p10.contains("SortMergeJoin") ||
+        p10.contains("ShuffledHashJoin"),
+        s"q10 expected a shuffle join above the gate:\n${p10.take(800)}")
+      // q18 has no fixed-size dimension — every join must degrade.
+      val p18 = planOf("tpch_q18")
+      assert(!p18.contains("BroadcastHashJoin"),
+        s"q18 gate did not drop big/sel hints:\n${p18.take(800)}")
+      assert(p18.contains("SortMergeJoin") ||
+        p18.contains("ShuffledHashJoin"),
+        s"q18 expected shuffle joins above the gate:\n${p18.take(800)}")
+    } finally {
+      System.clearProperty("graft.broadcast.gate.bytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("knn_ivf and decontaminate_semantic: the only cross joins are " +
       "against explicit broadcasts (centroids / benchmark)") {
     for (q <- Seq("knn_ivf", "decontaminate_semantic")) {
