@@ -217,11 +217,18 @@ object Bench {
     // count increments exactly once per round, so the tail alternates
     // halves without any manual per-round edit. Overridable for
     // focused runs; a listing failure degrades to half 0.
+    val benchArtifacts = Option(new java.io.File(".").listFiles)
+      .map(_.count(_.getName.matches("BENCH_r\\d+\\.json")))
+      .getOrElse(0)
+    // a cwd without the committed artifacts (a non-repo-root launch)
+    // would silently PIN rotation to half 0 every round — surface it
+    if (benchArtifacts == 0 &&
+        sys.env.get("SPARK_GRAFT_SMOKE_ROTATION").isEmpty)
+      System.err.println("[bench] no BENCH_r*.json in cwd — smoke " +
+        "rotation pinned to half 0 (launch from the repo root or set " +
+        "SPARK_GRAFT_SMOKE_ROTATION to alternate)")
     val rotation = sys.env.get("SPARK_GRAFT_SMOKE_ROTATION")
-      .map(_.toInt).getOrElse {
-        Option(new java.io.File(".").listFiles).map(
-          _.count(_.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0)
-      } % 2
+      .map(_.toInt).getOrElse(benchArtifacts) % 2
     val rotatedIn = sf1Tail.zipWithIndex
       .collect { case (q, i) if i % 2 == rotation => q }
     val rotatedOut = sf1Tail.filterNot(rotatedIn.contains)

@@ -2967,20 +2967,23 @@ object VersionedTable {
       val hot = prunedPathsWhere(spark, root, v, pred)
         .map(normPath).toSet
       val f = fs(spark, root)
-      val dirEntries: Seq[(String, Long, Seq[String])] =
+      // (path, length) per file: the listing already carries lengths,
+      // so hotBytes below never re-stats per file (review r16 — on an
+      // object store that was one extra RPC per small append file)
+      val dirEntries: Seq[(String, Long, Seq[(String, Long)])] =
         resolveDirs(spark, root, v)
           .zip(resolveDirSeqs(spark, root, v)).map { case (d, s) =>
           (d, s, f.listStatus(new Path(dirPath(root, d))).toSeq
             .filter(st => st.isFile &&
               st.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString))
+            .map(st => (st.getPath.toString, st.getLen)))
         }
       val (hotDirs, coldDirs) = dirEntries.partition(e =>
-        e._3.exists(p => hot.contains(normPath(p))))
+        e._3.exists(p => hot.contains(normPath(p._1))))
       if (hotDirs.isEmpty) v
       else {
         val raw = readManifest(spark, root, v)
-        val hotPaths = hotDirs.flatMap(_._3)
+        val hotPaths = hotDirs.flatMap(_._3.map(_._1))
         val logical = readScoped(spark, root, raw, v,
           onlyPaths = Some(hotPaths), mergeSchema = false)
         // the rewrite writes under the CURRENT physical layout — a
@@ -2990,8 +2993,7 @@ object VersionedTable {
         val prevFields = resolveFields(spark, root, v)
         val (physRows, fieldsS, physName) =
           physicalizeDelta(logical, prevFields)
-        val hotBytes = hotPaths
-          .map(p => f.getFileStatus(new Path(p)).getLen).sum
+        val hotBytes = hotDirs.flatMap(_._3.map(_._2)).sum
         val nFiles = math.max(1L,
           (hotBytes + targetBytes - 1) / targetBytes).toInt
         val (priorNum, priorStr) = priorStatsCols(spark, root, v)
@@ -3013,7 +3015,7 @@ object VersionedTable {
         // normalized path — the same O(files) scale every sidecar op
         // here works at)
         val normPathUdf = udf((p: String) => normPath(p))
-        val coldNorm = coldDirs.flatMap(_._3).map(normPath)
+        val coldNorm = coldDirs.flatMap(_._3.map(_._1)).map(normPath)
         def carriedRows(sd: String): Option[DataFrame] =
           if (coldNorm.isEmpty || !f.exists(new Path(sd))) None
           else Some(spark.read.parquet(sd)

@@ -245,9 +245,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * statement re-raises the delegate's own ParseException.
     */
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
+    // ZORDER BY accepted on EITHER side of WHERE (review r16): the
+    // natural "OPTIMIZE t WHERE p ZORDER BY (c)" ordering must reach
+    // the dedicated cannot-combine error, not a cryptic parse failure
+    // from a WHERE capture that swallowed the ZORDER clause
     val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
       """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?""" +
-      """(?:WHERE\s+(.+?)\s*)?;?\s*$""").r
+      """(?:WHERE\s+(.+?)\s*)?""" +
+      """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*$""").r
     // Delta's own retention unit: versions whose commit time is older
@@ -290,9 +295,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case convert(dirBt, dirQ, root, asName) =>
         Some(GraftConvertCommand(
           Option(dirBt).getOrElse(dirQ), root, Option(asName)))
-      case opt(raw, dims, where) =>
+      case opt(raw, dims, where, dims2) =>
         graftTable(ident(raw)).map { case (root, _) =>
-          val zdims = Option(dims).toSeq.flatMap(_.split(',').toSeq)
+          val zdims = (Option(dims).toSeq ++ Option(dims2).toSeq)
+            .flatMap(_.split(',').toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)
           if (where != null) {
@@ -553,6 +559,14 @@ object GraftSqlParser {
         "(catalog.db.table at most, session catalog only)")
     }
     val cat = session.sessionState.catalog
+    // the database must EXIST too (review r16): a name in a missing
+    // db passes tableExists=false, commits, and then fails at CREATE
+    // TABLE — recreating exactly the half-done state this check kills
+    ti.database.foreach { db =>
+      if (!scala.util.Try(cat.databaseExists(db)).getOrElse(false))
+        sys.error(s"$statement: database $db does not exist — " +
+          "nothing was committed")
+    }
     if (scala.util.Try(cat.tableExists(ti)).getOrElse(false) ||
         (parts.size == 1 && cat.getTempView(ti.table).isDefined))
       sys.error(s"$statement: name $raw already exists — nothing " +
@@ -757,11 +771,17 @@ case class GraftOptimizeWhereCommand(root: String, whereSql: String)
   override def run(session: SparkSession): Seq[Row] = {
     val pred = PredicateBounds.fromCatalyst(
       session.sessionState.sqlParser.parseExpression(whereSql))
-    val before = VersionedTable.latestVersion(session, root)
-      .getOrElse(sys.error(s"no committed graft table at $root"))
-    val v = VersionedTable.compactWhere(session, root, pred,
-      tag = "sql-optimize-where")
-    Seq(Row(v, v != before))
+    // `rewrote` is decided by OWNERSHIP of the returned version, not
+    // a before/after compare (review r16): a concurrent commit landing
+    // between a head read and the replan would make version-counting
+    // false-positive. The per-invocation tag is unique, so version v
+    // carrying it means THIS statement published it.
+    val tag = "sql-optimize-where-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val v = VersionedTable.compactWhere(session, root, pred, tag = tag)
+    val rewrote = VersionedTable.historyDetail(session, root)
+      .exists(h => h._1 == v && h._2 == tag)
+    Seq(Row(v, rewrote))
   }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(
