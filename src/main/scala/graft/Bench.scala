@@ -157,7 +157,7 @@ object Bench {
     val sf1Core = Seq(
       // not yet bench-timed / changed this round
       "table_convert", "table_optimize_where", "knn_graph",
-      "tpch_q10", "tpch_q18",
+      "knn_graph_incremental", "tpch_q10", "tpch_q18",
       // r15 worst ratios (>= 1.9)
       "table_merge", "tpch_q12_bucketed", "corr_matrix",
       "table_sql_merge", "table_upsert_mor", "cdc_diff",

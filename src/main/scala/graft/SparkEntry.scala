@@ -2384,6 +2384,59 @@ object SparkEntry {
       "n AS (SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, " +
       "x -> x * x))) AS nrm FROM v)"
 
+  /** Shared replay skeleton of the graph-ANN tier: assignment CTEs +
+    * caller-supplied edge-construction CTEs (must define `edges`) +
+    * the fixed two-round beam search. One builder so the one-shot and
+    * incremental variants can never drift in their search replay.
+    */
+  private def knnGraphOracle(edgeCtes: String): String =
+    s"WITH $vecCte, " +
+      "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
+      "WHERE vec_id < 16), " +
+      "sc AS (SELECT n.vec_id AS id, c.cid, " +
+      "list_sum(list_transform(generate_series(1, len(n.vec)), " +
+      "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
+      "FROM n, c), " +
+      "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
+      "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
+      "FROM sc) WHERE rn = 1), " +
+      "av AS (SELECT a.id, a.cid, n.vec, n.nrm FROM assign a " +
+      "JOIN n ON n.vec_id = a.id), " +
+      edgeCtes + ", " +
+      "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
+      "FROM n WHERE vec_id < 10), " +
+      "ent AS (SELECT id AS query_id, cid AS id FROM (SELECT id, " +
+      "cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, " +
+      "cid DESC) AS pr FROM sc WHERE id < 10) WHERE pr <= 2), " +
+      "x1 AS (SELECT f.query_id, e.dst AS id FROM ent f " +
+      "JOIN edges e ON e.src = f.id), " +
+      "c1 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
+      "id FROM ent UNION ALL SELECT query_id, id FROM x1)), " +
+      "s1 AS (SELECT c1.query_id, c1.id, " +
+      "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+      "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
+      "FROM c1 JOIN q ON q.query_id = c1.query_id " +
+      "JOIN n m ON m.vec_id = c1.id), " +
+      "f1 AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
+      "id) AS bn FROM s1) WHERE bn <= 10), " +
+      "x2 AS (SELECT f.query_id, e.dst AS id FROM f1 f " +
+      "JOIN edges e ON e.src = f.id), " +
+      "c2 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
+      "id FROM f1 UNION ALL SELECT query_id, id FROM x2)), " +
+      "s2 AS (SELECT c2.query_id, c2.id, " +
+      "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+      "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
+      "FROM c2 JOIN q ON q.query_id = c2.query_id " +
+      "JOIN n m ON m.vec_id = c2.id), " +
+      "fin AS (SELECT query_id, id, sim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, id) AS bn FROM s2) " +
+      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM " +
+      "(SELECT query_id, id AS neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
+      "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5 " +
+      "ORDER BY query_id, rn"
+
   private val embedNearDupOracle: String =
     s"WITH $vecCte, " +
       "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
@@ -5680,6 +5733,43 @@ object SparkEntry {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, graphDegree = 6, numEntries = 2,
       beam = 10, rounds = 2, numQueries = 10, k = 5)),
+    // incrementally-MAINTAINED graph index: vectors and edges persist
+    // as two graft tables; each arriving batch assigns + computes its
+    // out-edges against the existing cluster pool (batch-sized blocked
+    // join, never a rebuild) and APPENDS both — the 100 TB maintenance
+    // path for the graph tier. Reverse edges give settled vectors
+    // paths toward arrivals (the standard online-graph approximation;
+    // settled out-lists do not re-rank). Search = knn_graph's beam
+    // over the accumulated tables; the oracle replays both phases
+    "knn_graph_incremental" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val vecRoot = graft.config.Scratch.runDir + s"/graph_vec_$tag"
+      val edgeRoot = graft.config.Scratch.runDir + s"/graph_edge_$tag"
+      graft.sources.VersionedTable.destroy(s, vecRoot)
+      graft.sources.VersionedTable.destroy(s, edgeRoot)
+      val emb = tbl(s, dir, "embeddings")
+      val cents = operators.Similarity.ivfSeedCentroids(
+        emb, "vec_id", "embedding", numCentroids = 16)
+      Seq(0, 1).foreach { par =>
+        val batch = emb.where(col("vec_id") % 2 === par)
+        val existing =
+          if (par == 0) None
+          else Some(graft.sources.VersionedTable.read(s, vecRoot))
+        graft.sources.VersionedTable.commitAppend(
+          operators.Similarity.graphIndexEdges(
+            batch, "vec_id", "embedding", cents, existing,
+            graphDegree = 6),
+          edgeRoot, tag = s"edges$par")
+        graft.sources.VersionedTable.commitAppend(
+          operators.Similarity.ivfIndexAssign(
+            batch, "vec_id", "embedding", cents),
+          vecRoot, tag = s"vecs$par")
+      }
+      operators.Similarity.knnGraphOnIndex(
+        graft.sources.VersionedTable.read(s, edgeRoot),
+        graft.sources.VersionedTable.read(s, vecRoot), cents,
+        numEntries = 2, beam = 10, rounds = 2, numQueries = 10, k = 5)
+    }),
     "knn_pq" -> ((s, dir) => Similarity.knnPq(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
@@ -7390,20 +7480,8 @@ object SparkEntry {
     // Ties everywhere by id (centroid ties toward larger cid, the
     // max(struct) rule); sims are identical sequential folds in both
     // engines
-    "knn_graph" ->
-      (s"WITH $vecCte, " +
-        "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
-        "WHERE vec_id < 16), " +
-        "sc AS (SELECT n.vec_id AS id, c.cid, " +
-        "list_sum(list_transform(generate_series(1, len(n.vec)), " +
-        "i -> c.cvec[i] * n.vec[i])) / (c.cnrm * n.nrm) AS sim " +
-        "FROM n, c), " +
-        "assign AS (SELECT id, cid FROM (SELECT id, cid, row_number() " +
-        "OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) AS rn " +
-        "FROM sc) WHERE rn = 1), " +
-        "av AS (SELECT a.id, a.cid, n.vec, n.nrm FROM assign a " +
-        "JOIN n ON n.vec_id = a.id), " +
-        "pe AS (SELECT x.id AS src, y.id AS dst, " +
+    "knn_graph" -> knnGraphOracle(
+      "pe AS (SELECT x.id AS src, y.id AS dst, " +
         "list_sum(list_transform(generate_series(1, len(x.vec)), " +
         "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
         "FROM av x JOIN av y ON x.cid = y.cid AND x.id <> y.id), " +
@@ -7411,40 +7489,34 @@ object SparkEntry {
         "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
         "FROM pe) WHERE ern <= 6), " +
         "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
-        "FROM oute UNION ALL SELECT dst AS src, src AS dst FROM oute)), " +
-        "q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm " +
-        "FROM n WHERE vec_id < 10), " +
-        "ent AS (SELECT id AS query_id, cid AS id FROM (SELECT id, " +
-        "cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, " +
-        "cid DESC) AS pr FROM sc WHERE id < 10) WHERE pr <= 2), " +
-        "x1 AS (SELECT f.query_id, e.dst AS id FROM ent f " +
-        "JOIN edges e ON e.src = f.id), " +
-        "c1 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
-        "id FROM ent UNION ALL SELECT query_id, id FROM x1)), " +
-        "s1 AS (SELECT c1.query_id, c1.id, " +
-        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
-        "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
-        "FROM c1 JOIN q ON q.query_id = c1.query_id " +
-        "JOIN n m ON m.vec_id = c1.id), " +
-        "f1 AS (SELECT query_id, id FROM (SELECT query_id, id, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
-        "id) AS bn FROM s1) WHERE bn <= 10), " +
-        "x2 AS (SELECT f.query_id, e.dst AS id FROM f1 f " +
-        "JOIN edges e ON e.src = f.id), " +
-        "c2 AS (SELECT DISTINCT query_id, id FROM (SELECT query_id, " +
-        "id FROM f1 UNION ALL SELECT query_id, id FROM x2)), " +
-        "s2 AS (SELECT c2.query_id, c2.id, " +
-        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
-        "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
-        "FROM c2 JOIN q ON q.query_id = c2.query_id " +
-        "JOIN n m ON m.vec_id = c2.id), " +
-        "fin AS (SELECT query_id, id, sim, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY sim DESC, id) AS bn FROM s2) " +
-        "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM " +
-        "(SELECT query_id, id AS neighbor_id, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
-        "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5 " +
-        "ORDER BY query_id, rn"),
+        "FROM oute UNION ALL SELECT dst AS src, src AS dst " +
+        "FROM oute))"),
+    // two-phase replay of the incremental build (batch 0 = even ids
+    // against itself, batch 1 = odd ids against the full pool), then
+    // the identical beam search over the accumulated edges
+    "knn_graph_incremental" -> knnGraphOracle(
+      "b0 AS (SELECT * FROM av WHERE id % 2 = 0), " +
+        "pe0 AS (SELECT x.id AS src, y.id AS dst, " +
+        "list_sum(list_transform(generate_series(1, len(x.vec)), " +
+        "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
+        "FROM b0 x JOIN b0 y ON x.cid = y.cid AND x.id <> y.id), " +
+        "o0 AS (SELECT src, dst FROM (SELECT src, dst, row_number() " +
+        "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
+        "FROM pe0) WHERE ern <= 6), " +
+        "e0 AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
+        "FROM o0 UNION ALL SELECT dst AS src, src AS dst FROM o0)), " +
+        "b1 AS (SELECT * FROM av WHERE id % 2 = 1), " +
+        "pe1 AS (SELECT x.id AS src, y.id AS dst, " +
+        "list_sum(list_transform(generate_series(1, len(x.vec)), " +
+        "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
+        "FROM b1 x JOIN av y ON x.cid = y.cid AND x.id <> y.id), " +
+        "o1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() " +
+        "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
+        "FROM pe1) WHERE ern <= 6), " +
+        "e1 AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
+        "FROM o1 UNION ALL SELECT dst AS src, src AS dst FROM o1)), " +
+        "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
+        "FROM e0 UNION ALL SELECT src, dst FROM e1))"),
     // SQ8 replay: per-dim [min,max] of the unit vectors, round-to-byte
     // encode, affine decode, rounded-at-9 approximate inner product,
     // shortlist, exact rerank — every double expression fixed-order

@@ -291,29 +291,69 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, graphDegree: Int, numEntries: Int,
       beam: Int, rounds: Int, numQueries: Int, k: Int): DataFrame = {
-    require(beam > k, s"beam $beam must exceed k $k (the query " +
-      "itself may occupy one beam slot)")
     val v = normed(df, idCol, vecCol)
     val cents = v.where(col("id") < numCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"),
         col("norm").as("cnorm"))
-    val assigned = assignWith(v, cents)
-    val xs = assigned.select(col("cid"), col("id").as("src"),
-      col("vec").as("svec"), col("norm").as("snorm"))
-    val ys = assigned.select(col("cid"), col("id").as("dst"),
-      col("vec").as("dvec"), col("norm").as("dnorm"))
+    val edges = graphIndexEdges(df, idCol, vecCol, cents, None,
+      graphDegree)
+    graphSearch(v, edges, cents, numEntries, beam, rounds,
+      numQueries, k)
+  }
+
+  /** Edge maintenance for the graph tier: out-edges of `batch`'s
+    * vectors against the pool (prior index rows + the batch itself)
+    * WITHIN each coarse cluster, symmetrized. With `existing = None`
+    * this is [[knnGraph]]'s one-shot build; with the persisted index
+    * it is the INCREMENTAL step — per-batch cost is the batch ×
+    * cluster-pool blocked join, never a rebuild, and the reverse
+    * edges give prior vectors paths toward the arrivals (the same
+    * approximation every online graph index makes: settled vectors
+    * do not re-rank their out-lists). Committing each result as a
+    * [[graft.sources.VersionedTable]] APPEND maintains a 100 TB graph
+    * index at per-batch cost; duplicate (src, dst) rows across
+    * batches are structurally impossible (each phase's pairs carry at
+    * least one new-batch endpoint) and would be harmless anyway (the
+    * search de-duplicates candidates per round).
+    */
+  def graphIndexEdges(batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, existing: Option[DataFrame],
+      graphDegree: Int): DataFrame = {
+    val b = assignWith(normed(batch, idCol, vecCol), cents)
+      .select(col("cid"), col("id"), col("vec"), col("norm"))
+    val pool = existing.map(b.unionByName(_)).getOrElse(b)
     val eW = Window.partitionBy("src")
       .orderBy(col("esim").desc, col("dst"))
-    val out = xs.join(ys, Seq("cid"))
+    val out = b.select(col("cid"), col("id").as("src"),
+        col("vec").as("svec"), col("norm").as("snorm"))
+      .join(pool.select(col("cid"), col("id").as("dst"),
+        col("vec").as("dvec"), col("norm").as("dnorm")), Seq("cid"))
       .where(col("src") =!= col("dst"))
       .withColumn("esim", cosine(col("svec"), col("dvec"),
         col("snorm"), col("dnorm")))
       .withColumn("ern", row_number().over(eW))
       .where(col("ern") <= graphDegree)
       .select(col("src"), col("dst"))
-    val edges = out
-      .union(out.select(col("dst").as("src"), col("src").as("dst")))
+    out.union(out.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+  }
+
+  /** Beam search over a prebuilt edge table + vector index (rows as
+    * produced by [[ivfIndexAssign]] / [[graphIndexEdges]], possibly
+    * across many appended batches) — identical query path to
+    * [[knnGraph]], which is one-shot build + this.
+    */
+  def knnGraphOnIndex(edges: DataFrame, index: DataFrame,
+      cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
+      numQueries: Int, k: Int): DataFrame =
+    graphSearch(index.select(col("id"), col("vec"), col("norm")),
+      edges, cents, numEntries, beam, rounds, numQueries, k)
+
+  private def graphSearch(v: DataFrame, edges: DataFrame,
+      cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
+      numQueries: Int, k: Int): DataFrame = {
+    require(beam > k, s"beam $beam must exceed k $k (the query " +
+      "itself may occupy one beam slot)")
     val q = v.where(col("id") < numQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"))

@@ -401,6 +401,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // points cover most true neighbors); floor set under it to catch
     // structural regressions, not noise
     assert(rec >= 0.8, s"graph recall@5 regressed: $rec")
+    // incremental maintenance: two-batch build (evens then odds
+    // against the pool) searches within noise of the one-shot graph —
+    // the reverse edges give settled vectors paths toward arrivals
+    val cents = Similarity.ivfSeedCentroids(emb, "vec_id", "embedding",
+      numCentroids = 16)
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    val e0 = Similarity.graphIndexEdges(evens, "vec_id", "embedding",
+      cents, None, graphDegree = 6)
+    val pool0 = Similarity.ivfIndexAssign(evens, "vec_id", "embedding",
+      cents)
+    val e1 = Similarity.graphIndexEdges(odds, "vec_id", "embedding",
+      cents, Some(pool0), graphDegree = 6)
+    val incr = Similarity.knnGraphOnIndex(e0.union(e1),
+      pool0.union(Similarity.ivfIndexAssign(odds, "vec_id",
+        "embedding", cents)), cents,
+      numEntries = 2, beam = 10, rounds = 2, numQueries = 10, k = 5)
+    val recI = Similarity.recallAtK(exact, incr, k = 5)
+      .agg(org.apache.spark.sql.functions.avg("recall_at_5"))
+      .head().getDouble(0)
+    assert(recI >= 0.7, s"incremental graph recall@5 regressed: $recI")
+
     // one giant cluster (numCentroids=1) + beam covering the corpus
     // degenerates to exact search — the completeness sanity arm
     // (200-vector subset: the complete graph is O(n²) by design)
