@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Build BENCH_perq_r{N}.json from a graft.Bench full stdout line.
+
+Usage: make_perq_artifact.py <bench_stdout_file> <round> [out_file]
+
+The bench prints two JSON lines (full per-query detail, then a compact
+summary); this reads the FIRST and reshapes it into the per-round
+committed artifact format (round, reps, n_registered, sf, total_sec,
+rep_totals, queries, sf1_x10_ratios, and — since r16 — the smoke
+budget evidence: rotation, skipped, rotated_out).
+"""
+import json
+import sys
+
+
+def main() -> None:
+    src, rnd = sys.argv[1], int(sys.argv[2])
+    out = sys.argv[3] if len(sys.argv) > 3 else f"BENCH_perq_r{rnd}.json"
+    with open(src) as f:
+        full = json.loads(f.readline())
+    smoke = full.get("sf1_smoke", {})
+    art = {
+        "round": rnd,
+        "reps": full["reps"],
+        "n_registered": full["n_registered"],
+        "sf": full["sf"],
+        "total_sec": full["value"],
+        "rep_totals": full["rep_totals"],
+        "queries": {k: round(v, 6) for k, v in full["queries"].items()},
+        "sf1_x10_ratios": {
+            k: v["x10_ratio"] for k, v in smoke.get("queries", {}).items()
+        },
+        "sf1_smoke_rotation": smoke.get("rotation"),
+        "sf1_smoke_skipped": smoke.get("skipped", []),
+        "sf1_smoke_rotated_out": smoke.get("rotated_out", []),
+        "failed": json.loads(full.get("failed", "[]"))
+        if isinstance(full.get("failed"), str) else full.get("failed", []),
+    }
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out}: total {art['total_sec']:.1f}s over "
+          f"{len(art['queries'])} queries, "
+          f"{len(art['sf1_x10_ratios'])} smoke ratios, "
+          f"{len(art['sf1_smoke_skipped'])} skipped")
+
+
+if __name__ == "__main__":
+    main()
