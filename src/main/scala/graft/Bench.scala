@@ -60,10 +60,10 @@ object Bench {
     // timed); once `elapsedSec` passes the budget, no NEW smoke
     // query starts and every unstarted name is recorded in
     // `smoke_skipped` — nothing is dropped silently.
-    // 2400 s measured against the r16 validation sweep: base suite
-    // ~18 min + smoke; 2100 completed at 35.6 min wall with 48 smoke
-    // skips, so +300 s buys ~13 more smoke entries while staying well
-    // under the driver clock that killed r15 (>49 min)
+    // 2400 s measured against the two r16 sweeps: at 2100 the sweep
+    // completed in 35.6 min wall with 48 smoke skips, at 2400 in
+    // 40.1 min with 19 — +300 s bought 29 more smoke entries while
+    // staying well under the driver clock that killed r15 (>49 min)
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val spark = SparkSession.builder()
@@ -231,18 +231,22 @@ object Bench {
         sys.env.get("SPARK_GRAFT_SMOKE_ROTATION").isEmpty)
       System.err.println("[bench] no BENCH_r*.json in cwd — smoke " +
         "rotation pinned to half 0 (launch from the repo root or set " +
-        "SPARK_GRAFT_SMOKE_ROTATION to alternate)")
-    val rotation = sys.env.get("SPARK_GRAFT_SMOKE_ROTATION")
-      .map(_.toInt).getOrElse(benchArtifacts) % 2
+        "SPARK_GRAFT_SMOKE_ROTATION to a 0-3 cycle to alternate)")
+    // one seed drives BOTH rotation bits so the env override covers
+    // both (review r16): bit 0 picks the tail half, bit 1 the scan
+    // direction. Budget skips always eat the END of the list, so a
+    // fixed direction would starve the same late-tail queries every
+    // round — alternating it means that over 4 rounds each half runs
+    // once from each end, covering everything even at a ~50% skip
+    // rate. Cycle SPARK_GRAFT_SMOKE_ROTATION through 0..3 to get the
+    // same guarantee on non-repo-root launches.
+    val rotSeed = sys.env.get("SPARK_GRAFT_SMOKE_ROTATION")
+      .map(_.toInt).getOrElse(benchArtifacts)
+    val rotation = rotSeed % 2
     val rotatedHalf = sf1Tail.zipWithIndex
       .collect { case (q, i) if i % 2 == rotation => q }
-    // budget skips always eat the END of the list, so a fixed order
-    // would starve the same late-tail queries every round — alternate
-    // the half's scan DIRECTION on a second parity bit: over 4 rounds
-    // each half runs once from each end, covering everything even at
-    // a ~50% skip rate
     val rotatedIn =
-      if ((benchArtifacts / 2) % 2 == 1) rotatedHalf.reverse
+      if ((rotSeed / 2) % 2 == 1) rotatedHalf.reverse
       else rotatedHalf
     val rotatedOut = sf1Tail.filterNot(rotatedIn.contains)
     val sf1Queries = sf1Core ++ rotatedIn

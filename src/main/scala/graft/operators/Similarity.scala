@@ -291,14 +291,11 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, graphDegree: Int, numEntries: Int,
       beam: Int, rounds: Int, numQueries: Int, k: Int): DataFrame = {
-    val v = normed(df, idCol, vecCol)
-    val cents = v.where(col("id") < numCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"),
-        col("norm").as("cnorm"))
+    val cents = ivfSeedCentroids(df, idCol, vecCol, numCentroids)
     val edges = graphIndexEdges(df, idCol, vecCol, cents, None,
       graphDegree)
-    graphSearch(v, edges, cents, numEntries, beam, rounds,
-      numQueries, k)
+    graphSearch(normed(df, idCol, vecCol), edges, cents, numEntries,
+      beam, rounds, numQueries, k)
   }
 
   /** Edge maintenance for the graph tier: out-edges of `batch`'s
@@ -349,11 +346,19 @@ object Similarity {
     graphSearch(index.select(col("id"), col("vec"), col("norm")),
       edges, cents, numEntries, beam, rounds, numQueries, k)
 
-  private def graphSearch(v: DataFrame, edges: DataFrame,
+  private def graphSearch(v: DataFrame, edges0: DataFrame,
       cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
       numQueries: Int, k: Int): DataFrame = {
     require(beam > k, s"beam $beam must exceed k $k (the query " +
       "itself may occupy one beam slot)")
+    // the edge table is consumed once per round and the frontier
+    // twice (expansion + candidate union): without pinning, the
+    // unexecuted lineage doubles per round — 2^rounds copies of the
+    // entries subtree and as many rebuilds of the O(Σ cluster²) edge
+    // window (review r16). Persisting both makes cost linear in
+    // rounds, which is what the per-round O(queries × beam × degree)
+    // claim needs.
+    val edges = edges0.persist()
     val q = v.where(col("id") < numQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
@@ -374,10 +379,11 @@ object Similarity {
       .orderBy(col("sim").desc, col("id"))
     var frontier = entries
     for (_ <- 0 until rounds) {
-      val expanded = edges.join(broadcast(frontier),
+      val pinned = frontier.persist()
+      val expanded = edges.join(broadcast(pinned),
           col("id") === col("src"))
         .select(col("query_id"), col("dst").as("id"))
-      val cand = frontier.union(expanded).distinct()
+      val cand = pinned.union(expanded).distinct()
       frontier = rescored(cand)
         .withColumn("bn", row_number().over(bW))
         .where(col("bn") <= beam)

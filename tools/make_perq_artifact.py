@@ -33,8 +33,7 @@ def main() -> None:
         "sf1_smoke_rotation": smoke.get("rotation"),
         "sf1_smoke_skipped": smoke.get("skipped", []),
         "sf1_smoke_rotated_out": smoke.get("rotated_out", []),
-        "failed": json.loads(full.get("failed", "[]"))
-        if isinstance(full.get("failed"), str) else full.get("failed", []),
+        "failed": full.get("failed", []),
     }
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
