@@ -439,6 +439,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recC == 1.0, s"complete graph must be exact: $recC")
   }
 
+  test("knn_graph GDPR erasure: a MoR-deleted vector never surfaces " +
+      "in search results and the remaining graph still answers") {
+    // the ANN twin of stream_gdpr_erasure: the persisted index is a
+    // graft table, so erasure is deleteKeysMor on the vector table —
+    // metadata-time, no index rebuild. Stale edges toward the erased
+    // id keep routing (they expand candidates) but the score join is
+    // INNER on the vector table, so the erased vector itself can
+    // never appear in any beam or result.
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val root = s"${graft.config.Scratch.runDir}/graphgdpr_vec"
+    val eroot = s"${graft.config.Scratch.runDir}/graphgdpr_edge"
+    graft.sources.VersionedTable.destroy(spark, root)
+    graft.sources.VersionedTable.destroy(spark, eroot)
+    val cents = Similarity.ivfSeedCentroids(emb, "vec_id", "embedding",
+      numCentroids = 16)
+    graft.sources.VersionedTable.commit(
+      Similarity.ivfIndexAssign(emb, "vec_id", "embedding", cents),
+      root)
+    graft.sources.VersionedTable.commit(
+      Similarity.graphIndexEdges(emb, "vec_id", "embedding", cents,
+        None, graphDegree = 6), eroot)
+    def search() = Similarity.knnGraphOnIndex(
+      graft.sources.VersionedTable.read(spark, eroot),
+      graft.sources.VersionedTable.read(spark, root), cents,
+      numEntries = 2, beam = 10, rounds = 2, numQueries = 10, k = 5)
+    // pick a vector that IS currently a returned neighbor, erase it
+    val victim = search().where(col("neighbor_id") >= 10)
+      .select("neighbor_id").as[Long].head()
+    graft.sources.VersionedTable.deleteKeysMor(spark, root,
+      Seq(victim).toDF("id"), tag = "erase")
+    val after = search()
+    assert(after.where(col("neighbor_id") === victim).count() == 0L,
+      s"erased vector $victim still returned")
+    // every query still gets a full k result list from survivors
+    assert(after.count() == 50L)
+  }
+
   test("PQ with a lossless codebook equals exact search") {
     // every vector is its own codebook entry (numCodes ≥ n), so ADC
     // squared-L2 over normalized slices reduces to 2−2·cos and the

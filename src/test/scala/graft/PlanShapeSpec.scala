@@ -145,6 +145,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_graph: the beam search never goes cartesian and every " +
+      "frontier/candidate join rides a broadcast (bounded side)") {
+    val p = planOf("knn_graph")
+    assert(!p.contains("CartesianProduct"), "graph search went cartesian")
+    // per round: frontier broadcasts against edges, candidates against
+    // the vector table — plus the centroid cross join; all bounded
+    assert(count(p, "BroadcastHashJoin") +
+      count(p, "BroadcastNestedLoopJoin") >= 3,
+      s"graph search lost its broadcasts:\n${p.take(800)}")
+  }
+
   test("knn_ivf and decontaminate_semantic: the only cross joins are " +
       "against explicit broadcasts (centroids / benchmark)") {
     for (q <- Seq("knn_ivf", "decontaminate_semantic")) {
