@@ -201,6 +201,19 @@ class CloneSpec extends AnyFunSuite {
         "AS clonespec_free2").collect()
       assert(spark.table("clonespec_free2").count() == 1L)
       spark.sql("DROP TABLE clonespec_free2")
+
+      // a name in a NONEXISTENT database must also fail pre-commit
+      // (review r16): tableExists is false there, so only the explicit
+      // databaseExists check keeps the statement from committing and
+      // then dying at CREATE TABLE
+      val dst2 = freshRoot("dst7b")
+      val e3 = intercept[Exception] {
+        spark.sql("CREATE TABLE clonespec_nodb.t SHALLOW CLONE " +
+          s"'$src' LOCATION '$dst2'").collect()
+      }
+      assert(e3.getMessage.contains("does not exist"), e3.getMessage)
+      assert(VersionedTable.latestVersion(spark, dst2).isEmpty,
+        "missing-db CLONE left a committed target root")
     } finally
       spark.catalog.dropTempView("clonespec_taken")
   }

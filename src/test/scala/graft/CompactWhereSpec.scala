@@ -133,6 +133,53 @@ class CompactWhereSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("temporal predicate: OPTIMIZE WHERE over a TIMESTAMP literal " +
+      "scopes onto the time-clustered tail — the event-log compaction " +
+      "shape at 100 TB") {
+    // days 1..10 as one clustered stats commit, days 11..12 as two
+    // appends; WHERE ts >= day 11 must carry the cold dir. The
+    // timestamp literal travels catalyst -> fromCatalyst -> lit ->
+    // PredicateBounds.temporalVal onto the epoch-seconds stats scale.
+    val root = freshRoot("temporal")
+    // Instant -> TimestampType: the numeric stats sidecar casts to
+    // double (epoch seconds), which TIMESTAMP supports and
+    // TIMESTAMP_NTZ does not — same reason EventsSource normalizes
+    // the events table's ts before stats commits
+    def day(d: Int) = java.time.LocalDateTime.of(2024, 1, d, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC)
+    val cold = spark.range(0, 1000).toDF("i")
+      .withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0," +
+          "CAST(i / 5 AS INT),0,0)"))
+      .withColumn("v", col("i") * 2)
+    // i/5 hours => 1000 rows span ~8.3 days inside days 1..9
+    VersionedTable.commitWithStats(
+      cold.repartitionByRange(3, col("ts")).sortWithinPartitions("ts"),
+      root, Seq("ts"), tag = "cold")
+    for (d <- 11 to 12)
+      VersionedTable.commitAppendWithStats(
+        spark.range(0, 100).toDF("i")
+          .withColumn("ts", lit(day(d)))
+          .withColumn("v", col("i")),
+        root, Seq("ts"), tag = s"day$d")
+    val coldBefore = files(root, "v0")
+    val t = "cwspec_temporal_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$root')")
+    try {
+      val r = spark.sql(
+        s"OPTIMIZE $t WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'")
+        .collect()
+      assert(r.head.getBoolean(1), "temporal scope did not rewrite")
+      assert(files(root, "v0") == coldBefore,
+        "temporal scope touched the cold days")
+      val dirs = VersionedTable.resolveDirs(spark, root,
+        r.head.getLong(0))
+      assert(dirs.length == 2 && dirs.head == "v0", dirs)
+      assert(spark.table(t).count() == 1200L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("unsupported conjuncts widen, never narrow: an OR predicate " +
       "contributes no bound, so everything rewrites (content still " +
       "exact)") {
