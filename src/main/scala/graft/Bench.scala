@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise hardening (VERDICT r4 #1): single-run second-scale timings on
   * a shared box swing 3-19x run-to-run, which made BENCH_r04 tell a
-  * false story. Each query is therefore run `reps` times (default 3)
-  * and the MEDIAN is reported; the HEADLINE total is the median of
-  * the `reps` whole-suite rep totals (VERDICT r14 #7 — the per-rep
+  * false story. Each query is therefore run up to `reps` times
+  * (default 3) and the MEDIAN is reported; the HEADLINE total is the
+  * median of the whole-suite rep totals (VERDICT r14 #7 — the per-rep
   * totals ride the JSON as `rep_totals`, so the artifact carries its
   * own spread evidence); and the sf1 smoke section re-times the
   * sf0.1 base back-to-back with its sf1 twin — interleaved
@@ -21,17 +21,33 @@ import org.apache.spark.sql.SparkSession
   * minutes earlier. Ratios >= 10 are surfaced in a `flagged` array so
   * the <10 smoke criterion is machine-checkable from the artifact.
   *
-  * Wall-clock discipline (VERDICT r15 #1): the r15 driver bench was
-  * timeout-killed (rc 124) before printing, leaving the round with no
-  * perf artifact of record. Three changes keep the sweep inside the
-  * driver's clock: (a) the sub-second extra-reps stabilizer is gone
-  * (~400 executions/sweep the headline never read), (b) the sf1 smoke
-  * is CORE (worst ratios, watch items, new queries — every round,
-  * first) + a TAIL that alternates halves by round parity, and (c) a
-  * hard wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
-  * 2100 s) stops new smoke entries, recording every unstarted name in
-  * `smoke_skipped` — the artifact always completes and always says
-  * what it did not measure.
+  * Wall-clock discipline (VERDICT r15 #1 / r16 #1): the r15 driver
+  * bench was timeout-killed (rc 124) before printing; the r16 driver
+  * box then ran base reps ~2.5x slower than the builder box and the
+  * old base-reps-first ordering burned the whole budget before ONE
+  * smoke entry started (n_smoke 0 / 94 skipped). The sweep is now
+  * ordered so a slow box sheds the LOW-value sections first:
+  *
+  *   calibration probe -> base rep 1 -> CORE sf1 smoke ->
+  *   base reps 2..N (budget-gated) -> TAIL sf1 smoke (budget-gated)
+  *   -> calibration probe
+  *
+  * The core smoke (worst ratios, watch items, new queries) runs every
+  * round right after rep 1, so even an r16-driver-speed box produces
+  * scale evidence; extra base reps degrade (reps_run in the JSON says
+  * how many ran) and the tail rotates halves by round parity under
+  * the hard budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 2400 s),
+  * with every unstarted name recorded in `smoke_skipped` — the
+  * artifact always completes and always says what it did not measure.
+  *
+  * Box-speed calibration (VERDICT r16 #2): raw sweep totals are not
+  * comparable across days on a shared box (same-HEAD driver/builder
+  * sweeps read 989.5 vs 396.2 s). A fixed deterministic probe — a
+  * multiply-mix reduction plus a canonical 32-partition hash
+  * aggregate + join, ~4 s nominal — is timed at sweep start AND end
+  * and recorded as `calib_sec:[start,end]` in both JSON lines, so
+  * any two artifacts can be normalized by their probe times before
+  * totals are compared.
   */
 object Bench {
 
@@ -41,9 +57,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Standard median: middle element, or the mean of the two middles
+    * for even counts — degraded sections can report 2-run medians
+    * without an upper-value bias.
+    */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** The box-speed probe: deterministic CPU (80M multiply-mix
+    * reduction) + shuffle (8M-row hash aggregate joined to a 250k
+    * dimension over 32 partitions). No data files, no randomness, no
+    * query-suite code — its time moves ONLY with the box.
+    */
+  private def calibProbe(spark: SparkSession): Double = {
+    val t = time {
+      // modulo keeps the 80M-term sum inside a long under ANSI mode
+      spark.range(0L, 80000000L)
+        .selectExpr("sum((id * 2654435761) % 1000000007) as h")
+        .collect()
+      val agg = spark.range(0L, 8000000L)
+        .selectExpr("id % 250000 as k", "id as v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      val dim = spark.range(0L, 250000L)
+        .selectExpr("id as k", "id % 97 as w")
+      agg.join(dim, "k").selectExpr("sum(s * w)").collect()
+      ()
+    }
+    math.round(t * 1000) / 1000.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,18 +96,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // Wall-clock budget (VERDICT r15 #1): the r15 driver bench was
-    // killed at its timeout (rc 124) leaving NO artifact of record —
-    // a complete artifact with an honestly-recorded smoke shortfall
-    // beats a perfect sweep that never prints. The base suite always
-    // runs in full (the n_registered invariant needs every query
-    // timed); once `elapsedSec` passes the budget, no NEW smoke
-    // query starts and every unstarted name is recorded in
-    // `smoke_skipped` — nothing is dropped silently.
-    // 2400 s measured against the two r16 sweeps: at 2100 the sweep
-    // completed in 35.6 min wall with 48 smoke skips, at 2400 in
-    // 40.1 min with 19 — +300 s bought 29 more smoke entries while
-    // staying well under the driver clock that killed r15 (>49 min)
+    // Wall-clock budget (VERDICT r15 #1): a complete artifact with an
+    // honestly-recorded shortfall beats a perfect sweep that never
+    // prints. 2400 s measured against the two r16 sweeps: at 2100 the
+    // sweep completed in 35.6 min wall with 48 smoke skips, at 2400
+    // in 40.1 min with 19 — +300 s bought 29 more smoke entries while
+    // staying well under the driver clock (the r16 driver ran 3025 s
+    // wall at rc 0; r15's kill fired somewhere past 49 min).
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val spark = SparkSession.builder()
@@ -82,6 +121,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
+    // one untimed probe first: codegen/JVM warm-up must not read as
+    // "the box was 2x slower at sweep start" — both recorded probes
+    // are steady-state, so their spread IS box drift
+    calibProbe(spark)
+    val calibStart = calibProbe(spark)
     // optional comma-separated filter for focused timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
@@ -91,74 +135,61 @@ object Bench {
     val allQueries = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val selected = allQueries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1)
 
-    // a failed query must not pass off its (fast) failure time as a
-    // result — record it by name so the JSON line surfaces breakage
-    // NOTE (VERDICT r15 #1): the former "+2 extra reps for sub-second
-    // queries" stabilizer is gone — at ~200 sub-second queries it was
-    // ~400 extra executions per sweep, a material slice of the wall
-    // time that killed the r15 driver bench, and the HEADLINE never
-    // read those runs anyway (rep totals use runs 0..reps-1).
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs =
-        try Seq.fill(reps)(time(fn(spark, sfDir).count()))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); Seq.empty
+    // Rep-major base sweep (VERDICT r16 #1): one full pass per rep —
+    // the ordering that lets the CORE smoke run between rep 1 and the
+    // extra reps. A query that fails in ANY rep is recorded by name
+    // and dropped from every total (a fast failure time must not pass
+    // off as a result).
+    val runsByQuery =
+      scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ArrayBuffer[Double]]()
+    val failedSet = scala.collection.mutable.LinkedHashSet[String]()
+    def runRep(): Unit = selected.foreach { case (name, fn) =>
+      if (!failedSet.contains(name)) {
+        try {
+          runsByQuery.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Double]()) +=
+            time(fn(spark, sfDir).count())
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failedSet += name
+          runsByQuery.remove(name)
+          ()
         }
-      (name, runs, runs.nonEmpty)
+      }
     }
-    val qs = results.collect { case (k, runs, true) =>
-      "\"" + k + "\":" + median(runs)
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    // Median-of-N headline (VERDICT r14 #7): the same-HEAD r14 driver
-    // bench and closing sweep differed 300 vs 239 s because the TOTAL
-    // was effectively single-run. Each query already runs `reps`
-    // times; summing rep i's timing across queries gives `reps`
-    // whole-suite totals, and the MEDIAN of those is the headline —
-    // one slow rep of any query (GC pause, box neighbor) moves one
-    // rep-total, not the artifact of record. The per-rep totals ride
-    // the JSON so the artifact carries its own spread evidence.
-    val repTotals = (0 until reps).map { i =>
-      results.collect { case (_, runs, true) => runs(i) }.sum
-    }
-    val total = median(repTotals)
-    val repTotalsJson = repTotals
-      .map(t => math.round(t * 1000) / 1000.0)
-      .mkString("[", ",", "]")
-    // ONE authoritative count: every registered query must carry a
-    // timing in this artifact. n_registered is the registry size
-    // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
-    // between it and n_queries is exactly the failed list, and the
-    // process exits nonzero so a partial artifact can't read as a
-    // clean one.
-    val nRegistered = allQueries.size
-    val missing = allQueries.keySet -- results.collect {
-      case (k, _, true) => k
-    }
+    runRep() // rep 1 — always full: the n_registered invariant needs
+             // every query timed at least once
+    val rep0Total = runsByQuery.values.map(_.head).sum
+    // a box on which the REQUESTED base reps alone project past the
+    // budget (the r16 driver shape) sheds cost everywhere it can:
+    // extra base reps stop once the budget says so, and smoke entries
+    // drop to 2 interleaved pairs
+    val slowBox = elapsedSec + rep0Total * (reps - 1) > budgetSec
 
     // Scale smoke: when the GenScale-produced 10x directory exists,
     // re-time the heaviest scaling queries there and report the
     // per-query 10x-data ratio (superlinear cliffs would show as
     // ratios approaching 10; see SCALE_SMOKE.md for the methodology).
-    // Base and scaled runs interleave so both sides of every ratio are
-    // equally warm.
+    // Base and scaled runs interleave so both sides of every ratio
+    // are equally warm. CORE entries (worst ratios, watch items, new
+    // queries) run right after base rep 1 — before the budget can be
+    // spent — under a 1.4x-budget safety valve; TAIL entries rotate
+    // halves by round parity behind the plain budget gate.
     val sf1Dir = "target/sf1"
-    // Sweep budget restructure (VERDICT r15 #1): an every-query-every-
-    // round smoke grew past the driver's wall clock. The smoke is now
-    // CORE + ROTATING TAIL: the core — every query whose r15 x10
-    // ratio was >=1.9, every historical flag/watch item, anything not
-    // yet bench-timed, and the freshly broadcast-gated q10/q18 — runs
-    // every round and runs FIRST (so a budget stop never costs the
-    // high-value ratios); the long tail of comfortable sub-1.9
-    // scalers alternates halves by round parity, so every query is
-    // still measured at least every OTHER round.
     val sf1Core = Seq(
       // not yet bench-timed / changed this round
-      "table_convert", "table_optimize_where", "knn_graph",
-      "knn_graph_incremental", "tpch_q10", "tpch_q18",
-      // r15 worst ratios (>= 1.9)
+      "ann_recall_eval_graph", "knn_graph", "knn_graph_incremental",
+      "table_optimize_where", "table_convert",
+      // the r16 unadjudicated regression cluster (VERDICT r16 #3) —
+      // every round until the drift story is pinned
+      "sessionize_stream", "stream_drift", "stream_cdf_replicate",
+      "stream_funnel", "scan_report_e2e", "split_leakage_safe",
+      // broadcast-gated aggregates (VERDICT r15 #3)
+      "tpch_q10", "tpch_q18",
+      // r15/r16 worst ratios (>= 1.9)
       "table_merge", "tpch_q12_bucketed", "corr_matrix",
       "table_sql_merge", "table_upsert_mor", "cdc_diff",
       "drift_ks_matrix", "tpch_q12", "table_clone",
@@ -177,7 +208,7 @@ object Bench {
       "doc_length_hist", "drift_ks", "drift_psi",
       "hist_equidepth", "bpe_encode",
       "multimodal_features", "multimodal_resize",
-      "chunk_documents", "split_leakage_safe",
+      "chunk_documents",
       "nb_quality_score", "table_compaction",
       "epoch_shuffle", "table_profile_snapshot",
       "bm25_search",
@@ -210,7 +241,7 @@ object Bench {
       "event_transitions", "embed_outliers", "table_append_race",
       "stream_gdpr_erasure",
       "stream_erase_reingest", "stream_dedup_ingest",
-      "stream_from_table", "stream_cdf_replicate", "stream_scd2",
+      "stream_from_table", "stream_scd2",
       "table_mor_delete", "embed_group_stats",
       "sample_weighted_stratified",
       "unigram_logprob", "vocab_coverage",
@@ -249,21 +280,24 @@ object Bench {
       if ((rotSeed / 2) % 2 == 1) rotatedHalf.reverse
       else rotatedHalf
     val rotatedOut = sf1Tail.filterNot(rotatedIn.contains)
-    val sf1Queries = sf1Core ++ rotatedIn
     // dev-only focused smoke runs (driver runs unfiltered)
     val onlySmoke = sys.env.get("SPARK_GRAFT_SMOKE_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
     val smokeSkipped = scala.collection.mutable.ArrayBuffer[String]()
-    val smoke =
-      if (!new java.io.File(sf1Dir).isDirectory ||
-          (only.isDefined && onlySmoke.isEmpty))
-        Seq.empty[(String, Double, Double)]
-      else sf1Queries.filter(n => onlySmoke.forall(_.contains(n)))
+    val smokeEnabled = new java.io.File(sf1Dir).isDirectory &&
+      (only.isEmpty || onlySmoke.isDefined)
+    def runSmoke(names: Seq[String],
+        core: Boolean): Seq[(String, Double, Double)] =
+      if (!smokeEnabled) Seq.empty
+      else names.filter(n => onlySmoke.forall(_.contains(n)))
         .flatMap { name =>
-        // budget check happens BEFORE each query starts — a started
-        // pair-set always finishes (partial timings would lie), and
-        // every unstarted name lands in smoke_skipped (no silent cap)
-        if (elapsedSec > budgetSec) { smokeSkipped += name; None }
+        // CORE entries run past the budget (they are the reason the
+        // smoke was reordered) up to a 1.4x safety valve; TAIL
+        // entries stop at the budget. Every unstarted name lands in
+        // smoke_skipped — no silent cap. A started pair-set always
+        // finishes (partial timings would lie).
+        val over = elapsedSec > (if (core) budgetSec * 1.4 else budgetSec)
+        if (over) { smokeSkipped += name; None }
         else allQueries.get(name).flatMap { fn =>
           try {
             // the two approx-profile queries submit three concurrent
@@ -271,10 +305,18 @@ object Bench {
             // timings in the suite (driver r5 measured their x10
             // ratio at 7.89 vs 2.21 for the same build under
             // different box load) — more interleaved pairs tighten
-            // exactly those medians at negligible suite cost
-            val smokeReps =
+            // exactly those medians at negligible suite cost.
+            // Degradation order under pressure: a slow box drops to 2
+            // pairs; past the budget (core valve zone) to 1 — a
+            // single steady-state pair after the untimed warm-up is
+            // still a valid like-for-like ratio.
+            val wanted =
               if (name.startsWith("summary_lineitem_")) math.max(reps, 5)
               else reps
+            val smokeReps =
+              if (elapsedSec > budgetSec) 1
+              else if (slowBox) math.min(wanted, 2)
+              else wanted
             // one UNTIMED warm-up pair: first-touch layout builds
             // (e.g. the bucketed tables' one-time write at their
             // first sf1 call) and codegen compilation must not leak
@@ -295,6 +337,52 @@ object Bench {
           }
         }
       }
+
+    // CORE smoke first (VERDICT r16 #1): the r16 driver spent its
+    // whole budget on base reps and recorded zero scale evidence —
+    // the high-value ratios now land before reps 2..N can spend it.
+    val coreSmoke = runSmoke(sf1Core, core = true)
+    // extra base reps, each gated on the budget actually having room
+    // for a full pass (rep-1 speed as the projection)
+    var repsRun = 1
+    while (repsRun < reps &&
+        elapsedSec + rep0Total <= budgetSec * 1.25) {
+      runRep(); repsRun += 1
+    }
+    val tailSmoke = runSmoke(rotatedIn, core = false)
+    val smoke = coreSmoke ++ tailSmoke
+
+    val ok = selected.collect {
+      case (name, _) if runsByQuery.get(name).exists(_.size == repsRun)
+        => (name, runsByQuery(name).toSeq)
+    }
+    val qs = ok.map { case (k, runs) =>
+      "\"" + k + "\":" + median(runs)
+    }.mkString("{", ",", "}")
+    val failed = failedSet.toSeq.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    // Median-of-N headline (VERDICT r14 #7): summing rep i's timing
+    // across queries gives `reps_run` whole-suite totals, and the
+    // MEDIAN of those is the headline — one slow rep of any query
+    // (GC pause, box neighbor) moves one rep-total, not the artifact
+    // of record. The per-rep totals ride the JSON so the artifact
+    // carries its own spread evidence.
+    val repTotals = (0 until repsRun).map { i =>
+      ok.map { case (_, runs) => runs(i) }.sum
+    }
+    val total = median(repTotals)
+    val repTotalsJson = repTotals
+      .map(t => math.round(t * 1000) / 1000.0)
+      .mkString("[", ",", "]")
+    // ONE authoritative count: every registered query must carry a
+    // timing in this artifact. n_registered is the registry size
+    // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
+    // between it and n_queries is exactly the failed list, and the
+    // process exits nonzero so a partial artifact can't read as a
+    // clean one.
+    val nRegistered = allQueries.size
+    val missing = allQueries.keySet -- ok.map(_._1)
+
     // Confirm-before-flag (VERDICT r13 #1): a >=10x first-pass ratio
     // can be pure box noise — the r13 artifact of record carried
     // dsir_select at 14.08 while three same-HEAD re-measurements said
@@ -332,6 +420,8 @@ object Bench {
         confirm.getOrElse(k, Double.PositiveInfinity) >= 10.0 =>
       "\"" + k + "\""
     }.mkString("[", ",", "]")
+    val calibEnd = calibProbe(spark)
+    val calibJson = s"[$calibStart,$calibEnd]"
     val sf1Section =
       if (smoke.isEmpty && smokeSkipped.isEmpty) ""
       else {
@@ -353,7 +443,7 @@ object Bench {
         s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"rotation":$rotation,"queries":$entries,"flagged":$flagged,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"reps_run":$repsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
     // The full line above carries per-query detail but runs far past
     // the ~2,000-char stdout tail the round driver records, so for
     // five rounds BENCH_r{N}.json held a truncated fragment. This
@@ -366,7 +456,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
     val wallR = math.round(elapsedSec * 10) / 10.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"rep_totals":$repTotalsJson,"n_queries":${results.count(_._3)},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"n_smoke":${smoke.size},"n_smoke_skipped":${smokeSkipped.size},"smoke_rotation":$rotation,"wall_sec":$wallR,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"reps_run":$repsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_queries":${ok.size},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"n_smoke":${smoke.size},"n_smoke_skipped":${smokeSkipped.size},"smoke_rotation":$rotation,"wall_sec":$wallR,"sf":"$sfDir"}""")
     spark.stop()
     if (only.isEmpty && missing.nonEmpty) {
       System.err.println(s"[bench] registered queries without a " +

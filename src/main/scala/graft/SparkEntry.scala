@@ -2388,9 +2388,36 @@ object SparkEntry {
     * caller-supplied edge-construction CTEs (must define `edges`) +
     * the fixed two-round beam search. One builder so the one-shot and
     * incremental variants can never drift in their search replay.
+    * Split as CTE-chain + final projection so the recall harness can
+    * reuse the identical search replay as a subquery
+    * (ann_recall_eval_graph — VERDICT r16 #8).
     */
   private def knnGraphOracle(edgeCtes: String): String =
-    s"WITH $vecCte, " +
+    s"WITH ${knnGraphCtes(edgeCtes)} " +
+      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM " +
+      "(SELECT query_id, id AS neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
+      "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5 " +
+      "ORDER BY query_id, rn"
+
+  /** One-shot (whole-corpus) edge construction of the graph tier —
+    * within-cluster top-6 out-edges symmetrized; shared by the
+    * knn_graph oracle and the graph recall harness.
+    */
+  private val graphOneShotEdgeCtes: String =
+    "pe AS (SELECT x.id AS src, y.id AS dst, " +
+      "list_sum(list_transform(generate_series(1, len(x.vec)), " +
+      "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
+      "FROM av x JOIN av y ON x.cid = y.cid AND x.id <> y.id), " +
+      "oute AS (SELECT src, dst FROM (SELECT src, dst, row_number() " +
+      "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
+      "FROM pe) WHERE ern <= 6), " +
+      "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
+      "FROM oute UNION ALL SELECT dst AS src, src AS dst " +
+      "FROM oute))"
+
+  private def knnGraphCtes(edgeCtes: String): String =
+    s"$vecCte, " +
       "c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM n " +
       "WHERE vec_id < 16), " +
       "sc AS (SELECT n.vec_id AS id, c.cid, " +
@@ -2430,12 +2457,7 @@ object SparkEntry {
       "FROM c2 JOIN q ON q.query_id = c2.query_id " +
       "JOIN n m ON m.vec_id = c2.id), " +
       "fin AS (SELECT query_id, id, sim, row_number() OVER " +
-      "(PARTITION BY query_id ORDER BY sim DESC, id) AS bn FROM s2) " +
-      "SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id FROM " +
-      "(SELECT query_id, id AS neighbor_id, row_number() OVER " +
-      "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
-      "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5 " +
-      "ORDER BY query_id, rn"
+      "(PARTITION BY query_id ORDER BY sim DESC, id) AS bn FROM s2)"
 
   private val embedNearDupOracle: String =
     s"WITH $vecCte, " +
@@ -5709,6 +5731,20 @@ object SparkEntry {
           numCentroids = 16, nprobe = 4, numQueries = 10, k = 5),
         k = 5)
     }),
+    // the graph tier's quality under the same gate (VERDICT r16 #8):
+    // per-query recall@5 of the registered knn_graph config against
+    // exact brute force — both sides deterministic, so the oracle
+    // replays search AND recall end-to-end
+    "ann_recall_eval_graph" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnBruteForce(emb, "vec_id", "embedding",
+          numQueries = 10, k = 5),
+        Similarity.knnGraph(emb, "vec_id", "embedding",
+          numCentroids = 16, graphDegree = 6, numEntries = 2,
+          beam = 10, rounds = 2, numQueries = 10, k = 5),
+        k = 5)
+    }),
     // IVF over k-means-TRAINED centroids (2 fixed Lloyd's rounds,
     // decimal-exact means — fully deterministic, full SQL replay).
     // nprobe=6 reaches recall 0.96 on the sf0.001 corpus (the seed
@@ -7480,17 +7516,30 @@ object SparkEntry {
     // Ties everywhere by id (centroid ties toward larger cid, the
     // max(struct) rule); sims are identical sequential folds in both
     // engines
-    "knn_graph" -> knnGraphOracle(
-      "pe AS (SELECT x.id AS src, y.id AS dst, " +
-        "list_sum(list_transform(generate_series(1, len(x.vec)), " +
-        "i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) AS esim " +
-        "FROM av x JOIN av y ON x.cid = y.cid AND x.id <> y.id), " +
-        "oute AS (SELECT src, dst FROM (SELECT src, dst, row_number() " +
-        "OVER (PARTITION BY src ORDER BY esim DESC, dst) AS ern " +
-        "FROM pe) WHERE ern <= 6), " +
-        "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst " +
-        "FROM oute UNION ALL SELECT dst AS src, src AS dst " +
-        "FROM oute))"),
+    "knn_graph" -> knnGraphOracle(graphOneShotEdgeCtes),
+    // recall@5 of the registered graph config against exact brute
+    // force (VERDICT r16 #8) — the same deterministic replay as
+    // knn_graph composed with ann_recall_eval's brute-force side, so
+    // the graph tier's QUALITY is oracle-pinned alongside its plan
+    // guard
+    "ann_recall_eval_graph" ->
+      (s"WITH ${knnGraphCtes(graphOneShotEdgeCtes)}, " +
+        "gtop AS (SELECT query_id, id AS neighbor_id FROM " +
+        "(SELECT query_id, id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM fin " +
+        "WHERE bn <= 10 AND id <> query_id) WHERE rn <= 5), " +
+        "bp AS (SELECT q.query_id, m.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, len(q.qvec)), " +
+        "i -> q.qvec[i] * m.vec[i])) / (q.qnrm * m.nrm) AS sim " +
+        "FROM q, n m WHERE m.vec_id <> q.query_id), " +
+        "btop AS (SELECT query_id, neighbor_id FROM (SELECT query_id, " +
+        "neighbor_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, neighbor_id) AS rn FROM bp) WHERE rn <= 5) " +
+        "SELECT b.query_id, count(g.neighbor_id) AS n_hits, " +
+        "round(CAST(count(g.neighbor_id) AS DOUBLE) / 5, 6) " +
+        "AS recall_at_5 FROM btop b LEFT JOIN gtop g " +
+        "ON g.query_id = b.query_id AND g.neighbor_id = b.neighbor_id " +
+        "GROUP BY 1 ORDER BY 1"),
     // two-phase replay of the incremental build (batch 0 = even ids
     // against itself, batch 1 = odd ids against the full pool), then
     // the identical beam search over the accumulated edges

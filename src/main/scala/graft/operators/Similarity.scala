@@ -298,6 +298,21 @@ object Similarity {
       beam, rounds, numQueries, k)
   }
 
+  /** [[knnGraph]]'s lazy plan + pinned caches (see
+    * [[graphSearchPlan]]) — the plan-guard entry point; callers must
+    * unpersist the returned pins.
+    */
+  private[graft] def knnGraphPlan(df: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, graphDegree: Int,
+      numEntries: Int, beam: Int, rounds: Int, numQueries: Int,
+      k: Int): (DataFrame, Seq[DataFrame]) = {
+    val cents = ivfSeedCentroids(df, idCol, vecCol, numCentroids)
+    val edges = graphIndexEdges(df, idCol, vecCol, cents, None,
+      graphDegree)
+    graphSearchPlan(normed(df, idCol, vecCol), edges, cents,
+      numEntries, beam, rounds, numQueries, k)
+  }
+
   /** Edge maintenance for the graph tier: out-edges of `batch`'s
     * vectors against the pool (prior index rows + the batch itself)
     * WITHIN each coarse cluster, symmetrized. With `existing = None`
@@ -349,6 +364,34 @@ object Similarity {
   private def graphSearch(v: DataFrame, edges0: DataFrame,
       cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
       numQueries: Int, k: Int): DataFrame = {
+    val (out, pinned) = graphSearchPlan(v, edges0, cents, numEntries,
+      beam, rounds, numQueries, k)
+    // Cache hygiene (VERDICT r16 #4 / ADVICE r16): the search pins the
+    // edge table and the last frontier; a long-lived session invoking
+    // the graph queries hundreds of times (the bench sweep) must not
+    // accrue those entries until LRU eviction. The k-result is bounded
+    // by construction (numQueries × k rows — the query set is the
+    // small side at any corpus scale), so it is materialized HERE,
+    // every pin released, and a local relation returned. Timing
+    // semantics are unchanged: callers' actions were what executed
+    // this plan before, and Bench's `time(fn(...).count())` wraps the
+    // whole expression including this call.
+    val rows = out.collect()
+    pinned.foreach(_.unpersist())
+    import scala.jdk.CollectionConverters._
+    v.sparkSession.createDataFrame(rows.toSeq.asJava, out.schema)
+  }
+
+  /** The lazy beam-search plan plus the DataFrames it pinned, in
+    * release order. Package-private so PlanShapeSpec can assert the
+    * physical shape (no cartesian, bounded sides broadcast) on the
+    * REAL search plan — [[graphSearch]] collapses its result to a
+    * local relation after releasing the caches, which leaves nothing
+    * for a plan guard to inspect.
+    */
+  private[graft] def graphSearchPlan(v: DataFrame, edges0: DataFrame,
+      cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
+      numQueries: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
     require(beam > k, s"beam $beam must exceed k $k (the query " +
       "itself may occupy one beam slot)")
     // the edge table is consumed once per round and the frontier
@@ -357,7 +400,11 @@ object Similarity {
     // entries subtree and as many rebuilds of the O(Σ cluster²) edge
     // window (review r16). Persisting both makes cost linear in
     // rounds, which is what the per-round O(queries × beam × degree)
-    // claim needs.
+    // claim needs. Each round MATERIALIZES its frontier (a count on
+    // queries × beam rows — negligible next to the scoring job it
+    // caches) so the previous round's pin can release immediately;
+    // only the edge table and the final round's frontier stay pinned
+    // for the returned plan, and the caller releases those.
     val edges = edges0.persist()
     val q = v.where(col("id") < numQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
@@ -378,8 +425,12 @@ object Similarity {
     val bW = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("id"))
     var frontier = entries
+    var prev: Option[DataFrame] = None
     for (_ <- 0 until rounds) {
       val pinned = frontier.persist()
+      pinned.count()
+      prev.foreach(_.unpersist())
+      prev = Some(pinned)
       val expanded = edges.join(broadcast(pinned),
           col("id") === col("src"))
         .select(col("query_id"), col("dst").as("id"))
@@ -389,12 +440,13 @@ object Similarity {
         .where(col("bn") <= beam)
         .select(col("query_id"), col("id"))
     }
-    rescored(frontier)
+    val out = rescored(frontier)
       .where(col("id") =!= col("query_id"))
       .withColumn("rn", row_number().over(bW))
       .where(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
       .orderBy("query_id", "rn")
+    (out, prev.toSeq :+ edges)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): corpus

@@ -107,6 +107,14 @@ object VersionedTable {
   def latestTag(spark: SparkSession, root: String): Option[String] =
     latestVersion(spark, root).map(tagOfVersion(spark, root, _))
 
+  /** The caller tag recorded with ONE specific version — a single
+    * manifest read, for callers that already hold the version id
+    * (ADVICE r16: commit-ownership checks must not pay an O(history)
+    * [[historyDetail]] scan to inspect one commit).
+    */
+  def commitTag(spark: SparkSession, root: String,
+      version: Long): String = tagOfVersion(spark, root, version)
+
   private def tagOfVersion(spark: SparkSession, root: String,
       version: Long): String = {
     val raw = readManifest(spark, root, version)

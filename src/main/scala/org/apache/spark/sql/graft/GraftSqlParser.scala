@@ -244,15 +244,38 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * identifiers that provably name graft tables; any other
     * statement re-raises the delegate's own ParseException.
     */
+  /** Split `<pred> ZORDER BY (dims)` off the tail of an OPTIMIZE's
+    * WHERE capture — but only when the ZORDER keyword sits OUTSIDE a
+    * single-quoted literal (ADVICE r16: `WHERE note = 'zorder by (x)'`
+    * is a legitimate scoped OPTIMIZE, not a cannot-combine error).
+    * The greedy prefix makes the match bind the LAST such clause; an
+    * odd quote count in the prefix means that clause opens inside a
+    * string (SQL escapes quotes by doubling, so in-literal quotes
+    * always come in pairs) and the whole tail stays the predicate.
+    */
+  private def splitTrailingZorder(
+      tail: String): (String, Option[String]) = {
+    val re = """(?is)^(.*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
+    tail.trim match {
+      case re(pred, dims) if pred.count(_ == '\'') % 2 == 0 =>
+        (pred.trim, Some(dims))
+      case t => (t, None)
+    }
+  }
+
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
     // ZORDER BY accepted on EITHER side of WHERE (review r16): the
     // natural "OPTIMIZE t WHERE p ZORDER BY (c)" ordering must reach
     // the dedicated cannot-combine error, not a cryptic parse failure
-    // from a WHERE capture that swallowed the ZORDER clause
+    // from a WHERE capture that swallowed the ZORDER clause. The
+    // trailing form splits AFTER the match with the quote-aware
+    // [[splitTrailingZorder]] (ADVICE r16): a regex group here would
+    // lazily match 'zorder by (…)' text INSIDE a WHERE string literal
+    // and misroute a legitimate scoped OPTIMIZE to the cannot-combine
+    // error.
     val opt = ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*""" +
       """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?""" +
-      """(?:WHERE\s+(.+?)\s*)?""" +
-      """(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""").r
+      """(?:WHERE\s+(.+?)\s*)?;?\s*$""").r
     val vac = ("""(?is)^\s*VACUUM\s+([\w.`]+)\s*""" +
       """(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*$""").r
     // Delta's own retention unit: versions whose commit time is older
@@ -295,9 +318,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case convert(dirBt, dirQ, root, asName) =>
         Some(GraftConvertCommand(
           Option(dirBt).getOrElse(dirQ), root, Option(asName)))
-      case opt(raw, dims, where, dims2) =>
+      case opt(raw, dims, whereRaw) =>
         graftTable(ident(raw)).map { case (root, _) =>
-          val zdims = (Option(dims).toSeq ++ Option(dims2).toSeq)
+          val (where, dims2) = Option(whereRaw)
+            .map(splitTrailingZorder)
+            .getOrElse((null, None))
+          val zdims = (Option(dims).toSeq ++ dims2.toSeq)
             .flatMap(_.split(',').toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)
@@ -543,6 +569,17 @@ object GraftSqlParser {
     * "target must be empty". Validating the name FIRST mirrors
     * [[GraftReplaceTableCommand]]'s validate-before-commit rule.
     * Returns the backquote-quoted name ready for CREATE TABLE.
+    *
+    * Best-effort by design (ADVICE r16): the check-then-act window is
+    * real — a name created (or its database dropped) between this
+    * probe and the post-commit CREATE TABLE still surfaces as a
+    * late error with the data already committed, and global_temp
+    * views are not probed. Closing it would need the session
+    * catalog's own locking (register a placeholder first, bind after
+    * the commit), which is not worth the failure modes for a race no
+    * single-session workload can hit; the probe exists to catch the
+    * overwhelmingly common case — the name was already taken when the
+    * statement started.
     */
   def requireNameFree(session: SparkSession, raw: String,
       statement: String): String = {
@@ -779,8 +816,9 @@ case class GraftOptimizeWhereCommand(root: String, whereSql: String)
     val tag = "sql-optimize-where-" +
       java.util.UUID.randomUUID().toString.take(8)
     val v = VersionedTable.compactWhere(session, root, pred, tag = tag)
-    val rewrote = VersionedTable.historyDetail(session, root)
-      .exists(h => h._1 == v && h._2 == tag)
+    // one manifest read, not an O(history) scan (ADVICE r16) — only
+    // version v's tag decides ownership
+    val rewrote = VersionedTable.commitTag(session, root, v) == tag
     Seq(Row(v, rewrote))
   }
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

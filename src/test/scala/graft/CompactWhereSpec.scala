@@ -130,6 +130,19 @@ class CompactWhereSpec extends AnyFunSuite {
           .collect()
       }
       assert(e.getMessage.contains("ZORDER"), e.getMessage)
+      // the natural trailing order reaches the same dedicated error
+      val e2 = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $t WHERE k >= 1001 ZORDER BY (k)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("ZORDER"), e2.getMessage)
+      // ADVICE r16: 'zorder by (…)' TEXT inside a WHERE literal is a
+      // legitimate scoped OPTIMIZE, never the cannot-combine error —
+      // the unsupported string conjunct widens to TRUE and the k
+      // bound excludes everything, so it reports the no-op
+      val r3 = spark.sql(s"OPTIMIZE $t WHERE k >= 99999 AND " +
+        "cast(k as string) != 'x zorder by (k)'").collect()
+      assert(!r3.head.getBoolean(1), r3.toSeq)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

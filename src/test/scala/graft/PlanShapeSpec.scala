@@ -147,13 +147,36 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("knn_graph: the beam search never goes cartesian and every " +
       "frontier/candidate join rides a broadcast (bounded side)") {
-    val p = planOf("knn_graph")
-    assert(!p.contains("CartesianProduct"), "graph search went cartesian")
-    // per round: frontier broadcasts against edges, candidates against
-    // the vector table — plus the centroid cross join; all bounded
-    assert(count(p, "BroadcastHashJoin") +
-      count(p, "BroadcastNestedLoopJoin") >= 3,
-      s"graph search lost its broadcasts:\n${p.take(800)}")
+    // the registered query collapses its bounded k-result to a local
+    // relation after releasing its caches (VERDICT r16 #4), so the
+    // guard inspects the REAL search plan via the plan twin — same
+    // parameters as the registry's knn_graph entry
+    val (df, pinned) = operators.Similarity.knnGraphPlan(
+      SparkEntry.tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = 16, graphDegree = 6, numEntries = 2,
+      beam = 10, rounds = 2, numQueries = 10, k = 5)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "graph search went cartesian")
+      // per round: frontier broadcasts against edges, candidates
+      // against the vector table — plus the centroid cross join; all
+      // bounded
+      assert(count(p, "BroadcastHashJoin") +
+        count(p, "BroadcastNestedLoopJoin") >= 3,
+        s"graph search lost its broadcasts:\n${p.take(800)}")
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  test("knn_graph / knn_graph_incremental release every cache they " +
+      "pin (VERDICT r16 #4): the context's persistent-RDD set returns " +
+      "to its pre-call state after the query completes") {
+    for (q <- Seq("knn_graph", "knn_graph_incremental")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, dir).count()
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      assert(after == before,
+        s"$q leaked cached RDDs: ${(after -- before).toSeq.sorted}")
+    }
   }
 
   test("knn_ivf and decontaminate_semantic: the only cross joins are " +
