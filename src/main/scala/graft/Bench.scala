@@ -287,16 +287,20 @@ object Bench {
     val smokeEnabled = new java.io.File(sf1Dir).isDirectory &&
       (only.isEmpty || onlySmoke.isDefined)
     def runSmoke(names: Seq[String],
-        core: Boolean): Seq[(String, Double, Double)] =
+        core: Boolean): Seq[(String, Double, Double, Int)] =
       if (!smokeEnabled) Seq.empty
       else names.filter(n => onlySmoke.forall(_.contains(n)))
         .flatMap { name =>
         // CORE entries run past the budget (they are the reason the
-        // smoke was reordered) up to a 1.4x safety valve; TAIL
-        // entries stop at the budget. Every unstarted name lands in
-        // smoke_skipped — no silent cap. A started pair-set always
-        // finishes (partial timings would lie).
-        val over = elapsedSec > (if (core) budgetSec * 1.4 else budgetSec)
+        // smoke was reordered) up to a 1.25x safety valve — tight
+        // enough that even an r16-driver-speed box (3025 s wall, the
+        // slowest survivor observed) finishes the last started
+        // pair-set inside the driver clock (review r17: 1.4x put the
+        // worst case past it); TAIL entries stop at the budget.
+        // Every unstarted name lands in smoke_skipped — no silent
+        // cap. A started pair-set always finishes (partial timings
+        // would lie).
+        val over = elapsedSec > (if (core) budgetSec * 1.25 else budgetSec)
         if (over) { smokeSkipped += name; None }
         else allQueries.get(name).flatMap { fn =>
           try {
@@ -306,16 +310,18 @@ object Bench {
             // ratio at 7.89 vs 2.21 for the same build under
             // different box load) — more interleaved pairs tighten
             // exactly those medians at negligible suite cost.
-            // Degradation order under pressure: a slow box drops to 2
-            // pairs; past the budget (core valve zone) to 1 — a
+            // Degradation under pressure: a slow box (or any entry
+            // started past the budget) drops to ONE timed pair — a
             // single steady-state pair after the untimed warm-up is
-            // still a valid like-for-like ratio.
+            // still a valid like-for-like ratio, and on the r16
+            // driver box it is what fits all core entries under the
+            // valve. The pair count rides each JSON entry so a 1-pair
+            // ratio can never read as a median (review r17).
             val wanted =
               if (name.startsWith("summary_lineitem_")) math.max(reps, 5)
               else reps
             val smokeReps =
-              if (elapsedSec > budgetSec) 1
-              else if (slowBox) math.min(wanted, 2)
+              if (slowBox || elapsedSec > budgetSec) 1
               else wanted
             // one UNTIMED warm-up pair: first-touch layout builds
             // (e.g. the bucketed tables' one-time write at their
@@ -331,7 +337,8 @@ object Bench {
               val s = time(fn(spark, sf1Dir).count())
               (b, s)
             }
-            Some((name, median(pairs.map(_._1)), median(pairs.map(_._2))))
+            Some((name, median(pairs.map(_._1)), median(pairs.map(_._2)),
+              smokeReps))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] sf1 $name FAILED: $e"); None
           }
@@ -394,7 +401,7 @@ object Bench {
     // Both ratios land in the JSON, so the artifact carries its own
     // adjudication evidence either way.
     val confirm: Map[String, Double] = smoke
-      .collect { case (k, b, s) if s / b >= 10.0 => k }
+      .collect { case (k, b, s, _) if s / b >= 10.0 => k }
       .flatMap { name =>
         allQueries.get(name).flatMap { fn =>
           try {
@@ -416,7 +423,7 @@ object Bench {
         }
       }.toMap
     val flagged = smoke.collect {
-      case (k, b, s) if s / b >= 10.0 &&
+      case (k, b, s, _) if s / b >= 10.0 &&
         confirm.getOrElse(k, Double.PositiveInfinity) >= 10.0 =>
       "\"" + k + "\""
     }.mkString("[", ",", "]")
@@ -425,7 +432,7 @@ object Bench {
     val sf1Section =
       if (smoke.isEmpty && smokeSkipped.isEmpty) ""
       else {
-        val entries = smoke.map { case (k, b, s) =>
+        val entries = smoke.map { case (k, b, s, p) =>
           val r = math.round(s / b * 100) / 100.0
           val conf = confirm.get(k).map { c =>
             val cr =
@@ -434,7 +441,7 @@ object Bench {
             s""","confirm_ratio":$cr"""
           }.getOrElse("")
           "\"" + k + "\":{\"sec\":" + s + ",\"base_sec\":" + b +
-            ",\"x10_ratio\":" + r + conf + "}"
+            ",\"x10_ratio\":" + r + ",\"pairs\":" + p + conf + "}"
         }.mkString("{", ",", "}")
         val skippedJson = smokeSkipped.map("\"" + _ + "\"")
           .mkString("[", ",", "]")
@@ -449,7 +456,7 @@ object Bench {
     // five rounds BENCH_r{N}.json held a truncated fragment. This
     // LAST line is the same headline numbers compacted well under 500
     // chars — any tail capture gets one whole parseable JSON object.
-    val worst = smoke.map { case (k, b, s) => (k, s / b) }
+    val worst = smoke.map { case (k, b, s, _) => (k, s / b) }
       .sortBy(-_._2).take(3)
       .map { case (k, r) =>
         "\"" + k + "\":" + (math.round(r * 100) / 100.0)

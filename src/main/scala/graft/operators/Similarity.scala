@@ -290,17 +290,14 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, graphDegree: Int, numEntries: Int,
-      beam: Int, rounds: Int, numQueries: Int, k: Int): DataFrame = {
-    val cents = ivfSeedCentroids(df, idCol, vecCol, numCentroids)
-    val edges = graphIndexEdges(df, idCol, vecCol, cents, None,
-      graphDegree)
-    graphSearch(normed(df, idCol, vecCol), edges, cents, numEntries,
-      beam, rounds, numQueries, k)
-  }
+      beam: Int, rounds: Int, numQueries: Int, k: Int): DataFrame =
+    collectReleased(knnGraphPlan(df, idCol, vecCol, numCentroids,
+      graphDegree, numEntries, beam, rounds, numQueries, k))
 
   /** [[knnGraph]]'s lazy plan + pinned caches (see
-    * [[graphSearchPlan]]) — the plan-guard entry point; callers must
-    * unpersist the returned pins.
+    * [[graphSearchPlan]]) — the ONE construction site, so the
+    * plan-guard twin can never drift from the registered query;
+    * callers must unpersist the returned pins.
     */
   private[graft] def knnGraphPlan(df: DataFrame, idCol: String,
       vecCol: String, numCentroids: Int, graphDegree: Int,
@@ -358,28 +355,30 @@ object Similarity {
   def knnGraphOnIndex(edges: DataFrame, index: DataFrame,
       cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
       numQueries: Int, k: Int): DataFrame =
-    graphSearch(index.select(col("id"), col("vec"), col("norm")),
-      edges, cents, numEntries, beam, rounds, numQueries, k)
+    collectReleased(graphSearchPlan(
+      index.select(col("id"), col("vec"), col("norm")),
+      edges, cents, numEntries, beam, rounds, numQueries, k))
 
-  private def graphSearch(v: DataFrame, edges0: DataFrame,
-      cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
-      numQueries: Int, k: Int): DataFrame = {
-    val (out, pinned) = graphSearchPlan(v, edges0, cents, numEntries,
-      beam, rounds, numQueries, k)
-    // Cache hygiene (VERDICT r16 #4 / ADVICE r16): the search pins the
-    // edge table and the last frontier; a long-lived session invoking
-    // the graph queries hundreds of times (the bench sweep) must not
-    // accrue those entries until LRU eviction. The k-result is bounded
-    // by construction (numQueries × k rows — the query set is the
-    // small side at any corpus scale), so it is materialized HERE,
-    // every pin released, and a local relation returned. Timing
-    // semantics are unchanged: callers' actions were what executed
-    // this plan before, and Bench's `time(fn(...).count())` wraps the
-    // whole expression including this call.
-    val rows = out.collect()
-    pinned.foreach(_.unpersist())
+  /** Cache hygiene (VERDICT r16 #4 / ADVICE r16): the search pins the
+    * edge table and the last frontier; a long-lived session invoking
+    * the graph queries hundreds of times (the bench sweep) must not
+    * accrue those entries until LRU eviction. The k-result is bounded
+    * by construction (numQueries × k rows — the query set is the
+    * small side at any corpus scale), so it is materialized HERE,
+    * every pin released — on the failure path too (review r17) — and
+    * a local relation returned. Timing semantics are unchanged:
+    * callers' actions were what executed this plan before, and
+    * Bench's `time(fn(...).count())` wraps the whole expression
+    * including this call.
+    */
+  private def collectReleased(
+      plan: (DataFrame, Seq[DataFrame])): DataFrame = {
+    val (out, pinned) = plan
+    val rows =
+      try out.collect()
+      finally pinned.foreach(df => scala.util.Try(df.unpersist()))
     import scala.jdk.CollectionConverters._
-    v.sparkSession.createDataFrame(rows.toSeq.asJava, out.schema)
+    out.sparkSession.createDataFrame(rows.toSeq.asJava, out.schema)
   }
 
   /** The lazy beam-search plan plus the DataFrames it pinned, in
@@ -426,19 +425,28 @@ object Similarity {
       .orderBy(col("sim").desc, col("id"))
     var frontier = entries
     var prev: Option[DataFrame] = None
-    for (_ <- 0 until rounds) {
-      val pinned = frontier.persist()
-      pinned.count()
-      prev.foreach(_.unpersist())
-      prev = Some(pinned)
-      val expanded = edges.join(broadcast(pinned),
-          col("id") === col("src"))
-        .select(col("query_id"), col("dst").as("id"))
-      val cand = pinned.union(expanded).distinct()
-      frontier = rescored(cand)
-        .withColumn("bn", row_number().over(bW))
-        .where(col("bn") <= beam)
-        .select(col("query_id"), col("id"))
+    // a per-round count that fails (lost task, OOM) must not strand
+    // the pins for the session's lifetime — release and rethrow
+    // (review r17)
+    try {
+      for (_ <- 0 until rounds) {
+        val pinned = frontier.persist()
+        pinned.count()
+        prev.foreach(_.unpersist())
+        prev = Some(pinned)
+        val expanded = edges.join(broadcast(pinned),
+            col("id") === col("src"))
+          .select(col("query_id"), col("dst").as("id"))
+        val cand = pinned.union(expanded).distinct()
+        frontier = rescored(cand)
+          .withColumn("bn", row_number().over(bW))
+          .where(col("bn") <= beam)
+          .select(col("query_id"), col("id"))
+      }
+    } catch { case t: Throwable =>
+      (prev.toSeq :+ edges)
+        .foreach(df => scala.util.Try(df.unpersist()))
+      throw t
     }
     val out = rescored(frontier)
       .where(col("id") =!= col("query_id"))
