@@ -320,18 +320,26 @@ object Bench {
             val wanted =
               if (name.startsWith("summary_lineitem_")) math.max(reps, 5)
               else reps
-            val smokeReps =
-              if (slowBox || elapsedSec > budgetSec) 1
-              else wanted
             // one UNTIMED warm-up pair: first-touch layout builds
             // (e.g. the bucketed tables' one-time write at their
             // first sf1 call) and codegen compilation must not leak
             // into any timed pair — every reported ratio is
             // steady-state by construction, not by median luck
             // (VERDICT r11: tpch_q12_bucketed charged its ingest to
-            // the query)
-            fn(spark, sfDir).count()
-            fn(spark, sf1Dir).count()
+            // the query). Its wall time also SIZES the entry: a pair
+            // that already costs tens of seconds (the heavy
+            // streaming/composition shapes) gets 1-2 timed pairs so
+            // one expensive entry cannot starve the rest of the core
+            // — the per-entry `pairs` field keeps the artifact honest
+            // about it.
+            val warmSec = time {
+              fn(spark, sfDir).count()
+              fn(spark, sf1Dir).count()
+            }
+            val smokeReps =
+              if (slowBox || elapsedSec > budgetSec || warmSec > 25.0) 1
+              else if (warmSec > 10.0) math.min(wanted, 2)
+              else wanted
             val pairs = Seq.fill(smokeReps) {
               val b = time(fn(spark, sfDir).count())
               val s = time(fn(spark, sf1Dir).count())
@@ -348,13 +356,27 @@ object Bench {
     // CORE smoke first (VERDICT r16 #1): the r16 driver spent its
     // whole budget on base reps and recorded zero scale evidence —
     // the high-value ratios now land before reps 2..N can spend it.
-    val coreSmoke = runSmoke(sf1Core, core = true)
+    // Ordered by the rep-1 base timing ASCENDING: a budget/valve cut
+    // always eats the end, so cheap-first maximizes how many core
+    // entries survive on a slow box (the expensive shapes are also
+    // the most load-sensitive, i.e. the least informative under
+    // exactly the conditions that force the cut).
+    val coreOrdered = sf1Core.sortBy(n =>
+      runsByQuery.get(n).map(_.head).getOrElse(Double.MaxValue))
+    val coreSmoke = runSmoke(coreOrdered, core = true)
     // extra base reps, each gated on the budget actually having room
-    // for a full pass (rep-1 speed as the projection)
+    // for a full pass — projected from the LATEST completed rep
+    // total, not rep 1's: rep-major rep 1 carries all warm-up (this
+    // box measured 596 s cold vs 364 s warm), and projecting the
+    // warm reps at cold speed wrongly dropped rep 3
     var repsRun = 1
+    var lastRepTotal = rep0Total
     while (repsRun < reps &&
-        elapsedSec + rep0Total <= budgetSec * 1.25) {
+        elapsedSec + lastRepTotal <= budgetSec * 1.25) {
       runRep(); repsRun += 1
+      lastRepTotal = selected.flatMap { case (n, _) =>
+        runsByQuery.get(n).filter(_.size == repsRun).map(_.last)
+      }.sum
     }
     val tailSmoke = runSmoke(rotatedIn, core = false)
     val smoke = coreSmoke ++ tailSmoke

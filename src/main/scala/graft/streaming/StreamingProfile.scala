@@ -25,22 +25,48 @@ object StreamingProfile {
     spark.read.parquet(path).schema
   }
 
+  /** Stage `src` (a single parquet file, or a Spark-written table
+    * DIRECTORY of part files — the GenScale sf1 twins have the latter
+    * layout; review r17: `Files.copy` of a directory staged an EMPTY
+    * dir, so every eventsStream query failed its sf1 smoke with
+    * UNABLE_TO_INFER_SCHEMA) into the file-stream source directory
+    * `staged`. Idempotent per file name, so repeated bench reps reuse
+    * the staging.
+    */
+  private def stageParquet(src: java.nio.file.Path,
+      staged: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(staged)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src)
+      try {
+        it.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val d = staged.resolve(p.getFileName)
+            if (!java.nio.file.Files.exists(d))
+              java.nio.file.Files.copy(p, d)
+            ()
+          }
+        }
+      } finally it.close()
+    } else {
+      val dst = staged.resolve(src.getFileName)
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(src, dst)
+      ()
+    }
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // the file stream source requires a directory; stage the single
-    // events file into one (a production stream would already be a
+    // the file stream source requires a directory; stage the events
+    // file(s) into one (a production stream would already be a
     // directory of arriving files)
     val staged = java.nio.file.Paths.get(
       graft.config.Scratch.runDir + "/stream_events_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
-    java.nio.file.Files.createDirectories(staged)
-    val dst = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
-    }
+    stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
     graft.sources.EventsSource.normalizeTs(
       spark.readStream
-        .schema(eventsRawSchema(spark, dst.toString))
+        .schema(eventsRawSchema(spark, staged.toString))
         .parquet(staged.toString))
   }
 
@@ -418,14 +444,10 @@ object StreamingProfile {
     val staged = java.nio.file.Paths.get(
       graft.config.Scratch.runDir + "/stream_docs_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
-    java.nio.file.Files.createDirectories(staged)
-    val dst = staged.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"), dst)
-    }
+    stageParquet(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged)
     spark.readStream
-      .schema(spark.read.parquet(dst.toString).schema)
+      .schema(spark.read.parquet(staged.toString).schema)
       .parquet(staged.toString)
   }
 
