@@ -399,11 +399,13 @@ object Similarity {
     // entries subtree and as many rebuilds of the O(Σ cluster²) edge
     // window (review r16). Persisting both makes cost linear in
     // rounds, which is what the per-round O(queries × beam × degree)
-    // claim needs. Each round MATERIALIZES its frontier (a count on
-    // queries × beam rows — negligible next to the scoring job it
-    // caches) so the previous round's pin can release immediately;
-    // only the edge table and the final round's frontier stay pinned
-    // for the returned plan, and the caller releases those.
+    // claim needs. The pins stay LAZY — the whole search runs as the
+    // caller's single action with each InMemoryRelation computed once
+    // inside that job (an eager per-round count looked tidier for
+    // releasing round n−1 early, but the extra job boundaries cost
+    // knn_graph ~4× in the r17 sweep for a memory saving of one
+    // queries×beam-row frontier); every pin is handed to the caller
+    // and released after the final collect, success or failure.
     val edges = edges0.persist()
     val q = v.where(col("id") < numQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
@@ -424,29 +426,18 @@ object Similarity {
     val bW = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("id"))
     var frontier = entries
-    var prev: Option[DataFrame] = None
-    // a per-round count that fails (lost task, OOM) must not strand
-    // the pins for the session's lifetime — release and rethrow
-    // (review r17)
-    try {
-      for (_ <- 0 until rounds) {
-        val pinned = frontier.persist()
-        pinned.count()
-        prev.foreach(_.unpersist())
-        prev = Some(pinned)
-        val expanded = edges.join(broadcast(pinned),
-            col("id") === col("src"))
-          .select(col("query_id"), col("dst").as("id"))
-        val cand = pinned.union(expanded).distinct()
-        frontier = rescored(cand)
-          .withColumn("bn", row_number().over(bW))
-          .where(col("bn") <= beam)
-          .select(col("query_id"), col("id"))
-      }
-    } catch { case t: Throwable =>
-      (prev.toSeq :+ edges)
-        .foreach(df => scala.util.Try(df.unpersist()))
-      throw t
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    for (_ <- 0 until rounds) {
+      val pinned = frontier.persist()
+      pins += pinned
+      val expanded = edges.join(broadcast(pinned),
+          col("id") === col("src"))
+        .select(col("query_id"), col("dst").as("id"))
+      val cand = pinned.union(expanded).distinct()
+      frontier = rescored(cand)
+        .withColumn("bn", row_number().over(bW))
+        .where(col("bn") <= beam)
+        .select(col("query_id"), col("id"))
     }
     val out = rescored(frontier)
       .where(col("id") =!= col("query_id"))
@@ -454,7 +445,7 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
       .orderBy("query_id", "rn")
-    (out, prev.toSeq :+ edges)
+    (out, pins.toSeq)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): corpus
