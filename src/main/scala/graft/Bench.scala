@@ -3,53 +3,157 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the configured
-  * scale factor and prints one full per-query JSON line followed by a
-  * compact (<500 char) summary JSON line — the LAST stdout line is
-  * always a whole parseable object even under a 2,000-char tail
-  * capture.
+  * scale factor and emits its summary JSON line INCREMENTALLY — once
+  * after every completed section, each line superseding the last, the
+  * final line printed after the last section. The LAST stdout line is
+  * therefore always a whole parseable object (<500 chars) no matter
+  * where an external kill lands: a SIGKILL costs only the section in
+  * flight (VERDICT r17 #1 — the r15 and r17 driver sweeps were
+  * timeout-killed BEFORE the old end-of-run print and left
+  * `parsed: null`; "a complete artifact with an honestly-recorded
+  * shortfall beats a perfect sweep that never prints" is now true
+  * under SIGKILL, not just under a clean exit). Each line carries
+  * `stage` + `sections_complete` so a truncated sweep self-describes
+  * what it did and did not measure.
   *
   * Noise hardening (VERDICT r4 #1): single-run second-scale timings on
-  * a shared box swing 3-19x run-to-run, which made BENCH_r04 tell a
-  * false story. Each query is therefore run up to `reps` times
-  * (default 3) and the MEDIAN is reported; the HEADLINE total is the
-  * median of the whole-suite rep totals (VERDICT r14 #7 — the per-rep
-  * totals ride the JSON as `rep_totals`, so the artifact carries its
-  * own spread evidence); and the sf1 smoke section re-times the
-  * sf0.1 base back-to-back with its sf1 twin — interleaved
-  * (base, sf1, base, sf1, ...) — so each ratio compares two timings
-  * that share warm-up/cache state instead of a cold base measured
-  * minutes earlier. Ratios >= 10 are surfaced in a `flagged` array so
-  * the <10 smoke criterion is machine-checkable from the artifact.
+  * a shared box swing 3-19x run-to-run. Each query runs in up to
+  * `full_reps` whole-suite passes (rep-major, VERDICT r16 #1) and the
+  * HEADLINE total is the median of the whole-suite rep totals
+  * (VERDICT r14 #7 — per-rep totals ride the JSON as `rep_totals`).
+  * After the full passes, the `targeted_k` queries with the largest
+  * relative spread across their runs get ONE more run each (VERDICT
+  * r17 #5: reps=2 for the stable majority, a third rep only where
+  * variance says it buys information) — per-query medians use all
+  * runs; rep totals use only the full passes.
   *
-  * Wall-clock discipline (VERDICT r15 #1 / r16 #1): the r15 driver
-  * bench was timeout-killed (rc 124) before printing; the r16 driver
-  * box then ran base reps ~2.5x slower than the builder box and the
-  * old base-reps-first ordering burned the whole budget before ONE
-  * smoke entry started (n_smoke 0 / 94 skipped). The sweep is now
-  * ordered so a slow box sheds the LOW-value sections first:
+  * Wall-clock discipline: sections are ordered so a slow box sheds
+  * the LOW-value sections first —
   *
-  *   calibration probe -> base rep 1 -> CORE sf1 smoke ->
-  *   base reps 2..N (budget-gated) -> TAIL sf1 smoke (budget-gated)
-  *   -> calibration probe
+  *   calibration probe -> base rep 1 -> CORE sf1 smoke -> probe ->
+  *   base rep 2 (budget-gated) -> targeted re-runs (budget-gated) ->
+  *   TAIL sf1 smoke (budget-gated) -> flag confirmation -> probe
   *
-  * The core smoke (worst ratios, watch items, new queries) runs every
-  * round right after rep 1, so even an r16-driver-speed box produces
-  * scale evidence; extra base reps degrade (reps_run in the JSON says
-  * how many ran) and the tail rotates halves by round parity under
-  * the hard budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 2400 s),
-  * with every unstarted name recorded in `smoke_skipped` — the
-  * artifact always completes and always says what it did not measure.
+  * Three distinct limits govern shedding (VERDICT r17 #2):
   *
-  * Box-speed calibration (VERDICT r16 #2): raw sweep totals are not
-  * comparable across days on a shared box (same-HEAD driver/builder
-  * sweeps read 989.5 vs 396.2 s). A fixed deterministic probe — a
-  * multiply-mix reduction plus a canonical 32-partition hash
-  * aggregate + join, ~4 s nominal — is timed at sweep start AND end
-  * and recorded as `calib_sec:[start,end]` in both JSON lines, so
-  * any two artifacts can be normalized by their probe times before
-  * totals are compared.
+  *   - `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 2400) is the WORK
+  *     budget, and it is denominated in calibrated work, not raw
+  *     wall-seconds: [[effectiveBudget]] scales it by
+  *     nominal/measured probe time, so a 2.5x-slower box sees a
+  *     2.5x-smaller effective budget and drops extra reps and tail
+  *     entries EARLY instead of overrunning the driver clock. The
+  *     probe re-runs at section boundaries and the latest value
+  *     re-scales the remaining gates. The CORE smoke is exempt — it
+  *     is the reason the sweep was reordered, so it runs on every
+  *     box up to a 1.25x RAW-budget valve (review r17: 1.4x put the
+  *     r16-driver worst case past its clock).
+  *   - `SPARK_GRAFT_BENCH_WALL_CAP_SEC` (default 2700) is the hard
+  *     artifact-safety cap: before any smoke entry starts, its cost
+  *     is projected from its rep-1 base timing and the entry is
+  *     skipped (recorded in `smoke_skipped`) if the projection lands
+  *     past the cap — the sweep finishes and prints under any
+  *     external clock the cap is set inside of.
+  *   - `SPARK_GRAFT_BENCH_WALL_TARGET_SEC` (default 1800) is the
+  *     committed-sweep wall goal (VERDICT r17 #5): the TAIL smoke
+  *     stops at min(effective budget, wall target). On the builder
+  *     box the full-pass + core-smoke sections consume the target,
+  *     so tail coverage is DELEGATED to focused fresh-JVM passes
+  *     (BENCH_tail_r{N}.json — ADVICE r17 asked for exactly this to
+  *     be an explicit, documented choice; on a faster box or a
+  *     filtered run the in-sweep tail runs under the same honesty
+  *     fields). Extra base reps gate at 0.85x the effective budget —
+  *     BELOW the core valve — so base reps can no longer consume the
+  *     headroom the tail rotation would use (ADVICE r17).
+  *
+  * Box-speed calibration (VERDICT r16 #2): a fixed deterministic
+  * probe — a multiply-mix reduction plus a canonical 32-partition
+  * hash aggregate + join, ~4 s nominal — is timed at sweep start,
+  * after the core smoke, and at sweep end (`calib_sec`:[start,...,
+  * end]), so any two artifacts normalize by probe time before totals
+  * are compared. `vs_r17_anchor` is that self-check inline: the
+  * calib-normalized per-query total against the r17 anchor recorded
+  * in BASELINE.md (582.8 s / 251 queries at probe 1.53 s), the
+  * post-series-break gate reference (VERDICT r17 #4).
   */
 object Bench {
+
+  /** Builder-box nominal probe time: mean of the r17 sweep-of-record
+    * probes `calib_sec:[1.25,1.81]` (BENCH_perq_r17.json).
+    */
+  val NominalCalibSec = 1.53
+
+  /** The r17 baseline anchor (BASELINE.md, VERDICT r17 #4): median
+    * rep-major total 582.8 s over 251 registered queries at probe
+    * 1.53 s — the first post-series-break reference the 2x gate
+    * compares calib-normalized totals against.
+    */
+  val AnchorTotalSec = 582.8
+  val AnchorQueries = 251
+  val AnchorCalibSec = 1.53
+
+  /** Work budget in box-adjusted seconds (VERDICT r17 #2): the raw
+    * budget scaled by nominal/measured probe time, capped at the raw
+    * budget (a fast box must not inflate it — the wall cap is what
+    * bounds the sweep, and a >1 factor would push gates past it).
+    */
+  def effectiveBudget(budgetSec: Double, calibSec: Double,
+      nominal: Double = NominalCalibSec): Double =
+    budgetSec * math.min(1.0, nominal / math.max(calibSec, 1e-9))
+
+  /** The `targeted_k` query names with the largest RELATIVE spread
+    * across their recorded runs — the ones where a third run buys
+    * median stability. Sub-`minAbsSpread` absolute spreads are
+    * excluded (a 0.02 s wobble on a 0.05 s query is timer noise, not
+    * variance worth a rerun).
+    */
+  def mostVariable(runs: Seq[(String, Seq[Double])], k: Int,
+      minAbsSpread: Double = 0.1): Seq[String] =
+    runs.collect {
+      case (n, rs) if rs.size >= 2 && (rs.max - rs.min) >= minAbsSpread =>
+        (n, (rs.max - rs.min) / math.max(rs.min, 1e-9))
+    }.sortBy { case (n, spread) => (-spread, n) }.take(k).map(_._1)
+
+  /** Projected wall cost of one smoke entry: `pairs` interleaved
+    * (base, sf1) pairs at rep-1 base speed, the sf1 side budgeted at
+    * 3x base (the suite-wide ratio envelope — worst confirmed ratio
+    * is 4.13, median ~1.3).
+    */
+  def smokeEntryEstSec(rep1BaseSec: Double, pairs: Int): Double =
+    pairs * rep1BaseSec * 4.0
+
+  /** Entries whose FIRST sf1 invocation does one-time layout work
+    * (bucketed-table ingest, graft-table builds, stream checkpoint
+    * dirs, session index builds) that must never leak into a timed
+    * pair (VERDICT r11: tpch_q12_bucketed once charged its ingest to
+    * the query). These keep their untimed warm-up pair even on a
+    * slow box; pure-read shapes drop it there — rep 1 already warmed
+    * their base-side plans, so the single timed pair is steady-state
+    * enough, and the saved pair is what lets a 2.5x-slower box finish
+    * the whole core (VERDICT r17 #1/#2).
+    */
+  def needsWarmPair(name: String): Boolean = {
+    val markers = Seq("table", "stream", "bucketed", "incremental",
+      "mor", "scd2", "cdc", "ivm", "wap", "clone", "compact",
+      "search_only", "ivf")
+    markers.exists(name.contains)
+  }
+
+  /** Timed-pair plan for a smoke entry (VERDICT r17 #5 — the r17
+    * 4-pairs-per-cheap-entry policy is what made the core smoke cost
+    * ~1100 s of the 43-min wall): the two approx-profile paths keep
+    * 5 pairs (three concurrent jobs each — the most load-sensitive
+    * timings in the suite), the historical flag/watch set keeps 2,
+    * everything else runs ONE steady-state pair after its warm-up —
+    * the flag path stays safe because any >=10x single-pair ratio
+    * must still survive the isolated 5-pair confirmation re-run
+    * before it is emitted (criteria unchanged, VERDICT r13 #1).
+    */
+  def plannedPairs(name: String, warmSec: Double, slowBox: Boolean,
+      loadSensitive: Set[String]): Int =
+    if (slowBox || warmSec > 25.0) 1
+    else if (name.startsWith("summary_lineitem_")) 5
+    else if (loadSensitive.contains(name)) (if (warmSec > 10.0) 1 else 2)
+    else 1
 
   private def time(fn: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -95,16 +199,17 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // Wall-clock budget (VERDICT r15 #1): a complete artifact with an
-    // honestly-recorded shortfall beats a perfect sweep that never
-    // prints. 2400 s measured against the two r16 sweeps: at 2100 the
-    // sweep completed in 35.6 min wall with 48 smoke skips, at 2400
-    // in 40.1 min with 19 — +300 s bought 29 more smoke entries while
-    // staying well under the driver clock (the r16 driver ran 3025 s
-    // wall at rc 0; r15's kill fired somewhere past 49 min).
+    // max runs any single query gets (full passes + targeted rerun)
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val fullReps = math.min(maxReps,
+      sys.env.getOrElse("SPARK_GRAFT_FULL_REPS", "2").toInt)
+    val targetedK = sys.env.getOrElse("SPARK_GRAFT_TARGETED_K", "20").toInt
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    val wallCap = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_WALL_CAP_SEC", "2700").toDouble
+    val wallTarget = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_WALL_TARGET_SEC", "1800").toDouble
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -122,31 +227,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
     // one untimed probe first: codegen/JVM warm-up must not read as
-    // "the box was 2x slower at sweep start" — both recorded probes
-    // are steady-state, so their spread IS box drift
+    // "the box was 2x slower at sweep start" — recorded probes are
+    // steady-state, so their spread IS box drift
     calibProbe(spark)
-    val calibStart = calibProbe(spark)
+    val probes = scala.collection.mutable.ArrayBuffer(calibProbe(spark))
+    def effBudget: Double = effectiveBudget(budgetSec, probes.last)
     // optional comma-separated filter for focused timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
-    // bench times the oracle-gated queries PLUS the sketch-value
-    // profile paths (no SQL oracle, so not in the correctness map —
-    // see SparkEntry.benchOnlyQueries)
+    // bench times the oracle-gated queries PLUS the bench-only paths
+    // (sketch-value profiles, the graph search-only head — see
+    // SparkEntry.benchOnlyQueries)
     val allQueries = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val selected = allQueries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
 
-    // Rep-major base sweep (VERDICT r16 #1): one full pass per rep —
-    // the ordering that lets the CORE smoke run between rep 1 and the
-    // extra reps. A query that fails in ANY rep is recorded by name
-    // and dropped from every total (a fast failure time must not pass
-    // off as a result).
+    // Rep-major base sweep (VERDICT r16 #1): one full pass per rep.
+    // A query that fails in ANY rep is recorded by name and dropped
+    // from every total (a fast failure time must not pass off as a
+    // result).
     val runsByQuery =
       scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.ArrayBuffer[Double]]()
     val failedSet = scala.collection.mutable.LinkedHashSet[String]()
-    def runRep(): Unit = selected.foreach { case (name, fn) =>
+    def runQuery(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit =
       if (!failedSet.contains(name)) {
         try {
           runsByQuery.getOrElseUpdate(name,
@@ -159,37 +265,123 @@ object Bench {
           ()
         }
       }
+    // ------------------------------------------------------------------
+    // Incremental artifact emission (VERDICT r17 #1). Every call
+    // prints ONE compact (<500 char) summary line reflecting all
+    // sections completed so far; the last line printed before any
+    // external kill is a whole, honest artifact. System.out is
+    // explicitly flushed so a SIGKILL cannot strand a buffered line.
+    // ------------------------------------------------------------------
+    val sectionsDone = scala.collection.mutable.ArrayBuffer[String]()
+    val smoke =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Int)]()
+    val smokeSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    var targetedNames: Seq[String] = Seq.empty
+    var fullRepsRun = 0
+    var flaggedJson = "[]"
+    var confirm: Map[String, Double] = Map.empty
+    val sf1Dir = "target/sf1"
+
+    def okRuns: Seq[(String, Seq[Double])] = selected.collect {
+      case (name, _)
+        if runsByQuery.get(name).exists(_.size >= math.max(fullRepsRun, 1))
+        => (name, runsByQuery(name).toSeq)
     }
+    def repTotals: Seq[Double] = (0 until math.max(fullRepsRun, 1))
+      .map { i => okRuns.map { case (_, runs) => runs(i) }.sum }
+    var lastEmitSec = 0.0
+    def emitLine(stage: String): Unit = {
+      lastEmitSec = elapsedSec
+      val ok = okRuns
+      val totals = repTotals
+      val total = median(totals)
+      val totalR = math.round(total * 1000) / 1000.0
+      val repTotalsJson = totals
+        .map(t => math.round(t * 1000) / 1000.0)
+        .mkString("[", ",", "]")
+      val calibJson = probes.mkString("[", ",", "]")
+      val failed = failedSet.toSeq.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val worst = smoke.map { case (k, b, s, _) => (k, s / b) }
+        .sortBy(-_._2).take(3)
+        .map { case (k, r) =>
+          "\"" + k + "\":" + (math.round(r * 100) / 100.0)
+        }.mkString("{", ",", "}")
+      // calib-normalized per-query total vs the r17 anchor
+      // (BASELINE.md, VERDICT r17 #4): <1 faster than anchor, >2
+      // breaches the gate
+      val calibMean = probes.sum / probes.size
+      val anchor =
+        if (ok.isEmpty) "null"
+        else {
+          val perQ = total / ok.size * (NominalCalibSec / calibMean)
+          val r = perQ / (AnchorTotalSec / AnchorQueries *
+            (NominalCalibSec / AnchorCalibSec))
+          (math.round(r * 1000) / 1000.0).toString
+        }
+      val sectionsJson = sectionsDone.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val wallR = math.round(elapsedSec * 10) / 10.0
+      println(s"""{"metric":"total","value":$totalR,"unit":"sec","stage":"$stage","sections_complete":$sectionsJson,"reps":$maxReps,"full_reps":$fullReps,"reps_run":$fullRepsRun,"n_targeted":${targetedNames.size},"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"eff_budget_sec":${math.round(effBudget)},"n_queries":${ok.size},"n_registered":${allQueries.size},"failed":$failed,"flagged":$flaggedJson,"worst_x10_ratios":$worst,"vs_r17_anchor":$anchor,"n_smoke":${smoke.size},"n_smoke_skipped":${smokeSkipped.size},"wall_sec":$wallR,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    // section-COMPLETE emit: records the section, then prints
+    def emit(stage: String): Unit = {
+      sectionsDone += stage
+      emitLine(stage)
+    }
+    // throttled mid-section heartbeat: long sections (a full base
+    // pass, the core smoke) print a `*_partial` line at most once a
+    // minute, so even a kill INSIDE a section — the r17 driver kill
+    // landed mid core smoke — leaves an artifact at most ~60 s stale.
+    // Partial stages never join sections_complete; with `stage`
+    // ending in "_partial", `value` is the median over the totals of
+    // the queries COMPLETED so far (n_queries says how many).
+    def maybeEmit(stage: String): Unit =
+      if (elapsedSec - lastEmitSec >= 60.0) emitLine(stage + "_partial")
+    var curStage = "rep1"
+    def runRep(): Unit =
+      selected.foreach { case (name, fn) =>
+        runQuery(name, fn)
+        maybeEmit(curStage)
+      }
+
     runRep() // rep 1 — always full: the n_registered invariant needs
              // every query timed at least once
+    fullRepsRun = 1
     val rep0Total = runsByQuery.values.map(_.head).sum
-    // a box on which the REQUESTED base reps alone project past the
-    // budget (the r16 driver shape) sheds cost everywhere it can:
-    // extra base reps stop once the budget says so, and smoke entries
-    // drop to 2 interleaved pairs
-    val slowBox = elapsedSec + rep0Total * (reps - 1) > budgetSec
+    // slow box = the probe says so at sweep start, or the requested
+    // full passes alone project past the CALIBRATED budget (the r16
+    // driver shape) — sheds cost everywhere it can: extra passes
+    // stop, smoke entries drop to one timed pair, pure-read smoke
+    // entries drop their warm-up pair
+    val slowBox = probes.head > NominalCalibSec * 1.6 ||
+      elapsedSec + rep0Total * (fullReps - 1) > effBudget
+    emit("rep1")
 
     // Scale smoke: when the GenScale-produced 10x directory exists,
     // re-time the heaviest scaling queries there and report the
     // per-query 10x-data ratio (superlinear cliffs would show as
     // ratios approaching 10; see SCALE_SMOKE.md for the methodology).
     // Base and scaled runs interleave so both sides of every ratio
-    // are equally warm. CORE entries (worst ratios, watch items, new
-    // queries) run right after base rep 1 — before the budget can be
-    // spent — under a 1.4x-budget safety valve; TAIL entries rotate
-    // halves by round parity behind the plain budget gate.
-    val sf1Dir = "target/sf1"
+    // are equally warm.
+    val loadSensitive = Set("dedup_minhash", "minhash_eval",
+      "typeinfer_roundtrip", "dedup_substring_apply",
+      "dedup_containment",
+      // new this round: first x10 numbers want a 2-pair median
+      "ann_recall_eval_pq", "knn_graph_search_only")
     val sf1Core = Seq(
-      // not yet bench-timed / changed this round
+      // new / changed this round
+      "ann_recall_eval_pq", "knn_graph_search_only",
       "ann_recall_eval_graph", "knn_graph", "knn_graph_incremental",
       "table_optimize_where", "table_convert",
-      // the r16 unadjudicated regression cluster (VERDICT r16 #3) —
-      // every round until the drift story is pinned
+      // the r16 streaming cluster — exonerated r17 (SCALE_SMOKE r17)
+      // but structurally load-sensitive; stays on watch
       "sessionize_stream", "stream_drift", "stream_cdf_replicate",
       "stream_funnel", "scan_report_e2e", "split_leakage_safe",
       // broadcast-gated aggregates (VERDICT r15 #3)
       "tpch_q10", "tpch_q18",
-      // r15/r16 worst ratios (>= 1.9)
+      // r15-r17 worst ratios (>= 1.9)
       "table_merge", "tpch_q12_bucketed", "corr_matrix",
       "table_sql_merge", "table_upsert_mor", "cdc_diff",
       "drift_ks_matrix", "tpch_q12", "table_clone",
@@ -283,79 +475,68 @@ object Bench {
     // dev-only focused smoke runs (driver runs unfiltered)
     val onlySmoke = sys.env.get("SPARK_GRAFT_SMOKE_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
-    val smokeSkipped = scala.collection.mutable.ArrayBuffer[String]()
     val smokeEnabled = new java.io.File(sf1Dir).isDirectory &&
       (only.isEmpty || onlySmoke.isDefined)
-    def runSmoke(names: Seq[String],
-        core: Boolean): Seq[(String, Double, Double, Int)] =
-      if (!smokeEnabled) Seq.empty
-      else names.filter(n => onlySmoke.forall(_.contains(n)))
-        .flatMap { name =>
-        // CORE entries run past the budget (they are the reason the
-        // smoke was reordered) up to a 1.25x safety valve — tight
-        // enough that even an r16-driver-speed box (3025 s wall, the
-        // slowest survivor observed) finishes the last started
-        // pair-set inside the driver clock (review r17: 1.4x put the
-        // worst case past it); TAIL entries stop at the budget.
-        // Every unstarted name lands in smoke_skipped — no silent
-        // cap. A started pair-set always finishes (partial timings
-        // would lie).
-        val over = elapsedSec > (if (core) budgetSec * 1.25 else budgetSec)
-        if (over) { smokeSkipped += name; None }
-        else allQueries.get(name).flatMap { fn =>
+    def runSmoke(names: Seq[String], core: Boolean): Unit =
+      if (smokeEnabled)
+        names.filter(n => onlySmoke.forall(_.contains(n)))
+          .foreach { name =>
+        // CORE entries run past the effective budget (they are the
+        // reason the smoke was reordered) up to a 1.25x RAW-budget
+        // safety valve; TAIL entries stop at min(effective budget,
+        // wall target) — see the header. On top of either gate, the
+        // entry's projected cost must fit under the hard wall cap
+        // (90 s reserve covers the confirmation pass + final probe +
+        // emission). Every unstarted name lands in smoke_skipped —
+        // no silent cap. A started pair-set always finishes (partial
+        // timings would lie).
+        val gate =
+          if (core) budgetSec * 1.25 else math.min(effBudget, wallTarget)
+        val rep1Base = runsByQuery.get(name).map(_.head)
+          .getOrElse(1.0)
+        val warm = !slowBox || needsWarmPair(name)
+        val estPairs = plannedPairs(name, rep1Base, slowBox,
+          loadSensitive) + (if (warm) 1 else 0)
+        val over = elapsedSec > gate ||
+          elapsedSec + smokeEntryEstSec(rep1Base, estPairs) >
+            wallCap - 90.0
+        if (over) { smokeSkipped += name; () }
+        else allQueries.get(name).foreach { fn =>
           try {
-            // the two approx-profile queries submit three concurrent
-            // jobs each, which makes them the most load-sensitive
-            // timings in the suite (driver r5 measured their x10
-            // ratio at 7.89 vs 2.21 for the same build under
-            // different box load) — more interleaved pairs tighten
-            // exactly those medians at negligible suite cost.
-            // Degradation under pressure: a slow box (or any entry
-            // started past the budget) drops to ONE timed pair — a
-            // single steady-state pair after the untimed warm-up is
-            // still a valid like-for-like ratio, and on the r16
-            // driver box it is what fits all core entries under the
-            // valve. The pair count rides each JSON entry so a 1-pair
-            // ratio can never read as a median (review r17).
-            val wanted =
-              if (name.startsWith("summary_lineitem_")) math.max(reps, 5)
-              else reps
-            // one UNTIMED warm-up pair: first-touch layout builds
-            // (e.g. the bucketed tables' one-time write at their
-            // first sf1 call) and codegen compilation must not leak
-            // into any timed pair — every reported ratio is
-            // steady-state by construction, not by median luck
-            // (VERDICT r11: tpch_q12_bucketed charged its ingest to
-            // the query). Its wall time also SIZES the entry: a pair
-            // that already costs tens of seconds (the heavy
-            // streaming/composition shapes) gets 1-2 timed pairs so
-            // one expensive entry cannot starve the rest of the core
-            // — the per-entry `pairs` field keeps the artifact honest
-            // about it.
-            val warmSec = time {
-              fn(spark, sfDir).count()
-              fn(spark, sf1Dir).count()
-            }
-            val smokeReps =
-              if (slowBox || elapsedSec > budgetSec || warmSec > 25.0) 1
-              else if (warmSec > 10.0) math.min(wanted, 2)
-              else wanted
+            // the untimed warm-up pair (when taken): first-touch
+            // layout builds and codegen compilation must not leak
+            // into any timed pair — see [[needsWarmPair]]. Its wall
+            // time also SIZES the entry via [[plannedPairs]]: a pair
+            // that already costs tens of seconds gets one timed pair
+            // so one expensive entry cannot starve the rest of the
+            // core — the per-entry `pairs` field keeps the artifact
+            // honest about it.
+            val warmSec =
+              if (warm) time {
+                fn(spark, sfDir).count()
+                fn(spark, sf1Dir).count()
+              }
+              else rep1Base
+            val smokeReps = plannedPairs(name, warmSec, slowBox,
+              loadSensitive)
             val pairs = Seq.fill(smokeReps) {
               val b = time(fn(spark, sfDir).count())
               val s = time(fn(spark, sf1Dir).count())
               (b, s)
             }
-            Some((name, median(pairs.map(_._1)), median(pairs.map(_._2)),
-              smokeReps))
+            smoke += ((name, median(pairs.map(_._1)),
+              median(pairs.map(_._2)), smokeReps))
+            ()
           } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name FAILED: $e"); None
+            System.err.println(s"[bench] sf1 $name FAILED: $e")
           }
         }
+        maybeEmit(curStage)
       }
 
     // CORE smoke first (VERDICT r16 #1): the r16 driver spent its
     // whole budget on base reps and recorded zero scale evidence —
-    // the high-value ratios now land before reps 2..N can spend it.
+    // the high-value ratios land before anything else can spend it.
     // Ordered by the rep-1 base timing ASCENDING: a budget/valve cut
     // always eats the end, so cheap-first maximizes how many core
     // entries survive on a slow box (the expensive shapes are also
@@ -363,54 +544,51 @@ object Bench {
     // exactly the conditions that force the cut).
     val coreOrdered = sf1Core.sortBy(n =>
       runsByQuery.get(n).map(_.head).getOrElse(Double.MaxValue))
-    val coreSmoke = runSmoke(coreOrdered, core = true)
-    // extra base reps, each gated on the budget actually having room
-    // for a full pass — projected from the LATEST completed rep
-    // total, not rep 1's: rep-major rep 1 carries all warm-up (this
-    // box measured 596 s cold vs 364 s warm), and projecting the
-    // warm reps at cold speed wrongly dropped rep 3
-    var repsRun = 1
-    var lastRepTotal = rep0Total
-    while (repsRun < reps &&
-        elapsedSec + lastRepTotal <= budgetSec * 1.25) {
-      runRep(); repsRun += 1
-      lastRepTotal = selected.flatMap { case (n, _) =>
-        runsByQuery.get(n).filter(_.size == repsRun).map(_.last)
-      }.sum
-    }
-    val tailSmoke = runSmoke(rotatedIn, core = false)
-    val smoke = coreSmoke ++ tailSmoke
+    curStage = "core_smoke"
+    runSmoke(coreOrdered, core = true)
+    probes += calibProbe(spark) // re-scale the remaining gates
+    emit("core_smoke")
 
-    val ok = selected.collect {
-      case (name, _) if runsByQuery.get(name).exists(_.size == repsRun)
-        => (name, runsByQuery(name).toSeq)
+    // extra full passes, each gated on the CALIBRATED budget having
+    // room below the tail-headroom line (0.85x — ADVICE r17), the
+    // projection from the LATEST completed rep total (rep-major rep 1
+    // carries all warm-up: this box measured 596 s cold vs 364 s
+    // warm, and projecting warm reps at cold speed wrongly dropped
+    // them)
+    var lastRepTotal = rep0Total
+    while (fullRepsRun < fullReps &&
+        elapsedSec + lastRepTotal <= effBudget * 0.85 &&
+        elapsedSec + lastRepTotal <= wallCap - 90.0) {
+      curStage = s"rep${fullRepsRun + 1}"
+      runRep(); fullRepsRun += 1
+      lastRepTotal = selected.flatMap { case (n, _) =>
+        runsByQuery.get(n).filter(_.size == fullRepsRun).map(_.last)
+      }.sum
+      emit(s"rep$fullRepsRun")
     }
-    val qs = ok.map { case (k, runs) =>
-      "\"" + k + "\":" + median(runs)
-    }.mkString("{", ",", "}")
-    val failed = failedSet.toSeq.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    // Median-of-N headline (VERDICT r14 #7): summing rep i's timing
-    // across queries gives `reps_run` whole-suite totals, and the
-    // MEDIAN of those is the headline — one slow rep of any query
-    // (GC pause, box neighbor) moves one rep-total, not the artifact
-    // of record. The per-rep totals ride the JSON so the artifact
-    // carries its own spread evidence.
-    val repTotals = (0 until repsRun).map { i =>
-      ok.map { case (_, runs) => runs(i) }.sum
+
+    // targeted re-runs (VERDICT r17 #5): one more run for the
+    // highest-relative-spread queries — median stability where the
+    // spread evidence says a third run buys it, at ~1/10 the cost of
+    // a third full pass
+    if (fullRepsRun >= 2 && fullRepsRun < maxReps) {
+      val cand = mostVariable(okRuns, targetedK)
+      val est = cand.flatMap(n => runsByQuery.get(n).map(_.min)).sum
+      if (elapsedSec + est <= effBudget * 0.9 &&
+          elapsedSec + est <= wallCap - 90.0) {
+        targetedNames = cand
+        curStage = "targeted"
+        cand.foreach { n =>
+          allQueries.get(n).foreach(fn => runQuery(n, fn))
+          maybeEmit(curStage)
+        }
+        emit("targeted")
+      }
     }
-    val total = median(repTotals)
-    val repTotalsJson = repTotals
-      .map(t => math.round(t * 1000) / 1000.0)
-      .mkString("[", ",", "]")
-    // ONE authoritative count: every registered query must carry a
-    // timing in this artifact. n_registered is the registry size
-    // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
-    // between it and n_queries is exactly the failed list, and the
-    // process exits nonzero so a partial artifact can't read as a
-    // clean one.
-    val nRegistered = allQueries.size
-    val missing = allQueries.keySet -- ok.map(_._1)
+
+    curStage = "tail_smoke"
+    runSmoke(rotatedIn, core = false)
+    emit("tail_smoke")
 
     // Confirm-before-flag (VERDICT r13 #1): a >=10x first-pass ratio
     // can be pure box noise — the r13 artifact of record carried
@@ -422,14 +600,14 @@ object Bench {
     // extra reps), and only a CONFIRMING second measurement flags.
     // Both ratios land in the JSON, so the artifact carries its own
     // adjudication evidence either way.
-    val confirm: Map[String, Double] = smoke
+    confirm = smoke
       .collect { case (k, b, s, _) if s / b >= 10.0 => k }
       .flatMap { name =>
         allQueries.get(name).flatMap { fn =>
           try {
             fn(spark, sfDir).count() // untimed warm-up pair
             fn(spark, sf1Dir).count()
-            val pairs = Seq.fill(math.max(reps, 5)) {
+            val pairs = Seq.fill(math.max(maxReps, 5)) {
               val b = time(fn(spark, sfDir).count())
               val s = time(fn(spark, sf1Dir).count())
               (b, s)
@@ -444,13 +622,27 @@ object Bench {
           }
         }
       }.toMap
-    val flagged = smoke.collect {
+    flaggedJson = smoke.collect {
       case (k, b, s, _) if s / b >= 10.0 &&
         confirm.getOrElse(k, Double.PositiveInfinity) >= 10.0 =>
       "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val calibEnd = calibProbe(spark)
-    val calibJson = s"[$calibStart,$calibEnd]"
+    probes += calibProbe(spark)
+
+    // the FULL per-query line (too long for the driver's ~2,000-char
+    // stdout tail, which is why the compact line follows it — and
+    // why it prints only here, at the end: mid-sweep it could be the
+    // line a kill truncates)
+    val ok = okRuns
+    val qs = ok.map { case (k, runs) =>
+      "\"" + k + "\":" + median(runs)
+    }.mkString("{", ",", "}")
+    val failed = failedSet.toSeq.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val repTotalsJson = repTotals
+      .map(t => math.round(t * 1000) / 1000.0)
+      .mkString("[", ",", "]")
+    val calibJson = probes.mkString("[", ",", "]")
     val sf1Section =
       if (smoke.isEmpty && smokeSkipped.isEmpty) ""
       else {
@@ -469,23 +661,20 @@ object Bench {
           .mkString("[", ",", "]")
         val rotatedOutJson = rotatedOut.map("\"" + _ + "\"")
           .mkString("[", ",", "]")
-        s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$reps,"rotation":$rotation,"queries":$entries,"flagged":$flagged,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
+        val targetedJson = targetedNames.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
+        s""","targeted":$targetedJson,"sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$maxReps,"rotation":$rotation,"queries":$entries,"flagged":$flaggedJson,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
       }
-
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"reps_run":$repsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_registered":$nRegistered,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
-    // The full line above carries per-query detail but runs far past
-    // the ~2,000-char stdout tail the round driver records, so for
-    // five rounds BENCH_r{N}.json held a truncated fragment. This
-    // LAST line is the same headline numbers compacted well under 500
-    // chars — any tail capture gets one whole parseable JSON object.
-    val worst = smoke.map { case (k, b, s, _) => (k, s / b) }
-      .sortBy(-_._2).take(3)
-      .map { case (k, r) =>
-        "\"" + k + "\":" + (math.round(r * 100) / 100.0)
-      }.mkString("{", ",", "}")
-    val totalR = math.round(total * 1000) / 1000.0
-    val wallR = math.round(elapsedSec * 10) / 10.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"reps_run":$repsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_queries":${ok.size},"n_registered":$nRegistered,"failed":$failed,"flagged":$flagged,"worst_x10_ratios":$worst,"n_smoke":${smoke.size},"n_smoke_skipped":${smokeSkipped.size},"smoke_rotation":$rotation,"wall_sec":$wallR,"sf":"$sfDir"}""")
+    val totalFull = median(repTotals)
+    println(s"""{"metric":"total","value":$totalFull,"unit":"sec","reps":$maxReps,"full_reps":$fullReps,"reps_run":$fullRepsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_registered":${allQueries.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    // ONE authoritative count: every registered query must carry a
+    // timing in this artifact. n_registered is the registry size
+    // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap
+    // between it and n_queries is exactly the failed list, and the
+    // process exits nonzero so a partial artifact can't read as a
+    // clean one.
+    val missing = allQueries.keySet -- ok.map(_._1)
+    emit("final")
     spark.stop()
     if (only.isEmpty && missing.nonEmpty) {
       System.err.println(s"[bench] registered queries without a " +

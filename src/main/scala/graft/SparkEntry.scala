@@ -2681,8 +2681,10 @@ object SparkEntry {
     * tie-break, per-query ADC lookup tables, and the final distance as
     * the same fixed-order list fold over 9-decimal-rounded subspace
     * distances the engine uses — so the doubles agree bit-for-bit.
+    * CTE chain shared with `ann_recall_eval_pq` (VERDICT r17 #6) so
+    * the ranked search (`r`) and its recall gate can never drift.
     */
-  private val knnPqOracle: String = {
+  private val knnPqCtes: String = {
     val (m, kc, sd) = (8, 16, 8)
     s"""WITH $vecCte,
        |sub AS (
@@ -2728,10 +2730,44 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id, row_number() OVER
        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM s2
-       |)
+       |)""".stripMargin
+  }
+
+  private val knnPqOracle: String =
+    s"""$knnPqCtes
        |SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id
        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-  }
+
+  /** Recall@5 of the PQ tier against exact brute force (VERDICT r17
+    * #6): the PQ side is the SAME ranked `r` CTE knn_pq replays, the
+    * brute side the same fold `ann_recall_eval` uses — recall for the
+    * third ANN tier is an oracle-pinned number, not a spec assertion.
+    */
+  private val annRecallPqOracle: String =
+    s"""$knnPqCtes,
+       |ptop AS (
+       |  SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+       |), bq2 AS (
+       |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+       |  FROM n WHERE vec_id < 10
+       |), bp AS (
+       |  SELECT bq2.query_id, m.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, len(bq2.qvec)),
+       |      i -> bq2.qvec[i] * m.vec[i])) / (bq2.qnrm * m.nrm) AS sim
+       |  FROM bq2, n m WHERE m.vec_id <> bq2.query_id
+       |), btop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |      AS rn FROM bp)
+       |  WHERE rn <= 5
+       |)
+       |SELECT b.query_id, count(p.neighbor_id) AS n_hits,
+       |  round(CAST(count(p.neighbor_id) AS DOUBLE) / 5, 6)
+       |    AS recall_at_5
+       |FROM btop b LEFT JOIN ptop p ON p.query_id = b.query_id
+       |  AND p.neighbor_id = b.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Full replay of Similarity.knnIvfTrained: seed centroids = vectors
     * with id < 16, two fixed Lloyd's rounds — assignment argmax with
@@ -5745,6 +5781,20 @@ object SparkEntry {
           beam = 10, rounds = 2, numQueries = 10, k = 5),
         k = 5)
     }),
+    // the PQ tier under the same gate (VERDICT r17 #6): recall@5 of
+    // the registered knn_pq config against exact brute force — the
+    // last ANN tier whose quality lived only in ScalaTest moves under
+    // the oracle (the oracle replays the shared knn_pq CTE chain)
+    "ann_recall_eval_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnBruteForce(emb, "vec_id", "embedding",
+          numQueries = 10, k = 5),
+        Similarity.knnPq(emb, "vec_id", "embedding",
+          numCodes = 16, numSubspaces = 8, numQueries = 10, k = 5,
+          shortlist = 50),
+        k = 5)
+    }),
     // IVF over k-means-TRAINED centroids (2 fixed Lloyd's rounds,
     // decimal-exact means — fully deterministic, full SQL replay).
     // nprobe=6 reaches recall 0.96 on the sf0.001 corpus (the seed
@@ -6242,7 +6292,50 @@ object SparkEntry {
       // sketch quantiles per column in one pass
       "summary_lineitem_onepass" -> ((s, dir) =>
         Profile.summarizeOnePass(tbl(s, dir, "lineitem"))
-          .orderBy("column_name")))
+          .orderBy("column_name")),
+      // graph-tier SEARCH cost in isolation (VERDICT r17 #8): the
+      // one-shot knn_graph head rebuilds the O(Σ cluster²) edge
+      // window every invocation, so its bench number is build-
+      // dominated. This entry searches a session-cached prebuilt
+      // index (build charged to the first call only) — the
+      // production read-path shape, where the index is a persisted
+      // graft table. Accuracy is pinned by knn_graph's oracle (the
+      // search path is knnGraphOnIndex in both).
+      "knn_graph_search_only" -> ((s, dir) => {
+        val (edges, index, cents) = graphIdxCache
+          .getOrElseUpdate(dir, {
+            val emb = tbl(s, dir, "embeddings")
+            val c = operators.Similarity.ivfSeedCentroids(
+              emb, "vec_id", "embedding", numCentroids = 16)
+            val e = operators.Similarity.graphIndexEdges(
+              emb, "vec_id", "embedding", c, None, graphDegree = 6)
+            val idx = operators.Similarity.ivfIndexAssign(
+              emb, "vec_id", "embedding", c)
+            // materialize to local relations: the build runs ONCE
+            // here, and per-call search plans start from in-memory
+            // rows with no pinned cache entries to leak (the search
+            // itself pins and releases per invocation)
+            (localized(e), localized(idx), localized(c))
+          })
+        operators.Similarity.knnGraphOnIndex(edges, index, cents,
+          numEntries = 2, beam = 10, rounds = 2, numQueries = 10,
+          k = 5)
+      }))
+
+  /** Session-lifetime prebuilt graph indexes keyed by data dir —
+    * bounded (one small index per scale dir the bench touches).
+    */
+  private val graphIdxCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  /** Collect to a local relation: rows live once in driver memory,
+    * downstream plans scan them with no lineage back to the build.
+    */
+  private def localized(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava,
+      df.schema)
+  }
 
   /** The oracle-backed contract query that pins a bench-only query's
     * accuracy — recorded into the verify artifact (bench_only.json)
@@ -6251,6 +6344,10 @@ object SparkEntry {
   def contractTwinOf(benchOnly: String): String = benchOnly match {
     case "summary_lineitem_approx" => "summary_approx_contract"
     case "summary_lineitem_onepass" => "summary_onepass_contract"
+    // same knnGraphOnIndex search path as the oracle-replayed
+    // one-shot head; quality additionally pinned by
+    // ann_recall_eval_graph
+    case "knn_graph_search_only" => "knn_graph"
     case other => sys.error(s"bench-only query $other has no " +
       "registered contract twin — register one before benching it")
   }
@@ -7729,6 +7826,7 @@ object SparkEntry {
       "ORDER BY id_a, id_b"),
     "knn_ivf_trained" -> knnIvfTrainedOracle,
     "knn_pq" -> knnPqOracle,
+    "ann_recall_eval_pq" -> annRecallPqOracle,
     "knn_ivfpq" -> knnIvfPqOracle,
     // cluster report replay: trained assignment (assignf) joined back
     // to its own (id, cid) score row in scf, decimal-exact mean

@@ -287,6 +287,16 @@ object Similarity {
     * centroid ties toward the larger cid, matching the IVF family)
     * and SQL-replayable round-by-round. Output: (query_id, rn,
     * neighbor_id), rn = 1..k, self excluded.
+    *
+    * Cost note (VERDICT r17 #8): this one-shot head REBUILDS the
+    * O(Σ cluster²) edge window on every invocation — its ~6 s bench
+    * cost is dominated by the build, not the search. It exists for
+    * oracle parity (the round-by-round SQL replay needs build +
+    * search in one deterministic expression); the production path is
+    * the persisted incremental index (`knn_graph_incremental`,
+    * [[graphIndexEdges]] + [[knnGraphOnIndex]]), and the bench-only
+    * `knn_graph_search_only` entry times [[knnGraphOnIndex]] over a
+    * session-built index to separate build from search cost.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, graphDegree: Int, numEntries: Int,

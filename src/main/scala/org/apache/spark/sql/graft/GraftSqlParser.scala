@@ -252,15 +252,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * odd quote count in the prefix means that clause opens inside a
     * string (SQL escapes quotes by doubling, so in-literal quotes
     * always come in pairs) and the whole tail stays the predicate.
+    * The split ITERATES (ADVICE r17): a malformed
+    * `WHERE p ZORDER BY (a) ZORDER BY (b)` strips every trailing
+    * clause — residual predicate `p`, dims `a,b` — so the dedicated
+    * cannot-combine error fires with a clean predicate instead of one
+    * that still contains ZORDER text.
     */
   private def splitTrailingZorder(
       tail: String): (String, Option[String]) = {
     val re = """(?is)^(.*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
-    tail.trim match {
-      case re(pred, dims) if pred.count(_ == '\'') % 2 == 0 =>
-        (pred.trim, Some(dims))
-      case t => (t, None)
-    }
+    @scala.annotation.tailrec
+    def strip(t: String, acc: List[String]): (String, List[String]) =
+      t match {
+        case re(pred, dims) if pred.count(_ == '\'') % 2 == 0 =>
+          strip(pred.trim, dims :: acc)
+        case _ => (t, acc)
+      }
+    val (pred, dims) = strip(tail.trim, Nil)
+    (pred, if (dims.isEmpty) None else Some(dims.mkString(",")))
   }
 
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {

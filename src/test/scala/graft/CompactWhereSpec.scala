@@ -136,6 +136,22 @@ class CompactWhereSpec extends AnyFunSuite {
           .collect()
       }
       assert(e2.getMessage.contains("ZORDER"), e2.getMessage)
+      // ADVICE r17: REPEATED trailing clauses all strip — the split
+      // iterates, so the residual predicate is clean (`k >= 1001`,
+      // no ZORDER text) and the statement reaches the same dedicated
+      // cannot-combine error instead of a confusing half-split state
+      val e3 = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $t WHERE k >= 1001 ZORDER BY (k) " +
+          "ZORDER BY (v)").collect()
+      }
+      assert(e3.getMessage.contains("ZORDER"), e3.getMessage)
+      // and a ZORDER-looking literal UNDER a real trailing clause
+      // still strips only the real one (quote-parity per iteration)
+      val e4 = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $t WHERE cast(k as string) != " +
+          "'zorder by (x)' ZORDER BY (k)").collect()
+      }
+      assert(e4.getMessage.contains("ZORDER"), e4.getMessage)
       // ADVICE r16: 'zorder by (…)' TEXT inside a WHERE literal is a
       // legitimate scoped OPTIMIZE, never the cannot-combine error —
       // the unsupported string conjunct widens to TRUE and the k
