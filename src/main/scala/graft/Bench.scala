@@ -115,11 +115,13 @@ object Bench {
 
   /** Projected wall cost of one smoke entry: `pairs` interleaved
     * (base, sf1) pairs at rep-1 base speed, the sf1 side budgeted at
-    * 3x base (the suite-wide ratio envelope — worst confirmed ratio
-    * is 4.13, median ~1.3).
+    * 4.5x base — ABOVE the worst confirmed suite ratio (4.13,
+    * median ~1.3), because this projection backs the hard wall-cap
+    * skip and an admitted-but-underestimated superlinear entry must
+    * finish its started pair-set (review r18).
     */
   def smokeEntryEstSec(rep1BaseSec: Double, pairs: Int): Double =
-    pairs * rep1BaseSec * 4.0
+    pairs * rep1BaseSec * 5.5
 
   /** Entries whose FIRST sf1 invocation does one-time layout work
     * (bucketed-table ingest, graft-table builds, stream checkpoint
@@ -550,14 +552,21 @@ object Bench {
     emit("core_smoke")
 
     // extra full passes, each gated on the CALIBRATED budget having
-    // room below the tail-headroom line (0.85x — ADVICE r17), the
-    // projection from the LATEST completed rep total (rep-major rep 1
-    // carries all warm-up: this box measured 596 s cold vs 364 s
-    // warm, and projecting warm reps at cold speed wrongly dropped
-    // them)
+    // room for a whole pass — DOWN from r17's 1.25x-of-raw-budget
+    // ceiling (ADVICE r17: reps shared the core valve's ceiling and
+    // starved the tail's headroom): reps now stop at 1.0x effective
+    // budget while the core valve sits at 1.25x raw, and the tail is
+    // separately fenced by the wall TARGET. Headline quality
+    // deliberately outranks in-sweep tail coverage (the tail is
+    // delegated to focused passes — see the header), so a mildly
+    // slow builder day still runs its second pass instead of
+    // degrading the headline to a single cold rep. The projection
+    // uses the LATEST completed rep total (rep-major rep 1 carries
+    // all warm-up: this box measured 596 s cold vs 364 s warm, and
+    // projecting warm reps at cold speed wrongly dropped them)
     var lastRepTotal = rep0Total
     while (fullRepsRun < fullReps &&
-        elapsedSec + lastRepTotal <= effBudget * 0.85 &&
+        elapsedSec + lastRepTotal <= effBudget &&
         elapsedSec + lastRepTotal <= wallCap - 90.0) {
       curStage = s"rep${fullRepsRun + 1}"
       runRep(); fullRepsRun += 1
@@ -574,7 +583,7 @@ object Bench {
     if (fullRepsRun >= 2 && fullRepsRun < maxReps) {
       val cand = mostVariable(okRuns, targetedK)
       val est = cand.flatMap(n => runsByQuery.get(n).map(_.min)).sum
-      if (elapsedSec + est <= effBudget * 0.9 &&
+      if (elapsedSec + est <= effBudget &&
           elapsedSec + est <= wallCap - 90.0) {
         targetedNames = cand
         curStage = "targeted"
@@ -603,7 +612,17 @@ object Bench {
     confirm = smoke
       .collect { case (k, b, s, _) if s / b >= 10.0 => k }
       .flatMap { name =>
-        allQueries.get(name).flatMap { fn =>
+        // the confirmation pass is itself wall-capped (review r18):
+        // a warm pair + 5 timed pairs on a heavy candidate late in a
+        // slow sweep would blow straight through the 90 s reserve the
+        // smoke gates kept. An unconfirmable candidate KEEPS its flag
+        // (absent from the map -> infinity -> flagged) — wall
+        // pressure must not exonerate a 10x ratio.
+        val est = smokeEntryEstSec(
+          runsByQuery.get(name).map(_.head).getOrElse(1.0),
+          math.max(maxReps, 5) + 1)
+        if (elapsedSec + est > wallCap - 30.0) None
+        else allQueries.get(name).flatMap { fn =>
           try {
             fn(spark, sfDir).count() // untimed warm-up pair
             fn(spark, sf1Dir).count()
@@ -661,12 +680,15 @@ object Bench {
           .mkString("[", ",", "]")
         val rotatedOutJson = rotatedOut.map("\"" + _ + "\"")
           .mkString("[", ",", "]")
-        val targetedJson = targetedNames.map("\"" + _ + "\"")
-          .mkString("[", ",", "]")
-        s""","targeted":$targetedJson,"sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$maxReps,"rotation":$rotation,"queries":$entries,"flagged":$flaggedJson,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
+        s""","sf1_smoke":{"dir":"$sf1Dir","copies_of_sf0.1":10,"reps":$maxReps,"rotation":$rotation,"queries":$entries,"flagged":$flaggedJson,"skipped":$skippedJson,"rotated_out":$rotatedOutJson}"""
       }
+    // targeted rides the full line UNCONDITIONALLY (review r18): the
+    // re-runs shift per-query medians even when the smoke section is
+    // absent, and `n_targeted` alone can't say which queries moved
+    val targetedJson = targetedNames.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val totalFull = median(repTotals)
-    println(s"""{"metric":"total","value":$totalFull,"unit":"sec","reps":$maxReps,"full_reps":$fullReps,"reps_run":$fullRepsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_registered":${allQueries.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
+    println(s"""{"metric":"total","value":$totalFull,"unit":"sec","reps":$maxReps,"full_reps":$fullReps,"reps_run":$fullRepsRun,"rep_totals":$repTotalsJson,"calib_sec":$calibJson,"n_registered":${allQueries.size},"targeted":$targetedJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Section}""")
     // ONE authoritative count: every registered query must carry a
     // timing in this artifact. n_registered is the registry size
     // (|queries| + |benchOnlyQueries|); on an unfiltered run any gap

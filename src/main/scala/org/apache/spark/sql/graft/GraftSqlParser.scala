@@ -256,21 +256,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * `WHERE p ZORDER BY (a) ZORDER BY (b)` strips every trailing
     * clause — residual predicate `p`, dims `a,b` — so the dedicated
     * cannot-combine error fires with a clean predicate instead of one
-    * that still contains ZORDER text.
+    * that still contains ZORDER text. Lives on the companion
+    * (package-private) so SplitZorderSpec can pin the residual
+    * predicate and collected dims directly — the SQL-level error
+    * message alone can't distinguish a half-stripped state.
     */
   private def splitTrailingZorder(
-      tail: String): (String, Option[String]) = {
-    val re = """(?is)^(.*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
-    @scala.annotation.tailrec
-    def strip(t: String, acc: List[String]): (String, List[String]) =
-      t match {
-        case re(pred, dims) if pred.count(_ == '\'') % 2 == 0 =>
-          strip(pred.trim, dims :: acc)
-        case _ => (t, acc)
-      }
-    val (pred, dims) = strip(tail.trim, Nil)
-    (pred, if (dims.isEmpty) None else Some(dims.mkString(",")))
-  }
+      tail: String): (String, Option[String]) =
+    GraftSqlParser.splitTrailingZorder(tail)
 
   private def maintenanceStatement(sql: String): Option[LogicalPlan] = {
     // ZORDER BY accepted on EITHER side of WHERE (review r16): the
@@ -476,6 +469,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+
+  /** See the class-side doc: quote-parity-aware iterative strip of
+    * trailing `ZORDER BY (dims)` clauses off an OPTIMIZE WHERE
+    * capture. Returns (residual predicate, all dims in source order).
+    */
+  private[graft] def splitTrailingZorder(
+      tail: String): (String, Option[String]) = {
+    val re = """(?is)^(.*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
+    @scala.annotation.tailrec
+    def strip(t: String, acc: List[String]): (String, List[String]) =
+      t match {
+        case re(pred, dims) if pred.count(_ == '\'') % 2 == 0 =>
+          strip(pred.trim, dims :: acc)
+        case _ => (t, acc)
+      }
+    val (pred, dims) = strip(tail.trim, Nil)
+    (pred, if (dims.isEmpty) None else Some(dims.mkString(",")))
+  }
 
   def sessionZone(session: SparkSession): java.time.ZoneId =
     java.time.ZoneId.of(

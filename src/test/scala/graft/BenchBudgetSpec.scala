@@ -23,14 +23,16 @@ class BenchBudgetSpec extends AnyFunSuite {
       "budget (the r16-driver shape)") {
     val eff = Bench.effectiveBudget(2400.0, Bench.NominalCalibSec * 2.5)
     assert(math.abs(eff - 960.0) < 1e-6, eff)
-    // with ~960 s of calibrated budget, the reps gate (0.85x) sits at
-    // ~816 s: a rep-1 total of ~1450 s (2.5x the builder's 580) has
-    // already passed it, so the slow box runs ZERO extra passes —
-    // exactly the early shedding VERDICT r17 #2 asks for
-    assert(1450.0 > eff * 0.85)
-    // while the builder box keeps its second pass: after ~1300 s of
-    // rep 1 + core smoke, a ~420 s warm rep fits under 0.85 x 2400
-    assert(1300.0 + 420.0 <= 2400.0 * 0.85)
+    // with ~960 s of calibrated budget, a rep-1 total of ~1450 s
+    // (2.5x the builder's 580) has already passed the reps gate, so
+    // the slow box runs ZERO extra passes — exactly the early
+    // shedding VERDICT r17 #2 asks for
+    assert(1450.0 > eff)
+    // while a mildly slow builder day (probe ~2.0, eff ~1840) still
+    // runs its second pass after ~1250 s of rep 1 + core smoke —
+    // headline quality outranks in-sweep tail coverage
+    val effMild = Bench.effectiveBudget(2400.0, 2.0)
+    assert(1250.0 + 420.0 <= effMild, effMild)
   }
 
   test("effectiveBudget degrades continuously, never negative") {
@@ -39,10 +41,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.effectiveBudget(2400.0, 0.0) == 2400.0) // guard, capped
   }
 
-  test("smokeEntryEstSec: projection covers pair count and the 3x " +
-      "sf1 envelope") {
-    // a 2 s rep-1 base with warm + 1 timed pair projects 16 s
-    assert(Bench.smokeEntryEstSec(2.0, 2) == 16.0)
+  test("smokeEntryEstSec: projection covers pair count and sits " +
+      "above the worst confirmed sf1 ratio") {
+    // a 2 s rep-1 base with warm + 1 timed pair projects 22 s
+    assert(Bench.smokeEntryEstSec(2.0, 2) == 22.0)
+    // per-pair budget (base + sf1) must exceed 1 + 4.13, the worst
+    // confirmed suite ratio (review r18: the cap-skip projection
+    // cannot afford to underestimate superlinear entries)
+    assert(Bench.smokeEntryEstSec(1.0, 1) > 1.0 + 4.13)
     // the projection is what the wall-cap skip uses: a 12 s heavy
     // entry late in a slow sweep (elapsed 2600 of 2700 cap) must skip
     val est = Bench.smokeEntryEstSec(12.0, 2)

@@ -3,21 +3,41 @@
 
 Usage: make_perq_artifact.py <bench_stdout_file> <round> [out_file]
 
-The bench prints two JSON lines (full per-query detail, then a compact
-summary); this reads the FIRST and reshapes it into the per-round
-committed artifact format (round, reps, n_registered, sf, total_sec,
-rep_totals, queries, sf1_x10_ratios, and — since r16 — the smoke
-budget evidence: rotation, skipped, rotated_out).
+Since r18 the bench emits compact summary lines INCREMENTALLY (one
+per completed section plus heartbeats) with the full per-query line
+second-to-last; this reads the LAST line carrying a per-query
+`queries` MAP (compact lines have no such field) and reshapes it into
+the per-round committed artifact format (round, reps, n_registered,
+sf, total_sec, rep_totals, queries, sf1_x10_ratios, and — since
+r16 — the smoke budget evidence: rotation, skipped, rotated_out).
 """
 import json
 import sys
 
 
+def full_line(src: str) -> dict:
+    full = None
+    with open(src) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d.get("queries"), dict):
+                full = d
+    if full is None:
+        sys.exit(f"no full per-query line found in {src} — the sweep "
+                 "was likely killed before its final section")
+    return full
+
+
 def main() -> None:
     src, rnd = sys.argv[1], int(sys.argv[2])
     out = sys.argv[3] if len(sys.argv) > 3 else f"BENCH_perq_r{rnd}.json"
-    with open(src) as f:
-        full = json.loads(f.readline())
+    full = full_line(src)
     smoke = full.get("sf1_smoke", {})
     art = {
         "round": rnd,
