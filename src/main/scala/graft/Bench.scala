@@ -39,13 +39,16 @@ import org.apache.spark.sql.SparkSession
   *   - `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 2400) is the WORK
   *     budget, and it is denominated in calibrated work, not raw
   *     wall-seconds: [[effectiveBudget]] scales it by
-  *     nominal/measured probe time, so a 2.5x-slower box sees a
-  *     2.5x-smaller effective budget and drops extra reps and tail
-  *     entries EARLY instead of overrunning the driver clock. The
+  *     nominal/measured probe time, and [[isSlowBox]] (probe >1.6x
+  *     nominal, or full passes projecting past the scaled budget)
+  *     makes a 2.5x-slower box shed extra passes, targeted re-runs
+  *     and tail entries EARLY instead of overrunning the driver
+  *     clock — while a merely drifty builder day (probe 1.3-1.55x)
+  *     keeps its second pass under the wall-cap projection. The
   *     probe re-runs at section boundaries and the latest value
-  *     re-scales the remaining gates. The CORE smoke is exempt — it
-  *     is the reason the sweep was reordered, so it runs on every
-  *     box up to a 1.25x RAW-budget valve (review r17: 1.4x put the
+  *     re-scales the tail gate. The CORE smoke is exempt — it is
+  *     the reason the sweep was reordered, so it runs on every box
+  *     up to a 1.25x RAW-budget valve (review r17: 1.4x put the
   *     r16-driver worst case past its clock).
   *   - `SPARK_GRAFT_BENCH_WALL_CAP_SEC` (default 2700) is the hard
   *     artifact-safety cap: before any smoke entry starts, its cost
@@ -61,9 +64,10 @@ import org.apache.spark.sql.SparkSession
   *     (BENCH_tail_r{N}.json — ADVICE r17 asked for exactly this to
   *     be an explicit, documented choice; on a faster box or a
   *     filtered run the in-sweep tail runs under the same honesty
-  *     fields). Extra base reps gate at 0.85x the effective budget —
-  *     BELOW the core valve — so base reps can no longer consume the
-  *     headroom the tail rotation would use (ADVICE r17).
+  *     fields). Extra base reps gate on slow-box detection + the
+  *     wall-cap projection — DOWN from r17's 1.25x-of-raw ceiling
+  *     they shared with the core valve (ADVICE r17); headline
+  *     quality deliberately outranks in-sweep tail coverage.
   *
   * Box-speed calibration (VERDICT r16 #2): a fixed deterministic
   * probe — a multiply-mix reduction plus a canonical 32-partition
@@ -99,6 +103,23 @@ object Bench {
   def effectiveBudget(budgetSec: Double, calibSec: Double,
       nominal: Double = NominalCalibSec): Double =
     budgetSec * math.min(1.0, nominal / math.max(calibSec, 1e-9))
+
+  /** The r16-driver shape detector: the start probe reads >1.6x
+    * nominal, or the requested full passes alone project past the
+    * calibrated budget. A slow box sheds the extra full passes and
+    * targeted re-runs ENTIRELY (VERDICT r17 #2) and drops smoke
+    * entries to one timed pair; a merely drifty builder day (probe
+    * 1.3-1.55x, normal rep totals) is NOT slow — it keeps its second
+    * pass under the wall-cap projection, because a 1-rep headline
+    * costs more evidence than the ~10 spare minutes buy (review r18:
+    * the first two r18 sweeps shed rep 2 against intent when the
+    * reps gate was denominated in calibrated budget directly).
+    */
+  def isSlowBox(calibStart: Double, elapsedSec: Double,
+      rep0Total: Double, fullReps: Int, budgetSec: Double): Boolean =
+    calibStart > NominalCalibSec * 1.6 ||
+      elapsedSec + rep0Total * (fullReps - 1) >
+        effectiveBudget(budgetSec, calibStart)
 
   /** The `targeted_k` query names with the largest RELATIVE spread
     * across their recorded runs — the ones where a third run buys
@@ -352,13 +373,11 @@ object Bench {
              // every query timed at least once
     fullRepsRun = 1
     val rep0Total = runsByQuery.values.map(_.head).sum
-    // slow box = the probe says so at sweep start, or the requested
-    // full passes alone project past the CALIBRATED budget (the r16
-    // driver shape) — sheds cost everywhere it can: extra passes
-    // stop, smoke entries drop to one timed pair, pure-read smoke
-    // entries drop their warm-up pair
-    val slowBox = probes.head > NominalCalibSec * 1.6 ||
-      elapsedSec + rep0Total * (fullReps - 1) > effBudget
+    // slow box (see [[isSlowBox]]) — sheds cost everywhere it can:
+    // extra passes stop, smoke entries drop to one timed pair,
+    // pure-read smoke entries drop their warm-up pair
+    val slowBox = isSlowBox(probes.head, elapsedSec, rep0Total,
+      fullReps, budgetSec)
     emit("rep1")
 
     // Scale smoke: when the GenScale-produced 10x directory exists,
@@ -551,23 +570,25 @@ object Bench {
     probes += calibProbe(spark) // re-scale the remaining gates
     emit("core_smoke")
 
-    // extra full passes, each gated on the CALIBRATED budget having
-    // room for a whole pass — DOWN from r17's 1.25x-of-raw-budget
-    // ceiling (ADVICE r17: reps shared the core valve's ceiling and
-    // starved the tail's headroom): reps now stop at 1.0x effective
-    // budget while the core valve sits at 1.25x raw, and the tail is
-    // separately fenced by the wall TARGET. Headline quality
-    // deliberately outranks in-sweep tail coverage (the tail is
-    // delegated to focused passes — see the header), so a mildly
-    // slow builder day still runs its second pass instead of
-    // degrading the headline to a single cold rep. The projection
-    // uses the LATEST completed rep total (rep-major rep 1 carries
-    // all warm-up: this box measured 596 s cold vs 364 s warm, and
-    // projecting warm reps at cold speed wrongly dropped them)
+    // extra full passes: a NON-slow box runs them whenever the pass
+    // projects to finish inside the wall cap (150 s reserve for
+    // targeted + confirm + probes + emission); a slow box sheds them
+    // entirely ([[isSlowBox]] — the calibrated-budget shedding
+    // VERDICT r17 #2 asks for). The gate is deliberately NOT the
+    // calibrated budget itself (review r18: on two merely-drifty
+    // builder days, probe 1.55x, the budget gate shed rep 2 and
+    // degraded the headline to one cold rep while >900 s of wall
+    // room sat unused); it is also DOWN from r17's 1.25x-of-raw
+    // ceiling that starved the tail's headroom (ADVICE r17) — the
+    // tail is separately fenced by the wall TARGET, and headline
+    // quality deliberately outranks in-sweep tail coverage. The
+    // projection uses the LATEST completed rep total (rep-major
+    // rep 1 carries all warm-up: this box measured 596 s cold vs
+    // 364 s warm, and projecting warm reps at cold speed wrongly
+    // dropped them)
     var lastRepTotal = rep0Total
-    while (fullRepsRun < fullReps &&
-        elapsedSec + lastRepTotal <= effBudget &&
-        elapsedSec + lastRepTotal <= wallCap - 90.0) {
+    while (fullRepsRun < fullReps && !slowBox &&
+        elapsedSec + lastRepTotal <= wallCap - 150.0) {
       curStage = s"rep${fullRepsRun + 1}"
       runRep(); fullRepsRun += 1
       lastRepTotal = selected.flatMap { case (n, _) =>
@@ -583,8 +604,7 @@ object Bench {
     if (fullRepsRun >= 2 && fullRepsRun < maxReps) {
       val cand = mostVariable(okRuns, targetedK)
       val est = cand.flatMap(n => runsByQuery.get(n).map(_.min)).sum
-      if (elapsedSec + est <= effBudget &&
-          elapsedSec + est <= wallCap - 90.0) {
+      if (!slowBox && elapsedSec + est <= wallCap - 120.0) {
         targetedNames = cand
         curStage = "targeted"
         cand.foreach { n =>
