@@ -233,7 +233,14 @@ object Bench {
       .getOrElse("SPARK_GRAFT_BENCH_WALL_CAP_SEC", "2700").toDouble
     val wallTarget = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_WALL_TARGET_SEC", "1800").toDouble
-    val spark = SparkSession.builder()
+    // fork-free local FS (optimization r18, guide §1/§7.3): without
+    // libhadoop, every local-FS permission/link op forks chmod or
+    // readlink — a JFR of one streaming query counted 16k forks in
+    // 48 s, serializing all 32 tasks on the kernel fork path. See
+    // graft.hadoop.FastLocalFileSystem. Same files, same bits — this
+    // removes pure overhead, it never changes a result.
+    val spark = graft.hadoop.FastLocalFileSystem.config(
+      SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -245,7 +252,7 @@ object Bench {
       // they ran the compute-bound quality projections near-serial)
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up

@@ -12,11 +12,13 @@ object Explain {
     val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val names = if (args.length > 1) Seq(args(1))
                 else all.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.config(
+      SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

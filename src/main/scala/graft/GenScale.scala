@@ -35,11 +35,12 @@ object GenScale {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val K = 10000000L // key shift per copy, beyond any base key range
 
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.config(
+      SparkSession.builder()
       .appName("genscale").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -82,32 +82,52 @@ object Scan {
       if (excluded.isEmpty) fullSummary
       else fullSummary.where(!col("column_name").isin(excluded.toSeq: _*))
 
-    val collected = fullSummary
-      .select("column_name", "total_count", "non_missing").collect()
+    // Materialize both report sheets ONCE, here (optimization r18,
+    // guide §1.2 "don't compute things twice" / §2.6): summary and
+    // frequency are REPORT-sized by construction (one row per column;
+    // top-maxDistinctValues per column), yet every sink used to
+    // recompute their full Spark pipelines per write — the TSV,
+    // workbook and xlsx sinks each re-ran the profile and frequency
+    // jobs (3x each), plus per-sink `freq.isEmpty` actions. Collecting
+    // once and re-wrapping as local relations makes every downstream
+    // write/read a driver-local operation, and — because scanFolder
+    // runs scanFile in parallel futures — moves ALL of a folder's
+    // profile compute into the concurrently-scheduled per-file jobs.
+    // The collected rows also answer nRowsChecked/nFieldsEmpty, which
+    // used to be one more separate collect of the same aggregate.
+    val summaryRows = fullSummary.collect()
     val nRowsChecked =
-      if (collected.nonEmpty) collected.head.getAs[Long]("total_count")
+      if (summaryRows.nonEmpty) summaryRows.head.getAs[Long]("total_count")
       else 0L
     val nFieldsEmpty =
-      collected.count(_.getAs[Long]("non_missing") == 0L).toLong
+      summaryRows.count(_.getAs[Long]("non_missing") == 0L).toLong
+    val keptRows =
+      if (excluded.isEmpty) summaryRows
+      else summaryRows.filterNot(r =>
+        excluded.contains(r.getAs[String]("column_name")))
+    val summaryLocal = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows: _*), summary.schema)
 
     val freqCols = profiled.schema.fields
       .filterNot(f => isDateLike(f.dataType)) // ref :331 — no date freq
       .map(_.name).toSeq
+    val freqSchema = StructType(Seq(
+      StructField("Column", StringType),
+      StructField("Value", StringType),
+      StructField("Count", LongType),
+      StructField("Percentage", DoubleType)))
     val freq =
-      if (config.scanFieldValues && freqCols.nonEmpty)
-        Frequency.referenceFrequencies(profiled, freqCols,
+      if (config.scanFieldValues && freqCols.nonEmpty) {
+        val f = Frequency.referenceFrequencies(profiled, freqCols,
           config.minCellCount, config.maxDistinctValues)
-      else
         spark.createDataFrame(
-          java.util.Collections.emptyList[Row](),
-          StructType(Seq(
-            StructField("Column", StringType),
-            StructField("Value", StringType),
-            StructField("Count", LongType),
-            StructField("Percentage", DoubleType))))
+          java.util.Arrays.asList(f.collect(): _*), f.schema)
+      } else
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), freqSchema)
 
     TableScanResult(name, totalRows, nRowsChecked, nFields, nFieldsEmpty,
-      summary, freq, inference)
+      summaryLocal, freq, inference)
   }
 
   /** Scan every matching file in config.workingFolder, files in

@@ -84,12 +84,14 @@ object ScanMain {
 
   def main(args: Array[String]): Unit = {
     val config = parse(args)
-    val spark = SparkSession.builder()
+    // fork-free local FS — see graft.hadoop.FastLocalFileSystem
+    val spark = graft.hadoop.FastLocalFileSystem.config(
+      SparkSession.builder()
       .master(s"local[${config.cpus}]")
       .appName("graft-scan")
       .config("spark.sql.shuffle.partitions", config.cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, config)

@@ -5354,15 +5354,20 @@ object SparkEntry {
     // pairs → per-document canonical representative (hash-to-min
     // connected components; doc_id == cluster_rep marks the survivor)
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(
+      // sorted=false: the trailing global pair sort is dead work ahead
+      // of the min-label aggregation (optimization r18, guide §2.4)
       Dedup.blockedJaccardPairs(tbl(s, dir, "documents"), "doc_id",
-        "text", "source", threshold = 0.9, shingleSize = 1))),
+        "text", "source", threshold = 0.9, shingleSize = 1,
+        sorted = false))),
     // the full dedup story in one report: pairs → clusters →
     // non-representative docs removed → per-source volume saved
     "dedup_savings" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val removed = Dedup.duplicateClusters(
+        // sorted=false: pairs feed the min-label aggregation and a
+        // left join — order-free (optimization r18, guide §2.4)
         Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source",
-          threshold = 0.9, shingleSize = 1))
+          threshold = 0.9, shingleSize = 1, sorted = false))
         .where(col("doc_id") =!= col("cluster_rep"))
         .select(col("doc_id"), lit(1).as("__rm"))
       docs.join(removed, Seq("doc_id"), "left")
@@ -5479,8 +5484,16 @@ object SparkEntry {
     // cross_split_pairs is the violation count, oracle-pinned at 0
     "split_leakage_safe" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
+      // materialize the LSH pair pipeline ONCE (optimization r18,
+      // guide §1.2): `pairs` feeds BOTH duplicateClusters (which
+      // materializes its own projection of it) and the cross-split
+      // violation join below — unmaterialized, the whole
+      // shingle/banding/verify pipeline executed twice per query.
+      // sorted=false additionally drops the global pair sort both
+      // consumers ignore (guide §2.4).
       val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
-        "source", threshold = 0.9, shingleSize = 1)
+        "source", threshold = 0.9, shingleSize = 1, sorted = false)
+        .localCheckpoint(true)
       val clusters = Dedup.duplicateClusters(pairs)
       val rep = docs.select("doc_id")
         .join(clusters, Seq("doc_id"), "left")

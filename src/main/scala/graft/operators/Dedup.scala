@@ -345,7 +345,8 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, shingleSize: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      maxBlockSize: Int = 4096, missTarget: Double = 1e-4): DataFrame = {
+      maxBlockSize: Int = 4096, missTarget: Double = 1e-4,
+      sorted: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (r, b) = bandingFor(threshold, numHashes / bands, bands, missTarget)
     if (b != bands)
@@ -361,7 +362,14 @@ object Dedup {
     val banded = bandedPairsInBlocks(
       withN.where(col("__blk_n") > maxBlockSize),
       idCol, textCol, blockCol, threshold, shingleSize, r * b, b)
-    exact.unionByName(banded).orderBy("id_a", "id_b")
+    val pairs = exact.unionByName(banded)
+    // `sorted = false` skips the trailing GLOBAL sort (a range
+    // exchange + its sampling pass) for consumers that feed the pairs
+    // into order-insensitive downstream work — duplicateClusters'
+    // min-aggregation, savings joins (optimization r18, guide §2.4:
+    // "an orderBy used only to make output deterministic" is an
+    // accidental Exchange when the caller aggregates anyway).
+    if (sorted) pairs.orderBy("id_a", "id_b") else pairs
   }
 
   /** Hard ceiling on the auto-raised band count: 64 bands × rows-per-

@@ -651,9 +651,19 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val fields = df.schema.fields
-    val ap = profile(df).collect()
-      .map(r => r.getAs[String]("column_name") -> r).toMap
-    val exactD = exactDistinctCounts(df)
+    // The sketch profile and the exact distinct counts are independent
+    // full passes; submit them from driver threads so their jobs share
+    // the cluster instead of queueing (optimization r18, guide §2.6 —
+    // the probe aggregation below is the only pass that must wait,
+    // since its rank probes need the profile's quantile values).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val apF = Future(profile(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap)
+    val exactDF = Future(exactDistinctCounts(df))
+    val ap = Await.result(apF, Duration.Inf)
+    val exactD = Await.result(exactDF, Duration.Inf)
     val probes = scala.collection.mutable.ArrayBuffer[Column]()
     fields.zipWithIndex.foreach { case (f, i) =>
       val r = ap(f.name)
