@@ -3157,9 +3157,15 @@ object SparkEntry {
     "typeinfer_orders" -> ((s, dir) => typeinferQuery(s, tbl(s, dir, "orders"))),
     "typeinfer_events" -> ((s, dir) => typeinferQuery(s, tbl(s, dir, "events"))),
     // ops 5-6 roundtrip: stringify → infer → promote → profile must
-    // reproduce the typed table's profile exactly
+    // reproduce the typed table's profile exactly. The promoted frame
+    // localCheckpoints (optimization r18, guide §1.2): the profile
+    // runs TWO jobs (counter agg + histogram melt) and each would
+    // otherwise re-evaluate the full promote cast cascade — the
+    // 40-format date parse included — over every row; materializing
+    // parses once and hands both jobs binary columns.
     "typeinfer_roundtrip" -> ((s, dir) => roundedSummary(
-      TypeInference.inferAndPromote(stringified(tbl(s, dir, "orders")))._1)),
+      TypeInference.inferAndPromote(stringified(tbl(s, dir, "orders")))
+        ._1.localCheckpoint(true))),
     // op 4 — exact-k random sample (whiteRRabbit.R:225-272)
     "sample_exactk" -> ((s, dir) => sampleQuery(s, dir)),
     // LLM pipeline — per-group exact-k sampling (source balancing);

@@ -386,7 +386,13 @@ object Similarity {
     val (out, pinned) = plan
     val rows =
       try out.collect()
-      finally pinned.foreach(df => scala.util.Try(df.unpersist()))
+      finally pinned.foreach { df =>
+        scala.util.Try(df.unpersist())
+        // localCheckpoint pins persist at the RDD level, invisible to
+        // Dataset.unpersist — release those too (r18)
+        scala.util.Try(org.apache.spark.sql.graft.ColumnBridge
+          .unpersistCheckpointed(df))
+      }
     import scala.jdk.CollectionConverters._
     out.sparkSession.createDataFrame(rows.toSeq.asJava, out.schema)
   }
@@ -416,15 +422,49 @@ object Similarity {
     // knn_graph ~4× in the r17 sweep for a memory saving of one
     // queries×beam-row frontier); every pin is handed to the caller
     // and released after the final collect, success or failure.
-    val edges = edges0.persist()
-    val q = v.where(col("id") < numQueries)
+    // r18 restructure, measured via per-stage task metrics + job
+    // timelines (guide §1/§3.3/§5): the r17 shape (lazy persist pins,
+    // one action) made every stage's task binary carry the whole
+    // unexecuted edge-window + entries lineage (the bench's
+    // "broadcasting large task binary 4.1 MiB" warnings — ~200 ms of
+    // deserialization per task × 32 tasks × stage), and each round's
+    // frontier plan NESTED the previous round's, so driver planning
+    // grew with rounds (~35 jobs, ~2 s of inter-job driver gaps on a
+    // 2,000-row corpus). Two changes, same rows out:
+    //   - the edge table localCheckpoints (eager): one materialization
+    //     like the old persist, but the lineage is TRUNCATED — every
+    //     downstream task ships a scan of cached blocks. Released via
+    //     ColumnBridge.unpersistCheckpointed (RDD-level — unpersist()
+    //     alone only clears CacheManager entries).
+    //   - the frontier is collected to a LOCAL relation each round.
+    //     It is ≤ numQueries × beam rows BY CONSTRUCTION — the same
+    //     boundedness argument the final collect already rests on
+    //     (VERDICT r16 #4) — so each round is one shallow-plan action
+    //     and its broadcasts ship local rows with no upstream job.
+    //     Downstream results are order-insensitive to the collected
+    //     row order: every consumer is a broadcast equi-join, a
+    //     distinct, or the (sim DESC, id) row_number whose total
+    //     order re-sorts ties deterministically.
+    // This deliberately revisits r16's "pins stay lazy" decision: the
+    // 4× regression that motivated it came from eager per-round
+    // persist+count with DEEP plans; with the lineage cut the
+    // per-round actions are shallow, and the fork-free local FS
+    // (r18) removed the per-job overhead that made extra job
+    // boundaries expensive. knn_graph 4.94 s → ~2.6 s at equal calib.
+    val edges = edges0.localCheckpoint(true)
+    val spark = v.sparkSession
+    def localized(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val q = localized(v.where(col("id") < numQueries)
       .select(col("id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"))
-    val entries = centroidScored(v.where(col("id") < numQueries), cents)
-      .withColumn("pr", row_number().over(Window.partitionBy("id")
-        .orderBy(col("csim").desc, col("cid").desc)))
-      .where(col("pr") <= numEntries)
-      .select(col("id").as("query_id"), col("cid").as("id"))
+        col("norm").as("qnorm")))
+    val entries = localized(
+      centroidScored(v.where(col("id") < numQueries), cents)
+        .withColumn("pr", row_number().over(Window.partitionBy("id")
+          .orderBy(col("csim").desc, col("cid").desc)))
+        .where(col("pr") <= numEntries)
+        .select(col("id").as("query_id"), col("cid").as("id")))
     // the query's own id may enter the beam (sim 1.0 tops it) — kept:
     // its out-edges are exactly the candidates a search wants, and
     // the final rank excludes self
@@ -436,18 +476,15 @@ object Similarity {
     val bW = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("id"))
     var frontier = entries
-    val pins = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     for (_ <- 0 until rounds) {
-      val pinned = frontier.persist()
-      pins += pinned
-      val expanded = edges.join(broadcast(pinned),
+      val expanded = edges.join(broadcast(frontier),
           col("id") === col("src"))
         .select(col("query_id"), col("dst").as("id"))
-      val cand = pinned.union(expanded).distinct()
-      frontier = rescored(cand)
+      val cand = frontier.union(expanded).distinct()
+      frontier = localized(rescored(cand)
         .withColumn("bn", row_number().over(bW))
         .where(col("bn") <= beam)
-        .select(col("query_id"), col("id"))
+        .select(col("query_id"), col("id")))
     }
     val out = rescored(frontier)
       .where(col("id") =!= col("query_id"))
@@ -455,7 +492,7 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
       .orderBy("query_id", "rn")
-    (out, pins.toSeq)
+    (out, Seq(edges))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): corpus
@@ -546,9 +583,16 @@ object Similarity {
     * never corpus-sized).
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    // both sides are numQueries × k rows BY CONSTRUCTION; without the
+    // hint the planner could not estimate the windowed/searched
+    // subtrees, planned a sort-merge join, and injected a runtime
+    // Bloom filter whose MB-sized bitset rode every task binary — a
+    // JFR of ann_recall_eval_graph showed BloomFilterImplV2
+    // deserialization as the top task-time frame (optimization r18,
+    // guide §3.1/§3.2: hint when you KNOW a side is small)
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit"))), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("hit")).as("n_hits"))
       .select(col("query_id"), col("n_hits"),

@@ -39,4 +39,24 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
+
+  /** Unpersist the RDDs behind a `localCheckpoint`ed DataFrame
+    * (optimization r18). `Dataset.unpersist` only clears CacheManager
+    * entries; a localCheckpoint persists at the RDD level, so its
+    * blocks otherwise linger until the ContextCleaner GC sweep — and
+    * the cache-hygiene specs assert the persistent-RDD set is
+    * restored IMMEDIATELY after a query returns. Walks the analyzed
+    * plan for `LogicalRDD` leaves (what localCheckpoint produces;
+    * `LogicalRDD` is private[sql], hence this bridge) and unpersists
+    * any whose RDD reports a storage level.
+    */
+  def unpersistCheckpointed(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        if (lr.rdd.getStorageLevel
+            != org.apache.spark.storage.StorageLevel.NONE) {
+          lr.rdd.unpersist(blocking = false); ()
+        }
+      case _ => ()
+    }
 }

@@ -156,15 +156,24 @@ class PlanShapeSpec extends AnyFunSuite {
       numCentroids = 16, graphDegree = 6, numEntries = 2,
       beam = 10, rounds = 2, numQueries = 10, k = 5)
     try {
+      // r18: the search runs round-wise with the bounded frontier
+      // collected to a local relation per round, so the inspectable
+      // final plan is one round's shape — the vector table joined
+      // against the broadcast candidate set and broadcast queries.
+      // The guard strengthens accordingly: NO join in the search may
+      // be anything but a broadcast (previously only a count was
+      // pinned), and nothing may go cartesian.
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), "graph search went cartesian")
-      // per round: frontier broadcasts against edges, candidates
-      // against the vector table — plus the centroid cross join; all
-      // bounded
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"graph search joins must all broadcast:\n${p.take(800)}")
       assert(count(p, "BroadcastHashJoin") +
-        count(p, "BroadcastNestedLoopJoin") >= 3,
+        count(p, "BroadcastNestedLoopJoin") >= 2,
         s"graph search lost its broadcasts:\n${p.take(800)}")
-    } finally pinned.foreach(_.unpersist())
+    } finally pinned.foreach { d =>
+      d.unpersist()
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(d)
+    }
   }
 
   test("knn_graph / knn_graph_incremental release every cache they " +
