@@ -136,9 +136,23 @@ object ScanReportE2E {
       seed = 42L)
     val results = Scan.scanFolder(s, config)
     val overview = Scan.overview(s, results)
-    ReportSink.writeTsv(outDir, prefix, overview, results)
-    ReportSink.writeWorkbook(outDir, prefix, overview, results)
-    ReportSink.writeXlsx(outDir, prefix, overview, results)
+    // the three sinks write DISJOINT paths from already-materialized
+    // local sheets (Scan.scanTable collects them once, r18): submit
+    // them from driver threads so the small sheet-write jobs share
+    // the cluster (optimization r18, guide §2.6)
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val outcomes = Await.result(Future.sequence(Seq(
+        Future(Try(ReportSink.writeTsv(outDir, prefix, overview, results))),
+        Future(Try(ReportSink.writeWorkbook(outDir, prefix, overview,
+          results))),
+        Future(Try(ReportSink.writeXlsx(outDir, prefix, overview,
+          results))))), Duration.Inf)
+      outcomes.foreach(_.get)
+    }
 
     def tsvSheet(name: String): DataFrame =
       s.read.option("sep", "\t").option("header", "true")

@@ -4862,12 +4862,20 @@ object SparkEntry {
             .otherwise(lit("N")))
       // inference is a single aggregation pass per snapshot since r15
       // (fused cascade), so the r13 #6 shareScan cache would be pure
-      // overhead here — each side scans its projection exactly once
-      val a = typeinferQuery(s, o)
-        .select(col("column_name"), col("inferred_type").as("old_type"))
-      val b = typeinferQuery(s, nw)
+      // overhead here — each side scans its projection exactly once.
+      // The two snapshots are INDEPENDENT passes: submit them from
+      // driver threads so their jobs share the cluster instead of
+      // queueing (optimization r18, guide §2.6)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val aF = Future(typeinferQuery(s, o)
+        .select(col("column_name"), col("inferred_type").as("old_type")))
+      val bF = Future(typeinferQuery(s, nw)
         .select(col("column_name").as("cn"),
-          col("inferred_type").as("new_type"))
+          col("inferred_type").as("new_type")))
+      val a = Await.result(aF, Duration.Inf)
+      val b = Await.result(bF, Duration.Inf)
       a.join(b, a("column_name") === b("cn"), "full_outer")
         .select(coalesce(col("column_name"), col("cn")).as("col_name"),
           col("old_type"), col("new_type"),

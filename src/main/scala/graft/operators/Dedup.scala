@@ -569,10 +569,27 @@ object Dedup {
     * Output: (doc_id, cluster_rep) for every document appearing in at
     * least one pair; `doc_id == cluster_rep` marks the canonical
     * survivor.
+    *
+    * Size-gated driver fast path (optimization r18, guide §1.2): the
+    * near-dup pair set is usually orders of magnitude smaller than
+    * the corpus (it is the OUTPUT of a ≥threshold verifier). When the
+    * materialized edge count is at or under `driverGateEdges`
+    * (default 1M pairs ≈ 16 MB of longs — same spirit as the engine's
+    * size-gated broadcast hints) and the id type is integral, the
+    * components run as a driver-side min-root union-find over the
+    * already-materialized rows: identical labels by construction
+    * (the root of every union is the smaller id, so each node's find
+    * terminates at its component minimum — exactly the distributed
+    * rounds' fixpoint), at zero shuffle rounds. Per-stage metrics
+    * showed the distributed rounds' cost on bench-scale graphs was
+    * ~100% scheduling (≤0.4 s of task time under 4.5 s of wall);
+    * above the gate — the 100 TB shape — the pointer-doubling rounds
+    * run unchanged. Pinned by DedupSpec's gate-parity test.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", checkpointDir: Option[String] = None,
-      checkEvery: Int = 1, maxRounds: Int = 50): DataFrame = {
+      checkEvery: Int = 1, maxRounds: Int = 50,
+      driverGateEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     def materialize(df: DataFrame, name: String): DataFrame =
       checkpointDir match {
@@ -594,6 +611,11 @@ object Dedup {
     // edges anyway — a distinct here would be a pure extra shuffle.
     val p = materialize(
       pairs.select(col(idA).as("src"), col(idB).as("dst")), "cc_pairs")
+    val integralIds = p.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+      f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && p.count() <= driverGateEdges)
+      return driverComponents(p)
     var edges = p.unionByName(
       p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = materialize(edges.select(col("src").as("id")).distinct()
@@ -672,6 +694,56 @@ object Dedup {
     log.info(s"duplicateClusters converged after $round rounds")
     frozen.map(_.unionByName(labels)).getOrElse(labels)
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-side min-root union-find over a gate-small materialized
+    * edge set — [[duplicateClusters]]' fast path. Every union hangs
+    * the LARGER root under the smaller, so each component's final
+    * root is its minimum id: the same (doc_id, min-of-component)
+    * labels the distributed pointer-doubling rounds converge to.
+    */
+  private def driverComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val idType = p.schema.head.dataType
+    val edges = p.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); () }
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.get(0).asInstanceOf[Number].longValue
+      val b = row.get(1).asInstanceOf[Number].longValue
+      add(a); add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        ()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val isLong = idType == org.apache.spark.sql.types.LongType
+    def lit_(v: Long): Any =
+      if (isLong) java.lang.Long.valueOf(v)
+      else java.lang.Integer.valueOf(v.toInt)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      parent.keySet().asScala.toSeq.sorted.map { id =>
+        org.apache.spark.sql.Row(lit_(id), lit_(find(id)))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_rep", idType,
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy("doc_id")
   }
 

@@ -197,6 +197,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       5L -> 5L, 9L -> 5L))
   }
 
+  test("r18 size gate: the driver union-find fast path and the " +
+      "distributed rounds produce identical labels on a mixed graph") {
+    // paths, cliques, stars and singleton pairs with shuffled ids —
+    // run both arms over the same edges and require row-identical
+    // output (the gate must be a pure execution-strategy choice)
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 400L).toVector)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // 20-node paths
+    ids.take(100).grouped(20).foreach { g =>
+      edges ++= g.zip(g.tail) }
+    // 6-node cliques
+    ids.slice(100, 160).grouped(6).foreach { g =>
+      for (a <- g; b <- g if a < b) edges += ((a, b)) }
+    // stars
+    ids.slice(160, 220).grouped(10).foreach { g =>
+      g.tail.foreach(x => edges += ((g.head, x))) }
+    // plain pairs
+    ids.slice(220, 300).grouped(2).foreach { g =>
+      edges += ((g(0), g(1))) }
+    val pairs = edges.toSeq.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = Dedup.duplicateClusters(pairs, driverGateEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fast.sameElements(dist))
+    assert(fast.nonEmpty && fast.length == dist.length)
+  }
+
   test("duplicate clustering converges on a long path graph and under " +
       "the reliable-checkpoint option") {
     // a 16-node path with the min id in the middle — worst case for
@@ -207,13 +237,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .toDF("id_a", "id_b")
     val expected = ids.map(_ -> 0L).toMap
-    val got = Dedup.duplicateClusters(pairs).collect()
+    // driverGateEdges = 0 pins the DISTRIBUTED rounds (the r18 size
+    // gate would otherwise route this bench-scale graph driver-side)
+    val got = Dedup.duplicateClusters(pairs, driverGateEdges = 0)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
     // reliable checkpoint: same result, labels persisted to parquet
     val dir = graft.config.Scratch.dir + "/cc_reliable_test"
     val got2 = Dedup.duplicateClusters(pairs,
-        checkpointDir = Some(dir)).collect()
+        checkpointDir = Some(dir), driverGateEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == expected)
     assert(new java.io.File(s"$dir/cc_pairs").exists())
@@ -237,13 +270,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
         Seq(1L, 2L, 3L).map(_ -> 1L).toMap ++
         Seq(20L, 21L, 22L, 23L).map(_ -> 20L).toMap
     // checkEvery=1 forces a freeze opportunity after every round
-    val got = Dedup.duplicateClusters(pairs, checkEvery = 1).collect()
+    val got = Dedup.duplicateClusters(pairs, checkEvery = 1,
+        driverGateEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
     // and the reliable-checkpoint path takes the same freeze branches
     val dir = graft.config.Scratch.runDir + "/cc_freeze_test"
     val got2 = Dedup.duplicateClusters(pairs, checkEvery = 1,
-        checkpointDir = Some(dir)).collect()
+        checkpointDir = Some(dir), driverGateEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == expected)
     // EVEN checkEvery regression: consecutive checks land on the same
@@ -252,7 +286,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // check-count ping-pong is what keeps read and write apart)
     val dir2 = graft.config.Scratch.runDir + "/cc_freeze_even_test"
     val got3 = Dedup.duplicateClusters(pairs, checkEvery = 2,
-        checkpointDir = Some(dir2)).collect()
+        checkpointDir = Some(dir2), driverGateEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3 == expected)
   }
