@@ -45,7 +45,7 @@ object Prof {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Int, String, Long, Long, Long, Long, Long)]()
+      (Int, String, Long, Long, Long, Long, Long, Int, Long)]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -73,7 +73,8 @@ object Prof {
             tm.executorRunTime,
             tm.shuffleReadMetrics.totalBytesRead,
             tm.shuffleWriteMetrics.bytesWritten,
-            tm.memoryBytesSpilled, tm.diskBytesSpilled))
+            tm.memoryBytesSpilled + tm.diskBytesSpilled, tm.jvmGCTime,
+            si.numTasks, tm.executorDeserializeTime))
           ()
         }
     })
@@ -98,9 +99,10 @@ object Prof {
     }
     println("-- stages by executor run time --")
     stages.asScala.toSeq.sortBy(-_._3).take(25).foreach {
-      case (id, nm, rt, sr, sw, ms, ds) =>
-        println(f"  $rt%7d ms-task  stage $id%4d  shufR ${sr / 1024}%8d KB" +
-          f"  shufW ${sw / 1024}%8d KB  spill ${(ms + ds) / 1024}%6d KB  $nm")
+      case (id, nm, rt, sr, sw, sp, gc, nt, dt) =>
+        println(f"  $rt%7d ms-task  stage $id%4d  $nt%3d tasks" +
+          f"  gc $gc%6d ms  deser $dt%6d ms  shufR ${sr / 1024}%7d KB" +
+          f"  shufW ${sw / 1024}%7d KB  spill ${sp / 1024}%6d KB  $nm")
     }
     val n = jobs.size()
     println(s"-- $n jobs, ${stages.size()} stages in last rep --")

@@ -147,6 +147,27 @@ object SparkEntry {
   private def roundedSummary(df: DataFrame): DataFrame =
     roundSummary(Profile.summarize(df))
 
+  /** Cache hygiene for queries that `localCheckpoint` an intermediate
+    * (ADVICE r18): checkpoint blocks pin at the RDD level, invisible
+    * to Dataset.unpersist, and would linger until ContextCleaner GC
+    * across bench reps. The query's RESULT is report-sized by
+    * construction for every caller, so materialize it here, release
+    * each pin (failure path too), and return a local relation —
+    * the Similarity.collectReleased pattern.
+    */
+  private def collectReleased(out: DataFrame,
+      pinned: DataFrame*): DataFrame = {
+    val rows =
+      try out.collect()
+      finally pinned.foreach { df =>
+        scala.util.Try(df.unpersist())
+        scala.util.Try(org.apache.spark.sql.graft.ColumnBridge
+          .unpersistCheckpointed(df))
+      }
+    import scala.jdk.CollectionConverters._
+    out.sparkSession.createDataFrame(rows.toSeq.asJava, out.schema)
+  }
+
   /** Self-verifying result for the scratch-backed table-layer
     * contracts: collect BOTH the layer's answer and the same answer
     * computed straight from the source table, require row-for-row
@@ -3163,9 +3184,13 @@ object SparkEntry {
     // otherwise re-evaluate the full promote cast cascade — the
     // 40-format date parse included — over every row; materializing
     // parses once and hands both jobs binary columns.
-    "typeinfer_roundtrip" -> ((s, dir) => roundedSummary(
-      TypeInference.inferAndPromote(stringified(tbl(s, dir, "orders")))
-        ._1.localCheckpoint(true))),
+    "typeinfer_roundtrip" -> ((s, dir) => {
+      val promoted = TypeInference
+        .inferAndPromote(stringified(tbl(s, dir, "orders")))
+        ._1.localCheckpoint(true)
+      // summary = one row per column; released via collectReleased
+      collectReleased(roundedSummary(promoted), promoted)
+    }),
     // op 4 — exact-k random sample (whiteRRabbit.R:225-272)
     "sample_exactk" -> ((s, dir) => sampleQuery(s, dir)),
     // LLM pipeline — per-group exact-k sampling (source balancing);
@@ -5521,11 +5546,15 @@ object SparkEntry {
           col("split").as("sp_b")), "id_b")
         .where(col("sp_a") =!= col("sp_b"))
         .agg(count(lit(1)).as("cross_split_pairs"))
-      assigned.groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("rep")).as("n_clusters"))
-        .crossJoin(broadcast(viol))
-        .orderBy("split")
+      // per-split rollup = |dataSplits| rows; released via
+      // collectReleased so the pairs checkpoint blocks don't linger
+      collectReleased(
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_clusters"))
+          .crossJoin(broadcast(viol))
+          .orderBy("split"),
+        pairs)
     }),
     // LLM pipeline — embedding similarity
     "embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(

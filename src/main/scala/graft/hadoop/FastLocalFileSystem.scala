@@ -95,8 +95,12 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
   }
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
-    val perms = JEnumSet.noneOf(classOf[PosixFilePermission])
     val bits = permission.toShort
+    // sticky/setuid/setgid bits have no PosixFilePermission mapping —
+    // delegate to the stock chmod path so parity with RawLocalFileSystem
+    // is unconditional (Spark never passes them; callers might)
+    if ((bits & ~0x1ff) != 0) { super.setPermission(p, permission); return }
+    val perms = JEnumSet.noneOf(classOf[PosixFilePermission])
     def add(bit: Int, perm: PosixFilePermission): Unit =
       if ((bits & bit) != 0) { perms.add(perm); () }
     add(0x100, PosixFilePermission.OWNER_READ)

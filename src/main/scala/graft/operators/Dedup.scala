@@ -611,11 +611,30 @@ object Dedup {
     // edges anyway — a distinct here would be a pure extra shuffle.
     val p = materialize(
       pairs.select(col(idA).as("src"), col(idB).as("dst")), "cc_pairs")
-    val integralIds = p.schema.fields.forall(f =>
-      f.dataType == org.apache.spark.sql.types.LongType ||
-      f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && p.count() <= driverGateEdges)
-      return driverComponents(p)
+    // gate conditions (ADVICE r18): BOTH id columns must share one
+    // integral type (mixed Int/Long would emit the wider ids through
+    // the head column's narrower type) and carry no nulls (the driver
+    // union-find has no null arithmetic; the distributed rounds
+    // tolerate them). The null probe rides the same single action as
+    // the edge count.
+    val idTypes = p.schema.fields.map(_.dataType)
+    val integralIds = idTypes(0) == idTypes(1) && idTypes.forall(t =>
+      t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType)
+    if (integralIds) {
+      val s = p.agg(count(lit(1)), count(col("src")), count(col("dst")))
+        .head()
+      val (n, nonNull) = (s.getLong(0), math.min(s.getLong(1), s.getLong(2)))
+      if (n <= driverGateEdges && nonNull == n) {
+        val out = driverComponents(p)
+        // the gate path is done with the materialized pairs the moment
+        // they are collected — release the checkpoint pin (RDD-level;
+        // Dataset.unpersist does not see localCheckpoint blocks)
+        scala.util.Try(
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointed(p))
+        return out
+      }
+    }
     var edges = p.unionByName(
       p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = materialize(edges.select(col("src").as("id")).distinct()

@@ -409,6 +409,15 @@ object Similarity {
       numQueries: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
     require(beam > k, s"beam $beam must exceed k $k (the query " +
       "itself may occupy one beam slot)")
+    // the round-wise search routes the query vectors plus
+    // numQueries × beam frontier rows through the driver each round —
+    // bounded ONLY under the small-query-set contract. A corpus-scale
+    // numQueries must fail loudly here, not OOM the driver mid-search
+    // (ADVICE r18).
+    require(numQueries.toLong * beam <= 4L * 1024 * 1024,
+      s"graph search collects numQueries*beam rows per round to the " +
+        s"driver; $numQueries*$beam exceeds the 4Mi-row bound — " +
+        "shrink the query set or use the distributed exact/IVF tiers")
     // the edge table is consumed once per round and the frontier
     // twice (expansion + candidate union): without pinning, the
     // unexecuted lineage doubles per round — 2^rounds copies of the
@@ -582,23 +591,31 @@ object Similarity {
     * per-query-key equi-join on result-sized frames (k·queries rows,
     * never corpus-sized).
     */
-  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
-    // both sides are numQueries × k rows BY CONSTRUCTION; without the
-    // hint the planner could not estimate the windowed/searched
-    // subtrees, planned a sort-merge join, and injected a runtime
-    // Bloom filter whose MB-sized bitset rode every task binary — a
-    // JFR of ann_recall_eval_graph showed BloomFilterImplV2
-    // deserialization as the top task-time frame (optimization r18,
-    // guide §3.1/§3.2: hint when you KNOW a side is small)
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+      broadcastApprox: Boolean = true): DataFrame = {
+    // both sides are numQueries × k rows BY CONSTRUCTION for every
+    // registry caller; without the hint the planner could not estimate
+    // the windowed/searched subtrees, planned a sort-merge join, and
+    // injected a runtime Bloom filter whose MB-sized bitset rode every
+    // task binary — a JFR of ann_recall_eval_graph showed
+    // BloomFilterImplV2 deserialization as the top task-time frame
+    // (optimization r18, guide §3.1/§3.2: hint when you KNOW a side is
+    // small). `broadcastApprox = false` is the escape hatch for a
+    // caller grading a corpus-scale approx frame (ADVICE r18): the
+    // plan then degrades gracefully to the planner's choice instead of
+    // forcing an over-cap broadcast build.
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("hit"))
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
-        lit(1).as("hit"))), Seq("query_id", "neighbor_id"), "left")
+      .join(if (broadcastApprox) broadcast(a) else a,
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("hit")).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6)
           .as(s"recall_at_$k"))
       .orderBy("query_id")
+  }
 
   /** Result of [[pcaTopComponent]]: the leading eigenpair of the
     * population covariance matrix plus its diagnostics. `residual` is
