@@ -369,13 +369,14 @@ object TextMetrics {
     * the context denominator.
     *
     * Scale shape: the bigram dictionary aggregates with map-side
-    * combine and joins back SHUFFLE-keyed on (w1, w2) — a bigram
-    * dictionary outgrows broadcast long before the corpus stops
-    * growing — and the two unigram sides go through [[headTailJoin]]
-    * (bounded Zipf-head broadcast + skew-free shuffle tail; a web
-    * corpus's full vocabulary fits no executor). Only the 1-row
-    * total stays unconditionally broadcast. The per-doc side
-    * collapses to DISTINCT (doc, w1, w2)
+    * combine and joins back SHUFFLE-keyed on the xxhash64 TOKEN-ID
+    * pair (h1, h2) — a bigram dictionary outgrows broadcast long
+    * before the corpus stops growing, and 8-byte ids keep its rows
+    * fixed-width — and the two unigram sides go through
+    * [[headTailJoin]] (bounded Zipf-head broadcast + skew-free
+    * shuffle tail; a web corpus's full vocabulary fits no executor).
+    * Only the 1-row total stays unconditionally broadcast. The
+    * per-doc side collapses to DISTINCT (doc, h1, h2)
     * rows with an occurrence count BEFORE that join (map-side
     * combine), so the dictionary join ships one row per distinct
     * per-doc bigram instead of one per occurrence — repeated pairs
@@ -394,32 +395,48 @@ object TextMetrics {
     val base = df.select(col(idCol).as("id"),
         tokenizer(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= 2)
+    // every aggregation and join below keys on xxhash64 TOKEN IDS,
+    // never the token strings (optimization r19, guide §2.3 "narrower
+    // types" / §8 "shuffle keys, not payloads"): the score needs only
+    // count identities per token, so an 8-byte hash id carries the
+    // whole computation — per-doc bigram rows shrink from
+    // (long, string, string) to three longs, the aggregation hash
+    // maps hold fixed-width rows instead of per-row string copies,
+    // and the dictionary joins compare longs. The r18 driver measured
+    // the string-keyed shape as the suite's worst citizen on all
+    // three axes (40 s at 32 cores, 25x at 10x data, 8 cores beating
+    // 32 by 12x — GC/spill contention from string-keyed hash maps);
+    // xxhash64 is collision-free on any realistic vocabulary
+    // (birthday bound ~n²/2⁶⁵: ~3e-8 for a 1M-token vocab) and the
+    // output carries doc ids and probabilities only, so results are
+    // identical — the oracle gate pins that at every tested SF.
     val bi = base.select(col("id"), explode(transform(
         sequence(lit(1), size(col("__toks")) - 1),
-        i => struct(element_at(col("__toks"), i).as("w1"),
-          element_at(col("__toks"), i + 1).as("w2")))).as("b"))
-      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val biDoc = bi.groupBy(col("id"), col("w1"), col("w2"))
+        i => struct(xxhash64(element_at(col("__toks"), i)).as("h1"),
+          xxhash64(element_at(col("__toks"), i + 1)).as("h2")))).as("b"))
+      .select(col("id"), col("b.h1").as("h1"), col("b.h2").as("h2"))
+    val biDoc = bi.groupBy(col("id"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("k"))
     val toksAll = df.select(explode(tokenizer(col(textCol))).as("t"))
+      .select(xxhash64(col("t")).as("h"))
     // referenced five times (two head/tail joins + the total):
     // materialize the vocabulary once — see unigramLogprob
-    val uni = toksAll.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val uni = toksAll.groupBy(col("h")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(false)
     // corpus totals reduce the ALREADY-aggregated frames (per-doc
     // bigrams, vocabulary counts) instead of the raw exploded
     // streams — the DSIR lesson: shuffles carry distinct entries,
     // not occurrences
     val total = uni.agg(sum(col("cu")).as("__n"))
-    val big = biDoc.groupBy(col("w1"), col("w2"))
+    val big = biDoc.groupBy(col("h1"), col("h2"))
       .agg(sum(col("k")).as("cb"))
     val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__n"))
-    val withDict = biDoc.join(big, Seq("w1", "w2"))
+    val withDict = biDoc.join(big, Seq("h1", "h2"))
     val withC1 = headTailJoin(withDict,
-      uni.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"), "c1")
+      uni.select(col("h").as("h1"), col("cu").as("c1")), Seq("h1"), "c1")
     headTailJoin(withC1,
-        uni.select(col("t").as("w2"), col("cu")), Seq("w2"), "cu")
+        uni.select(col("h").as("h2"), col("cu")), Seq("h2"), "cu")
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
       .agg(sum(col("k")).as("n_bigrams"),

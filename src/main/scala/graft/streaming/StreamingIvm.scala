@@ -110,8 +110,10 @@ object StreamingIvm {
     * rollup joined with the exact distinct-user count (the HLL
     * tolerance flag convention of `hll_rollup`/`ivm_merge`).
     */
-  def runStreamingIvm(spark: SparkSession, dir: String,
+  def runStreamingIvm(spark0: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val keys = Seq("event_type")
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(s"${graft.config.Scratch.runDir}/ivm_stream_$tag")
@@ -322,8 +324,10 @@ object StreamingIvm {
     * staged-file modification times (the file source processes in
     * mtime order).
     */
-  def runStreamingDedupIngest(spark: SparkSession, dir: String,
+  def runStreamingDedupIngest(spark0: SparkSession, dir: String,
       cut: Long = 250L): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/documents.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(
       s"${graft.config.Scratch.runDir}/dedup_stream_$tag")
@@ -367,8 +371,10 @@ object StreamingIvm {
     * batch boundaries; base tag "base" (not a number) so batch id 0
     * is never mistaken for already-committed.
     */
-  def runStreamingGdprErasure(spark: SparkSession, dir: String)
+  def runStreamingGdprErasure(spark0: SparkSession, dir: String)
       : DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/orders.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(
       s"${graft.config.Scratch.runDir}/erase_stream_$tag")
@@ -423,8 +429,10 @@ object StreamingIvm {
     * ([[seedHighWater]]), so a restart of any phase replays nothing
     * even though the table's newest tag belongs to a different stream.
     */
-  def runStreamingEraseReingest(spark: SparkSession, dir: String)
+  def runStreamingEraseReingest(spark0: SparkSession, dir: String)
       : DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/orders.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val root = s"${graft.config.Scratch.runDir}/reingest_table_$tag"
     val run = graft.config.Scratch.runDir
@@ -479,7 +487,9 @@ object StreamingIvm {
     * query runs — the sink table must equal the batch union whatever
     * the micro-batch boundaries, which is what the oracle pins.
     */
-  def runStreamFromTable(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamFromTable(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val srcRoot = s"${graft.config.Scratch.runDir}/stream_fromtbl_src_$tag"
     val dstRoot = s"${graft.config.Scratch.runDir}/stream_fromtbl_dst_$tag"
@@ -591,7 +601,10 @@ object StreamingIvm {
     }
   }
 
-  def runStreamCdfReplicate(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamCdfReplicate(spark0: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/orders.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val srcRoot = s"${graft.config.Scratch.runDir}/cdf_src_$tag"
     val dstRoot = s"${graft.config.Scratch.runDir}/cdf_dst_$tag"
@@ -700,9 +713,11 @@ object StreamingIvm {
     * the micro-batch boundaries — the same oracle as scd2_history,
     * which is what pins it.
     */
-  def runStreamScd2(spark: SparkSession, dir: String,
+  def runStreamScd2(spark0: SparkSession, dir: String,
       cut1: String = "2024-01-11", cut2: String = "2024-01-21")
       : DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val srcRoot = s"${graft.config.Scratch.runDir}/scd2_src_$tag"
     val silverRoot = s"${graft.config.Scratch.runDir}/scd2_silver_$tag"
@@ -739,8 +754,10 @@ object StreamingIvm {
       .orderBy("user_id", "version")
   }
 
-  def runStreamingTableIngest(spark: SparkSession, dir: String,
+  def runStreamingTableIngest(spark0: SparkSession, dir: String,
       cut: String = "2024-01-16"): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val staged = Paths.get(
       s"${graft.config.Scratch.runDir}/ingest_stream_$tag")

@@ -93,7 +93,9 @@ object StreamingProfile {
   /** Run the windowed profile over the bounded events stream and
     * return the final (complete-mode) result table.
     */
-  def runWindowedProfile(spark: SparkSession, dir: String): DataFrame = {
+  def runWindowedProfile(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val name = "graft_stream_profile_" +
       java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val q = windowedProfile(eventsStream(spark, dir))
@@ -125,7 +127,9 @@ object StreamingProfile {
   /** Run the enriched profile over the bounded events stream with the
     * customer market segment as the per-user dimension.
     */
-  def runEnrichedProfile(spark: SparkSession, dir: String): DataFrame = {
+  def runEnrichedProfile(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
@@ -151,7 +155,9 @@ object StreamingProfile {
     * rounded at 9 decimals and DECIMAL-summed so the score replays
     * exactly in SQL. Output: (window_start_us, n_events, psi).
     */
-  def runCategoryDrift(spark: SparkSession, dir: String): DataFrame = {
+  def runCategoryDrift(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val name = "graft_stream_drift_" +
       java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val q = eventsStream(spark, dir)
@@ -207,8 +213,10 @@ object StreamingProfile {
       .select(keys.map(col): _*)
 
   /** Run the streaming dedup over the bounded events stream. */
-  def runStreamingDedup(spark: SparkSession, dir: String,
+  def runStreamingDedup(spark0: SparkSession, dir: String,
       keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val name = "graft_stream_dedup_" +
       java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
     val q = streamingDedup(eventsStream(spark, dir), keys)
@@ -262,9 +270,11 @@ object StreamingProfile {
     * stream (two independent file-source streams, as deployment would
     * have two topics).
     */
-  def runFunnel(spark: SparkSession, dir: String,
+  def runFunnel(spark0: SparkSession, dir: String,
       lookback: String = "15 minutes",
       watermark: String = "2 hours"): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     val p = eventsStream(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -338,8 +348,10 @@ object StreamingProfile {
   }
 
   /** Run stateful sessionization over the bounded events stream. */
-  def runSessionize(spark: SparkSession, dir: String,
+  def runSessionize(spark0: SparkSession, dir: String,
       gapUs: Long = 1800000000L): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/events.parquet"))
     import spark.implicits._
     val name = "graft_stream_sessions_" +
       java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
@@ -466,8 +478,10 @@ object StreamingProfile {
     * Emits the CLEAN documents (no n-gram shared with the benchmark);
     * benchmark members arriving on the stream self-collide and drop.
     */
-  def runStreamingDecontaminate(spark: SparkSession, dir: String,
+  def runStreamingDecontaminate(spark0: SparkSession, dir: String,
       ngram: Int = 3): DataFrame = {
+    val spark = StreamSessions.streamSession(spark0,
+      Seq(s"$dir/documents.parquet"))
     import graft.functions.TextFunctions
     def ngramsOf(text: org.apache.spark.sql.Column) = {
       val toks = TextFunctions.tokens(text)
