@@ -93,6 +93,27 @@ object Profile {
     * distributed hash aggregation, no per-group value buffering
     * anywhere in the exact path.
     */
+  /** Widen a NARROW input to the session's parallelism before the
+    * profile's compute-heavy passes (optimization r19, guide §2.5
+    * "input skew — repartition immediately after the read"). A small
+    * parquet table is one-to-three row groups = as many unsplittable
+    * scan tasks however many cores the box has (the sf0.1 lineitem
+    * profile ran its sketch and melt passes in 3 tasks at 32 cores).
+    * The gate keeps this scale-neutral: a corpus-sized input already
+    * scans wider than the cluster and passes through untouched.
+    * Aggregation-only consumers make the round-robin order shift
+    * semantically invisible.
+    */
+  private[graft] def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  // summarize (exact path) deliberately NOT widened: its heavy work
+  // (histogram melt) redistributes at its own exchange already, and
+  // the measured effect of a pre-repartition was a small REGRESSION
+  // on small tables (summary_orders 2.53→2.87, customer 2.62→3.37 —
+  // two extra full-row shuffles per profile) with lineitem flat.
   def summarize(
       df: DataFrame,
       exactQuantiles: Boolean = true,
@@ -350,9 +371,10 @@ object Profile {
     * contracts are identical to the stock approx_count_distinct /
     * percentile_approx.
     */
-  def summarizeOnePass(df: DataFrame, rsd: Double = 0.05,
+  def summarizeOnePass(df0: DataFrame, rsd: Double = 0.05,
       relativeError: Double = 0.01): DataFrame = {
     import graft.functions.ProfileSketchAgg
+    val df = widened(df0)
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column DataFrame")
     val nullNum = lit(null).cast(DoubleType)
@@ -645,9 +667,12 @@ object Profile {
     * aggregation computing every CDF probe. Per-column collect is the
     * same report-bounded reshape the profile family already uses.
     */
-  def approxContract(df: DataFrame, eps: Double = 0.02,
+  def approxContract(df0: DataFrame, eps: Double = 0.02,
       distinctTol: Double = 0.15,
       profile: DataFrame => DataFrame = summarizeApprox(_)): DataFrame = {
+    // widened ONCE here: the contract's three passes (profile, exact
+    // distinct, rank probes) all read the same narrow scan
+    val df = widened(df0)
     val spark = df.sparkSession
     import spark.implicits._
     val fields = df.schema.fields
