@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -320,6 +320,61 @@ object Similarity {
       numEntries, beam, rounds, numQueries, k)
   }
 
+  /** One REAL search round as a lazy plan, for the plan-shape guard:
+    * since r19 [[graphSearchPlan]] derives its final top-k from the
+    * last round's collected beam rows (no separate rescore job), so
+    * the search's returned frame is a local relation with nothing to
+    * inspect. This twin builds the identical index + entry frontier
+    * (same one-action collect) and returns the [[beamRoundPlan]] the
+    * loop would collect — the construction is shared, so the guard
+    * cannot drift from the registered query. Callers release the
+    * returned pins.
+    */
+  private[graft] def graphRoundPlanTwin(df: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, graphDegree: Int,
+      numEntries: Int, beam: Int, numQueries: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    val cents = ivfSeedCentroids(df, idCol, vecCol, numCentroids)
+    val v = normed(df, idCol, vecCol)
+    val edges = graphIndexEdges(df, idCol, vecCol, cents, None,
+      graphDegree).localCheckpoint(true)
+    val (entries, q, _) = collectFrontier(v, cents, numQueries,
+      numEntries)
+    (beamRoundPlan(v, edges, q, entries, beam), Seq(edges))
+  }
+
+  /** ONE action collecting the entry points AND the query payloads
+    * (optimization r19, guide §1.2 "don't compute things twice"):
+    * both derive from the same numQueries-row scored scan, and the
+    * r18 shape ran two separate jobs for them. Every query with at
+    * least one centroid has a pr=1 row, so the query set recovered
+    * from the entry rows equals a direct collect of the query rows.
+    * Returns (entries local frame, query local frame, entry schema).
+    */
+  private def collectFrontier(v: DataFrame, cents: DataFrame,
+      numQueries: Int, numEntries: Int)
+      : (DataFrame, DataFrame, org.apache.spark.sql.types.StructType) = {
+    val spark = v.sparkSession
+    import scala.jdk.CollectionConverters._
+    val eBase = centroidScored(v.where(col("id") < numQueries), cents)
+      .withColumn("pr", row_number().over(Window.partitionBy("id")
+        .orderBy(col("csim").desc, col("cid").desc)))
+      .where(col("pr") <= numEntries)
+      .select(col("id").as("query_id"), col("cid").as("id"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
+    val eRows = eBase.collect()
+    val eSchema = eBase.schema
+    val entries = spark.createDataFrame(
+      eRows.toSeq.map(r => Row(r.get(0), r.get(1))).asJava,
+      org.apache.spark.sql.types.StructType(eSchema.take(2)))
+    val q = spark.createDataFrame(
+      eRows.toSeq.groupBy(_.get(0)).values.map(_.head)
+        .map(r => Row(r.get(0), r.get(2), r.get(3))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(
+        eSchema(0) +: eSchema.drop(2)))
+    (entries, q, eSchema)
+  }
+
   /** Edge maintenance for the graph tier: out-edges of `batch`'s
     * vectors against the pool (prior index rows + the batch itself)
     * WITHIN each coarse cluster, symmetrized. With `existing = None`
@@ -404,6 +459,38 @@ object Similarity {
     * local relation after releasing the caches, which leaves nothing
     * for a plan guard to inspect.
     */
+  /** The query rows broadcast-rescored against the vector table —
+    * shared by the round plan, the rounds == 0 degenerate path, and
+    * the plan-guard twin. The query's own id may enter the beam
+    * (sim 1.0 tops it) — kept: its out-edges are exactly the
+    * candidates a search wants, and the final rank excludes self.
+    */
+  private def rescoredPlan(v: DataFrame, q: DataFrame,
+      cand: DataFrame): DataFrame =
+    v.join(broadcast(cand), Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("vec"),
+        col("qnorm"), col("norm")))
+
+  /** ONE beam round as a lazy plan: expand `frontier` over the edge
+    * table, union, dedup, rescore, beam-rank. The search loop
+    * collects this plan once per round; [[graphRoundPlanTwin]] hands
+    * the same construction to the plan guard.
+    */
+  private def beamRoundPlan(v: DataFrame, edges: DataFrame,
+      q: DataFrame, frontier: DataFrame, beam: Int): DataFrame = {
+    val bW = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id"))
+    val expanded = edges.join(broadcast(frontier),
+        col("id") === col("src"))
+      .select(col("query_id"), col("dst").as("id"))
+    val cand = frontier.union(expanded).distinct()
+    rescoredPlan(v, q, cand)
+      .withColumn("bn", row_number().over(bW))
+      .where(col("bn") <= beam)
+      .select(col("query_id"), col("id"), col("sim"))
+  }
+
   private[graft] def graphSearchPlan(v: DataFrame, edges0: DataFrame,
       cents: DataFrame, numEntries: Int, beam: Int, rounds: Int,
       numQueries: Int, k: Int): (DataFrame, Seq[DataFrame]) = {
@@ -462,45 +549,62 @@ object Similarity {
     // boundaries expensive. knn_graph 4.94 s → ~2.6 s at equal calib.
     val edges = edges0.localCheckpoint(true)
     val spark = v.sparkSession
-    def localized(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-    val q = localized(v.where(col("id") < numQueries)
-      .select(col("id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm")))
-    val entries = localized(
-      centroidScored(v.where(col("id") < numQueries), cents)
-        .withColumn("pr", row_number().over(Window.partitionBy("id")
-          .orderBy(col("csim").desc, col("cid").desc)))
-        .where(col("pr") <= numEntries)
-        .select(col("id").as("query_id"), col("cid").as("id")))
-    // the query's own id may enter the beam (sim 1.0 tops it) — kept:
-    // its out-edges are exactly the candidates a search wants, and
-    // the final rank excludes self
-    def rescored(cand: DataFrame): DataFrame =
-      v.join(broadcast(cand), Seq("id"))
-        .join(broadcast(q), Seq("query_id"))
-        .withColumn("sim", cosine(col("qvec"), col("vec"),
-          col("qnorm"), col("norm")))
-    val bW = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("id"))
+    import scala.jdk.CollectionConverters._
+    def localOf(rows: Seq[Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    val (entries, q, eSchema) = collectFrontier(v, cents, numQueries,
+      numEntries)
     var frontier = entries
+    // rounds == 0 degrades to scoring the entries directly (no beam
+    // cut — the pre-r19 final-rescore shape); every registered search
+    // runs rounds >= 1
+    var beamRows: Seq[Row] =
+      if (rounds > 0) Nil
+      else rescoredPlan(v, q, entries)
+        .select(col("query_id"), col("id"), col("sim"))
+        .collect().toSeq
+    // each round is ONE action that expands, rescores, beam-ranks and
+    // collects (query_id, id, sim); the final top-k derives from the
+    // LAST round's beam rows WITHOUT a separate rescore job
+    // (optimization r19): the old final pass re-scored exactly the
+    // frontier rows, and cosine over identical inputs is
+    // deterministic, so the collected round sims ARE the final sims.
     for (_ <- 0 until rounds) {
-      val expanded = edges.join(broadcast(frontier),
-          col("id") === col("src"))
-        .select(col("query_id"), col("dst").as("id"))
-      val cand = frontier.union(expanded).distinct()
-      frontier = localized(rescored(cand)
-        .withColumn("bn", row_number().over(bW))
-        .where(col("bn") <= beam)
-        .select(col("query_id"), col("id")))
+      beamRows = beamRoundPlan(v, edges, q, frontier, beam)
+        .collect().toSeq
+      frontier = localOf(beamRows.map(r => Row(r.get(0), r.get(1))),
+        org.apache.spark.sql.types.StructType(eSchema.take(2)))
     }
-    val out = rescored(frontier)
-      .where(col("id") =!= col("query_id"))
-      .withColumn("rn", row_number().over(bW))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("id").as("neighbor_id"))
-      .orderBy("query_id", "rn")
+    // local top-k: self excluded, (sim DESC, id ASC) with -0.0
+    // normalized to 0.0 exactly as Spark's UnsafeRow sort does, rank
+    // by position — bit-identical to the old row_number plan over the
+    // re-scored frontier
+    def lv(x: Any): Long = x.asInstanceOf[Number].longValue
+    def sk(sim: Double): Double = if (sim == 0.0) 0.0 else sim
+    // java.lang.Double.compare ranks NaN above +Inf — the same total
+    // order Spark's descending SortOrder uses
+    val byRank = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(sk(b.getDouble(2)),
+          sk(a.getDouble(2)))
+        if (c != 0) c else java.lang.Long.compare(lv(a.get(1)),
+          lv(b.get(1)))
+      }
+    }
+    val outRows = beamRows
+      .filter(r => r.get(1) != r.get(0))
+      .groupBy(r => lv(r.get(0))).toSeq.sortBy(_._1)
+      .flatMap { case (_, rs) =>
+        rs.sorted(byRank).take(k).zipWithIndex
+          .map { case (r, i) => Row(r.get(0), i + 1, r.get(1)) }
+      }
+    val out = localOf(outRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        eSchema(0),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        eSchema(1).copy(name = "neighbor_id"))))
     (out, Seq(edges))
   }
 

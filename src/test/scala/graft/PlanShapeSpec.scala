@@ -148,17 +148,20 @@ class PlanShapeSpec extends AnyFunSuite {
   test("knn_graph: the beam search never goes cartesian and every " +
       "frontier/candidate join rides a broadcast (bounded side)") {
     // the registered query collapses its bounded k-result to a local
-    // relation after releasing its caches (VERDICT r16 #4), so the
-    // guard inspects the REAL search plan via the plan twin — same
-    // parameters as the registry's knn_graph entry
-    val (df, pinned) = operators.Similarity.knnGraphPlan(
+    // relation after releasing its caches (VERDICT r16 #4) and since
+    // r19 derives the final top-k from the last round's collected
+    // beam rows, so the guard inspects ONE REAL search round via the
+    // round twin (shared construction with the search loop —
+    // beamRoundPlan/collectFrontier) — same parameters as the
+    // registry's knn_graph entry
+    val (df, pinned) = operators.Similarity.graphRoundPlanTwin(
       SparkEntry.tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       numCentroids = 16, graphDegree = 6, numEntries = 2,
-      beam = 10, rounds = 2, numQueries = 10, k = 5)
+      beam = 10, numQueries = 10)
     try {
       // r18: the search runs round-wise with the bounded frontier
       // collected to a local relation per round, so the inspectable
-      // final plan is one round's shape — the vector table joined
+      // plan is one round's shape — the vector table joined
       // against the broadcast candidate set and broadcast queries.
       // The guard strengthens accordingly: NO join in the search may
       // be anything but a broadcast (previously only a count was
